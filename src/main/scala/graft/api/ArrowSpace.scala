@@ -1,0 +1,184 @@
+package graft.api
+
+import graft.core.GraphParams
+import graft.functions.VectorFunctions._
+import graft.graph.KnnGraph
+import graft.spectral.{FeatureLaplacian, LocalLaplacian, TauMode}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** The built index: item vectors + per-item synthetic spectral index λ,
+  * plus the (broadcastable) F×F feature Laplacian and the τ constant
+  * chosen by the TauMode policy.
+  *
+  * Spark-native counterpart of the reference's `ArrowSpace`
+  * (reference: src/lib.rs:64-124): `items` persists as
+  * (id: Long, vec: Array[Double], lambda: Double, e_raw: Double).
+  */
+final case class ArrowSpaceModel(
+    items: DataFrame,
+    featureLaplacian: LocalLaplacian,
+    tau: Double,
+    params: GraphParams,
+    nItems: Long,
+    nFeatures: Int
+) {
+
+  /** All (id, lambda) pairs — reference src/lib.rs:122-124. */
+  def lambdas: DataFrame = items.select("id", "lambda")
+
+  /** Point lookup — reference src/lib.rs:100-120. */
+  def getItem(id: Long): DataFrame = items.where(F.col("id") === id)
+
+  /** λ-aware top-k search (reference src/lib.rs:132-174):
+    * score = τ·cos(q, xᵢ) + (1−τ)·1/(1+|λ_q−λᵢ|), top `topk` desc.
+    * Asserts λ_q ≠ 0 with the reference's error message.
+    */
+  def search(query: Array[Double], tau: Double, topk: Int = -1): DataFrame = {
+    val lambdaQ = prepareQueryLambda(query)
+    require(
+      lambdaQ != 0.0,
+      "The lambdas are zero, check the magnitude of items and eps.")
+    scoreAndTake(query, lambdaQ, tau, if (topk > 0) topk else params.topk)
+  }
+
+  /** Variant without the λ_q ≠ 0 assertion (reference src/lib.rs:182-219).
+    * The crate's exact hybrid blending is not observable from the
+    * reference repo; this engine keeps the scoring strategy identical
+    * to [[search]] behind a separate entry point (SURVEY.md §2.1 O4).
+    */
+  def searchHybrid(query: Array[Double], tau: Double, topk: Int = -1): DataFrame = {
+    val lambdaQ = prepareQueryLambda(query)
+    scoreAndTake(query, lambdaQ, tau, if (topk > 0) topk else params.topk)
+  }
+
+  /** Energy-only search, no cosine (reference src/lib.rs:232-262):
+    * score = w_λ·1/(1+|λ_q−λᵢ|) + w_D·1/(1+|E_q−Eᵢ|) where E is the
+    * raw Rayleigh energy against the feature Laplacian (the
+    * "Rayleigh-Dirichlet" term, reconstructed — SURVEY.md §2.1 O5).
+    */
+  def searchEnergy(
+      query: Array[Double],
+      k: Int,
+      wLambda: Double = 1.0,
+      wDirichlet: Double = 0.5): DataFrame = {
+    validateQuery(query)
+    val lambdaQ = prepareQueryLambda(query)
+    val eQ = featureLaplacian.rayleigh(query)
+    items
+      .withColumn(
+        "score",
+        F.lit(wLambda) * lambdaProximity(F.col("lambda"), F.lit(lambdaQ)) +
+          F.lit(wDirichlet) * lambdaProximity(F.col("e_raw"), F.lit(eQ)))
+      .select("id", "score")
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
+  /** Query-side S10: synthetic λ for one vector, computed driver-side
+    * against the broadcastable feature Laplacian (reference
+    * prepare_query_item, src/lib.rs:152-154).
+    */
+  def prepareQueryLambda(query: Array[Double]): Double = {
+    validateQuery(query)
+    featureLaplacian.synth(query, tau)
+  }
+
+  private def validateQuery(query: Array[Double]): Unit =
+    require(
+      query.length == nFeatures,
+      s"query length ${query.length} must match nfeatures $nFeatures")
+
+  private def scoreAndTake(
+      query: Array[Double], lambdaQ: Double, tau: Double, k: Int): DataFrame = {
+    val q = F.typedLit(query)
+    items
+      .withColumn(
+        "score",
+        lambdaScore(cosine(F.col("vec"), q), F.col("lambda"), lambdaQ, tau))
+      .select("id", "score")
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+}
+
+/** Builds an [[ArrowSpaceModel]] + item-graph edge DataFrame from an
+  * items DataFrame — the Spark-native counterpart of the reference's
+  * `ArrowSpaceBuilder.build` (src/lib.rs:270-300), stages S1-S10 of
+  * SURVEY.md §2.2.
+  */
+object ArrowSpaceBuilder {
+
+  /** Sampling kicks in above this N, mirroring the crate's "random
+    * sampler with keep rate 60%" on large inputs (SURVEY.md §2.2 S3).
+    */
+  val SampleThreshold = 100000L
+  val SampleRate = 0.6
+
+  /** itemsRaw must have columns (id: integral, vec: array<numeric>).
+    * Returns the model plus the symmetric item-graph edges
+    * (src, dst, dist, weight).
+    */
+  def build(
+      itemsRaw: DataFrame,
+      params: GraphParams,
+      tauMode: TauMode = TauMode.Median): (ArrowSpaceModel, DataFrame) = {
+    val spark = itemsRaw.sparkSession
+
+    val items = itemsRaw
+      .select(
+        F.col("id").cast("long").as("id"),
+        F.col("vec").cast("array<double>").as("vec"))
+      .withColumn("vnorm", l2normalize(F.col("vec")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nItems = items.count()
+    require(nItems > 0, "items must be non-empty")
+    val nFeatures = items.select(F.size(F.col("vec"))).head.getInt(0)
+
+    // S3: sample large inputs for graph construction only — λ is still
+    // computed for every item against the F×F Laplacian.
+    val graphItems =
+      if (nItems > SampleThreshold)
+        items.sample(withReplacement = false, SampleRate, params.seed)
+      else items
+
+    // S6-S8: eps-kNN item graph.
+    val edges = KnnGraph
+      .epsKnnEdges(graphItems.select("id", "vnorm"), params, nItems)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // S9: F×F feature Laplacian from item-graph signals.
+    val lap = FeatureLaplacian.build(
+      graphItems.select("id", "vnorm"), edges, params, nFeatures)
+
+    // S10: per-item raw energy + dispersion, then τ via TauMode, then λ.
+    val bcLap = spark.sparkContext.broadcast(lap)
+    import spark.implicits._
+    val withEnergy = items
+      .select($"id".as[Long], $"vec".as[Array[Double]])
+      .mapPartitions { it =>
+        val l = bcLap.value
+        it.map { case (id, v) => (id, l.rayleigh(v), l.dirichletGini(v)) }
+      }
+      .toDF("id", "e_raw", "g_raw")
+    val tau = tauMode.resolve(withEnergy, "e_raw")
+    val withLambda = items
+      .join(withEnergy, "id")
+      .withColumn(
+        "e_bounded",
+        F.when(F.col("e_raw") + F.lit(tau) === 0.0, 0.0)
+          .otherwise(F.col("e_raw") / (F.col("e_raw") + F.lit(tau))))
+      .withColumn(
+        "lambda",
+        F.lit(tau) * F.col("e_bounded") +
+          F.lit(1.0 - tau) * F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("g_raw"))))
+      .select("id", "vec", "lambda", "e_raw")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    withLambda.count() // materialize before unpersisting parents
+    items.unpersist()
+
+    val model = ArrowSpaceModel(withLambda, lap, tau, params, nItems, nFeatures)
+    (model, edges)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+
+/** Column DSL over the native vector expressions. All functions accept
+  * `ARRAY<DOUBLE>` (or anything implicitly castable to it, e.g. the
+  * `ARRAY<FLOAT>` embeddings in the testdata) and stay codegen'd.
+  */
+object VectorFunctions {
+
+  /** Inputs may be ARRAY<FLOAT> (testdata embeddings) — normalize to
+    * ARRAY<DOUBLE> here since the native expressions skip Catalyst's
+    * implicit-cast machinery. */
+  private def asDoubles(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    Shim.expression(c.cast("array<double>"))
+
+  /** Σ aᵢ·bᵢ */
+  def dot(a: Column, b: Column): Column =
+    Shim.column(DotProduct(asDoubles(a), asDoubles(b)))
+
+  /** cos(a, b); 0.0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column =
+    Shim.column(CosineSimilarity(asDoubles(a), asDoubles(b)))
+
+  /** Rectified cosine distance d = 1 − max(0, cos(a,b))
+    * (reference: GRAPH_VARIABLES.md:7). */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - greatest(lit(0.0), cosine(a, b))
+
+  /** ‖a‖₂ */
+  def l2norm(a: Column): Column = Shim.column(L2Norm(asDoubles(a)))
+
+  /** a / ‖a‖₂ (identity for the zero vector). */
+  def l2normalize(a: Column): Column =
+    Shim.column(L2Normalize(asDoubles(a)))
+
+  /** Edge-weight kernel w = 1 / (1 + (d/σ)^p)
+    * (reference: GRAPH_VARIABLES.md:9-10). */
+  def weightKernel(dist: Column, sigma: Double, p: Double): Column =
+    lit(1.0) / (lit(1.0) + pow(dist / lit(sigma), lit(p)))
+
+  /** λ-proximity term 1 / (1 + |λa − λb|) (reference: TAUMODE.md:33). */
+  def lambdaProximity(lambdaA: Column, lambdaB: Column): Column =
+    lit(1.0) / (lit(1.0) + abs(lambdaA - lambdaB))
+
+  /** Blended λ-aware score τ·cos + (1−τ)·λ-proximity
+    * (reference: src/lib.rs:172, TAUMODE.md:33). */
+  def lambdaScore(cos: Column, lambdaItem: Column, lambdaQ: Double, tau: Double): Column =
+    lit(tau) * cos + lit(1.0 - tau) * lambdaProximity(lambdaItem, lit(lambdaQ))
+
+  /** Register the native kernels for SQL use (`graft_cosine(a,b)` etc.). */
+  def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+    Shim.registerFunction(spark, "graft_dot", es => DotProduct(d(es(0)), d(es(1))))
+    Shim.registerFunction(spark, "graft_cosine", es => CosineSimilarity(d(es(0)), d(es(1))))
+    Shim.registerFunction(spark, "graft_l2norm", es => L2Norm(d(es.head)))
+    Shim.registerFunction(spark, "graft_l2normalize", es => L2Normalize(d(es.head)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.spectral
+
+/** Driver-local sparse Laplacian over the F feature dimensions
+  * (reference: the F×F "signals" Laplacian of TAUMODE.md:12,
+  * GRAPH_VARIABLES.md:17,44). F is at most a few thousand, so the
+  * edge list is tiny and is broadcast to executors for the per-item λ
+  * pass.
+  *
+  * `edges` holds each undirected edge once (f < g, weight > 0).
+  */
+final case class LocalLaplacian(dim: Int, edges: Array[LapEdge]) extends Serializable {
+
+  def isEmpty: Boolean = edges.isEmpty
+
+  /** Raw Rayleigh energy E(x) = xᵀLx / xᵀx via the edge identity
+    * xᵀLx = Σ w_fg (x_f − x_g)² (TAUMODE.md:18,26). 0 for the zero
+    * vector or an empty graph.
+    */
+  def rayleigh(x: Array[Double]): Double = {
+    var xx = 0.0
+    var i = 0
+    while (i < x.length) { xx += x(i) * x(i); i += 1 }
+    if (xx == 0.0) return 0.0
+    dirichlet(x) / xx
+  }
+
+  /** Unnormalized Dirichlet energy xᵀLx = Σ w_fg (x_f − x_g)². */
+  def dirichlet(x: Array[Double]): Double = {
+    var acc = 0.0
+    var e = 0
+    while (e < edges.length) {
+      val ed = edges(e)
+      val d = x(ed.f) - x(ed.g)
+      acc += ed.w * d * d
+      e += 1
+    }
+    acc
+  }
+
+  /** Gini-style concentration of edgewise Dirichlet shares:
+    * G(x) = clip(Σ s², 0, 1) with s_fg = w_fg(x_f−x_g)²/Σ
+    * (TAUMODE.md:26-27). 0 when the total energy is 0.
+    */
+  def dirichletGini(x: Array[Double]): Double = {
+    var tot = 0.0
+    var e = 0
+    while (e < edges.length) {
+      val ed = edges(e)
+      val d = x(ed.f) - x(ed.g)
+      tot += ed.w * d * d
+      e += 1
+    }
+    if (tot <= 0.0) return 0.0
+    var sumSq = 0.0
+    e = 0
+    while (e < edges.length) {
+      val ed = edges(e)
+      val d = x(ed.f) - x(ed.g)
+      val s = ed.w * d * d / tot
+      sumSq += s * s
+      e += 1
+    }
+    math.min(1.0, math.max(0.0, sumSq))
+  }
+
+  /** Synthetic spectral index S(x) = τ·E′(x) + (1−τ)·G(x) with
+    * E′ = E/(E+τ) (TAUMODE.md:8-27). τ must be > 0.
+    */
+  def synth(x: Array[Double], tau: Double): Double = {
+    val e = rayleigh(x)
+    val eb = if (e + tau == 0.0) 0.0 else e / (e + tau)
+    tau * eb + (1.0 - tau) * dirichletGini(x)
+  }
+}
+
+final case class LapEdge(f: Int, g: Int, w: Double) extends Serializable

@@ -1,0 +1,128 @@
+package graft
+
+import graft.api.ArrowSpaceBuilder
+import graft.core.GraphParams
+import org.apache.spark.sql.{functions => F}
+
+/** Port of the reference's only assert-based test
+  * (reference: tests/test_0.py) plus structural properties the
+  * reference leaves implicit (SURVEY.md §5).
+  *
+  * Exact-parity note (SURVEY.md §7.4): the τ=1.0 ordering is pure
+  * cosine and is asserted exactly. The blended orderings depend on the
+  * crate-internal feature-Laplacian construction + seeded
+  * dims-reduction that are not vendored in the reference repo; those
+  * are pinned here structurally (determinism, result size, score
+  * monotonicity, λ non-degeneracy) — see FeatureLaplacian's Scaladoc
+  * for the documented reconstruction.
+  */
+class ArrowSpaceSpec extends SparkSpec {
+
+  val items: Array[Array[Double]] = Array(
+    Array(0.82,0.11,0.43,0.28,0.64,0.32,0.55,0.48,0.19,0.73,0.07,0.36,0.58,0.23,0.44,0.31,0.52,0.16,0.61,0.40,0.27,0.49,0.35,0.29),
+    Array(0.79,0.12,0.45,0.29,0.61,0.33,0.54,0.47,0.21,0.70,0.08,0.37,0.56,0.22,0.46,0.30,0.51,0.18,0.60,0.39,0.26,0.48,0.36,0.30),
+    Array(0.78,0.13,0.46,0.27,0.62,0.34,0.53,0.46,0.22,0.69,0.09,0.35,0.55,0.24,0.45,0.29,0.50,0.17,0.59,0.38,0.28,0.47,0.34,0.31),
+    Array(0.81,0.10,0.44,0.26,0.63,0.31,0.56,0.45,0.20,0.71,0.06,0.34,0.57,0.25,0.47,0.33,0.53,0.15,0.62,0.41,0.25,0.50,0.37,0.27),
+    Array(0.80,0.12,0.42,0.25,0.60,0.35,0.52,0.49,0.23,0.68,0.10,0.38,0.54,0.21,0.43,0.28,0.49,0.19,0.58,0.37,0.29,0.46,0.33,0.32))
+
+  // reference tests/test_0.py:12-18
+  val params: GraphParams =
+    GraphParams(eps = 0.05, k = 5, topk = 3, p = 2.0, sigma = Some(0.05))
+
+  lazy val itemsDf = {
+    val s = spark
+    import s.implicits._
+    items.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+  }
+
+  lazy val (model, edges) = ArrowSpaceBuilder.build(itemsDf, params)
+
+  def query: Array[Double] = items(2).map(_ * 1.05)
+
+  def hits(tau: Double): Seq[(Long, Double)] =
+    model.search(query, tau).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("metadata matches the input matrix") {
+    assert(model.nItems == 5)
+    assert(model.nFeatures == 24)
+  }
+
+  test("tau=1.0 is pure cosine: exact ordering [2,1,4] (test_0.py:29-32)") {
+    val h = hits(1.0)
+    assert(h.size == 3)
+    assert(h.map(_._1) == Seq(2L, 1L, 4L))
+    // query = items[2] * 1.05 => cos with item 2 is exactly 1
+    assert(math.abs(h.head._2 - 1.0) < 1e-12)
+  }
+
+  test("blended search returns topk results, deterministically, scores descending") {
+    for (tau <- Seq(0.9, 0.6, 0.55)) {
+      val h1 = hits(tau)
+      val h2 = hits(tau)
+      assert(h1.size == 3, s"tau=$tau")
+      assert(h1 == h2, s"tau=$tau not deterministic")
+      assert(h1.map(_._2) == h1.map(_._2).sorted.reverse, s"tau=$tau not descending")
+    }
+  }
+
+  test("lambdas are non-degenerate and bounded") {
+    val l = model.lambdas.collect().map(_.getDouble(1))
+    assert(l.length == 5)
+    assert(l.forall(v => v > 0.0 && v < 1.0), l.mkString(","))
+    assert(l.distinct.length > 1, "lambdas collapsed to a single value")
+  }
+
+  test("lambda_q is nonzero and search_hybrid skips the assert (src/lib.rs:182-219)") {
+    assert(model.prepareQueryLambda(query) != 0.0)
+    assert(model.searchHybrid(query, 0.62).count() == 3)
+  }
+
+  test("query length validation mirrors src/lib.rs:139-146") {
+    val e = intercept[IllegalArgumentException](model.search(Array(1.0, 2.0), 1.0))
+    assert(e.getMessage.contains("must match nfeatures"))
+  }
+
+  test("graph is symmetric with no self-loops") {
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(es.nonEmpty)
+    assert(es.forall { case (s, d, _) => s != d })
+    val set = es.map { case (s, d, w) => ((s, d), w) }.toMap
+    es.foreach { case (s, d, w) =>
+      assert(set.get((d, s)).exists(w2 => math.abs(w2 - w) < 1e-12), s"($s,$d) not symmetric")
+    }
+  }
+
+  test("scale invariance: normalized topology — scaling all items by 10 keeps orderings (NORMALISATION.md)") {
+    val s = spark
+    import s.implicits._
+    val scaled = items.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_ * 10.0)) }
+      .toSeq.toDF("id", "vec")
+    val (m2, _) = ArrowSpaceBuilder.build(scaled, params)
+    for (tau <- Seq(1.0, 0.6)) {
+      val a = hits(tau).map(_._1)
+      val b = m2.search(query.map(_ * 10.0), tau).collect().map(_.getLong(0)).toSeq
+      assert(a == b, s"tau=$tau scale variance")
+    }
+  }
+
+  test("energy search returns k results without cosine") {
+    val h = model.searchEnergy(query, k = 4)
+    assert(h.count() == 4)
+  }
+
+  test("searches on README-style 3x3 matrix: cosine scores match (README.md:36-69)") {
+    val s = spark
+    import s.implicits._
+    val m3 = Seq(
+      (0L, Array(0.1, 0.2, 0.3)),
+      (1L, Array(0.0, 0.5, 0.1)),
+      (2L, Array(0.9, 0.1, 0.0))).toDF("id", "vec")
+    val p3 = GraphParams(eps = 1.0, k = 6, topk = 3, p = 2.0, sigma = Some(1.0))
+    val (mm, _) = ArrowSpaceBuilder.build(m3, p3)
+    val res = mm.search(Array(0.05, 0.2, 0.25), 1.0).collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // pure-cosine scores from the README example
+    val expected = Map(0L -> 0.98974, 1L -> 0.75653, 2L -> 0.22152)
+    res.foreach(r => assert(math.abs(r.getDouble(1) - expected(r.getLong(0))) < 1e-4))
+  }
+}
