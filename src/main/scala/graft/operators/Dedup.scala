@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Deduplication operators for 100 TB-scale corpora (SURVEY.md §7.2
+  * step 11): exact (hash groupBy), MinHash+LSH near-dup (shingle →
+  * signature → band → bucket join → exact-Jaccard verify), and
+  * SimHash. Signatures are computed with higher-order array functions
+  * (codegen'd, no explode) so the only shuffles are the band-bucket
+  * join and the final aggregation — the shape that survives a 1000×
+  * scale-up.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text fingerprint.
+    * Output: (fp, n_docs, keeper) — keeper is the smallest doc_id.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(F.col("doc_id"), TextOps.fingerprint(F.col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(F.count("*").as("n_docs"), F.min("doc_id").as("keeper"))
+
+  /** Word n-gram shingle set (distinct, order-free). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = TextOps.tokens(text)
+    F.array_distinct(
+      F.when(F.size(t) < n, F.array(F.concat_ws(" ", t)))
+        .otherwise(F.transform(
+          F.sequence(F.lit(0), F.size(t) - n),
+          idx => F.concat_ws(" ", F.slice(t, idx + 1, F.lit(n))))))
+  }
+
+  /** MinHash signature: sig[i] = min over shingles of murmur3(s, i).
+    * One pass per row, no explode — the per-item cost is
+    * O(shingles × numHashes) inside codegen.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    F.transform(
+      F.sequence(F.lit(0), F.lit(numHashes - 1)),
+      i => F.array_min(F.transform(shingleCol, s => F.hash(s, i))))
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * shingle(n) → signature(numHashes) → `bands` bands of
+    * numHashes/bands rows → equi-join on (band, band-hash) → distinct
+    * candidate pairs → exact Jaccard on the shingle sets. The band
+    * join is the single shuffle; skewed buckets are bounded by AQE
+    * (SURVEY.md §7.4). Output: (doc_a, doc_b, est_jaccard, jaccard)
+    * sorted by exact Jaccard descending.
+    */
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val withSig = docs
+      .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh"))
+      .withColumn("sig", minhashSignature(F.col("sh"), numHashes))
+
+    val banded = withSig.select(
+      F.col("doc_id"),
+      F.col("sh"),
+      F.col("sig"),
+      F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).as("band"))
+      .withColumn("bh", F.hash(F.col("band"), F.slice(F.col("sig"), F.col("band") * rows + 1, F.lit(rows))))
+
+    val a = banded.select(
+      F.col("band"), F.col("bh"), F.col("doc_id").as("doc_a"),
+      F.col("sh").as("sh_a"), F.col("sig").as("sig_a"))
+    val b = banded.select(
+      F.col("band"), F.col("bh"), F.col("doc_id").as("doc_b"),
+      F.col("sh").as("sh_b"), F.col("sig").as("sig_b"))
+
+    a.join(b, Seq("band", "bh"))
+      .where(F.col("doc_a") < F.col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .select(
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.round(
+          F.aggregate(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"),
+              (x, y) => F.when(x === y, 1.0).otherwise(0.0)),
+            F.lit(0.0), (acc, v) => acc + v) / numHashes, 4).as("est_jaccard"),
+        F.round(
+          F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
+            F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))), 4).as("jaccard"))
+      .orderBy(F.col("jaccard").desc, F.col("doc_a").asc, F.col("doc_b").asc)
+  }
+
+  /** 64-bit SimHash per document from murmur-hashed tokens. Tokens
+    * are exploded and re-aggregated (one shuffle keyed by doc_id —
+    * partial aggregation makes it map-side-combining at scale).
+    * Output: (doc_id, simhash: Long).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(
+      F.col("doc_id"),
+      F.explode(TextOps.tokens(F.col("text"))).as("token"))
+      .withColumn("h", F.xxhash64(F.col("token")))
+    val bitAggs = (0 until 64).map { b =>
+      F.sum(
+        F.when(F.shiftright(F.col("h"), b).bitwiseAND(1L) === 1L, 1)
+          .otherwise(-1)).as(s"b$b")
+    }
+    val counted = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val hashExpr = (0 until 64)
+      .map(b => F.when(F.col(s"b$b") > 0, F.shiftleft(F.lit(1L), b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    counted.select(F.col("doc_id"), hashExpr.as("simhash"))
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hammingDist(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs within Hamming distance
+    * `maxDist`, blocked on 16-bit chunks (a pair within distance d<4
+    * must agree exactly on at least one of 4 chunks — pigeonhole), so
+    * the join is an equi-join on (chunk index, chunk value), never a
+    * cross join.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 6): DataFrame = {
+    val sh = simhash(docs)
+    val chunked = sh.select(
+      F.col("doc_id"), F.col("simhash"),
+      F.explode(F.sequence(F.lit(0), F.lit(3))).as("chunk"))
+      .withColumn("cv",
+        F.expr("(simhash >> (chunk * 16)) & 65535"))
+    val a = chunked.select(F.col("chunk"), F.col("cv"),
+      F.col("doc_id").as("doc_a"), F.col("simhash").as("ha"))
+    val b = chunked.select(F.col("chunk"), F.col("cv"),
+      F.col("doc_id").as("doc_b"), F.col("simhash").as("hb"))
+    a.join(b, Seq("chunk", "cv"))
+      .where(F.col("doc_a") < F.col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hammingDist(F.col("ha"), F.col("hb")))
+      .where(F.col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy(F.col("hamming").asc, F.col("doc_a").asc, F.col("doc_b").asc)
+  }
+}

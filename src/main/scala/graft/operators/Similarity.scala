@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Similarity-search operators over an embedding column
+  * (SURVEY.md §7.2 step 11): brute-force cosine top-k as the exact
+  * baseline and an LSH-bucketed variant as the scale path. Scoring
+  * runs through the native codegen'd cosine kernel
+  * (graft.functions.CosineSimilarity), and top-k compiles to
+  * TakeOrderedAndProject — partial top-k per partition, no full sort.
+  */
+object Similarity {
+
+  /** Exact cosine top-k of `emb` (id, vec) against one query vector.
+    * Output: (id, score) descending. One scan, no shuffle beyond the
+    * final k-row merge — the right physical shape at any scale.
+    */
+  def annTopK(emb: DataFrame, query: Array[Double], k: Int): DataFrame = {
+    val q = F.typedLit(query)
+    emb
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
+  /** Approximate cosine top-k via BucketedRandomProjectionLSH on
+    * L2-normalized vectors (Euclidean distance is monotone in cosine
+    * on the unit sphere: d² = 2−2cos). The scale path: candidate set
+    * bounded per bucket instead of scanning all N.
+    */
+  def annTopKLsh(emb: DataFrame, query: Array[Double], k: Int, seed: Long = 42L): DataFrame = {
+    val normed = emb
+      .select(F.col("id"), l2normalize(F.col("vec")).as("vn"))
+      .withColumn("features", array_to_vector(F.col("vn")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features")
+      .setOutputCol("hashes")
+      .setBucketLength(2.0)
+      .setNumHashTables(3)
+      .setSeed(seed)
+    val model = lsh.fit(normed)
+    val qn = {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      if (n == 0.0) query else query.map(_ / n)
+    }
+    import org.apache.spark.ml.linalg.Vectors
+    model
+      .approxNearestNeighbors(normed, Vectors.dense(qn), k)
+      .select(
+        F.col("id"),
+        F.round(F.lit(1.0) - F.col("distCol") * F.col("distCol") / 2.0, 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+  }
+
+  /** Top-k most-similar item pairs by exact cosine. Brute-force
+    * self-join — quadratic, for modest N / verification; the LSH
+    * band-join in [[graft.graph.KnnGraph]] is the production path.
+    */
+  def topCosinePairs(emb: DataFrame, k: Int): DataFrame = {
+    val a = emb.select(F.col("id").as("id_a"), F.col("vec").as("va"))
+    val b = emb.select(F.col("id").as("id_b"), F.col("vec").as("vb"))
+    a.join(b, F.col("id_a") < F.col("id_b"))
+      .select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.round(cosine(F.col("va"), F.col("vb")), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id_a").asc, F.col("id_b").asc)
+      .limit(k)
+  }
+
+  /** Per-embedding L2 norms: (id, norm). */
+  def norms(emb: DataFrame): DataFrame =
+    emb.select(F.col("id"), F.round(l2norm(F.col("vec")), 4).as("norm"))
+
+  /** Embedding-cosine near-duplicate pairs above a threshold —
+    * brute-force variant (exact); compose with LSH bucketing for
+    * scale (same contract as minhashNearDupPairs).
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(F.col("id").as("id_a"), F.col("vec").as("va"))
+    val b = emb.select(F.col("id").as("id_b"), F.col("vec").as("vb"))
+    a.join(b, F.col("id_a") < F.col("id_b"))
+      .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+      .where(F.col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+      .orderBy(F.col("score").desc, F.col("id_a").asc, F.col("id_b").asc)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting. All pure column algebra (whole-stage codegen, no
+  * UDFs) so they scan-scale linearly — the operators the reference's
+  * Python harness performs ad hoc (e.g. reference
+  * tests/test_2_CVE_db.py:81-128 JSON field prep) promoted to library
+  * kernels, plus the LLM-pipeline surface from SURVEY.md §7.2 step 11.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = F.split(F.trim(text), "\\s+")
+
+  /** Per-document token/char statistics.
+    * Output: (doc_id, n_tokens, n_chars, n_chars_nospace,
+    * avg_token_len, bpe_est) where bpe_est is the standard ~4
+    * chars/token BPE heuristic.
+    */
+  def textStats(docs: DataFrame): DataFrame = {
+    val t = tokens(F.col("text"))
+    val noSpace = F.length(F.regexp_replace(F.col("text"), "\\s", ""))
+    docs.select(
+      F.col("doc_id"),
+      F.size(t).as("n_tokens"),
+      F.length(F.col("text")).as("n_chars"),
+      noSpace.as("n_chars_nospace"),
+      F.round(noSpace.cast("double") / F.size(t), 4).as("avg_token_len"),
+      F.ceil(F.length(F.col("text")).cast("double") / 4.0).as("bpe_est")
+    )
+  }
+
+  /** Per-document quality signals: vowel ratio, whitespace ratio,
+    * tokens-per-100-chars density, and a blended quality score.
+    */
+  def textQuality(docs: DataFrame): DataFrame = {
+    val len = F.length(F.col("text")).cast("double")
+    val vowels = F.length(F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", ""))
+    val spaces = F.length(F.col("text")) -
+      F.length(F.regexp_replace(F.col("text"), "\\s", ""))
+    val nTok = F.size(tokens(F.col("text"))).cast("double")
+    docs.select(
+      F.col("doc_id"),
+      F.round(vowels / len, 4).as("vowel_ratio"),
+      F.round(spaces / len, 4).as("space_ratio"),
+      F.round(nTok * 100.0 / len, 4).as("token_density"),
+      F.round((vowels / len) * 2.0 + nTok * 10.0 / len, 4).as("quality_score")
+    )
+  }
+
+  /** Normalized-text fingerprint: md5 of lowercase,
+    * whitespace-collapsed text — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))
+
+  /** Marker-token language ID (deterministic cascade, n-gram-free
+    * heuristic): first matching stopword wins, else "unk".
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    F.when(F.array_contains(t, "the").or(F.array_contains(t, "and")), "en")
+      .when(F.array_contains(t, "der").or(F.array_contains(t, "und")), "de")
+      .when(F.array_contains(t, "le").or(F.array_contains(t, "et")), "fr")
+      .when(F.array_contains(t, "el").or(F.array_contains(t, "y")), "es")
+      .when(F.array_contains(t, "的"), "zh")
+      .otherwise("unk")
+  }
+}
