@@ -44,6 +44,14 @@ object SparkEntry {
   private def model(s: SparkSession, dir: String): (ArrowSpaceModel, DataFrame) =
     modelCache.getOrElseUpdate(dir, ArrowSpaceBuilder.build(emb(s, dir), defaultParams))
 
+  private val energyCache = TrieMap.empty[String, (ArrowSpaceModel, DataFrame)]
+
+  private def energyModel(s: SparkSession, dir: String): (ArrowSpaceModel, DataFrame) =
+    energyCache.getOrElseUpdate(
+      dir,
+      graft.api.EnergyBuilder.buildEnergy(
+        emb(s, dir), graft.core.EnergyParams(), defaultParams))
+
   /** Deterministic query vector: the embedding with id 0. */
   private def queryVec(s: SparkSession, dir: String): Array[Double] =
     emb(s, dir).where(F.col("id") === 0).select("vec").head.getSeq[Double](0).toArray
@@ -229,6 +237,57 @@ object SparkEntry {
     "v_top_cosine_pairs" -> ((s, d) =>
       Similarity.topCosinePairs(emb(s, d), 20)),
 
+    // ---- evaluation metrics (library kernels, SURVEY.md §2.4) ----
+    "m_eval_ann" -> ((s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      import graft.metrics.RankingMetrics
+      val e = tbl(s, d, "embeddings").select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").as("vec"),
+        F.col("label"))
+      val q = e.where(F.col("vec_id") <= 4).select(
+        F.col("vec_id").as("query_id"),
+        F.col("vec").as("qvec"),
+        F.col("label").as("qlabel"))
+      val scored = q.crossJoin(
+        e.select(F.col("vec_id").as("doc_id"), F.col("vec"), F.col("label")))
+        .where(F.col("doc_id") =!= F.col("query_id"))
+        .select(
+          F.col("query_id"), F.col("doc_id"),
+          cosine(F.col("qvec"), F.col("vec")).as("score"))
+      val retrieved = RankingMetrics.withRanks(scored)
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+      val relevant = q.select("query_id", "qlabel")
+        .join(
+          e.select(F.col("vec_id").as("doc_id"), F.col("label").as("qlabel")),
+          Seq("qlabel"))
+        .where(F.col("doc_id") =!= F.col("query_id"))
+        .select("query_id", "doc_id")
+      RankingMetrics.recallAtK(retrieved, relevant, 10)
+        .crossJoin(RankingMetrics.mrr(retrieved, relevant))
+        .crossJoin(RankingMetrics.ndcgAtK(retrieved, relevant, 10))
+        .crossJoin(RankingMetrics.mapAtK(retrieved, relevant, 10))
+    }),
+
+    "m_eval_taumode" -> ((s, d) => {
+      // test_8 pattern: truth = top-10 cosine of the standard build,
+      // retrieved = taumode(τ=0.62) top-10 (reference
+      // tests/test_8_CVE_db_sweep.py:236-237).
+      import graft.metrics.RankingMetrics
+      val (m, _) = model(s, d)
+      val qv = queryVec(s, d)
+      val retrieved = m.search(qv, tau = 0.62)
+        .select(
+          F.lit(0L).as("query_id"), F.col("id").as("doc_id"), F.col("score"))
+      val relevant = m.search(qv, tau = 1.0)
+        .select(F.lit(0L).as("query_id"), F.col("id").as("doc_id"))
+      val ranked = RankingMetrics.withRanks(retrieved)
+      RankingMetrics.recallAtK(ranked, relevant, 10)
+        .crossJoin(RankingMetrics.mrr(ranked, relevant))
+        .crossJoin(RankingMetrics.ndcgAtK(ranked, relevant, 10))
+    }),
+
     // ---- arrowspace operators (O1-O7; spectral — no SQL oracle) ----
     "a_lambdas" -> ((s, d) => {
       val (m, _) = model(s, d)
@@ -249,6 +308,14 @@ object SparkEntry {
     "a_get_item" -> ((s, d) => {
       val (m, _) = model(s, d)
       m.getItem(7).select("id", "lambda")
+    }),
+    "a_energy_lambdas" -> ((s, d) => {
+      val (m, _) = energyModel(s, d)
+      m.lambdas.orderBy("id")
+    }),
+    "a_energy_search" -> ((s, d) => {
+      val (m, _) = energyModel(s, d)
+      m.searchEnergy(queryVec(s, d), k = 10)
     }),
     "a_graph_degrees" -> ((s, d) => {
       val (_, edges) = model(s, d)
@@ -410,6 +477,60 @@ object SparkEntry {
         |FROM documents
         |GROUP BY fp
         |ORDER BY fp""".stripMargin,
+
+    "m_eval_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+        |  FROM e WHERE vec_id <= 4),
+        |scored AS (SELECT q.query_id, e.vec_id AS doc_id,
+        |    list_cosine_similarity(e.v, q.qv) AS score
+        |  FROM e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored),
+        |retrieved AS (SELECT * FROM ranked WHERE rank <= 10),
+        |relevant AS (SELECT q.query_id, e.vec_id AS doc_id
+        |  FROM e, q WHERE e.label = q.qlabel AND e.vec_id <> q.query_id),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM relevant GROUP BY 1),
+        |hits AS (SELECT r.query_id, r.doc_id, r.rank
+        |  FROM retrieved r JOIN relevant v
+        |    ON r.query_id = v.query_id AND r.doc_id = v.doc_id),
+        |recall_q AS (SELECT n.query_id,
+        |    coalesce(h.c, 0)::DOUBLE / n.n_rel AS recall
+        |  FROM nrel n LEFT JOIN
+        |    (SELECT query_id, count(*) c FROM hits GROUP BY 1) h
+        |    ON n.query_id = h.query_id),
+        |mrr_q AS (SELECT q.query_id,
+        |    coalesce(1.0 / f.first_rank, 0.0) AS rr
+        |  FROM (SELECT DISTINCT query_id FROM retrieved) q LEFT JOIN
+        |    (SELECT query_id, min(rank) AS first_rank FROM hits GROUP BY 1) f
+        |    ON q.query_id = f.query_id),
+        |dcg_q AS (SELECT query_id, sum(1.0 / log2(rank + 1)) AS dcg
+        |  FROM hits GROUP BY 1),
+        |idcg_q AS (SELECT n.query_id,
+        |    sum(1.0 / log2(i + 1)) AS idcg
+        |  FROM nrel n, unnest(range(1, least(n.n_rel, 10) + 1)) AS t(i)
+        |  GROUP BY 1),
+        |ndcg_q AS (SELECT i.query_id,
+        |    coalesce(d.dcg, 0.0) / CASE WHEN i.idcg = 0 THEN 1 ELSE i.idcg END AS ndcg
+        |  FROM idcg_q i LEFT JOIN dcg_q d ON i.query_id = d.query_id),
+        |prec AS (SELECT h.query_id, h.rank,
+        |    (SELECT count(*) FROM hits h2
+        |      WHERE h2.query_id = h.query_id AND h2.rank <= h.rank)::DOUBLE
+        |      / h.rank AS p
+        |  FROM hits h),
+        |ap_q AS (SELECT n.query_id,
+        |    coalesce(s.sp, 0.0) / least(n.n_rel, 10) AS ap
+        |  FROM nrel n LEFT JOIN
+        |    (SELECT query_id, sum(p) sp FROM prec GROUP BY 1) s
+        |    ON n.query_id = s.query_id)
+        |SELECT
+        |  (SELECT round(avg(recall), 6) FROM recall_q) AS recall_at_k,
+        |  (SELECT round(avg(rr), 6) FROM mrr_q) AS mrr,
+        |  (SELECT round(avg(ndcg), 6) FROM ndcg_q) AS ndcg_at_k,
+        |  (SELECT round(avg(ap), 6) FROM ap_q) AS map_at_k""".stripMargin,
 
     "v_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

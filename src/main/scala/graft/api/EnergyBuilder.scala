@@ -1,0 +1,316 @@
+package graft.api
+
+import graft.core.{EnergyParams, GraphParams}
+import graft.functions.VectorFunctions._
+import graft.spectral.{FeatureLaplacian, TauMode}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** Energy-only index build — the Spark-native counterpart of the
+  * reference's `ArrowSpaceBuilder.build_energy` (reference:
+  * src/lib.rs:332-376; stages E1-E6 of SURVEY.md §2.2). The crate
+  * internals are not vendored in the reference repo, so each stage is
+  * a documented reconstruction pinned to the observable contract:
+  * the result graph has ≈`optical_tokens` nodes while λ is kept for
+  * every original item ("graph_nodes=39, lambdas_len=1681",
+  * reference tests/output/1761234699_v0_18_energymaps_8_sweep/
+  * test_results.txt).
+  *
+  * Dataflow (all stages shuffle-bounded; only the ≤2·opticalTokens
+  * centroids and the F×F Laplacian ever reach the driver):
+  *
+  *  E1 diffusion — `steps` iterations of x ← x + η·(mean_N(x) − x)
+  *     over a `neighborK`-NN cosine graph (heat-kernel smoothing).
+  *     One reduce shuffle per step; lineage cut with localCheckpoint.
+  *  E2 trim — drop the `trimQuantile` fraction of items farthest
+  *     from the global mean (approxQuantile + filter).
+  *  E3 optical-token compression — MLlib KMeans(k=opticalTokens,
+  *     seed) on the diffused, trimmed vectors.
+  *  E4 dispersion splitting — centroids whose member dispersion
+  *     exceeds the `splitQuantile` quantile split into c ± splitTau·σ
+  *     (σ = element-wise member std), giving graph_nodes within
+  *     [opticalTokens − empty, 2·opticalTokens].
+  *  E5 energy-weighted centroid edges — per-centroid `candidateM`
+  *     nearest candidates, weight = wLambda·λ-proximity +
+  *     wDisp·dispersion-similarity + wDirichlet·Dirichlet smoothness
+  *     (no cosine in the weights, per src/lib.rs:303-308).
+  *  E6 λ re-synthesis — F×F feature Laplacian from the energy graph
+  *     signals (same co-energy construction as the standard build),
+  *     then per-item λ for ALL original items.
+  */
+object EnergyBuilder {
+
+  /** itemsRaw: (id: integral, vec: array<numeric>). Returns the model
+    * (λ for every input item, Laplacian from the energy graph) and the
+    * centroid-graph edges (src, dst, dist, weight) with
+    * ≈opticalTokens nodes.
+    */
+  def buildEnergy(
+      itemsRaw: DataFrame,
+      energy: EnergyParams,
+      params: GraphParams,
+      tauMode: TauMode = TauMode.Median): (ArrowSpaceModel, DataFrame) = {
+    val spark = itemsRaw.sparkSession
+    import spark.implicits._
+
+    val items = itemsRaw
+      .select(
+        F.col("id").cast("long").as("id"),
+        F.col("vec").cast("array<double>").as("vec"))
+      .withColumn("vnorm", l2normalize(F.col("vec")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nItems = items.count()
+    require(nItems > 0, "items must be non-empty")
+    val nFeatures = items.select(F.size(F.col("vec"))).head.getInt(0)
+
+    // E1: diffusion over a neighborK-NN graph (no eps cutoff: the
+    // rectified-cosine distance is ≤ 1 everywhere, so eps=1 keeps all).
+    val knnParams = GraphParams(
+      eps = 1.0, k = energy.neighborK, topk = params.topk,
+      p = params.p, sigma = Some(params.sigmaValue), seed = params.seed)
+    val neighborEdges = graft.graph.KnnGraph
+      .epsKnnEdges(items.select("id", "vnorm"), knnParams, nItems)
+      .select("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    neighborEdges.count()
+
+    var diffused = items.select($"id".as[Long], $"vnorm".as[Array[Double]]).toDF("id", "x")
+    var step = 0
+    while (step < energy.steps) {
+      val joined = neighborEdges
+        .join(diffused.select(F.col("id").as("dst"), F.col("x").as("xn")), "dst")
+        .select($"src".as[Long], $"xn".as[Array[Double]])
+      val sums = joined
+        .groupByKey(_._1)
+        .mapGroups { (id, it) =>
+          val acc = new Array[Double](nFeatures)
+          var n = 0L
+          it.foreach { case (_, v) =>
+            var i = 0
+            while (i < nFeatures) { acc(i) += v(i); i += 1 }
+            n += 1
+          }
+          (id, acc, n)
+        }
+        .toDF("id", "xsum", "n")
+      val eta = energy.eta
+      diffused = diffused
+        .join(sums, Seq("id"), "left")
+        .select($"id".as[Long], $"x".as[Array[Double]],
+          $"xsum".as[Option[Array[Double]]], $"n".as[Option[Long]])
+        .map { case (id, x, xsumOpt, nOpt) =>
+          val out = (xsumOpt, nOpt) match {
+            case (Some(xsum), Some(n)) if n > 0 =>
+              val o = new Array[Double](nFeatures)
+              var i = 0
+              while (i < nFeatures) {
+                o(i) = x(i) + eta * (xsum(i) / n - x(i)); i += 1
+              }
+              o
+            case _ => x
+          }
+          (id, out)
+        }
+        .toDF("id", "x")
+        .localCheckpoint() // cut lineage each iteration
+      step += 1
+    }
+
+    // E2: trim the trimQuantile fraction farthest from the global mean.
+    val mean = diffused.select($"x".as[Array[Double]]).reduce { (a, b) =>
+      val o = new Array[Double](nFeatures)
+      var i = 0
+      while (i < nFeatures) { o(i) = a(i) + b(i); i += 1 }
+      o
+    }.map(_ / nItems)
+    val bcMean = spark.sparkContext.broadcast(mean)
+    val withDist = diffused
+      .map { r => // (id, x, distance to mean)
+        val id = r.getLong(0)
+        val x = r.getSeq[Double](1).toArray
+        val m = bcMean.value
+        var d = 0.0
+        var i = 0
+        while (i < nFeatures) { val t = x(i) - m(i); d += t * t; i += 1 }
+        (id, x, math.sqrt(d))
+      }
+      .toDF("id", "x", "dmean")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cutoff = withDist.stat
+      .approxQuantile("dmean", Array(1.0 - energy.trimQuantile), 0.001)
+      .head
+    val trimmed = withDist.where(F.col("dmean") <= cutoff)
+
+    // E3: optical-token compression via KMeans.
+    val forKm = trimmed.withColumn("features", array_to_vector(F.col("x")))
+    val km = new KMeans()
+      .setK(math.min(energy.opticalTokens, math.max(2, nItems.toInt)))
+      .setSeed(params.seed)
+      .setFeaturesCol("features")
+      .setPredictionCol("cluster")
+      .setMaxIter(20)
+    val kmModel = km.fit(forKm)
+    val assigned = kmModel.transform(forKm).select("id", "x", "cluster")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Per-cluster stats: mean (centroid), element-wise std, dispersion.
+    val byCluster = assigned
+      .select($"cluster".as[Int], $"x".as[Array[Double]])
+      .groupByKey(_._1)
+      .mapGroups { (c, it) =>
+        val sum = new Array[Double](nFeatures)
+        val sumSq = new Array[Double](nFeatures)
+        var n = 0L
+        it.foreach { case (_, v) =>
+          var i = 0
+          while (i < nFeatures) { sum(i) += v(i); sumSq(i) += v(i) * v(i); i += 1 }
+          n += 1
+        }
+        val meanC = sum.map(_ / n)
+        val stdC = Array.tabulate(nFeatures) { i =>
+          math.sqrt(math.max(0.0, sumSq(i) / n - meanC(i) * meanC(i)))
+        }
+        val dispersion = math.sqrt(stdC.map(s => s * s).sum)
+        (c, meanC, stdC, dispersion, n)
+      }
+      .collect() // ≤ opticalTokens rows — driver-small by construction
+
+    // E4: split high-dispersion centroids into c ± splitTau·σ.
+    val dispersions = byCluster.map(_._4).sorted
+    val splitCut =
+      if (dispersions.isEmpty) Double.MaxValue
+      else dispersions(math.min(dispersions.length - 1,
+        (energy.splitQuantile * dispersions.length).toInt))
+    final case class Centroid(cid: Long, vec: Array[Double], dispersion: Double, n: Long)
+    val centroids: Array[Centroid] = byCluster.flatMap {
+      case (c, meanC, stdC, disp, n) =>
+        if (disp > splitCut) {
+          val plus = Array.tabulate(nFeatures)(i => meanC(i) + energy.splitTau * stdC(i))
+          val minus = Array.tabulate(nFeatures)(i => meanC(i) - energy.splitTau * stdC(i))
+          Seq(
+            Centroid(2L * c, plus, disp, n / 2),
+            Centroid(2L * c + 1, minus, disp, n - n / 2))
+        } else Seq(Centroid(2L * c, meanC, disp, n))
+    }
+
+    // Preliminary centroid energies: Rayleigh vs a cosine-kNN centroid
+    // Laplacian (driver-local — ≤ 2·opticalTokens nodes).
+    val prelimEdges = centroidKnn(centroids.map(c => (c.cid, c.vec)), energy.candidateM)
+    val prelimLap = localFeatureLaplacian(
+      spark, centroids.map(c => (c.cid, c.vec)), prelimEdges, params, nFeatures)
+    val cEnergies: Map[Long, Double] =
+      centroids.map(c => c.cid -> prelimLap.rayleigh(c.vec)).toMap
+    val maxDisp = math.max(1e-12, centroids.map(_.dispersion).max)
+
+    // E5: energy-weighted edges (no cosine in the weight).
+    val energyEdges = prelimEdges.map { case (a, b, _) =>
+      val ca = centroids.find(_.cid == a).get
+      val cb = centroids.find(_.cid == b).get
+      val lamProx = 1.0 / (1.0 + math.abs(cEnergies(a) - cEnergies(b)))
+      val dispSim = 1.0 - math.abs(ca.dispersion - cb.dispersion) / maxDisp
+      val diff = Array.tabulate(nFeatures)(i => ca.vec(i) - cb.vec(i))
+      val dirichlet = 1.0 / (1.0 + diff.map(d => d * d).sum)
+      val w = energy.wLambda * lamProx + energy.wDisp * dispSim +
+        energy.wDirichlet * dirichlet
+      (a, b, w)
+    }
+
+    // E6: F×F Laplacian from the energy graph, then λ for ALL items.
+    val lap = localFeatureLaplacianWeighted(
+      centroids.map(c => (c.cid, c.vec)), energyEdges, params, nFeatures)
+    val bcLap = spark.sparkContext.broadcast(lap)
+    val withEnergy = items
+      .select($"id".as[Long], $"vec".as[Array[Double]])
+      .mapPartitions { it =>
+        val l = bcLap.value
+        it.map { case (id, v) => (id, l.rayleigh(v), l.dirichletGini(v)) }
+      }
+      .toDF("id", "e_raw", "g_raw")
+    val tau = tauMode.resolve(withEnergy, "e_raw")
+    val withLambda = items
+      .join(withEnergy, "id")
+      .withColumn(
+        "e_bounded",
+        F.when(F.col("e_raw") + F.lit(tau) === 0.0, 0.0)
+          .otherwise(F.col("e_raw") / (F.col("e_raw") + F.lit(tau))))
+      .withColumn(
+        "lambda",
+        F.lit(tau) * F.col("e_bounded") +
+          F.lit(1.0 - tau) * F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("g_raw"))))
+      .select("id", "vec", "lambda", "e_raw")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    withLambda.count()
+    items.unpersist(); neighborEdges.unpersist()
+    withDist.unpersist(); assigned.unpersist()
+
+    val edgesDf = spark.createDataFrame(
+      energyEdges.flatMap { case (a, b, w) => Seq((a, b, 0.0, w), (b, a, 0.0, w)) }
+        .toSeq).toDF("src", "dst", "dist", "weight")
+    val model = ArrowSpaceModel(withLambda, lap, tau, params, nItems, nFeatures)
+    (model, edgesDf)
+  }
+
+  /** Driver-local mutual-kNN on centroids by rectified-cosine distance;
+    * returns undirected (a, b, dist) with a < b, capped at candidateM
+    * neighbors per node.
+    */
+  private def centroidKnn(
+      cs: Array[(Long, Array[Double])], candidateM: Int): Array[(Long, Long, Double)] = {
+    val sel = scala.collection.mutable.Set.empty[(Long, Long)]
+    cs.foreach { case (a, va) =>
+      cs.filter(_._1 != a)
+        .map { case (b, vb) =>
+          (b, 1.0 - math.max(0.0, graft.functions.VectorKernels.cosine(va, vb)))
+        }
+        .sortBy { case (b, d) => (d, b) }
+        .take(candidateM)
+        .foreach { case (b, _) => sel += ((math.min(a, b), math.max(a, b))) }
+    }
+    val byId = cs.toMap
+    sel.toArray.sorted.map { case (a, b) =>
+      (a, b, 1.0 - math.max(0.0,
+        graft.functions.VectorKernels.cosine(byId(a), byId(b))))
+    }
+  }
+
+  /** F×F feature Laplacian from driver-local centroid signals with
+    * kernel weights from distances.
+    */
+  private def localFeatureLaplacian(
+      spark: SparkSession,
+      cs: Array[(Long, Array[Double])],
+      edges: Array[(Long, Long, Double)],
+      params: GraphParams,
+      nF: Int): graft.spectral.LocalLaplacian = {
+    val weighted = edges.map { case (a, b, d) =>
+      (a, b, 1.0 / (1.0 + math.pow(d / params.sigmaValue, params.p)))
+    }
+    localFeatureLaplacianWeighted(cs, weighted, params, nF)
+  }
+
+  /** Same, but with caller-supplied edge weights (E5 output). */
+  private def localFeatureLaplacianWeighted(
+      cs: Array[(Long, Array[Double])],
+      edges: Array[(Long, Long, Double)],
+      params: GraphParams,
+      nF: Int): graft.spectral.LocalLaplacian = {
+    val byId = cs.toMap
+    val m = new Array[Double](nF * nF)
+    edges.foreach { case (a, b, w) =>
+      val va = byId(a); val vb = byId(b)
+      val diff = Array.tabulate(nF)(i => va(i) - vb(i))
+      var f = 0
+      while (f < nF) {
+        val df = diff(f) * w
+        if (df != 0.0) {
+          var g = f
+          while (g < nF) { m(f * nF + g) += df * diff(g); g += 1 }
+        }
+        f += 1
+      }
+    }
+    FeatureLaplacian.fromCoEnergy(m, params, nF)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.api.EnergyBuilder
+import graft.core.{EnergyParams, GraphParams}
+import org.apache.spark.sql.{functions => F}
+
+/** Energy-only pipeline (reference src/lib.rs:332-376, stages E1-E6):
+  * pins the observable contract — graph compresses to ≈optical_tokens
+  * nodes while λ is kept for every item ("graph_nodes=39,
+  * lambdas_len=1681" in the reference's committed run logs).
+  */
+class EnergySpec extends SparkSpec {
+
+  // 120 deterministic items in 16 dims, 3 loose clusters.
+  lazy val itemsDf = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    (0 until 120).map { i =>
+      val base = Array.tabulate(16)(f => math.sin((i % 3) * 2.1 + f * 0.37) + 1.5)
+      (i.toLong, base.map(_ + rng.nextGaussian() * 0.05))
+    }.toDF("id", "vec")
+  }
+
+  val gp: GraphParams = GraphParams(eps = 1.0, k = 8, topk = 5)
+  val ep: EnergyParams = EnergyParams(
+    opticalTokens = 10, eta = 0.1, steps = 3, neighborK = 6, candidateM = 8)
+
+  lazy val (model, edges) = EnergyBuilder.buildEnergy(itemsDf, ep, gp)
+
+  test("graph compresses to ~opticalTokens nodes; lambdas kept for all items") {
+    val nodes = edges.select(F.col("src")).union(edges.select(F.col("dst")))
+      .distinct().count()
+    assert(nodes >= 2 && nodes <= 2L * ep.opticalTokens,
+      s"graph nodes $nodes outside (0, ${2 * ep.opticalTokens}]")
+    assert(model.lambdas.count() == 120)
+  }
+
+  test("energy search returns k results, deterministic, no cosine needed") {
+    val q = itemsDf.where(F.col("id") === 5).select("vec").head.getSeq[Double](0).toArray
+    val h1 = model.searchEnergy(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val h2 = model.searchEnergy(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(h1.size == 5)
+    assert(h1 == h2)
+    assert(h1.map(_._2) == h1.map(_._2).sorted.reverse)
+  }
+
+  test("lambdas are non-degenerate") {
+    val l = model.lambdas.collect().map(_.getDouble(1))
+    assert(l.forall(v => v >= 0.0 && v <= 1.0))
+    assert(l.distinct.length > 1, "lambdas collapsed")
+  }
+
+  test("diffusion with more steps stays bounded (no collapse at small eta)") {
+    val ep2 = ep.copy(steps = 6, eta = 0.05)
+    val (m2, _) = EnergyBuilder.buildEnergy(itemsDf, ep2, gp)
+    val l = m2.lambdas.collect().map(_.getDouble(1))
+    assert(l.forall(v => !v.isNaN && !v.isInfinite))
+  }
+}
