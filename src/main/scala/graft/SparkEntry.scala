@@ -322,6 +322,38 @@ object SparkEntry {
       graft.graph.KnnGraph.degrees(edges)
         .select(F.col("id"), F.round(F.col("degree"), 4).as("degree"))
         .orderBy("id")
+    }),
+
+    // ---- graph analytics (GraphX; reference test_6 semantics) ----
+    "g_triangles" -> ((s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      val e = emb(s, d)
+      val a = e.select(F.col("id").as("src"), F.col("vec").as("va"))
+      val b = e.select(F.col("id").as("dst"), F.col("vec").as("vb"))
+      val edges = a.join(b, F.col("src") < F.col("dst"))
+        .where(cosine(F.col("va"), F.col("vb")) >= 0.3)
+        .select("src", "dst")
+      graft.graph.GraphAnalytics.triangleCount(edges)
+    }),
+    "g_ppr" -> ((s, d) => {
+      val (_, edges) = model(s, d)
+      val src = edges.agg(F.min("src")).head.getLong(0)
+      graft.graph.GraphAnalytics.personalizedPageRank(edges, src)
+        .select(F.col("id"), F.round(F.col("ppr"), 6).as("ppr"))
+        .orderBy("id")
+    }),
+    "g_components" -> ((s, d) => {
+      val (_, edges) = model(s, d)
+      graft.graph.GraphAnalytics.connectedComponents(edges).orderBy("id")
+    }),
+    "g_communities" -> ((s, d) => {
+      val (_, edges) = model(s, d)
+      graft.graph.GraphAnalytics.labelPropagation(edges).orderBy("id")
+    }),
+    "g_topology_factor" -> ((s, d) => {
+      val (_, edges) = model(s, d)
+      val src = edges.agg(F.min("src")).head.getLong(0)
+      graft.graph.GraphAnalytics.topologyFactor(edges, src).orderBy("id")
     })
   )
 
@@ -541,6 +573,17 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    "g_triangles" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |und AS (SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.3)
+        |SELECT count(*) AS n_triangles
+        |FROM und e1
+        |  JOIN und e2 ON e1.dst = e2.src
+        |  JOIN und e3 ON e1.src = e3.src AND e2.dst = e3.dst""".stripMargin,
 
     "v_emb_norms" ->
       """SELECT vec_id AS id,

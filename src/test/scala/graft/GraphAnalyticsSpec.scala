@@ -1,0 +1,58 @@
+package graft
+
+import graft.graph.GraphAnalytics._
+import org.apache.spark.sql.{functions => F}
+
+/** Goldens on a hand-built graph: two triangles {0,1,2} and {3,4,5}
+  * joined by the bridge 2—3 (all weights 1).
+  */
+class GraphAnalyticsSpec extends SparkSpec {
+
+  lazy val edges = {
+    val s = spark
+    import s.implicits._
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    (und ++ und.map(_.swap))
+      .map { case (a, b) => (a, b, 0.0, 1.0) }
+      .toDF("src", "dst", "dist", "weight")
+  }
+
+  test("triangle count = 2") {
+    assert(triangleCount(edges).head.getLong(0) == 2L)
+  }
+
+  test("connected components: single component") {
+    val comps = connectedComponents(edges).select("component").distinct().count()
+    assert(comps == 1L)
+  }
+
+  test("conductance of one triangle = 1/7 (cut 1, vol 7)") {
+    val c = conductance(edges, Set(0L, 1L, 2L))
+    assert(math.abs(c - 1.0 / 7.0) < 1e-9, s"got $c")
+  }
+
+  test("personalized PageRank concentrates near the source") {
+    val ppr = personalizedPageRank(edges, 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ppr(0L) > ppr(5L), s"ppr=$ppr")
+    assert(ppr.values.forall(_ >= 0.0))
+  }
+
+  test("label propagation assigns every node a community") {
+    val lp = labelPropagation(edges)
+    assert(lp.count() == 6L)
+  }
+
+  test("topology factor is bounded and defined for all nodes") {
+    val tf = topologyFactor(edges, 0L).collect().map(_.getDouble(1))
+    assert(tf.length == 6)
+    assert(tf.forall(v => v >= -1e-9 && v <= 1.0 + 1e-9))
+  }
+
+  test("disconnected set conductance returns 1 when no cut possible") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((0L, 1L, 0.0, 1.0), (1L, 0L, 0.0, 1.0)).toDF("src", "dst", "dist", "weight")
+    assert(conductance(e, Set(0L, 1L)) == 1.0) // V\S empty -> denom 0
+  }
+}
