@@ -237,6 +237,27 @@ object SparkEntry {
     "v_top_cosine_pairs" -> ((s, d) =>
       Similarity.topCosinePairs(emb(s, d), 20)),
 
+    // ---- multimodal columns (binary payload + typed meta) ----
+    "mm_payload_stats" -> ((s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.payloadStats(
+        Multimodal.syntheticMedia(docs(s, d), "doc_id", "text"))
+    }),
+    "mm_features" -> ((s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.decodeFeatures(
+        Multimodal.syntheticMedia(docs(s, d), "doc_id", "text"), dim = 32)
+        .select("media_id", "kind")
+        .orderBy("media_id")
+    }),
+    "mm_frame_sample" -> ((s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.frameSample(
+        Multimodal.syntheticMedia(docs(s, d), "doc_id", "text"), everyN = 2)
+        .select("media_id", "frame_idx")
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // ---- evaluation metrics (library kernels, SURVEY.md §2.4) ----
     "m_eval_ann" -> ((s, d) => {
       import graft.functions.VectorFunctions.cosine
@@ -509,6 +530,16 @@ object SparkEntry {
         |FROM documents
         |GROUP BY fp
         |ORDER BY fp""".stripMargin,
+
+    "mm_payload_stats" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  count(*) AS n_media,
+        |  round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+        |  max(octet_length(encode(text))) AS max_bytes
+        |FROM documents
+        |GROUP BY kind
+        |ORDER BY kind""".stripMargin,
 
     "m_eval_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label

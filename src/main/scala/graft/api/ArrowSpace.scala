@@ -143,9 +143,22 @@ object ArrowSpaceBuilder {
         items.sample(withReplacement = false, SampleRate, params.seed)
       else items
 
+    // S5: seeded random projection for graph-stage distances when the
+    // input is large and wide (the reference's with_dims_reduction,
+    // src/lib.rs:283). Signals for the feature Laplacian and query
+    // scoring stay in the original F-dimensional space.
+    val needsProjection = nItems > SampleThreshold && nFeatures > 96
+    val graphInput =
+      if (needsProjection) {
+        val d = graft.scale.RandomProjection.jlDim(nItems)
+        graft.scale.RandomProjection
+          .project(graphItems.select("id", "vnorm"), "vnorm", "vproj", nFeatures, d, params.seed)
+          .select(F.col("id"), l2normalize(F.col("vproj")).as("vnorm"))
+      } else graphItems.select("id", "vnorm")
+
     // S6-S8: eps-kNN item graph.
     val edges = KnnGraph
-      .epsKnnEdges(graphItems.select("id", "vnorm"), params, nItems)
+      .epsKnnEdges(graphInput, params, nItems)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // S9: F×F feature Laplacian from item-graph signals.

@@ -25,14 +25,34 @@ import org.apache.spark.sql.expressions.Window
   */
 object KnnGraph {
 
-  /** Above this row count the builder switches to the LSH path. */
+  /** Above this row count the builder switches to a candidate-
+    * generation path (cluster blocking by default).
+    */
   val BruteForceMaxRows = 20000L
 
+  sealed trait Strategy
+  object Strategy {
+    /** brute force ≤ BruteForceMaxRows, else cluster-blocked. */
+    case object Auto extends Strategy
+    case object BruteForce extends Strategy
+    case object Lsh extends Strategy
+    case object ClusterBlocked extends Strategy
+  }
+
   /** items: (id: Long, vnorm: Array[Double]) — pre-normalized vectors. */
-  def epsKnnEdges(items: DataFrame, params: GraphParams, nItems: Long): DataFrame = {
-    val directed =
-      if (nItems <= BruteForceMaxRows) directedBruteForce(items, params)
-      else directedLsh(items, params)
+  def epsKnnEdges(
+      items: DataFrame,
+      params: GraphParams,
+      nItems: Long,
+      strategy: Strategy = Strategy.Auto): DataFrame = {
+    val directed = strategy match {
+      case Strategy.BruteForce => directedBruteForce(items, params)
+      case Strategy.Lsh => directedLsh(items, params)
+      case Strategy.ClusterBlocked => directedClusterBlocked(items, params, nItems)
+      case Strategy.Auto =>
+        if (nItems <= BruteForceMaxRows) directedBruteForce(items, params)
+        else directedClusterBlocked(items, params, nItems)
+    }
 
     // Per-node top-k by smallest distance (deterministic tie-break on dst),
     // then symmetrize: an edge survives if either endpoint selected it.
@@ -80,6 +100,62 @@ object KnnGraph {
       .withColumn("dist", cosineDistance(F.col("va"), F.col("vb")))
       .where(F.col("dist") <= params.eps)
       .select("src", "dst", "dist")
+  }
+
+  /** Candidate generation by KMeans blocking (the reference's
+    * auto-clustering stage, SURVEY.md §2.2 S4, re-purposed the
+    * Spark-idiomatic way): fit K = max(autoK(N), N/2000) centroids
+    * (seeded), assign every point to its top-2 nearest centroids, and
+    * self-join only within blocks. Total candidate pairs are
+    * O(N · blockSize) — linear in N at fixed block size — and the
+    * block join is an equi-join, so AQE handles skewed blocks.
+    */
+  private def directedClusterBlocked(
+      items: DataFrame, params: GraphParams, nItems: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val spark = items.sparkSession
+    import spark.implicits._
+    val k = math.max(graft.scale.TwoNN.autoK(nItems), (nItems / 2000L).toInt)
+    val withVec = items.withColumn("features", array_to_vector(F.col("vnorm")))
+    val km = new KMeans()
+      .setK(k).setSeed(params.seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("c0")
+    val model = km.fit(withVec.sample(withReplacement = false,
+      math.min(1.0, 50000.0 / nItems), params.seed))
+    val centers = model.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centers)
+    // top-2 centroid assignment per point (broadcast centroids).
+    val blocks = items
+      .select($"id".as[Long], $"vnorm".as[Array[Double]])
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          var best1 = -1; var d1 = Double.MaxValue
+          var best2 = -1; var d2 = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c)
+            var d = 0.0
+            var i = 0
+            val n = math.min(cv.length, v.length)
+            while (i < n) { val t = cv(i) - v(i); d += t * t; i += 1 }
+            if (d < d1) { best2 = best1; d2 = d1; best1 = c; d1 = d }
+            else if (d < d2) { best2 = c; d2 = d }
+            c += 1
+          }
+          val out = Seq((best1, id, v))
+          if (best2 >= 0) out :+ ((best2, id, v)) else out
+        }
+      }
+      .toDF("block", "id", "vnorm")
+    val a = blocks.select(F.col("block"), F.col("id").as("src"), F.col("vnorm").as("va"))
+    val b = blocks.select(F.col("block"), F.col("id").as("dst"), F.col("vnorm").as("vb"))
+    a.join(b, Seq("block"))
+      .where(F.col("src") =!= F.col("dst"))
+      .withColumn("dist", cosineDistance(F.col("va"), F.col("vb")))
+      .where(F.col("dist") <= params.eps)
+      .select("src", "dst", "dist")
+      .dropDuplicates("src", "dst")
   }
 
   /** Weighted degree per node: (id, degree). */

@@ -1,0 +1,55 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Two-NN intrinsic-dimension estimator (Facco et al. 2017) — the
+  * estimator the reference crate logs during auto-clustering
+  * ("Two-NN intrinsic-dimension estimate", reference
+  * tests/output/1760705545_v0_16/suggested_eps.md:7-11).
+  *
+  * MLE over nearest-neighbor distance ratios: with μᵢ = d₂ᵢ/d₁ᵢ,
+  * ID ≈ n / Σ ln μᵢ. Runs on a bounded random sample so the
+  * self-join stays driver-independent and O(sample²) regardless of N.
+  */
+object TwoNN {
+
+  /** items: (id, vnorm: Array[Double]). Returns the ID estimate. */
+  def intrinsicDimension(
+      items: DataFrame,
+      sampleSize: Int = 1000,
+      seed: Long = 42L): Double = {
+    import graft.functions.VectorFunctions.cosineDistance
+    val n = items.count()
+    val sample =
+      (if (n > sampleSize) items.sample(withReplacement = false, sampleSize.toDouble / n, seed)
+       else items).select("id", "vnorm")
+    val a = sample.select(F.col("id").as("src"), F.col("vnorm").as("va"))
+    val b = sample.select(F.col("id").as("dst"), F.col("vnorm").as("vb"))
+    val w = Window.partitionBy("src").orderBy(F.col("d").asc, F.col("dst").asc)
+    val top2 = a.join(b, F.col("src") =!= F.col("dst"))
+      .withColumn("d", cosineDistance(F.col("va"), F.col("vb")))
+      .where(F.col("d") > 1e-12) // exclude exact duplicates
+      .withColumn("rn", F.row_number().over(w))
+      .where(F.col("rn") <= 2)
+      .groupBy("src")
+      .agg(
+        F.min(F.when(F.col("rn") === 1, F.col("d"))).as("d1"),
+        F.min(F.when(F.col("rn") === 2, F.col("d"))).as("d2"))
+      .where(F.col("d1").isNotNull && F.col("d2").isNotNull && F.col("d1") > 0)
+    val agg = top2
+      .select(F.log(F.col("d2") / F.col("d1")).as("lnmu"))
+      .agg(F.sum("lnmu").as("s"), F.count(F.lit(1)).as("c"))
+      .head
+    val (s, c) = (agg.getDouble(0), agg.getLong(1))
+    if (s <= 0.0 || c == 0) 1.0 else c.toDouble / s
+  }
+
+  /** Auto-K for the clustering stage. The reference's optimal-K search
+    * lands on [178,179] for N=313,841 (suggested_eps.md:7-11), which
+    * matches round(√N/π) = 178 — reconstructed as that closed form,
+    * clamped to [2, 4096].
+    */
+  def autoK(n: Long): Int =
+    math.max(2, math.min(4096, math.round(math.sqrt(n.toDouble) / math.Pi).toInt))
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.spectral.LocalLaplacian
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is batch-only
+  * (SURVEY.md §2.3 — no streaming surface at all); these operators are
+  * the engine's additions for continuous pipelines: watermarked
+  * windowed aggregation, stateful per-key statistics, and incremental
+  * λ-scoring of an embedding stream against a built index (the
+  * streaming analogue of ArrowSpaceModel.search's scoring kernel —
+  * new items get λ and a blended score without rebuilding the graph).
+  */
+object StreamingOps {
+
+  /** Tumbling-window event counts with a watermark. Input must carry
+    * (ts TIMESTAMP, event_type STRING, value DOUBLE). Late data beyond
+    * the watermark is dropped — state is bounded, the aggregation is
+    * partial+final (same shape as the batch q_events_hourly query).
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(F.window(F.col("ts"), window), F.col("event_type"))
+      .agg(
+        F.count(F.lit(1)).as("n_events"),
+        F.round(F.sum("value"), 2).as("sum_value"))
+      .select(
+        F.col("window.start").as("window_start"),
+        F.col("event_type"), F.col("n_events"), F.col("sum_value"))
+
+  /** Per-key running statistics via mapGroupsWithState — the custom
+    * state pattern (count / mean / max). State is unbounded per key
+    * here; production deployments should add
+    * `GroupStateTimeout.ProcessingTimeTimeout` + `setTimeoutDuration`
+    * so abandoned keys age out (left out of the default because
+    * timeout polling keeps triggering empty micro-batches, which
+    * breaks drain-and-stop harnesses).
+    */
+  final case class RunningStats(n: Long, mean: Double, max: Double)
+
+  def runningUserStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select($"user_id".as[Long], $"value".as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState[RunningStats, (Long, Long, Double, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[RunningStats]) =>
+          val prev = state.getOption.getOrElse(RunningStats(0L, 0.0, Double.MinValue))
+          var n = prev.n
+          var sum = prev.mean * prev.n
+          var mx = prev.max
+          rows.foreach { case (_, v) =>
+            n += 1; sum += v; if (v > mx) mx = v
+          }
+          val next = RunningStats(n, if (n == 0) 0.0 else sum / n, mx)
+          state.update(next)
+          (user, next.n, next.mean, next.max)
+      }
+      .toDF("user_id", "n", "mean", "max")
+  }
+
+  /** Incremental λ-scoring: for each arriving (id, vec), compute the
+    * synthetic λ against the broadcast feature Laplacian and the
+    * blended score vs a fixed query — stateless per-row map, so it
+    * runs at input rate with no shuffle (index maintenance without
+    * graph rebuild; SURVEY.md §2.3 "incremental index maintenance").
+    */
+  def scoreStream(
+      vectors: DataFrame,
+      lap: LocalLaplacian,
+      tau: Double,
+      query: Array[Double],
+      blend: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bcLap = spark.sparkContext.broadcast(lap)
+    val bcQ = spark.sparkContext.broadcast(query)
+    val lambdaQ = lap.synth(query, tau)
+    vectors
+      .select($"id".as[Long], $"vec".as[Array[Double]])
+      .map { case (id, v) =>
+        val l = bcLap.value
+        val lam = l.synth(v, tau)
+        val cos = graft.functions.VectorKernels.cosine(bcQ.value, v)
+        val score = blend * cos + (1.0 - blend) / (1.0 + math.abs(lambdaQ - lam))
+        (id, lam, score)
+      }
+      .toDF("id", "lambda", "score")
+  }
+
+  /** Convenience: run a streaming DataFrame to a memory sink and block
+    * until all available input is processed (test/driver helper).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.graph.KnnGraph
+import graft.core.GraphParams
+import graft.scale.{RandomProjection, TwoNN}
+import org.apache.spark.sql.{functions => F}
+
+/** Scale-path stages: Two-NN intrinsic dimension (S4), auto-K,
+  * random projection (S5), cluster-blocked kNN candidates.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("autoK matches the reference's observed optimal-K window (N=313841 -> 178)") {
+    assert(TwoNN.autoK(313841L) == 178)
+    assert(TwoNN.autoK(10L) == 2 || TwoNN.autoK(10L) == 1 + 0) // clamped low end
+    assert(TwoNN.autoK(100000000L) <= 4096)
+  }
+
+  test("Two-NN estimates a low intrinsic dimension for planar data in 16-D") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    // points on a 2-D plane embedded in 16-D (plus offset so cosine
+    // distance is informative)
+    val df = (0 until 400).map { i =>
+      val a = rng.nextGaussian(); val b = rng.nextGaussian()
+      val v = Array.tabulate(16)(f => 3.0 + a * math.sin(f * 0.7) + b * math.cos(f * 1.3))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n))
+    }.toDF("id", "vnorm")
+    val id = TwoNN.intrinsicDimension(df, sampleSize = 400, seed = 1L)
+    assert(id > 0.5 && id < 6.0, s"intrinsic dimension $id not in (0.5, 6)")
+  }
+
+  test("random projection approximately preserves cosine ordering") {
+    val rng = new scala.util.Random(3)
+    // clustered vectors so pairwise cosines span a real range (random
+    // high-dim vectors are all near-orthogonal — nothing to preserve)
+    val vecs = Array.tabulate(30) { i =>
+      val base = Array.tabulate(128)(f => math.sin((i % 5) * 1.3 + f * 0.21))
+      base.map(_ + rng.nextGaussian() * 0.3)
+    }
+    val s = spark
+    import s.implicits._
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vnorm")
+    val proj = RandomProjection.project(df, "vnorm", "vproj", 128, 64, 42L)
+      .select("id", "vproj").collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) =
+      graft.functions.VectorKernels.cosine(a, b)
+    val origs = for (i <- 0 until 30; j <- i + 1 until 30)
+      yield cos(vecs(i), vecs(j))
+    val projs = for (i <- 0 until 30; j <- i + 1 until 30)
+      yield cos(proj(i.toLong), proj(j.toLong))
+    // Pearson correlation of pairwise cosines before/after projection
+    val n = origs.length
+    val (mo, mp) = (origs.sum / n, projs.sum / n)
+    val cov = origs.zip(projs).map { case (a, b) => (a - mo) * (b - mp) }.sum
+    val so = math.sqrt(origs.map(a => (a - mo) * (a - mo)).sum)
+    val sp = math.sqrt(projs.map(b => (b - mp) * (b - mp)).sum)
+    val corr = cov / (so * sp)
+    assert(corr > 0.7, s"projection correlation $corr too low")
+  }
+
+  test("cluster-blocked kNN recovers most brute-force edges") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(5)
+    val df = (0 until 500).map { i =>
+      val v = Array.tabulate(16)(f => math.sin((i % 7) * 1.1 + f * 0.37) + rng.nextGaussian() * 0.2 + 2.0)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n))
+    }.toDF("id", "vnorm")
+    val params = GraphParams(eps = 0.05, k = 5, topk = 3)
+    val brute = KnnGraph.epsKnnEdges(df, params, 500, KnnGraph.Strategy.BruteForce)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = KnnGraph.epsKnnEdges(df, params, 500, KnnGraph.Strategy.ClusterBlocked)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = blocked.intersect(brute).size.toDouble / brute.size
+    assert(recall > 0.7, s"blocked recall $recall vs brute (${brute.size} edges)")
+  }
+}

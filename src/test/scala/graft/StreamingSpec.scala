@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Streaming operators driven through MemoryStream sources. */
+class StreamingSpec extends SparkSpec {
+
+  test("watermarked windowed event counts aggregate by hour") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val t0 = Timestamp.valueOf("2024-01-01 10:05:00")
+    val t1 = Timestamp.valueOf("2024-01-01 10:55:00")
+    val t2 = Timestamp.valueOf("2024-01-01 11:10:00")
+    in.addData((t0, "click", 1.0), (t1, "click", 2.0), (t2, "view", 3.0))
+    StreamingOps.runToMemory(
+      StreamingOps.windowedEventCounts(df), "wec", OutputMode.Complete())
+    val rows = s.sql("SELECT * FROM wec").collect()
+    assert(rows.length >= 2)
+    val clicks10 = rows.find(r =>
+      r.getTimestamp(0) == Timestamp.valueOf("2024-01-01 10:00:00") &&
+        r.getString(1) == "click")
+    assert(clicks10.exists(_.getLong(2) == 2L))
+  }
+
+  test("stateful running user stats accumulate across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val df = in.toDF().toDF("user_id", "value")
+    val out = StreamingOps.runningUserStats(df)
+    val q = out.writeStream.format("memory").queryName("rus")
+      .outputMode(OutputMode.Update()).start()
+    in.addData((1L, 2.0), (1L, 4.0), (2L, 10.0))
+    q.processAllAvailable()
+    in.addData((1L, 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT * FROM rus WHERE user_id = 1 ORDER BY n DESC").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(1) == 3L) // n
+    assert(math.abs(rows.head.getDouble(2) - 4.0) < 1e-9) // mean of 2,4,6
+  }
+
+  test("streaming lambda-scoring matches the batch kernel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val lap = graft.spectral.LocalLaplacian(
+      3, Array(graft.spectral.LapEdge(0, 1, 0.5), graft.spectral.LapEdge(1, 2, 0.25)))
+    val query = Array(1.0, 0.5, 0.25)
+    val in = MemoryStream[(Long, Array[Double])]
+    val df = in.toDF().toDF("id", "vec")
+    val scored = StreamingOps.scoreStream(df, lap, tau = 0.5, query, blend = 0.62)
+    val q = scored.writeStream.format("memory").queryName("ss")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((7L, Array(1.0, 0.5, 0.25)), (8L, Array(0.1, 0.9, 0.4)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT * FROM ss ORDER BY id").collect()
+    assert(rows.length == 2)
+    // id 7 is the query itself: cos = 1, lambda == lambda_q -> score = blend + (1-blend)
+    assert(math.abs(rows.head.getDouble(2) - 1.0) < 1e-9)
+    assert(rows(1).getDouble(2) < 1.0)
+  }
+}
