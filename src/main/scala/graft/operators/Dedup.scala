@@ -31,14 +31,26 @@ object Dedup {
           idx => F.concat_ws(" ", F.slice(t, idx + 1, F.lit(n))))))
   }
 
-  /** MinHash signature: sig[i] = min over shingles of murmur3(s, i).
-    * One pass per row, no explode — the per-item cost is
-    * O(shingles × numHashes) inside codegen.
+  /** MinHash signature. Each shingle is hashed ONCE (xxhash64), then
+    * the family of `numHashes` functions is derived by affine mixing
+    * h_i = a_i·h + b_i over Z_2^64 (odd multipliers — a bijection, so
+    * min-stability holds). One pass per row, no explode; the heavy
+    * string hashing is O(shingles), not O(shingles × numHashes).
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    F.transform(
-      F.sequence(F.lit(0), F.lit(numHashes - 1)),
-      i => F.array_min(F.transform(shingleCol, s => F.hash(s, i))))
+    minhashFromHashes(F.transform(shingleCol, s => F.xxhash64(s)), numHashes)
+
+  /** Signature from pre-hashed shingles (array<long>) — materialize
+    * the base hashes in a column first so they are computed once.
+    */
+  def minhashFromHashes(hashCol: Column, numHashes: Int): Column = {
+    val rng = new scala.util.Random(42)
+    val as = Array.fill(numHashes)(rng.nextLong() | 1L)
+    val bs = Array.fill(numHashes)(rng.nextLong())
+    F.array((0 until numHashes).map { i =>
+      F.array_min(F.transform(hashCol, h => h * as(i) + bs(i)))
+    }: _*)
+  }
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -58,7 +70,9 @@ object Dedup {
     val rows = numHashes / bands
     val withSig = docs
       .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh"))
-      .withColumn("sig", minhashSignature(F.col("sh"), numHashes))
+      .withColumn("shh", F.transform(F.col("sh"), s => F.xxhash64(s)))
+      .withColumn("sig", minhashFromHashes(F.col("shh"), numHashes))
+      .drop("shh")
 
     val banded = withSig.select(
       F.col("doc_id"),
