@@ -237,6 +237,31 @@ object SparkEntry {
     "v_top_cosine_pairs" -> ((s, d) =>
       Similarity.topCosinePairs(emb(s, d), 20)),
 
+    "v_batch_topk" -> ((s, d) => {
+      // Pure-cosine batch top-k (τ=1 degenerates to cosine, so the
+      // result is SQL-expressible and oracle-checked).
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.cosine
+      val e = emb(s, d)
+      val q = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("query_id"), F.col("vec").as("qvec"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("score").desc, F.col("id").asc)
+      e.join(F.broadcast(q), F.col("id") =!= F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("vec"), F.col("qvec")), 4))
+        .select("query_id", "id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_json_props" -> ((s, d) =>
+      tbl(s, d, "events")
+        .select(F.get_json_object(F.col("props"), "$.k").cast("int").as("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).as("n"))
+        .orderBy("k")),
+
     // ---- multimodal columns (binary payload + typed meta) ----
     "mm_payload_stats" -> ((s, d) => {
       import graft.operators.Multimodal
@@ -604,6 +629,28 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    "v_batch_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 4),
+        |scored AS (SELECT q.query_id, e.vec_id AS id,
+        |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |  FROM e JOIN q ON e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, id, score, rank FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY k
+        |ORDER BY k""".stripMargin,
 
     "g_triangles" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -15,7 +15,7 @@ import org.apache.spark.storage.StorageLevel
   * (reference: src/lib.rs:64-124): `items` persists as
   * (id: Long, vec: Array[Double], lambda: Double, e_raw: Double).
   */
-final case class ArrowSpaceModel(
+final case class ArrowSpaceModel private[api] (
     items: DataFrame,
     featureLaplacian: LocalLaplacian,
     tau: Double,
@@ -23,6 +23,9 @@ final case class ArrowSpaceModel(
     nItems: Long,
     nFeatures: Int
 ) {
+  // Construction is builder-only, mirroring the reference's blocked
+  // constructors (src/lib.rs:33-38,71-76): use ArrowSpaceBuilder.build
+  // or EnergyBuilder.buildEnergy.
 
   /** All (id, lambda) pairs — reference src/lib.rs:122-124. */
   def lambdas: DataFrame = items.select("id", "lambda")
@@ -73,6 +76,36 @@ final case class ArrowSpaceModel(
       .select("id", "score")
       .orderBy(F.col("score").desc, F.col("id").asc)
       .limit(k)
+  }
+
+  /** Batch λ-aware search: top-k for MANY queries in one distributed
+    * pass — queries (query_id, qvec[, qlambda]) join against the item
+    * table, score with the same blended kernel, and a per-query window
+    * keeps the top k. This is the shape that scales: one shuffle keyed
+    * by query_id regardless of query count; broadcast the smaller side.
+    * Query λs are computed per-row against the broadcast F×F Laplacian.
+    */
+  def searchBatch(queries: DataFrame, tau: Double, topk: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = items.sparkSession
+    val k = if (topk > 0) topk else params.topk
+    val bcLap = spark.sparkContext.broadcast(featureLaplacian)
+    val bcTau = this.tau
+    val lamQ = F.udf { (v: Seq[Double]) => bcLap.value.synth(v.toArray, bcTau) }
+    val q = queries
+      .select(F.col("query_id"), F.col("qvec").cast("array<double>").as("qvec"))
+      .withColumn("qlambda", lamQ(F.col("qvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("score").desc, F.col("id").asc)
+    items
+      .join(F.broadcast(q))
+      .withColumn(
+        "score",
+        F.lit(tau) * cosine(F.col("vec"), F.col("qvec")) +
+          F.lit(1.0 - tau) * lambdaProximity(F.col("lambda"), F.col("qlambda")))
+      .select("query_id", "id", "score")
+      .withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
   }
 
   /** Query-side S10: synthetic λ for one vector, computed driver-side

@@ -31,26 +31,24 @@ object Dedup {
           idx => F.concat_ws(" ", F.slice(t, idx + 1, F.lit(n))))))
   }
 
-  /** MinHash signature. Each shingle is hashed ONCE (xxhash64), then
-    * the family of `numHashes` functions is derived by affine mixing
-    * h_i = a_i·h + b_i over Z_2^64 (odd multipliers — a bijection, so
-    * min-stability holds). One pass per row, no explode; the heavy
-    * string hashing is O(shingles), not O(shingles × numHashes).
+  /** MinHash signature. Each shingle string is hashed ONCE (xxhash64),
+    * then the family of `numHashes` functions is derived by re-hashing
+    * the resulting longs with per-function seeds. One pass per row, no
+    * explode; the heavy string hashing is O(shingles), not
+    * O(shingles × numHashes).
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     minhashFromHashes(F.transform(shingleCol, s => F.xxhash64(s)), numHashes)
 
   /** Signature from pre-hashed shingles (array<long>) — materialize
-    * the base hashes in a column first so they are computed once.
+    * the base hashes in a column first so the string hashing runs
+    * once; the function family re-hashes the 8-byte longs with
+    * xxhash64(h, i) (no multiply — ANSI mode rejects wraparound).
     */
-  def minhashFromHashes(hashCol: Column, numHashes: Int): Column = {
-    val rng = new scala.util.Random(42)
-    val as = Array.fill(numHashes)(rng.nextLong() | 1L)
-    val bs = Array.fill(numHashes)(rng.nextLong())
+  def minhashFromHashes(hashCol: Column, numHashes: Int): Column =
     F.array((0 until numHashes).map { i =>
-      F.array_min(F.transform(hashCol, h => h * as(i) + bs(i)))
+      F.array_min(F.transform(hashCol, h => F.xxhash64(h, F.lit(i))))
     }: _*)
-  }
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *

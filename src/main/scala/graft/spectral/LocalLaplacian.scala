@@ -12,6 +12,11 @@ final case class LocalLaplacian(dim: Int, edges: Array[LapEdge]) extends Seriali
 
   def isEmpty: Boolean = edges.isEmpty
 
+  /** Graph metadata — reference GraphLaplacian.nnodes / .shape()
+    * (src/lib.rs:40-61). */
+  def nnodes: Int = dim
+  def shape: (Int, Int) = (dim, dim)
+
   /** Raw Rayleigh energy E(x) = xᵀLx / xᵀx via the edge identity
     * xᵀLx = Σ w_fg (x_f − x_g)² (TAUMODE.md:18,26). 0 for the zero
     * vector or an empty graph.

@@ -105,6 +105,21 @@ class ArrowSpaceSpec extends SparkSpec {
     }
   }
 
+  test("batch search matches per-query search results") {
+    val s = spark
+    import s.implicits._
+    val queries = Seq(
+      (100L, items(2).map(_ * 1.05)),
+      (200L, items(0).map(_ * 0.95))).toDF("query_id", "qvec")
+    val batch = model.searchBatch(queries, tau = 0.62, topk = 3)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val single1 = model.search(items(2).map(_ * 1.05), 0.62).collect().map(_.getLong(0)).toSeq
+    val single2 = model.search(items(0).map(_ * 0.95), 0.62).collect().map(_.getLong(0)).toSeq
+    assert(batch.filter(_._1 == 100L).map(_._2) == single1)
+    assert(batch.filter(_._1 == 200L).map(_._2) == single2)
+  }
+
   test("energy search returns k results without cosine") {
     val h = model.searchEnergy(query, k = 4)
     assert(h.count() == 4)
