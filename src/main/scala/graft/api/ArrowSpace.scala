@@ -133,6 +133,63 @@ final case class ArrowSpaceModel private[api] (
       .orderBy(F.col("score").desc, F.col("id").asc)
       .limit(k)
   }
+
+  /** Persist the index: items as Parquet (the cluster-sized part) plus
+    * a small JSON sidecar for the F×F Laplacian, τ and params. The
+    * items table is the only distributed artifact — everything else is
+    * O(F²) metadata.
+    */
+  def save(path: String): Unit = {
+    items.write.mode("overwrite").parquet(s"$path/items")
+    val lapJson = featureLaplacian.edges
+      .map(e => s"""[${e.f},${e.g},${e.w}]""").mkString("[", ",", "]")
+    val meta =
+      s"""{"tau":$tau,"nItems":$nItems,"nFeatures":$nFeatures,
+         |"eps":${params.eps},"k":${params.k},"topk":${params.topk},
+         |"p":${params.p},"sigma":${params.sigmaValue},"seed":${params.seed},
+         |"lapDim":${featureLaplacian.dim},"lapEdges":$lapJson}""".stripMargin
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/meta.json"), meta)
+  }
+}
+
+object ArrowSpaceModel {
+
+  /** Load a model persisted by [[ArrowSpaceModel.save]]. */
+  def load(spark: SparkSession, path: String): ArrowSpaceModel = {
+    val items = spark.read.parquet(s"$path/items")
+    val meta = ujsonParse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json")))
+    val params = GraphParams(
+      eps = meta("eps"), k = meta("k").toInt, topk = meta("topk").toInt,
+      p = meta("p"), sigma = Some(meta("sigma")), seed = meta("seed").toLong)
+    val edges = metaEdges(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json")))
+    ArrowSpaceModel(
+      items,
+      graft.spectral.LocalLaplacian(meta("lapDim").toInt, edges),
+      meta("tau"), params, meta("nItems").toLong, meta("nFeatures").toInt)
+  }
+
+  /** Minimal scalar-field extractor for the sidecar (no JSON dep). */
+  private def ujsonParse(s: String): Map[String, Double] = {
+    val fields = "\"(\\w+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+    fields.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  private def metaEdges(s: String): Array[graft.spectral.LapEdge] = {
+    val arr = "\"lapEdges\":\\[(.*)\\]\\}".r
+    val triple = "\\[(-?[0-9.eE+]+),(-?[0-9.eE+]+),(-?[0-9.eE+]+)\\]".r
+    arr.findFirstMatchIn(s) match {
+      case Some(m) =>
+        triple.findAllMatchIn(m.group(1)).map { t =>
+          graft.spectral.LapEdge(
+            t.group(1).toDouble.toInt, t.group(2).toDouble.toInt, t.group(3).toDouble)
+        }.toArray
+      case None => Array.empty
+    }
+  }
 }
 
 /** Builds an [[ArrowSpaceModel]] + item-graph edge DataFrame from an

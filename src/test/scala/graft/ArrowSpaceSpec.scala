@@ -120,6 +120,19 @@ class ArrowSpaceSpec extends SparkSpec {
     assert(batch.filter(_._1 == 200L).map(_._2) == single2)
   }
 
+  test("save/load round-trips the index and search results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    model.save(dir)
+    val loaded = graft.api.ArrowSpaceModel.load(spark, dir)
+    assert(loaded.nItems == model.nItems)
+    assert(loaded.nFeatures == model.nFeatures)
+    assert(math.abs(loaded.tau - model.tau) < 1e-12)
+    assert(loaded.featureLaplacian.edges.length == model.featureLaplacian.edges.length)
+    val a = hits(0.62)
+    val b = loaded.search(query, 0.62).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a.map(_._1) == b.map(_._1))
+  }
+
   test("energy search returns k results without cosine") {
     val h = model.searchEnergy(query, k = 4)
     assert(h.count() == 4)
