@@ -251,21 +251,25 @@ object ArrowSpaceBuilder {
       .epsKnnEdges(graphInput, params, nItems)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // S9: F×F feature Laplacian from item-graph signals.
+    // S9: F×F feature Laplacian from the raw signal columns (see
+    // FeatureLaplacian's Scaladoc for the test_0-pinned construction).
     val lap = FeatureLaplacian.build(
-      graphItems.select("id", "vnorm"), edges, params, nFeatures)
+      graphItems.select("id", "vec"), params, nFeatures)
 
-    // S10: per-item raw energy + dispersion, then τ via TauMode, then λ.
+    // S10: per-item raw Dirichlet energy + Gini concentration, then τ
+    // via TauMode, then λ = m·E/(E+τ) + (1−m)·G with m = τ/(1+τ)
+    // (LocalLaplacian.synth's formula, inlined column-wise).
     val bcLap = spark.sparkContext.broadcast(lap)
     import spark.implicits._
     val withEnergy = items
       .select($"id".as[Long], $"vec".as[Array[Double]])
       .mapPartitions { it =>
         val l = bcLap.value
-        it.map { case (id, v) => (id, l.rayleigh(v), l.dirichletGini(v)) }
+        it.map { case (id, v) => (id, l.dirichlet(v), l.dirichletGini(v)) }
       }
       .toDF("id", "e_raw", "g_raw")
     val tau = tauMode.resolve(withEnergy, "e_raw")
+    val mix = tau / (1.0 + tau)
     val withLambda = items
       .join(withEnergy, "id")
       .withColumn(
@@ -274,8 +278,8 @@ object ArrowSpaceBuilder {
           .otherwise(F.col("e_raw") / (F.col("e_raw") + F.lit(tau))))
       .withColumn(
         "lambda",
-        F.lit(tau) * F.col("e_bounded") +
-          F.lit(1.0 - tau) * F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("g_raw"))))
+        F.lit(mix) * F.col("e_bounded") +
+          F.lit(1.0 - mix) * F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("g_raw"))))
       .select("id", "vec", "lambda", "e_raw")
       .persist(StorageLevel.MEMORY_AND_DISK)
     withLambda.count() // materialize before unpersisting parents

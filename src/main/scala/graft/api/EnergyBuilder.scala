@@ -201,7 +201,7 @@ object EnergyBuilder {
     val prelimLap = localFeatureLaplacian(
       spark, centroids.map(c => (c.cid, c.vec)), prelimEdges, params, nFeatures)
     val cEnergies: Map[Long, Double] =
-      centroids.map(c => c.cid -> prelimLap.rayleigh(c.vec)).toMap
+      centroids.map(c => c.cid -> prelimLap.dirichlet(c.vec)).toMap
     val maxDisp = math.max(1e-12, centroids.map(_.dispersion).max)
 
     // E5: energy-weighted edges (no cosine in the weight).
@@ -225,10 +225,11 @@ object EnergyBuilder {
       .select($"id".as[Long], $"vec".as[Array[Double]])
       .mapPartitions { it =>
         val l = bcLap.value
-        it.map { case (id, v) => (id, l.rayleigh(v), l.dirichletGini(v)) }
+        it.map { case (id, v) => (id, l.dirichlet(v), l.dirichletGini(v)) }
       }
       .toDF("id", "e_raw", "g_raw")
     val tau = tauMode.resolve(withEnergy, "e_raw")
+    val mix = tau / (1.0 + tau)
     val withLambda = items
       .join(withEnergy, "id")
       .withColumn(
@@ -237,8 +238,8 @@ object EnergyBuilder {
           .otherwise(F.col("e_raw") / (F.col("e_raw") + F.lit(tau))))
       .withColumn(
         "lambda",
-        F.lit(tau) * F.col("e_bounded") +
-          F.lit(1.0 - tau) * F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("g_raw"))))
+        F.lit(mix) * F.col("e_bounded") +
+          F.lit(1.0 - mix) * F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("g_raw"))))
       .select("id", "vec", "lambda", "e_raw")
       .persist(StorageLevel.MEMORY_AND_DISK)
     withLambda.count()

@@ -1,70 +1,65 @@
 package graft.spectral
 
 import graft.core.GraphParams
-import org.apache.spark.sql.{DataFrame, Row, functions => F}
+import org.apache.spark.sql.{DataFrame, functions => F}
 
-/** Builds the F×F feature-space Laplacian from the item graph's
-  * "signals" (reference: `GraphFactory::build_spectral_laplacian`,
-  * GRAPH_VARIABLES.md:17,44; TAUMODE.md:12).
+/** Builds the F×F feature-space Laplacian from the items' "signals"
+  * (reference: `GraphFactory::build_spectral_laplacian`,
+  * GRAPH_VARIABLES.md:17,44; TAUMODE.md:12 — the signals matrix is the
+  * column view of the N×F item matrix).
   *
   * The crate's exact construction is not vendored in the reference
-  * repo (SURVEY.md §7.4 risk register); this is a documented
-  * reconstruction with the same inputs and shape:
+  * repo (SURVEY.md §7.4); this reconstruction is pinned by the
+  * reference's own acceptance test: with feature affinity = cosine
+  * between raw signal columns, kernel weights over ALL feature pairs
+  * (no kNN cap — the feature graph stays connected), and the
+  * scale-sensitive raw-Dirichlet synthesis in [[LocalLaplacian.synth]],
+  * the engine reproduces test_0's exact orderings for τ=1.0 AND τ=0.9
+  * ([2,1,4] / [1,2,0]); the τ=0.6/0.55 orderings additionally depend
+  * on the crate's seeded dims-reduction RNG stream, which is not
+  * observable from the reference repo (divergence documented in
+  * ArrowSpaceSpec).
   *
-  *  1. Distributed pass: co-energy matrix
-  *     M = Σ_{(i,j)∈E, i<j} w_ij (x_i − x_j)(x_i − x_j)ᵀ  ∈ R^{F×F}
-  *     — i.e. M = XᵀL_item X, the Dirichlet co-energy of every feature
-  *     pair over the item graph. Computed with a per-partition dense
-  *     accumulator + treeReduce; only O(F²) crosses the network per
-  *     partition regardless of N.
-  *  2. Driver-side (F ≤ a few thousand): affinity
-  *     A_fg = M_fg / √(M_ff·M_gg), distance d = 1 − max(0, A), per-row
-  *     kNN cap (k = min(params.k, F−1), no eps cutoff so the feature
-  *     graph stays connected), kernel weights w = 1/(1+(d/σ)^p),
-  *     symmetrize, L = D − W kept as an edge list.
+  *  1. Distributed pass: Gram matrix M = XᵀX = Σ_rows x·xᵀ via a
+  *     per-partition dense accumulator + treeAggregate; only O(F²)
+  *     crosses the network per partition regardless of N. No join —
+  *     cheaper than an edge-based pass.
+  *  2. Driver-side: column-cosine affinity A_fg = M_fg/√(M_ff·M_gg),
+  *     distance d = 1 − max(0, A), kernel weights w = 1/(1+(d/σ)^p)
+  *     over all pairs, L = D − W kept as an edge list.
   */
 object FeatureLaplacian {
 
-  /** items: (id, vnorm: Array[Double]); edges: symmetric (src, dst, weight). */
-  def build(items: DataFrame, edges: DataFrame, params: GraphParams, nFeatures: Int): LocalLaplacian = {
-    val coEnergy = coEnergyMatrix(items, edges, nFeatures)
-    fromCoEnergy(coEnergy, params, nFeatures)
+  /** items: (id, vec: Array[Double]) — RAW vectors (the signals space
+    * is the original, un-normalized one; pre-normalization applies to
+    * item-graph distances only).
+    */
+  def build(items: DataFrame, params: GraphParams, nFeatures: Int): LocalLaplacian = {
+    val gram = gramMatrix(items, nFeatures)
+    fromGram(gram, params, nFeatures)
   }
 
-  /** Distributed Σ w_ij (x_i−x_j)(x_i−x_j)ᵀ over undirected edges.
-    * Returns the dense upper triangle as a flat row-major F×F array.
+  /** Distributed Σ x·xᵀ over all rows; returns the dense upper
+    * triangle as a flat row-major F×F array.
     */
-  def coEnergyMatrix(items: DataFrame, edges: DataFrame, nFeatures: Int): Array[Double] = {
+  def gramMatrix(items: DataFrame, nFeatures: Int): Array[Double] = {
     val spark = items.sparkSession
     import spark.implicits._
-    val undirected = edges.where(F.col("src") < F.col("dst"))
-    val vecs = items.select(F.col("id"), F.col("vnorm"))
-    val joined = undirected
-      .join(vecs.withColumnRenamed("id", "src").withColumnRenamed("vnorm", "va"), "src")
-      .join(vecs.withColumnRenamed("id", "dst").withColumnRenamed("vnorm", "vb"), "dst")
-      .select($"weight".as[Double], $"va".as[Array[Double]], $"vb".as[Array[Double]])
-
-    // treeAggregate (not treeReduce): the zero value keeps this total
-    // on an empty edge set — AQE can coalesce an empty join to zero
-    // partitions, where treeReduce throws "empty collection".
+    val vecs = items.select(F.col("vec")).as[Array[Double]]
     val merge = (a: Array[Double], b: Array[Double]) => {
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }
-    joined.rdd.treeAggregate(new Array[Double](nFeatures * nFeatures))(
-      seqOp = { (acc, row) =>
-        val (w, va, vb) = row
-        val diff = new Array[Double](nFeatures)
+    vecs.rdd.treeAggregate(new Array[Double](nFeatures * nFeatures))(
+      seqOp = { (acc, v) =>
         var f = 0
-        while (f < nFeatures) { diff(f) = va(f) - vb(f); f += 1 }
-        f = 0
         while (f < nFeatures) {
-          val df = diff(f) * w
-          if (df != 0.0) {
-            var g = f
+          val vf = v(f)
+          if (vf != 0.0) {
             val base = f * nFeatures
-            while (g < nFeatures) { acc(base + g) += df * diff(g); g += 1 }
+            var g = f
+            while (g < nFeatures) { acc(base + g) += vf * v(g); g += 1 }
           }
           f += 1
         }
@@ -74,20 +69,44 @@ object FeatureLaplacian {
     )
   }
 
-  /** Driver-side feature-graph assembly from the co-energy matrix. */
+  /** Driver-side feature-graph assembly from the Gram matrix: cosine
+    * affinity, kernel weights over all pairs.
+    */
+  def fromGram(m: Array[Double], params: GraphParams, nF: Int): LocalLaplacian = {
+    @inline def at(f: Int, g: Int): Double =
+      if (f <= g) m(f * nF + g) else m(g * nF + f)
+    val sigma = params.sigmaValue
+    val edges = scala.collection.mutable.ArrayBuffer.empty[LapEdge]
+    var f = 0
+    while (f < nF) {
+      var g = f + 1
+      while (g < nF) {
+        val den = at(f, f) * at(g, g)
+        val aff = if (den <= 0.0) 0.0 else at(f, g) / math.sqrt(den)
+        val d = 1.0 - math.max(0.0, aff)
+        val w = 1.0 / (1.0 + math.pow(d / sigma, params.p))
+        if (w > 0.0) edges += LapEdge(f, g, w)
+        g += 1
+      }
+      f += 1
+    }
+    LocalLaplacian(nF, edges.toArray)
+  }
+
+  /** Edge-based co-energy construction (used by the energy pipeline's
+    * centroid graph, E5/E6): affinity from Σ w_ij(x_i−x_j)(x_i−x_j)ᵀ
+    * with per-feature kNN cap — see EnergyBuilder.
+    */
   def fromCoEnergy(m: Array[Double], params: GraphParams, nF: Int): LocalLaplacian = {
     @inline def at(f: Int, g: Int): Double =
       if (f <= g) m(f * nF + g) else m(g * nF + f)
     val k = math.min(params.k, nF - 1)
     val sigma = params.sigmaValue
-    // distance d(f,g) = 1 − max(0, A_fg); undefined affinities (zero
-    // self-energy) get distance 1 (no edge preference).
     def dist(f: Int, g: Int): Double = {
       val den = at(f, f) * at(g, g)
       if (den <= 0.0) 1.0
       else 1.0 - math.max(0.0, at(f, g) / math.sqrt(den))
     }
-    // per-feature kNN (smallest distance, deterministic tie-break on index)
     val selected = new java.util.HashSet[Long]()
     var f = 0
     while (f < nF) {

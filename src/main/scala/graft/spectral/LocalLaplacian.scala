@@ -68,13 +68,19 @@ final case class LocalLaplacian(dim: Int, edges: Array[LapEdge]) extends Seriali
     math.min(1.0, math.max(0.0, sumSq))
   }
 
-  /** Synthetic spectral index S(x) = τ·E′(x) + (1−τ)·G(x) with
-    * E′ = E/(E+τ) (TAUMODE.md:8-27). τ must be > 0.
+  /** Synthetic spectral index (TAUMODE.md:8-27, pinned by test_0):
+    * S(x) = m·E′(x) + (1−m)·G(x) with E = xᵀLx the RAW Dirichlet
+    * energy (scale-SENSITIVE — test_0's τ=0.9 ordering [1,2,0] proves
+    * the query's 1.05 scaling must shift its λ, which the normalized
+    * Rayleigh quotient cannot do), E′ = E/(E+τ), and mixing weight
+    * m = τ/(1+τ) ∈ (0,1) (τ itself — the median raw energy — can
+    * exceed 1, so it is bounded before mixing). τ must be > 0.
     */
   def synth(x: Array[Double], tau: Double): Double = {
-    val e = rayleigh(x)
+    val e = dirichlet(x)
     val eb = if (e + tau == 0.0) 0.0 else e / (e + tau)
-    tau * eb + (1.0 - tau) * dirichletGini(x)
+    val m = tau / (1.0 + tau)
+    m * eb + (1.0 - m) * dirichletGini(x)
   }
 }
 

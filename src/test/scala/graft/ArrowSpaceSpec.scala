@@ -55,6 +55,15 @@ class ArrowSpaceSpec extends SparkSpec {
     assert(math.abs(h.head._2 - 1.0) < 1e-12)
   }
 
+  test("tau=0.9 blended: exact ordering [1,2,0] (test_0.py:39-42)") {
+    // Scale-sensitivity at work: the query is 1.05x item 2, so pure
+    // cosine puts item 2 first, but its raw-Dirichlet lambda differs
+    // from item 2's and the blend flips the order - exactly the
+    // reference's pinned behavior.
+    val h = hits(0.9)
+    assert(h.map(_._1) == Seq(1L, 2L, 0L), s"got ${h.map(_._1)}")
+  }
+
   test("blended search returns topk results, deterministically, scores descending") {
     for (tau <- Seq(0.9, 0.6, 0.55)) {
       val h1 = hits(tau)
