@@ -262,6 +262,80 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n"))
         .orderBy("k")),
 
+    "v_ivf_topk" -> ((s, d) => {
+      val index = Similarity.ivfBuild(emb(s, d), nLists = 16)
+      Similarity.ivfTopK(index, queryVec(s, d), k = 20, nprobe = 4)
+    }),
+
+    "d_ngram_jaccard" -> ((s, d) => {
+      // exact word-3-gram Jaccard over bounded pairs (adjacent doc ids
+      // within a source) — the verification kernel of the MinHash
+      // pipeline, exposed standalone and oracle-checked.
+      val base = docs(s, d)
+        .where(F.size(graft.operators.TextOps.tokens(F.col("text"))) >= 3)
+        .select(
+          F.col("doc_id"), F.col("source"),
+          Dedup.shingles(F.col("text"), 3).as("sh"))
+      val a = base.select(
+        F.col("source"), F.col("doc_id").as("doc_a"), F.col("sh").as("sh_a"))
+      val b = base.select(
+        F.col("source"), F.col("doc_id").as("doc_b"), F.col("sh").as("sh_b"))
+      a.join(b, Seq("source"))
+        .where(F.col("doc_b") === F.col("doc_a") + 10)
+        .select(
+          F.col("doc_a"), F.col("doc_b"),
+          F.round(
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
+              F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))), 4).as("jaccard"))
+        .orderBy("doc_a")
+    }),
+
+    "q_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, d, "events")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      ev
+        .withColumn("prev_ts", F.lag("ts", 1).over(byUser))
+        .withColumn(
+          "new_session",
+          F.when(
+            F.col("prev_ts").isNull ||
+              F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(byUser))
+        .groupBy("user_id")
+        .agg(
+          F.max("session_id").as("n_sessions"),
+          F.count(F.lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "q_rollup_revenue" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).as("revenue"))
+        .select(
+          F.coalesce(F.col("l_returnflag"), F.lit("ALL")).as("rf"),
+          F.coalesce(F.col("l_linestatus"), F.lit("ALL")).as("ls"),
+          F.col("revenue"))
+        .orderBy("rf", "ls")),
+
+    "q_set_ops" -> ((s, d) => {
+      val all = tbl(s, d, "orders").select("o_custkey").distinct()
+      val f = tbl(s, d, "orders")
+        .where(F.col("o_orderstatus") === "F").select("o_custkey").distinct()
+      val o = tbl(s, d, "orders")
+        .where(F.col("o_orderstatus") === "O").select("o_custkey").distinct()
+      val both = f.intersect(o)
+      val onlyF = f.except(o)
+      val spark = s
+      import spark.implicits._
+      Seq((all.count(), both.count(), onlyF.count()))
+        .toDF("n_custs", "n_both", "n_only_f")
+    }),
+
     // ---- multimodal columns (binary payload + typed meta) ----
     "mm_payload_stats" -> ((s, d) => {
       import graft.operators.Multimodal
@@ -555,6 +629,65 @@ object SparkEntry {
         |FROM documents
         |GROUP BY fp
         |ORDER BY fp""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+        |      i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |           string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |           string_split_regex(trim(text), '\s+')[i+2])) AS sh
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+        |    AS jaccard
+        |FROM base a JOIN base b
+        |  ON a.source = b.source AND b.doc_id = a.doc_id + 10
+        |ORDER BY doc_a""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0
+        |    END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_custs,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |     INTERSECT
+        |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        |    AS n_both,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |     EXCEPT
+        |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        |    AS n_only_f""".stripMargin,
 
     "mm_payload_stats" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -71,6 +71,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN index: KMeans coarse quantizer over the
+    * corpus; each vector is assigned to its nearest centroid (one
+    * "inverted list" per centroid). Queries probe only the `nprobe`
+    * nearest lists — the scan shrinks by ~k/nprobe at the cost of
+    * recall, the standard IVF-Flat trade. The probe is a partition-
+    * pruned equi-filter (`cluster IN probes`), so at scale the lists
+    * can be written as `partitionBy("cluster")` Parquet and the scan
+    * prunes to nprobe partitions.
+    */
+  final case class IvfIndex(
+      assigned: DataFrame, // (id, vec, cluster)
+      centroids: Array[(Int, Array[Double])],
+      k: Int)
+
+  def ivfBuild(emb: DataFrame, nLists: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    val withVec = emb.withColumn("features", array_to_vector(F.col("vec")))
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(15)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec).select("id", "vec", "cluster")
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray).zipWithIndex.map(_.swap), nLists)
+  }
+
+  def ivfTopK(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
+    val probes = index.centroids
+      .map { case (c, cv) =>
+        (c, 1.0 - graft.functions.VectorKernels.cosine(query, cv))
+      }
+      .sortBy { case (c, d) => (d, c) }
+      .take(nprobe)
+      .map(_._1)
+    val q = F.typedLit(query)
+    index.assigned
+      .where(F.col("cluster").isin(probes.toSeq: _*))
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
   /** Per-embedding L2 norms: (id, norm). */
   def norms(emb: DataFrame): DataFrame =
     emb.select(F.col("id"), F.round(l2norm(F.col("vec")), 4).as("norm"))
