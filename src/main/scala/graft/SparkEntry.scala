@@ -276,12 +276,16 @@ object SparkEntry {
         .select(
           F.col("doc_id"), F.col("source"),
           Dedup.shingles(F.col("text"), 3).as("sh"))
-      val a = base.select(
-        F.col("source"), F.col("doc_id").as("doc_a"), F.col("sh").as("sh_a"))
-      val b = base.select(
-        F.col("source"), F.col("doc_id").as("doc_b"), F.col("sh").as("sh_b"))
-      a.join(b, Seq("source"))
-        .where(F.col("doc_b") === F.col("doc_a") + 10)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val ranked = base.withColumn("rn", F.row_number().over(w))
+      val a = ranked.select(
+        F.col("source"), F.col("rn"),
+        F.col("doc_id").as("doc_a"), F.col("sh").as("sh_a"))
+      val b = ranked.select(
+        F.col("source"), (F.col("rn") - 1).as("rn"),
+        F.col("doc_id").as("doc_b"), F.col("sh").as("sh_b"))
+      a.join(b, Seq("source", "rn"))
         .select(
           F.col("doc_a"), F.col("doc_b"),
           F.round(
@@ -639,13 +643,17 @@ object SparkEntry {
         |           string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
         |           string_split_regex(trim(text), '\s+')[i+2])) AS sh
         |  FROM documents
-        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3)
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |    AS rn
+        |  FROM base)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
         |    AS jaccard
-        |FROM base a JOIN base b
-        |  ON a.source = b.source AND b.doc_id = a.doc_id + 10
+        |FROM ranked a JOIN ranked b
+        |  ON a.source = b.source AND b.rn = a.rn + 1
         |ORDER BY doc_a""".stripMargin,
 
     "q_sessionize" ->
