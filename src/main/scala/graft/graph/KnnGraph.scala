@@ -60,13 +60,11 @@ object KnnGraph {
     // node — no window shuffle needed there.
     val capped =
       if (useBrute) directed
-      else {
-        val w = Window.partitionBy("src").orderBy(F.col("dist").asc, F.col("dst").asc)
-        directed
-          .withColumn("rn", F.row_number().over(w))
-          .where(F.col("rn") <= params.k)
-          .drop("rn")
-      }
+      else
+        // salted two-phase cap: a hub node's candidate list never
+        // lands in a single task (SURVEY.md §7.4 skew register)
+        graft.scale.Skew.saltedTopKPerKey(
+          directed, "src", Seq(F.col("dist").asc, F.col("dst").asc), params.k)
     val sym = capped
       .unionByName(capped.select(
         F.col("dst").as("src"), F.col("src").as("dst"), F.col("dist")))
