@@ -57,4 +57,17 @@ class EnergySpec extends SparkSpec {
     val l = m2.lambdas.collect().map(_.getDouble(1))
     assert(l.forall(v => !v.isNaN && !v.isInfinite))
   }
+
+  test("aggressive diffusion (the reference's collapse grid point) stays finite and searchable") {
+    // The reference's sweep logs retrieval collapse at eta=0.1/steps=8
+    // (MRR 0.0196 vs 1.0 at eta=0.05/steps=6) — quality degradation is
+    // config-dependent, but the pipeline must stay well-defined there:
+    // finite lambdas, valid top-k.
+    val (m, _) = EnergyBuilder.buildEnergy(itemsDf, ep.copy(eta = 0.5, steps = 8), gp)
+    val l = m.lambdas.collect().map(_.getDouble(1))
+    assert(l.length == 120)
+    assert(l.forall(v => !v.isNaN && !v.isInfinite && v >= 0.0 && v <= 1.0))
+    val q = itemsDf.where(F.col("id") === 5).select("vec").head.getSeq[Double](0).toArray
+    assert(m.searchEnergy(q, 5).count() == 5)
+  }
 }
