@@ -478,6 +478,32 @@ object SparkEntry {
       val (_, edges) = model(s, d)
       val src = edges.agg(F.min("src")).head.getLong(0)
       graft.graph.GraphAnalytics.topologyFactor(edges, src).orderBy("id")
+    }),
+    "m_topology_eval" -> ((s, d) => {
+      // test_6 pattern: score the taumode top-10 with the six
+      // graph-aware metrics; truth = cosine top-10, anchor = query id 0.
+      val (m, edges) = model(s, d)
+      val qv = queryVec(s, d)
+      val relevant = m.search(qv, tau = 1.0).select(F.col("id")).collect()
+        .map(_.getLong(0)).toSet
+      val retrieved = m.search(qv, tau = 0.62)
+        .select(
+          F.lit(0L).as("query_id"),
+          F.col("id").as("doc_id"),
+          F.row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(F.col("score").desc, F.col("id").asc)).as("rank"),
+          F.when(F.col("id").isInCollection(relevant), 1.0).otherwise(0.0).as("grade"))
+      val spark2 = s
+      import spark2.implicits._
+      val sources = Seq((0L, 0L)).toDF("query_id", "node_id")
+      graft.metrics.TopologyMetrics.evaluate(edges, retrieved, sources)
+        .select(
+          F.col("query_id"),
+          F.round(F.col("g_rbp"), 6).as("g_rbp"),
+          F.round(F.col("td_ndcg"), 6).as("td_ndcg"),
+          F.round(F.col("it_err"), 6).as("it_err"),
+          F.round(F.col("mrr_topo"), 6).as("mrr_topo"),
+          F.round(F.col("sqi"), 6).as("sqi"))
     })
   )
 
