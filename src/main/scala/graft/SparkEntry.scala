@@ -187,6 +187,39 @@ object SparkEntry {
         .orderBy(F.col("price").desc, F.col("p_partkey").asc)
         .limit(10)),
 
+    "q_date_parts" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .groupBy(
+          F.year(F.col("o_orderdate")).as("yr"),
+          F.quarter(F.col("o_orderdate")).as("qtr"))
+        .agg(
+          F.count(F.lit(1)).as("n_orders"),
+          F.round(F.sum("o_totalprice"), 2).as("total"))
+        .orderBy("yr", "qtr")),
+
+    "q_string_fns" -> ((s, d) =>
+      tbl(s, d, "part")
+        .select(
+          F.col("p_partkey"),
+          F.upper(F.col("p_brand")).as("brand_uc"),
+          F.substring(F.col("p_type"), 1, 6).as("type_pfx"),
+          F.concat_ws("|", F.col("p_brand"), F.col("p_type")).as("bt"),
+          F.length(F.col("p_name")).as("name_len"))
+        .where(F.col("p_partkey") <= 100)
+        .orderBy("p_partkey")),
+
+    "q_math_fns" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .where(F.col("l_orderkey") <= 100)
+        .select(
+          F.col("l_orderkey"), F.col("l_linenumber"),
+          F.round(F.sqrt(F.col("l_extendedprice")), 4).as("sqrt_price"),
+          F.round(F.ln(F.col("l_extendedprice") + 1.0), 4).as("ln_price"),
+          F.round(F.pow(F.col("l_discount"), 2.0), 6).as("disc_sq"),
+          F.floor(F.col("l_quantity")).as("qty_floor"),
+          F.round(F.abs(F.col("l_tax") - 0.04), 4).as("tax_dev"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- text analysis ----
     "t_text_stats" -> ((s, d) =>
       TextOps.textStats(docs(s, d)).orderBy("doc_id")),
@@ -597,6 +630,33 @@ object SparkEntry {
         |FROM part
         |ORDER BY price DESC, p_partkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY yr, qtr
+        |ORDER BY yr, qtr""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc,
+        |  substring(p_type, 1, 6) AS type_pfx,
+        |  concat_ws('|', p_brand, p_type) AS bt,
+        |  length(p_name) AS name_len
+        |FROM part
+        |WHERE p_partkey <= 100
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
+        |  round(ln(l_extendedprice + 1.0), 4) AS ln_price,
+        |  round(pow(l_discount, 2.0), 6) AS disc_sq,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  round(abs(l_tax - 0.04), 4) AS tax_dev
+        |FROM lineitem
+        |WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "t_text_stats" ->
       """SELECT doc_id,
