@@ -226,6 +226,16 @@ object ArrowSpaceBuilder {
     require(nItems > 0, "items must be non-empty")
     val nFeatures = items.select(F.size(F.col("vec"))).head.getInt(0)
 
+    // S1: NaN/Inf are counted and logged, not rejected (reference
+    // src/helpers.rs:34-44).
+    val nonFinite = items
+      .select(F.sum(F.size(F.filter(F.col("vec"),
+        v => F.isnan(v) || F.abs(v) === Double.PositiveInfinity))).as("n"))
+      .head.getLong(0)
+    if (nonFinite > 0)
+      org.apache.logging.log4j.LogManager.getLogger("graft")
+        .warn(s"items contain $nonFinite non-finite values")
+
     // S3: sample large inputs for graph construction only — λ is still
     // computed for every item against the F×F Laplacian.
     val graphItems =

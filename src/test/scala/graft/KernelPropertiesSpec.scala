@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.VectorKernels
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the scalar kernels (pure JVM, seeded exhaustive
+  * sampling): the algebraic laws the reference leaves implicit
+  * (SURVEY.md §5 "add property tests the reference lacks").
+  */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(1234)
+
+  private def randVec(maxDim: Int = 64): Array[Double] =
+    Array.fill(1 + rng.nextInt(maxDim))(rng.nextDouble() * 200.0 - 100.0)
+
+  private def pairSameDim(): (Array[Double], Array[Double]) = {
+    val a = randVec()
+    val b = Array.fill(a.length)(rng.nextDouble() * 200.0 - 100.0)
+    (a, b)
+  }
+
+  test("cosine is symmetric and bounded in [-1, 1]") {
+    (1 to 500).foreach { _ =>
+      val (a, b) = pairSameDim()
+      val c1 = VectorKernels.cosine(a, b)
+      val c2 = VectorKernels.cosine(b, a)
+      assert(math.abs(c1 - c2) < 1e-12)
+      assert(c1 >= -1.0 - 1e-9 && c1 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("cosine is scale-invariant for positive scales") {
+    (1 to 500).foreach { _ =>
+      val a = randVec()
+      if (a.exists(_ != 0.0)) {
+        val s = 0.001 + rng.nextDouble() * 1000.0
+        assert(math.abs(VectorKernels.cosine(a, a.map(_ * s)) - 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("l2normalize is idempotent and unit-norm (except zero vector)") {
+    (1 to 500).foreach { _ =>
+      val a = randVec()
+      val n1 = VectorKernels.l2normalize(a)
+      if (a.exists(_ != 0.0)) {
+        assert(math.abs(math.sqrt(VectorKernels.normSq(n1)) - 1.0) < 1e-9)
+        val n2 = VectorKernels.l2normalize(n1)
+        assert(n1.zip(n2).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+      } else {
+        assert(n1.toSeq == a.toSeq)
+      }
+    }
+    val zero = new Array[Double](8)
+    assert(VectorKernels.l2normalize(zero).toSeq == zero.toSeq)
+  }
+
+  test("rectified cosine distance is in [0, 1] and 0 for self") {
+    (1 to 500).foreach { _ =>
+      val (a, b) = pairSameDim()
+      if (a.exists(_ != 0.0))
+        assert(VectorKernels.cosineDistance(a, a) < 1e-9)
+      val d = VectorKernels.cosineDistance(a, b)
+      assert(d >= -1e-9 && d <= 1.0 + 1e-9)
+    }
+  }
+
+  test("weight kernel w = 1/(1+(d/sigma)^p) is monotone decreasing in d") {
+    val sigma = 0.5; val p = 2.0
+    def w(d: Double) = 1.0 / (1.0 + math.pow(d / sigma, p))
+    (1 to 500).foreach { _ =>
+      val d1 = rng.nextDouble(); val d2 = rng.nextDouble()
+      val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
+      assert(w(lo) >= w(hi))
+    }
+  }
+
+  test("Laplacian Dirichlet energy is non-negative and zero for constant vectors") {
+    import graft.spectral.{LapEdge, LocalLaplacian}
+    (1 to 200).foreach { _ =>
+      val dim = 2 + rng.nextInt(15)
+      val edges = (0 until dim - 1).map(i => LapEdge(i, i + 1, 1.0)).toArray
+      val lap = LocalLaplacian(dim, edges)
+      val c = rng.nextDouble() * 100.0 - 50.0
+      assert(math.abs(lap.dirichlet(Array.fill(dim)(c))) < 1e-9)
+      val x = Array.fill(dim)(rng.nextDouble() * 20.0 - 10.0)
+      assert(lap.dirichlet(x) >= -1e-12)
+      // Gini is a concentration in [0, 1]
+      val g = lap.dirichletGini(x)
+      assert(g >= 0.0 && g <= 1.0)
+    }
+  }
+
+  test("simhash hamming distance is 0 for identical docs, bounded by 64") {
+    // driven through the DataFrame op in DedupSpec-style tests; here
+    // just the pure kernel bound via xor/bit_count semantics
+    val h1 = 0x0123456789ABCDEFL
+    assert(java.lang.Long.bitCount(h1 ^ h1) == 0)
+    assert(java.lang.Long.bitCount(h1 ^ ~h1) == 64)
+  }
+}
