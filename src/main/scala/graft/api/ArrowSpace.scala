@@ -205,6 +205,27 @@ object ArrowSpaceBuilder {
   val SampleThreshold = 100000L
   val SampleRate = 0.6
 
+  /** Large-input thresholds, overridable for tests and tuning:
+    * above `sampleThreshold` the graph stage samples at `sampleRate`
+    * and (when F > `projectionMinF`) computes candidate distances in a
+    * JL-projected space.
+    */
+  final case class BuildOptions(
+      sampleThreshold: Long = SampleThreshold,
+      sampleRate: Double = SampleRate,
+      projectionMinF: Int = 96)
+
+  def build(
+      itemsRaw: DataFrame,
+      params: GraphParams,
+      tauMode: TauMode): (ArrowSpaceModel, DataFrame) =
+    build(itemsRaw, params, tauMode, BuildOptions())
+
+  def build(
+      itemsRaw: DataFrame,
+      params: GraphParams): (ArrowSpaceModel, DataFrame) =
+    build(itemsRaw, params, TauMode.Median, BuildOptions())
+
   /** itemsRaw must have columns (id: integral, vec: array<numeric>).
     * Returns the model plus the symmetric item-graph edges
     * (src, dst, dist, weight).
@@ -212,7 +233,8 @@ object ArrowSpaceBuilder {
   def build(
       itemsRaw: DataFrame,
       params: GraphParams,
-      tauMode: TauMode = TauMode.Median): (ArrowSpaceModel, DataFrame) = {
+      tauMode: TauMode,
+      options: BuildOptions): (ArrowSpaceModel, DataFrame) = {
     val spark = itemsRaw.sparkSession
 
     val items = itemsRaw
@@ -239,15 +261,16 @@ object ArrowSpaceBuilder {
     // S3: sample large inputs for graph construction only — λ is still
     // computed for every item against the F×F Laplacian.
     val graphItems =
-      if (nItems > SampleThreshold)
-        items.sample(withReplacement = false, SampleRate, params.seed)
+      if (nItems > options.sampleThreshold)
+        items.sample(withReplacement = false, options.sampleRate, params.seed)
       else items
 
     // S5: seeded random projection for graph-stage distances when the
     // input is large and wide (the reference's with_dims_reduction,
     // src/lib.rs:283). Signals for the feature Laplacian and query
     // scoring stay in the original F-dimensional space.
-    val needsProjection = nItems > SampleThreshold && nFeatures > 96
+    val needsProjection =
+      nItems > options.sampleThreshold && nFeatures > options.projectionMinF
     val graphInput =
       if (needsProjection) {
         val d = graft.scale.RandomProjection.jlDim(nItems)

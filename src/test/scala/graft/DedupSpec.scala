@@ -1,0 +1,54 @@
+package graft
+
+import graft.api.ArrowSpaceBuilder
+import graft.core.GraphParams
+import graft.operators.Dedup
+import org.apache.spark.sql.{functions => F}
+
+class DedupSpec extends SparkSpec {
+
+  /** 60 base docs + planted near-dups (one word changed) + exact dups. */
+  lazy val docs = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(21)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "table",
+      "row", "batch", "agg", "filter", "merge", "sort", "hash", "key", "value")
+    def doc(): String = Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 60).map(i => (i.toLong, doc()))
+    val nearDups = base.take(5).map { case (i, t) =>
+      (100L + i, "zzz " + t.split(" ").drop(1).mkString(" "))
+    }
+    val exactDups = base.slice(5, 8).map { case (i, t) => (200L + i, t) }
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact groups collapse planted exact duplicates") {
+    val groups = Dedup.exactGroups(docs).where(F.col("n_docs") > 1).collect()
+    assert(groups.length == 3, s"expected 3 dup groups, got ${groups.length}")
+    assert(groups.forall(_.getLong(1) == 2L))
+    // keeper is the original (smaller id)
+    assert(groups.forall(_.getLong(2) < 200L))
+  }
+
+  test("minhash LSH finds the planted near-duplicates with high jaccard") {
+    val pairs = Dedup.minhashNearDupPairs(docs)
+      .where(F.col("jaccard") >= 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)),
+        s"planted near-dup ($i, ${100 + i}) not found in $pairs")
+    }
+  }
+
+  test("simhash near-dup pairs include exact duplicates at hamming 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (5 until 8).foreach { i =>
+      assert(pairs.contains((i.toLong, 200L + i)),
+        s"exact dup ($i, ${200 + i}) missing from simhash pairs")
+    }
+  }
+}

@@ -61,6 +61,28 @@ class ScaleSpec extends SparkSpec {
     assert(corr > 0.7, s"projection correlation $corr too low")
   }
 
+  test("large-N build path (sample + projection + cluster blocking) end-to-end") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val df = (0 until 800).map { i =>
+      val base = Array.tabulate(128)(f => math.sin((i % 5) * 1.3 + f * 0.21) + 2.0)
+      (i.toLong, base.map(_ + rng.nextGaussian() * 0.1))
+    }.toDF("id", "vec")
+    val params = GraphParams(eps = 1.0, k = 6, topk = 5)
+    // force the large-N stages on a small input
+    val opts = graft.api.ArrowSpaceBuilder.BuildOptions(
+      sampleThreshold = 100L, sampleRate = 0.6, projectionMinF = 64)
+    val (m, edges) = graft.api.ArrowSpaceBuilder.build(
+      df, params, graft.spectral.TauMode.Median, opts)
+    assert(m.nItems == 800)
+    assert(edges.count() > 0)
+    val q = df.where(F.col("id") === 3).select("vec").head.getSeq[Double](0).toArray
+    val hits = m.search(q, 0.62).collect()
+    assert(hits.length == 5)
+    assert(hits.map(_.getDouble(1)).toSeq == hits.map(_.getDouble(1)).sortBy(-_).toSeq)
+  }
+
   test("cluster-blocked kNN recovers most brute-force edges") {
     val s = spark
     import s.implicits._
