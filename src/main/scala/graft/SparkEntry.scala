@@ -249,7 +249,11 @@ object SparkEntry {
       Dedup.exactGroups(docs(s, d)).orderBy("fp")),
 
     "d_minhash_neardup" -> ((s, d) =>
-      Dedup.minhashNearDupPairs(docs(s, d)).limit(50)),
+      Dedup.minhashNearDupPairs(docs(s, d), estFloor = 0.2).limit(50)),
+
+    "d_dedup_corpus" -> ((s, d) =>
+      Dedup.dedupCorpus(docs(s, d), jaccardThreshold = 0.8)
+        .select("doc_id").orderBy("doc_id")),
 
     "d_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d)).orderBy("doc_id")),

@@ -63,7 +63,8 @@ object Dedup {
       docs: DataFrame,
       shingleLen: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      estFloor: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val withSig = docs
@@ -86,22 +87,50 @@ object Dedup {
       F.col("band"), F.col("bh"), F.col("doc_id").as("doc_b"),
       F.col("sh").as("sh_b"), F.col("sig").as("sig_b"))
 
+    // cheap signature-agreement estimate first; the expensive exact
+    // set intersection runs only on candidates above `estFloor`
     a.join(b, Seq("band", "bh"))
       .where(F.col("doc_a") < F.col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b", "sig_a", "sig_b")
       .dropDuplicates("doc_a", "doc_b")
-      .select(
-        F.col("doc_a"),
-        F.col("doc_b"),
+      .withColumn(
+        "est_jaccard",
         F.round(
           F.aggregate(
             F.zip_with(F.col("sig_a"), F.col("sig_b"),
               (x, y) => F.when(x === y, 1.0).otherwise(0.0)),
-            F.lit(0.0), (acc, v) => acc + v) / numHashes, 4).as("est_jaccard"),
+            F.lit(0.0), (acc, v) => acc + v) / numHashes, 4))
+      .where(F.col("est_jaccard") >= estFloor)
+      .select(
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.col("est_jaccard"),
         F.round(
           F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
             F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))), 4).as("jaccard"))
       .orderBy(F.col("jaccard").desc, F.col("doc_a").asc, F.col("doc_b").asc)
+  }
+
+  /** End-to-end corpus dedup: drop exact duplicates (keep the smallest
+    * doc_id per normalized fingerprint), then drop MinHash near-dups
+    * with exact Jaccard ≥ `jaccardThreshold` (keeping the smaller id
+    * of each pair). Returns the surviving documents.
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      jaccardThreshold: Double = 0.8,
+      shingleLen: Int = 3): DataFrame = {
+    val keepers = docs
+      .select(F.col("doc_id"), TextOps.fingerprint(F.col("text")).as("fp"))
+      .groupBy("fp").agg(F.min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactDeduped = docs.join(keepers, "doc_id")
+    val nearDupLosers = minhashNearDupPairs(
+      exactDeduped, shingleLen, estFloor = jaccardThreshold / 2)
+      .where(F.col("jaccard") >= jaccardThreshold)
+      .select(F.col("doc_b").as("doc_id"))
+      .distinct()
+    exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
   /** 64-bit SimHash per document from murmur-hashed tokens. Tokens

@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpus removes exact and near duplicates, keeps originals") {
+    val surviving = Dedup.dedupCorpus(docs, jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // all 60 base docs survive
+    (0 until 60).foreach(i => assert(surviving.contains(i.toLong), s"base $i dropped"))
+    // exact dups (200+) and planted near-dups (100+) are gone
+    (5 until 8).foreach(i => assert(!surviving.contains(200L + i)))
+    (0 until 5).foreach(i => assert(!surviving.contains(100L + i), s"near-dup ${100 + i} kept"))
+  }
+
   test("simhash near-dup pairs include exact duplicates at hamming 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, maxDist = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
