@@ -125,8 +125,13 @@ object Dedup {
       .groupBy("fp").agg(F.min("doc_id").as("doc_id"))
       .select("doc_id")
     val exactDeduped = docs.join(keepers, "doc_id")
+    // 8 bands x 8 rows: band-collision probability 1-(1-j^8)^8 is
+    // steep around j~0.7 - the right operating point for a 0.8
+    // threshold, and an order of magnitude fewer false candidates
+    // than the recall-leaning 16x4 default.
     val nearDupLosers = minhashNearDupPairs(
-      exactDeduped, shingleLen, estFloor = jaccardThreshold / 2)
+      exactDeduped, shingleLen, numHashes = 64, bands = 8,
+      estFloor = jaccardThreshold / 2)
       .where(F.col("jaccard") >= jaccardThreshold)
       .select(F.col("doc_b").as("doc_id"))
       .distinct()
