@@ -187,6 +187,31 @@ object SparkEntry {
         .orderBy(F.col("price").desc, F.col("p_partkey").asc)
         .limit(10)),
 
+    "q_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-2, 0)
+      tbl(s, d, "events")
+        .where(F.col("user_id") <= 20)
+        .select(
+          F.col("user_id"), F.col("event_id"),
+          F.round(F.avg("value").over(w), 4).as("mov_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_rank_events" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(F.col("value").desc, F.col("event_id").asc)
+      tbl(s, d, "events")
+        .withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+          F.col("event_type"), F.col("rk"), F.col("event_id"),
+          F.round(F.col("value"), 4).as("value"))
+        .orderBy("event_type", "rk")
+    }),
+
     "q_date_parts" -> ((s, d) =>
       tbl(s, d, "orders")
         .groupBy(
@@ -634,6 +659,23 @@ object SparkEntry {
         |FROM part
         |ORDER BY price DESC, p_partkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        |FROM events
+        |WHERE user_id <= 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_rank_events" ->
+      """SELECT event_type, rk, event_id, round(value, 4) AS value FROM (
+        |  SELECT event_type, event_id, value,
+        |    rank() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rk
+        |  FROM events)
+        |WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
 
     "q_date_parts" ->
       """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,

@@ -111,6 +111,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index as cluster-partitioned Parquet plus a
+    * centroid sidecar. A probe against the loaded index scans ONLY the
+    * nprobe partitions (PartitionFilters prune the rest — asserted in
+    * SimilaritySpec), which is what makes IVF sub-scan at 100 TB.
+    */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/lists")
+    val cent = index.centroids
+      .map { case (c, v) => s"""[$c,[${v.mkString(",")}]]""" }
+      .mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/centroids.json"), s"""{"k":${index.k},"centroids":$cent}""")
+  }
+
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/lists")
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/centroids.json"))
+    val k = "\"k\":(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
+    val cent = "\\[(\\d+),\\[([^\\]]*)\\]\\]".r.findAllMatchIn(txt).map { m =>
+      (m.group(1).toInt, m.group(2).split(",").map(_.toDouble))
+    }.toArray
+    IvfIndex(assigned, cent, k)
+  }
+
   /** Per-embedding L2 norms: (id, norm). */
   def norms(emb: DataFrame): DataFrame =
     emb.select(F.col("id"), F.round(l2norm(F.col("vec")), 4).as("norm"))

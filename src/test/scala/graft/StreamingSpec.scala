@@ -48,6 +48,26 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(2) - 4.0) < 1e-9) // mean of 2,4,6
   }
 
+  test("file-source streaming over the testdata documents parquet") {
+    val s = spark
+    import s.implicits._
+    // file streams need an explicit schema; stream the documents table
+    // and run the exact-dedup fingerprint aggregation incrementally
+    val schema = s.read.parquet("/root/testdata/sf0.001/documents.parquet").schema
+    // file streams read directories; stage the table into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    val agg = stream
+      .select(graft.operators.TextOps.fingerprint(org.apache.spark.sql.functions.col("text")).as("fp"))
+      .groupBy("fp").count()
+    StreamingOps.runToMemory(agg, "docfp", OutputMode.Complete())
+    val n = s.sql("SELECT count(*) FROM docfp").head.getLong(0)
+    assert(n == 500L, s"expected 500 distinct fingerprints, got $n")
+  }
+
   test("streaming lambda-scoring matches the batch kernel") {
     val s = spark
     import s.implicits._
