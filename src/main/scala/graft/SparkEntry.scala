@@ -299,6 +299,20 @@ object SparkEntry {
     "v_top_cosine_pairs" -> ((s, d) =>
       Similarity.topCosinePairs(emb(s, d), 20)),
 
+    "v_sql_surface" -> ((s, d) => {
+      // the registered-SQL path itself, oracle-checked: pure spark.sql
+      // text over a temp view using the native graft_* functions
+      graft.functions.VectorFunctions.registerAll(s)
+      emb(s, d).createOrReplaceTempView("emb_v")
+      s.sql(
+        """SELECT a.id AS id,
+          |  round(graft_cosine(a.vec, q.vec), 4) AS score,
+          |  round(graft_l2norm(a.vec), 4) AS norm
+          |FROM emb_v a CROSS JOIN (SELECT vec FROM emb_v WHERE id = 0) q
+          |WHERE a.id <= 50
+          |ORDER BY a.id""".stripMargin)
+    }),
+
     "v_batch_topk" -> ((s, d) => {
       // Pure-cosine batch top-k (τ=1 degenerates to cosine, so the
       // result is SQL-expressible and oracle-checked).
@@ -902,6 +916,16 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    "v_sql_surface" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.id,
+        |  round(list_cosine_similarity(a.v, q.v), 4) AS score,
+        |  round(sqrt(list_dot_product(a.v, a.v)), 4) AS norm
+        |FROM e a CROSS JOIN (SELECT v FROM e WHERE id = 0) q
+        |WHERE a.id <= 50
+        |ORDER BY a.id""".stripMargin,
 
     "v_batch_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
