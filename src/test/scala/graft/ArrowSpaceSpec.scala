@@ -129,6 +129,18 @@ class ArrowSpaceSpec extends SparkSpec {
     assert(batch.filter(_._1 == 200L).map(_._2) == single2)
   }
 
+  test("fluent Builder facade matches direct builder output") {
+    val (m2, _) = graft.api.Builder()
+      .withLambdaGraph(eps = 0.05, k = 5, topk = 3, p = 2.0, sigma = Some(0.05))
+      .withSeed(42L)
+      .withSparsityCheck(false)
+      .build(itemsDf)
+    val a = hits(0.62).map(_._1)
+    val b = m2.search(query, 0.62).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(math.abs(m2.tau - model.tau) < 1e-12)
+  }
+
   test("save/load round-trips the index and search results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
     model.save(dir)
