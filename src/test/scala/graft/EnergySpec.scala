@@ -58,6 +58,19 @@ class EnergySpec extends SparkSpec {
     assert(l.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("energy sweep grid scores each (eta, steps) point against standard-build truth") {
+    val sweep = graft.api.EnergySweep.grid(
+      itemsDf, gp, ep, etas = Seq(0.05, 0.25), stepss = Seq(2),
+      queryIds = Seq(3L, 40L), truthK = 5)
+    val rows = sweep.collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0) // recall
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) // mrr
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // ndcg
+    }
+  }
+
   test("aggressive diffusion (the reference's collapse grid point) stays finite and searchable") {
     // The reference's sweep logs retrieval collapse at eta=0.1/steps=8
     // (MRR 0.0196 vs 1.0 at eta=0.05/steps=6) — quality degradation is
