@@ -269,6 +269,17 @@ object SparkEntry {
         .select(F.col("doc_id"), TextOps.langId(F.col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
+    "t_bpe_tokens" -> ((s, d) =>
+      docs(s, d)
+        .select(
+          F.col("doc_id"),
+          TextOps.bpeTokenCount(F.col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "t_quality_filter" -> ((s, d) =>
+      TextOps.qualityFilter(docs(s, d))
+        .select("doc_id").orderBy("doc_id")),
+
     // ---- deduplication ----
     "d_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(docs(s, d)).orderBy("fp")),
@@ -771,6 +782,22 @@ object SparkEntry {
         |    ELSE 'unk'
         |  END AS lang_guess
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "t_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS INT) AS n_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "t_quality_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE len(string_split_regex(trim(text), '\s+')) >= 10
+        |  AND length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+        |    / len(string_split_regex(trim(text), '\s+')) <= 12.0
+        |  AND length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))::DOUBLE
+        |    / length(text) >= 0.2
         |ORDER BY doc_id""".stripMargin,
 
     "d_exact_groups" ->

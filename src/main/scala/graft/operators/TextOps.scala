@@ -57,6 +57,32 @@ object TextOps {
   def fingerprint(text: Column): Column =
     F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))
 
+  /** BPE-style pre-tokenization count: runs of letters, runs of
+    * digits, or single non-alphanumeric glyphs — the GPT-2 pretoken
+    * shape reduced to POSIX classes so it evaluates identically on
+    * Java regex (Spark) and RE2 (DuckDB oracle).
+    */
+  def bpeTokenCount(text: Column): Column =
+    F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"))
+
+  /** Keep documents above a quality floor: enough tokens, sane token
+    * lengths, and non-degenerate vowel ratio — the standard cheap
+    * pre-training filter. Returns the surviving rows of `docs`.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      minTokens: Int = 10,
+      maxAvgTokenLen: Double = 12.0,
+      minVowelRatio: Double = 0.2): DataFrame = {
+    val t = tokens(F.col("text"))
+    val noSpace = F.length(F.regexp_replace(F.col("text"), "\\s", ""))
+    val vowels = F.length(F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", ""))
+    docs
+      .where(F.size(t) >= minTokens)
+      .where(noSpace.cast("double") / F.size(t) <= maxAvgTokenLen)
+      .where(vowels.cast("double") / F.length(F.col("text")) >= minVowelRatio)
+  }
+
   /** Marker-token language ID (deterministic cascade, n-gram-free
     * heuristic): first matching stopword wins, else "unk".
     */
