@@ -187,6 +187,15 @@ object SparkEntry {
         .orderBy(F.col("price").desc, F.col("p_partkey").asc)
         .limit(10)),
 
+    "q_percentiles" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")),
+
     "q_moving_avg" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -684,6 +693,15 @@ object SparkEntry {
         |FROM part
         |ORDER BY price DESC, p_partkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_moving_avg" ->
       """SELECT user_id, event_id,
