@@ -95,6 +95,51 @@ object StreamingOps {
       .toDF("id", "lambda", "score")
   }
 
+  /** Incremental index maintenance: append a stream of (id, vec) to a
+    * persisted [[graft.api.ArrowSpaceModel]]'s items table. Each
+    * arriving vector gets its λ and raw energy against the broadcast
+    * F×F Laplacian (stateless map — input-rate throughput), and rows
+    * land in the same Parquet layout `save` wrote, so `load` picks
+    * them up on the next open. The graph/Laplacian stay fixed between
+    * rebuilds — the same contract as the reference's batch-built,
+    * point-queried index, extended with continuous ingest.
+    *
+    * Returns the started query; callers own its lifecycle.
+    */
+  def appendToIndex(
+      vectors: DataFrame,
+      lap: LocalLaplacian,
+      tau: Double,
+      modelPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bcLap = spark.sparkContext.broadcast(lap)
+    val mix = tau / (1.0 + tau)
+    vectors
+      .select($"id".as[Long], $"vec".as[Array[Double]])
+      .map { case (id, v) =>
+        val l = bcLap.value
+        val e = l.dirichlet(v)
+        val eb = if (e + tau == 0.0) 0.0 else e / (e + tau)
+        val g = math.min(1.0, math.max(0.0, l.dirichletGini(v)))
+        (id, v, mix * eb + (1.0 - mix) * g, e)
+      }
+      .toDF("id", "vec", "lambda", "e_raw")
+      .writeStream
+      // foreachBatch + plain batch append: a direct parquet sink would
+      // write a _spark_metadata log, and batch reads of the items dir
+      // would then see ONLY the streamed files — hiding the original
+      // index. Exactly-once degrades to at-least-once on retry; ids
+      // are upsert-keys for the next rebuild.
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$modelPath/items")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Convenience: run a streaming DataFrame to a memory sink and block
     * until all available input is processed (test/driver helper).
     */

@@ -68,6 +68,40 @@ class StreamingSpec extends SparkSpec {
     assert(n == 500L, s"expected 500 distinct fingerprints, got $n")
   }
 
+  test("streaming append extends a saved index; reload sees new items with correct lambda") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // build + save a small index
+    val base = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(f => math.sin(i * 0.7 + f * 0.3) + 1.5))
+    }.toDF("id", "vec")
+    val (model, _) = graft.api.ArrowSpaceBuilder.build(
+      base, graft.core.GraphParams(eps = 1.0, k = 5, topk = 5))
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    model.save(dir)
+
+    // stream two new vectors into the saved items table
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = StreamingOps.appendToIndex(
+      in.toDF().toDF("id", "vec"), model.featureLaplacian, model.tau,
+      dir, dir + "/ckpt")
+    val v100 = Array.tabulate(8)(f => math.cos(f * 0.5) + 1.2)
+    in.addData((100L, v100), (101L, v100.map(_ * 2.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val reloaded = graft.api.ArrowSpaceModel.load(s, dir)
+    val rows = reloaded.items.where(org.apache.spark.sql.functions.col("id") >= 100L)
+      .collect()
+    assert(rows.length == 2)
+    // streamed lambda matches the batch synth formula exactly
+    val lam100 = rows.find(_.getLong(0) == 100L).get.getAs[Double]("lambda")
+    assert(math.abs(lam100 - model.featureLaplacian.synth(v100, model.tau)) < 1e-12)
+    // and the reloaded index searches across old + new items
+    assert(reloaded.search(v100, tau = 0.62, topk = 3).count() == 3)
+  }
+
   test("streaming lambda-scoring matches the batch kernel") {
     val s = spark
     import s.implicits._
