@@ -147,7 +147,8 @@ object KnnGraph {
     * block join is an equi-join, so AQE handles skewed blocks.
     */
   private def directedClusterBlocked(
-      items: DataFrame, params: GraphParams, nItems: Long): DataFrame = {
+      items: DataFrame, params: GraphParams, nItems: Long,
+      probes: Int = 2): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     val spark = items.sparkSession
     import spark.implicits._
@@ -160,14 +161,16 @@ object KnnGraph {
       math.min(1.0, 50000.0 / nItems), params.seed))
     val centers = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centers)
-    // top-2 centroid assignment per point (broadcast centroids).
+    // top-`probes` centroid assignment per point (broadcast
+    // centroids): more probes = higher cross-block recall at
+    // proportional candidate cost.
+    val nProbes = math.max(1, math.min(probes, 8))
     val blocks = items
       .select($"id".as[Long], $"vnorm".as[Array[Double]])
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (id, v) =>
-          var best1 = -1; var d1 = Double.MaxValue
-          var best2 = -1; var d2 = Double.MaxValue
+          val dists = new Array[(Double, Int)](cs.length)
           var c = 0
           while (c < cs.length) {
             val cv = cs(c)
@@ -175,12 +178,11 @@ object KnnGraph {
             var i = 0
             val n = math.min(cv.length, v.length)
             while (i < n) { val t = cv(i) - v(i); d += t * t; i += 1 }
-            if (d < d1) { best2 = best1; d2 = d1; best1 = c; d1 = d }
-            else if (d < d2) { best2 = c; d2 = d }
+            dists(c) = (d, c)
             c += 1
           }
-          val out = Seq((best1, id, v))
-          if (best2 >= 0) out :+ ((best2, id, v)) else out
+          java.util.Arrays.sort(dists, Ordering.Tuple2[Double, Int])
+          dists.take(math.min(nProbes, cs.length)).map { case (_, cid) => (cid, id, v) }.toSeq
         }
       }
       .toDF("block", "id", "vnorm")

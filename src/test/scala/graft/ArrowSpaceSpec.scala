@@ -86,6 +86,14 @@ class ArrowSpaceSpec extends SparkSpec {
     assert(model.searchHybrid(query, 0.62).count() == 3)
   }
 
+  test("zero query vector triggers the reference's lambda-zero error (src/lib.rs:156-159)") {
+    val e = intercept[IllegalArgumentException](
+      model.search(new Array[Double](24), 0.62))
+    assert(e.getMessage.contains("lambdas are zero"))
+    // search_hybrid skips the assert (src/lib.rs:182-219) and still runs
+    assert(model.searchHybrid(new Array[Double](24), 0.62).count() == 3)
+  }
+
   test("query length validation mirrors src/lib.rs:139-146") {
     val e = intercept[IllegalArgumentException](model.search(Array(1.0, 2.0), 1.0))
     assert(e.getMessage.contains("must match nfeatures"))
