@@ -508,6 +508,28 @@ object SparkEntry {
         .crossJoin(RankingMetrics.ndcgAtK(ranked, relevant, 10))
     }),
 
+    "m_tau_sweep" -> ((s, d) => {
+      // test_4/test_7 pattern: sweep τ, score each ranking against the
+      // pure-cosine truth (reference tests/test_4:18-23, test_7:28).
+      import graft.metrics.RankingMetrics
+      val (m, _) = model(s, d)
+      val qv = queryVec(s, d)
+      val relevant = m.search(qv, tau = 1.0)
+        .select(F.lit(0L).as("query_id"), F.col("id").as("doc_id"))
+      val rows = Seq(1.0, 0.9, 0.8, 0.62, 0.42).map { t =>
+        val ranked = RankingMetrics.withRanks(
+          m.search(qv, tau = t)
+            .select(F.lit(0L).as("query_id"), F.col("id").as("doc_id"), F.col("score")))
+        val recall = RankingMetrics.recallAtK(ranked, relevant, 10).head.getDouble(0)
+        val mrr = RankingMetrics.mrr(ranked, relevant).head.getDouble(0)
+        val ndcg = RankingMetrics.ndcgAtK(ranked, relevant, 10).head.getDouble(0)
+        (t, recall, mrr, ndcg)
+      }
+      val spark2 = s
+      import spark2.implicits._
+      rows.toDF("tau", "recall_at_k", "mrr", "ndcg_at_k").orderBy(F.col("tau").desc)
+    }),
+
     // ---- arrowspace operators (O1-O7; spectral — no SQL oracle) ----
     "a_lambdas" -> ((s, d) => {
       val (m, _) = model(s, d)
