@@ -4,7 +4,7 @@ import graft.core.{EnergyParams, GraphParams}
 import graft.functions.VectorFunctions._
 import graft.spectral.{FeatureLaplacian, TauMode}
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.storage.StorageLevel
 

@@ -5,20 +5,22 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.expressions.Window
 
 /** Distributed eps-kNN similarity graph over item embeddings
   * (reference semantics: GRAPH_VARIABLES.md:7-10 — rectified-cosine
   * distance d = 1−max(0,cos); keep d ≤ eps; cap at the k nearest per
   * node; symmetrize; weight w = 1/(1+(d/σ)^p)).
   *
-  * Two physical strategies behind one logical contract:
-  *   - brute-force blocked self-join for small N (exact);
-  *   - `BucketedRandomProjectionLSH` candidate generation for large N.
-  *     On L2-normalized vectors Euclidean distance is monotone in
-  *     cosine (d_e² = 2−2·cos), so the eps threshold maps exactly to a
-  *     Euclidean radius √(2·eps) — LSH only affects recall of
-  *     *candidates*, every surviving edge is exact.
+  * Three physical strategies behind one logical contract:
+  *   - brute force for small N: broadcast table + per-partition
+  *     bounded heap — exact top-k, zero shuffle;
+  *   - KMeans cluster blocking (default at scale): top-p centroid
+  *     assignment bounds candidates to O(N·blockSize), equi-join only;
+  *   - `BucketedRandomProjectionLSH` candidate generation. On
+  *     L2-normalized vectors Euclidean distance is monotone in cosine
+  *     (d_e² = 2−2·cos), so the eps threshold maps exactly to a
+  *     Euclidean radius √(2·eps) — candidate generation only affects
+  *     recall; every surviving edge distance is exact.
   *
   * Output schema: (src: Long, dst: Long, dist: Double, weight: Double),
   * symmetric (both directions present).
