@@ -422,6 +422,16 @@ object SparkEntry {
           F.col("revenue"))
         .orderBy("rf", "ls")),
 
+    "q_cube_stats" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n"))
+        .select(
+          F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).as("st"),
+          F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).as("pr"),
+          F.col("n"))
+        .orderBy("st", "pr")),
+
     "q_set_ops" -> ((s, d) => {
       val all = tbl(s, d, "orders").select("o_custkey").distinct()
       val f = tbl(s, d, "orders")
@@ -895,6 +905,13 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    "q_cube_stats" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pr, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pr""".stripMargin,
 
     "q_set_ops" ->
       """SELECT

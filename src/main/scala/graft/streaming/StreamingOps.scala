@@ -95,6 +95,16 @@ object StreamingOps {
       .toDF("id", "lambda", "score")
   }
 
+  /** Streaming exact dedup: drop documents whose normalized-text
+    * fingerprint was already seen (state = one fingerprint per kept
+    * doc; bound it with a watermark on `ts` when the input has event
+    * time). The streaming face of Dedup.exactGroups' keep-first.
+    */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.operators.TextOps.fingerprint(F.col("text")))
+      .dropDuplicates("fp")
+
   /** Incremental index maintenance: append a stream of (id, vec) to a
     * persisted [[graft.api.ArrowSpaceModel]]'s items table. Each
     * arriving vector gets its λ and raw energy against the broadcast

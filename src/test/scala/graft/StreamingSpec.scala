@@ -68,6 +68,24 @@ class StreamingSpec extends SparkSpec {
     assert(n == 500L, s"expected 500 distinct fingerprints, got $n")
   }
 
+  test("streaming dedup keeps first occurrence across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.dedupStream(in.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, "alpha beta"), (2L, "gamma delta"))
+    q.processAllAvailable()
+    in.addData((3L, "alpha  beta"), (4L, "epsilon")) // 3 is a normalized dup of 1
+    q.processAllAvailable()
+    q.stop()
+    val kept = s.sql("SELECT doc_id FROM sdedup ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 2L, 4L), s"got $kept")
+  }
+
   test("streaming append extends a saved index; reload sees new items with correct lambda") {
     val s = spark
     import s.implicits._
