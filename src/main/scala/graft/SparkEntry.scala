@@ -187,6 +187,16 @@ object SparkEntry {
         .orderBy(F.col("price").desc, F.col("p_partkey").asc)
         .limit(10)),
 
+    "q_corr_stats" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          F.round(F.corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+          F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_qty_price"),
+          F.round(F.stddev_samp("l_extendedprice"), 2).as("std_price"),
+          F.round(F.var_samp("l_discount"), 6).as("var_disc"))
+        .orderBy("l_returnflag")),
+
     "q_percentiles" -> ((s, d) =>
       tbl(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -725,6 +735,16 @@ object SparkEntry {
         |FROM part
         |ORDER BY price DESC, p_partkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        |  round(stddev_samp(l_extendedprice), 2) AS std_price,
+        |  round(var_samp(l_discount), 6) AS var_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
