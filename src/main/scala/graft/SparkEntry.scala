@@ -187,6 +187,49 @@ object SparkEntry {
         .orderBy(F.col("price").desc, F.col("p_partkey").asc)
         .limit(10)),
 
+    "q_ntile_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc, F.col("c_custkey").asc)
+      tbl(s, d, "customer")
+        .select(
+          F.col("c_mktsegment"), F.col("c_custkey"),
+          F.ntile(4).over(w).as("quartile"),
+          F.round(F.first("c_acctbal").over(w), 2).as("running_min"))
+        .where(F.col("c_custkey") <= 200)
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    "q_array_fns" -> ((s, d) =>
+      tbl(s, d, "embeddings")
+        .select(
+          F.col("vec_id").as("id"),
+          F.round(F.array_max(F.col("embedding").cast("array<double>")), 4).as("vmax"),
+          F.round(F.array_min(F.col("embedding").cast("array<double>")), 4).as("vmin"),
+          F.size(F.col("embedding")).as("dim"),
+          F.round(F.element_at(F.array_sort(F.col("embedding").cast("array<double>")), 1), 4).as("sorted_first"))
+        .where(F.col("id") <= 50)
+        .orderBy("id")),
+
+    "q_cond_agg" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .agg(
+          F.count_if(F.col("o_orderstatus") === "F").as("n_f"),
+          F.count_if(F.col("o_totalprice") > 100000).as("n_big"),
+          F.round(F.sum(F.when(F.col("o_orderstatus") === "O", F.col("o_totalprice"))
+            .otherwise(0.0)), 2).as("open_total"))),
+
+    "q_sql_correlated" -> ((s, d) => {
+      tbl(s, d, "customer").createOrReplaceTempView("customer_v")
+      tbl(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_active
+          |FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     "q_corr_stats" -> ((s, d) =>
       tbl(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -735,6 +778,42 @@ object SparkEntry {
         |FROM part
         |ORDER BY price DESC, p_partkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q_ntile_window" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(first_value(c_acctbal) OVER w, 2) AS running_min
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal ASC, c_custkey ASC)
+        |QUALIFY c_custkey <= 200
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_array_fns" ->
+      """SELECT vec_id AS id,
+        |  round(list_max(CAST(embedding AS DOUBLE[])), 4) AS vmax,
+        |  round(list_min(CAST(embedding AS DOUBLE[])), 4) AS vmin,
+        |  len(embedding) AS dim,
+        |  round(list_sort(CAST(embedding AS DOUBLE[]))[1], 4) AS sorted_first
+        |FROM embeddings
+        |WHERE vec_id <= 50
+        |ORDER BY id""".stripMargin,
+
+    "q_cond_agg" ->
+      """SELECT
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (o_totalprice > 100000) AS n_big,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+        |    ELSE 0.0 END), 2) AS open_total
+        |FROM orders""".stripMargin,
+
+    "q_sql_correlated" ->
+      """SELECT c_mktsegment, count(*) AS n_active
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_corr_stats" ->
       """SELECT l_returnflag,
