@@ -76,47 +76,65 @@ object EnergyBuilder {
       .persist(StorageLevel.MEMORY_AND_DISK)
     neighborEdges.count()
 
-    var diffused = items.select($"id".as[Long], $"vnorm".as[Array[Double]]).toDF("id", "x")
+    // Diffusion loop on co-partitioned RDDs: edges keyed by dst and the
+    // state keyed by id share one HashPartitioner, so the edge⋈state
+    // join and the state⋈sums join are both narrow (zero shuffle); the
+    // only shuffle per step is the aggregateByKey — and aggregateByKey
+    // (unlike the typed mapGroups it replaces) runs map-side array-sum
+    // combiners, so at most one partial (sum, count) per (partition,
+    // src) crosses the network instead of every |E| neighbor vector.
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(items.rdd.getNumPartitions, spark.sparkContext.defaultParallelism))
+    val edgesByDst = neighborEdges
+      .select($"dst".as[Long], $"src".as[Long]).rdd
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var xRdd = items
+      .select($"id".as[Long], $"vnorm".as[Array[Double]]).rdd
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    xRdd.count()
+    val eta = energy.eta
     var step = 0
     while (step < energy.steps) {
-      val joined = neighborEdges
-        .join(diffused.select(F.col("id").as("dst"), F.col("x").as("xn")), "dst")
-        .select($"src".as[Long], $"xn".as[Array[Double]])
-      val sums = joined
-        .groupByKey(_._1)
-        .mapGroups { (id, it) =>
-          val acc = new Array[Double](nFeatures)
-          var n = 0L
-          it.foreach { case (_, v) =>
+      val sums = edgesByDst
+        .join(xRdd) // narrow: both sides hashed by dst/id
+        .map { case (_, (src, x)) => (src, (x, 1L)) }
+        .aggregateByKey((null: Array[Double], 0L), part)(
+          seqOp = { case ((acc, n), (x, one)) =>
+            // x belongs to the cached xRdd — accumulate into a fresh
+            // array, never in place.
+            val a = if (acc == null) new Array[Double](nFeatures) else acc
             var i = 0
-            while (i < nFeatures) { acc(i) += v(i); i += 1 }
-            n += 1
-          }
-          (id, acc, n)
-        }
-        .toDF("id", "xsum", "n")
-      val eta = energy.eta
-      diffused = diffused
-        .join(sums, Seq("id"), "left")
-        .select($"id".as[Long], $"x".as[Array[Double]],
-          $"xsum".as[Option[Array[Double]]], $"n".as[Option[Long]])
-        .map { case (id, x, xsumOpt, nOpt) =>
-          val out = (xsumOpt, nOpt) match {
-            case (Some(xsum), Some(n)) if n > 0 =>
-              val o = new Array[Double](nFeatures)
+            while (i < nFeatures) { a(i) += x(i); i += 1 }
+            (a, n + one)
+          },
+          combOp = { case ((a1, n1), (a2, n2)) =>
+            if (a1 == null) (a2, n1 + n2)
+            else if (a2 == null) (a1, n1 + n2)
+            else {
               var i = 0
-              while (i < nFeatures) {
-                o(i) = x(i) + eta * (xsum(i) / n - x(i)); i += 1
-              }
-              o
-            case _ => x
-          }
-          (id, out)
+              while (i < nFeatures) { a1(i) += a2(i); i += 1 }
+              (a1, n1 + n2)
+            }
+          })
+      val prev = xRdd
+      xRdd = prev
+        .leftOuterJoin(sums, part) // narrow: co-partitioned
+        .mapValues {
+          case (x, Some((xsum, n))) if n > 0 =>
+            val o = new Array[Double](nFeatures)
+            var i = 0
+            while (i < nFeatures) { o(i) = x(i) + eta * (xsum(i) / n - x(i)); i += 1 }
+            o
+          case (x, _) => x
         }
-        .toDF("id", "x")
-        .localCheckpoint() // cut lineage each iteration
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      xRdd.count() // materialize before dropping the parent
+      prev.unpersist(blocking = false)
       step += 1
     }
+    val diffused = xRdd.toDF("id", "x")
 
     // E2: trim the trimQuantile fraction farthest from the global mean.
     val mean = diffused.select($"x".as[Array[Double]]).reduce { (a, b) =>
@@ -205,9 +223,10 @@ object EnergyBuilder {
     val maxDisp = math.max(1e-12, centroids.map(_.dispersion).max)
 
     // E5: energy-weighted edges (no cosine in the weight).
+    val centroidById = centroids.map(c => c.cid -> c).toMap
     val energyEdges = prelimEdges.map { case (a, b, _) =>
-      val ca = centroids.find(_.cid == a).get
-      val cb = centroids.find(_.cid == b).get
+      val ca = centroidById(a)
+      val cb = centroidById(b)
       val lamProx = 1.0 / (1.0 + math.abs(cEnergies(a) - cEnergies(b)))
       val dispSim = 1.0 - math.abs(ca.dispersion - cb.dispersion) / maxDisp
       val diff = Array.tabulate(nFeatures)(i => ca.vec(i) - cb.vec(i))
@@ -244,6 +263,7 @@ object EnergyBuilder {
       .persist(StorageLevel.MEMORY_AND_DISK)
     withLambda.count()
     items.unpersist(); neighborEdges.unpersist()
+    edgesByDst.unpersist(blocking = false); xRdd.unpersist(blocking = false)
     withDist.unpersist(); assigned.unpersist()
 
     val edgesDf = spark.createDataFrame(
