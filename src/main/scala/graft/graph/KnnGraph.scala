@@ -124,9 +124,12 @@ object KnnGraph {
       .setNumHashTables(3)
       .setSeed(params.seed)
     val model = lsh.fit(withVec)
-    // eps ≥ 1 ⇒ every pair qualifies (d_rect ≤ 1); cap radius at the
-    // unit-sphere diameter so the join threshold stays meaningful.
-    val radius = math.sqrt(2.0 * math.min(params.eps, 2.0))
+    // d_e² = 2·(1−cos) on unit vectors, while d_rect = 1−max(0,cos):
+    // the mapping radius = √(2·eps) is exact only for eps < 1 (cos ≥ 0).
+    // At eps ≥ 1 every pair qualifies (d_rect ≤ 1 always), but
+    // negative-cosine pairs sit at Euclidean distance in (√2, 2] — the
+    // radius must be the full unit-sphere diameter 2, not √(2·eps).
+    val radius = if (params.eps >= 1.0) 2.0 else math.sqrt(2.0 * params.eps)
     model
       .approxSimilarityJoin(withVec, withVec, radius, "euclid")
       .select(

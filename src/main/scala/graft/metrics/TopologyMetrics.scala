@@ -42,16 +42,30 @@ object TopologyMetrics {
     val lists = retrieved.where(F.col("rank") <= k)
 
     // Per-query PPR from the query's anchor node, restricted to its
-    // own result nodes. Lists are tiny — run one PPR per distinct
-    // anchor via GraphX and join values back.
+    // own result nodes. One GraphX run per DISTINCT anchor, submitted
+    // concurrently (Spark schedules the jobs in parallel), so anchor
+    // fan-out costs wall-clock ≈ one run, not #anchors runs; queries
+    // sharing an anchor share its PPR frame.
     val anchors = sources.select($"query_id".as[Long], $"node_id".as[Long]).collect()
+    if (anchors.isEmpty)
+      return spark.emptyDataset[(Long, Double, Double, Double, Double, Double)]
+        .toDF("query_id", "g_rbp", "td_ndcg", "it_err", "mrr_topo", "sqi")
     val graph = graft.graph.GraphAnalytics.toGraph(edges)
-    val pprByAnchor: Map[Long, DataFrame] = anchors.map { case (qid, src) =>
-      qid -> graph.staticPersonalizedPageRank(src, numIter = 15)
-        .vertices.map { case (id, v) => (id, v) }.toDF("doc_id", "ppr")
-        .withColumn("query_id", F.lit(qid))
-    }.toMap
-    val ppr = pprByAnchor.values.reduce(_ unionByName _)
+    graph.cache()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val pprBySrc: Map[Long, DataFrame] = Await.result(
+      Future.traverse(anchors.map(_._2).distinct.toSeq) { src =>
+        Future {
+          src -> graph.staticPersonalizedPageRank(src, numIter = 15)
+            .vertices.map { case (id, v) => (id, v) }.toDF("doc_id", "ppr")
+            .localCheckpoint()
+        }
+      }, Duration.Inf).toMap
+    val ppr = anchors.map { case (qid, src) =>
+      pprBySrc(src).withColumn("query_id", F.lit(qid))
+    }.reduce(_ unionByName _)
 
     val degrees = edges.groupBy(F.col("src").as("doc_id"))
       .agg(F.sum("weight").as("degree"))

@@ -164,18 +164,34 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidate pairs within Hamming distance
-    * `maxDist`, blocked on 16-bit chunks (a pair within distance d<4
-    * must agree exactly on at least one of 4 chunks — pigeonhole), so
-    * the join is an equi-join on (chunk index, chunk value), never a
-    * cross join.
+    * `maxDist`, blocked on `maxDist + 1` bit-chunks: if two 64-bit
+    * hashes differ in ≤ maxDist bits then by pigeonhole at least one
+    * of the maxDist+1 chunks is bit-identical, so the equi-join on
+    * (chunk index, chunk value) is COMPLETE — no near-dup pair is
+    * missed — and never a cross join. Chunk widths are
+    * ⌊64/(maxDist+1)⌋ or ⌈64/(maxDist+1)⌉.
     */
   def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
+    val nChunks = maxDist + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val chunkStructs = (0 until nChunks).map { i =>
+      val start = i * base + math.min(i, rem)
+      val len = base + (if (i < rem) 1 else 0)
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      F.struct(
+        F.lit(i).as("chunk"),
+        F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(F.lit(mask)).as("cv"))
+    }
     val sh = simhash(docs)
-    val chunked = sh.select(
-      F.col("doc_id"), F.col("simhash"),
-      F.explode(F.sequence(F.lit(0), F.lit(3))).as("chunk"))
-      .withColumn("cv",
-        F.expr("(simhash >> (chunk * 16)) & 65535"))
+    val chunked = sh
+      .select(
+        F.col("doc_id"), F.col("simhash"),
+        F.explode(F.array(chunkStructs: _*)).as("ck"))
+      .select(
+        F.col("doc_id"), F.col("simhash"),
+        F.col("ck.chunk").as("chunk"), F.col("ck.cv").as("cv"))
     val a = chunked.select(F.col("chunk"), F.col("cv"),
       F.col("doc_id").as("doc_a"), F.col("simhash").as("ha"))
     val b = chunked.select(F.col("chunk"), F.col("cv"),

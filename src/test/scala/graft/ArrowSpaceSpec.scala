@@ -162,6 +162,22 @@ class ArrowSpaceSpec extends SparkSpec {
     assert(a.map(_._1) == b.map(_._1))
   }
 
+  test("save/load survives negative-exponent JSON scalars (tau=1e-10)") {
+    // tau falls back to 1e-10 when the median energy is 0; the sidecar
+    // writes it as 1.0E-10, which the old number regex could not parse.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiny-tau").toString
+    val (m2, _) = ArrowSpaceBuilder.build(
+      itemsDf, params, graft.spectral.TauMode.Fixed(1e-10))
+    m2.save(dir)
+    val loaded = graft.api.ArrowSpaceModel.load(spark, dir)
+    assert(loaded.tau == 1e-10, s"tau corrupted on reload: ${loaded.tau}")
+    assert(loaded.featureLaplacian.edges.length == m2.featureLaplacian.edges.length,
+      "lapEdges triples dropped on reload")
+    assert(loaded.featureLaplacian.edges.zip(m2.featureLaplacian.edges).forall {
+      case (a, b) => a.f == b.f && a.g == b.g && math.abs(a.w - b.w) < 1e-15
+    })
+  }
+
   test("energy search returns k results without cosine") {
     val h = model.searchEnergy(query, k = 4)
     assert(h.count() == 4)

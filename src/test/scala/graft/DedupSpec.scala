@@ -61,4 +61,23 @@ class DedupSpec extends SparkSpec {
         s"exact dup ($i, ${200 + i}) missing from simhash pairs")
     }
   }
+
+  test("simhash chunk blocking is complete up to maxDist (pigeonhole, vs brute force)") {
+    // Blocked equi-join candidates must find EVERY pair within the
+    // Hamming bound - the maxDist+1-chunk pigeonhole guarantee.
+    val s = spark
+    import s.implicits._
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect()
+    for (maxDist <- Seq(3, 6, 10)) {
+      val brute = (for {
+        (a, ha) <- sh; (b, hb) <- sh if a < b
+        if java.lang.Long.bitCount(ha ^ hb) <= maxDist
+      } yield (a, b)).toSet
+      val blocked = Dedup.simhashNearDupPairs(docs, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == brute,
+        s"maxDist=$maxDist: blocked ${blocked.size} != brute ${brute.size}; " +
+          s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    }
+  }
 }
