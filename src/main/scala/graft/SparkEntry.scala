@@ -637,13 +637,10 @@ object SparkEntry {
 
     // ---- graph analytics (GraphX; reference test_6 semantics) ----
     "g_triangles" -> ((s, d) => {
-      import graft.functions.VectorFunctions.cosine
-      val e = emb(s, d)
-      val a = e.select(F.col("id").as("src"), F.col("vec").as("va"))
-      val b = e.select(F.col("id").as("dst"), F.col("vec").as("vb"))
-      val edges = a.join(b, F.col("src") < F.col("dst"))
-        .where(cosine(F.col("va"), F.col("vb")) >= 0.3)
-        .select("src", "dst")
+      // Exact cos>=0.3 threshold graph built broadcast-side (no
+      // cartesian join), then the relational 3-way-join count that
+      // matches the DuckDB oracle form.
+      val edges = graft.graph.GraphAnalytics.cosineThresholdEdges(emb(s, d), 0.3)
       graft.graph.GraphAnalytics.triangleCount(edges)
     }),
     "g_ppr" -> ((s, d) => {

@@ -162,4 +162,57 @@ object GraphAnalytics {
       .join(e3, F.col("a") === F.col("a2") && F.col("c") === F.col("c2"))
       .agg(F.count(F.lit(1)).as("n_triangles"))
   }
+
+  /** Total triangle count via GraphX's distributed TriangleCount —
+    * the scale path (edge-partitioned set intersections; no 3-way
+    * relational join). Per-vertex counts sum to 3× the triangle total.
+    * Input: undirected edges, either orientation, no self-loops.
+    */
+  def triangleCountGraphX(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = toGraph(
+      edges.select(F.col("src"), F.col("dst")).withColumn("weight", F.lit(1.0)))
+    val total = g
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+      .triangleCount()
+      .vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+    Seq(total).toDF("n_triangles")
+  }
+
+  /** Exact cosine-threshold similarity edges (cos ≥ minCos, src < dst)
+    * with a broadcast table + per-partition primitive loops: the N²
+    * distance work is unavoidable for an EXACT threshold graph, but
+    * this shape has zero shuffle and no Catalyst row overhead — it
+    * replaces a BroadcastNestedLoopJoin cartesian that was ~20× slower
+    * on the same data. Requires the table to fit in a broadcast
+    * (verification / small-sf form); at 100 TB scale generate candidate
+    * edges from [[KnnGraph.epsKnnEdges]] (eps = 1 − minCos) instead and
+    * accept candidate-generation recall.
+    */
+  def cosineThresholdEdges(items: DataFrame, minCos: Double): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val typed = items
+      .select(F.col("id").cast("long"), F.col("vec").cast("array<double>"))
+      .select($"id".as[Long], $"vec".as[Array[Double]])
+    val bc = spark.sparkContext.broadcast(typed.collect())
+    typed
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { case (src, va) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var i = 0
+          while (i < all.length) {
+            val (dst, vb) = all(i)
+            if (src < dst &&
+                graft.functions.VectorKernels.cosine(va, vb) >= minCos)
+              out += ((src, dst))
+            i += 1
+          }
+          out
+        }
+      }
+      .toDF("src", "dst")
+  }
 }

@@ -55,18 +55,56 @@ object Similarity {
       .orderBy(F.col("score").desc, F.col("id").asc)
   }
 
-  /** Top-k most-similar item pairs by exact cosine. Brute-force
-    * self-join — quadratic, for modest N / verification; the LSH
-    * band-join in [[graft.graph.KnnGraph]] is the production path.
+  /** Spark round() semantics (HALF_UP) for driver/executor-side
+    * doubles, so broadcast-path scores hash-match the SQL oracle. */
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** "Worst-first" ordering for a bounded top-k heap over
+    * (score, id_a, id_b): the PriorityQueue max is the element to
+    * evict — lowest score, then largest ids. */
+  private val worstFirst: Ordering[(Double, Long, Long)] =
+    Ordering.by { case (s, a, b) => (-s, a, b) }
+
+  /** Top-k most-similar item pairs by exact cosine. The N² distance
+    * work is inherent to an exact answer, but the *shuffle* is not:
+    * the table is broadcast and each partition keeps a bounded top-k
+    * heap over primitive-array cosines, so only partitions·k rows ever
+    * move (replaces a cartesian self-join that was ~10× slower).
+    * Broadcast-bound — at 100 TB generate candidates with the LSH
+    * band-join in [[graft.graph.KnnGraph]] / [[Dedup]] and top-k those.
     */
   def topCosinePairs(emb: DataFrame, k: Int): DataFrame = {
-    val a = emb.select(F.col("id").as("id_a"), F.col("vec").as("va"))
-    val b = emb.select(F.col("id").as("id_b"), F.col("vec").as("vb"))
-    a.join(b, F.col("id_a") < F.col("id_b"))
-      .select(
-        F.col("id_a"),
-        F.col("id_b"),
-        F.round(cosine(F.col("va"), F.col("vb")), 4).as("score"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb
+      .select(F.col("id").cast("long"), F.col("vec").cast("array<double>"))
+      .select($"id".as[Long], $"vec".as[Array[Double]])
+    val bc = spark.sparkContext.broadcast(typed.collect())
+    typed
+      .mapPartitions { it =>
+        val all = bc.value
+        val heap =
+          new scala.collection.mutable.PriorityQueue[(Double, Long, Long)]()(worstFirst)
+        it.foreach { case (idA, va) =>
+          var i = 0
+          while (i < all.length) {
+            val (idB, vb) = all(i)
+            if (idA < idB) {
+              val s = round4(graft.functions.VectorKernels.cosine(va, vb))
+              val cand = (s, idA, idB)
+              if (heap.size < k) heap.enqueue(cand)
+              else if (worstFirst.lt(cand, heap.head)) {
+                heap.enqueue(cand); heap.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+        heap.iterator
+      }
+      .toDF("score", "id_a", "id_b")
+      .select("id_a", "id_b", "score")
       .orderBy(F.col("score").desc, F.col("id_a").asc, F.col("id_b").asc)
       .limit(k)
   }
@@ -142,16 +180,35 @@ object Similarity {
     emb.select(F.col("id"), F.round(l2norm(F.col("vec")), 4).as("norm"))
 
   /** Embedding-cosine near-duplicate pairs above a threshold —
-    * brute-force variant (exact); compose with LSH bucketing for
-    * scale (same contract as minhashNearDupPairs).
+    * exact, broadcast + per-partition primitive loops (no cartesian
+    * shuffle); compose with LSH bucketing for scale (same contract as
+    * minhashNearDupPairs).
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(F.col("id").as("id_a"), F.col("vec").as("va"))
-    val b = emb.select(F.col("id").as("id_b"), F.col("vec").as("vb"))
-    a.join(b, F.col("id_a") < F.col("id_b"))
-      .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
-      .where(F.col("score") >= threshold)
-      .select("id_a", "id_b", "score")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb
+      .select(F.col("id").cast("long"), F.col("vec").cast("array<double>"))
+      .select($"id".as[Long], $"vec".as[Array[Double]])
+    val bc = spark.sparkContext.broadcast(typed.collect())
+    typed
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { case (idA, va) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < all.length) {
+            val (idB, vb) = all(i)
+            if (idA < idB) {
+              val s = round4(graft.functions.VectorKernels.cosine(va, vb))
+              if (s >= threshold) out += ((idA, idB, s))
+            }
+            i += 1
+          }
+          out
+        }
+      }
+      .toDF("id_a", "id_b", "score")
       .orderBy(F.col("score").desc, F.col("id_a").asc, F.col("id_b").asc)
   }
 }

@@ -21,6 +21,34 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(triangleCount(edges).head.getLong(0) == 2L)
   }
 
+  test("GraphX triangle count matches the relational 3-way join") {
+    assert(triangleCountGraphX(edges).head.getLong(0) == 2L)
+    // and on a denser graph: K5 has C(5,3) = 10 triangles
+    val sp = spark
+    import sp.implicits._
+    val und = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val k5 = (und ++ und.map(_.swap)).map { case (a, b) => (a, b, 0.0, 1.0) }
+      .toDF("src", "dst", "dist", "weight")
+    assert(triangleCount(k5).head.getLong(0) == 10L)
+    assert(triangleCountGraphX(k5).head.getLong(0) == 10L)
+  }
+
+  test("cosineThresholdEdges matches the cartesian-filter definition") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    val items = (0 until 40).map(i => (i.toLong, Array.fill(8)(rng.nextGaussian())))
+      .toDF("id", "vec")
+    val got = cosineThresholdEdges(items, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = items.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val want = (for {
+      (a, va) <- rows; (b, vb) <- rows if a < b
+      if graft.functions.VectorKernels.cosine(va, vb) >= 0.3
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("connected components: single component") {
     val comps = connectedComponents(edges).select("component").distinct().count()
     assert(comps == 1L)
