@@ -593,6 +593,33 @@ object SparkEntry {
       rows.toDF("tau", "recall_at_k", "mrr", "ndcg_at_k").orderBy(F.col("tau").desc)
     }),
 
+    "m_rank_corr" -> ((s, d) => {
+      // test_2 pattern: Spearman + Kendall tau-b between the pure-
+      // cosine (tau=1.0) and taumode (tau=0.62) rankings of query 0.
+      import graft.metrics.RankingMetrics
+      val (m, _) = model(s, d)
+      val qv = queryVec(s, d)
+      def ranked(t: Double) = RankingMetrics.withRanks(
+        m.search(qv, tau = t, topk = 20).select(
+          F.lit(0L).as("query_id"), F.col("id").as("doc_id"), F.col("score")))
+      val a = ranked(1.0)
+      val b = ranked(0.62)
+      RankingMetrics.spearman(a, b).crossJoin(RankingMetrics.kendallTau(a, b))
+    }),
+
+    "m_paired_ttest" -> ((s, d) => {
+      // test_3 pattern: paired t between two per-entity measures (here
+      // customer account balance vs realized order spend — the
+      // relational stand-in that makes the kernel oracle-checkable;
+      // p_value is asserted against closed forms in MetricsSpec).
+      val cust = tbl(s, d, "customer")
+      val spend = tbl(s, d, "orders")
+        .groupBy("o_custkey").agg(F.sum("o_totalprice").as("spend"))
+      val paired = cust.join(spend, F.col("c_custkey") === F.col("o_custkey"))
+      graft.metrics.RankingMetrics.pairedTTest(paired, "c_acctbal", "spend")
+        .select(F.col("n"), F.round(F.col("t_stat"), 6).as("t_stat"), F.col("dof"))
+    }),
+
     // ---- arrowspace operators (O1-O7; spectral — no SQL oracle) ----
     "a_lambdas" -> ((s, d) => {
       val (m, _) = model(s, d)
@@ -1161,6 +1188,59 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY score DESC, id_a ASC, id_b ASC
         |LIMIT 20""".stripMargin,
+
+    "m_paired_ttest" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |p AS (
+        |  SELECT c_acctbal - spend AS diff
+        |  FROM customer JOIN spend ON c_custkey = o_custkey)
+        |SELECT count(*) AS n,
+        |  round(avg(diff) / (stddev_samp(diff) / sqrt(count(*))), 6) AS t_stat,
+        |  CAST(count(*) - 1 AS DOUBLE) AS dof
+        |FROM p""".stripMargin,
+
+    "m_rank_corr" ->
+      s"""$SpectralCte,
+         |cosims AS (
+         |  SELECT b.id, sum(a.v * b.v) / sqrt(sum(a.v * a.v) * sum(b.v * b.v)) AS cos
+         |  FROM x a JOIN x b ON a.f = b.f AND a.id = 0
+         |  GROUP BY b.id),
+         |ra AS (
+         |  SELECT id AS doc_id, row_number() OVER (ORDER BY cos DESC, id ASC) AS ra
+         |  FROM cosims ORDER BY cos DESC, id ASC LIMIT 20),
+         |rb AS (
+         |  SELECT id AS doc_id, row_number() OVER (ORDER BY score DESC, id ASC) AS rb
+         |  FROM (
+         |    SELECT l.id,
+         |      0.62 * c.cos + 0.38 * (1.0 / (1.0 + abs(l.lambda - lq.lambda))) AS score
+         |    FROM lam l JOIN cosims c USING (id)
+         |    CROSS JOIN (SELECT lambda FROM lam WHERE id = 0) lq)
+         |  ORDER BY score DESC, id ASC LIMIT 20),
+         |shared AS (SELECT doc_id, ra, rb FROM ra JOIN rb USING (doc_id)),
+         |dense AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY ra, doc_id) AS DOUBLE) AS da,
+         |    CAST(row_number() OVER (ORDER BY rb, doc_id) AS DOUBLE) AS db,
+         |    ra, rb
+         |  FROM shared),
+         |sp AS (SELECT round(corr(da, db), 6) AS spearman FROM dense),
+         |kpairs AS (
+         |  SELECT sign(i.ra - j.ra) AS sa, sign(i.rb - j.rb) AS sb
+         |  FROM dense i JOIN dense j ON i.doc_id < j.doc_id),
+         |kc AS (
+         |  SELECT sum(CASE WHEN sa * sb > 0 THEN 1 ELSE 0 END) AS c,
+         |    sum(CASE WHEN sa * sb < 0 THEN 1 ELSE 0 END) AS d,
+         |    sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END) AS ta,
+         |    sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS tb,
+         |    count(*) AS n0
+         |  FROM kpairs),
+         |kt AS (
+         |  SELECT round(CASE WHEN sqrt((n0 - ta) * (n0 - tb)) = 0 THEN 0.0
+         |    ELSE (c - d) / sqrt(CAST((n0 - ta) AS DOUBLE) * (n0 - tb)) END, 6) AS kendall
+         |  FROM kc)
+         |SELECT sp.spearman, kt.kendall FROM sp CROSS JOIN kt""".stripMargin,
 
     // ---- spectral core (O1/O3-O7 + S6-S10): the DuckDB oracle
     // recomputes the FULL taumode pipeline from the embeddings table —

@@ -159,4 +159,135 @@ object RankingMetrics {
         F.round(F.avg("th_ratio"), 6).as("th_ratio"),
         F.round(F.avg("cv"), 6).as("cv"))
   }
+
+  /** Kendall τ-b between two rankings of the shared items per query,
+    * macro-averaged (reference tests/test_2_CVE_db.py:171 —
+    * scipy.stats.kendalltau, which is τ-b: tie-corrected). Inputs: two
+    * (query_id, doc_id, rank) frames. The pair enumeration is an
+    * equi-join on query_id with doc_i < doc_j — per-query-quadratic in
+    * LIST length (lists are ≤ k items), linear in #queries.
+    */
+  def kendallTau(a: DataFrame, b: DataFrame): DataFrame = {
+    val shared = a.select("query_id", "doc_id", "rank").withColumnRenamed("rank", "ra")
+      .join(b.select("query_id", "doc_id", "rank").withColumnRenamed("rank", "rb"),
+        Seq("query_id", "doc_id"))
+    val x = shared.select(
+      F.col("query_id"), F.col("doc_id").as("di"),
+      F.col("ra").as("rai"), F.col("rb").as("rbi"))
+    val y = shared.select(
+      F.col("query_id"), F.col("doc_id").as("dj"),
+      F.col("ra").as("raj"), F.col("rb").as("rbj"))
+    val pairs = x.join(y, Seq("query_id")).where(F.col("di") < F.col("dj"))
+      .withColumn("sa", F.signum(F.col("rai") - F.col("raj")))
+      .withColumn("sb", F.signum(F.col("rbi") - F.col("rbj")))
+    val counts = pairs.groupBy("query_id").agg(
+      F.sum(F.when(F.col("sa") * F.col("sb") > 0, 1).otherwise(0)).as("c"),
+      F.sum(F.when(F.col("sa") * F.col("sb") < 0, 1).otherwise(0)).as("d"),
+      F.sum(F.when(F.col("sa") === 0, 1).otherwise(0)).as("ta"),
+      F.sum(F.when(F.col("sb") === 0, 1).otherwise(0)).as("tb"),
+      F.count(F.lit(1)).as("n0"))
+    counts
+      .withColumn("den",
+        F.sqrt((F.col("n0") - F.col("ta")).cast("double") *
+          (F.col("n0") - F.col("tb")).cast("double")))
+      .withColumn("tau",
+        F.when(F.col("den") === 0.0, 0.0)
+          .otherwise((F.col("c") - F.col("d")).cast("double") / F.col("den")))
+      .agg(F.round(F.avg("tau"), 6).as("kendall"))
+  }
+
+  /** Paired two-sided t-test between two per-observation measures
+    * (reference tests/test_3_beir.py:358-381 — scipy.stats.ttest_rel
+    * on per-query metric arrays): t = mean(d) / (sd(d)/√n) over
+    * d = x − y, df = n−1, p from the Student-t CDF. The aggregation is
+    * one distributed pass; the p-value is a driver-side scalar via the
+    * regularized incomplete beta.
+    * Output: (n, t_stat, dof, p_value).
+    */
+  def pairedTTest(pairsDf: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = pairsDf.sparkSession
+    import spark.implicits._
+    val agg = pairsDf
+      .select((F.col(xCol) - F.col(yCol)).cast("double").as("diff"))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.avg("diff").as("mean"),
+        F.stddev_samp("diff").as("sd"))
+      .head
+    val n = agg.getLong(0)
+    require(n >= 2, s"paired t-test needs >= 2 observations, got $n")
+    val mean = agg.getDouble(1)
+    val sd = agg.getDouble(2)
+    val dof = (n - 1).toDouble
+    val t = if (sd == 0.0) {
+      if (mean == 0.0) 0.0 else Double.PositiveInfinity * math.signum(mean)
+    } else mean / (sd / math.sqrt(n.toDouble))
+    val p = twoSidedTPValue(t, dof)
+    Seq((n, t, dof, p)).toDF("n", "t_stat", "dof", "p_value")
+  }
+
+  /** Two-sided p-value for Student's t: p = I_{df/(df+t²)}(df/2, 1/2)
+    * (regularized incomplete beta). */
+  def twoSidedTPValue(t: Double, dof: Double): Double = {
+    if (t.isInfinite) return 0.0
+    if (t == 0.0) return 1.0
+    regIncompleteBeta(dof / 2.0, 0.5, dof / (dof + t * t))
+  }
+
+  /** Regularized incomplete beta I_x(a,b) via the standard continued-
+    * fraction expansion (modified Lentz), accurate to ~1e-12. */
+  private def regIncompleteBeta(a: Double, b: Double, x: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x >= 1.0) return 1.0
+    val lbeta = logGamma(a) + logGamma(b) - logGamma(a + b)
+    val front = math.exp(a * math.log(x) + b * math.log(1.0 - x) - lbeta)
+    if (x < (a + 1.0) / (a + b + 2.0)) front * betaCf(a, b, x) / a
+    else 1.0 - front * betaCf(b, a, 1.0 - x) / b
+  }
+
+  private def betaCf(a: Double, b: Double, x: Double): Double = {
+    val eps = 1e-14
+    val fpmin = 1e-300
+    var c = 1.0
+    var d = 1.0 - (a + b) * x / (a + 1.0)
+    if (math.abs(d) < fpmin) d = fpmin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    while (m <= 300) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((a + m2 - 1.0) * (a + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < fpmin) d = fpmin
+      c = 1.0 + aa / c
+      if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d
+      h *= d * c
+      aa = -(a + m) * (a + b + m) * x / ((a + m2) * (a + m2 + 1.0))
+      d = 1.0 + aa * d
+      if (math.abs(d) < fpmin) d = fpmin
+      c = 1.0 + aa / c
+      if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < eps) return h
+      m += 1
+    }
+    h
+  }
+
+  /** Lanczos log-gamma (g=7, n=9), |err| < 1e-13 for positive args. */
+  private def logGamma(xIn: Double): Double = {
+    val g = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    val x = xIn - 1.0
+    var acc = g(0)
+    var i = 1
+    while (i < 9) { acc += g(i) / (x + i); i += 1 }
+    val t = x + 7.5
+    0.5 * math.log(2.0 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(acc)
+  }
 }
