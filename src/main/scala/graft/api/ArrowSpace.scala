@@ -273,11 +273,19 @@ object ArrowSpaceBuilder {
       options: BuildOptions): (ArrowSpaceModel, DataFrame) = {
     val spark = itemsRaw.sparkSession
 
+    // GraphParams.normalise mirrors the reference's flag
+    // (NORMALISATION.md): when false, graph-stage distances run on the
+    // RAW vectors. For the rectified-cosine metric the two coincide
+    // mathematically (cosine is scale-invariant — asserted in
+    // ScaleSpec); the flag matters for magnitude-sensitive metrics and
+    // the LSH strategy's unit-sphere radius mapping.
     val items = itemsRaw
       .select(
         F.col("id").cast("long").as("id"),
         F.col("vec").cast("array<double>").as("vec"))
-      .withColumn("vnorm", l2normalize(F.col("vec")))
+      .withColumn(
+        "vnorm",
+        if (params.normalise) l2normalize(F.col("vec")) else F.col("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val nItems = items.count()

@@ -157,7 +157,12 @@ object KnnGraph {
     import org.apache.spark.ml.clustering.KMeans
     val spark = items.sparkSession
     import spark.implicits._
-    val k = math.max(graft.scale.TwoNN.autoK(nItems), (nItems / 2000L).toInt)
+    // S4 auto-clustering: Two-NN intrinsic dimension → ID-aware elbow
+    // around the closed-form anchor (reference suggested_eps.md:7-11),
+    // floored at N/2000 so blocks stay broadcast-joinable at scale.
+    val id = graft.scale.TwoNN.intrinsicDimension(items, seed = params.seed)
+    val kAuto = graft.scale.TwoNN.chooseK(items, nItems, id, params.seed)
+    val k = math.max(kAuto, (nItems / 2000L).toInt)
     val withVec = items.withColumn("features", array_to_vector(F.col("vnorm")))
     val km = new KMeans()
       .setK(k).setSeed(params.seed).setMaxIter(10)

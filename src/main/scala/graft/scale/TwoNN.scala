@@ -45,11 +45,54 @@ object TwoNN {
     if (s <= 0.0 || c == 0) 1.0 else c.toDouble / s
   }
 
-  /** Auto-K for the clustering stage. The reference's optimal-K search
-    * lands on [178,179] for N=313,841 (suggested_eps.md:7-11), which
-    * matches round(√N/π) = 178 — reconstructed as that closed form,
-    * clamped to [2, 4096].
+  /** Auto-K anchor for the clustering stage. The reference's optimal-K
+    * search lands on [178,179] for N=313,841 (suggested_eps.md:7-11),
+    * which matches round(√N/π) = 178 — reconstructed as that closed
+    * form, clamped to [2, 4096].
     */
   def autoK(n: Long): Int =
     math.max(2, math.min(4096, math.round(math.sqrt(n.toDouble) / math.Pi).toInt))
+
+  /** ID-aware auto-K (reference clustering log, suggested_eps.md:7-11:
+    * "Computing optimal K … Two-NN … estimated ID: 3 … Testing K in
+    * range [178, 179] with step 1"): the Two-NN intrinsic dimension
+    * drives the elbow test over the candidate window
+    * [autoK(n), autoK(n)+1]. On data filling an `id`-dimensional
+    * manifold, the within-cluster cost of K balanced cells decays like
+    * K^(−2/id), so K+1 is accepted only when the OBSERVED cost drop
+    * beats that featureless-manifold decay — i.e. the extra centroid
+    * captured real structure. KMeans runs on a bounded sample, so the
+    * search is O(sample) regardless of N.
+    *
+    * items: (id, vnorm: Array[Double]).
+    */
+  def chooseK(
+      items: DataFrame,
+      nItems: Long,
+      id: Double,
+      seed: Long = 42L,
+      sampleSize: Int = 20000): Int = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k0 = autoK(nItems)
+    val k1 = k0 + 1
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, nItems))
+    val sample =
+      (if (frac < 1.0) items.sample(withReplacement = false, frac, seed) else items)
+        .withColumn("features", array_to_vector(F.col("vnorm")))
+        .cache()
+    try {
+      def cost(k: Int): Double =
+        new KMeans()
+          .setK(k).setSeed(seed).setMaxIter(10)
+          .setFeaturesCol("features").setPredictionCol("c")
+          .fit(sample).summary.trainingCost
+      val c0 = cost(k0)
+      if (c0 <= 0.0) k0
+      else {
+        val threshold = math.pow(k1.toDouble / k0.toDouble, -2.0 / math.max(1.0, id))
+        if (cost(k1) / c0 < threshold) k1 else k0
+      }
+    } finally sample.unpersist()
+  }
 }

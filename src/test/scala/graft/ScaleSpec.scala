@@ -32,6 +32,57 @@ class ScaleSpec extends SparkSpec {
     assert(id > 0.5 && id < 6.0, s"intrinsic dimension $id not in (0.5, 6)")
   }
 
+  test("ID-aware chooseK accepts K+1 only when structure supports it (ID->K path)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(5)
+    // anchor k0 = autoK(40) = 2; blob centers are well separated so
+    // each extra TRUE cluster produces a cost drop far beyond the
+    // featureless K^(-2/id) decay.
+    def blobs(centers: Seq[Array[Double]], per: Int) = {
+      val rows = for {
+        (c, ci) <- centers.zipWithIndex
+        j <- 0 until per
+      } yield {
+        val v = c.map(_ + 0.05 * rng.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        ((ci * per + j).toLong, v.map(_ / n))
+      }
+      rows.toDF("id", "vnorm")
+    }
+    val c1 = Array(5.0, 0.0, 0.0, 0.0)
+    val c2 = Array(0.0, 5.0, 0.0, 0.0)
+    val c3 = Array(0.0, 0.0, 5.0, 0.0)
+    assert(TwoNN.autoK(40L) == 2)
+    // 3 true blobs, anchor 2 -> the elbow must take K=3
+    val k3 = TwoNN.chooseK(blobs(Seq(c1, c2, c3), 14), 40L, id = 3.0, seed = 1L)
+    assert(k3 == 3, s"expected 3 on 3-blob data, got $k3")
+    // 2 true blobs -> no structural gain from a 3rd centroid
+    val k2 = TwoNN.chooseK(blobs(Seq(c1, c2), 20), 40L, id = 3.0, seed = 1L)
+    assert(k2 == 2, s"expected 2 on 2-blob data, got $k2")
+  }
+
+  test("GraphParams.normalise=false: cosine graph and lambdas are scale-invariant") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val df = (0 until 30).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian() + 1.0))
+    }.toDF("id", "vec")
+    val pN = GraphParams(eps = 1.0, k = 5, topk = 3, normalise = true)
+    val pR = GraphParams(eps = 1.0, k = 5, topk = 3, normalise = false)
+    val (mN, eN) = graft.api.ArrowSpaceBuilder.build(df, pN)
+    val (mR, eR) = graft.api.ArrowSpaceBuilder.build(df, pR)
+    def edgeSet(e: org.apache.spark.sql.DataFrame) =
+      e.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(eN) == edgeSet(eR),
+      "raw-vector graph differs from normalized under the cosine metric")
+    val lamN = mN.lambdas.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val lamR = mR.lambdas.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(lamN.keys == lamR.keys &&
+      lamN.forall { case (k, v) => math.abs(lamR(k) - v) < 1e-12 })
+  }
+
   test("random projection approximately preserves cosine ordering") {
     val rng = new scala.util.Random(3)
     // clustered vectors so pairwise cosines span a real range (random
