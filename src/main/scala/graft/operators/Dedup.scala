@@ -196,13 +196,16 @@ object Dedup {
       F.col("doc_id").as("doc_a"), F.col("simhash").as("ha"))
     val b = chunked.select(F.col("chunk"), F.col("cv"),
       F.col("doc_id").as("doc_b"), F.col("simhash").as("hb"))
+    // Hamming-filter BEFORE deduplicating: the filter is a cheap
+    // map-side bit_count on the joined row, while dropDuplicates is a
+    // shuffle — narrower chunks (small maxDist+1 widths) can collide
+    // heavily, so the shuffle must only see surviving pairs.
     a.join(b, Seq("chunk", "cv"))
       .where(F.col("doc_a") < F.col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb")
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", hammingDist(F.col("ha"), F.col("hb")))
       .where(F.col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(F.col("hamming").asc, F.col("doc_a").asc, F.col("doc_b").asc)
   }
 }
