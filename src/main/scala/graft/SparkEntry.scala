@@ -1247,6 +1247,100 @@ object SparkEntry {
          |  FROM kc)
          |SELECT sp.spearman, kt.kendall FROM sp CROSS JOIN kt""".stripMargin,
 
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    greatest(1, octet_length(encode(text)) // 256) AS nf
+        |  FROM documents)
+        |SELECT media_id, CAST(t.i AS INT) AS frame_idx
+        |FROM m, unnest(range(0, (nf + 1) // 2)) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "g_components" ->
+      """WITH RECURSIVE e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cos_pairs AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    1.0 - greatest(0.0, list_cosine_similarity(a.v, b.v)) AS d
+        |  FROM e a JOIN e b ON a.id <> b.id),
+        |knn AS (
+        |  SELECT src, dst, d FROM (
+        |    SELECT src, dst, d,
+        |      row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+        |    FROM cos_pairs WHERE d <= 1.0)
+        |  WHERE rn <= 10),
+        |sym AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM knn
+        |    UNION SELECT dst AS src, src AS dst FROM knn)),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |r(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.dst, r.lab FROM r JOIN sym s ON s.src = r.id
+        |  WHERE r.lab < s.dst)
+        |SELECT id, min(lab) AS component FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    "m_eval_taumode" ->
+      s"""$SpectralCte,
+         |cosims AS (
+         |  SELECT b.id, sum(a.v * b.v) / sqrt(sum(a.v * a.v) * sum(b.v * b.v)) AS cos
+         |  FROM x a JOIN x b ON a.f = b.f AND a.id = 0
+         |  GROUP BY b.id),
+         |lq AS (SELECT lambda FROM lam WHERE id = 0),
+         |rel AS (SELECT id AS doc_id FROM cosims ORDER BY cos DESC, id ASC LIMIT 10),
+         |ret AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM (
+         |    SELECT l.id AS doc_id,
+         |      0.62 * c.cos + 0.38 * (1.0 / (1.0 + abs(l.lambda - lq.lambda))) AS score
+         |    FROM lam l JOIN cosims c ON c.id = l.id CROSS JOIN lq
+         |    ORDER BY score DESC, doc_id ASC LIMIT 10)),
+         |hits AS (SELECT r.doc_id, r.rank FROM ret r JOIN rel USING (doc_id))
+         |SELECT
+         |  round((SELECT count(*) FROM hits)::DOUBLE / 10, 6) AS recall_at_k,
+         |  round(coalesce((SELECT 1.0 / min(rank) FROM hits), 0.0), 6) AS mrr,
+         |  round(coalesce((SELECT sum(1.0 / log2(rank + 1)) FROM hits), 0.0)
+         |    / (SELECT sum(1.0 / log2(i + 1))
+         |       FROM unnest(range(1, 11)) AS t(i)), 6) AS ndcg_at_k""".stripMargin,
+
+    "m_tau_sweep" ->
+      s"""$SpectralCte,
+         |cosims AS (
+         |  SELECT b.id, sum(a.v * b.v) / sqrt(sum(a.v * a.v) * sum(b.v * b.v)) AS cos
+         |  FROM x a JOIN x b ON a.f = b.f AND a.id = 0
+         |  GROUP BY b.id),
+         |lq AS (SELECT lambda FROM lam WHERE id = 0),
+         |taus AS (SELECT unnest([1.0, 0.9, 0.8, 0.62, 0.42]) AS tau),
+         |scoredt AS (
+         |  SELECT t.tau, l.id AS doc_id,
+         |    t.tau * c.cos +
+         |      (1 - t.tau) * (1.0 / (1.0 + abs(l.lambda - lq.lambda))) AS score
+         |  FROM lam l JOIN cosims c ON c.id = l.id CROSS JOIN lq CROSS JOIN taus t),
+         |rett AS (
+         |  SELECT tau, doc_id,
+         |    row_number() OVER (PARTITION BY tau
+         |      ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM scoredt QUALIFY rank <= 10),
+         |rel AS (SELECT id AS doc_id FROM cosims ORDER BY cos DESC, id ASC LIMIT 10),
+         |hits AS (SELECT r.tau, r.rank FROM rett r JOIN rel USING (doc_id)),
+         |idcg AS (SELECT sum(1.0 / log2(i + 1)) AS v
+         |  FROM unnest(range(1, 11)) AS t(i))
+         |SELECT t.tau,
+         |  round(coalesce(h.nh, 0)::DOUBLE / 10, 6) AS recall_at_k,
+         |  round(coalesce(1.0 / h.fr, 0.0), 6) AS mrr,
+         |  round(coalesce(h.dcg, 0.0) / (SELECT v FROM idcg), 6) AS ndcg_at_k
+         |FROM taus t LEFT JOIN (
+         |  SELECT tau, count(*) AS nh, min(rank) AS fr,
+         |    sum(1.0 / log2(rank + 1)) AS dcg
+         |  FROM hits GROUP BY tau) h ON t.tau = h.tau
+         |ORDER BY t.tau DESC""".stripMargin,
+
     // ---- spectral core (O1/O3-O7 + S6-S10): the DuckDB oracle
     // recomputes the FULL taumode pipeline from the embeddings table —
     // Gram matrix → column-cosine affinity → kernel weights (σ=0.5,
