@@ -1286,6 +1286,8 @@ object SparkEntry {
         |  WHERE r.lab < s.dst)
         |SELECT id, min(lab) AS component FROM r GROUP BY id ORDER BY id""".stripMargin,
 
+    "g_ppr" -> PprOracleSql,
+
     "m_eval_taumode" ->
       s"""$SpectralCte,
          |cosims AS (
@@ -1418,6 +1420,47 @@ object SparkEntry {
         |  round(sum(1.0 / (1.0 + pow(d / 0.5, 2.0))), 4) AS degree
         |FROM sym GROUP BY src ORDER BY id""".stripMargin
   )
+
+  /** Generated DuckDB oracle for g_ppr: GraphX's
+    * staticPersonalizedPageRank is a fixed 15-iteration linear
+    * recurrence rank = 0.15·δ_src + 0.85·Σ_in rank(j)/outdeg(j) with
+    * rank₀ = δ_src and NO final normalization (validated: 0 mismatches
+    * vs the engine at round-6 precision, sf0.01) — unrolled here as
+    * chained CTEs over the same kNN-graph SQL as a_graph_degrees.
+    */
+  private val PprOracleSql: String = {
+    val base =
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cos_pairs AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    1.0 - greatest(0.0, list_cosine_similarity(a.v, b.v)) AS d
+        |  FROM e a JOIN e b ON a.id <> b.id),
+        |knn AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+        |    FROM cos_pairs WHERE d <= 1.0)
+        |  WHERE rn <= 10),
+        |sym AS (SELECT src, dst FROM (
+        |  SELECT src, dst FROM knn UNION SELECT dst, src FROM knn)),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |outdeg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+        |r0 AS (SELECT id, CASE WHEN id = 0 THEN 1.0 ELSE 0.0 END AS r FROM nodes)"""
+        .stripMargin
+    val steps = (0 until 15).map { i =>
+      s""",
+         |r${i + 1} AS (
+         |  SELECT n.id, (CASE WHEN n.id = 0 THEN 0.15 ELSE 0.0 END) +
+         |    0.85 * coalesce(s.msum, 0.0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e2.dst AS id, sum(r$i.r / od.deg) AS msum
+         |    FROM sym e2 JOIN r$i ON r$i.id = e2.src
+         |    JOIN outdeg od ON od.id = e2.src
+         |    GROUP BY e2.dst) s ON s.id = n.id)""".stripMargin
+    }.mkString
+    base + steps + "\nSELECT id, round(r, 6) AS ppr FROM r15 ORDER BY id"
+  }
 
   /** Shared DuckDB CTE: the taumode spectral pipeline from the raw
     * embeddings table, mirroring FeatureLaplacian.build +
