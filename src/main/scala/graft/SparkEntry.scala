@@ -579,23 +579,47 @@ object SparkEntry {
     "m_tau_sweep" -> ((s, d) => {
       // test_4/test_7 pattern: sweep τ, score each ranking against the
       // pure-cosine truth (reference tests/test_4:18-23, test_7:28).
-      import graft.metrics.RankingMetrics
+      // ONE distributed job for the whole sweep: items × τ-literals,
+      // per-τ window top-k, metrics in a single groupBy — not a
+      // 5×3-job driver loop.
+      import org.apache.spark.sql.expressions.Window
       val (m, _) = model(s, d)
       val qv = queryVec(s, d)
-      val relevant = m.search(qv, tau = 1.0)
-        .select(F.lit(0L).as("query_id"), F.col("id").as("doc_id"))
-      val rows = Seq(1.0, 0.9, 0.8, 0.62, 0.42).map { t =>
-        val ranked = RankingMetrics.withRanks(
-          m.search(qv, tau = t)
-            .select(F.lit(0L).as("query_id"), F.col("id").as("doc_id"), F.col("score")))
-        val recall = RankingMetrics.recallAtK(ranked, relevant, 10).head.getDouble(0)
-        val mrr = RankingMetrics.mrr(ranked, relevant).head.getDouble(0)
-        val ndcg = RankingMetrics.ndcgAtK(ranked, relevant, 10).head.getDouble(0)
-        (t, recall, mrr, ndcg)
-      }
+      val lambdaQ = m.prepareQueryLambda(qv)
+      val q = F.typedLit(qv)
+      val taus = Seq(1.0, 0.9, 0.8, 0.62, 0.42)
+      import graft.functions.VectorFunctions.{cosine, lambdaProximity}
+      val scored = m.items
+        .select(F.col("id").as("doc_id"),
+          cosine(F.col("vec"), q).as("cos"),
+          lambdaProximity(F.col("lambda"), F.lit(lambdaQ)).as("prox"))
+        .crossJoin(s.range(1).select(F.explode(F.typedLit(taus)).as("tau")))
+        .withColumn("score",
+          F.col("tau") * F.col("cos") + (F.lit(1.0) - F.col("tau")) * F.col("prox"))
+      val w = Window.partitionBy("tau").orderBy(F.col("score").desc, F.col("doc_id").asc)
+      val ranked = scored
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("tau", "doc_id", "rank")
+        .persist()
+      val relevant = ranked.where(F.col("tau") === 1.0).select("doc_id")
+      val idcg = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+      val hits = ranked.join(relevant, "doc_id")
       val spark2 = s
       import spark2.implicits._
-      rows.toDF("tau", "recall_at_k", "mrr", "ndcg_at_k").orderBy(F.col("tau").desc)
+      taus.toDF("tau")
+        .join(
+          hits.groupBy("tau").agg(
+            F.count(F.lit(1)).as("nh"),
+            F.min("rank").as("fr"),
+            F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1.0)).as("dcg")),
+          Seq("tau"), "left")
+        .select(
+          F.col("tau"),
+          F.round(F.coalesce(F.col("nh"), F.lit(0L)).cast("double") / 10.0, 6).as("recall_at_k"),
+          F.round(F.coalesce(F.lit(1.0) / F.col("fr"), F.lit(0.0)), 6).as("mrr"),
+          F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6).as("ndcg_at_k"))
+        .orderBy(F.col("tau").desc)
     }),
 
     "m_rank_corr" -> ((s, d) => {

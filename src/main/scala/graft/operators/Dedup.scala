@@ -72,27 +72,29 @@ object Dedup {
       .withColumn("shh", F.transform(F.col("sh"), s => F.xxhash64(s)))
       .withColumn("sig", minhashFromHashes(F.col("shh"), numHashes))
       .drop("shh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // The banded join carries ONLY (doc_id, sig): the fat shingle
+    // arrays never ride through the ×bands explosion, the bucket join,
+    // or the pair dedup — they are re-joined per side afterwards, once
+    // per surviving candidate. The signature-agreement estimate runs
+    // map-side BEFORE the dedup shuffle so low-similarity collisions
+    // are dropped without ever being exchanged.
     val banded = withSig.select(
       F.col("doc_id"),
-      F.col("sh"),
       F.col("sig"),
       F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).as("band"))
       .withColumn("bh", F.hash(F.col("band"), F.slice(F.col("sig"), F.col("band") * rows + 1, F.lit(rows))))
 
     val a = banded.select(
       F.col("band"), F.col("bh"), F.col("doc_id").as("doc_a"),
-      F.col("sh").as("sh_a"), F.col("sig").as("sig_a"))
+      F.col("sig").as("sig_a"))
     val b = banded.select(
       F.col("band"), F.col("bh"), F.col("doc_id").as("doc_b"),
-      F.col("sh").as("sh_b"), F.col("sig").as("sig_b"))
+      F.col("sig").as("sig_b"))
 
-    // cheap signature-agreement estimate first; the expensive exact
-    // set intersection runs only on candidates above `estFloor`
-    a.join(b, Seq("band", "bh"))
+    val candidates = a.join(b, Seq("band", "bh"))
       .where(F.col("doc_a") < F.col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b", "sig_a", "sig_b")
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn(
         "est_jaccard",
         F.round(
@@ -101,6 +103,13 @@ object Dedup {
               (x, y) => F.when(x === y, 1.0).otherwise(0.0)),
             F.lit(0.0), (acc, v) => acc + v) / numHashes, 4))
       .where(F.col("est_jaccard") >= estFloor)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .dropDuplicates("doc_a", "doc_b")
+
+    val shTable = withSig.select(F.col("doc_id"), F.col("sh"))
+    candidates
+      .join(shTable.select(F.col("doc_id").as("doc_a"), F.col("sh").as("sh_a")), "doc_a")
+      .join(shTable.select(F.col("doc_id").as("doc_b"), F.col("sh").as("sh_b")), "doc_b")
       .select(
         F.col("doc_a"),
         F.col("doc_b"),
