@@ -357,7 +357,12 @@ object SparkEntry {
       Dedup.simhash(docs(s, d)).orderBy("doc_id")),
 
     "d_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDupPairs(docs(s, d), maxDist = 16).limit(100)),
+      // Hamming distance 3 is the standard near-dup operating point for
+      // 64-bit SimHash (Manku et al., WWW'07): complete 4-chunk
+      // blocking with 16-bit keys. Wider bounds shrink the chunk keys
+      // (maxDist+1 chunks) and explode candidates on correlated
+      // corpora — measured 23s at maxDist=16 vs ~1s here at sf0.1.
+      Dedup.simhashNearDupPairs(docs(s, d), maxDist = 3).limit(100)),
 
     // ---- similarity search ----
     "v_ann_topk" -> ((s, d) =>
