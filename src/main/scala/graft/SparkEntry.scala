@@ -627,6 +627,23 @@ object SparkEntry {
         .orderBy(F.col("tau").desc)
     }),
 
+    "q_asof_enrich" -> ((s, d) => {
+      // as-of join (engine addition): each click enriched with the
+      // most recent prior view's value for the same user.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, d, "events")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+      val clicks = ev.where(F.col("event_type") === "click")
+      val views = ev.where(F.col("event_type") === "view")
+      graft.operators.AsOfJoin
+        .asofJoin(clicks, views, "user_id", "ts", "ts", Seq("value"))
+        .select(
+          F.col("event_id"), F.col("user_id"),
+          F.round(F.col("value"), 2).as("click_value"),
+          F.round(F.col("asof_value"), 2).as("last_view_value"))
+        .orderBy("event_id")
+    }),
+
     "m_rank_corr" -> ((s, d) => {
       // test_2 pattern: Spearman + Kendall tau-b between the pure-
       // cosine (tau=1.0) and taumode (tau=0.62) rankings of query 0.
@@ -1222,6 +1239,15 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY score DESC, id_a ASC, id_b ASC
         |LIMIT 20""".stripMargin,
+
+    "q_asof_enrich" ->
+      """SELECT l.event_id, l.user_id,
+        |  round(l.value, 2) AS click_value,
+        |  round(r.value, 2) AS last_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "m_paired_ttest" ->
       """WITH spend AS (

@@ -105,6 +105,52 @@ object StreamingOps {
       .withColumn("fp", graft.operators.TextOps.fingerprint(F.col("text")))
       .dropDuplicates("fp")
 
+  /** Streaming near-duplicate detection against a STATIC corpus — the
+    * standard training-data ingestion gate: each arriving document is
+    * MinHash-banded and equi-joined (stream-static join, no state)
+    * against the precomputed band table of the existing corpus, then
+    * verified with exact signature agreement. Emits (doc_id, match_id,
+    * est_jaccard) for arrivals whose estimated Jaccard meets the
+    * threshold. The static band table is computed once and reused
+    * every micro-batch; the stream side only pays signature hashing +
+    * a bucket join — input-rate throughput at any corpus size (the
+    * corpus side can be bucketed Parquet for an exchange-free join).
+    */
+  def nearDupAgainstCorpus(
+      stream: DataFrame,
+      corpus: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(df: DataFrame, idAs: String, sigAs: String): DataFrame =
+      df.select(
+        F.col("doc_id").as(idAs),
+        Dedup.minhashSignature(
+          Dedup.shingles(F.col("text"), shingleLen), numHashes).as(sigAs))
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn("bh",
+          F.hash(F.col("band"),
+            F.slice(F.col(sigAs), F.col("band") * rows + 1, F.lit(rows))))
+    val corpusBands = banded(corpus, "match_id", "sig_c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded(stream, "doc_id", "sig_s")
+      .join(corpusBands, Seq("band", "bh"))
+      .withColumn(
+        "est_jaccard",
+        F.round(
+          F.aggregate(
+            F.zip_with(F.col("sig_s"), F.col("sig_c"),
+              (x, y) => F.when(x === y, 1.0).otherwise(0.0)),
+            F.lit(0.0), (acc, v) => acc + v) / numHashes, 4))
+      .where(F.col("est_jaccard") >= threshold)
+      .select("doc_id", "match_id", "est_jaccard")
+      .dropDuplicates("doc_id", "match_id")
+  }
+
   /** Incremental index maintenance: append a stream of (id, vec) to a
     * persisted [[graft.api.ArrowSpaceModel]]'s items table. Each
     * arriving vector gets its λ and raw energy against the broadcast

@@ -141,4 +141,30 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(2) - 1.0) < 1e-9)
     assert(rows(1).getDouble(2) < 1.0)
   }
+
+  test("streaming near-dup gate flags arrivals that collide with the static corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "completely different text about spark catalyst optimizer rules engine")
+    ).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.StreamingOps.nearDupAgainstCorpus(stream, corpus)
+    val q = out.writeStream.format("memory").queryName("ndg")
+      .outputMode(OutputMode.Append()).start()
+    // near-dup of corpus doc 100 (one word changed) + a clean doc
+    in.addData(
+      (1L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (2L, "unrelated fresh content with zero overlap whatsoever in any shingle"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT * FROM ndg").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((1L, 100L)), s"planted near-dup not flagged: $rows")
+    assert(!rows.exists(_._1 == 2L), s"clean doc falsely flagged: $rows")
+  }
 }
