@@ -644,6 +644,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_range_join" -> ((s, d) => {
+      // bucketed range join (engine addition): for each error event,
+      // count same-user clicks within ±5 minutes.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, d, "events")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+      val errors = ev.where(F.col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(F.col("event_type") === "click")
+        .select(F.col("user_id"), F.col("ts"), F.col("event_id").as("click_id"))
+      graft.operators.RangeJoin
+        .rangeJoin(errors, clicks, "user_id", "ts", "ts", Seq("click_id"), 300L)
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).as("n_near_clicks"))
+        .orderBy("event_id")
+    }),
+
     "m_rank_corr" -> ((s, d) => {
       // test_2 pattern: Spearman + Kendall tau-b between the pure-
       // cosine (tau=1.0) and taumode (tau=0.62) rankings of query 0.
@@ -1247,6 +1264,16 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT l.event_id, l.user_id, count(*) AS n_near_clicks
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') l
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id
+        | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 300000000
+        |GROUP BY l.event_id, l.user_id
         |ORDER BY l.event_id""".stripMargin,
 
     "m_paired_ttest" ->
