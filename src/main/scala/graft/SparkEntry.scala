@@ -738,6 +738,20 @@ object SparkEntry {
       val edges = graft.graph.GraphAnalytics.cosineThresholdEdges(emb(s, d), 0.3)
       graft.graph.GraphAnalytics.triangleCount(edges)
     }),
+    "g_conductance" -> ((s, d) => {
+      // conductance of the fixed node set {id < 250} in the eps-kNN
+      // graph — the one §2.3 graph kernel that is SQL-expressible on a
+      // deterministic set (community-based variants depend on LPA).
+      val (_, edges) = model(s, d)
+      val half = edges.agg(F.max("src")).head.getLong(0) / 2 + 1
+      val c = graft.graph.GraphAnalytics.conductance(
+        edges, (0L until half).toSet)
+      val spark2 = s
+      import spark2.implicits._
+      Seq(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toDF("conductance")
+    }),
+
     "g_ppr" -> ((s, d) => {
       val (_, edges) = model(s, d)
       val src = edges.agg(F.min("src")).head.getLong(0)
@@ -1369,6 +1383,35 @@ object SparkEntry {
         |SELECT id, min(lab) AS component FROM r GROUP BY id ORDER BY id""".stripMargin,
 
     "g_ppr" -> PprOracleSql,
+
+    "g_conductance" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cos_pairs AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    1.0 - greatest(0.0, list_cosine_similarity(a.v, b.v)) AS d
+        |  FROM e a JOIN e b ON a.id <> b.id),
+        |knn AS (
+        |  SELECT src, dst, d FROM (
+        |    SELECT src, dst, d,
+        |      row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+        |    FROM cos_pairs WHERE d <= 1.0)
+        |  WHERE rn <= 10),
+        |symd AS (
+        |  SELECT src, dst, min(d) AS d FROM (
+        |    SELECT src, dst, d FROM knn
+        |    UNION ALL SELECT dst AS src, src AS dst, d FROM knn)
+        |  GROUP BY src, dst),
+        |w AS (SELECT src, dst, 1.0 / (1.0 + pow(d / 0.5, 2.0)) AS w FROM symd),
+        |half AS (SELECT max(src) // 2 + 1 AS h FROM w),
+        |agg AS (SELECT
+        |    sum(CASE WHEN (src < h) <> (dst < h) THEN w ELSE 0 END) AS cut,
+        |    sum(CASE WHEN src < h THEN w ELSE 0 END) AS vols,
+        |    sum(CASE WHEN src >= h THEN w ELSE 0 END) AS volr
+        |  FROM w CROSS JOIN half)
+        |SELECT round(CASE WHEN least(vols, volr) <= 0 THEN 1.0
+        |  ELSE (cut / 2.0) / least(vols, volr) END, 6) AS conductance
+        |FROM agg""".stripMargin,
 
     "m_eval_taumode" ->
       s"""$SpectralCte,
