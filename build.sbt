@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 70+ queries' whole-stage-codegen classes live in one JVM during
+  // Bench/Verify; the default code cache fills and C2 bails out to the
+  // interpreter, which showed up as 3-4x slowdowns on late queries.
+  "-XX:ReservedCodeCacheSize=512m",
 )
