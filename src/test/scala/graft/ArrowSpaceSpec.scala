@@ -178,6 +178,26 @@ class ArrowSpaceSpec extends SparkSpec {
     })
   }
 
+  test("searchHybrid reduces to search at alpha=1 and diverges with magnitude spread") {
+    // alpha=1 removes the magnitude-penalty term entirely
+    val a = hits(0.8)
+    val b = model.searchHybrid(query, 0.8, alpha = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a.map(_._1) == b.map(_._1))
+    a.zip(b).foreach { case ((_, sa), (_, sb)) => assert(math.abs(sa - sb) < 1e-12) }
+    // default alpha=0.5 blends exp(-|ln(|q|/|x|)|): with the query
+    // scaled 3x, every item's penalty shrinks, so hybrid scores drop
+    // below the pure-cosine-blend scores while cosine stays unchanged
+    val scaled = query.map(_ * 3.0)
+    val hybrid = model.searchHybrid(scaled, 0.8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val plain = model.searchHybrid(scaled, 0.8, alpha = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(hybrid.keySet == plain.keySet)
+    assert(hybrid.forall { case (id, s) => s < plain(id) },
+      "magnitude penalty must lower every blended score for a 3x-scaled query")
+  }
+
   test("energy search returns k results without cosine") {
     val h = model.searchEnergy(query, k = 4)
     assert(h.count() == 4)
