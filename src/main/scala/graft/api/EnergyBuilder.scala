@@ -74,7 +74,7 @@ object EnergyBuilder {
       .epsKnnEdges(items.select("id", "vnorm"), knnParams, nItems)
       .select("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    neighborEdges.count()
+    graft.core.Debug.timed("E1 neighbor graph")(neighborEdges.count())
 
     // Diffusion loop on co-partitioned RDDs: edges keyed by dst and the
     // state keyed by id share one HashPartitioner, so the edge⋈state
@@ -130,7 +130,8 @@ object EnergyBuilder {
           case (x, _) => x
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      xRdd.count() // materialize before dropping the parent
+      graft.core.Debug.timed(s"E1 diffusion step $step")(
+        xRdd.count()) // materialize before dropping the parent
       prev.unpersist(blocking = false)
       step += 1
     }
@@ -156,9 +157,9 @@ object EnergyBuilder {
       }
       .toDF("id", "x", "dmean")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cutoff = withDist.stat
+    val cutoff = graft.core.Debug.timed("E2 trim quantile")(withDist.stat
       .approxQuantile("dmean", Array(1.0 - energy.trimQuantile), 0.001)
-      .head
+      .head)
     val trimmed = withDist.where(F.col("dmean") <= cutoff)
 
     // E3: optical-token compression via KMeans.
@@ -169,7 +170,12 @@ object EnergyBuilder {
       .setFeaturesCol("features")
       .setPredictionCol("cluster")
       .setMaxIter(20)
-    val kmModel = km.fit(forKm)
+      // seeded random init, not kmeans||: matches the reference dep's
+      // simple initialization (smartcore KMeans) and drops the extra
+      // distributed init passes — the 20 Lloyd iterations dominate
+      // quality for a coarse optical-token quantizer anyway.
+      .setInitMode("random")
+    val kmModel = graft.core.Debug.timed("E3 kmeans fit")(km.fit(forKm))
     val assigned = kmModel.transform(forKm).select("id", "x", "cluster")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -194,6 +200,7 @@ object EnergyBuilder {
         (c, meanC, stdC, dispersion, n)
       }
       .collect() // ≤ opticalTokens rows — driver-small by construction
+    graft.core.Debug.log(s"E3/E4 cluster stats for ${byCluster.length} clusters")
 
     // E4: split high-dispersion centroids into c ± splitTau·σ.
     val dispersions = byCluster.map(_._4).sorted
@@ -261,7 +268,7 @@ object EnergyBuilder {
           F.lit(1.0 - mix) * F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("g_raw"))))
       .select("id", "vec", "lambda", "e_raw")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    withLambda.count()
+    graft.core.Debug.timed("E6 lambda re-synthesis")(withLambda.count())
     items.unpersist(); neighborEdges.unpersist()
     edgesByDst.unpersist(blocking = false); xRdd.unpersist(blocking = false)
     withDist.unpersist(); assigned.unpersist()
