@@ -314,6 +314,9 @@ object SparkEntry {
     "t_text_quality" -> ((s, d) =>
       TextOps.textQuality(docs(s, d)).orderBy("doc_id")),
 
+    "t_vocab" -> ((s, d) =>
+      TextOps.vocab(docs(s, d), 50)),
+
     "t_lang_dist" -> ((s, d) =>
       docs(s, d).groupBy("lang")
         .agg(
@@ -1289,6 +1292,16 @@ object SparkEntry {
         | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 300000000
         |GROUP BY l.event_id, l.user_id
         |ORDER BY l.event_id""".stripMargin,
+
+    "t_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY token
+        |ORDER BY n_occurrences DESC, token ASC
+        |LIMIT 50""".stripMargin,
 
     "m_paired_ttest" ->
       """WITH spend AS (

@@ -83,6 +83,23 @@ object TextOps {
       .where(vowels.cast("double") / F.length(F.col("text")) >= minVowelRatio)
   }
 
+  /** Corpus vocabulary: the `k` most frequent tokens with counts and
+    * document frequency — the tokenizer-training primitive. Shape:
+    * explode + groupBy(token) with partial aggregation (map-side
+    * combine bounds the shuffle by distinct-tokens-per-partition, not
+    * token occurrences), then an exact global top-k.
+    * Output: (token, n_occurrences, n_docs), count-desc / token-asc.
+    */
+  def vocab(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(F.col("doc_id"), F.explode(tokens(F.col("text"))).as("token"))
+      .groupBy("token")
+      .agg(
+        F.count(F.lit(1)).as("n_occurrences"),
+        F.countDistinct("doc_id").as("n_docs"))
+      .orderBy(F.col("n_occurrences").desc, F.col("token").asc)
+      .limit(k)
+
   /** Marker-token language ID (deterministic cascade, n-gram-free
     * heuristic): first matching stopword wins, else "unk".
     */

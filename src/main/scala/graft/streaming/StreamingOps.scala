@@ -105,6 +105,20 @@ object StreamingOps {
       .withColumn("fp", graft.operators.TextOps.fingerprint(F.col("text")))
       .dropDuplicates("fp")
 
+  /** Watermark-bounded streaming dedup: same keep-first contract, but
+    * fingerprint state is dropped once it ages past `delay` behind the
+    * event-time watermark on `tsCol` — the state-bounded shape an
+    * unbounded 100 TB stream requires (plain dropDuplicates state
+    * grows forever). Duplicates farther apart than the watermark can
+    * re-admit — the standard trade, made explicit here.
+    */
+  def dedupStreamWithinWatermark(
+      docs: DataFrame, tsCol: String, delay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, delay)
+      .withColumn("fp", graft.operators.TextOps.fingerprint(F.col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming near-duplicate detection against a STATIC corpus — the
     * standard training-data ingestion gate: each arriving document is
     * MinHash-banded and equi-joined (stream-static join, no state)

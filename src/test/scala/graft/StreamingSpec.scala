@@ -167,4 +167,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 100L)), s"planted near-dup not flagged: $rows")
     assert(!rows.exists(_._1 == 2L), s"clean doc falsely flagged: $rows")
   }
+
+  test("watermark-bounded dedup drops in-window duplicates and keeps state finite") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val out = graft.streaming.StreamingOps
+      .dedupStreamWithinWatermark(df, "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("wmd")
+      .outputMode(OutputMode.Append()).start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val t2 = Timestamp.valueOf("2024-01-01 10:01:00")
+    in.addData((t, 1L, "alpha beta"), (t2, 2L, "alpha beta"), (t2, 3L, "gamma delta"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = s.sql("SELECT doc_id FROM wmd").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L))
+    assert((ids - 3L).size == 1, s"duplicate not collapsed within watermark: $ids")
+  }
 }
