@@ -288,16 +288,16 @@ object ArrowSpaceBuilder {
         if (params.normalise) l2normalize(F.col("vec")) else F.col("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val nItems = items.count()
+    val nItems = graft.core.Debug.timed("S1 ingest count")(items.count())
     require(nItems > 0, "items must be non-empty")
     val nFeatures = items.select(F.size(F.col("vec"))).head.getInt(0)
 
     // S1: NaN/Inf are counted and logged, not rejected (reference
     // src/helpers.rs:34-44).
-    val nonFinite = items
+    val nonFinite = graft.core.Debug.timed("S1 non-finite scan")(items
       .select(F.sum(F.size(F.filter(F.col("vec"),
         v => F.isnan(v) || F.abs(v) === Double.PositiveInfinity))).as("n"))
-      .head.getLong(0)
+      .head.getLong(0))
     if (nonFinite > 0)
       org.apache.logging.log4j.LogManager.getLogger("graft")
         .warn(s"items contain $nonFinite non-finite values")
@@ -327,11 +327,13 @@ object ArrowSpaceBuilder {
     val edges = KnnGraph
       .epsKnnEdges(graphInput, params, nItems)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (graft.core.Debug.isDebug)
+      graft.core.Debug.timed("S6-S8 eps-kNN graph")(edges.count())
 
     // S9: F×F feature Laplacian from the raw signal columns (see
     // FeatureLaplacian's Scaladoc for the test_0-pinned construction).
-    val lap = FeatureLaplacian.build(
-      graphItems.select("id", "vec"), params, nFeatures)
+    val lap = graft.core.Debug.timed("S9 feature Laplacian")(
+      FeatureLaplacian.build(graphItems.select("id", "vec"), params, nFeatures))
 
     // S10: per-item raw Dirichlet energy + Gini concentration, then τ
     // via TauMode, then λ = m·E/(E+τ) + (1−m)·G with m = τ/(1+τ)
@@ -345,7 +347,8 @@ object ArrowSpaceBuilder {
         it.map { case (id, v) => (id, l.dirichlet(v), l.dirichletGini(v)) }
       }
       .toDF("id", "e_raw", "g_raw")
-    val tau = tauMode.resolve(withEnergy, "e_raw")
+    val tau = graft.core.Debug.timed("S10 tau resolve")(
+      tauMode.resolve(withEnergy, "e_raw"))
     val mix = tau / (1.0 + tau)
     val withLambda = items
       .join(withEnergy, "id")
@@ -359,7 +362,8 @@ object ArrowSpaceBuilder {
           F.lit(1.0 - mix) * F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("g_raw"))))
       .select("id", "vec", "lambda", "e_raw")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    withLambda.count() // materialize before unpersisting parents
+    graft.core.Debug.timed("S10 lambda materialize")(
+      withLambda.count()) // materialize before unpersisting parents
     items.unpersist()
 
     val model = ArrowSpaceModel(withLambda, lap, tau, params, nItems, nFeatures)
