@@ -47,9 +47,11 @@ object EnergySweep {
       val recall = RankingMetrics.recallAtK(ranked, relevant, truthK).head.getDouble(0)
       val mrr = RankingMetrics.mrr(ranked, relevant).head.getDouble(0)
       val ndcg = RankingMetrics.ndcgAtK(ranked, relevant, truthK).head.getDouble(0)
+      em.items.unpersist() // this grid point's metrics are extracted
       (eta, steps, recall, mrr, ndcg)
     }
     relevant.unpersist()
+    standard.items.unpersist()
     rows.toDF("eta", "steps", "recall_at_k", "mrr", "ndcg_at_k")
   }
 
@@ -92,9 +94,11 @@ object EnergySweep {
       val recall = RankingMetrics.recallAtK(ranked, relevant, truthK).head.getDouble(0)
       val mrr = RankingMetrics.mrr(ranked, relevant).head.getDouble(0)
       val ndcg = RankingMetrics.ndcgAtK(ranked, relevant, truthK).head.getDouble(0)
+      m.items.unpersist(); edges.unpersist() // grid point fully consumed
       (eps, nEdges, recall, mrr, ndcg)
     }
     relevant.unpersist()
+    standard.items.unpersist()
     rows.toDF("eps", "n_edges", "recall_at_k", "mrr", "ndcg_at_k")
   }
 }

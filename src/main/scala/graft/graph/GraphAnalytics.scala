@@ -43,22 +43,26 @@ object GraphAnalytics {
       edges: DataFrame, source: Long, numIter: Int = 15): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    toGraph(edges)
-      .staticPersonalizedPageRank(source, numIter)
+    val g = toGraph(edges)
+    try g.staticPersonalizedPageRank(source, numIter)
       .vertices
       .map { case (id, v) => (id, v) }
       .toDF("id", "ppr")
+      .localCheckpoint() // eager: safe to drop the graph cache after
+    finally g.unpersist(blocking = false)
   }
 
   /** Connected components. Output: (id, component). */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    toGraph(edges)
-      .connectedComponents()
+    val g = toGraph(edges)
+    try g.connectedComponents()
       .vertices
       .map { case (id, c) => (id, c) }
       .toDF("id", "component")
+      .localCheckpoint()
+    finally g.unpersist(blocking = false)
   }
 
   /** Label-propagation communities (the modularity-communities stand-in
@@ -68,11 +72,14 @@ object GraphAnalytics {
   def labelPropagation(edges: DataFrame, maxSteps: Int = 5): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    LabelPropagation
-      .run(toGraph(edges), maxSteps)
+    val g = toGraph(edges)
+    try LabelPropagation
+      .run(g, maxSteps)
       .vertices
       .map { case (id, c) => (id, c) }
       .toDF("id", "community")
+      .localCheckpoint()
+    finally g.unpersist(blocking = false)
   }
 
   /** Weighted conductance of a node set S:
@@ -173,11 +180,13 @@ object GraphAnalytics {
     import spark.implicits._
     val g = toGraph(
       edges.select(F.col("src"), F.col("dst")).withColumn("weight", F.lit(1.0)))
-    val total = g
-      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-      .triangleCount()
-      .vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
-    Seq(total).toDF("n_triangles")
+    try {
+      val total = g
+        .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+        .triangleCount()
+        .vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+      Seq(total).toDF("n_triangles")
+    } finally g.unpersist(blocking = false)
   }
 
   /** Exact cosine-threshold similarity edges (cos ≥ minCos, src < dst)

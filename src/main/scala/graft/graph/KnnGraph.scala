@@ -129,7 +129,12 @@ object KnnGraph {
     // At eps ≥ 1 every pair qualifies (d_rect ≤ 1 always), but
     // negative-cosine pairs sit at Euclidean distance in (√2, 2] — the
     // radius must be the full unit-sphere diameter 2, not √(2·eps).
-    val radius = if (params.eps >= 1.0) 2.0 else math.sqrt(2.0 * params.eps)
+    // approxSimilarityJoin filters distCol < threshold STRICTLY, so
+    // nudge the radius up one ulp-ish step or boundary pairs (exact
+    // antipodes at d_e = 2, or cos = 1−eps at d_e = √(2·eps)) drop;
+    // the exact `dist <= eps` refine below keeps the result tight.
+    val radius = math.nextUp(
+      if (params.eps >= 1.0) 2.0 else math.sqrt(2.0 * params.eps)) + 1e-9
     model
       .approxSimilarityJoin(withVec, withVec, radius, "euclid")
       .select(
@@ -160,7 +165,8 @@ object KnnGraph {
     // S4 auto-clustering: Two-NN intrinsic dimension → ID-aware elbow
     // around the closed-form anchor (reference suggested_eps.md:7-11),
     // floored at N/2000 so blocks stay broadcast-joinable at scale.
-    val id = graft.scale.TwoNN.intrinsicDimension(items, seed = params.seed)
+    val id = graft.scale.TwoNN.intrinsicDimension(
+      items, seed = params.seed, knownCount = nItems)
     val kAuto = graft.scale.TwoNN.chooseK(items, nItems, id, params.seed)
     val k = math.max(kAuto, (nItems / 2000L).toInt)
     val withVec = items.withColumn("features", array_to_vector(F.col("vnorm")))

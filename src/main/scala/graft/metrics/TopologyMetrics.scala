@@ -63,6 +63,9 @@ object TopologyMetrics {
             .localCheckpoint()
         }
       }, Duration.Inf).toMap
+    // the PPR frames are eagerly localCheckpoint'ed above — the GraphX
+    // cache can be released instead of pinning vertices+edges all session
+    graph.unpersist(blocking = false)
     val ppr = anchors.map { case (qid, src) =>
       pprBySrc(src).withColumn("query_id", F.lit(qid))
     }.reduce(_ unionByName _)

@@ -34,34 +34,40 @@ object AsOfJoin {
       rightTs: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    // right rows sort BEFORE left rows at equal ts (side 0 < side 1),
+    // The whole right payload travels as ONE struct: the carry-forward
+    // last() sees a non-null struct for every right row even when
+    // individual payload values are NULL, so (a) a matched row's NULL
+    // payload is returned as NULL instead of an older row's value and
+    // (b) multiple payload columns always come from the SAME right row.
+    // Right rows sort BEFORE left rows at equal ts (side 0 < side 1),
     // making the match inclusive.
+    val payloadStruct = F.struct(payload.map(F.col): _*)
     val taggedRight = right.select(
       (F.col(key).as("__k") +:
         F.col(rightTs).as("__ts") +:
         F.lit(0).as("__side") +:
-        payload.map(c => F.col(c).as(s"__p_$c"))) ++
-        leftCols.map(c => F.lit(null).cast(left.schema(c).dataType).as(c)): _*)
+        payloadStruct.as("__p") +:
+        leftCols.map(c => F.lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val nullPayload = {
+      val fields = payload.map(c => F.lit(null).cast(right.schema(c).dataType).as(c))
+      F.when(F.lit(false), F.struct(fields: _*)) // typed NULL struct
+    }
     val taggedLeft = left.select(
       (F.col(key).as("__k") +:
         F.col(leftTs).as("__ts") +:
         F.lit(1).as("__side") +:
-        payload.map(c => F.lit(null).cast(right.schema(c).dataType).as(s"__p_$c"))) ++
-        leftCols.map(F.col): _*)
+        nullPayload.as("__p") +:
+        leftCols.map(F.col)): _*)
     val w = Window
       .partitionBy("__k")
       .orderBy(F.col("__ts").asc, F.col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, c) =>
-        df.withColumn(
-          s"asof_$c",
-          F.last(F.when(F.col("__side") === 0, F.col(s"__p_$c")), ignoreNulls = true)
-            .over(w))
-    }
-    carried
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__match", F.last(F.col("__p"), ignoreNulls = true).over(w))
       .where(F.col("__side") === 1)
-      .select(leftCols.map(F.col) ++ payload.map(c => F.col(s"asof_$c")): _*)
+      .select(
+        leftCols.map(F.col) ++
+          payload.map(c => F.col(s"__match.$c").as(s"asof_$c")): _*)
   }
 
   /** Tolerance variant: the matched right row must additionally be
@@ -79,9 +85,12 @@ object AsOfJoin {
     val withMatchTs =
       asofJoin(left, right.withColumn("__mts", F.col(rightTs)), key, leftTs, rightTs,
         payload :+ "__mts")
+    // microsecond precision: unix_timestamp truncates to seconds and
+    // would misclassify sub-second deltas at the tolerance boundary
     val fresh =
       F.col("asof___mts").isNotNull &&
-        F.unix_timestamp(F.col(leftTs)) - F.unix_timestamp(F.col("asof___mts")) <= toleranceSec
+        F.unix_micros(F.col(leftTs)) - F.unix_micros(F.col("asof___mts")) <=
+          toleranceSec * 1000000L
     payload.foldLeft(withMatchTs) { case (df, c) =>
       df.withColumn(s"asof_$c", F.when(fresh, F.col(s"asof_$c")))
     }.drop("asof___mts")

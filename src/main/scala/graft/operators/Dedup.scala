@@ -50,6 +50,29 @@ object Dedup {
       F.array_min(F.transform(hashCol, h => F.xxhash64(h, F.lit(i))))
     }: _*)
 
+  /** LSH band keys for a (doc_id, sig) frame: explode `bands` rows per
+    * doc keyed by (band index, hash of that band's signature slice).
+    * Shared by the batch near-dup join and the streaming corpus gate so
+    * the banding scheme cannot silently diverge between them.
+    */
+  def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sigs
+      .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+      .withColumn("bh",
+        F.hash(F.col("band"),
+          F.slice(F.col("sig"), F.col("band") * rows + 1, F.lit(rows))))
+  }
+
+  /** Signature-agreement Jaccard estimate: fraction of matching
+    * minhash lanes, rounded to 4. */
+  def sigAgreement(sigA: Column, sigB: Column, numHashes: Int): Column =
+    F.round(
+      F.aggregate(
+        F.zip_with(sigA, sigB, (x, y) => F.when(x === y, 1.0).otherwise(0.0)),
+        F.lit(0.0), (acc, v) => acc + v) / numHashes, 4)
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * shingle(n) → signature(numHashes) → `bands` bands of
@@ -66,26 +89,22 @@ object Dedup {
       bands: Int = 16,
       estFloor: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val withSig = docs
-      .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh"))
-      .withColumn("shh", F.transform(F.col("sh"), s => F.xxhash64(s)))
-      .withColumn("sig", minhashFromHashes(F.col("shh"), numHashes))
-      .drop("shh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
     // The banded join carries ONLY (doc_id, sig): the fat shingle
     // arrays never ride through the ×bands explosion, the bucket join,
     // or the pair dedup — they are re-joined per side afterwards, once
     // per surviving candidate. The signature-agreement estimate runs
     // map-side BEFORE the dedup shuffle so low-similarity collisions
-    // are dropped without ever being exchanged.
-    val banded = withSig.select(
-      F.col("doc_id"),
-      F.col("sig"),
-      F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).as("band"))
-      .withColumn("bh", F.hash(F.col("band"), F.slice(F.col("sig"), F.col("band") * rows + 1, F.lit(rows))))
+    // are dropped without ever being exchanged. Only the slim
+    // (doc_id, 64 longs) signature frame is persisted (both join sides
+    // read it); the shingle sets are recomputed for the final verify
+    // join rather than cached — tokenization is cheap, the cache is not.
+    val sigs = docs
+      .select(
+        F.col("doc_id"),
+        minhashSignature(shingles(F.col("text"), shingleLen), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val banded = bandKeys(sigs, numHashes, bands)
     val a = banded.select(
       F.col("band"), F.col("bh"), F.col("doc_id").as("doc_a"),
       F.col("sig").as("sig_a"))
@@ -97,16 +116,13 @@ object Dedup {
       .where(F.col("doc_a") < F.col("doc_b"))
       .withColumn(
         "est_jaccard",
-        F.round(
-          F.aggregate(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"),
-              (x, y) => F.when(x === y, 1.0).otherwise(0.0)),
-            F.lit(0.0), (acc, v) => acc + v) / numHashes, 4))
+        sigAgreement(F.col("sig_a"), F.col("sig_b"), numHashes))
       .where(F.col("est_jaccard") >= estFloor)
       .select("doc_a", "doc_b", "est_jaccard")
       .dropDuplicates("doc_a", "doc_b")
 
-    val shTable = withSig.select(F.col("doc_id"), F.col("sh"))
+    val shTable = docs
+      .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh"))
     candidates
       .join(shTable.select(F.col("doc_id").as("doc_a"), F.col("sh").as("sh_a")), "doc_a")
       .join(shTable.select(F.col("doc_id").as("doc_b"), F.col("sh").as("sh_b")), "doc_b")

@@ -14,13 +14,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object TwoNN {
 
-  /** items: (id, vnorm: Array[Double]). Returns the ID estimate. */
+  /** items: (id, vnorm: Array[Double]). Returns the ID estimate.
+    * Pass `knownCount` when the caller already has the row count to
+    * skip the extra full scan. */
   def intrinsicDimension(
       items: DataFrame,
       sampleSize: Int = 1000,
-      seed: Long = 42L): Double = {
+      seed: Long = 42L,
+      knownCount: Long = -1L): Double = {
     import graft.functions.VectorFunctions.cosineDistance
-    val n = items.count()
+    val n = if (knownCount >= 0L) knownCount else items.count()
     val sample =
       (if (n > sampleSize) items.sample(withReplacement = false, sampleSize.toDouble / n, seed)
        else items).select("id", "vnorm")

@@ -136,33 +136,47 @@ object StreamingOps {
       shingleLen: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      eventTime: Option[(String, String)] = None): DataFrame = {
     import graft.operators.Dedup
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    def banded(df: DataFrame, idAs: String, sigAs: String): DataFrame =
-      df.select(
-        F.col("doc_id").as(idAs),
-        Dedup.minhashSignature(
-          Dedup.shingles(F.col("text"), shingleLen), numHashes).as(sigAs))
-        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-        .withColumn("bh",
-          F.hash(F.col("band"),
-            F.slice(F.col(sigAs), F.col("band") * rows + 1, F.lit(rows))))
-    val corpusBands = banded(corpus, "match_id", "sig_c")
+    def sigd(df: DataFrame, idAs: String, sigAs: String, carry: Seq[String]): DataFrame =
+      Dedup.bandKeys(
+        df.select(
+          F.col("doc_id") +:
+            Dedup.minhashSignature(
+              Dedup.shingles(F.col("text"), shingleLen), numHashes).as("sig") +:
+            carry.map(F.col): _*),
+        numHashes, bands)
+        .withColumnRenamed("doc_id", idAs)
+        .withColumnRenamed("sig", sigAs)
+    val corpusBands = sigd(corpus, "match_id", "sig_c", Nil)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded(stream, "doc_id", "sig_s")
+    val streamSide = eventTime match {
+      case Some((tsCol, delay)) =>
+        // the event-time column rides along so the final dedup can be
+        // watermark-bounded
+        sigd(stream.withWatermark(tsCol, delay), "doc_id", "sig_s", Seq(tsCol))
+      case None => sigd(stream, "doc_id", "sig_s", Nil)
+    }
+    val flagged = streamSide
       .join(corpusBands, Seq("band", "bh"))
-      .withColumn(
-        "est_jaccard",
-        F.round(
-          F.aggregate(
-            F.zip_with(F.col("sig_s"), F.col("sig_c"),
-              (x, y) => F.when(x === y, 1.0).otherwise(0.0)),
-            F.lit(0.0), (acc, v) => acc + v) / numHashes, 4))
+      .withColumn("est_jaccard", Dedup.sigAgreement(F.col("sig_s"), F.col("sig_c"), numHashes))
       .where(F.col("est_jaccard") >= threshold)
-      .select("doc_id", "match_id", "est_jaccard")
-      .dropDuplicates("doc_id", "match_id")
+    // A doc colliding with the same corpus doc in several bands emits
+    // duplicate pairs. Collapsing them on a stream is STATEFUL: with
+    // event time supplied the dedup state is watermark-bounded
+    // (dropDuplicatesWithinWatermark); without it, plain dropDuplicates
+    // state grows with the number of distinct flagged pairs — fine for
+    // bounded backfills, pass `eventTime` for an unbounded stream.
+    eventTime match {
+      case Some((tsCol, _)) =>
+        flagged.select("doc_id", "match_id", "est_jaccard", tsCol)
+          .dropDuplicatesWithinWatermark("doc_id", "match_id")
+          .select("doc_id", "match_id", "est_jaccard")
+      case None =>
+        flagged.select("doc_id", "match_id", "est_jaccard")
+          .dropDuplicates("doc_id", "match_id")
+    }
   }
 
   /** Incremental index maintenance: append a stream of (id, vec) to a

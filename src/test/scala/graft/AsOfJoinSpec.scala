@@ -42,6 +42,48 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("l-d") == None)
   }
 
+  test("a matched row's NULL payload stays NULL (no older value leaks forward)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 7L, ts(10), "probe")).toDF("lid", "k", "t", "name")
+    val r = Seq(
+      (7L, ts(5), Some(50.0)),
+      (7L, ts(8), None: Option[Double]) // the matched row — payload NULL
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.asofJoin(l, r, "k", "t", "t", Seq("v")).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("asof_v")),
+      s"matched row's NULL payload must not be replaced by an older value: ${out.head}")
+  }
+
+  test("multi-column payloads always come from the same matched row") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 7L, ts(10), "probe")).toDF("lid", "k", "t", "name")
+    val r = Seq(
+      (7L, ts(5), Some(50.0), Some("old")),
+      (7L, ts(8), None: Option[Double], Some("new"))
+    ).toDF("k", "t", "v", "tag")
+    val out = AsOfJoin.asofJoin(l, r, "k", "t", "t", Seq("v", "tag")).collect().head
+    assert(out.isNullAt(out.fieldIndex("asof_v")))
+    assert(out.getString(out.fieldIndex("asof_tag")) == "new",
+      s"columns must come from the ts=8 row together: $out")
+  }
+
+  test("tolerance horizon is microsecond-exact at the boundary") {
+    val s = spark
+    import s.implicits._
+    val t10_9 = new java.sql.Timestamp(ts(10).getTime + 900) // 00:00:10.900
+    val t6_1 = new java.sql.Timestamp(ts(6).getTime + 100)   // 00:00:06.100
+    val l = Seq((1L, 7L, t10_9, "probe")).toDF("lid", "k", "t", "name")
+    val r = Seq((7L, t6_1, 50.0)).toDF("k", "t", "v")
+    // true age 4.8s > 4s tolerance: must be nulled even though the
+    // second-truncated delta is 10 - 6 = 4
+    val out = AsOfJoin.asofJoinWithin(l, r, "k", "t", "t", Seq("v"), 4L).collect().head
+    assert(out.isNullAt(out.fieldIndex("asof_v")),
+      s"4.8s-old match must be stale at 4s tolerance: $out")
+  }
+
   test("tolerance horizon nulls out stale matches") {
     val out = AsOfJoin
       .asofJoinWithin(left, right, "k", "t", "t", Seq("v"), toleranceSec = 4)

@@ -46,6 +46,12 @@ class KnnGraphSpec extends SparkSpec {
     val negCos = lshEdges.filter(_.getDouble(2) > 1.0 - 1e-12)
     assert(negCos.nonEmpty,
       "LSH path found no distance-1.0 (cos<=0) edges at eps=1.0 — radius bug regressed")
+    // NOTE exact antipodes (v, −v) are out of reach for BRP-LSH
+    // candidate generation itself: their projections are sign-flipped,
+    // and floor(p/L) == floor(−p/L) never holds for p ≠ 0 — a recall
+    // property of the hash family, not of the join radius. The radius
+    // still must be nextUp(2.0) so colliding boundary pairs survive
+    // the strict `distCol < threshold` filter.
   }
 
   test("cluster-blocked edge set is a subset of brute force on the same contract") {
