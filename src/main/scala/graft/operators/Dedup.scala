@@ -98,10 +98,14 @@ object Dedup {
     // (doc_id, 64 longs) signature frame is persisted (both join sides
     // read it); the shingle sets are recomputed for the final verify
     // join rather than cached — tokenization is cheap, the cache is not.
+    // the shh projection boundary is load-bearing: it forces the
+    // expensive per-shingle STRING hashing to evaluate once —
+    // CollapseProject won't inline a non-cheap expression into the 64
+    // lanes that reference it (inlining it was measured at ~30× slower)
     val sigs = docs
-      .select(
-        F.col("doc_id"),
-        minhashSignature(shingles(F.col("text"), shingleLen), numHashes).as("sig"))
+      .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh"))
+      .withColumn("shh", F.transform(F.col("sh"), s => F.xxhash64(s)))
+      .select(F.col("doc_id"), minhashFromHashes(F.col("shh"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = bandKeys(sigs, numHashes, bands)

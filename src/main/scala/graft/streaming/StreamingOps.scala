@@ -139,13 +139,21 @@ object StreamingOps {
       threshold: Double = 0.5,
       eventTime: Option[(String, String)] = None): DataFrame = {
     import graft.operators.Dedup
+    // two-step hashing with a projection boundary, like
+    // minhashNearDupPairs: the per-shingle string hashing must
+    // evaluate once, not once per minhash lane
     def sigd(df: DataFrame, idAs: String, sigAs: String, carry: Seq[String]): DataFrame =
       Dedup.bandKeys(
         df.select(
           F.col("doc_id") +:
-            Dedup.minhashSignature(
-              Dedup.shingles(F.col("text"), shingleLen), numHashes).as("sig") +:
-            carry.map(F.col): _*),
+            F.transform(
+              Dedup.shingles(F.col("text"), shingleLen),
+              s => F.xxhash64(s)).as("shh") +:
+            carry.map(F.col): _*)
+          .select(
+            F.col("doc_id") +:
+              Dedup.minhashFromHashes(F.col("shh"), numHashes).as("sig") +:
+              carry.map(F.col): _*),
         numHashes, bands)
         .withColumnRenamed("doc_id", idAs)
         .withColumnRenamed("sig", sigAs)
