@@ -288,16 +288,20 @@ object ArrowSpaceBuilder {
         if (params.normalise) l2normalize(F.col("vec")) else F.col("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val nItems = graft.core.Debug.timed("S1 ingest count")(items.count())
+    // S1 in ONE pass: row count, dimensionality, and the NaN/Inf count
+    // (counted and logged, not rejected — reference src/helpers.rs:34-44)
+    // come from a single aggregation job over the cached table.
+    val s1 = graft.core.Debug.timed("S1 ingest stats")(items.agg(
+      F.count(F.lit(1)).as("n"),
+      F.max(F.size(F.col("vec"))).as("f"),
+      F.coalesce(
+        F.sum(F.size(F.filter(F.col("vec"),
+          v => F.isnan(v) || F.abs(v) === Double.PositiveInfinity))),
+        F.lit(0L)).as("nonfinite")).head)
+    val nItems = s1.getLong(0)
     require(nItems > 0, "items must be non-empty")
-    val nFeatures = items.select(F.size(F.col("vec"))).head.getInt(0)
-
-    // S1: NaN/Inf are counted and logged, not rejected (reference
-    // src/helpers.rs:34-44).
-    val nonFinite = graft.core.Debug.timed("S1 non-finite scan")(items
-      .select(F.sum(F.size(F.filter(F.col("vec"),
-        v => F.isnan(v) || F.abs(v) === Double.PositiveInfinity))).as("n"))
-      .head.getLong(0))
+    val nFeatures = s1.getInt(1)
+    val nonFinite = s1.getLong(2)
     if (nonFinite > 0)
       org.apache.logging.log4j.LogManager.getLogger("graft")
         .warn(s"items contain $nonFinite non-finite values")

@@ -61,9 +61,12 @@ object EnergyBuilder {
         F.col("vec").cast("array<double>").as("vec"))
       .withColumn("vnorm", l2normalize(F.col("vec")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nItems = items.count()
+    // count + dimensionality in one aggregation job
+    val s1 = items
+      .agg(F.count(F.lit(1)).as("n"), F.max(F.size(F.col("vec"))).as("f")).head
+    val nItems = s1.getLong(0)
     require(nItems > 0, "items must be non-empty")
-    val nFeatures = items.select(F.size(F.col("vec"))).head.getInt(0)
+    val nFeatures = s1.getInt(1)
 
     // E1: diffusion over a neighborK-NN graph (no eps cutoff: the
     // rectified-cosine distance is ≤ 1 everywhere, so eps=1 keeps all).
