@@ -605,11 +605,15 @@ object SparkEntry {
         .withColumn("score",
           F.col("tau") * F.col("cos") + (F.lit(1.0) - F.col("tau")) * F.col("prox"))
       val w = Window.partitionBy("tau").orderBy(F.col("score").desc, F.col("doc_id").asc)
+      // localCheckpoint, not persist: ≤ |taus|·10 rows, materialized
+      // once and reused by both metric branches; no cache-manager entry
+      // to leak across the 72-query Bench/Verify session (blocks are
+      // GC-cleaned once the result frame is dropped)
       val ranked = scored
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
         .select("tau", "doc_id", "rank")
-        .persist()
+        .localCheckpoint()
       val relevant = ranked.where(F.col("tau") === 1.0).select("doc_id")
       val idcg = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
       val hits = ranked.join(relevant, "doc_id")

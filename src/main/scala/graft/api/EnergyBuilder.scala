@@ -23,7 +23,10 @@ import org.apache.spark.storage.StorageLevel
   *
   *  E1 diffusion — `steps` iterations of x ← x + η·(mean_N(x) − x)
   *     over a `neighborK`-NN cosine graph (heat-kernel smoothing).
-  *     One reduce shuffle per step; lineage cut with localCheckpoint.
+  *     One reduce shuffle per step; each step persisted, with a
+  *     localCheckpoint every few steps to truncate lineage (persist
+  *     alone does not: a lost block would otherwise recompute through
+  *     every prior step).
   *  E2 trim — drop the `trimQuantile` fraction of items farthest
   *     from the global mean (approxQuantile + filter).
   *  E3 optical-token compression — MLlib KMeans(k=opticalTokens,
@@ -99,6 +102,11 @@ object EnergyBuilder {
     xRdd.count()
     val eta = energy.eta
     var step = 0
+    // whether the CURRENT xRdd was localCheckpoint'd: checkpointed
+    // steps must never be unpersisted (their lineage is truncated, the
+    // data cannot be recomputed), they anchor recovery for the
+    // following steps; at most ⌈steps/5⌉ generations stay pinned
+    var xCheckpointed = false
     while (step < energy.steps) {
       val sums = edgesByDst
         .join(xRdd) // narrow: both sides hashed by dst/id
@@ -122,6 +130,7 @@ object EnergyBuilder {
             }
           })
       val prev = xRdd
+      val prevCheckpointed = xCheckpointed
       xRdd = prev
         .leftOuterJoin(sums, part) // narrow: co-partitioned
         .mapValues {
@@ -133,9 +142,14 @@ object EnergyBuilder {
           case (x, _) => x
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // persist caches but does not truncate lineage: checkpoint
+      // periodically (and on the last step) so an evicted block never
+      // recomputes through the whole chain of prior steps
+      xCheckpointed = (step + 1) % 5 == 0 || step == energy.steps - 1
+      if (xCheckpointed) xRdd.localCheckpoint()
       graft.core.Debug.timed(s"E1 diffusion step $step")(
         xRdd.count()) // materialize before dropping the parent
-      prev.unpersist(blocking = false)
+      if (!prevCheckpointed) prev.unpersist(blocking = false)
       step += 1
     }
     val diffused = xRdd.toDF("id", "x")

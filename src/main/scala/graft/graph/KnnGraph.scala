@@ -116,7 +116,14 @@ object KnnGraph {
   }
 
   private def directedLsh(items: DataFrame, params: GraphParams): DataFrame = {
-    val withVec = items.withColumn("features", array_to_vector(F.col("vnorm")))
+    // hash L2-normalized vectors regardless of the builder's
+    // `normalise` flag: the √(2·eps) Euclidean radius is only
+    // meaningful on the unit sphere, and with raw vectors (normalise =
+    // false) candidate recall would silently collapse. The exact
+    // rectified-cosine refine below is scale-invariant, so normalizing
+    // only the hashed copy changes recall, never the result contract.
+    val withVec = items.withColumn(
+      "features", array_to_vector(l2normalize(F.col("vnorm"))))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features")
       .setOutputCol("hashes")

@@ -58,9 +58,13 @@ object AsOfJoin {
         F.lit(1).as("__side") +:
         nullPayload.as("__p") +:
         leftCols.map(F.col)): _*)
+    // __p as the final sort key makes the order total when several
+    // right rows share (key, ts): without it, which tied payload the
+    // ROWS frame carries forward is partitioning-dependent. Ties
+    // resolve to the greatest payload struct, deterministically.
     val w = Window
       .partitionBy("__k")
-      .orderBy(F.col("__ts").asc, F.col("__side").asc)
+      .orderBy(F.col("__ts").asc, F.col("__side").asc, F.col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .withColumn("__match", F.last(F.col("__p"), ignoreNulls = true).over(w))

@@ -12,6 +12,18 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   */
 object Dedup {
 
+  /** Materialize `result` eagerly (localCheckpoint stores the rows and
+    * truncates the plan), then release the operator-internal caches.
+    * Long-lived sessions (Bench/Verify run all 72 queries in one JVM)
+    * must not accumulate signature caches; the checkpointed output is
+    * bounded by near-dup pair density, not corpus size.
+    */
+  private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Exact duplicate groups by normalized-text fingerprint.
     * Output: (fp, n_docs, keeper) — keeper is the smallest doc_id.
     */
@@ -127,7 +139,7 @@ object Dedup {
 
     val shTable = docs
       .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh"))
-    candidates
+    val verified = candidates
       .join(shTable.select(F.col("doc_id").as("doc_a"), F.col("sh").as("sh_a")), "doc_a")
       .join(shTable.select(F.col("doc_id").as("doc_b"), F.col("sh").as("sh_b")), "doc_b")
       .select(
@@ -138,6 +150,7 @@ object Dedup {
           F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
             F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))), 4).as("jaccard"))
       .orderBy(F.col("jaccard").desc, F.col("doc_a").asc, F.col("doc_b").asc)
+    materializeAndRelease(verified, sigs)
   }
 
   /** End-to-end corpus dedup: drop exact duplicates (keep the smallest
@@ -154,16 +167,24 @@ object Dedup {
       .groupBy("fp").agg(F.min("doc_id").as("doc_id"))
       .select("doc_id")
     val exactDeduped = docs.join(keepers, "doc_id")
+    // the near-dup stage reads the exact-deduped corpus twice
+    // (signatures + shingle verify); cache it for that span only —
+    // minhashNearDupPairs materializes its pairs eagerly, so the cache
+    // can be dropped as soon as the call returns
+    val exactCached = exactDeduped
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 8 bands x 8 rows: band-collision probability 1-(1-j^8)^8 is
     // steep around j~0.7 - the right operating point for a 0.8
     // threshold, and an order of magnitude fewer false candidates
     // than the recall-leaning 16x4 default.
     val nearDupLosers = minhashNearDupPairs(
-      exactDeduped, shingleLen, numHashes = 64, bands = 8,
+      exactCached, shingleLen, numHashes = 64, bands = 8,
       estFloor = jaccardThreshold / 2)
       .where(F.col("jaccard") >= jaccardThreshold)
       .select(F.col("doc_b").as("doc_id"))
       .distinct()
+      .localCheckpoint()
+    exactCached.unpersist(blocking = false)
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
@@ -237,12 +258,13 @@ object Dedup {
     // map-side bit_count on the joined row, while dropDuplicates is a
     // shuffle — narrower chunks (small maxDist+1 widths) can collide
     // heavily, so the shuffle must only see surviving pairs.
-    a.join(b, Seq("chunk", "cv"))
+    val pairs = a.join(b, Seq("chunk", "cv"))
       .where(F.col("doc_a") < F.col("doc_b"))
       .withColumn("hamming", hammingDist(F.col("ha"), F.col("hb")))
       .where(F.col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
       .dropDuplicates("doc_a", "doc_b")
       .orderBy(F.col("hamming").asc, F.col("doc_a").asc, F.col("doc_b").asc)
+    materializeAndRelease(pairs, sh)
   }
 }

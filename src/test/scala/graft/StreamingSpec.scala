@@ -53,6 +53,8 @@ class StreamingSpec extends SparkSpec {
     import s.implicits._
     // file streams need an explicit schema; stream the documents table
     // and run the exact-dedup fingerprint aggregation incrementally
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists,
+      "driver-generated testdata not present")
     val schema = s.read.parquet("/root/testdata/sf0.001/documents.parquet").schema
     // file streams read directories; stage the table into one
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
