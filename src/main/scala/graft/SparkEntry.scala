@@ -350,7 +350,16 @@ object SparkEntry {
       Dedup.exactGroups(docs(s, d)).orderBy("fp")),
 
     "d_minhash_neardup" -> ((s, d) =>
-      Dedup.minhashNearDupPairs(docs(s, d), estFloor = 0.2).limit(50)),
+      // thresholded near-dup pairs. Oracle-able: the final filter is
+      // EXACT Jaccard, and at 64 hashes / 16 bands x 4 rows the chance
+      // the banding misses a j >= 0.8 pair is <= (1-0.8^4)^16 ~ 2e-4
+      // (1e-7 at the testdata's observed j >= 0.89), so the banded
+      // result deterministically equals the all-pairs answer here; the
+      // est_jaccard column is minhash-internal and excluded.
+      Dedup.minhashNearDupPairs(docs(s, d), estFloor = 0.2)
+        .where(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")),
 
     "d_dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(docs(s, d), jaccardThreshold = 0.8)
@@ -809,6 +818,36 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracles
 
+  /** Shared DuckDB CTE chain for the dedup oracles: word-3-gram
+    * shingle sets → prefix-filtered candidate pairs (complete for
+    * J ≥ 0.8: the 0.2·n+1 prefix length is the standard prefix-filter
+    * bound) → exact Jaccard. Ends in jpairs(doc_a, doc_b, jaccard).
+    */
+  private val JaccardPairsCte =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |shl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      |  FROM tok),
+      |ssh AS (SELECT doc_id, list_sort(s) AS s, len(s) AS n FROM shl),
+      |pref AS (
+      |  SELECT doc_id,
+      |    unnest(s[1 : greatest(1, cast(floor(0.2 * n) as int) + 1)]) AS pt
+      |  FROM ssh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pref a JOIN pref b ON a.pt = b.pt AND a.doc_id < b.doc_id),
+      |jpairs AS (
+      |  SELECT doc_a, doc_b,
+      |    round(len(list_intersect(x.s, y.s))::DOUBLE /
+      |      (x.n + y.n - len(list_intersect(x.s, y.s))), 4) AS jaccard
+      |  FROM cand JOIN ssh x ON x.doc_id = cand.doc_a
+      |            JOIN ssh y ON y.doc_id = cand.doc_b)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1096,6 +1135,29 @@ object SparkEntry {
         |FROM ranked a JOIN ranked b
         |  ON a.source = b.source AND b.rn = a.rn + 1
         |ORDER BY doc_a""".stripMargin,
+
+    // All-pairs exact-Jaccard >= 0.8 via prefix filtering (complete:
+    // two sets with J >= t must share an element among the first
+    // ⌊(1-t)·n⌋+1 of a canonical ordering), so DuckDB never joins the
+    // full N² — the same candidates-then-verify shape as the engine.
+    "d_minhash_neardup" ->
+      s"""WITH $JaccardPairsCte
+        |SELECT doc_a, doc_b, jaccard FROM jpairs
+        |WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d_dedup_corpus" ->
+      s"""WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))),
+        |documents_kept AS (
+        |  SELECT d.* FROM documents d JOIN keepers k USING (doc_id)),
+        |${JaccardPairsCte.replace("FROM documents", "FROM documents_kept")}
+        |SELECT doc_id FROM keepers
+        |WHERE doc_id NOT IN (
+        |  SELECT doc_b FROM jpairs WHERE jaccard >= 0.8)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH marked AS (

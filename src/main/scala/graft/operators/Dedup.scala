@@ -173,12 +173,14 @@ object Dedup {
     // can be dropped as soon as the call returns
     val exactCached = exactDeduped
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 8 bands x 8 rows: band-collision probability 1-(1-j^8)^8 is
-    // steep around j~0.7 - the right operating point for a 0.8
-    // threshold, and an order of magnitude fewer false candidates
-    // than the recall-leaning 16x4 default.
+    // 16 bands x 4 rows, not 8x8: at the 0.8 threshold the 8x8
+    // S-curve centers too high - a true j=0.89 pair is MISSED with
+    // probability (1-0.89^8)^8 ~ 1.8%, i.e. 8x8 silently drops real
+    // near-dups. 16x4 bounds the miss at (1-j^4)^16 <= 2e-4 for
+    // j >= 0.8 (1e-7 at 0.89); the extra low-sim candidates are
+    // pruned map-side by the estFloor before any shuffle.
     val nearDupLosers = minhashNearDupPairs(
-      exactCached, shingleLen, numHashes = 64, bands = 8,
+      exactCached, shingleLen, numHashes = 64, bands = 16,
       estFloor = jaccardThreshold / 2)
       .where(F.col("jaccard") >= jaccardThreshold)
       .select(F.col("doc_b").as("doc_id"))
