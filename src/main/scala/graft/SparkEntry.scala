@@ -733,11 +733,14 @@ object SparkEntry {
     }),
     "a_energy_lambdas" -> ((s, d) => {
       val (m, _) = energyModel(s, d)
-      m.lambdas.orderBy("id")
+      m.lambdas
+        .select(F.col("id"), F.round(F.col("lambda"), 6).as("lambda"))
+        .orderBy("id")
     }),
     "a_energy_search" -> ((s, d) => {
       val (m, _) = energyModel(s, d)
       m.searchEnergy(queryVec(s, d), k = 10)
+        .select(F.col("id"), F.round(F.col("score"), 6).as("score"))
     }),
     "a_graph_degrees" -> ((s, d) => {
       val (_, edges) = model(s, d)
@@ -1281,6 +1284,29 @@ object SparkEntry {
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
 
+    // IVF probe replay: the coarse quantizer is DeterministicKMeans
+    // (k=16 lists, 15 Lloyd rounds on the RAW vectors), probes = the
+    // nprobe=12 lists nearest the query by rectified cosine, then
+    // exact cosine top-20 within the probed lists.
+    "v_ivf_topk" ->
+      (s"""WITH ivsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("ivsrc", 16, 15, "iv")},
+          |q AS (SELECT f, x FROM ivsrc WHERE id = 0),
+          |cq AS (SELECT k.c,
+          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+          |  FROM ivkc15 k JOIN q ON q.f = k.f GROUP BY k.c),
+          |probes AS (SELECT c FROM cq ORDER BY d, c LIMIT 12),
+          |sel AS (SELECT fin.id FROM ivfin fin JOIN probes p ON p.c = fin.c),
+          |scored AS (SELECT a.id,
+          |  sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)) AS cos
+          |  FROM ivsrc a JOIN q ON q.f = a.f JOIN sel ON sel.id = a.id
+          |  GROUP BY a.id)
+          |SELECT id, round(cos, 4) AS score FROM scored
+          |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
     "v_sql_surface" ->
       """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)
@@ -1463,6 +1489,42 @@ object SparkEntry {
 
     "g_ppr" -> PprOracleSql,
 
+    "g_communities" ->
+      s"""WITH $GraphBaseCte,
+         |${lpaRoundsCte(5)}
+         |SELECT id, lab AS community FROM lab5 ORDER BY id""".stripMargin,
+
+    "g_topology_factor" ->
+      s"""WITH $GraphBaseCte,
+         |${pprRoundsCte(15)},
+         |${lpaRoundsCte(5)},
+         |csize AS (SELECT lab, count(*) AS csize FROM lab5 GROUP BY lab),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |tot AS (SELECT sum(w) AS totvol FROM w),
+         |condc AS (
+         |  SELECT ls.lab AS lab, sum(w.w) AS vol,
+         |    sum(CASE WHEN ls.lab <> ld.lab THEN w.w ELSE 0.0 END) AS cut
+         |  FROM w JOIN lab5 ls ON ls.id = w.src
+         |         JOIN lab5 ld ON ld.id = w.dst
+         |  GROUP BY ls.lab),
+         |conds AS (
+         |  SELECT lab, CASE WHEN least(vol, totvol - vol) <= 0 THEN 1.0
+         |    ELSE cut / least(vol, totvol - vol) END AS cond
+         |  FROM condc CROSS JOIN tot),
+         |bounds AS (
+         |  SELECT min(r) AS lo,
+         |    CASE WHEN max(r) - min(r) <= 0 THEN 1.0
+         |         ELSE max(r) - min(r) END AS span
+         |  FROM r15)
+         |SELECT l.id,
+         |  round(0.4 * ((r15.r - b.lo) / b.span) + 0.3 * (1.0 - c.cond) +
+         |    0.3 * (cs.csize::DOUBLE / nn.n), 6) AS topology_factor
+         |FROM lab5 l JOIN r15 ON r15.id = l.id
+         |  JOIN csize cs ON cs.lab = l.lab
+         |  JOIN conds c ON c.lab = l.lab
+         |  CROSS JOIN bounds b CROSS JOIN nn
+         |ORDER BY l.id""".stripMargin,
+
     "g_conductance" ->
       """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
@@ -1558,6 +1620,22 @@ object SparkEntry {
       s"""$SpectralCte
          |SELECT id, round(lambda, 6) AS lambda FROM lam ORDER BY id""".stripMargin,
 
+    "a_energy_lambdas" ->
+      s"""WITH $EnergyOracleCte
+         |SELECT id, round(lambda, 6) AS lambda FROM lamv ORDER BY id""".stripMargin,
+
+    // the query vector IS item 0's raw embedding, so λ_q and E_q equal
+    // that item's stored lambda / e_raw (same synth formula, same L)
+    "a_energy_search" ->
+      s"""WITH $EnergyOracleCte,
+         |lq AS (SELECT lambda, e_raw FROM lamv WHERE id = 0)
+         |SELECT id, round(score, 6) AS score FROM (
+         |  SELECT lv.id,
+         |    1.0 * (1.0 / (1.0 + abs(lv.lambda - lq.lambda))) +
+         |    0.5 * (1.0 / (1.0 + abs(lv.e_raw - lq.e_raw))) AS score
+         |  FROM lamv lv CROSS JOIN lq
+         |  ORDER BY score DESC, lv.id ASC LIMIT 10)""".stripMargin,
+
     "a_get_item" ->
       s"""$SpectralCte
          |SELECT id, round(lambda, 6) AS lambda FROM lam WHERE id = 7""".stripMargin,
@@ -1632,39 +1710,73 @@ object SparkEntry {
     * vs the engine at round-6 precision, sf0.01) — unrolled here as
     * chained CTEs over the same kNN-graph SQL as a_graph_degrees.
     */
-  private val PprOracleSql: String = {
-    val base =
-      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |cos_pairs AS (
-        |  SELECT a.id AS src, b.id AS dst,
-        |    1.0 - greatest(0.0, list_cosine_similarity(a.v, b.v)) AS d
-        |  FROM e a JOIN e b ON a.id <> b.id),
-        |knn AS (
-        |  SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
-        |    FROM cos_pairs WHERE d <= 1.0)
-        |  WHERE rn <= 10),
-        |sym AS (SELECT src, dst FROM (
-        |  SELECT src, dst FROM knn UNION SELECT dst, src FROM knn)),
-        |nodes AS (SELECT DISTINCT src AS id FROM sym),
-        |outdeg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
-        |r0 AS (SELECT id, CASE WHEN id = 0 THEN 1.0 ELSE 0.0 END AS r FROM nodes)"""
-        .stripMargin
-    val steps = (0 until 15).map { i =>
-      s""",
-         |r${i + 1} AS (
-         |  SELECT n.id, (CASE WHEN n.id = 0 THEN 0.15 ELSE 0.0 END) +
-         |    0.85 * coalesce(s.msum, 0.0) AS r
-         |  FROM nodes n LEFT JOIN (
-         |    SELECT e2.dst AS id, sum(r$i.r / od.deg) AS msum
-         |    FROM sym e2 JOIN r$i ON r$i.id = e2.src
-         |    JOIN outdeg od ON od.id = e2.src
-         |    GROUP BY e2.dst) s ON s.id = n.id)""".stripMargin
-    }.mkString
-    base + steps + "\nSELECT id, round(r, 6) AS ppr FROM r15 ORDER BY id"
-  }
+  /** Shared DuckDB CTE chain: the a_* index's eps-kNN item graph from
+    * the raw embeddings — directed knn (eps=1, k=10), symmetrized with
+    * min-dist (symd), kernel weights (w), unweighted adjacency (sym),
+    * nodes, and out-degrees. Mirrors KnnGraph.epsKnnEdges with the
+    * default GraphParams.
+    */
+  private val GraphBaseCte: String =
+    """e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |cos_pairs AS (
+      |  SELECT a.id AS src, b.id AS dst,
+      |    1.0 - greatest(0.0, list_cosine_similarity(a.v, b.v)) AS d
+      |  FROM e a JOIN e b ON a.id <> b.id),
+      |knn AS (
+      |  SELECT src, dst, d FROM (
+      |    SELECT src, dst, d,
+      |      row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+      |    FROM cos_pairs WHERE d <= 1.0)
+      |  WHERE rn <= 10),
+      |symd AS (
+      |  SELECT src, dst, min(d) AS d FROM (
+      |    SELECT src, dst, d FROM knn
+      |    UNION ALL SELECT dst AS src, src AS dst, d FROM knn)
+      |  GROUP BY src, dst),
+      |sym AS (SELECT src, dst FROM symd),
+      |w AS (SELECT src, dst, 1.0 / (1.0 + pow(d / 0.5, 2.0)) AS w FROM symd),
+      |nodes AS (SELECT DISTINCT src AS id FROM sym),
+      |outdeg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)"""
+      .stripMargin
+
+  /** Unrolled personalized-PageRank recurrence from anchor 0
+    * (GraphX staticPersonalizedPageRank: r ← 0.15·δ + 0.85·Σ r/outdeg,
+    * r0 = δ, no final normalization). Ends in r`iters`(id, r). */
+  private def pprRoundsCte(iters: Int): String =
+    "r0 AS (SELECT id, CASE WHEN id = 0 THEN 1.0 ELSE 0.0 END AS r FROM nodes)" +
+      (0 until iters).map { i =>
+        s""",
+           |r${i + 1} AS (
+           |  SELECT n.id, (CASE WHEN n.id = 0 THEN 0.15 ELSE 0.0 END) +
+           |    0.85 * coalesce(s.msum, 0.0) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e2.dst AS id, sum(r$i.r / od.deg) AS msum
+           |    FROM sym e2 JOIN r$i ON r$i.id = e2.src
+           |    JOIN outdeg od ON od.id = e2.src
+           |    GROUP BY e2.dst) s ON s.id = n.id)""".stripMargin
+      }.mkString
+
+  /** Unrolled synchronous label propagation with the engine's total
+    * tie order (most frequent neighbor label, ties → smallest label;
+    * init label = id). Ends in lab`steps`(id, lab). */
+  private def lpaRoundsCte(steps: Int): String =
+    "lab0 AS (SELECT id, id AS lab FROM nodes)" +
+      (0 until steps).map { i =>
+        s""",
+           |lab${i + 1} AS (
+           |  SELECT id, lab FROM (
+           |    SELECT s.src AS id, l.lab,
+           |      row_number() OVER (PARTITION BY s.src
+           |        ORDER BY count(*) DESC, l.lab ASC) AS rn
+           |    FROM sym s JOIN lab$i l ON l.id = s.dst
+           |    GROUP BY s.src, l.lab) WHERE rn = 1)""".stripMargin
+      }.mkString
+
+  private val PprOracleSql: String =
+    s"""WITH $GraphBaseCte,
+       |${pprRoundsCte(15)}
+       |SELECT id, round(r, 6) AS ppr FROM r15 ORDER BY id""".stripMargin
 
   /** Shared DuckDB CTE: the taumode spectral pipeline from the raw
     * embeddings table, mirroring FeatureLaplacian.build +
@@ -1711,4 +1823,239 @@ object SparkEntry {
       |    (1.0 - t.t / (1.0 + t.t)) * en.gini AS lambda,
       |    en.e_raw AS e_raw
       |  FROM energy en CROSS JOIN tau t)""".stripMargin
+
+  /** [[graft.scale.DeterministicKMeans]]'s exact recurrence as a CTE
+    * chain over `src`(id, f, x) in long form: farthest-first seeding
+    * from the smallest id (k−1 running-min-distance picks, ties →
+    * max distance then smaller id), then `iters` Lloyd rounds
+    * (assignment ties → smaller index; empty clusters keep their
+    * center). Emits CTEs prefixed `p`, ending in ${p}kc`iters`
+    * (c, f, cx) and the final assignment ${p}fin(id, c).
+    */
+  private def kmeansCtes(src: String, k: Int, iters: Int, p: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""
+         |${p}sp0 AS (SELECT min(id) AS id FROM $src),
+         |${p}cent0 AS (SELECT 0 AS c, t.f, t.x AS cx
+         |  FROM $src t JOIN ${p}sp0 s ON t.id = s.id),
+         |${p}md0 AS (SELECT t.id, sum((t.x - c0.cx) * (t.x - c0.cx)) AS md
+         |  FROM $src t JOIN ${p}cent0 c0 ON c0.f = t.f GROUP BY t.id)""".stripMargin)
+    for (i <- 1 until k) {
+      sb.append(
+        s""",
+           |${p}pick$i AS (SELECT id FROM ${p}md${i - 1} ORDER BY md DESC, id ASC LIMIT 1),
+           |${p}cent$i AS (SELECT $i AS c, t.f, t.x AS cx
+           |  FROM $src t JOIN ${p}pick$i pk ON t.id = pk.id)""".stripMargin)
+      if (i < k - 1) sb.append(
+        s""",
+           |${p}md$i AS (SELECT m.id, least(m.md, d.nd) AS md FROM ${p}md${i - 1} m JOIN (
+           |    SELECT t.id, sum((t.x - ci.cx) * (t.x - ci.cx)) AS nd
+           |    FROM $src t JOIN ${p}cent$i ci ON ci.f = t.f GROUP BY t.id) d
+           |  ON d.id = m.id)""".stripMargin)
+    }
+    sb.append(
+      (0 until k).map(i => s"SELECT * FROM ${p}cent$i")
+        .mkString(s",\n${p}kc0 AS (", " UNION ALL ", ")"))
+    for (j <- 1 to iters) sb.append(
+      s""",
+         |${p}kc$j AS (
+         |  SELECT k.c, k.f, coalesce(nm2.mx, k.cx) AS cx
+         |  FROM ${p}kc${j - 1} k LEFT JOIN (
+         |    SELECT asg.c, t.f, avg(t.x) AS mx
+         |    FROM (
+         |      SELECT id, c FROM (
+         |        SELECT t.id, k2.c,
+         |          row_number() OVER (PARTITION BY t.id
+         |            ORDER BY sum((t.x - k2.cx) * (t.x - k2.cx)) ASC, k2.c ASC) AS rn
+         |        FROM $src t JOIN ${p}kc${j - 1} k2 ON k2.f = t.f
+         |        GROUP BY t.id, k2.c)
+         |      WHERE rn = 1) asg
+         |    JOIN $src t ON t.id = asg.id
+         |    GROUP BY asg.c, t.f) nm2 ON nm2.c = k.c AND nm2.f = k.f)""".stripMargin)
+    sb.append(
+      s""",
+         |${p}fin AS (SELECT id, c FROM (
+         |  SELECT t.id, k2.c,
+         |    row_number() OVER (PARTITION BY t.id
+         |      ORDER BY sum((t.x - k2.cx) * (t.x - k2.cx)) ASC, k2.c ASC) AS rn
+         |  FROM $src t JOIN ${p}kc$iters k2 ON k2.f = t.f
+         |  GROUP BY t.id, k2.c) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
+  /** The WHOLE energy pipeline (EnergyBuilder E1–E6, defaults:
+    * opticalTokens=40, trim 0.1, η=0.1, steps=4, splitQuantile=0.9,
+    * neighborK=12, splitTau=0.15, weights 1.0/0.5/0.25, candidateM=32,
+    * GraphParams eps=1 k=10 σ=0.5 p=2) replayed as one DuckDB CTE
+    * chain. Every stage is deterministic by construction on the engine
+    * side (DeterministicKMeans: farthest-first seeding from the
+    * smallest id + 20 fixed Lloyd iterations, ties → smaller index;
+    * exact order-statistic quantiles), so the recurrence can be
+    * unrolled: 39 seeding picks, 20 Lloyd rounds, the dispersion
+    * splits, the candidate graph, and both F×F co-energy Laplacians.
+    * Ends in lamv(id, lambda, e_raw) + tauv(t).
+    */
+  private val EnergyOracleCte: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """ex AS (SELECT vec_id AS id, generate_subscripts(embedding, 1) AS f,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |nrm AS (SELECT id, sqrt(sum(v * v)) AS nm FROM ex GROUP BY id),
+        |x0 AS (SELECT ex.id, ex.f,
+        |  CASE WHEN nrm.nm = 0 THEN ex.v ELSE ex.v / nrm.nm END AS x
+        |  FROM ex JOIN nrm ON nrm.id = ex.id),
+        |xl AS (SELECT id, list(x ORDER BY f) AS lv FROM x0 GROUP BY id),
+        |ecp AS (SELECT a.id AS src, b.id AS dst,
+        |  1.0 - greatest(0.0, list_cosine_similarity(a.lv, b.lv)) AS d
+        |  FROM xl a JOIN xl b ON a.id <> b.id),
+        |eknn AS (SELECT src, dst FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+        |  FROM ecp WHERE d <= 1.0) WHERE rn <= 12),
+        |esym AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM eknn UNION ALL SELECT dst AS src, src AS dst FROM eknn))"""
+        .stripMargin)
+    // E1: 4 diffusion steps x <- x + eta*(mean_N(x) - x)
+    for (t <- 1 to 4) sb.append(
+      s""",
+         |x$t AS (SELECT xs.id, xs.f, xs.x + 0.1 * (coalesce(nb.mn, xs.x) - xs.x) AS x
+         |  FROM x${t - 1} xs LEFT JOIN (
+         |    SELECT e.src AS id, xn.f, avg(xn.x) AS mn
+         |    FROM esym e JOIN x${t - 1} xn ON xn.id = e.dst
+         |    GROUP BY e.src, xn.f) nb ON nb.id = xs.id AND nb.f = xs.f)""".stripMargin)
+    // E2: trim the 10% farthest from the global mean (exact quantile)
+    sb.append(
+      """,
+        |nit AS (SELECT count(*) AS n FROM nrm),
+        |gmean AS (SELECT x4.f, sum(x4.x) / nit.n AS m
+        |  FROM x4 CROSS JOIN nit GROUP BY x4.f, nit.n),
+        |dmn AS (SELECT x4.id, sqrt(sum((x4.x - gmean.m) * (x4.x - gmean.m))) AS dmean
+        |  FROM x4 JOIN gmean ON gmean.f = x4.f GROUP BY x4.id),
+        |tcut AS (SELECT quantile_disc(dmean, 0.9) AS c FROM dmn),
+        |keep AS (SELECT dmn.id FROM dmn CROSS JOIN tcut WHERE dmn.dmean <= tcut.c),
+        |trm AS (SELECT x4.id, x4.f, x4.x FROM x4 JOIN keep ON keep.id = x4.id)"""
+        .stripMargin)
+    // E3: deterministic k-means (farthest-first + 20 Lloyd rounds)
+    sb.append("," + kmeansCtes("trm", 40, 20, ""))
+    // E4: per-cluster stats, dispersion splits
+    sb.append(
+      """,
+        |cstat AS (SELECT fin.c, trm.f,
+        |  sum(trm.x) / count(*) AS mf,
+        |  sqrt(greatest(0.0, sum(trm.x * trm.x) / count(*) -
+        |    (sum(trm.x) / count(*)) * (sum(trm.x) / count(*)))) AS sf
+        |  FROM fin JOIN trm ON trm.id = fin.id GROUP BY fin.c, trm.f),
+        |cdisp AS (SELECT c, sqrt(sum(sf * sf)) AS disp FROM cstat GROUP BY c),
+        |scut AS (SELECT r.disp AS d FROM
+        |  (SELECT disp, row_number() OVER (ORDER BY disp) AS rn FROM cdisp) r
+        |  CROSS JOIN (SELECT count(*) AS l FROM cdisp) n
+        |  WHERE r.rn = least(n.l, cast(trunc(0.9 * n.l) AS BIGINT) + 1)),
+        |ecent AS (
+        |  SELECT 2 * cs.c AS cid, cs.f,
+        |    CASE WHEN cd.disp > sc.d THEN cs.mf + 0.15 * cs.sf ELSE cs.mf END AS v,
+        |    cd.disp AS disp
+        |  FROM cstat cs JOIN cdisp cd ON cd.c = cs.c CROSS JOIN scut sc
+        |  UNION ALL
+        |  SELECT 2 * cs.c + 1, cs.f, cs.mf - 0.15 * cs.sf, cd.disp
+        |  FROM cstat cs JOIN cdisp cd ON cd.c = cs.c CROSS JOIN scut sc
+        |  WHERE cd.disp > sc.d),
+        |cl AS (SELECT cid, list(v ORDER BY f) AS lv, max(disp) AS disp
+        |  FROM ecent GROUP BY cid),
+        |ccp AS (SELECT a.cid AS ca, b.cid AS cb,
+        |  1.0 - greatest(0.0, list_cosine_similarity(a.lv, b.lv)) AS d
+        |  FROM cl a JOIN cl b ON a.cid <> b.cid),
+        |csel AS (SELECT DISTINCT least(ca, cb) AS a, greatest(ca, cb) AS b FROM (
+        |  SELECT ca, cb FROM (
+        |    SELECT ca, cb, row_number() OVER (PARTITION BY ca ORDER BY d, cb) AS rn
+        |    FROM ccp) WHERE rn <= 32)),
+        |pedges AS (SELECT csel.a, csel.b,
+        |  1.0 - greatest(0.0, list_cosine_similarity(xx.lv, yy.lv)) AS d
+        |  FROM csel JOIN cl xx ON xx.cid = csel.a JOIN cl yy ON yy.cid = csel.b),
+        |pw AS (SELECT a, b, 1.0 / (1.0 + pow(d / 0.5, 2.0)) AS w FROM pedges),
+        |pdif AS (SELECT pw.a, pw.b, pw.w, xa.f, xa.v - xb.v AS df
+        |  FROM pw JOIN ecent xa ON xa.cid = pw.a
+        |          JOIN ecent xb ON xb.cid = pw.b AND xb.f = xa.f),
+        |pm AS (SELECT d1.f AS f, d2.f AS g, sum(d1.w * d1.df * d2.df) AS m
+        |  FROM pdif d1 JOIN pdif d2 ON d1.a = d2.a AND d1.b = d2.b AND d1.f <= d2.f
+        |  GROUP BY d1.f, d2.f),
+        |fg AS (SELECT DISTINCT f FROM ecent),
+        |pdg AS (SELECT f, m FROM pm WHERE f = g),
+        |pall AS (SELECT f, g, m FROM pm
+        |  UNION ALL SELECT g AS f, f AS g, m FROM pm WHERE f < g),
+        |pdist AS (SELECT i.f, j.f AS g,
+        |  CASE WHEN coalesce(di.m, 0.0) * coalesce(dj.m, 0.0) <= 0 THEN 1.0
+        |       ELSE 1.0 - greatest(0.0, coalesce(pa.m, 0.0) / sqrt(di.m * dj.m)) END AS d
+        |  FROM fg i JOIN fg j ON i.f <> j.f
+        |  LEFT JOIN pdg di ON di.f = i.f
+        |  LEFT JOIN pdg dj ON dj.f = j.f
+        |  LEFT JOIN pall pa ON pa.f = i.f AND pa.g = j.f),
+        |psel AS (SELECT DISTINCT least(f, g) AS f, greatest(f, g) AS g FROM (
+        |  SELECT f, g FROM (
+        |    SELECT f, g, row_number() OVER (PARTITION BY f ORDER BY d, g) AS rn
+        |    FROM pdist) WHERE rn <= 10)),
+        |plap AS (SELECT psel.f, psel.g, 1.0 / (1.0 + pow(pd.d / 0.5, 2.0)) AS w
+        |  FROM psel JOIN pdist pd ON pd.f = psel.f AND pd.g = psel.g),
+        |cen AS (SELECT xa.cid, sum(plap.w * (xa.v - xb.v) * (xa.v - xb.v)) AS e
+        |  FROM plap JOIN ecent xa ON xa.f = plap.f
+        |            JOIN ecent xb ON xb.cid = xa.cid AND xb.f = plap.g
+        |  GROUP BY xa.cid),
+        |mdsp AS (SELECT greatest(1e-12, max(disp)) AS v FROM cl),
+        |esq AS (SELECT pw.a, pw.b, sum((xa.v - xb.v) * (xa.v - xb.v)) AS ss
+        |  FROM pw JOIN ecent xa ON xa.cid = pw.a
+        |          JOIN ecent xb ON xb.cid = pw.b AND xb.f = xa.f
+        |  GROUP BY pw.a, pw.b),
+        |ew AS (SELECT pe.a, pe.b,
+        |  1.0 * (1.0 / (1.0 + abs(ca.e - cb.e))) +
+        |  0.5 * (1.0 - abs(xa.disp - xb.disp) / mdsp.v) +
+        |  0.25 * (1.0 / (1.0 + esq.ss)) AS w
+        |  FROM pedges pe
+        |  JOIN cen ca ON ca.cid = pe.a JOIN cen cb ON cb.cid = pe.b
+        |  JOIN cl xa ON xa.cid = pe.a JOIN cl xb ON xb.cid = pe.b
+        |  JOIN esq ON esq.a = pe.a AND esq.b = pe.b
+        |  CROSS JOIN mdsp),
+        |edif AS (SELECT ew.a, ew.b, ew.w, xa.f, xa.v - xb.v AS df
+        |  FROM ew JOIN ecent xa ON xa.cid = ew.a
+        |          JOIN ecent xb ON xb.cid = ew.b AND xb.f = xa.f),
+        |em AS (SELECT d1.f AS f, d2.f AS g, sum(d1.w * d1.df * d2.df) AS m
+        |  FROM edif d1 JOIN edif d2 ON d1.a = d2.a AND d1.b = d2.b AND d1.f <= d2.f
+        |  GROUP BY d1.f, d2.f),
+        |edg AS (SELECT f, m FROM em WHERE f = g),
+        |eall AS (SELECT f, g, m FROM em
+        |  UNION ALL SELECT g AS f, f AS g, m FROM em WHERE f < g),
+        |edist AS (SELECT i.f, j.f AS g,
+        |  CASE WHEN coalesce(di.m, 0.0) * coalesce(dj.m, 0.0) <= 0 THEN 1.0
+        |       ELSE 1.0 - greatest(0.0, coalesce(ea.m, 0.0) / sqrt(di.m * dj.m)) END AS d
+        |  FROM fg i JOIN fg j ON i.f <> j.f
+        |  LEFT JOIN edg di ON di.f = i.f
+        |  LEFT JOIN edg dj ON dj.f = j.f
+        |  LEFT JOIN eall ea ON ea.f = i.f AND ea.g = j.f),
+        |esel AS (SELECT DISTINCT least(f, g) AS f, greatest(f, g) AS g FROM (
+        |  SELECT f, g FROM (
+        |    SELECT f, g, row_number() OVER (PARTITION BY f ORDER BY d, g) AS rn
+        |    FROM edist) WHERE rn <= 10)),
+        |elap AS (SELECT esel.f, esel.g, 1.0 / (1.0 + pow(ed2.d / 0.5, 2.0)) AS w
+        |  FROM esel JOIN edist ed2 ON ed2.f = esel.f AND ed2.g = esel.g),
+        |iterm AS (SELECT a.id, elap.w * (a.v - b.v) * (a.v - b.v) AS t
+        |  FROM elap JOIN ex a ON a.f = elap.f
+        |            JOIN ex b ON b.id = a.id AND b.f = elap.g),
+        |ilam AS (SELECT id, sum(t) AS e_raw,
+        |  CASE WHEN sum(t) <= 0 THEN 0.0
+        |       ELSE least(1.0, greatest(0.0, sum(t * t) / (sum(t) * sum(t)))) END AS g_raw
+        |  FROM iterm GROUP BY id),
+        |tauv AS (SELECT CASE WHEN quantile_disc(e_raw, 0.5) > 0
+        |  THEN quantile_disc(e_raw, 0.5) ELSE 1e-10 END AS t FROM ilam),
+        |lamv AS (SELECT il.id,
+        |  (tv.t / (1.0 + tv.t)) *
+        |    (CASE WHEN il.e_raw + tv.t = 0 THEN 0.0
+        |          ELSE il.e_raw / (il.e_raw + tv.t) END) +
+        |  (1.0 - tv.t / (1.0 + tv.t)) * il.g_raw AS lambda,
+        |  il.e_raw AS e_raw
+        |  FROM ilam il CROSS JOIN tauv tv)""".stripMargin)
+    // MATERIALIZED on every CTE: DuckDB inlines plain CTEs per
+    // reference, and the seeding/Lloyd chains reference their
+    // predecessor twice each — inlining makes the expansion
+    // exponential (observed as "Too many open files" from duplicated
+    // parquet scans). Materialization makes the evaluation linear.
+    sb.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
 }

@@ -3,8 +3,6 @@ package graft.api
 import graft.core.{EnergyParams, GraphParams}
 import graft.functions.VectorFunctions._
 import graft.spectral.{FeatureLaplacian, TauMode}
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.storage.StorageLevel
 
@@ -29,8 +27,10 @@ import org.apache.spark.storage.StorageLevel
   *     every prior step).
   *  E2 trim — drop the `trimQuantile` fraction of items farthest
   *     from the global mean (approxQuantile + filter).
-  *  E3 optical-token compression — MLlib KMeans(k=opticalTokens,
-  *     seed) on the diffused, trimmed vectors.
+  *  E3 optical-token compression — deterministic k-means
+  *     (farthest-first seeding + fixed Lloyd iterations,
+  *     [[graft.scale.DeterministicKMeans]]) on the diffused, trimmed
+  *     vectors.
   *  E4 dispersion splitting — centroids whose member dispersion
   *     exceeds the `splitQuantile` quantile split into c ± splitTau·σ
   *     (σ = element-wise member std), giving graph_nodes within
@@ -174,26 +174,27 @@ object EnergyBuilder {
       }
       .toDF("id", "x", "dmean")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // relativeError 0: on an exact order statistic both engine and
+    // oracle pick the SAME boundary element (same policy as TauMode's
+    // exact median); at extreme scale trade back to a small eps at the
+    // cost of hash-exactness.
     val cutoff = graft.core.Debug.timed("E2 trim quantile")(withDist.stat
-      .approxQuantile("dmean", Array(1.0 - energy.trimQuantile), 0.001)
+      .approxQuantile("dmean", Array(1.0 - energy.trimQuantile), 0.0)
       .head)
     val trimmed = withDist.where(F.col("dmean") <= cutoff)
 
-    // E3: optical-token compression via KMeans.
-    val forKm = trimmed.withColumn("features", array_to_vector(F.col("x")))
-    val km = new KMeans()
-      .setK(math.min(energy.opticalTokens, math.max(2, nItems.toInt)))
-      .setSeed(params.seed)
-      .setFeaturesCol("features")
-      .setPredictionCol("cluster")
-      .setMaxIter(20)
-      // seeded random init, not kmeans||: matches the reference dep's
-      // simple initialization (smartcore KMeans) and drops the extra
-      // distributed init passes — the 20 Lloyd iterations dominate
-      // quality for a coarse optical-token quantizer anyway.
-      .setInitMode("random")
-    val kmModel = graft.core.Debug.timed("E3 kmeans fit")(km.fit(forKm))
-    val assigned = kmModel.transform(forKm).select("id", "x", "cluster")
+    // E3: optical-token compression via fully deterministic k-means
+    // (farthest-first seeding + fixed Lloyd iterations) — same input,
+    // same centroids, no partition-layout or RNG dependence, so the
+    // whole energy pipeline is oracle-replayable. The reference dep's
+    // smartcore KMeans also uses a simple (random) seeding; a k-center
+    // sweep is the deterministic counterpart of comparable quality for
+    // a coarse optical-token quantizer.
+    val kmModel = graft.core.Debug.timed("E3 kmeans fit")(
+      graft.scale.DeterministicKMeans.fit(
+        trimmed, math.min(energy.opticalTokens, math.max(2, nItems.toInt)),
+        maxIter = 20))
+    val assigned = graft.scale.DeterministicKMeans.assign(trimmed, kmModel)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Per-cluster stats: mean (centroid), element-wise std, dispersion.

@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
-import org.apache.spark.graphx.lib.LabelPropagation
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 /** Graph-analytics operators over the similarity graph — the
@@ -68,18 +67,36 @@ object GraphAnalytics {
   /** Label-propagation communities (the modularity-communities stand-in
     * the reference computes via networkx greedy modularity).
     * Output: (id, community).
+    *
+    * Synchronous LPA with a TOTAL tie order: every step each node
+    * adopts the most frequent label among its neighbors, ties broken
+    * by the smallest label. Unlike GraphX's LabelPropagation (whose
+    * tie-breaking follows map-merge order and is not reproducible),
+    * this is deterministic — the same fixture always yields the same
+    * communities, so the operator is oracle-checkable. Per step: one
+    * equi-join of the symmetric edge list with the label frame, a
+    * count aggregation (map-side partial), and a salted top-1 per
+    * node (a hub's label votes never land in a single task).
     */
   def labelPropagation(edges: DataFrame, maxSteps: Int = 5): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val g = toGraph(edges)
-    try LabelPropagation
-      .run(g, maxSteps)
-      .vertices
-      .map { case (id, c) => (id, c) }
-      .toDF("id", "community")
-      .localCheckpoint()
-    finally g.unpersist(blocking = false)
+    val sym = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    var labels = sym.select(F.col("src").as("id")).distinct()
+      .withColumn("community", F.col("id"))
+      .localCheckpoint() // cut lineage per step: 5 iterated shuffles
+    var step = 0
+    while (step < maxSteps) {
+      val votes = sym
+        .join(labels.select(F.col("id").as("dst"), F.col("community")), "dst")
+        .groupBy(F.col("src").as("id"), F.col("community"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+      labels = graft.scale.Skew
+        .saltedTopKPerKey(
+          votes, "id", Seq(F.col("cnt").desc, F.col("community").asc), 1)
+        .select("id", "community")
+        .localCheckpoint()
+      step += 1
+    }
+    labels
   }
 
   /** Weighted conductance of a node set S:

@@ -123,14 +123,19 @@ object Similarity {
       centroids: Array[(Int, Array[Double])],
       k: Int)
 
+  /** The coarse quantizer is [[graft.scale.DeterministicKMeans]]
+    * (farthest-first seeding + 15 fixed Lloyd rounds): the same corpus
+    * always yields the same lists, so probe results are reproducible
+    * and oracle-checkable. `seed` is kept for API compatibility and
+    * ignored — there is no randomness left to seed.
+    */
   def ivfBuild(emb: DataFrame, nLists: Int, seed: Long = 42L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    val withVec = emb.withColumn("features", array_to_vector(F.col("vec")))
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(15)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-    val model = km.fit(withVec)
-    val assigned = model.transform(withVec).select("id", "vec", "cluster")
-    IvfIndex(assigned, model.clusterCenters.map(_.toArray).zipWithIndex.map(_.swap), nLists)
+    val model = graft.scale.DeterministicKMeans.fit(
+      emb, nLists, maxIter = 15, idCol = "id", vecCol = "vec")
+    val assigned = graft.scale.DeterministicKMeans.assign(
+        emb, model, idCol = "id", vecCol = "vec")
+      .select("id", "vec", "cluster")
+    IvfIndex(assigned, model.centers.zipWithIndex.map(_.swap), nLists)
   }
 
   def ivfTopK(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
