@@ -29,13 +29,17 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         name -> (if (ok) sec else -sec)
       }
-    // centisecond precision keeps the whole JSON line under ~1700 chars
-    // so it survives intact in a bounded stdout tail capture
+    // centisecond precision + basename-only sf keep the whole JSON
+    // line under ~1700 chars: the driver captures a bounded stdout
+    // tail (observed 2000 chars, minus sbt's trailing success line),
+    // and a head-truncated line is unparseable — r02 lost its bench
+    // numbers exactly this way
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -370,10 +370,10 @@ object SparkEntry {
 
     "d_simhash_neardup" -> ((s, d) =>
       // Hamming distance 3 is the standard near-dup operating point for
-      // 64-bit SimHash (Manku et al., WWW'07): complete 4-chunk
-      // blocking with 16-bit keys. Wider bounds shrink the chunk keys
-      // (maxDist+1 chunks) and explode candidates on correlated
-      // corpora — measured 23s at maxDist=16 vs ~1s here at sf0.1.
+      // SimHash (Manku et al., WWW'07): complete 4-chunk blocking with
+      // 15-bit keys. Wider bounds shrink the chunk keys (maxDist+1
+      // chunks) and explode candidates on correlated corpora —
+      // measured 23s at maxDist=16 vs ~1s here at sf0.1.
       Dedup.simhashNearDupPairs(docs(s, d), maxDist = 3).limit(100)),
 
     // ---- similarity search ----
@@ -381,7 +381,11 @@ object SparkEntry {
       Similarity.annTopK(emb(s, d), queryVec(s, d), 20)),
 
     "v_ann_topk_lsh" -> ((s, d) =>
-      Similarity.annTopKLsh(emb(s, d), queryVec(s, d), 20)),
+      // deterministic SRP-LSH (Hamming-ranked candidates, exact-integer
+      // projections) rather than the seeded ML BucketedRandomProjection
+      // path: same approximate contract, but reproducible enough for
+      // the DuckDB oracle to replay the candidate set bit-for-bit
+      Similarity.annTopKHamming(emb(s, d), queryVec(s, d), 20)),
 
     "v_emb_norms" -> ((s, d) =>
       Similarity.norms(emb(s, d)).orderBy("id")),
@@ -826,6 +830,29 @@ object SparkEntry {
     * J ≥ 0.8: the 0.2·n+1 prefix length is the standard prefix-filter
     * bound) → exact Jaccard. Ends in jpairs(doc_a, doc_b, jaccard).
     */
+  // 60-bit SimHash per document (mirrors Dedup.simhash exactly):
+  // explode whitespace tokens (duplicates kept — each occurrence
+  // votes), 60-bit md5-derived hash per token, ±1 majority per bit.
+  private val SimhashCte =
+    """stok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |sthash AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+      |  FROM stok),
+      |sbits AS (
+      |  SELECT doc_id, r.range AS b,
+      |    sum(CASE WHEN ((h >> r.range) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM sthash CROSS JOIN range(60) r
+      |  GROUP BY doc_id, r.range),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+      |      AS BIGINT) AS simhash
+      |  FROM sbits GROUP BY doc_id)""".stripMargin
+
   private val JaccardPairsCte =
     """tok AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -1162,6 +1189,27 @@ object SparkEntry {
         |  SELECT doc_b FROM jpairs WHERE jaccard >= 0.8)
         |ORDER BY doc_id""".stripMargin,
 
+    // 60-bit SimHash recomputed end-to-end: md5-derived token hashes
+    // (('0x'||hex15)::BIGINT is the same value as Spark's
+    // conv(substr(md5(t),1,15),16,10)), ±1 majority vote per bit lane,
+    // bits reassembled below bit 63 so no sign/overflow divergence.
+    "d_simhash" ->
+      s"""WITH $SimhashCte
+        |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    // Pair semantics, not blocking internals: the engine's pigeonhole
+    // chunk join is candidate generation only — the contract is "all
+    // pairs at Hamming <= 3", which DuckDB verifies all-pairs (fine at
+    // oracle SF; the engine side never joins N²).
+    "d_simhash_neardup" ->
+      s"""WITH $SimhashCte
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY hamming, doc_a, doc_b
+        |LIMIT 100""".stripMargin,
+
     "q_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts,
@@ -1283,6 +1331,38 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    // SRP-LSH replay: md5-parity ±1 planes, vectors quantized to
+    // round(x·1e6) BIGINTs so plane-sign agreement is exact integer
+    // math — the top-240 Hamming candidate set is identical to the
+    // engine's, then the same round-4 cosine re-rank as v_ann_topk.
+    "v_ann_topk_lsh" ->
+      ("""WITH planes AS (
+        |  SELECT j.range AS j, f.range AS f,
+        |    CASE WHEN ascii(substr(md5(CAST(j.range AS VARCHAR) || '_' ||
+        |      CAST(f.range AS VARCHAR)), 1, 1)) % 2 = 0
+        |    THEN 1 ELSE -1 END AS s
+        |  FROM range(256) j CROSS JOIN range(64) f),
+        |xsrc AS (SELECT vec_id AS id,
+        |  generate_subscripts(embedding, 1) - 1 AS f,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |xq AS (SELECT id, f, CAST(round(x * 1000000) AS BIGINT) AS xi
+        |  FROM xsrc),
+        |proj AS (SELECT x.id, p.j, sum(p.s * x.xi) AS pr
+        |  FROM xq x JOIN planes p ON p.f = x.f GROUP BY x.id, p.j),
+        |qb AS (SELECT j, pr >= 0 AS qb FROM proj WHERE id = 0),
+        |agr AS (SELECT pr.id,
+        |    sum(CASE WHEN (pr.pr >= 0) = qb.qb THEN 1 ELSE 0 END) AS agree
+        |  FROM proj pr JOIN qb ON qb.j = pr.j GROUP BY pr.id),
+        |cand AS (SELECT id FROM agr ORDER BY agree DESC, id ASC LIMIT 240),
+        |q AS (SELECT f, x FROM xsrc WHERE id = 0),
+        |scored AS (SELECT a.id,
+        |  sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)) AS cos
+        |  FROM xsrc a JOIN q ON q.f = a.f JOIN cand c ON c.id = a.id
+        |  GROUP BY a.id)
+        |SELECT id, round(cos, 4) AS score FROM scored
+        |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
 
     // IVF probe replay: the coarse quantizer is DeterministicKMeans
     // (k=16 lists, 15 Lloyd rounds on the RAW vectors), probes = the
@@ -1493,6 +1573,106 @@ object SparkEntry {
       s"""WITH $GraphBaseCte,
          |${lpaRoundsCte(5)}
          |SELECT id, lab AS community FROM lab5 ORDER BY id""".stripMargin,
+
+    // The six graph-aware metrics over the τ=0.62 top-10 list
+    // (TopologyMetrics.evaluate, k=10, rbpP=0.9, maxGrade=3, weights
+    // 0.4/0.3/0.3): spectral CTE for the ranked lists + graph base +
+    // unrolled PPR + unrolled LPA + prefix conductance/modularity via
+    // window functions; IT-ERR's stop-probability recurrence becomes a
+    // windowed product().
+    "m_topology_eval" ->
+      s"""$SpectralCte,
+         |$GraphBaseCte,
+         |${pprRoundsCte(15)},
+         |${lpaRoundsCte(5)},
+         |cosims AS (
+         |  SELECT b.id, sum(a.v * b.v) / sqrt(sum(a.v * a.v) * sum(b.v * b.v)) AS cos
+         |  FROM x a JOIN x b ON a.f = b.f AND a.id = 0
+         |  GROUP BY b.id),
+         |lq AS (SELECT lambda FROM lam WHERE id = 0),
+         |rel AS (SELECT id AS doc_id FROM cosims ORDER BY cos DESC, id ASC LIMIT 10),
+         |ret AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM (
+         |    SELECT l.id AS doc_id,
+         |      0.62 * c.cos + 0.38 * (1.0 / (1.0 + abs(l.lambda - lq.lambda))) AS score
+         |    FROM lam l JOIN cosims c ON c.id = l.id CROSS JOIN lq
+         |    ORDER BY score DESC, doc_id ASC LIMIT 10)),
+         |lrows AS (
+         |  SELECT ret.rank, ret.doc_id,
+         |    CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS grade,
+         |    coalesce(r15.r, 0.0) AS ppr,
+         |    coalesce(dg.degree, 0.0) AS degree,
+         |    coalesce(lab5.lab, -1) AS community
+         |  FROM ret LEFT JOIN rel ON rel.doc_id = ret.doc_id
+         |  LEFT JOIN r15 ON r15.id = ret.doc_id
+         |  LEFT JOIN (SELECT src AS id, sum(w) AS degree FROM w GROUP BY src) dg
+         |    ON dg.id = ret.doc_id
+         |  LEFT JOIN lab5 ON lab5.id = ret.doc_id),
+         |inte AS (
+         |  SELECT hr.rank AS rhigh, sum(w.w) AS iw
+         |  FROM w JOIN lrows lr ON lr.doc_id = w.src
+         |         JOIN lrows hr ON hr.doc_id = w.dst
+         |  WHERE lr.rank < hr.rank
+         |  GROUP BY hr.rank),
+         |pq AS (
+         |  SELECT l.rank, l.doc_id, l.grade, l.ppr, l.degree, l.community,
+         |    sum(l.degree) OVER (ORDER BY l.rank) AS vol,
+         |    coalesce(sum(i.iw) OVER (ORDER BY l.rank), 0.0) AS internal
+         |  FROM lrows l LEFT JOIN inte i ON i.rhigh = l.rank),
+         |modsh AS (
+         |  SELECT c.rank, max(c.cnt)::DOUBLE / c.rank AS modshare
+         |  FROM (
+         |    SELECT a.rank, b.community, count(*) AS cnt
+         |    FROM lrows a JOIN lrows b ON b.rank <= a.rank
+         |    GROUP BY a.rank, b.community) c
+         |  GROUP BY c.rank),
+         |tot AS (SELECT sum(w) AS tv FROM w),
+         |nmax AS (SELECT max(rank) AS n FROM lrows),
+         |tfac AS (
+         |  SELECT pq.rank, pq.doc_id, pq.grade, pq.ppr,
+         |    0.4 * pq.ppr + 0.3 * (1.0 -
+         |      CASE WHEN pq.rank = nmax.n AND tot.tv - pq.vol <= 0 THEN 0.0
+         |           WHEN least(pq.vol, tot.tv - pq.vol) <= 0 THEN 1.0
+         |           ELSE greatest(0.0, pq.vol - 2.0 * pq.internal) /
+         |                least(pq.vol, tot.tv - pq.vol) END) +
+         |    0.3 * ms.modshare AS t
+         |  FROM pq JOIN modsh ms ON ms.rank = pq.rank
+         |  CROSS JOIN tot CROSS JOIN nmax),
+         |mxt AS (SELECT max(t) AS maxt FROM tfac),
+         |grbp AS (SELECT sum(0.1 * grade * pow(0.9, rank - 1) * t) AS v FROM tfac),
+         |dcgv AS (SELECT sum((pow(2.0, grade) - 1.0) * t / log2(rank + 1.0)) AS v
+         |  FROM tfac),
+         |idcgv AS (SELECT sum((pow(2.0, s.g) - 1.0) * mxt.maxt / log2(s.rn + 1.0)) AS v
+         |  FROM (SELECT grade AS g, row_number() OVER (ORDER BY grade DESC) AS rn
+         |        FROM tfac) s CROSS JOIN mxt),
+         |tdndcg AS (SELECT CASE WHEN idcgv.v > 0 THEN dcgv.v / idcgv.v ELSE 0.0 END AS v
+         |  FROM dcgv CROSS JOIN idcgv),
+         |errv AS (SELECT sum(coalesce(s.prodpre, 1.0) * s.rt / s.rank) AS v FROM (
+         |  SELECT rank, (grade / 3.0) * t AS rt,
+         |    product(1.0 - (grade / 3.0) * t) OVER (ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prodpre
+         |  FROM tfac) s),
+         |mrrt AS (SELECT coalesce(
+         |  (SELECT t / rank FROM tfac WHERE grade > 0 ORDER BY rank LIMIT 1), 0.0) AS v),
+         |sqiv AS (SELECT
+         |  0.3 * (1.0 - CASE WHEN least(q.vol, tot.tv - q.vol) <= 0 THEN 1.0
+         |    ELSE greatest(0.0, q.vol - 2.0 * q.internal) /
+         |         least(q.vol, tot.tv - q.vol) END) +
+         |  0.3 * ms.modshare + 0.4 * ps.sp AS v
+         |  FROM (SELECT vol, internal, rank FROM pq ORDER BY rank DESC LIMIT 1) q
+         |  JOIN modsh ms ON ms.rank = q.rank
+         |  CROSS JOIN (SELECT sum(ppr) AS sp FROM tfac) ps CROSS JOIN tot)
+         |SELECT CAST(0 AS BIGINT) AS query_id,
+         |  round(grbp.v, 6) AS g_rbp, round(tdndcg.v, 6) AS td_ndcg,
+         |  round(errv.v, 6) AS it_err, round(mrrt.v, 6) AS mrr_topo,
+         |  round(sqiv.v, 6) AS sqi
+         |FROM grbp CROSS JOIN tdndcg CROSS JOIN errv CROSS JOIN mrrt
+         |CROSS JOIN sqiv"""
+        // lrows/tfac are referenced up to 6 times each: without
+        // MATERIALIZED DuckDB re-inlines the whole spectral+graph
+        // chain per reference and the query never finishes
+        .stripMargin.replace(" AS (", " AS MATERIALIZED ("),
 
     "g_topology_factor" ->
       s"""WITH $GraphBaseCte,

@@ -190,10 +190,25 @@ object Dedup {
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
-  /** 64-bit SimHash per document from xxhash64-hashed tokens. Tokens
-    * are exploded and re-aggregated into 64 ±1 bit-count lanes (one
+  /** SimHash bit width. 60 (not 64) so every value — hashes, chunk
+    * masks, bit shifts — stays strictly below bit 63: no sign games in
+    * Spark and no `1 << 63` overflow in the DuckDB oracle.
+    */
+  val SimhashBits = 60
+
+  /** Deterministic 60-bit token hash: the first 15 hex digits of
+    * md5(token). md5 is bit-identical across Spark, the JVM, and
+    * DuckDB (`('0x' || substr(md5(t), 1, 15))::BIGINT`), which makes
+    * every downstream SimHash value oracle-expressible — unlike
+    * xxhash64, which DuckDB cannot evaluate.
+    */
+  def tokenHash60(token: Column): Column =
+    F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash per document from md5-hashed tokens. Tokens are
+    * exploded and re-aggregated into 60 ±1 bit-count lanes (one
     * shuffle keyed by doc_id; partial aggregation keeps it map-side-
-    * combining, so the exchange carries O(docs × 64 ints) regardless
+    * combining, so the exchange carries O(docs × 60 ints) regardless
     * of token count). Measured faster than the no-shuffle higher-order-
     * function formulation — HOF lambdas are interpreted while this
     * whole pipeline stays in whole-stage codegen.
@@ -203,14 +218,14 @@ object Dedup {
     val tok = docs.select(
       F.col("doc_id"),
       F.explode(TextOps.tokens(F.col("text"))).as("token"))
-      .withColumn("h", F.xxhash64(F.col("token")))
-    val bitAggs = (0 until 64).map { b =>
+      .withColumn("h", tokenHash60(F.col("token")))
+    val bitAggs = (0 until SimhashBits).map { b =>
       F.sum(
         F.when(F.shiftright(F.col("h"), b).bitwiseAND(1L) === 1L, 1)
           .otherwise(-1)).as(s"b$b")
     }
     val counted = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val hashExpr = (0 until 64)
+    val hashExpr = (0 until SimhashBits)
       .map(b => F.when(F.col(s"b$b") > 0, F.shiftleft(F.lit(1L), b)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
     counted.select(F.col("doc_id"), hashExpr.as("simhash"))
@@ -220,18 +235,19 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidate pairs within Hamming distance
-    * `maxDist`, blocked on `maxDist + 1` bit-chunks: if two 64-bit
+    * `maxDist`, blocked on `maxDist + 1` bit-chunks: if two 60-bit
     * hashes differ in ≤ maxDist bits then by pigeonhole at least one
     * of the maxDist+1 chunks is bit-identical, so the equi-join on
     * (chunk index, chunk value) is COMPLETE — no near-dup pair is
     * missed — and never a cross join. Chunk widths are
-    * ⌊64/(maxDist+1)⌋ or ⌈64/(maxDist+1)⌉.
+    * ⌊60/(maxDist+1)⌋ or ⌈60/(maxDist+1)⌉.
     */
   def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 6): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
+    require(maxDist >= 0 && maxDist < SimhashBits,
+      s"maxDist must be in [0, $SimhashBits), got $maxDist")
     val nChunks = maxDist + 1
-    val base = 64 / nChunks
-    val rem = 64 % nChunks
+    val base = SimhashBits / nChunks
+    val rem = SimhashBits % nChunks
     val chunkStructs = (0 until nChunks).map { i =>
       val start = i * base + math.min(i, rem)
       val len = base + (if (i < rem) 1 else 0)

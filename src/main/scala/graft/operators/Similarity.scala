@@ -55,6 +55,69 @@ object Similarity {
       .orderBy(F.col("score").desc, F.col("id").asc)
   }
 
+  /** ±1 sign for signed-random-projection plane `j`, feature `f`:
+    * parity of the first hex character of md5("j_f"). Hex digits are
+    * uniform over 16 values, 8 of each ascii parity, so the planes are
+    * balanced Rademacher — and the SQL oracle derives the identical
+    * sign via `ascii(substr(md5(j || '_' || f), 1, 1)) % 2`.
+    */
+  private def planeSign(j: Int, f: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"${j}_${f}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0).toInt % 2 == 0) 1L else -1L
+  }
+
+  /** Deterministic signed-random-projection ANN (Charikar'02 SRP-LSH,
+    * Hamming-ranking form): `bits` md5-derived ±1 hyperplanes, vectors
+    * quantized to round(x·1e6) longs so every projection is an EXACT
+    * integer — the candidate set is bit-for-bit reproducible across
+    * engines (no float-sign boundary), which is what lets the DuckDB
+    * oracle replay it. Candidates = top `nCandidates` by plane-sign
+    * agreement with the query (popcount ranking), re-ranked by exact
+    * cosine. At scale the bit codes are a precomputed 4-long column;
+    * query time is then a popcount scan + TakeOrdered(C) + C exact
+    * re-ranks — one pass, no shuffle, sublinear in vector width.
+    * Output: (id, score) — top `k` by (score DESC, id ASC).
+    */
+  def annTopKHamming(
+      emb: DataFrame,
+      query: Array[Double],
+      k: Int,
+      bits: Int = 256,
+      nCandidates: Int = 240): DataFrame = {
+    val nF = query.length
+    val planes: Seq[Seq[Long]] =
+      (0 until bits).map(j => (0 until nF).map(f => planeSign(j, f)))
+    def quantize(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qi = query.map(quantize)
+    val qbits: Seq[Boolean] =
+      planes.map(p => p.zip(qi).map { case (s, x) => s * x }.sum >= 0L)
+    // one literal array of (plane, query-bit) structs: the agreement
+    // count is a single nested-HOF column, so the plan stays one
+    // narrow projection instead of 256 aggregate columns
+    val pq = F.typedLit(planes.zip(qbits))
+    val xi = F.transform(F.col("vec"),
+      x => F.round(x * F.lit(1e6), 0).cast("long"))
+    val agree = F.aggregate(
+      pq, F.lit(0),
+      (acc, p) => acc + F.when(
+        (F.aggregate(
+          F.zip_with(F.col("xi"), p.getField("_1"), (a, b) => a * b),
+          F.lit(0L), (s, v) => s + v) >= 0L) === p.getField("_2"),
+        1).otherwise(0))
+    val q = F.typedLit(query)
+    emb
+      .withColumn("xi", xi)
+      .withColumn("agree", agree)
+      .orderBy(F.col("agree").desc, F.col("id").asc)
+      .limit(nCandidates)
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
   /** Spark round() semantics (HALF_UP) for driver/executor-side
     * doubles, so broadcast-path scores hash-match the SQL oracle. */
   private def round4(x: Double): Double =

@@ -70,6 +70,11 @@ class SimilaritySpec extends SparkSpec {
     val lsh = Similarity.annTopKLsh(emb, q, 20)
       .collect().map(_.getLong(0)).toSet
     assert(recall(lsh) >= 0.9, s"LSH recall@20 = ${recall(lsh)} < 0.9")
+    // deterministic SRP path (the v_ann_topk_lsh driver query):
+    // 256 planes / 240 candidates measured at 0.95 on this fixture
+    val ham = Similarity.annTopKHamming(emb, q, 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(recall(ham) >= 0.9, s"SRP recall@20 = ${recall(ham)} < 0.9")
     // near-orthogonal embeddings scatter true neighbors uniformly over
     // lists, so IVF recall is ~linear in nprobe here (measured: 0.45 at
     // 4, 0.8 at 10, 0.9 at 12 of 16 lists); nprobe=12 is the >=0.9
