@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify stdout must reach the caller raw: sbt's default
+// LoggedOutput decorates every forked-process line with an "[info] "
+// prefix, which breaks anything that pattern-matches the single
+// {"metric":...} line from graft.Bench (both prior rounds' bench
+// captures show parsed:null despite rc=0 — this prefix is why).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

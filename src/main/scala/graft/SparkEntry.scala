@@ -387,6 +387,13 @@ object SparkEntry {
       // the DuckDB oracle to replay the candidate set bit-for-bit
       Similarity.annTopKHamming(emb(s, d), queryVec(s, d), 20)),
 
+    "d_embed_neardup" -> ((s, d) =>
+      // embedding-cosine near-dup: the fourth dedup mode (exact /
+      // minhash / simhash / embedding). Broadcast + per-partition
+      // primitive loop at oracle SF; at 100 TB candidates come from
+      // the LSH band join or IVF blocking instead of all-pairs.
+      Similarity.cosineNearDupPairs(emb(s, d), 0.3)),
+
     "v_emb_norms" -> ((s, d) =>
       Similarity.norms(emb(s, d)).orderBy("id")),
 
@@ -1331,6 +1338,15 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    "d_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS score
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+        |ORDER BY score DESC, id_a, id_b""".stripMargin,
 
     // SRP-LSH replay: md5-parity ±1 planes, vectors quantized to
     // round(x·1e6) BIGINTs so plane-sign agreement is exact integer

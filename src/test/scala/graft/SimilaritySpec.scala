@@ -18,6 +18,22 @@ class SimilaritySpec extends SparkSpec {
   lazy val query: Array[Double] =
     emb.where(F.col("id") === 11).select("vec").head.getSeq[Double](0).toArray
 
+  test("SRP-Hamming top-k: clustered data recall, self-hit first, deterministic") {
+    // clustered data (8 well-separated modes): Hamming ranking over 256
+    // sign bits separates modes cleanly — candidates cover the true
+    // top-10, so the re-ranked answer equals brute force
+    val brute = Similarity.annTopK(emb, query, 10).collect().map(_.getLong(0)).toSeq
+    val a = Similarity.annTopKHamming(emb, query, 10).collect()
+    assert(a.map(_.getLong(0)).toSeq == brute,
+      s"SRP != brute on clustered data: ${a.map(_.getLong(0)).toSeq} vs $brute")
+    assert(a.head.getLong(0) == 11L && a.head.getDouble(1) == 1.0,
+      "query's own row must rank first with score 1.0")
+    // deterministic: no RNG anywhere, repeated runs identical
+    val b = Similarity.annTopKHamming(emb, query, 10).collect()
+    assert(a.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("IVF top-k with full probes equals brute force exactly") {
     val index = Similarity.ivfBuild(emb, nLists = 8)
     val brute = Similarity.annTopK(emb, query, 10).collect().map(_.getLong(0)).toSeq
