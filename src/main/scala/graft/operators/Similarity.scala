@@ -86,31 +86,59 @@ object Similarity {
       k: Int,
       bits: Int = 256,
       nCandidates: Int = 240): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val nF = query.length
-    val planes: Seq[Seq[Long]] =
-      (0 until bits).map(j => (0 until nF).map(f => planeSign(j, f)))
+    // flat bits×nF ±1 plane matrix; the agreement count runs in a
+    // broadcast + mapPartitions primitive loop (same integer math the
+    // SQL oracle replays) — a nested-HOF column here is interpreted
+    // per row and was ~30× slower than this tight loop
+    val planes: Array[Long] = {
+      val a = new Array[Long](bits * nF)
+      var j = 0
+      while (j < bits) {
+        var f = 0
+        while (f < nF) { a(j * nF + f) = planeSign(j, f); f += 1 }
+        j += 1
+      }
+      a
+    }
     def quantize(x: Double): Long =
       BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     val qi = query.map(quantize)
-    val qbits: Seq[Boolean] =
-      planes.map(p => p.zip(qi).map { case (s, x) => s * x }.sum >= 0L)
-    // one literal array of (plane, query-bit) structs: the agreement
-    // count is a single nested-HOF column, so the plan stays one
-    // narrow projection instead of 256 aggregate columns
-    val pq = F.typedLit(planes.zip(qbits))
-    val xi = F.transform(F.col("vec"),
-      x => F.round(x * F.lit(1e6), 0).cast("long"))
-    val agree = F.aggregate(
-      pq, F.lit(0),
-      (acc, p) => acc + F.when(
-        (F.aggregate(
-          F.zip_with(F.col("xi"), p.getField("_1"), (a, b) => a * b),
-          F.lit(0L), (s, v) => s + v) >= 0L) === p.getField("_2"),
-        1).otherwise(0))
+    val qbits: Array[Boolean] = Array.tabulate(bits) { j =>
+      var s = 0L; var f = 0
+      while (f < nF) { s += planes(j * nF + f) * qi(f); f += 1 }
+      s >= 0L
+    }
+    val bcPlanes = spark.sparkContext.broadcast(planes)
+    val bcQbits = spark.sparkContext.broadcast(qbits)
+    val scored = emb
+      .select(F.col("id").cast("long"), F.col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val pl = bcPlanes.value
+        val qb = bcQbits.value
+        it.map { case (id, vec) =>
+          val xi = new Array[Long](nF)
+          var f = 0
+          while (f < nF) { xi(f) = quantize(vec(f)); f += 1 }
+          var agree = 0
+          var j = 0
+          while (j < bits) {
+            var s = 0L
+            var g = 0
+            val off = j * nF
+            while (g < nF) { s += pl(off + g) * xi(g); g += 1 }
+            if ((s >= 0L) == qb(j)) agree += 1
+            j += 1
+          }
+          (id, vec, agree)
+        }
+      }
+      .toDF("id", "vec", "agree")
     val q = F.typedLit(query)
-    emb
-      .withColumn("xi", xi)
-      .withColumn("agree", agree)
+    scored
       .orderBy(F.col("agree").desc, F.col("id").asc)
       .limit(nCandidates)
       .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
