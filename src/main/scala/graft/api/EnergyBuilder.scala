@@ -65,8 +65,8 @@ object EnergyBuilder {
       .withColumn("vnorm", l2normalize(F.col("vec")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // count + dimensionality in one aggregation job
-    val s1 = items
-      .agg(F.count(F.lit(1)).as("n"), F.max(F.size(F.col("vec"))).as("f")).head
+    val s1 = graft.core.Debug.timed("E0 scan+stats")(items
+      .agg(F.count(F.lit(1)).as("n"), F.max(F.size(F.col("vec"))).as("f")).head)
     val nItems = s1.getLong(0)
     require(nItems > 0, "items must be non-empty")
     val nFeatures = s1.getInt(1)
@@ -99,7 +99,7 @@ object EnergyBuilder {
       .select($"id".as[Long], $"vnorm".as[Array[Double]]).rdd
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    xRdd.count()
+    graft.core.Debug.timed("E1 state seed")(xRdd.count())
     val eta = energy.eta
     var step = 0
     // whether the CURRENT xRdd was localCheckpoint'd: checkpointed
@@ -155,12 +155,12 @@ object EnergyBuilder {
     val diffused = xRdd.toDF("id", "x")
 
     // E2: trim the trimQuantile fraction farthest from the global mean.
-    val mean = diffused.select($"x".as[Array[Double]]).reduce { (a, b) =>
+    val mean = graft.core.Debug.timed("E2 mean")(diffused.select($"x".as[Array[Double]]).reduce { (a, b) =>
       val o = new Array[Double](nFeatures)
       var i = 0
       while (i < nFeatures) { o(i) = a(i) + b(i); i += 1 }
       o
-    }.map(_ / nItems)
+    }).map(_ / nItems)
     val bcMean = spark.sparkContext.broadcast(mean)
     val withDist = diffused
       .map { r => // (id, x, distance to mean)
@@ -198,7 +198,7 @@ object EnergyBuilder {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Per-cluster stats: mean (centroid), element-wise std, dispersion.
-    val byCluster = assigned
+    val byCluster = graft.core.Debug.timed("E3/E4 cluster stats")(assigned
       .select($"cluster".as[Int], $"x".as[Array[Double]])
       .groupByKey(_._1)
       .mapGroups { (c, it) =>
@@ -217,7 +217,7 @@ object EnergyBuilder {
         val dispersion = math.sqrt(stdC.map(s => s * s).sum)
         (c, meanC, stdC, dispersion, n)
       }
-      .collect() // ≤ opticalTokens rows — driver-small by construction
+      .collect()) // ≤ opticalTokens rows — driver-small by construction
     graft.core.Debug.log(s"E3/E4 cluster stats for ${byCluster.length} clusters")
 
     // E4: split high-dispersion centroids into c ± splitTau·σ.
@@ -272,7 +272,8 @@ object EnergyBuilder {
         it.map { case (id, v) => (id, l.dirichlet(v), l.dirichletGini(v)) }
       }
       .toDF("id", "e_raw", "g_raw")
-    val tau = tauMode.resolve(withEnergy, "e_raw")
+    val tau = graft.core.Debug.timed("E6 tau resolve")(
+      tauMode.resolve(withEnergy, "e_raw"))
     val mix = tau / (1.0 + tau)
     val withLambda = items
       .join(withEnergy, "id")

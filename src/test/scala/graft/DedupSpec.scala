@@ -31,6 +31,30 @@ class DedupSpec extends SparkSpec {
     assert(groups.forall(_.getLong(2) < 200L))
   }
 
+  test("compiled minhash signatures are bit-identical to the Column formulation") {
+    // texts with the trim/split edge cases the Scala replica must
+    // honor: leading/trailing non-space whitespace (Spark trim strips
+    // 0x20 only), repeated separators, short (< shingleLen) docs
+    val s = spark
+    import s.implicits._
+    val edge = Seq(
+      (900L, "\tleading tab and  double  space kept intact\n"),
+      (901L, "two words"),
+      (902L, ""),
+      (903L, "   spaces around a normal sentence with enough tokens   ")
+    ).toDF("doc_id", "text")
+    val all = docs.unionByName(edge)
+    val fast = Dedup.minhashSignatures(all, 3, 64)
+    val column = all
+      .select(F.col("doc_id").cast("long"), Dedup.shingles(F.col("text"), 3).as("sh"))
+      .withColumn("shh", F.transform(F.col("sh"), sh => F.xxhash64(sh)))
+      .select(F.col("doc_id"), Dedup.minhashFromHashes(F.col("shh"), 64).as("sig"))
+    val joined = fast.alias("f")
+      .join(column.alias("c"), "doc_id")
+      .where(F.expr("f.sig != c.sig"))
+    assert(joined.count() == 0, "compiled signature diverged from Column path")
+  }
+
   test("minhash LSH finds the planted near-duplicates with high jaccard") {
     val pairs = Dedup.minhashNearDupPairs(docs)
       .where(F.col("jaccard") >= 0.5)
