@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{ArrowSpaceBuilder, ArrowSpaceModel}
 import graft.core.GraphParams
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Similarity, TextOps, TrainPrep}
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import scala.collection.concurrent.TrieMap
@@ -344,6 +344,27 @@ object SparkEntry {
     "t_quality_filter" -> ((s, d) =>
       TextOps.qualityFilter(docs(s, d))
         .select("doc_id").orderBy("doc_id")),
+
+    // ---- training-data preparation (engine additions) ----
+    "t_chunk_windows" -> ((s, d) =>
+      // context-window chunking for LLM training: 32-token windows
+      // every 24 tokens (8-token overlap); map-only explode, no shuffle
+      TrainPrep.chunkTokenWindows(docs(s, d), window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    "t_pack_shards" -> ((s, d) =>
+      // token-budget shard packing via a two-phase distributed prefix
+      // sum (never a global single-partition window)
+      TrainPrep.packTokenShards(docs(s, d), budget = 4096)
+        .orderBy("doc_id")),
+
+    "d_sample_stratified" -> ((s, d) =>
+      // deterministic md5-hash sampling, stratified by source: exact,
+      // reproducible on any cluster layout, no count pass
+      TrainPrep.stratifiedHashSample(
+        docs(s, d), F.col("doc_id"), F.col("source"),
+        Map("src0" -> 0.5), defaultRate = 0.2)
+        .select("doc_id", "source").orderBy("doc_id")),
 
     // ---- deduplication ----
     "d_exact_groups" -> ((s, d) =>
@@ -1142,6 +1163,46 @@ object SparkEntry {
         |    / len(string_split_regex(trim(text), '\s+')) <= 12.0
         |  AND length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))::DOUBLE
         |    / length(text) >= 0.2
+        |ORDER BY doc_id""".stripMargin,
+
+    // sliding 32-token windows every 24 tokens; DuckDB list slicing is
+    // 1-based inclusive and clamps at the list end, mirroring Spark's
+    // slice(t, s+1, window)
+    "t_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0, len(t) - 1, 24)) AS s
+        |  FROM toks)
+        |SELECT doc_id, s // 24 AS chunk_id,
+        |  array_to_string(t[s + 1 : least(s + 32, len(t))], ' ') AS chunk_text,
+        |  (least(s + 32, len(t)) - s)::BIGINT AS n_tokens
+        |FROM starts
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // global token offset in doc_id order; the engine computes the
+    // same prefix sum distributed (two-phase), the oracle as a window
+    "t_pack_shards" ->
+      """WITH counts AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM counts)
+        |SELECT doc_id, n_tokens, before // 4096 AS shard,
+        |  before % 4096 AS "offset"
+        |FROM cum
+        |ORDER BY doc_id""".stripMargin,
+
+    "d_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  % 10000 < CASE WHEN source = 'src0' THEN 5000 ELSE 2000 END
         |ORDER BY doc_id""".stripMargin,
 
     "d_exact_groups" ->

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Training-data preparation operators — engine additions beyond the
+  * reference surface (SURVEY.md §2.3 "Streaming/LLM-pipeline" group):
+  * context-window chunking, token-budget shard packing, and
+  * deterministic hash sampling. All three are the shapes a 100 TB
+  * corpus pipeline needs: chunking is a per-row explode (no shuffle),
+  * packing is a two-phase distributed prefix sum (never a global
+  * single-partition window), and hash sampling is a stateless filter
+  * that needs no count pass and composes with partition pruning.
+  */
+object TrainPrep {
+
+  /** Sliding token-window chunks: windows of `window` tokens every
+    * `stride` tokens, last window truncated (never empty). Chunk
+    * starts are 0, stride, 2·stride, … while < n_tokens, so every
+    * token lands in ⌈window/stride⌉ chunks (overlap = window−stride).
+    * Output: (doc_id, chunk_id, chunk_text, n_tokens), one row per
+    * chunk. Per-row explode, no shuffle: at scale this is a map-only
+    * stage bounded by output size.
+    */
+  def chunkTokenWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    docs
+      .select(F.col("doc_id"), TextOps.tokens(F.col("text")).as("t"))
+      .select(
+        F.col("doc_id"),
+        F.posexplode(F.sequence(F.lit(0), F.size(F.col("t")) - 1, F.lit(stride)))
+          .as(Seq("chunk_id", "s")),
+        F.col("t"))
+      .select(
+        F.col("doc_id"),
+        F.col("chunk_id").cast("long"),
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("s") + 1, F.lit(window)))
+          .as("chunk_text"),
+        F.size(F.slice(F.col("t"), F.col("s") + 1, F.lit(window)))
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Pack documents into training shards by global token offset: docs
+    * are laid out in doc_id order; a doc belongs to the shard where
+    * its first token falls (`shard = offset_before / budget`). The
+    * running offset is a TWO-PHASE distributed prefix sum — per-
+    * partition partial sums to the driver (one long per partition),
+    * then a map-side scan with broadcast offsets — NOT a global-order
+    * window, which would move the whole corpus to one task.
+    * Output: (doc_id, n_tokens, shard, offset) where offset is the
+    * doc's first-token position within its shard.
+    */
+  def packTokenShards(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(
+        F.col("doc_id").cast("long"),
+        F.size(TextOps.tokens(F.col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(F.col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .select($"doc_id".as[Long], $"n_tokens".as[Long])
+      .rdd
+    val partSums = counts
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(s += _._2)
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val bc = spark.sparkContext.broadcast(offsets)
+    counts
+      .mapPartitionsWithIndex { (i, it) =>
+        var cum = bc.value(i)
+        it.map { case (id, n) =>
+          val before = cum
+          cum += n
+          (id, n, before / budget, before % budget)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard", "offset")
+  }
+
+  /** Deterministic uniform in [0, buckets) from the md5 of a key's
+    * string form — the same value on any engine that has md5 (the
+    * DuckDB oracle derives it via `('0x' || substr(md5(k), 1, 8))::
+    * BIGINT % buckets`), and stable across runs, partitionings, and
+    * cluster sizes, unlike `rand(seed)` which is partition-dependent.
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Deterministic stratified sample: keep a row iff its md5 bucket
+    * (out of 10 000) falls below the stratum's rate. A stateless
+    * map-side filter — no count pass, no sampling shuffle, reproducible
+    * on any cluster layout; rates are exact in expectation per stratum.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(F.lit(defaultRate * 10000).cast("long")) {
+      case (acc, (value, rate)) =>
+        F.when(stratum === value, F.lit((rate * 10000).toLong)).otherwise(acc)
+    }
+    df.where(hashBucket(key, 10000) < threshold)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.TrainPrep
+import org.apache.spark.sql.{functions => F}
+
+class TrainPrepSpec extends SparkSpec {
+
+  lazy val docs = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    (0 until 50).map { i =>
+      val n = 1 + rng.nextInt(60)
+      (i.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "),
+        s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+  }
+
+  test("chunk windows cover every token and respect window/stride") {
+    val window = 8
+    val stride = 5
+    val chunks = TrainPrep.chunkTokenWindows(docs, window, stride).collect()
+    val tokensByDoc = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").length).toMap
+    tokensByDoc.foreach { case (id, n) =>
+      val mine = chunks.filter(_.getLong(0) == id).sortBy(_.getLong(1))
+      // starts are 0, stride, … while < n
+      assert(mine.length == (n - 1) / stride + 1, s"doc $id chunk count")
+      mine.foreach { c =>
+        val start = c.getLong(1).toInt * stride
+        val expectLen = math.min(window, n - start)
+        assert(c.getLong(3) == expectLen, s"doc $id chunk ${c.getLong(1)} len")
+        assert(c.getString(2).split(" ").length == expectLen)
+      }
+      // full coverage: last chunk reaches the final token
+      val last = mine.last
+      assert(last.getLong(1).toInt * stride + last.getLong(3) == n)
+    }
+  }
+
+  test("shard packing equals a driver-side prefix sum and bounds offsets") {
+    val budget = 64L
+    val packed = TrainPrep.packTokenShards(docs, budget)
+      .orderBy("doc_id").collect()
+    var cum = 0L
+    packed.foreach { r =>
+      assert(r.getLong(2) == cum / budget, s"doc ${r.getLong(0)} shard")
+      assert(r.getLong(3) == cum % budget, s"doc ${r.getLong(0)} offset")
+      assert(r.getLong(3) >= 0 && r.getLong(3) < budget)
+      cum += r.getLong(1)
+    }
+    // shards are contiguous from 0
+    val shards = packed.map(_.getLong(2)).distinct.sorted
+    assert(shards.head == 0L && shards.zipWithIndex.forall { case (s, i) => s == i })
+  }
+
+  test("hash sampling is deterministic, stratified, and layout-independent") {
+    val a = TrainPrep.stratifiedHashSample(
+      docs, F.col("doc_id"), F.col("source"), Map("src0" -> 0.9), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TrainPrep.stratifiedHashSample(
+      docs.repartition(7), F.col("doc_id"), F.col("source"), Map("src0" -> 0.9), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partition layout")
+    // src0 keeps strictly more than the default strata at these rates
+    val bySrc = docs.withColumn(
+        "kept", TrainPrep.hashBucket(F.col("doc_id"), 10000) <
+          F.when(F.col("source") === "src0", 9000L).otherwise(3000L))
+      .groupBy("source").agg(F.avg(F.col("kept").cast("double")).as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bySrc("src0") > bySrc("src1") && bySrc("src0") > bySrc("src2"))
+  }
+}
