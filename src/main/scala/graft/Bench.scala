@@ -9,7 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses a bounded stdout tail for the
+    // single {"metric":...} line, and benign WindowExec warnings (tiny
+    // top-k frames ranked with a global window) would crowd it out
+    spark.sparkContext.setLogLevel("ERROR")
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // deterministic name order: timing attribution (e.g. which a_*
