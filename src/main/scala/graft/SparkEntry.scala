@@ -366,6 +366,16 @@ object SparkEntry {
         Map("src0" -> 0.5), defaultRate = 0.2)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    "t_mix_interleave" -> ((s, d) =>
+      // weighted corpus mixing: src0 every 2nd position, the rest
+      // every 4th; per-stratum ranks via the distributed prefix count
+      // (no per-stratum single-task window)
+      TrainPrep.interleaveByStratum(
+        docs(s, d), F.col("doc_id"), F.col("source"),
+        Map("src0" -> 2.0), defaultStride = 4.0)
+        .withColumnRenamed("key", "doc_id")
+        .orderBy("mix_key", "stratum", "doc_id")),
+
     // ---- deduplication ----
     "d_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(docs(s, d)).orderBy("fp")),
@@ -1204,6 +1214,15 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |  % 10000 < CASE WHEN source = 'src0' THEN 5000 ELSE 2000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // per-source rank stretched by the source's stride (exact binary
+    // doubles, so engine and oracle agree bit-for-bit)
+    "t_mix_interleave" ->
+      """SELECT doc_id, source AS stratum,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |    * CASE WHEN source = 'src0' THEN 2.0 ELSE 4.0 END AS mix_key
+        |FROM documents
+        |ORDER BY mix_key, stratum, doc_id""".stripMargin,
 
     "d_exact_groups" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,

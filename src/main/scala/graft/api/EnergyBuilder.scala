@@ -89,8 +89,14 @@ object EnergyBuilder {
     // (unlike the typed mapGroups it replaces) runs map-side array-sum
     // combiners, so at most one partial (sum, count) per (partition,
     // src) crosses the network instead of every |E| neighbor vector.
+    // partition count sized to the DATA (~50k rows per task, like the
+    // k-means fit): each diffusion step is a fixed number of jobs, and
+    // on a small input 32-task stages are pure scheduling overhead,
+    // while at scale the count grows with nItems as before
     val part = new org.apache.spark.HashPartitioner(
-      math.max(items.rdd.getNumPartitions, spark.sparkContext.defaultParallelism))
+      math.min(
+        math.max(items.rdd.getNumPartitions, spark.sparkContext.defaultParallelism),
+        (nItems / 50000L + 1L).toInt))
     val edgesByDst = neighborEdges
       .select($"dst".as[Long], $"src".as[Long]).rdd
       .partitionBy(part)

@@ -82,6 +82,79 @@ object TrainPrep {
       .toDF("doc_id", "n_tokens", "shard", "offset")
   }
 
+  /** 1-based rank of `key` within each `stratum` WITHOUT a per-stratum
+    * window (whose rank pass is one task per stratum — a skew wall when
+    * one source dominates the corpus). Range-partition by (stratum,
+    * key), count each partition's per-stratum rows (a driver-small
+    * map: strata × partitions longs), broadcast exclusive offsets, and
+    * assign ranks in a map-side scan. Output: (key, stratum, r).
+    */
+  def stratumRanks(df: DataFrame, key: Column, stratum: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df
+      .select(key.cast("long").as("key"), stratum.cast("string").as("stratum"))
+      .repartitionByRange(F.col("stratum"), F.col("key"))
+      .sortWithinPartitions("stratum", "key")
+      .select($"key".as[Long], $"stratum".as[String])
+      .rdd
+    val counts = typed
+      .mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (_, s) => m.update(s, m.getOrElse(s, 0L) + 1L) }
+        Iterator((i, m.toMap))
+      }
+      .collect().sortBy(_._1)
+    val nParts = counts.length
+    val offsets: Array[Map[String, Long]] = {
+      val run = scala.collection.mutable.Map.empty[String, Long]
+      val out = new Array[Map[String, Long]](nParts)
+      counts.foreach { case (i, m) =>
+        out(i) = run.toMap
+        m.foreach { case (s, n) => run.update(s, run.getOrElse(s, 0L) + n) }
+      }
+      out
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    typed
+      .mapPartitionsWithIndex { (i, it) =>
+        val run = scala.collection.mutable.Map.empty[String, Long]
+        bc.value(i).foreach { case (s, n) => run.update(s, n) }
+        it.map { case (k, s) =>
+          val r = run.getOrElse(s, 0L) + 1L
+          run.update(s, r)
+          (k, s, r)
+        }
+      }
+      .toDF("key", "stratum", "r")
+  }
+
+  /** Deterministic weighted corpus interleave: stratum ranks are
+    * stretched by a per-stratum stride (stride 2 → every 2nd global
+    * position, stride 4 → every 4th …), and sorting by the resulting
+    * `mix_key` yields a training order that mixes sources at the
+    * configured ratios from the very first batch — no shuffle of the
+    * payload, no RNG. Consumers materialize the order with
+    * `repartitionByRange(mix_key)` + sortWithinPartitions (a
+    * distributed total order, not a single-task global window). Use
+    * strides with exact binary representations (2, 4, 2.5, …) so the
+    * key is reproducible across engines.
+    * Output: (key, stratum, mix_key).
+    */
+  def interleaveByStratum(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      strides: Map[String, Double],
+      defaultStride: Double): DataFrame = {
+    val strideCol = strides.foldLeft(F.lit(defaultStride)) {
+      case (acc, (value, s)) => F.when(F.col("stratum") === value, F.lit(s)).otherwise(acc)
+    }
+    stratumRanks(df, key, stratum)
+      .withColumn("mix_key", F.col("r") * strideCol)
+      .select("key", "stratum", "mix_key")
+  }
+
   /** Deterministic uniform in [0, buckets) from the md5 of a key's
     * string form — the same value on any engine that has md5 (the
     * DuckDB oracle derives it via `('0x' || substr(md5(k), 1, 8))::

@@ -55,6 +55,36 @@ class TrainPrepSpec extends SparkSpec {
     assert(shards.head == 0L && shards.zipWithIndex.forall { case (s, i) => s == i })
   }
 
+  test("stratum ranks equal the window formulation on any layout") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val expected = docs
+      .withColumn("r", F.row_number().over(w).cast("long"))
+      .select(F.col("doc_id"), F.col("source"), F.col("r"))
+    val got = TrainPrep.stratumRanks(
+        docs.repartition(5), F.col("doc_id"), F.col("source"))
+      .select(F.col("key").as("doc_id"), F.col("stratum").as("source"), F.col("r"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "distributed prefix-count ranks diverge from the window ranks")
+  }
+
+  test("interleave mixes strata at the configured stride ratio") {
+    val mixed = TrainPrep.interleaveByStratum(
+        docs, F.col("doc_id"), F.col("source"),
+        Map("src0" -> 2.0), defaultStride = 4.0)
+      .orderBy("mix_key", "stratum", "key")
+      .collect()
+    // in any prefix long enough, src0 (stride 2) appears about twice as
+    // often as each stride-4 stratum; check the first 24 rows contain
+    // strictly more src0 than any other single stratum
+    val head = mixed.take(24).groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(head("src0") > head.getOrElse("src1", 0))
+    assert(head("src0") > head.getOrElse("src2", 0))
+    // within a stratum the original key order is preserved
+    val src0Keys = mixed.filter(_.getString(1) == "src0").map(_.getLong(0))
+    assert(src0Keys.sameElements(src0Keys.sorted))
+  }
+
   test("hash sampling is deterministic, stratified, and layout-independent") {
     val a = TrainPrep.stratifiedHashSample(
       docs, F.col("doc_id"), F.col("source"), Map("src0" -> 0.9), 0.3)
