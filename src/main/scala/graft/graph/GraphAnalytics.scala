@@ -34,21 +34,73 @@ object GraphAnalytics {
     Graph.fromEdges(es, defaultValue = 0.0).cache()
   }
 
-  /** Personalized PageRank from `source` (GraphX built-in, fixed
-    * iteration count — predictable cost; 15 iterations ≈ damping^15
-    * < 0.9% mass unconverged). Output: (id, ppr).
+  /** Fixed-iteration personalized PageRank on co-partitioned RDDs —
+    * the recurrence GraphX's `staticPersonalizedPageRank` runs
+    * (r ← 0.15·δ_src + 0.85·Σ r/outdeg, r₀ = δ_src, count-based
+    * out-degrees, no final normalization; the DuckDB oracle replays it
+    * as 15 unrolled CTEs), without Pregel's per-iteration job
+    * materialization: the whole chain is LAZY — one narrow join and
+    * one aggregateByKey shuffle per step, partitions sized to the
+    * data, evaluated as a single job at the final action. Reusable
+    * across sources: the degree-normalized edge list and node frame
+    * are built once per engine instance.
+    */
+  final class PprEngine(edges: DataFrame, numIter: Int = 15) {
+    private val spark = edges.sparkSession
+    import spark.implicits._
+    private val e = edges.select($"src".as[Long], $"dst".as[Long]).rdd
+    private val part = new org.apache.spark.HashPartitioner(
+      math.min(
+        math.max(4, spark.sparkContext.defaultParallelism),
+        (e.count() / 200000L + 1L).toInt))
+    // (src, (dst, 1/outdeg)) and (id, ()) both hashed by the same
+    // partitioner: every per-step join is narrow
+    private val withInv = {
+      val bySrc = e.partitionBy(part)
+      val outdeg = bySrc.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      bySrc.join(outdeg)
+        .mapValues { case (d, deg) => (d, 1.0 / deg) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    private val nodes = e
+      .flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+      .reduceByKey(part, (a, _) => a)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def run(source: Long): DataFrame = {
+      var r = nodes.mapPartitions(
+        it => it.map { case (id, _) => (id, if (id == source) 1.0 else 0.0) },
+        preservesPartitioning = true)
+      var iter = 0
+      while (iter < numIter) {
+        val contrib = withInv.join(r) // narrow: both sides on `part`
+          .map { case (_, ((d, inv), rv)) => (d, rv * inv) }
+          .aggregateByKey(0.0, part)(_ + _, _ + _) // the step's one shuffle
+        r = nodes.leftOuterJoin(contrib).mapPartitions(
+          it => it.map { case (id, (_, s)) =>
+            (id, (if (id == source) 0.15 else 0.0) + 0.85 * s.getOrElse(0.0))
+          },
+          preservesPartitioning = true)
+        iter += 1
+      }
+      r.toDF("id", "ppr").localCheckpoint()
+    }
+
+    def release(): Unit = {
+      withInv.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
+  /** Personalized PageRank from `source` (fixed iteration count —
+    * predictable cost; 15 iterations ≈ damping^15 < 0.9% mass
+    * unconverged). Output: (id, ppr).
     */
   def personalizedPageRank(
       edges: DataFrame, source: Long, numIter: Int = 15): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val g = toGraph(edges)
-    try g.staticPersonalizedPageRank(source, numIter)
-      .vertices
-      .map { case (id, v) => (id, v) }
-      .toDF("id", "ppr")
-      .localCheckpoint() // eager: safe to drop the graph cache after
-    finally g.unpersist(blocking = false)
+    val eng = new PprEngine(edges, numIter)
+    try eng.run(source) // localCheckpoint'd: eager, survives release
+    finally eng.release()
   }
 
   /** Connected components. Output: (id, component). */

@@ -50,22 +50,19 @@ object TopologyMetrics {
     if (anchors.isEmpty)
       return spark.emptyDataset[(Long, Double, Double, Double, Double, Double)]
         .toDF("query_id", "g_rbp", "td_ndcg", "it_err", "mrr_topo", "sqi")
-    val graph = graft.graph.GraphAnalytics.toGraph(edges)
-    graph.cache()
+    val pprEngine = new graft.graph.GraphAnalytics.PprEngine(edges)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val pprBySrc: Map[Long, DataFrame] = Await.result(
       Future.traverse(anchors.map(_._2).distinct.toSeq) { src =>
         Future {
-          src -> graph.staticPersonalizedPageRank(src, numIter = 15)
-            .vertices.map { case (id, v) => (id, v) }.toDF("doc_id", "ppr")
-            .localCheckpoint()
+          src -> pprEngine.run(src).withColumnRenamed("id", "doc_id")
         }
       }, Duration.Inf).toMap
-    // the PPR frames are eagerly localCheckpoint'ed above — the GraphX
-    // cache can be released instead of pinning vertices+edges all session
-    graph.unpersist(blocking = false)
+    // the PPR frames are eagerly localCheckpoint'ed by run() — the
+    // engine's cached degree/node RDDs can be released
+    pprEngine.release()
     val ppr = anchors.map { case (qid, src) =>
       pprBySrc(src).withColumn("query_id", F.lit(qid))
     }.reduce(_ unionByName _)

@@ -66,6 +66,20 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(ppr.values.forall(_ >= 0.0))
   }
 
+  test("co-partitioned PPR matches GraphX staticPersonalizedPageRank") {
+    val mine = personalizedPageRank(edges, 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val g = toGraph(edges)
+    val ref =
+      try g.staticPersonalizedPageRank(0L, numIter = 15)
+        .vertices.collect().toMap
+      finally g.unpersist(blocking = false)
+    assert(mine.keySet == ref.keySet)
+    mine.foreach { case (id, v) =>
+      assert(math.abs(v - ref(id)) < 1e-9, s"node $id: $v vs ${ref(id)}")
+    }
+  }
+
   test("label propagation assigns every node a community") {
     val lp = labelPropagation(edges)
     assert(lp.count() == 6L)
