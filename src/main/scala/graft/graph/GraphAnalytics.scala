@@ -131,24 +131,54 @@ object GraphAnalytics {
     * node (a hub's label votes never land in a single task).
     */
   def labelPropagation(edges: DataFrame, maxSteps: Int = 5): DataFrame = {
-    val sym = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    var labels = sym.select(F.col("src").as("id")).distinct()
-      .withColumn("community", F.col("id"))
-      .localCheckpoint() // cut lineage per step: 5 iterated shuffles
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select($"dst".as[Long], $"src".as[Long]).rdd
+    val part = new org.apache.spark.HashPartitioner(
+      math.min(
+        math.max(4, spark.sparkContext.defaultParallelism),
+        (e.count() / 200000L + 1L).toInt))
+    // edges keyed by dst share the labels' partitioner: the per-step
+    // vote join is narrow, and the one shuffle per step is the
+    // aggregateByKey that tallies votes per node. The tally is a
+    // per-node label→count map (bounded by the node's degree) built
+    // with map-side combine; argmax with the smallest-label tie-break
+    // happens in the same pass. All-integer arithmetic — bit-exact
+    // under any partitioning, which is what the oracle's unrolled
+    // LPA rounds replay.
+    val eByDst = e.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels: org.apache.spark.rdd.RDD[(Long, Long)] = eByDst
+      .mapValues(_ => ()).reduceByKey(part, (a, _) => a)
+      .mapPartitions(
+        it => it.map { case (id, _) => (id, id) },
+        preservesPartitioning = true)
     var step = 0
     while (step < maxSteps) {
-      val votes = sym
-        .join(labels.select(F.col("id").as("dst"), F.col("community")), "dst")
-        .groupBy(F.col("src").as("id"), F.col("community"))
-        .agg(F.count(F.lit(1)).as("cnt"))
-      labels = graft.scale.Skew
-        .saltedTopKPerKey(
-          votes, "id", Seq(F.col("cnt").desc, F.col("community").asc), 1)
-        .select("id", "community")
-        .localCheckpoint()
+      labels = eByDst.join(labels) // narrow: both on `part`
+        .map { case (_, (src, lab)) => (src, lab) }
+        .aggregateByKey(
+          scala.collection.mutable.LongMap.empty[Long], part)(
+          seqOp = { (m, lab) => m.update(lab, m.getOrElse(lab, 0L) + 1L); m },
+          combOp = { (m1, m2) =>
+            m2.foreach { case (lab, c) => m1.update(lab, m1.getOrElse(lab, 0L) + c) }
+            m1
+          })
+        .mapValues { m =>
+          var bestLab = Long.MaxValue
+          var bestCnt = -1L
+          m.foreach { case (lab, c) =>
+            if (c > bestCnt || (c == bestCnt && lab < bestLab)) {
+              bestCnt = c; bestLab = lab
+            }
+          }
+          bestLab
+        }
       step += 1
     }
-    labels
+    val out = labels.toDF("id", "community").localCheckpoint()
+    eByDst.unpersist(blocking = false)
+    out
   }
 
   /** Weighted conductance of a node set S:
