@@ -24,13 +24,11 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents")
+    graft.sources.CorpusSources.documents(s, s"$dir/documents.parquet")
 
   /** embeddings normalized to the engine schema (id, vec). */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "embeddings").select(
-      F.col("vec_id").as("id"),
-      F.col("embedding").cast("array<double>").as("vec"))
+    graft.sources.CorpusSources.embeddings(s, s"$dir/embeddings.parquet")
 
   /** Default index params for the synthetic embeddings (near-orthogonal
     * vectors — eps below ~0.6 yields an empty graph; see

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+
+/** Ingest layer — the engine-schema entry points for the corpora the
+  * reference consumes ad hoc (in-memory ndarrays via
+  * `src/helpers.rs:24-46`, parquet embeddings written by
+  * `tests/test_2_CVE_db.py:130-152`, nested JSON corpora iterated by
+  * `tests/test_2_CVE_db.py:71-128`). Each reader validates the schema
+  * at the scan and returns the engine's canonical columns, so every
+  * downstream operator can rely on (id, vec) / (doc_id, text) without
+  * re-deriving casts. Validation failures surface at READ time with
+  * the offending schema in the message, not as a mid-job cast error
+  * three stages later.
+  */
+object CorpusSources {
+
+  /** Embeddings parquet → (id: long, vec: array<double>). Accepts any
+    * integral id column named `vec_id` or `id` and any numeric-array
+    * embedding column named `embedding` or `vec`; fails fast with the
+    * observed schema otherwise. Column pruning reaches the scan — the
+    * reader selects only the two columns whatever else the file holds.
+    */
+  def embeddings(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val idCol = Seq("vec_id", "id").find(df.columns.contains).getOrElse(
+      throw new IllegalArgumentException(
+        s"no vec_id/id column in $path: ${df.schema.simpleString}"))
+    val vecCol = Seq("embedding", "vec").find(df.columns.contains).getOrElse(
+      throw new IllegalArgumentException(
+        s"no embedding/vec column in $path: ${df.schema.simpleString}"))
+    val vecType = df.schema(vecCol).dataType
+    val elemOk = vecType match {
+      case ArrayType(_: NumericType, _) => true
+      case _ => false
+    }
+    require(elemOk,
+      s"$vecCol must be array<numeric>, got ${vecType.simpleString} in $path")
+    df.select(
+      F.col(idCol).cast("long").as("id"),
+      F.col(vecCol).cast("array<double>").as("vec"))
+  }
+
+  /** Documents parquet → the engine document schema; requires doc_id
+    * and text, passes through any extra metadata columns unchanged.
+    */
+  def documents(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    Seq("doc_id", "text").foreach { c =>
+      require(df.columns.contains(c),
+        s"documents at $path missing '$c': ${df.schema.simpleString}")
+    }
+    df.withColumn("doc_id", F.col("doc_id").cast("long"))
+      .withColumn("text", F.col("text").cast("string"))
+  }
+
+  /** Nested-JSON corpus → (doc_id, text, extra fields). The reference's
+    * CVE ingest walks `containers.cna.descriptions[0].value`-style
+    * paths in a Python loop (tests/test_2_CVE_db.py:81-128); here the
+    * paths are column expressions evaluated inside the scan projection,
+    * corrupt records are tolerated (PERMISSIVE) and countable rather
+    * than job-fatal, and an explicit schema avoids the 2-pass infer at
+    * scale.
+    *
+    * fields: output column name → dotted path inside the JSON object
+    * (`a.b[0].c` style, get_json_object syntax without the leading $).
+    */
+  def jsonCorpus(
+      spark: SparkSession,
+      path: String,
+      idPath: String,
+      textPath: String,
+      fields: Map[String, String] = Map.empty,
+      multiLine: Boolean = false): DataFrame = {
+    val raw = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", multiLine)
+      .text(path) // one JSON document per line (or per file via multiLine)
+    def byPath(p: String): Column = F.get_json_object(F.col("value"), "$." + p)
+    val extras = fields.toSeq.map { case (name, p) => byPath(p).as(name) }
+    raw.select(
+      Seq(
+        byPath(idPath).cast("long").as("doc_id"),
+        byPath(textPath).cast("string").as("text")) ++ extras: _*)
+      .where(F.col("doc_id").isNotNull && F.col("text").isNotNull)
+  }
+
+  /** Count of records in a line-JSON corpus whose id/text paths do NOT
+    * both resolve — the ingest health check the reference performs by
+    * try/except counting in Python. One pass, no job failure.
+    */
+  def jsonCorpusCorruptCount(
+      spark: SparkSession, path: String, idPath: String, textPath: String): Long =
+    spark.read.text(path)
+      .where(
+        F.get_json_object(F.col("value"), "$." + idPath).isNull ||
+          F.get_json_object(F.col("value"), "$." + textPath).isNull)
+      .count()
+}
