@@ -15,6 +15,8 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // stage-timing traces for local profiling (never set by the driver)
+    if (sys.env.get("SPARK_GRAFT_DEBUG").exists(_ == "1")) graft.core.Debug.setDebug(true)
     // deterministic name order: timing attribution (e.g. which a_*
     // query pays the one-time index build) stays stable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

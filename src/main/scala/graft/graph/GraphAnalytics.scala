@@ -86,6 +86,79 @@ object GraphAnalytics {
       r.toDF("id", "ppr").localCheckpoint()
     }
 
+    /** All-sources-at-once PPR: the state is a per-node slot ARRAY (one
+      * slot per distinct source), so A anchors cost ONE 15-step
+      * recurrence — the same join/aggregateByKey stages as a single
+      * run, each carrying N×A doubles — instead of A interleaved
+      * recurrences (A× the stages, A× the per-stage scheduling
+      * overhead). Per slot the arithmetic is the exact sequence `run`
+      * executes, so results are replayable by the same unrolled-CTE
+      * oracle. The anchor batch must be driver-small (it is a
+      * broadcast column of the state): for thousands of anchors,
+      * chunk the batch so N×A stays within executor memory.
+      * Output: (source, id, ppr).
+      */
+    def runMany(sources: Seq[Long]): DataFrame = {
+      val srcs = sources.distinct.sorted.toArray
+      val a = srcs.length
+      require(a > 0, "runMany needs at least one source")
+      val bcIdx = spark.sparkContext.broadcast(srcs.zipWithIndex.toMap)
+      var r = nodes.mapPartitions(
+        it => it.map { case (id, _) =>
+          val v = new Array[Double](a)
+          bcIdx.value.get(id).foreach(i => v(i) = 1.0)
+          (id, v)
+        },
+        preservesPartitioning = true)
+      var iter = 0
+      while (iter < numIter) {
+        val contrib = withInv.join(r) // narrow: both sides on `part`
+          .map { case (_, ((d, inv), rv)) =>
+            val out = new Array[Double](a)
+            var i = 0
+            while (i < a) { out(i) = rv(i) * inv; i += 1 }
+            (d, out)
+          }
+          .aggregateByKey(null: Array[Double], part)( // the step's one shuffle
+            seqOp = { (acc, v) =>
+              // v is a fresh per-edge array — safe to adopt on first use
+              if (acc == null) v
+              else {
+                var i = 0
+                while (i < a) { acc(i) += v(i); i += 1 }
+                acc
+              }
+            },
+            combOp = { (x, y) =>
+              if (x == null) y
+              else if (y == null) x
+              else {
+                var i = 0
+                while (i < a) { x(i) += y(i); i += 1 }
+                x
+              }
+            })
+        r = nodes.leftOuterJoin(contrib).mapPartitions(
+          it => it.map { case (id, (_, s)) =>
+            val v = new Array[Double](a)
+            val srcSlot = bcIdx.value.get(id)
+            s match {
+              case Some(sums) =>
+                var i = 0
+                while (i < a) { v(i) = 0.85 * sums(i); i += 1 }
+              case None => ()
+            }
+            srcSlot.foreach(i => v(i) += 0.15)
+            (id, v)
+          },
+          preservesPartitioning = true)
+        iter += 1
+      }
+      r.flatMap { case (id, v) =>
+        Iterator.tabulate(a)(i => (srcs(i), id, v(i)))
+      }.toDF("source", "id", "ppr").localCheckpoint()
+    }
+
     def release(): Unit = {
       withInv.unpersist(blocking = false)
       nodes.unpersist(blocking = false)

@@ -42,30 +42,23 @@ object TopologyMetrics {
     val lists = retrieved.where(F.col("rank") <= k)
 
     // Per-query PPR from the query's anchor node, restricted to its
-    // own result nodes. One GraphX run per DISTINCT anchor, submitted
-    // concurrently (Spark schedules the jobs in parallel), so anchor
-    // fan-out costs wall-clock ≈ one run, not #anchors runs; queries
-    // sharing an anchor share its PPR frame.
+    // own result nodes. ALL distinct anchors run in ONE batched
+    // recurrence (PprEngine.runMany: per-node slot arrays), so anchor
+    // fan-out costs one 15-stage chain — not one job DAG per anchor —
+    // and queries sharing an anchor share its slot.
     val anchors = sources.select($"query_id".as[Long], $"node_id".as[Long]).collect()
     if (anchors.isEmpty)
       return spark.emptyDataset[(Long, Double, Double, Double, Double, Double)]
         .toDF("query_id", "g_rbp", "td_ndcg", "it_err", "mrr_topo", "sqi")
     val pprEngine = new graft.graph.GraphAnalytics.PprEngine(edges)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val pprBySrc: Map[Long, DataFrame] = Await.result(
-      Future.traverse(anchors.map(_._2).distinct.toSeq) { src =>
-        Future {
-          src -> pprEngine.run(src).withColumnRenamed("id", "doc_id")
-        }
-      }, Duration.Inf).toMap
-    // the PPR frames are eagerly localCheckpoint'ed by run() — the
-    // engine's cached degree/node RDDs can be released
+    // runMany's output is eagerly localCheckpoint'ed — the engine's
+    // cached degree/node RDDs can be released right after
+    val pprBySource = pprEngine.runMany(anchors.map(_._2).distinct.toSeq)
+      .withColumnRenamed("id", "doc_id")
     pprEngine.release()
-    val ppr = anchors.map { case (qid, src) =>
-      pprBySrc(src).withColumn("query_id", F.lit(qid))
-    }.reduce(_ unionByName _)
+    val anchorDf = anchors.toSeq.toDF("query_id", "source")
+    val ppr = pprBySource.join(F.broadcast(anchorDf), "source")
+      .select("query_id", "doc_id", "ppr")
 
     val degrees = edges.groupBy(F.col("src").as("doc_id"))
       .agg(F.sum("weight").as("degree"))

@@ -186,6 +186,11 @@ object Dedup {
     // join rather than cached — tokenization is cheap, the cache is not.
     val sigs = minhashSignatures(docs, shingleLen, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fill the cache with ONE pass before the self-join: both band-join
+    // sides read `sigs`, and two un-materialized scans inside one job
+    // race to compute each partition — doubling the signature pass AND
+    // everything upstream of `docs` (dedupCorpus feeds a join here)
+    graft.core.Debug.timed("minhash signatures")(sigs.count())
 
     val banded = bandKeys(sigs, numHashes, bands)
     val a = banded.select(
@@ -198,15 +203,16 @@ object Dedup {
     // localCheckpoint: the candidate set feeds THREE consumers (the id
     // semi-join below and both sides of the verify join) — materialize
     // once instead of re-running the band shuffle per consumer
-    val candidates = a.join(b, Seq("band", "bh"))
-      .where(F.col("doc_a") < F.col("doc_b"))
-      .withColumn(
-        "est_jaccard",
-        sigAgreement(F.col("sig_a"), F.col("sig_b"), numHashes))
-      .where(F.col("est_jaccard") >= estFloor)
-      .select("doc_a", "doc_b", "est_jaccard")
-      .dropDuplicates("doc_a", "doc_b")
-      .localCheckpoint()
+    val candidates = graft.core.Debug.timed("minhash candidates")(
+      a.join(b, Seq("band", "bh"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+          "est_jaccard",
+          sigAgreement(F.col("sig_a"), F.col("sig_b"), numHashes))
+        .where(F.col("est_jaccard") >= estFloor)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .dropDuplicates("doc_a", "doc_b")
+        .localCheckpoint())
 
     // shingle only the docs that appear in a candidate pair: the
     // exact-Jaccard verify is bounded by candidate density, never by
@@ -229,7 +235,7 @@ object Dedup {
           F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
             F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))), 4).as("jaccard"))
       .orderBy(F.col("jaccard").desc, F.col("doc_a").asc, F.col("doc_b").asc)
-    materializeAndRelease(verified, sigs)
+    graft.core.Debug.timed("minhash verify")(materializeAndRelease(verified, sigs))
   }
 
   /** End-to-end corpus dedup: drop exact duplicates (keep the smallest
@@ -264,15 +270,40 @@ object Dedup {
     // mass of mid-similarity band collisions (est ≈ 0.3–0.5) is pruned
     // map-side before the dedup shuffle and the fat shingle-verify join
     // (measured ~2.5× less candidate-verify work than floor t/2).
-    val nearDupLosers = minhashNearDupPairs(
+    val pairsDf = minhashNearDupPairs(
       exactCached, shingleLen, numHashes = 64, bands = 16,
       estFloor = 0.75 * jaccardThreshold)
-      .where(F.col("jaccard") >= jaccardThreshold)
-      .select(F.col("doc_b").as("doc_id"))
-      .distinct()
-      .localCheckpoint()
+    val nearDupLosers = graft.core.Debug.timed("dedupCorpus losers")(
+      pairsDf
+        .where(F.col("jaccard") >= jaccardThreshold)
+        .select(F.col("doc_b").as("doc_id"))
+        .distinct()
+        .localCheckpoint())
     exactCached.unpersist(blocking = false)
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Eval-set decontamination (the GPT-3/C4-style n-gram overlap
+    * filter): drop every corpus document that shares at least one
+    * exact word n-gram with any document of `evalDocs`. Shape: the
+    * eval side collapses to DISTINCT n-grams (benchmarks are tiny
+    * next to a training corpus, so Catalyst broadcasts them; at eval
+    * sets too large for a broadcast the same plan degrades to a
+    * shuffled left-semi join on the gram), the corpus side explodes
+    * lazily and semi-joins — the corpus is never collected, the match
+    * set is per-doc-id distinct before the anti-join. Returns the
+    * surviving rows of `corpus`.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    val evalGrams = evalDocs
+      .select(F.explode(shingles(F.col("text"), n)).as("g"))
+      .distinct()
+    val contaminated = corpus
+      .select(F.col("doc_id"), F.explode(shingles(F.col("text"), n)).as("g"))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select("doc_id")
+      .distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** SimHash bit width. 60 (not 64) so every value — hashes, chunk
