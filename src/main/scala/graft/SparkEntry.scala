@@ -343,6 +343,42 @@ object SparkEntry {
       TextOps.qualityFilter(docs(s, d))
         .select("doc_id").orderBy("doc_id")),
 
+    "t_repetition" -> ((s, d) =>
+      // Gopher-style repetition filters: dup-line / dup-token
+      // fractions + top-bigram occurrence share
+      TextOps.repetitionSignals(docs(s, d)).orderBy("doc_id")),
+
+    "t_pii_redact" -> ((s, d) => {
+      // the synthetic corpus carries no PII, so the query grafts a
+      // deterministic email/IP/phone per doc (the oracle builds the
+      // SAME string) — the scrub's counts and redacted output are then
+      // hash-verified end to end instead of trivially zero
+      val pii = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com ip 192.168."), F.col("doc_id") % 256,
+        F.lit("."), (F.col("doc_id") * 7) % 256,
+        F.lit(" tel +1 (555) 010-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"))
+      TextOps.piiScrub(docs(s, d).select(F.col("doc_id"), pii.as("text")))
+        .select(
+          F.col("doc_id"), F.col("n_emails"), F.col("n_ips"),
+          F.col("n_phones"), F.md5(F.col("redacted")).as("red_fp"))
+        .orderBy("doc_id")
+    }),
+
+    "d_decontaminate" -> ((s, d) => {
+      // eval-set decontamination: every 20th doc plays the benchmark;
+      // corpus docs sharing any exact word 4-gram with it are dropped
+      // (4, not the usual 13, because the synthetic word-bag text has
+      // a ~40-word vocabulary — at 13 only the planted near-dup pairs
+      // collide and the check degenerates)
+      val all = docs(s, d)
+      val eval = all.where(F.col("doc_id") % 20 === 0)
+      val corpus = all.where(F.col("doc_id") % 20 =!= 0)
+      Dedup.decontaminate(corpus, eval, n = 4)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- training-data preparation (engine additions) ----
     "t_chunk_windows" -> ((s, d) =>
       // context-window chunking for LLM training: 32-token windows
@@ -838,15 +874,23 @@ object SparkEntry {
       val qv = queryVec(s, d)
       val relevant = m.search(qv, tau = 1.0).select(F.col("id")).collect()
         .map(_.getLong(0)).toSet
-      val retrieved = m.search(qv, tau = 0.62)
-        .select(
-          F.lit(0L).as("query_id"),
-          F.col("id").as("doc_id"),
-          F.row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(F.col("score").desc, F.col("id").asc)).as("rank"),
-          F.when(F.col("id").isInCollection(relevant), 1.0).otherwise(0.0).as("grade"))
+      // the ranked list is ≤ topk rows by construction — rank it on
+      // the driver instead of a partition-less window (whose constant
+      // partition key would be folded away, leaving a single-task
+      // WindowExec that re-warns on every re-execution of the plan;
+      // at many-queries scale the per-query window in searchBatch is
+      // the distributed shape)
       val spark2 = s
       import spark2.implicits._
+      val retrieved = m.search(qv, tau = 0.62)
+        .select(F.col("id"), F.col("score")).collect()
+        .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+        .zipWithIndex
+        .map { case (r, i) =>
+          (0L, r.getLong(0), i + 1,
+            if (relevant(r.getLong(0))) 1.0 else 0.0)
+        }
+        .toSeq.toDF("query_id", "doc_id", "rank", "grade")
       val sources = Seq((0L, 0L)).toDF("query_id", "node_id")
       graft.metrics.TopologyMetrics.evaluate(edges, retrieved, sources)
         .select(
@@ -1171,6 +1215,84 @@ object SparkEntry {
         |    / len(string_split_regex(trim(text), '\s+')) <= 12.0
         |  AND length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))::DOUBLE
         |    / length(text) >= 0.2
+        |ORDER BY doc_id""".stripMargin,
+
+    "t_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(text, chr(10)) AS ln,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    round(1.0 - len(list_distinct(ln))::DOUBLE / len(ln), 4)
+        |      AS dup_line_frac,
+        |    round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 4)
+        |      AS dup_token_frac,
+        |    t
+        |  FROM base),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM sig),
+        |top AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS nb
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, s.dup_line_frac, s.dup_token_frac,
+        |  round(coalesce(mx::DOUBLE / nb, 0.0), 4) AS top_bigram_frac
+        |FROM sig s LEFT JOIN top USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // same grafted-PII construction and RE2-safe patterns as the query
+    "t_pii_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com ip 192.168.' || (doc_id % 256) || '.' ||
+        |    ((doc_id * 7) % 256) || ' tel +1 (555) 010-' ||
+        |    lpad(doc_id::VARCHAR, 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][-() 0-9]{6,}[0-9]')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][-() 0-9]{6,}[0-9]', '<PHONE>', 'g')) AS red_fp
+        |FROM pii
+        |ORDER BY doc_id""".stripMargin,
+
+    // word 4-grams; docs with < 4 tokens collapse to one whole-text
+    // gram, mirroring Dedup.shingles
+    "d_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |    END AS gs
+        |  FROM toks),
+        |g2 AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        |ev AS (SELECT DISTINCT g FROM g2 WHERE doc_id % 20 = 0),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM g2
+        |  WHERE doc_id % 20 != 0 AND g IN (SELECT g FROM ev))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 20 != 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
 
     // sliding 32-token windows every 24 tokens; DuckDB list slicing is

@@ -100,6 +100,86 @@ object TextOps {
       .orderBy(F.col("n_occurrences").desc, F.col("token").asc)
       .limit(k)
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    * filters, reconstructed from the published heuristics): duplicate
+    * line fraction, duplicate token fraction, and the occurrence share
+    * of the most frequent word bigram. Line/token dedup is pure column
+    * algebra; the bigram mode needs a per-document frequency table, so
+    * bigrams are exploded through two partially-aggregated groupBys
+    * (map-side combine bounds both shuffles by distinct bigrams, not
+    * occurrences) and left-joined back — docs with < 2 tokens get 0.
+    * Output: (doc_id, dup_line_frac, dup_token_frac, top_bigram_frac).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val lines = F.split(F.col("text"), "\n")
+    val t = tokens(F.col("text"))
+    val base = docs.select(
+      F.col("doc_id"),
+      F.round(F.lit(1.0) -
+        F.size(F.array_distinct(lines)).cast("double") / F.size(lines), 4)
+        .as("dup_line_frac"),
+      F.round(F.lit(1.0) -
+        F.size(F.array_distinct(t)).cast("double") / F.size(t), 4)
+        .as("dup_token_frac"),
+      t.as("toks"))
+    val bigrams = base.select(
+      F.col("doc_id"),
+      F.explode(
+        // sequence(0, size-2) would COUNT DOWN for a 1-token doc
+        // (sequence(0,-1) = [0,-1]) — guard it to an empty array
+        F.when(F.size(F.col("toks")) < 2, F.array())
+          .otherwise(F.transform(
+            F.sequence(F.lit(0), F.size(F.col("toks")) - 2),
+            i => F.concat_ws(" ",
+              F.element_at(F.col("toks"), i + 1),
+              F.element_at(F.col("toks"), i + 2))))).as("bg"))
+    val top = bigrams
+      .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).as("c"))
+      .groupBy("doc_id").agg(F.max("c").as("mx"), F.sum("c").as("nb"))
+    base
+      .join(top, Seq("doc_id"), "left")
+      .select(
+        F.col("doc_id"), F.col("dup_line_frac"), F.col("dup_token_frac"),
+        F.round(
+          F.coalesce(F.col("mx").cast("double") / F.col("nb"), F.lit(0.0)), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /** PII patterns, written to evaluate identically on Java regex
+    * (Spark) and RE2 (DuckDB oracle): no \b word boundaries (RE2 lacks
+    * them), no backreferences, POSIX-safe classes.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][-() 0-9]{6,}[0-9]"
+
+  /** Redact emails, IPv4 addresses, and phone-shaped digit runs with
+    * typed placeholders — the standard pre-training PII scrub. Email
+    * first, then IP (so IPs are gone before the digit-run pattern
+    * scans), then phone; pure regexp_replace, codegen'd, scan-scales.
+    */
+  def redactPii(text: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(
+        F.regexp_replace(text, F.lit(EmailRe), F.lit("<EMAIL>")),
+        F.lit(Ipv4Re), F.lit("<IP>")),
+      F.lit(PhoneRe), F.lit("<PHONE>"))
+
+  /** Per-document PII counts + redacted text.
+    * Output: (doc_id, n_emails, n_ips, n_phones, redacted).
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      F.col("doc_id"),
+      F.regexp_count(F.col("text"), F.lit(EmailRe)).as("n_emails"),
+      F.regexp_count(F.col("text"), F.lit(Ipv4Re)).as("n_ips"),
+      F.regexp_count(
+        F.regexp_replace(
+          F.regexp_replace(F.col("text"), F.lit(EmailRe), F.lit("<EMAIL>")),
+          F.lit(Ipv4Re), F.lit("<IP>")),
+        F.lit(PhoneRe)).as("n_phones"),
+      redactPii(F.col("text")).as("redacted"))
+
   /** Marker-token language ID (deterministic cascade, n-gram-free
     * heuristic): first matching stopword wins, else "unk".
     */

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.{functions => F}
+
+/** The round-4 training-pipeline additions: repetition signals,
+  * PII scrubbing, and eval-set decontamination.
+  */
+class TextPipelineSpec extends SparkSpec {
+
+  test("repetitionSignals: dup lines, dup tokens, top bigram share") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // 2 distinct lines of 4, 'a b' bigram dominates
+      (1L, "a b a b\na b a b\nc d e f\nc d e f"),
+      // all tokens distinct, every bigram unique
+      (2L, "one two three four"),
+      // single token: no bigrams at all
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs).orderBy("doc_id").collect()
+    assert(out(0).getDouble(1) == 0.5) // dup_line_frac: 2 dup lines of 4
+    // 16 tokens, 6 distinct -> 1 - 6/16 = 0.625
+    assert(out(0).getDouble(2) == 0.625)
+    // the \s+ split crosses line breaks, so the token stream is
+    // [a b a b a b a b c d e f c d e f]: 15 bigrams, 'a b' tops at 4
+    // -> round(4/15, 4) = 0.2667
+    assert(out(0).getDouble(3) == 0.2667)
+    assert(out(1).getDouble(1) == 0.0)
+    assert(out(1).getDouble(2) == 0.0)
+    // 3 bigrams, all unique -> 1/3
+    assert(out(1).getDouble(3) == 0.3333)
+    assert(out(2).getDouble(3) == 0.0) // no bigrams -> 0, not NaN
+  }
+
+  test("piiScrub: counts and redacts emails, IPs, phone runs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@test-host.org and root@10.0.0.1 ip 192.168.1.255 tel +44 (0) 7700-900123 end"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs).orderBy("doc_id").collect()
+    val r1 = out(0)
+    // root@10.0.0.1 is email-shaped up to the TLD check: '10.0.0.1'
+    // has no alpha TLD, so only a.b+c@test-host.org counts as email;
+    // 10.0.0.1 and 192.168.1.255 count as IPs
+    assert(r1.getInt(1) == 1, s"emails: ${r1.getInt(1)}")
+    assert(r1.getInt(2) == 2, s"ips: ${r1.getInt(2)}")
+    assert(r1.getInt(3) == 1, s"phones: ${r1.getInt(3)}")
+    val red = r1.getString(4)
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
+    // 'root@<IP>' legitimately keeps its '@' (not email-shaped), so
+    // assert on the concrete PII strings instead
+    assert(!red.contains("test-host.org") && !red.contains("192.168"), red)
+    assert(out(1).getInt(1) == 0 && out(1).getInt(2) == 0 && out(1).getInt(3) == 0)
+    assert(out(1).getString(4) == "no pii here at all")
+  }
+
+  test("decontaminate drops exactly the corpus docs sharing an n-gram with eval") {
+    val s = spark
+    import s.implicits._
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a quick brown fox jumps into view"), // shares 'quick brown fox jumps'
+      (2L, "the slow brown fox sleeps all day"), // no shared 4-gram
+      (3L, "totally unrelated text about spark engines")
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.decontaminate(corpus, eval, n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(2L, 3L), survivors.mkString(","))
+  }
+}
