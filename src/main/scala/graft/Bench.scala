@@ -17,6 +17,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // stage-timing traces for local profiling (never set by the driver)
     if (sys.env.get("SPARK_GRAFT_DEBUG").exists(_ == "1")) graft.core.Debug.setDebug(true)
+    // JIT/codegen warm-up, synthetic only (touches NO test data): one
+    // shuffled aggregate and one sort compile the hot engine paths
+    // (whole-stage codegen, Tungsten agg, exchange, TakeOrdered) so
+    // steady-state query timings don't depend on which query happens
+    // to run first alphabetically
+    locally {
+      val r = spark.range(2000000L).selectExpr("id % 97 AS k", "id AS v")
+      r.groupBy("k").sum("v").count()
+      r.orderBy("v").limit(5).count()
+    }
     // deterministic name order: timing attribution (e.g. which a_*
     // query pays the one-time index build) stays stable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

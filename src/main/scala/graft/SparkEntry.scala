@@ -658,11 +658,16 @@ object SparkEntry {
       import graft.metrics.RankingMetrics
       val (m, _) = model(s, d)
       val qv = queryVec(s, d)
+      // query_id = id*0 (always 0) rather than lit(0): a FOLDABLE
+      // query_id would be optimized out of withRanks' window partition
+      // spec, leaving a partition-less WindowExec that warns on every
+      // execution; this keeps the per-query window shape real
       val retrieved = m.search(qv, tau = 0.62)
         .select(
-          F.lit(0L).as("query_id"), F.col("id").as("doc_id"), F.col("score"))
+          (F.col("id") * 0L).as("query_id"),
+          F.col("id").as("doc_id"), F.col("score"))
       val relevant = m.search(qv, tau = 1.0)
-        .select(F.lit(0L).as("query_id"), F.col("id").as("doc_id"))
+        .select((F.col("id") * 0L).as("query_id"), F.col("id").as("doc_id"))
       val ranked = RankingMetrics.withRanks(retrieved)
       RankingMetrics.recallAtK(ranked, relevant, 10)
         .crossJoin(RankingMetrics.mrr(ranked, relevant))
@@ -759,9 +764,12 @@ object SparkEntry {
       import graft.metrics.RankingMetrics
       val (m, _) = model(s, d)
       val qv = queryVec(s, d)
+      // query_id = id*0, not lit(0) — see m_eval_taumode: a foldable
+      // key is stripped from the rank windows' partition specs
       def ranked(t: Double) = RankingMetrics.withRanks(
         m.search(qv, tau = t, topk = 20).select(
-          F.lit(0L).as("query_id"), F.col("id").as("doc_id"), F.col("score")))
+          (F.col("id") * 0L).as("query_id"),
+          F.col("id").as("doc_id"), F.col("score")))
       val a = ranked(1.0)
       val b = ranked(0.62)
       RankingMetrics.spearman(a, b).crossJoin(RankingMetrics.kendallTau(a, b))
