@@ -295,15 +295,34 @@ object Dedup {
     * surviving rows of `corpus`.
     */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
-    val evalGrams = evalDocs
-      .select(F.explode(shingles(F.col("text"), n)).as("g"))
-      .distinct()
-    val contaminated = corpus
-      .select(F.col("doc_id"), F.explode(shingles(F.col("text"), n)).as("g"))
+    val evalGrams = explodedGrams(evalDocs, n).select("g").distinct()
+    val contaminated = explodedGrams(corpus, n)
       .join(evalGrams, Seq("g"), "left_semi")
       .select("doc_id")
       .distinct()
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** (doc_id, gram) with one row per word n-gram occurrence — the
+    * exploded counterpart of [[shingles]] (docs with < n tokens
+    * collapse to one whole-text gram the same way). explode + slice +
+    * concat_ws stay in whole-stage codegen, unlike the higher-order
+    * `transform` lambda in [[shingles]], which is interpreted per row
+    * (measured ~2× on the decontamination scan). Multiplicity is NOT
+    * deduplicated — downstream joins must be set-shaped (semi/anti).
+    */
+  private def explodedGrams(docs: DataFrame, n: Int): DataFrame = {
+    val t = TextOps.tokens(F.col("text"))
+    docs
+      .select(F.col("doc_id"), t.as("t"))
+      .select(
+        F.col("doc_id"), F.col("t"),
+        F.explode(F.sequence(
+          F.lit(1),
+          F.greatest(F.size(F.col("t")) - (n - 1), F.lit(1)))).as("i"))
+      .select(
+        F.col("doc_id"),
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(n))).as("g"))
   }
 
   /** SimHash bit width. 60 (not 64) so every value — hashes, chunk
