@@ -311,7 +311,7 @@ object Dedup {
     * (measured ~2× on the decontamination scan). Multiplicity is NOT
     * deduplicated — downstream joins must be set-shaped (semi/anti).
     */
-  private def explodedGrams(docs: DataFrame, n: Int): DataFrame = {
+  def explodedGrams(docs: DataFrame, n: Int): DataFrame = {
     val t = TextOps.tokens(F.col("text"))
     docs
       .select(F.col("doc_id"), t.as("t"))

@@ -187,6 +187,54 @@ object StreamingOps {
     }
   }
 
+  /** Streaming eval-set decontamination gate: an arriving document is
+    * dropped when any of its word n-grams hits a Bloom filter built
+    * ONCE over the static eval set's n-grams (the streaming face of
+    * [[graft.operators.Dedup.decontaminate]]). The filter is a driver
+    * sketch broadcast to every task, so the per-doc check is a
+    * stateless map at input rate — no join, no state, corpus-size-
+    * independent. Bloom false positives (rate `fpp`) drop a clean doc;
+    * there are NO false negatives, so contamination never leaks
+    * through — the conservative direction for a training gate. Size
+    * the filter by the eval set's distinct-gram count (a benchmark
+    * suite is millions of grams — a few MB at fpp 1e-3).
+    * Returns the surviving rows of `stream`.
+    */
+  def decontaminationGate(
+      stream: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 13,
+      fpp: Double = 0.001): DataFrame = {
+    import graft.operators.Dedup
+    val grams = Dedup.explodedGrams(evalDocs, n).select("g").distinct()
+    val nGrams = math.max(grams.count(), 1L)
+    val bloom = grams.stat.bloomFilter("g", nGrams, fpp)
+    val bc = stream.sparkSession.sparkContext.broadcast(bloom)
+    val contaminated = F.udf { (text: String) =>
+      val toks = text.trim.split("\\s+", -1)
+      val b = bc.value
+      if (toks.length < n) b.mightContainString(toks.mkString(" "))
+      else {
+        var i = 0
+        var hit = false
+        val sb = new java.lang.StringBuilder
+        while (i <= toks.length - n && !hit) {
+          sb.setLength(0)
+          var t = i
+          while (t < i + n) {
+            if (t > i) sb.append(' ')
+            sb.append(toks(t))
+            t += 1
+          }
+          hit = b.mightContainString(sb.toString)
+          i += 1
+        }
+        hit
+      }
+    }
+    stream.where(!contaminated(F.col("text")))
+  }
+
   /** Incremental index maintenance: append a stream of (id, vec) to a
     * persisted [[graft.api.ArrowSpaceModel]]'s items table. Each
     * arriving vector gets its λ and raw energy against the broadcast

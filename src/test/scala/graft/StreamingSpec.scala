@@ -189,4 +189,24 @@ class StreamingSpec extends SparkSpec {
     assert(ids.contains(3L))
     assert((ids - 3L).size == 1, s"duplicate not collapsed within watermark: $ids")
   }
+
+  test("streaming decontamination gate drops eval-overlapping docs at input rate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val gated = StreamingOps.decontaminationGate(stream, eval, n = 4)
+    in.addData(
+      (1L, "a quick brown fox jumps into view"), // shares a 4-gram -> dropped
+      (2L, "the slow brown fox sleeps all day"), // clean -> kept
+      (3L, "totally unrelated text about spark engines"))
+    StreamingOps.runToMemory(gated, "decon", OutputMode.Append())
+    val kept = s.sql("SELECT doc_id FROM decon ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 3L), kept.mkString(","))
+  }
 }
