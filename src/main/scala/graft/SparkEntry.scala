@@ -430,6 +430,14 @@ object SparkEntry {
       Dedup.dedupCorpus(docs(s, d), jaccardThreshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
 
+    "d_dup_clusters" -> ((s, d) =>
+      // transitive dedup: connected components over the exact-verified
+      // near-dup pairs; keeper = smallest doc_id of the component
+      Dedup.dupClusters(
+        Dedup.minhashNearDupPairs(docs(s, d), estFloor = 0.6)
+          .where(F.col("jaccard") >= 0.8))
+        .orderBy("doc_id")),
+
     "d_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d)).orderBy("doc_id")),
 
@@ -1403,6 +1411,24 @@ object SparkEntry {
         |WHERE doc_id NOT IN (
         |  SELECT doc_b FROM jpairs WHERE jaccard >= 0.8)
         |ORDER BY doc_id""".stripMargin,
+
+    // transitive closure of the exact >= 0.8 Jaccard pair graph via
+    // recursive min-label propagation (same pattern as g_components);
+    // keeper = component minimum
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE $JaccardPairsCte,
+        |dup AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.8),
+        |sym AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM dup
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM dup),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |r(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.dst, r.lab FROM r JOIN sym s ON s.src = r.id
+        |  WHERE r.lab < s.dst)
+        |SELECT id AS doc_id, min(lab) AS keeper FROM r
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // 60-bit SimHash recomputed end-to-end: md5-derived token hashes
     // (('0x'||hex15)::BIGINT is the same value as Spark's

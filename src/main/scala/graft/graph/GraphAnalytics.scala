@@ -93,13 +93,21 @@ object GraphAnalytics {
       * recurrences (A× the stages, A× the per-stage scheduling
       * overhead). Per slot the arithmetic is the exact sequence `run`
       * executes, so results are replayable by the same unrolled-CTE
-      * oracle. The anchor batch must be driver-small (it is a
-      * broadcast column of the state): for thousands of anchors,
-      * chunk the batch so N×A stays within executor memory.
-      * Output: (source, id, ppr).
+      * oracle. Anchor batches are chunked at `maxBatch` slots so the
+      * N×maxBatch state stays within executor memory however many
+      * anchors are submitted; chunks run sequentially, each a single
+      * recurrence. Output: (source, id, ppr).
       */
-    def runMany(sources: Seq[Long]): DataFrame = {
-      val srcs = sources.distinct.sorted.toArray
+    def runMany(sources: Seq[Long], maxBatch: Int = 256): DataFrame = {
+      require(maxBatch > 0, "maxBatch must be positive")
+      val distinctSorted = sources.distinct.sorted
+      distinctSorted
+        .grouped(maxBatch)
+        .map(chunk => runBatch(chunk.toArray))
+        .reduce(_ unionByName _)
+    }
+
+    private def runBatch(srcs: Array[Long]): DataFrame = {
       val a = srcs.length
       require(a > 0, "runMany needs at least one source")
       val bcIdx = spark.sparkContext.broadcast(srcs.zipWithIndex.toMap)

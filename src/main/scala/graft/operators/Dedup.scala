@@ -283,6 +283,28 @@ object Dedup {
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** Transitive near-duplicate clusters: connected components over the
+    * near-dup pair graph. Pairwise "drop doc_b" dedup is not transitive
+    * (A~B and B~C does not imply A~C — dropping per pair can drop a
+    * whole chain or keep conflicting representatives); the standard
+    * pipeline contract is "keep ONE doc per duplicate CLUSTER", i.e.
+    * per connected component. GraphX connectedComponents labels every
+    * vertex with the smallest id in its component, which IS the keeper
+    * under the engine's min-id convention. Input: (doc_a, doc_b) pairs
+    * (any extra columns ignored); output: (doc_id, keeper) for every
+    * document that appears in some pair.
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val a = pairs.select(
+      F.col("doc_a").cast("long").as("src"),
+      F.col("doc_b").cast("long").as("dst"))
+    val edges = a
+      .unionByName(a.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .withColumn("weight", F.lit(1.0))
+    graft.graph.GraphAnalytics.connectedComponents(edges)
+      .select(F.col("id").as("doc_id"), F.col("component").as("keeper"))
+  }
+
   /** Eval-set decontamination (the GPT-3/C4-style n-gram overlap
     * filter): drop every corpus document that shares at least one
     * exact word n-gram with any document of `evalDocs`. Shape: the

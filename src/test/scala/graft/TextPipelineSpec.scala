@@ -58,6 +58,15 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(1).getString(4) == "no pii here at all")
   }
 
+  test("dupClusters groups transitively and keeps the min id per component") {
+    val s = spark
+    import s.implicits._
+    // A~B, B~C (A and C never compared) + an unrelated pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L), out)
+  }
+
   test("decontaminate drops exactly the corpus docs sharing an n-gram with eval") {
     val s = spark
     import s.implicits._
