@@ -48,7 +48,12 @@ object GraphAnalytics {
   final class PprEngine(edges: DataFrame, numIter: Int = 15) {
     private val spark = edges.sparkSession
     import spark.implicits._
+    // cache the raw edge pairs for the construction span: the count
+    // (partitioner sizing), the partitionBy, and the node scan would
+    // otherwise each re-execute the whole upstream plan — expensive
+    // when the edges are a derived similarity graph
     private val e = edges.select($"src".as[Long], $"dst".as[Long]).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     private val part = new org.apache.spark.HashPartitioner(
       math.min(
         math.max(4, spark.sparkContext.defaultParallelism),
@@ -100,6 +105,7 @@ object GraphAnalytics {
       */
     def runMany(sources: Seq[Long], maxBatch: Int = 256): DataFrame = {
       require(maxBatch > 0, "maxBatch must be positive")
+      require(sources.nonEmpty, "runMany needs at least one source")
       val distinctSorted = sources.distinct.sorted
       distinctSorted
         .grouped(maxBatch)
@@ -168,6 +174,7 @@ object GraphAnalytics {
     }
 
     def release(): Unit = {
+      e.unpersist(blocking = false)
       withInv.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
     }
@@ -207,14 +214,20 @@ object GraphAnalytics {
     * tie-breaking follows map-merge order and is not reproducible),
     * this is deterministic — the same fixture always yields the same
     * communities, so the operator is oracle-checkable. Per step: one
-    * equi-join of the symmetric edge list with the label frame, a
-    * count aggregation (map-side partial), and a salted top-1 per
-    * node (a hub's label votes never land in a single task).
+    * narrow vote join and one aggregateByKey whose map-side combiners
+    * tally label→count maps, so a node's reduce input is one partial
+    * map per map partition, each bounded by the node's DISTINCT
+    * neighbor labels there — the residual skew bound is distinct
+    * labels per hub node (salt the hub's tally into label-range
+    * sub-keys before a final merge if that bound is ever hit).
     */
   def labelPropagation(edges: DataFrame, maxSteps: Int = 5): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // cached for the construction span (count + partitionBy would each
+    // re-run the upstream plan); released with eByDst below
     val e = edges.select($"dst".as[Long], $"src".as[Long]).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val part = new org.apache.spark.HashPartitioner(
       math.min(
         math.max(4, spark.sparkContext.defaultParallelism),
@@ -258,6 +271,7 @@ object GraphAnalytics {
       step += 1
     }
     val out = labels.toDF("id", "community").localCheckpoint()
+    e.unpersist(blocking = false)
     eByDst.unpersist(blocking = false)
     out
   }

@@ -77,23 +77,20 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
-    // Spark's trim() strips 0x20 only (not Java's <= 0x20) and its
-    // split() keeps trailing empties (limit -1) — replicate both so
-    // the shingle SET is the one the Column path [[shingles]] builds.
-    // Duplicates need no dedup: the min over repeated values is the min.
-    def sparkTrim(s: String): String = {
-      var b = 0
-      var e = s.length
-      while (b < e && s.charAt(b) == ' ') b += 1
-      while (e > b && s.charAt(e - 1) == ' ') e -= 1
-      s.substring(b, e)
-    }
     docs
+      // null text carries no signature: the row is excluded from
+      // near-dup entirely (the compiled loop would NPE; the Column
+      // formulation's null signature would band on hash(null) — both
+      // wrong answers for "this document has no content to compare")
+      .where(F.col("text").isNotNull)
       .select(F.col("doc_id").cast("long"), F.col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = sparkTrim(text).split("\\s+", -1)
+          // TextOps.tokensOf replicates the Column path's trim/split
+          // exactly, so the shingle SET is the one [[shingles]] builds
+          // (duplicates need no dedup: min over repeats is the min)
+          val toks = TextOps.tokensOf(text)
           val nSh = math.max(1, toks.length - shingleLen + 1)
           // inner xxhash64 state per shingle (string hash, then the
           // long-lane rehash with the default seed) — shared by lanes
@@ -221,8 +218,15 @@ object Dedup {
     val candIds = candidates.select(F.col("doc_a").as("doc_id"))
       .unionByName(candidates.select(F.col("doc_b").as("doc_id")))
       .distinct()
+    // broadcast only when the id set is verifiably small: candidates
+    // are checkpointed, so the count is cheap, and a forced broadcast
+    // hint would override the size threshold — on a boilerplate-heavy
+    // corpus the candidate set scales with near-dup density and an
+    // unconditional broadcast is a driver OOM, not a plan choice
+    val candIdsSized =
+      if (candidates.count() <= 2_000_000L) F.broadcast(candIds) else candIds
     val shTable = docs
-      .join(F.broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(candIdsSized, Seq("doc_id"), "left_semi")
       .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh"))
     val verified = candidates
       .join(shTable.select(F.col("doc_id").as("doc_a"), F.col("sh").as("sh_a")), "doc_a")

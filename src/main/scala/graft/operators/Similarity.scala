@@ -121,8 +121,12 @@ object Similarity {
         val qb = bcQbits.value
         it.map { case (id, vec) =>
           val xi = new Array[Long](nF)
+          // a vector shorter than the query contributes 0 in its
+          // missing dims (the zip_with column path this loop replaced
+          // null-padded; crashing the scan on one short row is worse)
+          val lim = math.min(nF, vec.length)
           var f = 0
-          while (f < nF) { xi(f) = quantize(vec(f)); f += 1 }
+          while (f < lim) { xi(f) = quantize(vec(f)); f += 1 }
           var agree = 0
           var j = 0
           while (j < bits) {

@@ -15,6 +15,20 @@ object TextOps {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = F.split(F.trim(text), "\\s+")
 
+  /** Executor/driver-side replica of [[tokens]]'s EXACT semantics, for
+    * compiled loops that must agree with the Column path: Spark's
+    * trim() strips 0x20 only (not Java's <= 0x20) and its split() keeps
+    * trailing empty tokens (limit -1). Any compiled tokenizer in the
+    * engine must go through here so the two paths cannot drift.
+    */
+  private[graft] def tokensOf(text: String): Array[String] = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(b, e).split("\\s+", -1)
+  }
+
   /** Per-document token/char statistics.
     * Output: (doc_id, n_tokens, n_chars, n_chars_nospace,
     * avg_token_len, bpe_est) where bpe_est is the standard ~4

@@ -176,9 +176,11 @@ object TrainPrep {
       stratum: Column,
       rates: Map[String, Double],
       defaultRate: Double): DataFrame = {
-    val threshold = rates.foldLeft(F.lit(defaultRate * 10000).cast("long")) {
+    // round, don't truncate: 0.3 * 10000 is 2999.999... in doubles, so
+    // a cast/toLong floors to 2999 and the realized rate is 29.99%
+    val threshold = rates.foldLeft(F.lit(math.round(defaultRate * 10000))) {
       case (acc, (value, rate)) =>
-        F.when(stratum === value, F.lit((rate * 10000).toLong)).otherwise(acc)
+        F.when(stratum === value, F.lit(math.round(rate * 10000))).otherwise(acc)
     }
     df.where(hashBucket(key, 10000) < threshold)
   }

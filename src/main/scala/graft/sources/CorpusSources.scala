@@ -59,12 +59,15 @@ object CorpusSources {
     * CVE ingest walks `containers.cna.descriptions[0].value`-style
     * paths in a Python loop (tests/test_2_CVE_db.py:81-128); here the
     * paths are column expressions evaluated inside the scan projection,
-    * corrupt records are tolerated (PERMISSIVE) and countable rather
-    * than job-fatal, and an explicit schema avoids the 2-pass infer at
-    * scale.
+    * and corrupt records are tolerated rather than job-fatal:
+    * get_json_object returns null on malformed JSON, so bad lines are
+    * dropped by the isNotNull filter (count them with
+    * [[jsonCorpusCorruptCount]]) instead of failing the scan.
     *
     * fields: output column name → dotted path inside the JSON object
     * (`a.b[0].c` style, get_json_object syntax without the leading $).
+    * multiLine = true reads each FILE as one JSON document (wholetext);
+    * the default treats each line as a document (JSONL).
     */
   def jsonCorpus(
       spark: SparkSession,
@@ -74,10 +77,11 @@ object CorpusSources {
       fields: Map[String, String] = Map.empty,
       multiLine: Boolean = false): DataFrame = {
     val raw = spark.read
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("multiLine", multiLine)
-      .text(path) // one JSON document per line (or per file via multiLine)
+      // wholetext, not the json reader's multiLine flag: this reader is
+      // text(), where multiLine is meaningless — wholetext yields one
+      // row per file, which is what per-file JSON needs
+      .option("wholetext", multiLine)
+      .text(path)
     def byPath(p: String): Column = F.get_json_object(F.col("value"), "$." + p)
     val extras = fields.toSeq.map { case (name, p) => byPath(p).as(name) }
     raw.select(

@@ -211,25 +211,34 @@ object StreamingOps {
     val bloom = grams.stat.bloomFilter("g", nGrams, fpp)
     val bc = stream.sparkSession.sparkContext.broadcast(bloom)
     val contaminated = F.udf { (text: String) =>
-      val toks = text.trim.split("\\s+", -1)
-      val b = bc.value
-      if (toks.length < n) b.mightContainString(toks.mkString(" "))
+      // null text has no grams — it cannot be contaminated (the batch
+      // decontaminate reaches the same verdict: explode of a null
+      // token array emits no rows, so the doc misses the anti-join)
+      if (text == null) false
       else {
-        var i = 0
-        var hit = false
-        val sb = new java.lang.StringBuilder
-        while (i <= toks.length - n && !hit) {
-          sb.setLength(0)
-          var t = i
-          while (t < i + n) {
-            if (t > i) sb.append(' ')
-            sb.append(toks(t))
-            t += 1
+        // tokensOf replicates TextOps.tokens' trim/split exactly: a
+        // looser tokenizer here would hash DIFFERENT grams than the
+        // filter was built from, and contamination would leak through
+        val toks = graft.operators.TextOps.tokensOf(text)
+        val b = bc.value
+        if (toks.length < n) b.mightContainString(toks.mkString(" "))
+        else {
+          var i = 0
+          var hit = false
+          val sb = new java.lang.StringBuilder
+          while (i <= toks.length - n && !hit) {
+            sb.setLength(0)
+            var t = i
+            while (t < i + n) {
+              if (t > i) sb.append(' ')
+              sb.append(toks(t))
+              t += 1
+            }
+            hit = b.mightContainString(sb.toString)
+            i += 1
           }
-          hit = b.mightContainString(sb.toString)
-          i += 1
+          hit
         }
-        hit
       }
     }
     stream.where(!contaminated(F.col("text")))
