@@ -1,0 +1,55 @@
+package graft
+
+import graft.api.ArrowSpaceBuilder
+import graft.core.GraphParams
+import org.apache.spark.sql.{functions => F}
+
+/** Physical-plan regression guards for the shapes SCALE.md promises:
+  * scans prune and push down, top-k compiles to TakeOrderedAndProject
+  * (partial per-partition top-k, no global sort), small dimension
+  * sides broadcast. These break loudly if a refactor trades the plan
+  * for a slower one that still returns correct rows.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  test("filtered projection pushes the filter and prunes columns at the parquet scan") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(F.col("lang") === "en")
+      .select("doc_id", "lang")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      plan.take(1000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      plan.take(1000))
+  }
+
+  test("lambda-aware search compiles to TakeOrderedAndProject, no global Sort") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0, 0.1, 0.2, 0.3)),
+      (1L, Array(0.9, 0.2, 0.1, 0.4)),
+      (2L, Array(0.1, 1.0, 0.3, 0.2)),
+      (3L, Array(0.2, 0.9, 0.4, 0.1)),
+      (4L, Array(0.3, 0.2, 1.0, 0.5))
+    ).toDF("id", "vec")
+    val (model, _) = ArrowSpaceBuilder.build(emb, GraphParams(eps = 1.0, k = 3, topk = 3))
+    val res = model.search(Array(1.0, 0.1, 0.2, 0.3), tau = 0.62)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+    assert(!plan.split("\n").exists(l => l.trim.startsWith("+- Sort") ||
+      l.trim.startsWith(":- Sort")), plan.take(1000))
+  }
+
+  test("small dimension side of a fact join broadcasts") {
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val joined = customer
+      .join(F.broadcast(nation), F.col("c_nationkey") === F.col("n_nationkey"))
+      .groupBy("n_name").agg(F.count(F.lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1000))
+  }
+}
