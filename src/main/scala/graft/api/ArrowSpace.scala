@@ -118,12 +118,32 @@ final case class ArrowSpaceModel private[api] (
     val k = if (topk > 0) topk else params.topk
     val bcLap = spark.sparkContext.broadcast(featureLaplacian)
     val bcTau = this.tau
-    val lamQ = F.udf { (v: Seq[Double]) => bcLap.value.synth(v.toArray, bcTau) }
-    val q = queries
-      .select(F.col("query_id"), F.col("qvec").cast("array<double>").as("qvec"))
-      .withColumn("qlambda", lamQ(F.col("qvec")))
+    val nF = nFeatures
+    val lamQ = F.udf { (v: Seq[Double]) =>
+      // same contract as the single-query path's validateQuery — a
+      // clear error beats an ArrayIndexOutOfBounds task failure deep
+      // in the Dirichlet scan
+      require(v != null && v.length == nF,
+        s"query length ${if (v == null) "null" else v.length} must match nfeatures $nF")
+      bcLap.value.synth(v.toArray, bcTau)
+    }
+    val q =
+      // honor a caller-precomputed qlambda column (the documented
+      // optional third column); recompute only when absent
+      if (queries.columns.contains("qlambda"))
+        queries.select(
+          F.col("query_id"),
+          F.col("qvec").cast("array<double>").as("qvec"),
+          F.col("qlambda").cast("double").as("qlambda"))
+      else
+        queries
+          .select(F.col("query_id"), F.col("qvec").cast("array<double>").as("qvec"))
+          .withColumn("qlambda", lamQ(F.col("qvec")))
+    // no forced broadcast: Catalyst broadcasts a small query table by
+    // its own size stats; a multi-GB query table degrades to the
+    // cartesian-scored shuffle instead of a driver OOM
     val scored = items
-      .join(F.broadcast(q))
+      .join(q)
       .withColumn(
         "score",
         F.lit(tau) * cosine(F.col("vec"), F.col("qvec")) +
@@ -178,10 +198,13 @@ final case class ArrowSpaceModel private[api] (
       s"""{"tau":$tau,"nItems":$nItems,"nFeatures":$nFeatures,
          |"eps":${params.eps},"k":${params.k},"topk":${params.topk},
          |"p":${params.p},"sigma":${params.sigmaValue},"seed":${params.seed},
+         |"normalise":${if (params.normalise) 1 else 0},
          |"lapDim":${featureLaplacian.dim},"lapEdges":$lapJson}""".stripMargin
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/meta.json"), meta)
+    // the sidecar goes through the SAME filesystem as the parquet
+    // (Hadoop FS resolves hdfs:// / s3a:// / file:// from the path) —
+    // java.nio would silently write a driver-LOCAL file for any remote
+    // path, leaving the saved model unloadable from other nodes
+    ArrowSpaceModel.writeSidecar(items.sparkSession, s"$path/meta.json", meta)
   }
 }
 
@@ -190,17 +213,37 @@ object ArrowSpaceModel {
   /** Load a model persisted by [[ArrowSpaceModel.save]]. */
   def load(spark: SparkSession, path: String): ArrowSpaceModel = {
     val items = spark.read.parquet(s"$path/items")
-    val meta = ujsonParse(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json")))
+    val raw = readSidecar(spark, s"$path/meta.json")
+    val meta = ujsonParse(raw)
     val params = GraphParams(
       eps = meta("eps"), k = meta("k").toInt, topk = meta("topk").toInt,
-      p = meta("p"), sigma = Some(meta("sigma")), seed = meta("seed").toLong)
-    val edges = metaEdges(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json")))
+      p = meta("p"), sigma = Some(meta("sigma")), seed = meta("seed").toLong,
+      // sidecars from before the flag was persisted default to true
+      normalise = meta.get("normalise").forall(_ != 0.0))
+    val edges = metaEdges(raw)
     ArrowSpaceModel(
       items,
       graft.spectral.LocalLaplacian(meta("lapDim").toInt, edges),
       meta("tau"), params, meta("nItems").toLong, meta("nFeatures").toInt)
+  }
+
+  /** Sidecar IO through Hadoop FS so save/load work on any filesystem
+    * Spark itself can reach (local, HDFS, S3A, ...). */
+  private[api] def writeSidecar(
+      spark: SparkSession, file: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, file: String): String = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   /** JSON number literal: sign, integer, optional fraction, optional
@@ -294,6 +337,10 @@ object ArrowSpaceBuilder {
     val s1 = graft.core.Debug.timed("S1 ingest stats")(items.agg(
       F.count(F.lit(1)).as("n"),
       F.max(F.size(F.col("vec"))).as("f"),
+      // size(null) is -1, so one min() catches both null and ragged
+      // vectors — a clear require here beats an AIOOBE hours into the
+      // Gram pass
+      F.min(F.size(F.col("vec"))).as("fmin"),
       F.coalesce(
         F.sum(F.size(F.filter(F.col("vec"),
           v => F.isnan(v) || F.abs(v) === Double.PositiveInfinity))),
@@ -301,13 +348,20 @@ object ArrowSpaceBuilder {
     val nItems = s1.getLong(0)
     require(nItems > 0, "items must be non-empty")
     val nFeatures = s1.getInt(1)
-    val nonFinite = s1.getLong(2)
+    require(s1.getInt(2) == nFeatures,
+      s"all vectors must have the same non-null length: found lengths " +
+        s"${s1.getInt(2)} and $nFeatures (size -1 = null vector)")
+    val nonFinite = s1.getLong(3)
     if (nonFinite > 0)
       org.apache.logging.log4j.LogManager.getLogger("graft")
         .warn(s"items contain $nonFinite non-finite values")
 
-    // S3: sample large inputs for graph construction only — λ is still
-    // computed for every item against the F×F Laplacian.
+    // S3: above the threshold the GRAPH PIPELINE (S4-S9, including the
+    // F×F Laplacian built from the graph items' signals) runs on a
+    // seeded sample, as the reference's scale path does; λ itself is
+    // still synthesized for EVERY item against that Laplacian. Below
+    // the threshold (every oracle SF and test_0) the build is exact
+    // and sample/seed-independent.
     val graphItems =
       if (nItems > options.sampleThreshold)
         items.sample(withReplacement = false, options.sampleRate, params.seed)
@@ -331,8 +385,11 @@ object ArrowSpaceBuilder {
     val edges = KnnGraph
       .epsKnnEdges(graphInput, params, nItems)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (graft.core.Debug.isDebug)
-      graft.core.Debug.timed("S6-S8 eps-kNN graph")(edges.count())
+    // materialize the cache NOW (debug on or off): the S9 Gram pass
+    // unpersists `items` afterwards, and an unfilled edges cache would
+    // recompute the whole graph lineage — the most expensive build
+    // stage — on the caller's first action over the returned edges
+    graft.core.Debug.timed("S6-S8 eps-kNN graph")(edges.count())
 
     // S9: F×F feature Laplacian from the raw signal columns (see
     // FeatureLaplacian's Scaladoc for the test_0-pinned construction).
@@ -348,7 +405,10 @@ object ArrowSpaceBuilder {
       .select($"id".as[Long], $"vec".as[Array[Double]])
       .mapPartitions { it =>
         val l = bcLap.value
-        it.map { case (id, v) => (id, l.dirichlet(v), l.dirichletGini(v)) }
+        it.map { case (id, v) =>
+          val (e, g) = l.energyAndGini(v)
+          (id, e, g)
+        }
       }
       .toDF("id", "e_raw", "g_raw")
     val tau = graft.core.Debug.timed("S10 tau resolve")(

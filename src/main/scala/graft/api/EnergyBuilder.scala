@@ -275,7 +275,10 @@ object EnergyBuilder {
       .select($"id".as[Long], $"vec".as[Array[Double]])
       .mapPartitions { it =>
         val l = bcLap.value
-        it.map { case (id, v) => (id, l.dirichlet(v), l.dirichletGini(v)) }
+        it.map { case (id, v) =>
+          val (e, g) = l.energyAndGini(v)
+          (id, e, g)
+        }
       }
       .toDF("id", "e_raw", "g_raw")
     val tau = graft.core.Debug.timed("E6 tau resolve")(

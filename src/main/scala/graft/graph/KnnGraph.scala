@@ -175,13 +175,21 @@ object KnnGraph {
     val id = graft.scale.TwoNN.intrinsicDimension(
       items, seed = params.seed, knownCount = nItems)
     val kAuto = graft.scale.TwoNN.chooseK(items, nItems, id, params.seed)
-    val k = math.max(kAuto, (nItems / 2000L).toInt)
+    // cap k at 2^16: past that the MLlib center table itself stops
+    // being comfortably broadcastable (k·F doubles per executor) and
+    // block sizes of N/65536 are already small enough to self-join
+    val k = math.min(1 << 16, math.max(kAuto, (nItems / 2000L).toInt))
     val withVec = items.withColumn("features", array_to_vector(F.col("vnorm")))
     val km = new KMeans()
       .setK(k).setSeed(params.seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("c0")
+    // the fit sample must materialize k DISTINCT centers: a fixed 50k
+    // cap starves k > 50k/10 (KMeans silently returns fewer centers,
+    // inflating block sizes past the documented O(N·blockSize) bound) —
+    // scale the sample with k, >= ~10 points per center
+    val fitRows = math.min(nItems.toDouble, math.max(50000.0, 10.0 * k))
     val model = km.fit(withVec.sample(withReplacement = false,
-      math.min(1.0, 50000.0 / nItems), params.seed))
+      math.min(1.0, fitRows / nItems), params.seed))
     val centers = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centers)
     // top-`probes` centroid assignment per point (broadcast

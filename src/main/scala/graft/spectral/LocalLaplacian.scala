@@ -46,18 +46,19 @@ final case class LocalLaplacian(dim: Int, edges: Array[LapEdge]) extends Seriali
     * G(x) = clip(Σ s², 0, 1) with s_fg = w_fg(x_f−x_g)²/Σ
     * (TAUMODE.md:26-27). 0 when the total energy is 0.
     */
-  def dirichletGini(x: Array[Double]): Double = {
-    var tot = 0.0
-    var e = 0
-    while (e < edges.length) {
-      val ed = edges(e)
-      val d = x(ed.f) - x(ed.g)
-      tot += ed.w * d * d
-      e += 1
-    }
+  def dirichletGini(x: Array[Double]): Double =
+    giniGivenTotal(x, dirichlet(x))
+
+  /** Gini share pass with the Dirichlet total supplied — [[synth]]
+    * computes the total once and reuses it here, so the per-item
+    * kernel scans the O(F²) edge list twice instead of three times.
+    * The share arithmetic is identical to a fresh computation: `tot`
+    * is the same bit-exact value either way.
+    */
+  private def giniGivenTotal(x: Array[Double], tot: Double): Double = {
     if (tot <= 0.0) return 0.0
     var sumSq = 0.0
-    e = 0
+    var e = 0
     while (e < edges.length) {
       val ed = edges(e)
       val d = x(ed.f) - x(ed.g)
@@ -76,11 +77,20 @@ final case class LocalLaplacian(dim: Int, edges: Array[LapEdge]) extends Seriali
     * m = τ/(1+τ) ∈ (0,1) (τ itself — the median raw energy — can
     * exceed 1, so it is bounded before mixing). τ must be > 0.
     */
+  /** (raw Dirichlet energy, Gini concentration) in two edge scans —
+    * the per-item S10/E6 hot path, where separate dirichlet +
+    * dirichletGini calls would pay a third scan.
+    */
+  def energyAndGini(x: Array[Double]): (Double, Double) = {
+    val e = dirichlet(x)
+    (e, giniGivenTotal(x, e))
+  }
+
   def synth(x: Array[Double], tau: Double): Double = {
     val e = dirichlet(x)
     val eb = if (e + tau == 0.0) 0.0 else e / (e + tau)
     val m = tau / (1.0 + tau)
-    m * eb + (1.0 - m) * dirichletGini(x)
+    m * eb + (1.0 - m) * giniGivenTotal(x, e)
   }
 }
 

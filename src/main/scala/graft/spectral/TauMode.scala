@@ -13,12 +13,36 @@ sealed trait TauMode {
 }
 
 object TauMode {
-  /** Exact median of the raw energies (relativeError=0 makes
-    * approxQuantile exact; it runs distributed, no driver collect). */
+  /** Exact median of the raw energies via distributed order-statistic
+    * selection: sort (range-partitioned shuffle), then take the
+    * element at rank ceil(n/2) — the same element approxQuantile with
+    * relativeError=0 returns, WITHOUT its O(N) quantile summaries
+    * (epsilon=0 forbids compressing samples, so the eps-0 path
+    * materializes every value on the driver — an OOM at the corpus
+    * sizes the sampling path exists for). Driver traffic here is one
+    * double.
+    */
   case object Median extends TauMode {
     def resolve(eRaw: DataFrame, col: String): Double = {
-      val q = eRaw.stat.approxQuantile(col, Array(0.5), 0.0)
-      positive(q.headOption.getOrElse(0.0))
+      import org.apache.spark.sql.{functions => F}
+      val spark = eRaw.sparkSession
+      import spark.implicits._
+      val vals = eRaw.select(F.col(col).cast("double")).as[Double].rdd
+      val n = vals.count()
+      if (n == 0L) positive(0.0)
+      else {
+        // approxQuantile(q, eps=0) selects the smallest sample whose
+        // rank >= ceil(q*n); replicate that rank exactly (asserted
+        // equal in TauModeSpec on odd/even inputs)
+        val target = math.ceil(0.5 * n).toLong - 1L // 0-based
+        val kth = vals
+          .sortBy(identity)
+          .zipWithIndex()
+          .filter { case (_, i) => i == target }
+          .map(_._1)
+          .first()
+        positive(kth)
+      }
     }
   }
 

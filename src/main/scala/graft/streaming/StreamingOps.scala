@@ -269,9 +269,9 @@ object StreamingOps {
       .select($"id".as[Long], $"vec".as[Array[Double]])
       .map { case (id, v) =>
         val l = bcLap.value
-        val e = l.dirichlet(v)
+        val (e, gRaw) = l.energyAndGini(v)
         val eb = if (e + tau == 0.0) 0.0 else e / (e + tau)
-        val g = math.min(1.0, math.max(0.0, l.dirichletGini(v)))
+        val g = math.min(1.0, math.max(0.0, gRaw))
         (id, v, mix * eb + (1.0 - mix) * g, e)
       }
       .toDF("id", "vec", "lambda", "e_raw")
