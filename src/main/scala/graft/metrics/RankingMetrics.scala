@@ -55,7 +55,10 @@ object RankingMetrics {
       .join(relevant, Seq("query_id", "doc_id"), "left_semi")
       .groupBy("query_id")
       .agg(F.min("rank").as("first_rank"))
-    val queries = retrieved.select("query_id").distinct()
+    // the query universe is the JUDGED set (same as recall/nDCG/MAP):
+    // a judged query with zero retrieved rows scores 0, it does not
+    // shrink the denominator and silently inflate the average
+    val queries = relevant.select("query_id").distinct()
     queries
       .join(firstHit, Seq("query_id"), "left")
       .select(
@@ -147,12 +150,16 @@ object RankingMetrics {
     */
   def tailAnalysis(retrieved: DataFrame, maxRank: Int = 20): DataFrame = {
     val in = retrieved.where(F.col("rank") <= maxRank)
+    // zero denominators yield null (averaged away), not an ANSI
+    // DIVIDE_BY_ZERO that kills the job on one all-zero-score query
+    def safeDiv(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      F.when(den === 0.0, F.lit(null)).otherwise(num / den)
     in.groupBy("query_id")
       .agg(
         F.avg(F.when(F.col("rank") <= 3, F.col("score"))).as("head_mean"),
         F.avg(F.when(F.col("rank") > 3, F.col("score"))).as("tail_mean"),
-        (F.stddev_pop("score") / F.avg("score")).as("cv"))
-      .withColumn("th_ratio", F.col("tail_mean") / F.col("head_mean"))
+        safeDiv(F.stddev_pop("score"), F.avg("score")).as("cv"))
+      .withColumn("th_ratio", safeDiv(F.col("tail_mean"), F.col("head_mean")))
       .agg(
         F.round(F.avg("head_mean"), 6).as("head_mean"),
         F.round(F.avg("tail_mean"), 6).as("tail_mean"),

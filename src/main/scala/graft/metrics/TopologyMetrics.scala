@@ -93,7 +93,8 @@ object TopologyMetrics {
       .as[(Long, Int, Double, Double, Double, Long)]
       .map { case (q, r, g, p, d, c) => (q, (r, g, p, d, c)) }
 
-    val totalVol = edges.agg(F.sum("weight")).head.getDouble(0)
+    val totalVol = edges
+      .agg(F.coalesce(F.sum("weight"), F.lit(0.0))).head.getDouble(0)
     val w = weights
 
     enriched.toDF("query_id", "row")

@@ -42,7 +42,10 @@ object AsOfJoin {
     // Right rows sort BEFORE left rows at equal ts (side 0 < side 1),
     // making the match inclusive.
     val payloadStruct = F.struct(payload.map(F.col): _*)
-    val taggedRight = right.select(
+    // a NULL right timestamp would sort nulls-FIRST and its payload
+    // would be carried forward as the "most recent prior" match for
+    // every early left row — an unknown-time record must match nothing
+    val taggedRight = right.where(F.col(rightTs).isNotNull).select(
       (F.col(key).as("__k") +:
         F.col(rightTs).as("__ts") +:
         F.lit(0).as("__side") +:

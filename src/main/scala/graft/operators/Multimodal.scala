@@ -66,7 +66,9 @@ object Multimodal {
       F.col(idCol).cast("long").as("media_id"),
       F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col(idCol) % 3 + 1).cast("int")).as("kind"),
+        // pmod, not %: Spark's % keeps the dividend's sign, so a
+        // negative id would index 0 (ANSI error) or -1 (wrong element)
+        (F.pmod(F.col(idCol), F.lit(3)) + 1).cast("int")).as("kind"),
       F.encode(F.col(textCol), "UTF-8").as("payload"),
       F.struct(
         F.lit(64).as("width"), F.lit(64).as("height"),

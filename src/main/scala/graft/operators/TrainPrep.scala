@@ -19,7 +19,9 @@ object TrainPrep {
     * token lands in ⌈window/stride⌉ chunks (overlap = window−stride).
     * Output: (doc_id, chunk_id, chunk_text, n_tokens), one row per
     * chunk. Per-row explode, no shuffle: at scale this is a map-only
-    * stage bounded by output size.
+    * stage bounded by output size. A null text yields NO chunks (the
+    * explode of a null sequence emits nothing) — intentional: a doc
+    * without content has nothing to train on.
     */
   def chunkTokenWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
@@ -56,7 +58,11 @@ object TrainPrep {
     val counts = docs
       .select(
         F.col("doc_id").cast("long"),
-        F.size(TextOps.tokens(F.col("text"))).cast("long").as("n_tokens"))
+        // null text = 0 tokens: the doc keeps its place in the layout
+        // instead of a null n_tokens killing the typed prefix-sum pass
+        F.coalesce(
+          F.size(TextOps.tokens(F.col("text"))).cast("long"),
+          F.lit(0L)).as("n_tokens"))
       .repartitionByRange(F.col("doc_id"))
       .sortWithinPartitions("doc_id")
       .select($"doc_id".as[Long], $"n_tokens".as[Long])

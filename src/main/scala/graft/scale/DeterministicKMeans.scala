@@ -15,11 +15,14 @@ import org.apache.spark.storage.StorageLevel
   *
   * Distributed shape: seeding keeps a per-row running min-distance
   * column (one narrow mapPartitions + one reduce per centroid, no
-  * shuffle); each Lloyd iteration is one broadcast-assign pass and one
-  * aggregateByKey with array-sum combiners (map-side partial sums — at
-  * most k·F doubles per partition cross the network). Cost: O(k)
-  * passes for seeding + O(iters) single-shuffle jobs; centroids
-  * (k × F doubles) are the only driver-side state.
+  * shuffle — min/max reduces are order-insensitive, so they stay
+  * deterministic under any merge order); each Lloyd iteration is one
+  * broadcast-assign pass and one (cluster, id)-sorted shuffle whose
+  * per-cluster sums accumulate sequentially in ascending-id order —
+  * bit-identical to the driver-local path and independent of
+  * partition layout, which a combiner-tree float sum is not. Cost:
+  * O(k) passes for seeding + one row shuffle per Lloyd iteration;
+  * centroids (k × F doubles) are the only driver-side state.
   */
 object DeterministicKMeans {
 
@@ -57,7 +60,8 @@ object DeterministicKMeans {
       k: Int,
       maxIter: Int,
       idCol: String = "id",
-      vecCol: String = "x"): Model = {
+      vecCol: String = "x",
+      localThreshold: Long = 4000000L): Model = {
     val spark = items.sparkSession
     import spark.implicits._
     val raw = items
@@ -68,7 +72,9 @@ object DeterministicKMeans {
     try {
       val sc = spark.sparkContext
       val nRows = base.count()
-      val kEff = math.max(1, math.min(k, nRows.toInt))
+      // min in Long BEFORE narrowing: nRows.toInt wraps negative past
+      // 2^31 rows and max(1, negative) would silently collapse to k=1
+      val kEff = math.max(1L, math.min(k.toLong, nRows)).toInt
       val nFProbe = if (nRows > 0) base.first()._2.length else 0
       // Driver-local fast path: seeding + Lloyd are O(k + iters)
       // SEQUENTIAL Spark jobs; when the input fits comfortably on the
@@ -77,7 +83,7 @@ object DeterministicKMeans {
       // entire cost, ~40 ms per job even on one task. Same recurrence,
       // id-ordered accumulation, so the result is deterministic under
       // any partition layout.
-      if (nRows * math.max(1, nFProbe) <= 4000000L)
+      if (nRows * math.max(1, nFProbe) <= localThreshold)
         return fitLocal(base.collect().sortBy(_._1), kEff, maxIter)
 
       // ---- farthest-first seeding: c0 = smallest id; c_{i+1} = the
@@ -90,10 +96,13 @@ object DeterministicKMeans {
       // (id, x, minDist to chosen centers)
       var state = base.map { case (id, x) => (id, x, sqDist(x, c0)) }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // checkpointed generations stay pinned: their lineage is
-      // truncated, so unpersisting them would destroy the only copy
-      // the NEXT generation's recovery path reads from
+      // a checkpointed generation stays pinned only until a NEWER
+      // checkpointed generation materializes (recovery of the chain in
+      // between reads from the last checkpoint; once a later one is
+      // real, the older one is dead weight — one full dataset copy per
+      // 8 centers would otherwise accumulate for the whole seeding)
       var stateCheckpointed = false
+      var lastCp: org.apache.spark.rdd.RDD[(Long, Array[Double], Double)] = null
       var prev: org.apache.spark.rdd.RDD[(Long, Array[Double], Double)] = null
       var prevCheckpointed = false
       var i = 1
@@ -105,6 +114,12 @@ object DeterministicKMeans {
           if (a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)) a else b
         }
         if (prev != null && !prevCheckpointed) prev.unpersist(blocking = false)
+        if (stateCheckpointed) {
+          // `state` (checkpointed) is now materialized: the previous
+          // checkpoint can be released
+          if (lastCp != null) lastCp.unpersist(blocking = false)
+          lastCp = state
+        }
         centers += far._2
         if (i < kEff - 1) {
           val bcC = sc.broadcast(far._2)
@@ -118,16 +133,39 @@ object DeterministicKMeans {
         }
         i += 1
       }
-      if (!stateCheckpointed) state.unpersist(blocking = false)
+      // seeding done — nothing reads any state generation after this
+      // point (Lloyd runs over `base`), so release them all
+      state.unpersist(blocking = false)
+      if (lastCp != null && (lastCp ne state)) lastCp.unpersist(blocking = false)
 
-      // ---- fixed-iteration Lloyd; empty clusters keep their center
+      // ---- fixed-iteration Lloyd; empty clusters keep their center.
+      // The per-cluster sum runs over rows sorted ascending by id
+      // (repartitionAndSortWithinPartitions keyed (cluster, id), one
+      // partition per cluster hash), then accumulates SEQUENTIALLY —
+      // float addition is not associative, so a combiner-tree sum
+      // (aggregateByKey) would make centroids depend on shuffle-block
+      // arrival order and break the module's determinism contract on a
+      // real cluster. This order is bit-identical to fitLocal's
+      // ascending-id scan. Cost: the assignment shuffle moves the rows
+      // (not k·F partials) once per iteration — the price of exact
+      // replayability; a coarse quantizer's clusters (~N/k rows) are
+      // single-task-sized by construction.
       var cs = centers.toArray
       val nF = c0.length
+      val lloydPart = new org.apache.spark.Partitioner {
+        private val p = math.max(1, base.getNumPartitions)
+        def numPartitions: Int = p
+        def getPartition(key: Any): Int = key match {
+          case (cluster: Int, _) => java.lang.Math.floorMod(cluster, p)
+          case other => java.lang.Math.floorMod(other.hashCode, p)
+        }
+      }
+      implicit val keyOrd: Ordering[(Int, Long)] = Ordering.Tuple2[Int, Long]
       var iter = 0
       while (iter < maxIter) {
         val bc = sc.broadcast(cs)
         val sums = base
-          .map { case (_, x) =>
+          .map { case (id, x) =>
             var best = 0; var bestD = Double.MaxValue
             val cc = bc.value
             var c = 0
@@ -136,25 +174,32 @@ object DeterministicKMeans {
               if (d < bestD) { bestD = d; best = c }
               c += 1
             }
-            (best, (x, 1L))
+            ((best, id), x)
           }
-          .aggregateByKey((null: Array[Double], 0L))(
-            seqOp = { case ((acc, n), (x, one)) =>
-              val a = if (acc == null) new Array[Double](nF) else acc
-              var f = 0
-              while (f < nF) { a(f) += x(f); f += 1 }
-              (a, n + one)
-            },
-            combOp = { case ((a1, n1), (a2, n2)) =>
-              if (a1 == null) (a2, n1 + n2)
-              else if (a2 == null) (a1, n1 + n2)
-              else {
-                var f = 0
-                while (f < nF) { a1(f) += a2(f); f += 1 }
-                (a1, n1 + n2)
+          .repartitionAndSortWithinPartitions(lloydPart)
+          .mapPartitions { it =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Int, (Array[Double], Long))]
+            var cur = -1
+            var acc: Array[Double] = null
+            var n = 0L
+            def flush(): Unit =
+              if (cur >= 0) out += ((cur, (acc, n)))
+            it.foreach { case ((cluster, _), x) =>
+              if (cluster != cur) {
+                flush()
+                cur = cluster
+                acc = new Array[Double](nF)
+                n = 0L
               }
-            })
-          .collectAsMap()
+              var f = 0
+              while (f < nF) { acc(f) += x(f); f += 1 }
+              n += 1L
+            }
+            flush()
+            out.iterator
+          }
+          .collect()
+          .toMap
         cs = Array.tabulate(cs.length) { c =>
           sums.get(c) match {
             case Some((s, n)) if n > 0 => s.map(_ / n)

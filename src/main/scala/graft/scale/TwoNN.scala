@@ -44,7 +44,10 @@ object TwoNN {
       .select(F.log(F.col("d2") / F.col("d1")).as("lnmu"))
       .agg(F.sum("lnmu").as("s"), F.count(F.lit(1)).as("c"))
       .head
-    val (s, c) = (agg.getDouble(0), agg.getLong(1))
+    // sum over ZERO pairs is null — read it as 0 so the degenerate
+    // fallback below actually fires instead of an NPE preempting it
+    val s = if (agg.isNullAt(0)) 0.0 else agg.getDouble(0)
+    val c = agg.getLong(1)
     if (s <= 0.0 || c == 0) 1.0 else c.toDouble / s
   }
 
