@@ -411,6 +411,10 @@ object ArrowSpaceBuilder {
         }
       }
       .toDF("id", "e_raw", "g_raw")
+      // persisted for the resolve+join span: the exact-median
+      // selection runs several actions and the λ join reads it again —
+      // unpersisted, each would re-run the O(F²)-per-item kernel
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tau = graft.core.Debug.timed("S10 tau resolve")(
       tauMode.resolve(withEnergy, "e_raw"))
     val mix = tau / (1.0 + tau)
@@ -429,6 +433,7 @@ object ArrowSpaceBuilder {
     graft.core.Debug.timed("S10 lambda materialize")(
       withLambda.count()) // materialize before unpersisting parents
     items.unpersist()
+    withEnergy.unpersist(blocking = false)
 
     val model = ArrowSpaceModel(withLambda, lap, tau, params, nItems, nFeatures)
     (model, edges)

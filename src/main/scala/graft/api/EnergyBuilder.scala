@@ -66,10 +66,19 @@ object EnergyBuilder {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // count + dimensionality in one aggregation job
     val s1 = graft.core.Debug.timed("E0 scan+stats")(items
-      .agg(F.count(F.lit(1)).as("n"), F.max(F.size(F.col("vec"))).as("f")).head)
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.max(F.size(F.col("vec"))).as("f"),
+        // size(null) = -1: one min() rejects both null and ragged
+        // vectors up front (same guard as the standard builder) —
+        // otherwise the E1 seqOp AIOOBEs after the kNN graph already ran
+        F.min(F.size(F.col("vec"))).as("fmin")).head)
     val nItems = s1.getLong(0)
     require(nItems > 0, "items must be non-empty")
     val nFeatures = s1.getInt(1)
+    require(s1.getInt(2) == nFeatures,
+      s"all vectors must have the same non-null length: found lengths " +
+        s"${s1.getInt(2)} and $nFeatures (size -1 = null vector)")
 
     // E1: diffusion over a neighborK-NN graph (no eps cutoff: the
     // rectified-cosine distance is ≤ 1 everywhere, so eps=1 keeps all).
@@ -198,7 +207,10 @@ object EnergyBuilder {
     // a coarse optical-token quantizer.
     val kmModel = graft.core.Debug.timed("E3 kmeans fit")(
       graft.scale.DeterministicKMeans.fit(
-        trimmed, math.min(energy.opticalTokens, math.max(2, nItems.toInt)),
+        trimmed,
+        // clamp in Long BEFORE narrowing: nItems.toInt wraps negative
+        // past 2^31 rows and the token count would collapse to k=2
+        math.min(energy.opticalTokens.toLong, math.max(2L, nItems)).toInt,
         maxIter = 20))
     val assigned = graft.scale.DeterministicKMeans.assign(trimmed, kmModel)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -255,7 +267,7 @@ object EnergyBuilder {
 
     // E5: energy-weighted edges (no cosine in the weight).
     val centroidById = centroids.map(c => c.cid -> c).toMap
-    val energyEdges = prelimEdges.map { case (a, b, _) =>
+    val energyEdges = prelimEdges.map { case (a, b, abDist) =>
       val ca = centroidById(a)
       val cb = centroidById(b)
       val lamProx = 1.0 / (1.0 + math.abs(cEnergies(a) - cEnergies(b)))
@@ -264,12 +276,13 @@ object EnergyBuilder {
       val dirichlet = 1.0 / (1.0 + diff.map(d => d * d).sum)
       val w = energy.wLambda * lamProx + energy.wDisp * dispSim +
         energy.wDirichlet * dirichlet
-      (a, b, w)
+      (a, b, abDist, w)
     }
 
     // E6: F×F Laplacian from the energy graph, then λ for ALL items.
     val lap = localFeatureLaplacianWeighted(
-      centroids.map(c => (c.cid, c.vec)), energyEdges, params, nFeatures)
+      centroids.map(c => (c.cid, c.vec)),
+      energyEdges.map { case (a, b, _, w) => (a, b, w) }, params, nFeatures)
     val bcLap = spark.sparkContext.broadcast(lap)
     val withEnergy = items
       .select($"id".as[Long], $"vec".as[Array[Double]])
@@ -281,6 +294,11 @@ object EnergyBuilder {
         }
       }
       .toDF("id", "e_raw", "g_raw")
+      // persisted for the resolve+join span: the median selection runs
+      // several actions (count, sort, zipWithIndex, first) and the λ
+      // join reads it once more — each would otherwise re-run the
+      // O(F²)-per-item energy kernel over the whole corpus
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tau = graft.core.Debug.timed("E6 tau resolve")(
       tauMode.resolve(withEnergy, "e_raw"))
     val mix = tau / (1.0 + tau)
@@ -300,9 +318,13 @@ object EnergyBuilder {
     items.unpersist(); neighborEdges.unpersist()
     edgesByDst.unpersist(blocking = false); xRdd.unpersist(blocking = false)
     withDist.unpersist(); assigned.unpersist()
+    withEnergy.unpersist(blocking = false)
 
     val edgesDf = spark.createDataFrame(
-      energyEdges.flatMap { case (a, b, w) => Seq((a, b, 0.0, w), (b, a, 0.0, w)) }
+      // dist carries the real rectified-cosine centroid distance the
+      // kNN pass computed — a 0.0 placeholder would silently zero any
+      // consumer re-deriving kernel weights from the documented schema
+      energyEdges.flatMap { case (a, b, d, w) => Seq((a, b, d, w), (b, a, d, w)) }
         .toSeq).toDF("src", "dst", "dist", "weight")
     val model = ArrowSpaceModel(withLambda, lap, tau, params, nItems, nFeatures)
     (model, edgesDf)

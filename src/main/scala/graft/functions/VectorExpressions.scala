@@ -51,30 +51,66 @@ object VectorKernels {
       out
     }
   }
+
+  /** Primitive copy, or null when any SLOT is null — toDoubleArray()
+    * alone region-copies null slots as 0.0, silently corrupting the
+    * kernel result; a null element must null-propagate like every
+    * other Spark arithmetic input. */
+  private[functions] def doublesOrNull(a: ArrayData): Array[Double] = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    a.toDoubleArray()
+  }
+
+  /** Codegen counterpart of [[doublesOrNull]]'s null scan. */
+  private[functions] def genNullScan(
+      ctx: CodegenContext, arr: String, anyNull: String): String = {
+    val i = ctx.freshName("ni")
+    s"""
+       |boolean $anyNull = false;
+       |for (int $i = 0; $i < $arr.numElements(); $i++) {
+       |  if ($arr.isNullAt($i)) { $anyNull = true; break; }
+       |}
+     """.stripMargin
+  }
 }
 
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // a null ELEMENT null-propagates even when both arrays are non-null
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dot(
-      a.asInstanceOf[ArrayData].toDoubleArray(),
-      b.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
+    val ys = VectorKernels.doublesOrNull(b.asInstanceOf[ArrayData])
+    if (xs == null || ys == null) null else VectorKernels.dot(xs, ys)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullA = ctx.freshName("nullA"); val nullB = ctx.freshName("nullB")
       s"""
-         |double[] $xs = $a.toDoubleArray();
-         |double[] $ys = $b.toDoubleArray();
-         |int $n = Math.min($xs.length, $ys.length);
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $acc += $xs[$i] * $ys[$i]; }
-         |${ev.value} = $acc;
+         |${VectorKernels.genNullScan(ctx, a, nullA)}
+         |${VectorKernels.genNullScan(ctx, b, nullB)}
+         |if ($nullA || $nullB) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $xs = $a.toDoubleArray();
+         |  double[] $ys = $b.toDoubleArray();
+         |  int $n = Math.min($xs.length, $ys.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $acc += $xs[$i] * $ys[$i]; }
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 
@@ -87,11 +123,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  // a null ELEMENT null-propagates even when both arrays are non-null
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosine(
-      a.asInstanceOf[ArrayData].toDoubleArray(),
-      b.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
+    val ys = VectorKernels.doublesOrNull(b.asInstanceOf[ArrayData])
+    if (xs == null || ys == null) null else VectorKernels.cosine(xs, ys)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -99,16 +138,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val d = ctx.freshName("d"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val nullA = ctx.freshName("nullA"); val nullB = ctx.freshName("nullB")
       s"""
-         |double[] $xs = $a.toDoubleArray();
-         |double[] $ys = $b.toDoubleArray();
-         |int $n = Math.min($xs.length, $ys.length);
-         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = $xs[$i]; double y = $ys[$i];
-         |  $d += x * y; $na += x * x; $nb += y * y;
+         |${VectorKernels.genNullScan(ctx, a, nullA)}
+         |${VectorKernels.genNullScan(ctx, b, nullB)}
+         |if ($nullA || $nullB) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $xs = $a.toDoubleArray();
+         |  double[] $ys = $b.toDoubleArray();
+         |  int $n = Math.min($xs.length, $ys.length);
+         |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x = $xs[$i]; double y = $ys[$i];
+         |    $d += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $d / Math.sqrt($na * $nb);
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $d / Math.sqrt($na * $nb);
        """.stripMargin
     })
 
@@ -121,19 +167,29 @@ case class L2Norm(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_l2norm"
+  // a null ELEMENT null-propagates even when the array is non-null
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any): Any =
-    math.sqrt(VectorKernels.normSq(a.asInstanceOf[ArrayData].toDoubleArray()))
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
+    if (xs == null) null else math.sqrt(VectorKernels.normSq(xs))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val xs = ctx.freshName("xs"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullA = ctx.freshName("nullA")
       s"""
-         |double[] $xs = $a.toDoubleArray();
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $xs.length; $i++) { $acc += $xs[$i] * $xs[$i]; }
-         |${ev.value} = Math.sqrt($acc);
+         |${VectorKernels.genNullScan(ctx, a, nullA)}
+         |if ($nullA) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $xs = $a.toDoubleArray();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $xs.length; $i++) { $acc += $xs[$i] * $xs[$i]; }
+         |  ${ev.value} = Math.sqrt($acc);
+         |}
        """.stripMargin
     })
 
@@ -145,10 +201,14 @@ case class L2Normalize(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_l2normalize"
+  // a null ELEMENT null-propagates even when the array is non-null
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any): Any =
-    new GenericArrayData(
-      VectorKernels.l2normalize(a.asInstanceOf[ArrayData].toDoubleArray()))
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
+    if (xs == null) null
+    else new GenericArrayData(VectorKernels.l2normalize(xs))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
@@ -156,16 +216,22 @@ case class L2Normalize(child: Expression)
       val acc = ctx.freshName("acc"); val nrm = ctx.freshName("nrm")
       val out = ctx.freshName("out")
       val gad = classOf[GenericArrayData].getName
+      val nullA = ctx.freshName("nullA")
       s"""
-         |double[] $xs = $a.toDoubleArray();
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $xs.length; $i++) { $acc += $xs[$i] * $xs[$i]; }
-         |double $nrm = Math.sqrt($acc);
-         |double[] $out = new double[$xs.length];
-         |for (int $i = 0; $i < $xs.length; $i++) {
-         |  $out[$i] = ($nrm == 0.0) ? $xs[$i] : $xs[$i] / $nrm;
+         |${VectorKernels.genNullScan(ctx, a, nullA)}
+         |if ($nullA) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $xs = $a.toDoubleArray();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $xs.length; $i++) { $acc += $xs[$i] * $xs[$i]; }
+         |  double $nrm = Math.sqrt($acc);
+         |  double[] $out = new double[$xs.length];
+         |  for (int $i = 0; $i < $xs.length; $i++) {
+         |    $out[$i] = ($nrm == 0.0) ? $xs[$i] : $xs[$i] / $nrm;
+         |  }
+         |  ${ev.value} = new $gad($out);
          |}
-         |${ev.value} = new $gad($out);
        """.stripMargin
     })
 

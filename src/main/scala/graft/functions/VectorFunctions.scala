@@ -25,9 +25,17 @@ object VectorFunctions {
     Shim.column(CosineSimilarity(asDoubles(a), asDoubles(b)))
 
   /** Rectified cosine distance d = 1 − max(0, cos(a,b))
-    * (reference: GRAPH_VARIABLES.md:7). */
-  def cosineDistance(a: Column, b: Column): Column =
-    lit(1.0) - greatest(lit(0.0), cosine(a, b))
+    * (reference: GRAPH_VARIABLES.md:7). NULL-propagating: greatest()
+    * SKIPS null arguments, so without the guard a null cosine would
+    * silently become distance 1.0 — "maximally distant" instead of
+    * unknown — and eps=1.0 threshold filters would keep null rows as
+    * valid neighbors. */
+  def cosineDistance(a: Column, b: Column): Column = {
+    val c = cosine(a, b)
+    org.apache.spark.sql.functions
+      .when(c.isNull, lit(null))
+      .otherwise(lit(1.0) - greatest(lit(0.0), c))
+  }
 
   /** ‖a‖₂ */
   def l2norm(a: Column): Column = Shim.column(L2Norm(asDoubles(a)))

@@ -311,7 +311,11 @@ object GraphAnalytics {
     val cs = comm.select(F.col("id").as("src"), F.col("community").as("cs"))
     val cd = comm.select(F.col("id").as("dst"), F.col("community").as("cd"))
     val tagged = edges.join(cs, "src").join(cd, "dst")
-    val totalVol = tagged.agg(F.sum("weight")).head.getDouble(0)
+    // sum over zero matched rows is null — read as 0 so a community
+    // frame covering none of the endpoints degenerates to cond=1
+    // rows instead of an NPE
+    val totalVol = tagged
+      .agg(F.coalesce(F.sum("weight"), F.lit(0.0))).head.getDouble(0)
     tagged
       .groupBy(F.col("cs").as("community"))
       .agg(
@@ -334,7 +338,9 @@ object GraphAnalytics {
     val comm = labelPropagation(edges)
     val commSizes = comm.groupBy("community").agg(F.count(F.lit(1)).as("csize"))
     val n = comm.count().toDouble
-    val bounds = ppr.agg(F.min("ppr").as("lo"), F.max("ppr").as("hi")).head
+    val bounds = ppr.agg(
+      F.coalesce(F.min("ppr"), F.lit(0.0)).as("lo"),
+      F.coalesce(F.max("ppr"), F.lit(0.0)).as("hi")).head
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val span = if (hi - lo <= 0) 1.0 else hi - lo
     val condDf = conductanceByCommunity(edges, comm)

@@ -340,6 +340,11 @@ object Dedup {
   def explodedGrams(docs: DataFrame, n: Int): DataFrame = {
     val t = TextOps.tokens(F.col("text"))
     docs
+      // null text carries no grams: without the filter, greatest(null-
+      // size - (n-1), 1) = 1 (greatest SKIPS nulls) and concat_ws over
+      // a null slice emits one "" gram — a null eval doc would then
+      // poison the match set and drop every null/blank corpus doc
+      .where(F.col("text").isNotNull)
       .select(F.col("doc_id"), t.as("t"))
       .select(
         F.col("doc_id"), F.col("t"),

@@ -86,11 +86,20 @@ final case class LocalLaplacian(dim: Int, edges: Array[LapEdge]) extends Seriali
     (e, giniGivenTotal(x, e))
   }
 
-  def synth(x: Array[Double], tau: Double): Double = {
+  def synth(x: Array[Double], tau: Double): Double =
+    synthWithEnergy(x, tau)._1
+
+  /** (λ, raw Dirichlet energy) in one pass — for callers that persist
+    * both (index append, energy re-synthesis). Keeping the mixing
+    * formula HERE, not re-inlined at call sites, is what guarantees a
+    * streamed append writes λs consistent with the index's search
+    * ordering if the synthesis is ever adjusted.
+    */
+  def synthWithEnergy(x: Array[Double], tau: Double): (Double, Double) = {
     val e = dirichlet(x)
     val eb = if (e + tau == 0.0) 0.0 else e / (e + tau)
     val m = tau / (1.0 + tau)
-    m * eb + (1.0 - m) * giniGivenTotal(x, e)
+    (m * eb + (1.0 - m) * giniGivenTotal(x, e), e)
   }
 }
 

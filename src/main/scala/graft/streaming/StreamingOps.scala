@@ -144,7 +144,11 @@ object StreamingOps {
     // evaluate once, not once per minhash lane
     def sigd(df: DataFrame, idAs: String, sigAs: String, carry: Seq[String]): DataFrame =
       Dedup.bandKeys(
-        df.select(
+        // null text carries no signature (same verdict as the batch
+        // signature pass): unfiltered, every null doc would band to
+        // the SAME 16 (band, hash-of-null-lanes) keys on both sides —
+        // one skewed join task per micro-batch
+        df.where(F.col("text").isNotNull).select(
           F.col("doc_id") +:
             F.transform(
               Dedup.shingles(F.col("text"), shingleLen),
@@ -212,8 +216,8 @@ object StreamingOps {
     val bc = stream.sparkSession.sparkContext.broadcast(bloom)
     val contaminated = F.udf { (text: String) =>
       // null text has no grams — it cannot be contaminated (the batch
-      // decontaminate reaches the same verdict: explode of a null
-      // token array emits no rows, so the doc misses the anti-join)
+      // decontaminate reaches the same verdict: explodedGrams filters
+      // null text, so the doc misses the anti-join and survives)
       if (text == null) false
       else {
         // tokensOf replicates TextOps.tokens' trim/split exactly: a
@@ -264,15 +268,14 @@ object StreamingOps {
     val spark = vectors.sparkSession
     import spark.implicits._
     val bcLap = spark.sparkContext.broadcast(lap)
-    val mix = tau / (1.0 + tau)
     vectors
       .select($"id".as[Long], $"vec".as[Array[Double]])
       .map { case (id, v) =>
-        val l = bcLap.value
-        val (e, gRaw) = l.energyAndGini(v)
-        val eb = if (e + tau == 0.0) 0.0 else e / (e + tau)
-        val g = math.min(1.0, math.max(0.0, gRaw))
-        (id, v, mix * eb + (1.0 - mix) * g, e)
+        // the SHARED synthesis kernel, not an inlined copy of its
+        // formula: appended λs must sort consistently with the loaded
+        // index even if the synthesis is ever adjusted
+        val (lambda, e) = bcLap.value.synthWithEnergy(v, tau)
+        (id, v, lambda, e)
       }
       .toDF("id", "vec", "lambda", "e_raw")
       .writeStream
