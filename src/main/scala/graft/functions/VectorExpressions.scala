@@ -66,16 +66,27 @@ object VectorKernels {
     a.toDoubleArray()
   }
 
-  /** Codegen counterpart of [[doublesOrNull]]'s null scan. */
+  /** Codegen counterpart of [[doublesOrNull]]'s null scan. When the
+    * child's schema proves containsNull = false the scan compiles to a
+    * constant — the guard costs nothing on tight schemas. */
   private[functions] def genNullScan(
-      ctx: CodegenContext, arr: String, anyNull: String): String = {
-    val i = ctx.freshName("ni")
-    s"""
-       |boolean $anyNull = false;
-       |for (int $i = 0; $i < $arr.numElements(); $i++) {
-       |  if ($arr.isNullAt($i)) { $anyNull = true; break; }
-       |}
-     """.stripMargin
+      ctx: CodegenContext, arr: String, anyNull: String,
+      mayHaveNullSlots: Boolean): String =
+    if (!mayHaveNullSlots) s"boolean $anyNull = false;"
+    else {
+      val i = ctx.freshName("ni")
+      s"""
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if ($arr.isNullAt($i)) { $anyNull = true; break; }
+         |}
+       """.stripMargin
+    }
+
+  /** Whether an expression's array type can carry null slots. */
+  private[functions] def slotsNullable(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, containsNull) => containsNull
+    case _ => true
   }
 }
 
@@ -87,8 +98,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
-    val ys = VectorKernels.doublesOrNull(b.asInstanceOf[ArrayData])
+    val xs =
+      if (VectorKernels.slotsNullable(left)) VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
+      else a.asInstanceOf[ArrayData].toDoubleArray()
+    val ys =
+      if (VectorKernels.slotsNullable(right)) VectorKernels.doublesOrNull(b.asInstanceOf[ArrayData])
+      else b.asInstanceOf[ArrayData].toDoubleArray()
     if (xs == null || ys == null) null else VectorKernels.dot(xs, ys)
   }
 
@@ -99,8 +114,8 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val nullA = ctx.freshName("nullA"); val nullB = ctx.freshName("nullB")
       s"""
-         |${VectorKernels.genNullScan(ctx, a, nullA)}
-         |${VectorKernels.genNullScan(ctx, b, nullB)}
+         |${VectorKernels.genNullScan(ctx, a, nullA, VectorKernels.slotsNullable(left))}
+         |${VectorKernels.genNullScan(ctx, b, nullB, VectorKernels.slotsNullable(right))}
          |if ($nullA || $nullB) {
          |  ${ev.isNull} = true;
          |} else {
@@ -127,8 +142,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
-    val ys = VectorKernels.doublesOrNull(b.asInstanceOf[ArrayData])
+    val xs =
+      if (VectorKernels.slotsNullable(left)) VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
+      else a.asInstanceOf[ArrayData].toDoubleArray()
+    val ys =
+      if (VectorKernels.slotsNullable(right)) VectorKernels.doublesOrNull(b.asInstanceOf[ArrayData])
+      else b.asInstanceOf[ArrayData].toDoubleArray()
     if (xs == null || ys == null) null else VectorKernels.cosine(xs, ys)
   }
 
@@ -140,8 +159,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val nullA = ctx.freshName("nullA"); val nullB = ctx.freshName("nullB")
       s"""
-         |${VectorKernels.genNullScan(ctx, a, nullA)}
-         |${VectorKernels.genNullScan(ctx, b, nullB)}
+         |${VectorKernels.genNullScan(ctx, a, nullA, VectorKernels.slotsNullable(left))}
+         |${VectorKernels.genNullScan(ctx, b, nullB, VectorKernels.slotsNullable(right))}
          |if ($nullA || $nullB) {
          |  ${ev.isNull} = true;
          |} else {
@@ -171,7 +190,9 @@ case class L2Norm(child: Expression)
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any): Any = {
-    val xs = VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
+    val xs =
+      if (VectorKernels.slotsNullable(child)) VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
+      else a.asInstanceOf[ArrayData].toDoubleArray()
     if (xs == null) null else math.sqrt(VectorKernels.normSq(xs))
   }
 
@@ -181,7 +202,7 @@ case class L2Norm(child: Expression)
       val acc = ctx.freshName("acc")
       val nullA = ctx.freshName("nullA")
       s"""
-         |${VectorKernels.genNullScan(ctx, a, nullA)}
+         |${VectorKernels.genNullScan(ctx, a, nullA, VectorKernels.slotsNullable(child))}
          |if ($nullA) {
          |  ${ev.isNull} = true;
          |} else {
@@ -205,7 +226,9 @@ case class L2Normalize(child: Expression)
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any): Any = {
-    val xs = VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
+    val xs =
+      if (VectorKernels.slotsNullable(child)) VectorKernels.doublesOrNull(a.asInstanceOf[ArrayData])
+      else a.asInstanceOf[ArrayData].toDoubleArray()
     if (xs == null) null
     else new GenericArrayData(VectorKernels.l2normalize(xs))
   }
@@ -218,7 +241,7 @@ case class L2Normalize(child: Expression)
       val gad = classOf[GenericArrayData].getName
       val nullA = ctx.freshName("nullA")
       s"""
-         |${VectorKernels.genNullScan(ctx, a, nullA)}
+         |${VectorKernels.genNullScan(ctx, a, nullA, VectorKernels.slotsNullable(child))}
          |if ($nullA) {
          |  ${ev.isNull} = true;
          |} else {
