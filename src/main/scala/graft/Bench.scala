@@ -52,9 +52,15 @@ object Bench {
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // the headline total sums SUCCESSFUL queries only — summing the
+    // raw values would let a crashed 5s query SUBTRACT its negative
+    // marker and make a failing round look faster than a passing one;
+    // failures are reported in their own field and via the exit code
+    val nFailed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

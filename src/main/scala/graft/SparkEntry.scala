@@ -23,6 +23,27 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects at
+    * schema inference. EVERY events read goes through here so the
+    * legacy nanos-as-long conf is always set - a query must never
+    * depend on an earlier query in the run having set it (an ONLY
+    * subset or a different iteration order would silently drop it).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events")
+  }
+
+  /** events with ts converted to an exact microsecond timestamp:
+    * integer `div`, NOT `/ 1000` - Divide promotes the ~1.7e18 nanos
+    * to double (above 2^53), losing up to ~128 ns before the cast, so
+    * values near hour/session/range boundaries would disagree with the
+    * oracle's exact nanosecond arithmetic.
+    */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).withColumn(
+      "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.sources.CorpusSources.documents(s, s"$dir/documents.parquet")
 
@@ -164,9 +185,7 @@ object SparkEntry {
     "q_events_hourly" -> ((s, d) => {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects;
       // read the raw nanos and convert.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tbl(s, d, "events")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+      eventsUs(s, d)
         .groupBy(
           F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           F.col("event_type"))
@@ -249,9 +268,8 @@ object SparkEntry {
 
     "q_moving_avg" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-2, 0)
-      tbl(s, d, "events")
+      events(s, d)
         .where(F.col("user_id") <= 20)
         .select(
           F.col("user_id"), F.col("event_id"),
@@ -263,7 +281,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("event_type")
         .orderBy(F.col("value").desc, F.col("event_id").asc)
-      tbl(s, d, "events")
+      events(s, d)
         .withColumn("rk", F.rank().over(w))
         .where(F.col("rk") <= 5)
         .select(
@@ -506,7 +524,7 @@ object SparkEntry {
     }),
 
     "q_json_props" -> ((s, d) =>
-      tbl(s, d, "events")
+      events(s, d)
         .select(F.get_json_object(F.col("props"), "$.k").cast("int").as("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).as("n"))
@@ -551,9 +569,7 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, d, "events")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+      val ev = eventsUs(s, d)
       val byUser = Window.partitionBy("user_id").orderBy("ts")
       ev
         .withColumn("prev_ts", F.lag("ts", 1).over(byUser))
@@ -735,9 +751,7 @@ object SparkEntry {
     "q_asof_enrich" -> ((s, d) => {
       // as-of join (engine addition): each click enriched with the
       // most recent prior view's value for the same user.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, d, "events")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+      val ev = eventsUs(s, d)
       val clicks = ev.where(F.col("event_type") === "click")
       val views = ev.where(F.col("event_type") === "view")
       graft.operators.AsOfJoin
@@ -752,9 +766,7 @@ object SparkEntry {
     "q_range_join" -> ((s, d) => {
       // bucketed range join (engine addition): for each error event,
       // count same-user clicks within ±5 minutes.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, d, "events")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+      val ev = eventsUs(s, d)
       val errors = ev.where(F.col("event_type") === "error")
         .select("event_id", "user_id", "ts")
       val clicks = ev.where(F.col("event_type") === "click")
@@ -1041,11 +1053,15 @@ object SparkEntry {
         |  round(max(p_retailprice), 2) AS max_price
         |FROM part""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: a single NULL o_custkey would make
+    // NOT IN return zero rows while the engine's left_anti join
+    // (null-safe) keeps the normal counts
     "q_customers_without_orders" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
-        |WHERE c_custkey NOT IN
-        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
@@ -1535,7 +1551,7 @@ object SparkEntry {
         |    ON n.query_id = h.query_id),
         |mrr_q AS (SELECT q.query_id,
         |    coalesce(1.0 / f.first_rank, 0.0) AS rr
-        |  FROM (SELECT DISTINCT query_id FROM retrieved) q LEFT JOIN
+        |  FROM (SELECT query_id FROM nrel) q LEFT JOIN
         |    (SELECT query_id, min(rank) AS first_rank FROM hits GROUP BY 1) f
         |    ON q.query_id = f.query_id),
         |dcg_q AS (SELECT query_id, sum(1.0 / log2(rank + 1)) AS dcg

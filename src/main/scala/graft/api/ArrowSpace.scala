@@ -290,6 +290,7 @@ object ArrowSpaceBuilder {
     * JL-projected space.
     */
   final case class BuildOptions(
+      jlEps: Double = 0.35,
       sampleThreshold: Long = SampleThreshold,
       sampleRate: Double = SampleRate,
       projectionMinF: Int = 96)
@@ -375,7 +376,7 @@ object ArrowSpaceBuilder {
       nItems > options.sampleThreshold && nFeatures > options.projectionMinF
     val graphInput =
       if (needsProjection) {
-        val d = graft.scale.RandomProjection.jlDim(nItems)
+        val d = graft.scale.RandomProjection.jlDim(nItems, options.jlEps)
         graft.scale.RandomProjection
           .project(graphItems.select("id", "vnorm"), "vnorm", "vproj", nFeatures, d, params.seed)
           .select(F.col("id"), l2normalize(F.col("vproj")).as("vnorm"))

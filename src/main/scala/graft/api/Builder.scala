@@ -57,6 +57,9 @@ final case class Builder(
   /** Standard build (O1): stages S1-S10. */
   def build(items: DataFrame): (ArrowSpaceModel, DataFrame) = {
     val opts = ArrowSpaceBuilder.BuildOptions(
+      // the builder's eps argument (reference with_dims_reduction's
+      // second parameter) controls the JL distortion bound
+      jlEps = dimsReductionEps.getOrElse(0.35),
       projectionMinF = if (dimsReduction) 96 else Int.MaxValue)
     ArrowSpaceBuilder.build(items, graphParams, tauMode, opts)
   }

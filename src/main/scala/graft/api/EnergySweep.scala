@@ -24,8 +24,12 @@ object EnergySweep {
     val spark = items.sparkSession
     import spark.implicits._
 
-    // pseudo-ground-truth: standard build, pure-cosine top-truthK
-    val (standard, _) = ArrowSpaceBuilder.build(items, params)
+    // pseudo-ground-truth: standard build, pure-cosine top-truthK.
+    // The build eagerly materializes its edge cache - release it, the
+    // sweep never reads the standard graph (a long-lived Bench/Verify
+    // session must not accumulate one edge set per sweep call)
+    val (standard, standardEdges) = ArrowSpaceBuilder.build(items, params)
+    standardEdges.unpersist(blocking = false)
     val queries: Seq[(Long, Array[Double])] = queryIds.map { qid =>
       qid -> items.where(F.col("id") === qid)
         .select(F.col("vec").cast("array<double>")).head.getSeq[Double](0).toArray
@@ -72,7 +76,8 @@ object EnergySweep {
       truthK: Int = 10): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
-    val (standard, _) = ArrowSpaceBuilder.build(items, base)
+    val (standard, standardEdges) = ArrowSpaceBuilder.build(items, base)
+    standardEdges.unpersist(blocking = false)
     val queries: Seq[(Long, Array[Double])] = queryIds.map { qid =>
       qid -> items.where(F.col("id") === qid)
         .select(F.col("vec").cast("array<double>")).head.getSeq[Double](0).toArray
