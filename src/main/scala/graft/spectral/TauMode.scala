@@ -13,14 +13,14 @@ sealed trait TauMode {
 }
 
 object TauMode {
-  /** Exact median of the raw energies via distributed order-statistic
-    * selection: sort (range-partitioned shuffle), then take the
-    * element at rank ceil(n/2) — the same element approxQuantile with
-    * relativeError=0 returns, WITHOUT its O(N) quantile summaries
-    * (epsilon=0 forbids compressing samples, so the eps-0 path
-    * materializes every value on the driver — an OOM at the corpus
-    * sizes the sampling path exists for). Driver traffic here is one
-    * double.
+  /** Exact median of the raw energies — the element at rank ceil(n/2),
+    * the same one approxQuantile with relativeError=0 returns, WITHOUT
+    * its O(N) quantile summaries (epsilon=0 forbids compressing
+    * samples, so the eps-0 path materializes every value on the
+    * driver — an OOM at the corpus sizes the sampling path exists
+    * for). Small inputs (≤ 1M values, ≤ 8 MB) take one collect+sort;
+    * at scale a distributed order-statistic selection (sort shuffle +
+    * rank filter) sends one double to the driver.
     */
   case object Median extends TauMode {
     def resolve(eRaw: DataFrame, col: String): Double = {
@@ -32,16 +32,23 @@ object TauMode {
       if (n == 0L) positive(0.0)
       else {
         // approxQuantile(q, eps=0) selects the smallest sample whose
-        // rank >= ceil(q*n); replicate that rank exactly (asserted
-        // equal in TauModeSpec on odd/even inputs)
+        // rank >= ceil(q*n); both paths replicate that rank exactly
+        // (asserted equal in TauModeSpec on odd/even inputs)
         val target = math.ceil(0.5 * n).toLong - 1L // 0-based
-        val kth = vals
-          .sortBy(identity)
-          .zipWithIndex()
-          .filter { case (_, i) => i == target }
-          .map(_._1)
-          .first()
-        positive(kth)
+        if (n <= 1000000L) {
+          // driver-small: one collect (≤ 8 MB of doubles) beats the
+          // 4-job distributed selection — same element either way
+          val sorted = vals.collect().sorted
+          positive(sorted(target.toInt))
+        } else {
+          val kth = vals
+            .sortBy(identity)
+            .zipWithIndex()
+            .filter { case (_, i) => i == target }
+            .map(_._1)
+            .first()
+          positive(kth)
+        }
       }
     }
   }
