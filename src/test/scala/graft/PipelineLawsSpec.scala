@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{Dedup, TextOps, TrainPrep}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.{functions => F}
+
+/** Cross-cutting invariants of the training-pipeline operators, plus
+  * proof that the stateless ones run unchanged on a stream — the
+  * batch/streaming unification a continuous ingest pipeline relies on.
+  */
+class PipelineLawsSpec extends SparkSpec {
+
+  private def randomDocs(n: Int, seed: Int = 3) = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (0 until n).map { i =>
+      (i.toLong,
+        Seq.fill(8 + rng.nextInt(20))(vocab(rng.nextInt(vocab.size))).mkString(" "),
+        if (i % 3 == 0) "web" else "books")
+    }.toDF("doc_id", "text", "source")
+  }
+
+  test("repetition fractions stay in [0, 1] and singleton tokens give zeros") {
+    val out = TextOps.repetitionSignals(randomDocs(120)).collect()
+    out.foreach { r =>
+      (1 to 3).foreach { c =>
+        val v = r.getDouble(c)
+        assert(v >= 0.0 && v <= 1.0, s"col $c out of range: $v")
+      }
+    }
+  }
+
+  test("decontaminate output is a subset of the corpus; empty eval is identity") {
+    val docs = randomDocs(80)
+    val eval = docs.where(F.col("doc_id") % 10 === 0)
+    val corpus = docs.where(F.col("doc_id") % 10 =!= 0)
+    val survivors = Dedup.decontaminate(corpus, eval, n = 3)
+    assert(survivors.join(corpus, Seq("doc_id"), "left_anti").count() == 0)
+    // an eval set sharing nothing removes nothing
+    val s = spark
+    import s.implicits._
+    val disjointEval = Seq((999L, "xx yy zz ww vv uu")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(corpus, disjointEval, n = 3).count() == corpus.count())
+  }
+
+  test("dupClusters is idempotent: keepers are their own keepers") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (9L, 8L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    clusters.values.foreach { keeper =>
+      assert(clusters.getOrElse(keeper, keeper) == keeper,
+        s"keeper $keeper is not its own keeper")
+    }
+    // every doc maps to the minimum of its component
+    assert(clusters(4L) == 1L && clusters(9L) == 7L)
+  }
+
+  test("stratifiedHashSample keeps a fixed doc iff its stratum rate admits it") {
+    val docs = randomDocs(400)
+    val kept = TrainPrep.stratifiedHashSample(
+      docs, F.col("doc_id"), F.col("source"),
+      Map("web" -> 1.0), defaultRate = 0.0)
+    // rate 1.0 keeps every web doc; rate 0.0 drops every books doc
+    assert(kept.where(F.col("source") === "web").count() ==
+      docs.where(F.col("source") === "web").count())
+    assert(kept.where(F.col("source") =!= "web").count() == 0)
+  }
+
+  test("stateless pipeline ops run unchanged on a stream (batch parity)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val batch = randomDocs(60)
+    val rows = batch.as[(Long, String, String)].collect().toSeq
+
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "source")
+    in.addData(rows: _*)
+
+    // PII scrub, quality filter, and hash sampling are pure column
+    // algebra — the SAME operator runs on the stream
+    val gated = TrainPrep.stratifiedHashSample(
+      TextOps.qualityFilter(
+        TextOps.piiScrub(stream)
+          .select(F.col("doc_id"), F.col("redacted").as("text")),
+        minTokens = 5),
+      F.col("doc_id"), F.lit("all"), Map.empty[String, Double], defaultRate = 0.5)
+    StreamingOps.runToMemory(gated.select("doc_id"), "pipe_stream", OutputMode.Append())
+    val streamed = s.sql("SELECT doc_id FROM pipe_stream")
+      .collect().map(_.getLong(0)).sorted
+
+    val batchOut = TrainPrep.stratifiedHashSample(
+      TextOps.qualityFilter(
+        TextOps.piiScrub(batch)
+          .select(F.col("doc_id"), F.col("redacted").as("text")),
+        minTokens = 5),
+      F.col("doc_id"), F.lit("all"), Map.empty[String, Double], defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+
+    assert(streamed.sameElements(batchOut),
+      s"stream ${streamed.length} rows != batch ${batchOut.length} rows")
+    assert(batchOut.nonEmpty, "degenerate fixture: batch output empty")
+  }
+}
