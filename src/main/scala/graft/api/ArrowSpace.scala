@@ -229,7 +229,7 @@ object ArrowSpaceModel {
 
   /** Sidecar IO through Hadoop FS so save/load work on any filesystem
     * Spark itself can reach (local, HDFS, S3A, ...). */
-  private[api] def writeSidecar(
+  private[graft] def writeSidecar(
       spark: SparkSession, file: String, content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -124,24 +124,32 @@ object KnnGraph {
     // only the hashed copy changes recall, never the result contract.
     val withVec = items.withColumn(
       "features", array_to_vector(l2normalize(F.col("vnorm"))))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features")
-      .setOutputCol("hashes")
-      .setBucketLength(2.0)
-      .setNumHashTables(3)
-      .setSeed(params.seed)
-    val model = lsh.fit(withVec)
     // d_e² = 2·(1−cos) on unit vectors, while d_rect = 1−max(0,cos):
     // the mapping radius = √(2·eps) is exact only for eps < 1 (cos ≥ 0).
     // At eps ≥ 1 every pair qualifies (d_rect ≤ 1 always), but
     // negative-cosine pairs sit at Euclidean distance in (√2, 2] — the
     // radius must be the full unit-sphere diameter 2, not √(2·eps).
+    val radius0 =
+      if (params.eps >= 1.0) 2.0 else math.sqrt(2.0 * params.eps)
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features")
+      .setOutputCol("hashes")
+      // bucket length sized to the JOIN RADIUS, not a constant: unit
+      // vectors project into [-1, 1], so a fixed 2.0 collapses every
+      // table to ~2 buckets and the "scale path" candidate join is
+      // near-cartesian. radius/2 keeps pairs within the radius likely
+      // co-bucketed while splitting each table into ~4/radius buckets.
+      // (At eps >= 1 the REQUEST itself is all pairs at any angle —
+      // inherently dense; prefer the cluster-blocked strategy there.)
+      .setBucketLength(math.max(0.1, radius0 / 2.0))
+      .setNumHashTables(3)
+      .setSeed(params.seed)
+    val model = lsh.fit(withVec)
     // approxSimilarityJoin filters distCol < threshold STRICTLY, so
     // nudge the radius up one ulp-ish step or boundary pairs (exact
     // antipodes at d_e = 2, or cos = 1−eps at d_e = √(2·eps)) drop;
     // the exact `dist <= eps` refine below keeps the result tight.
-    val radius = math.nextUp(
-      if (params.eps >= 1.0) 2.0 else math.sqrt(2.0 * params.eps)) + 1e-9
+    val radius = math.nextUp(radius0) + 1e-9
     model
       .approxSimilarityJoin(withVec, withVec, radius, "euclid")
       .select(
@@ -217,6 +225,12 @@ object KnnGraph {
         }
       }
       .toDF("block", "id", "vnorm")
+      // materialize ONCE before the self-join: both sides read blocks,
+      // and an unmaterialized frame would run the O(N·k·F) centroid-
+      // assignment scan (the dominant stage, k up to 2^16) twice —
+      // localCheckpoint also truncates the lineage so nothing upstream
+      // re-executes either
+      .localCheckpoint()
     val a = blocks.select(F.col("block"), F.col("id").as("src"), F.col("vnorm").as("va"))
     val b = blocks.select(F.col("block"), F.col("id").as("dst"), F.col("vnorm").as("vb"))
     a.join(b, Seq("block"))

@@ -87,6 +87,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
+      // a row with no payload or kind has nothing to decode — drop it
+      // rather than NPE the whole scan in the decoder
+      .where(F.col("payload").isNotNull && F.col("kind").isNotNull)
       .select($"media_id".as[Long], $"kind".as[String], $"payload".as[Array[Byte]])
       .mapPartitions { it =>
         it.map { case (id, kind, payload) =>
@@ -108,6 +111,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
+      // null payload = no frames (same verdict as decodeFeatures)
+      .where(F.col("payload").isNotNull)
       .select($"media_id".as[Long], $"payload".as[Array[Byte]])
       .flatMap { case (id, payload) =>
         decoder.frames(payload, everyN).zipWithIndex.map {

@@ -30,15 +30,24 @@ object Similarity {
     * L2-normalized vectors (Euclidean distance is monotone in cosine
     * on the unit sphere: d² = 2−2cos). The scale path: candidate set
     * bounded per bucket instead of scanning all N.
+    *
+    * bucketLength sizing: unit vectors project into [-1, 1], so each
+    * table has ~2/bucketLength buckets. The 2.0 default keeps recall
+    * high on corpora with little cosine structure (near-orthogonal
+    * vectors — nearly a full scan); for CLUSTERED corpora, where LSH
+    * actually prunes, size it down (~0.1-0.5) to probe a fraction of
+    * the table at the same recall.
     */
-  def annTopKLsh(emb: DataFrame, query: Array[Double], k: Int, seed: Long = 42L): DataFrame = {
+  def annTopKLsh(
+      emb: DataFrame, query: Array[Double], k: Int, seed: Long = 42L,
+      bucketLength: Double = 2.0): DataFrame = {
     val normed = emb
       .select(F.col("id"), l2normalize(F.col("vec")).as("vn"))
       .withColumn("features", array_to_vector(F.col("vn")))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features")
       .setOutputCol("hashes")
-      .setBucketLength(2.0)
+      .setBucketLength(bucketLength)
       .setNumHashTables(3)
       .setSeed(seed)
     val model = lsh.fit(normed)
@@ -104,7 +113,12 @@ object Similarity {
       a
     }
     def quantize(x: Double): Long =
-      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      // BigDecimal(NaN/Inf) throws — one non-finite component must not
+      // kill the scan (the builders only WARN on non-finite values);
+      // 0 contributes nothing to any plane projection
+      if (java.lang.Double.isFinite(x))
+        BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      else 0L
     val qi = query.map(quantize)
     val qbits: Array[Boolean] = Array.tabulate(bits) { j =>
       var s = 0L; var f = 0
@@ -151,9 +165,13 @@ object Similarity {
   }
 
   /** Spark round() semantics (HALF_UP) for driver/executor-side
-    * doubles, so broadcast-path scores hash-match the SQL oracle. */
+    * doubles, so broadcast-path scores hash-match the SQL oracle.
+    * Non-finite passes through (Spark's round(NaN) is NaN; BigDecimal
+    * would throw and kill the stage). */
   private def round4(x: Double): Double =
-    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (java.lang.Double.isFinite(x))
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else x
 
   /** "Worst-first" ordering for a bounded top-k heap over
     * (score, id_a, id_b): the PriorityQueue max is the element to
@@ -223,6 +241,14 @@ object Similarity {
     * always yields the same lists, so probe results are reproducible
     * and oracle-checkable. `seed` is kept for API compatibility and
     * ignored — there is no randomness left to seed.
+    *
+    * CONTRACT: `emb` must carry L2-NORMALIZED vectors (every cosine
+    * pipeline in this engine does; the testdata is unit-norm). The
+    * quantizer assigns by squared-Euclidean distance while the probe
+    * ranks lists by cosine — on the unit sphere these are the same
+    * geometry (d² = 2−2cos), but on norm-varied input the list holding
+    * the best cosine match can rank last by assignment and recall
+    * collapses. Normalize first for raw corpora.
     */
   def ivfBuild(emb: DataFrame, nLists: Int, seed: Long = 42L): IvfIndex = {
     val model = graft.scale.DeterministicKMeans.fit(
@@ -230,8 +256,19 @@ object Similarity {
     val assigned = graft.scale.DeterministicKMeans.assign(
         emb, model, idCol = "id", vecCol = "vec")
       .select("id", "vec", "cluster")
+      // the in-memory index must not recompute the nLists×F assignment
+      // scan on every probe (unpersisted, `cluster IN probes` cannot
+      // push below the assign map and each ivfTopK re-ran it over all
+      // N rows — slower than brute force); the persisted form is the
+      // in-memory analogue of the cluster-partitioned saved layout
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(assigned, model.centers.zipWithIndex.map(_.swap), nLists)
   }
+
+  /** Release an in-memory index's cached assignment (no-op for a
+    * loaded one — parquet-backed frames have no cache entry). */
+  def ivfRelease(index: IvfIndex): Unit =
+    index.assigned.unpersist(blocking = false)
 
   def ivfTopK(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
     val probes = index.centroids
@@ -260,14 +297,23 @@ object Similarity {
     val cent = index.centroids
       .map { case (c, v) => s"""[$c,[${v.mkString(",")}]]""" }
       .mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/centroids.json"), s"""{"k":${index.k},"centroids":$cent}""")
+    // Hadoop FS, same filesystem as the lists parquet — java.nio would
+    // write a driver-LOCAL sidecar for hdfs://-s3a:// paths, leaving a
+    // lists-only, unloadable index
+    graft.api.ArrowSpaceModel.writeSidecar(
+      index.assigned.sparkSession, s"$path/centroids.json",
+      s"""{"k":${index.k},"centroids":$cent}""")
   }
 
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val assigned = spark.read.parquet(s"$path/lists")
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$path/centroids.json"))
+    val txt = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
     val k = "\"k\":(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
     val cent = "\\[(\\d+),\\[([^\\]]*)\\]\\]".r.findAllMatchIn(txt).map { m =>
       (m.group(1).toInt, m.group(2).split(",").map(_.toDouble))

@@ -37,6 +37,16 @@ object CorpusSources {
     }
     require(elemOk,
       s"$vecCol must be array<numeric>, got ${vecType.simpleString} in $path")
+    // the id must be integral too: a string id would cast to all-null
+    // join/group keys three stages later with no error here
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idOk = df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    require(idOk,
+      s"$idCol must be an integral type, got " +
+        s"${df.schema(idCol).dataType.simpleString} in $path")
     df.select(
       F.col(idCol).cast("long").as("id"),
       F.col(vecCol).cast("array<double>").as("vec"))
@@ -86,9 +96,17 @@ object CorpusSources {
     val extras = fields.toSeq.map { case (name, p) => byPath(p).as(name) }
     raw.select(
       Seq(
-        byPath(idPath).cast("long").as("doc_id"),
+        // non-numeric document ids (CVE-2024-1234 style — the exact
+        // corpus this reader is modeled on) hash to a stable long
+        // instead of casting to null and silently dropping the corpus;
+        // the raw id survives as doc_key
+        // try_cast, not cast: ANSI mode throws on 'CVE-2024-0001'
+        F.coalesce(
+          byPath(idPath).try_cast("long"),
+          F.xxhash64(byPath(idPath))).as("doc_id"),
+        byPath(idPath).as("doc_key"),
         byPath(textPath).cast("string").as("text")) ++ extras: _*)
-      .where(F.col("doc_id").isNotNull && F.col("text").isNotNull)
+      .where(F.col("doc_key").isNotNull && F.col("text").isNotNull)
   }
 
   /** Count of records in a line-JSON corpus whose id/text paths do NOT
@@ -96,8 +114,11 @@ object CorpusSources {
     * try/except counting in Python. One pass, no job failure.
     */
   def jsonCorpusCorruptCount(
-      spark: SparkSession, path: String, idPath: String, textPath: String): Long =
-    spark.read.text(path)
+      spark: SparkSession, path: String, idPath: String, textPath: String,
+      multiLine: Boolean = false): Long =
+    // the SAME record framing as jsonCorpus — counting lines against a
+    // wholetext corpus would flag nearly every line of healthy files
+    spark.read.option("wholetext", multiLine).text(path)
       .where(
         F.get_json_object(F.col("value"), "$." + idPath).isNull ||
           F.get_json_object(F.col("value"), "$." + textPath).isNull)

@@ -40,10 +40,31 @@ class CorpusSourcesSpec extends SparkSpec {
       fields = Map("lang" -> "lang"))
     val rows = docs.orderBy("doc_id").collect()
     assert(rows.length == 2, s"got ${rows.length}")
-    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "first doc")
-    assert(rows(0).getString(2) == "en" && rows(1).getString(2) == "de")
+    // schema: (doc_id, doc_key, text, extras...)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "1")
+    assert(rows(0).getString(2) == "first doc")
+    assert(rows(0).getString(3) == "en" && rows(1).getString(3) == "de")
     val corrupt = CorpusSources.jsonCorpusCorruptCount(
       spark, f.getAbsolutePath, "meta.id", "body.descriptions[0].value")
     assert(corrupt == 2L, s"got $corrupt")
+  }
+
+  test("json corpus reader keeps string document ids (hashed to a stable long)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_sid").toFile
+    val f = new java.io.File(dir, "cve.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"cveMetadata":{"cveId":"CVE-2024-0001"},"desc":"overflow in x"}""")
+    w.println("""{"cveMetadata":{"cveId":"CVE-2024-0002"},"desc":"injection in y"}""")
+    w.close()
+    val docs = CorpusSources.jsonCorpus(
+      spark, f.getAbsolutePath,
+      idPath = "cveMetadata.cveId", textPath = "desc")
+    val rows = docs.orderBy("doc_key").collect()
+    // string ids must NOT cast to null and vanish — they hash to a
+    // stable long and survive verbatim in doc_key
+    assert(rows.length == 2, s"string-id docs were dropped: got ${rows.length}")
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("CVE-2024-0001", "CVE-2024-0002"))
+    assert(rows.map(_.getLong(0)).distinct.length == 2)
   }
 }
