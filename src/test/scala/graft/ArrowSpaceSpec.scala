@@ -162,6 +162,28 @@ class ArrowSpaceSpec extends SparkSpec {
     assert(a.map(_._1) == b.map(_._1))
   }
 
+  test("save/load round-trips the normalise flag (defaults true for old sidecars)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-raw-model").toString
+    val (mRaw, _) = ArrowSpaceBuilder.build(
+      itemsDf, params.copy(normalise = false))
+    mRaw.save(dir)
+    val loaded = graft.api.ArrowSpaceModel.load(spark, dir)
+    assert(!loaded.params.normalise, "normalise=false was lost on load")
+    // a sidecar WITHOUT the field (pre-round-4 layout) reads as true
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val txt = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val legacy = txt.replaceAll("\"normalise\":\\d+,\\s*", "")
+    val out = fs.create(p, true)
+    try out.write(legacy.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(graft.api.ArrowSpaceModel.load(spark, dir).params.normalise)
+  }
+
   test("save/load survives negative-exponent JSON scalars (tau=1e-10)") {
     // tau falls back to 1e-10 when the median energy is 0; the sidecar
     // writes it as 1.0E-10, which the old number regex could not parse.
