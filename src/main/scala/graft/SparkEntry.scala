@@ -71,6 +71,16 @@ object SparkEntry {
       graft.api.EnergyBuilder.buildEnergy(
         emb(s, dir), graft.core.EnergyParams(), defaultParams))
 
+  /** One-time index builds as NAMED bench steps. Bench times these
+    * before the query loop so per-query rows measure query cost and
+    * the build cost is its own row — r4's "a_get_item 1.26→5.67 s
+    * regression" was pure attribution noise from whichever query
+    * happened to pay the lazy build first.
+    */
+  def buildSteps: Map[String, (SparkSession, String) => Unit] = Map(
+    "build_standard" -> ((s, d) => { model(s, d); () }),
+    "build_energy" -> ((s, d) => { energyModel(s, d); () }))
+
   /** Deterministic query vector: the embedding with id 0. */
   private def queryVec(s: SparkSession, dir: String): Array[Double] =
     emb(s, dir).where(F.col("id") === 0).select("vec").head.getSeq[Double](0).toArray

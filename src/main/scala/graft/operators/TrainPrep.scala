@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.storage.StorageLevel
 
 /** Training-data preparation operators — engine additions beyond the
   * reference surface (SURVEY.md §2.3 "Streaming/LLM-pipeline" group):
@@ -67,6 +68,14 @@ object TrainPrep {
       .sortWithinPartitions("doc_id")
       .select($"doc_id".as[Long], $"n_tokens".as[Long])
       .rdd
+      // Pinned across the two jobs below (partial-sum collect, then the
+      // offset-applying emit). Without this the range shuffle could in
+      // principle be recomputed between them with resampled boundaries,
+      // and the broadcast offsets would be applied to the WRONG
+      // partitions — a silent cross-run nondeterminism. The cache is
+      // slim (two longs per doc) and spills to disk; the ContextCleaner
+      // reclaims it once the returned frame is unreachable.
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val partSums = counts
       .mapPartitionsWithIndex { (i, it) =>
         var s = 0L
@@ -104,6 +113,9 @@ object TrainPrep {
       .sortWithinPartitions("stratum", "key")
       .select($"key".as[Long], $"stratum".as[String])
       .rdd
+      // same two-job pinning as packTokenShards: the per-stratum count
+      // pass and the rank-emitting pass must see identical partitions
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = typed
       .mapPartitionsWithIndex { (i, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]

@@ -85,6 +85,56 @@ class TrainPrepSpec extends SparkSpec {
     assert(src0Keys.sameElements(src0Keys.sorted))
   }
 
+  test("shard packing is byte-identical across input partition layouts") {
+    val budget = 64L
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      TrainPrep.packTokenShards(df, budget).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val single = run(docs.repartition(1))
+    val wide = run(docs.repartition(37))
+    val skewed = run(docs.repartition(8, F.col("source")))
+    assert(single == wide, "1-partition vs 37-partition packing diverged")
+    assert(single == skewed, "hash-partitioned input changed the packing")
+  }
+
+  test("shard packing handles adversarial layouts") {
+    val s = spark
+    import s.implicits._
+    // doc_id gaps + a single doc far over budget + empty partitions
+    val gappy = Seq(
+      (3L, "a b c d e f g h"),            // 8 tokens
+      (100L, Seq.fill(50)("tok").mkString(" ")), // 50 tokens, straddles
+      (2000L, "x"),
+      (2001L, "y z")
+    ).toDF("doc_id", "text").repartition(16) // most partitions empty
+    val budget = 10L
+    val got = TrainPrep.packTokenShards(gappy, budget)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // prefix sums: 0, 8, 58, 59 → shard = before/10, offset = before%10
+    assert(got.toSeq == Seq(
+      (3L, 8L, 0L, 0L), (100L, 50L, 0L, 8L),
+      (2000L, 1L, 5L, 8L), (2001L, 2L, 5L, 9L)))
+    // budget = 1: every token is its own shard; offsets always 0
+    val unit = TrainPrep.packTokenShards(gappy, 1L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(unit.toSeq == Seq((0L, 0L), (8L, 0L), (58L, 0L), (59L, 0L)))
+    // empty input: no rows, no crash
+    assert(TrainPrep.packTokenShards(gappy.limit(0), budget).count() == 0L)
+  }
+
+  test("stratum ranks survive empty partitions and singleton strata") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, "only"), (9L, "big"), (5L, "big"), (7L, "big"))
+      .toDF("doc_id", "source").repartition(12)
+    val got = TrainPrep.stratumRanks(tiny, F.col("doc_id"), F.col("source"))
+      .orderBy("stratum", "r").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (5L, "big", 1L), (7L, "big", 2L), (9L, "big", 3L), (1L, "only", 1L)))
+  }
+
   test("hash sampling is deterministic, stratified, and layout-independent") {
     val a = TrainPrep.stratifiedHashSample(
       docs, F.col("doc_id"), F.col("source"), Map("src0" -> 0.9), 0.3)
