@@ -399,12 +399,17 @@ object GraphAnalytics {
     * edges from [[KnnGraph.epsKnnEdges]] (eps = 1 − minCos) instead and
     * accept candidate-generation recall.
     */
-  def cosineThresholdEdges(items: DataFrame, minCos: Double): DataFrame = {
+  def cosineThresholdEdges(
+      items: DataFrame, minCos: Double,
+      maxRows: Long = graft.operators.Similarity.ExactPairsMaxRows): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
     val typed = items
       .select(F.col("id").cast("long"), F.col("vec").cast("array<double>"))
       .select($"id".as[Long], $"vec".as[Array[Double]])
+    graft.operators.Similarity.requireExactPairsBound(
+      typed, maxRows, "cosineThresholdEdges",
+      "KnnGraph.epsKnnEdges(eps = 1 - minCos) candidate edges")
     val bc = spark.sparkContext.broadcast(typed.collect())
     typed
       .mapPartitions { it =>

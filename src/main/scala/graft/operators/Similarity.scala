@@ -14,6 +14,32 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object Similarity {
 
+  /** Row bound for the EXACT all-pairs operators (topCosinePairs,
+    * cosineNearDupPairs, GraphAnalytics.cosineThresholdEdges). They
+    * broadcast the whole table and do N² distance work per call —
+    * correct and fast on verification-sized inputs, a driver OOM plus
+    * an unpayable FLOP bill on a corpus. The gate is measured (one
+    * column-pruned count), mirrors KnnGraph.BruteForceMaxRows, and the
+    * error names the scale path; it is a per-call parameter, not a
+    * silent fallback, because the scale paths are approximate and an
+    * "exact" operator must never quietly change its answer.
+    */
+  val ExactPairsMaxRows = 100000L
+
+  /** Measured gate for the exact all-pairs operators: throws past
+    * `maxRows` with the operator's scale alternative spelled out.
+    */
+  private[graft] def requireExactPairsBound(
+      df: org.apache.spark.sql.Dataset[_], maxRows: Long, op: String,
+      alternative: String): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$op is an EXACT all-pairs operator (broadcast + N² distance " +
+        s"work) and is gated at maxRows=$maxRows; got $n rows. At this " +
+        s"scale use $alternative, or raise maxRows explicitly if the " +
+        "driver and the N² cost are truly acceptable.")
+  }
+
   /** Exact cosine top-k of `emb` (id, vec) against one query vector.
     * Output: (id, score) descending. One scan, no shuffle beyond the
     * final k-row merge — the right physical shape at any scale.
@@ -187,12 +213,15 @@ object Similarity {
     * Broadcast-bound — at 100 TB generate candidates with the LSH
     * band-join in [[graft.graph.KnnGraph]] / [[Dedup]] and top-k those.
     */
-  def topCosinePairs(emb: DataFrame, k: Int): DataFrame = {
+  def topCosinePairs(
+      emb: DataFrame, k: Int, maxRows: Long = ExactPairsMaxRows): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val typed = emb
       .select(F.col("id").cast("long"), F.col("vec").cast("array<double>"))
       .select($"id".as[Long], $"vec".as[Array[Double]])
+    requireExactPairsBound(typed, maxRows, "topCosinePairs",
+      "KnnGraph.epsKnnEdges / Dedup banded candidates + saltedTopKPerKey")
     val bc = spark.sparkContext.broadcast(typed.collect())
     typed
       .mapPartitions { it =>
@@ -330,12 +359,16 @@ object Similarity {
     * shuffle); compose with LSH bucketing for scale (same contract as
     * minhashNearDupPairs).
     */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(
+      emb: DataFrame, threshold: Double,
+      maxRows: Long = ExactPairsMaxRows): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val typed = emb
       .select(F.col("id").cast("long"), F.col("vec").cast("array<double>"))
       .select($"id".as[Long], $"vec".as[Array[Double]])
+    requireExactPairsBound(typed, maxRows, "cosineNearDupPairs",
+      "KnnGraph.epsKnnEdges(eps = 1 - threshold) for candidates, then the exact cosine refine")
     val bc = spark.sparkContext.broadcast(typed.collect())
     typed
       .mapPartitions { it =>

@@ -18,6 +18,24 @@ class SimilaritySpec extends SparkSpec {
   lazy val query: Array[Double] =
     emb.where(F.col("id") === 11).select("vec").head.getSeq[Double](0).toArray
 
+  test("exact all-pairs operators gate on the measured row count") {
+    // under the bound: all three run
+    assert(Similarity.topCosinePairs(emb, 5).count() == 5L)
+    assert(Similarity.cosineNearDupPairs(emb, 0.995).count() >= 0L)
+    assert(graft.graph.GraphAnalytics.cosineThresholdEdges(emb, 0.999).count() >= 0L)
+    // over the bound: an actionable error naming the scale path, and
+    // no job beyond the count ever starts
+    for ((name, thunk) <- Seq[(String, () => Any)](
+        ("topCosinePairs", () => Similarity.topCosinePairs(emb, 5, maxRows = 10)),
+        ("cosineNearDupPairs", () => Similarity.cosineNearDupPairs(emb, 0.9, maxRows = 10)),
+        ("cosineThresholdEdges",
+          () => graft.graph.GraphAnalytics.cosineThresholdEdges(emb, 0.9, maxRows = 10)))) {
+      val e = intercept[IllegalArgumentException](thunk())
+      assert(e.getMessage.contains(name) && e.getMessage.contains("KnnGraph"),
+        s"$name gate message must name the operator and the scale alternative: ${e.getMessage}")
+    }
+  }
+
   test("SRP-Hamming top-k: clustered data recall, self-hit first, deterministic") {
     // clustered data (8 well-separated modes): Hamming ranking over 256
     // sign bits separates modes cleanly — candidates cover the true
