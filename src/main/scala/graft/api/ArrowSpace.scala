@@ -41,7 +41,9 @@ final case class ArrowSpaceModel private[api] (
     val lambdaQ = prepareQueryLambda(query)
     require(
       lambdaQ != 0.0,
-      "The lambdas are zero, check the magnitude of items and eps.")
+      "The lambdas are zero, check the magnitude of items and eps. " +
+        "(ArrowSpaceBuilder.suggestEps(items) reports the measured " +
+        "NN-distance quantiles and a workable eps/sigma/k.)")
     scoreAndTake(query, lambdaQ, tau, if (topk > 0) topk else params.topk)
   }
 
@@ -294,6 +296,19 @@ object ArrowSpaceBuilder {
       sampleThreshold: Long = SampleThreshold,
       sampleRate: Double = SampleRate,
       projectionMinF: Int = 96)
+
+  /** Eps/σ/k diagnostic (reference suggested_eps.md): measures the
+    * data's NN-distance quantiles on a bounded sample and suggests an
+    * eps that yields a non-empty graph — run it BEFORE a build when
+    * eps is a guess. See [[EpsSuggest.report]].
+    */
+  def suggestEps(
+      itemsRaw: DataFrame,
+      k: Int = 10,
+      sampleSize: Int = 2000,
+      seed: Long = 42L,
+      normalise: Boolean = true): EpsReport =
+    EpsSuggest.report(itemsRaw, k, sampleSize, seed, normalise)
 
   def build(
       itemsRaw: DataFrame,
