@@ -299,14 +299,21 @@ object Similarity {
   def ivfRelease(index: IvfIndex): Unit =
     index.assigned.unpersist(blocking = false)
 
-  def ivfTopK(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
-    val probes = index.centroids
+  /** The nprobe nearest inverted lists for a query — public so recall
+    * and scanned-fraction claims are measurable against the EXACT
+    * probe set ivfTopK uses (SimilaritySpec's clustered-recall spec).
+    */
+  def ivfProbes(index: IvfIndex, query: Array[Double], nprobe: Int): Array[Int] =
+    index.centroids
       .map { case (c, cv) =>
         (c, 1.0 - graft.functions.VectorKernels.cosine(query, cv))
       }
       .sortBy { case (c, d) => (d, c) }
       .take(nprobe)
       .map(_._1)
+
+  def ivfTopK(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
+    val probes = ivfProbes(index, query, nprobe)
     val q = F.typedLit(query)
     index.assigned
       .where(F.col("cluster").isin(probes.toSeq: _*))

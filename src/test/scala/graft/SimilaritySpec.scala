@@ -86,6 +86,46 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF on a clustered corpus: recall@20 >= 0.9 while scanning < 30%") {
+    // the 100 TB claim: on data with real cosine structure, IVF reaches
+    // high recall while touching a small fraction of the corpus. The
+    // existing sf0.1 spec can't show this - near-orthogonal synthetic
+    // vectors scatter neighbors uniformly, so pruning and recall trade
+    // 1:1 there. This corpus has 24 separated modes with enough noise
+    // that lists are unequal and queries sit off-center.
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(97)
+    val big = (0 until 6000).map { i =>
+      val mode = i % 24
+      val base = Array.tabulate(32)(f => math.sin(mode * 0.83 + f * 0.51))
+      (i.toLong, base.map(_ + rng.nextGaussian() * 0.22))
+    }.toDF("id", "vec")
+    val index = Similarity.ivfBuild(big, nLists = 24)
+    try {
+      val total = 6000.0
+      val listSizes = index.assigned.groupBy("cluster").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // 10 query points spread across modes, none the centroid itself
+      val recalls = (0 until 10).map { qi =>
+        val qid = qi * 577L % 6000L
+        val q = big.where(F.col("id") === qid).select("vec")
+          .head.getSeq[Double](0).toArray
+        val exact = Similarity.annTopK(big, q, 20)
+          .collect().map(_.getLong(0)).toSet
+        val nprobe = 4 // 4 of 24 lists
+        val probes = Similarity.ivfProbes(index, q, nprobe)
+        val scanned = probes.map(p => listSizes.getOrElse(p, 0L)).sum / total
+        assert(scanned < 0.30, f"query $qid scanned $scanned%.2f of the corpus")
+        val got = Similarity.ivfTopK(index, q, 20, nprobe)
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(exact).size / 20.0
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.9, s"mean recall@20 = $mean < 0.9 (per-query: $recalls)")
+    } finally Similarity.ivfRelease(index)
+  }
+
   test("approximate ANN paths have measured recall@20 >= 0.9 vs exact (sf0.1)") {
     val sp = spark
     import org.apache.spark.sql.{functions => F}
