@@ -129,23 +129,38 @@ final case class ArrowSpaceModel private[api] (
         s"query length ${if (v == null) "null" else v.length} must match nfeatures $nF")
       bcLap.value.synth(v.toArray, bcTau)
     }
+    // a wrong-length qvec must fail clearly on EITHER branch: the
+    // recompute branch checks inside lamQ, but a caller-precomputed
+    // qlambda would otherwise sail through to the min-length cosine
+    // kernel and silently score garbage (size(null) = -1 also trips)
+    def checkedQvec: org.apache.spark.sql.Column =
+      F.when(F.size(F.col("qvec")) === nF, F.col("qvec"))
+        .otherwise(F.raise_error(F.concat(
+          F.lit("query length "), F.size(F.col("qvec")).cast("string"),
+          F.lit(s" must match nfeatures $nF"))))
     val q =
       // honor a caller-precomputed qlambda column (the documented
       // optional third column); recompute only when absent
       if (queries.columns.contains("qlambda"))
-        queries.select(
-          F.col("query_id"),
-          F.col("qvec").cast("array<double>").as("qvec"),
-          F.col("qlambda").cast("double").as("qlambda"))
+        queries
+          .select(
+            F.col("query_id"),
+            F.col("qvec").cast("array<double>").as("qvec"),
+            F.col("qlambda").cast("double").as("qlambda"))
+          .withColumn("qvec", checkedQvec)
       else
         queries
           .select(F.col("query_id"), F.col("qvec").cast("array<double>").as("qvec"))
           .withColumn("qlambda", lamQ(F.col("qvec")))
-    // no forced broadcast: Catalyst broadcasts a small query table by
-    // its own size stats; a multi-GB query table degrades to the
-    // cartesian-scored shuffle instead of a driver OOM
+    // broadcast gated on a MEASURED row count (the candIdsSized pattern
+    // in Dedup.minhashNearDupPairs), not Catalyst size stats: the
+    // UDF-projected query frame has no reliable stats, and a
+    // mis-estimate here silently degrades every search to a
+    // CartesianProductExec. Past the bound the scored shuffle is the
+    // correct plan (a multi-GB query table must not broadcast).
+    val qSized = if (q.count() <= 100000L) F.broadcast(q) else q
     val scored = items
-      .join(q)
+      .join(qSized)
       .withColumn(
         "score",
         F.lit(tau) * cosine(F.col("vec"), F.col("qvec")) +

@@ -41,18 +41,39 @@ object KnnGraph {
     case object ClusterBlocked extends Strategy
   }
 
+  /** Knobs for the opt-in LSH strategy — the pruning/recall dial.
+    *
+    * RECALL REGIME: `approxSimilarityJoin` only emits pairs co-bucketed
+    * in at least one of `numHashTables` tables, and the exact
+    * `dist <= eps` refine REMOVES false positives but can never recover
+    * a pair the bucketing missed — LSH false negatives are final. The
+    * default `bucketLength = radius/2` (radius = √(2·eps)) prunes hard:
+    * a within-radius pair lands in the same bucket with probability
+    * ~0.6-0.8 per table (≥ ~0.95 across 3 tables), so a few percent of
+    * true eps-edges CAN drop. For near-exact recall set
+    * `bucketLength = Some(2.0)` (one bucket per table on unit vectors —
+    * candidate join degrades toward all-pairs) or raise
+    * `numHashTables`; for harder pruning lower bucketLength. The
+    * default Auto strategy (brute force / cluster-blocked) is exact and
+    * unaffected.
+    */
+  final case class LshOptions(
+      bucketLength: Option[Double] = None, // None = radius/2 heuristic
+      numHashTables: Int = 3)
+
   /** items: (id: Long, vnorm: Array[Double]) — pre-normalized vectors. */
   def epsKnnEdges(
       items: DataFrame,
       params: GraphParams,
       nItems: Long,
-      strategy: Strategy = Strategy.Auto): DataFrame = {
+      strategy: Strategy = Strategy.Auto,
+      lshOptions: LshOptions = LshOptions()): DataFrame = {
     val useBrute = strategy == Strategy.BruteForce ||
       (strategy == Strategy.Auto && nItems <= BruteForceMaxRows)
     val directed =
       if (useBrute) directedBruteForce(items, params)
       else strategy match {
-        case Strategy.Lsh => directedLsh(items, params)
+        case Strategy.Lsh => directedLsh(items, params, lshOptions)
         case _ => directedClusterBlocked(items, params, nItems)
       }
 
@@ -115,7 +136,9 @@ object KnnGraph {
       .toDF("src", "dst", "dist")
   }
 
-  private def directedLsh(items: DataFrame, params: GraphParams): DataFrame = {
+  private def directedLsh(
+      items: DataFrame, params: GraphParams,
+      options: LshOptions = LshOptions()): DataFrame = {
     // hash L2-normalized vectors regardless of the builder's
     // `normalise` flag: the √(2·eps) Euclidean radius is only
     // meaningful on the unit sphere, and with raw vectors (normalise =
@@ -134,15 +157,19 @@ object KnnGraph {
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features")
       .setOutputCol("hashes")
-      // bucket length sized to the JOIN RADIUS, not a constant: unit
-      // vectors project into [-1, 1], so a fixed 2.0 collapses every
-      // table to ~2 buckets and the "scale path" candidate join is
-      // near-cartesian. radius/2 keeps pairs within the radius likely
-      // co-bucketed while splitting each table into ~4/radius buckets.
-      // (At eps >= 1 the REQUEST itself is all pairs at any angle —
-      // inherently dense; prefer the cluster-blocked strategy there.)
-      .setBucketLength(math.max(0.1, radius0 / 2.0))
-      .setNumHashTables(3)
+      // bucket length sized to the JOIN RADIUS by default, not a
+      // constant: unit vectors project into [-1, 1], so a fixed 2.0
+      // collapses every table to ~2 buckets and the "scale path"
+      // candidate join is near-cartesian. radius/2 keeps pairs within
+      // the radius likely co-bucketed while splitting each table into
+      // ~4/radius buckets — at the recall cost documented on
+      // [[LshOptions]] (false negatives are unrecoverable; callers
+      // needing near-exact recall pass bucketLength = Some(2.0) or
+      // more tables). (At eps >= 1 the REQUEST itself is all pairs at
+      // any angle — inherently dense; prefer cluster-blocked there.)
+      .setBucketLength(
+        options.bucketLength.getOrElse(math.max(0.1, radius0 / 2.0)))
+      .setNumHashTables(options.numHashTables)
       .setSeed(params.seed)
     val model = lsh.fit(withVec)
     // approxSimilarityJoin filters distCol < threshold STRICTLY, so

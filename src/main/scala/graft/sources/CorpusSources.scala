@@ -78,6 +78,18 @@ object CorpusSources {
     * (`a.b[0].c` style, get_json_object syntax without the leading $).
     * multiLine = true reads each FILE as one JSON document (wholetext);
     * the default treats each line as a document (JSONL).
+    *
+    * OUTPUT SCHEMA (changed in r4: `doc_key` inserted as the SECOND
+    * column — positional consumers must select by name):
+    * (doc_id: long, doc_key: string, text: string, extras...).
+    * `doc_id` id spaces cannot overlap in a mixed corpus: a numeric id
+    * keeps its value, while a non-numeric id (CVE-2024-1234 style)
+    * hashes into the NEGATIVE long half-space (xxhash64 with the sign
+    * bit forced), so a hashed id can never silently merge with a
+    * genuine non-negative numeric id. Corpora with negative NUMERIC
+    * ids should remap them before ingest; 64-bit hash collisions
+    * between two string ids remain possible (~N²/2⁶⁵) — `doc_key`
+    * always carries the raw id for exact joins.
     */
   def jsonCorpus(
       spark: SparkSession,
@@ -99,11 +111,14 @@ object CorpusSources {
         // non-numeric document ids (CVE-2024-1234 style — the exact
         // corpus this reader is modeled on) hash to a stable long
         // instead of casting to null and silently dropping the corpus;
-        // the raw id survives as doc_key
-        // try_cast, not cast: ANSI mode throws on 'CVE-2024-0001'
+        // the raw id survives as doc_key.
+        // try_cast, not cast: ANSI mode throws on 'CVE-2024-0001'.
+        // The sign bit is forced on the hash so hashed ids live in the
+        // negative half-space and can never collide with a genuine
+        // non-negative numeric id in a mixed-id corpus (see scaladoc)
         F.coalesce(
           byPath(idPath).try_cast("long"),
-          F.xxhash64(byPath(idPath))).as("doc_id"),
+          F.xxhash64(byPath(idPath)).bitwiseOR(F.lit(Long.MinValue))).as("doc_id"),
         byPath(idPath).as("doc_key"),
         byPath(textPath).cast("string").as("text")) ++ extras: _*)
       .where(F.col("doc_key").isNotNull && F.col("text").isNotNull)

@@ -137,6 +137,28 @@ class ArrowSpaceSpec extends SparkSpec {
     assert(batch.filter(_._1 == 200L).map(_._2) == single2)
   }
 
+  test("batch search rejects wrong-length qvec on BOTH qlambda branches") {
+    val s = spark
+    import s.implicits._
+    val nf = items(0).length
+    // recompute branch: the lamQ UDF checks
+    val bad = Seq((1L, Array.fill(nf + 2)(0.1))).toDF("query_id", "qvec")
+    val e1 = intercept[Exception](model.searchBatch(bad, 0.62, 3).collect())
+    assert(e1.getMessage.contains("must match nfeatures") ||
+      Option(e1.getCause).exists(_.getMessage.contains("must match nfeatures")))
+    // precomputed-qlambda branch: previously sailed through to the
+    // min-length cosine kernel and scored garbage
+    val badPre = Seq((1L, Array.fill(nf + 2)(0.1), 0.5))
+      .toDF("query_id", "qvec", "qlambda")
+    val e2 = intercept[Exception](model.searchBatch(badPre, 0.62, 3).collect())
+    assert(e2.getMessage.contains("must match nfeatures") ||
+      Option(e2.getCause).exists(_.getMessage.contains("must match nfeatures")))
+    // and a RIGHT-length precomputed qlambda still works
+    val good = Seq((9L, items(1), model.prepareQueryLambda(items(1))))
+      .toDF("query_id", "qvec", "qlambda")
+    assert(model.searchBatch(good, 0.62, 3).count() == 3L)
+  }
+
   test("fluent Builder facade matches direct builder output") {
     val (m2, _) = graft.api.Builder()
       .withLambdaGraph(eps = 0.05, k = 5, topk = 3, p = 2.0, sigma = Some(0.05))

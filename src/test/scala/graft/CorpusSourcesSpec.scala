@@ -66,5 +66,24 @@ class CorpusSourcesSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSeq ==
       Seq("CVE-2024-0001", "CVE-2024-0002"))
     assert(rows.map(_.getLong(0)).distinct.length == 2)
+    // hashed ids live in the NEGATIVE half-space: a mixed-id corpus can
+    // never silently merge a hashed string id with a real numeric id
+    assert(rows.forall(_.getLong(0) < 0L),
+      s"hashed ids must be negative: ${rows.map(_.getLong(0)).toSeq}")
+  }
+
+  test("mixed numeric/string ids cannot collide across the two id spaces") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_mixed").toFile
+    val f = new java.io.File(dir, "mixed.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"id":"7","text":"numeric id"}""")
+    w.println("""{"id":"DOC-7","text":"string id"}""")
+    w.close()
+    val rows = CorpusSources.jsonCorpus(spark, f.getAbsolutePath, "id", "text")
+      .orderBy("doc_key").collect()
+    assert(rows.length == 2)
+    val ids = rows.map(_.getLong(0))
+    assert(ids(0) == 7L, "numeric ids keep their value")
+    assert(ids(1) < 0L, "string ids hash into the negative half-space")
   }
 }
