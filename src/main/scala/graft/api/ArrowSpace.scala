@@ -129,15 +129,22 @@ final case class ArrowSpaceModel private[api] (
         s"query length ${if (v == null) "null" else v.length} must match nfeatures $nF")
       bcLap.value.synth(v.toArray, bcTau)
     }
-    // a wrong-length qvec must fail clearly on EITHER branch: the
-    // recompute branch checks inside lamQ, but a caller-precomputed
-    // qlambda would otherwise sail through to the min-length cosine
-    // kernel and silently score garbage (size(null) = -1 also trips)
+    // a wrong-length qvec (or a null/NaN precomputed qlambda) must
+    // fail clearly on EITHER branch: the recompute branch checks
+    // inside lamQ, but a caller-precomputed row would otherwise sail
+    // through to the min-length cosine kernel — or rank k null-scored
+    // rows NULLS-LAST — and silently return garbage
+    // (size(null) = -1 trips the length check too)
     def checkedQvec: org.apache.spark.sql.Column =
       F.when(F.size(F.col("qvec")) === nF, F.col("qvec"))
         .otherwise(F.raise_error(F.concat(
           F.lit("query length "), F.size(F.col("qvec")).cast("string"),
           F.lit(s" must match nfeatures $nF"))))
+    def checkedQlambda: org.apache.spark.sql.Column =
+      F.when(F.col("qlambda").isNotNull && !F.isnan(F.col("qlambda")), F.col("qlambda"))
+        .otherwise(F.raise_error(F.concat(
+          F.lit("precomputed qlambda is null/NaN for query_id "),
+          F.col("query_id").cast("string"))))
     val q =
       // honor a caller-precomputed qlambda column (the documented
       // optional third column); recompute only when absent
@@ -148,17 +155,24 @@ final case class ArrowSpaceModel private[api] (
             F.col("qvec").cast("array<double>").as("qvec"),
             F.col("qlambda").cast("double").as("qlambda"))
           .withColumn("qvec", checkedQvec)
+          .withColumn("qlambda", checkedQlambda)
       else
         queries
           .select(F.col("query_id"), F.col("qvec").cast("array<double>").as("qvec"))
           .withColumn("qlambda", lamQ(F.col("qvec")))
-    // broadcast gated on a MEASURED row count (the candIdsSized pattern
-    // in Dedup.minhashNearDupPairs), not Catalyst size stats: the
-    // UDF-projected query frame has no reliable stats, and a
-    // mis-estimate here silently degrades every search to a
-    // CartesianProductExec. Past the bound the scored shuffle is the
-    // correct plan (a multi-GB query table must not broadcast).
-    val qSized = if (q.count() <= 100000L) F.broadcast(q) else q
+    // materialize ONCE (also truncates an expensive upstream lineage:
+    // without this the gate's count job and the scored join would each
+    // re-run the caller's pipeline + the per-query λ synthesis), then
+    // gate the broadcast on MEASURED rows AND bytes — the candIdsSized
+    // pattern in Dedup.minhashNearDupPairs — not on Catalyst stats,
+    // which a UDF-projected frame doesn't have. Rows alone is not
+    // enough: 100k × 4096-dim vectors is ~3.3 GB, a driver/executor
+    // OOM, so wide-query tables fall back to the scored shuffle.
+    val qck = q.localCheckpoint()
+    val nQ = qck.count()
+    val qBytes = nQ * (nF.toLong * 8L + 64L) // vec payload + row overhead
+    val qSized =
+      if (nQ <= 100000L && qBytes <= 128L * 1024 * 1024) F.broadcast(qck) else qck
     val scored = items
       .join(qSized)
       .withColumn(

@@ -88,6 +88,11 @@ object EpsSuggest {
           "vnorm",
           if (normalise) l2normalize(F.col("vec")) else F.col("vec"))
         .select("id", "vnorm")
+        // materialize the ≤ sampleSize rows ONCE: the quantile
+        // self-join reads it twice and TwoNN's self-join twice more —
+        // uncached, each side would re-scan the FULL corpus to redraw
+        // the sample (5 O(N) scans for a bounded diagnostic)
+        .localCheckpoint()
 
     // per-node 1st and k-th NN distance over the sample: the same
     // rectified-cosine metric the graph build uses (GRAPH_VARIABLES.md:7)
@@ -125,9 +130,11 @@ object EpsSuggest {
     // strict d <= eps filter
     val suggestedEps = knn.get("p90").map(d => math.nextUp(d * 1.05)).getOrElse(1.0)
     // s(n) ~ (n / log n)^(1/d) — the report's connectivity-scale
-    // formula (suggested_eps.md:29; 29.2 → recommended k=25 on CVE)
+    // formula (suggested_eps.md:29; 29.2 → recommended k=25 on CVE).
+    // Clamp in LONG first: at corpus scale with a low intrinsic dim the
+    // formula exceeds 2³¹ and a bare .toInt would wrap to garbage
     val suggestedK = math.max(k,
-      math.min(64, math.round(math.pow(n.toDouble / lnN, 1.0 / id)).toInt))
+      math.min(64L, math.round(math.pow(n.toDouble / lnN, 1.0 / id))).toInt)
     val avgComponent = avgNorm / math.sqrt(nF.toDouble)
     EpsReport(
       nItems = n, nFeatures = nF, intrinsicDim = id, avgNorm = avgNorm,

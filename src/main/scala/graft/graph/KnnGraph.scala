@@ -50,12 +50,16 @@ object KnnGraph {
     * default `bucketLength = radius/2` (radius = √(2·eps)) prunes hard:
     * a within-radius pair lands in the same bucket with probability
     * ~0.6-0.8 per table (≥ ~0.95 across 3 tables), so a few percent of
-    * true eps-edges CAN drop. For near-exact recall set
-    * `bucketLength = Some(2.0)` (one bucket per table on unit vectors —
-    * candidate join degrades toward all-pairs) or raise
-    * `numHashTables`; for harder pruning lower bucketLength. The
-    * default Auto strategy (brute force / cluster-blocked) is exact and
-    * unaffected.
+    * true eps-edges CAN drop. For HIGHER recall set
+    * `bucketLength = Some(2.0)` — the pre-r4 wide-bucket behavior: unit
+    * vectors project into [-1, 1], so floor(p/2) still yields ~2
+    * buckets per table split at 0, and a pair projecting on opposite
+    * sides of 0 in every table is still missed (up to ~2% for pairs
+    * near the radius) while the candidate join degrades toward
+    * all-pairs — and/or raise `numHashTables`, which drives the miss
+    * rate down exponentially. For GUARANTEED exact recall use the
+    * BruteForce/ClusterBlocked strategies; the default Auto never
+    * picks Lsh. For harder pruning lower bucketLength.
     */
   final case class LshOptions(
       bucketLength: Option[Double] = None, // None = radius/2 heuristic

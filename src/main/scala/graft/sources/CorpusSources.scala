@@ -82,14 +82,16 @@ object CorpusSources {
     * OUTPUT SCHEMA (changed in r4: `doc_key` inserted as the SECOND
     * column — positional consumers must select by name):
     * (doc_id: long, doc_key: string, text: string, extras...).
-    * `doc_id` id spaces cannot overlap in a mixed corpus: a numeric id
-    * keeps its value, while a non-numeric id (CVE-2024-1234 style)
-    * hashes into the NEGATIVE long half-space (xxhash64 with the sign
-    * bit forced), so a hashed id can never silently merge with a
-    * genuine non-negative numeric id. Corpora with negative NUMERIC
-    * ids should remap them before ingest; 64-bit hash collisions
-    * between two string ids remain possible (~N²/2⁶⁵) — `doc_key`
-    * always carries the raw id for exact joins.
+    * `doc_id` id spaces cannot overlap in a mixed corpus (changed in
+    * r5: previously a raw xxhash64 could land on a genuine numeric id;
+    * artifacts keyed on r4 hashed doc_ids must be re-derived — the
+    * sign bit changes every hashed value): a numeric id keeps its
+    * value, while a non-numeric id (CVE-2024-1234 style) hashes into
+    * the NEGATIVE long half-space (xxhash64 with the sign bit forced).
+    * Corpora with negative NUMERIC ids should remap them before
+    * ingest; collisions between two string ids remain possible in the
+    * 2⁶³-value half-space (~N²/2⁶⁴) — `doc_key` always carries the raw
+    * id for exact joins.
     */
   def jsonCorpus(
       spark: SparkSession,

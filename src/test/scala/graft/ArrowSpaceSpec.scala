@@ -153,6 +153,13 @@ class ArrowSpaceSpec extends SparkSpec {
     val e2 = intercept[Exception](model.searchBatch(badPre, 0.62, 3).collect())
     assert(e2.getMessage.contains("must match nfeatures") ||
       Option(e2.getCause).exists(_.getMessage.contains("must match nfeatures")))
+    // a NULL precomputed qlambda must error too, not rank k null-scored
+    // rows NULLS-LAST
+    val badNull = Seq((1L, items(1), Option.empty[Double]))
+      .toDF("query_id", "qvec", "qlambda")
+    val e3 = intercept[Exception](model.searchBatch(badNull, 0.62, 3).collect())
+    assert(e3.getMessage.contains("qlambda is null/NaN") ||
+      Option(e3.getCause).exists(_.getMessage.contains("qlambda is null/NaN")))
     // and a RIGHT-length precomputed qlambda still works
     val good = Seq((9L, items(1), model.prepareQueryLambda(items(1))))
       .toDF("query_id", "qvec", "qlambda")
