@@ -46,6 +46,14 @@ object TopologyMetrics {
     // recurrence (PprEngine.runMany: per-node slot arrays), so anchor
     // fan-out costs one 15-stage chain — not one job DAG per anchor —
     // and queries sharing an anchor share its slot.
+    // SIZE NOTE: this collect is bounded by the EVAL-SET size (two
+    // longs per judged query — 16 MB per million queries), never by
+    // the corpus; an eval harness with more queries than that should
+    // evaluate in query-batches. Gated so the failure is a clear
+    // message, not a driver OOM.
+    require(sources.count() <= 10000000L,
+      "TopologyMetrics.evaluate collects (query_id, node_id) pairs " +
+        "driver-side; >10M judged queries — evaluate in batches")
     val anchors = sources.select($"query_id".as[Long], $"node_id".as[Long]).collect()
     if (anchors.isEmpty)
       return spark.emptyDataset[(Long, Double, Double, Double, Double, Double)]
