@@ -52,6 +52,24 @@ class EpsSuggestSpec extends SparkSpec {
     assert(!a.needsRescaling, "unit-scale synthetic data must not flag rescaling")
   }
 
+  test("degenerate inputs: sample smaller than k falls back to the 1st-NN curve") {
+    val s = spark
+    import s.implicits._
+    val tiny = (0 until 5).map(i =>
+      (i.toLong, Array.tabulate(8)(f => math.sin(i + f)))).toDF("id", "vec")
+    // k=10 > 4 available neighbors: no k-th-NN exists anywhere, the
+    // report must fall back to the 1st-NN quantiles, not suggest from
+    // an empty map
+    val rep = EpsSuggest.report(tiny, k = 10)
+    assert(rep.knnDist == rep.nnDist)
+    assert(rep.suggestedEps > 0.0 && rep.suggestedEps.isFinite)
+    // 2 items: the smallest legal input still yields a usable eps
+    val two = EpsSuggest.report(tiny.limit(2), k = 10)
+    assert(two.suggestedEps > 0.0)
+    // 1 item is a clear error, not a NaN report
+    intercept[IllegalArgumentException](EpsSuggest.report(tiny.limit(1), k = 3))
+  }
+
   test("search's lambda-zero error points at the diagnostic") {
     val s = spark
     import s.implicits._
