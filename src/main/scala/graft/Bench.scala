@@ -47,9 +47,12 @@ object Bench {
     val builds = SparkEntry.buildSteps.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => timeRow(name)(fn(spark, sfDir)) }
-    // deterministic name order: timing stays comparable across rounds
+    // deterministic name order: timing stays comparable across rounds.
+    // benchExclude keeps the one-line JSON inside the driver's bounded
+    // tail capture (head-truncation loses the whole bench)
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && !SparkEntry.benchExclude(name) }
       .map { case (name, fn) => timeRow(name)(fn(spark, sfDir).count()) }
     // centisecond precision + basename-only sf keep the whole JSON
     // line under ~1700 chars: the driver captures a bounded stdout

@@ -71,6 +71,15 @@ object SparkEntry {
       graft.api.EnergyBuilder.buildEnergy(
         emb(s, dir), graft.core.EnergyParams(), defaultParams))
 
+  /** Queries that run in Verify (correctness gate) but NOT in Bench:
+    * the bench prints ONE JSON line the driver tail-captures (~2000
+    * chars minus sbt's success line; currently ~1930 with 83 rows), so
+    * every new row risks head-truncating the line into unparseable.
+    * New queries whose perf story is already covered by an existing
+    * row go here; headline rows stay stable for round-over-round diffs.
+    */
+  def benchExclude: Set[String] = Set("t_pack_greedy")
+
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
     * the build cost is its own row — r4's "a_get_item 1.26→5.67 s
@@ -418,6 +427,14 @@ object SparkEntry {
       // token-budget shard packing via a two-phase distributed prefix
       // sum (never a global single-partition window)
       TrainPrep.packTokenShards(docs(s, d), budget = 4096)
+        .orderBy("doc_id")),
+
+    "t_pack_greedy" -> ((s, d) =>
+      // greedy doc-boundary packing (docs never straddle shards):
+      // sequential by definition, distributed via coalescing per-
+      // partition transfer summaries; benchExclude'd (bench line
+      // budget), oracle = recursive CTE replay of the same rule
+      TrainPrep.packTokenShardsGreedy(docs(s, d), budget = 4096)
         .orderBy("doc_id")),
 
     "d_sample_stratified" -> ((s, d) =>
@@ -1370,6 +1387,30 @@ object SparkEntry {
         |  before % 4096 AS "offset"
         |FROM cum
         |ORDER BY doc_id""".stripMargin,
+
+    // greedy doc-boundary packing: one-doc-per-step recursive replay of
+    // the engine's exact break rule (n>0 AND fill>0 AND fill+n>budget)
+    "t_pack_greedy" ->
+      """WITH RECURSIVE counts AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT rn, doc_id, n, 0::BIGINT AS shard, 0::BIGINT AS off,
+        |    n AS fill
+        |  FROM counts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.rn, c.doc_id, c.n,
+        |    CASE WHEN c.n > 0 AND p.fill > 0 AND p.fill + c.n > 4096
+        |         THEN p.shard + 1 ELSE p.shard END,
+        |    CASE WHEN c.n > 0 AND p.fill > 0 AND p.fill + c.n > 4096
+        |         THEN 0 ELSE p.fill END,
+        |    CASE WHEN c.n > 0 AND p.fill > 0 AND p.fill + c.n > 4096
+        |         THEN c.n ELSE p.fill + c.n END
+        |  FROM counts c JOIN packed p ON c.rn = p.rn + 1)
+        |SELECT doc_id, n AS n_tokens, shard, off AS "offset"
+        |FROM packed ORDER BY doc_id""".stripMargin,
 
     "d_sample_stratified" ->
       """SELECT doc_id, source FROM documents

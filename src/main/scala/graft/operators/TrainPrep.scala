@@ -97,6 +97,144 @@ object TrainPrep {
       .toDF("doc_id", "n_tokens", "shard", "offset")
   }
 
+  /** Greedy DOC-BOUNDARY packing: docs are laid out in doc_id order and
+    * a doc that would cross the token budget STARTS A NEW SHARD — no
+    * doc ever straddles two shards (the packing most LLM training
+    * pipelines use, vs [[packTokenShards]]'s offset-straddling layout).
+    * A doc larger than the budget occupies a shard alone; a 0-token doc
+    * joins the current shard wherever it stands.
+    * Output: (doc_id, n_tokens, shard, offset) — offset is the doc's
+    * first-token position within its shard (< budget except for docs
+    * following an over-budget doc's own shard, which always break).
+    *
+    * Greedy packing is inherently sequential — shard breaks depend on
+    * every prior doc — but trajectories started at different carry
+    * fills COALESCE at their first shard break, so the global result
+    * needs only bounded per-partition summaries, never the corpus on
+    * the driver and never a global-order window:
+    *   1. one pass per partition computes the HEAD (cumulative sums of
+    *      positive-token docs while ≤ budget — the only region where
+    *      the carry fill can matter) and, for each possible first
+    *      break, the memoized f-independent TAIL (#shards opened,
+    *      final fill);
+    *   2. the driver walks partitions IN ORDER over those summaries
+    *      (O(head) longs per partition, binary-searched), assigning
+    *      each partition its carry (shard index, fill);
+    *   3. a map pass re-simulates each partition from its broadcast
+    *      carry and emits every doc.
+    * Same job shape as [[packTokenShards]]: one range shuffle, a
+    * summary collect, a map-side emit.
+    */
+  def packTokenShardsGreedy(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(
+        F.col("doc_id").cast("long"),
+        F.coalesce(
+          F.size(TextOps.tokens(F.col("text"))).cast("long"),
+          F.lit(0L)).as("n_tokens"))
+      .repartitionByRange(F.col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .select($"doc_id".as[Long], $"n_tokens".as[Long])
+      .rdd
+      // pinned across the summary and emit jobs — same determinism
+      // contract as packTokenShards
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // phase 1: (idx, headSums, posTotal, mPos, tailShards, tailFills)
+    val summaries = counts
+      .mapPartitionsWithIndex { (idx, it) =>
+        val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { case (_, n) => if (n > 0) pos += n }
+        val m = pos.length
+        val P = new Array[Long](m + 1) // positive-doc prefix sums
+        var i = 0
+        while (i < m) { P(i + 1) = P(i) + pos(i); i += 1 }
+        var k = 0
+        while (k < m && P(k + 1) <= budget) k += 1
+        require(k <= (1 << 22),
+          s"greedy packing: one budget ($budget tokens) spans >${1 << 22} " +
+            "docs in a single partition — coalesce zero/tiny docs or " +
+            "lower the budget")
+        val headSums = java.util.Arrays.copyOfRange(P, 1, k + 1)
+        // first doc (1-based) outside the shard that starts at positive
+        // doc `st` with fill 0; an over-budget doc st packs alone
+        def nextBreak(st: Int): Int = {
+          val target = P(st - 1) + budget
+          var l = st; var h = m + 1
+          while (l < h) {
+            val mid = (l + h) >>> 1
+            if (P(mid) > target) h = mid else l = mid + 1
+          }
+          math.max(l, st + 1)
+        }
+        // (shards opened, final fill) of the greedy run starting at
+        // positive doc `start` with fill 0 — memoized: runs from
+        // different starts merge at their first common shard start
+        val memo = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+        def tailFrom(start: Int): (Long, Long) = {
+          var cur = start
+          val path = scala.collection.mutable.ArrayBuffer.empty[Int]
+          while (cur <= m && !memo.contains(cur)) { path += cur; cur = nextBreak(cur) }
+          var sf = if (cur > m) (0L, 0L) else memo(cur)
+          var pi = path.length - 1
+          while (pi >= 0) {
+            val st = path(pi)
+            val nb = nextBreak(st)
+            val own = P(math.min(nb - 1, m)) - P(st - 1)
+            sf = (sf._1 + 1L, if (sf._1 == 0L) own else sf._2)
+            memo(st) = sf
+            pi -= 1
+          }
+          if (start > m) (0L, 0L) else memo(start)
+        }
+        val nStarts = math.min(k + 1, m)
+        val tails = Array.tabulate(nStarts)(t => tailFrom(t + 1))
+        Iterator((idx, headSums, P(m), m.toLong, tails.map(_._1), tails.map(_._2)))
+      }
+      .collect().sortBy(_._1)
+
+    // phase 2 driver walk: carry (shard index, fill) into each partition
+    val nParts = summaries.length
+    val baseS = new Array[Long](nParts)
+    val baseF = new Array[Long](nParts)
+    var s = 0L
+    var f = 0L
+    summaries.foreach { case (idx, headSums, posTotal, mPos, tailS, tailF) =>
+      baseS(idx) = s; baseF(idx) = f
+      if (mPos > 0L) {
+        // j = docs joining the carry shard (head sums ≤ budget − fill)
+        val room = budget - f
+        var j = 0
+        if (room > 0) {
+          var l = 0; var h = headSums.length
+          while (l < h) {
+            val mid = (l + h) >>> 1
+            if (headSums(mid) <= room) l = mid + 1 else h = mid
+          }
+          j = l
+        }
+        if (j >= mPos) f += posTotal // whole partition joins the carry shard
+        else { s += tailS(j); f = tailF(j) } // tail of start = j+1 (0-based j)
+      }
+    }
+    val bc = spark.sparkContext.broadcast((baseS, baseF))
+    counts
+      .mapPartitionsWithIndex { (idx, it) =>
+        var s = bc.value._1(idx)
+        var f = bc.value._2(idx)
+        it.map { case (id, n) =>
+          if (n > 0 && f > 0 && f + n > budget) { s += 1; f = 0 }
+          val out = (id, n, s, f)
+          f += n
+          out
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard", "offset")
+  }
+
   /** 1-based rank of `key` within each `stratum` WITHOUT a per-stratum
     * window (whose rank pass is one task per stratum — a skew wall when
     * one source dominates the corpus). Range-partition by (stratum,

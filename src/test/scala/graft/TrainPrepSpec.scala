@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.TrainPrep
+import graft.operators.{TextOps, TrainPrep}
 import org.apache.spark.sql.{functions => F}
 
 class TrainPrepSpec extends SparkSpec {
@@ -121,6 +121,104 @@ class TrainPrepSpec extends SparkSpec {
     assert(unit.toSeq == Seq((0L, 0L), (8L, 0L), (58L, 0L), (59L, 0L)))
     // empty input: no rows, no crash
     assert(TrainPrep.packTokenShards(gappy.limit(0), budget).count() == 0L)
+  }
+
+  /** Sequential reference of the greedy doc-boundary packing rule. */
+  private def greedyReference(
+      docs: Seq[(Long, Long)], budget: Long): Seq[(Long, Long, Long, Long)] = {
+    var s = 0L; var f = 0L
+    docs.sortBy(_._1).map { case (id, n) =>
+      if (n > 0 && f > 0 && f + n > budget) { s += 1; f = 0 }
+      val row = (id, n, s, f)
+      f += n
+      row
+    }
+  }
+
+  test("greedy packing equals the sequential rule on any layout") {
+    val budget = 64L
+    val expected = greedyReference(
+      docs.collect().map(r =>
+        (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong)).toSeq,
+      budget)
+    for (parts <- Seq(1, 7, 37)) {
+      val got = TrainPrep.packTokenShardsGreedy(docs.repartition(parts), budget)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expected, s"greedy packing diverged at $parts partitions")
+    }
+    // doc-boundary invariant: no doc straddles — offset + n <= budget
+    // whenever the doc fits a budget at all
+    expected.foreach { case (id, n, _, off) =>
+      if (n <= budget) assert(off + n <= budget, s"doc $id straddles: off=$off n=$n")
+    }
+    // shards contiguous from 0
+    val shards = expected.map(_._3).distinct.sorted
+    assert(shards.head == 0L && shards.zipWithIndex.forall { case (v, i) => v == i })
+  }
+
+  test("greedy packing adversarial: over-budget docs, zero-token docs, budget=1") {
+    val s = spark
+    import s.implicits._
+    val gappy = Seq(
+      (1L, "a b c"),                              // 3
+      (2L, Seq.fill(50)("t").mkString(" ")),      // 50 > budget: own shard
+      (3L, ""),                                   // trim("") -> 1 token ("")? no: size 1
+      (5L, "x y z w"),                            // 4
+      (8L, Seq.fill(9)("u").mkString(" ")),       // 9
+      (9L, "k")                                   // 1
+    ).toDF("doc_id", "text").repartition(11)
+    val budget = 10L
+    val got = TrainPrep.packTokenShardsGreedy(gappy, budget)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expected = greedyReference(
+      gappy.collect().map(r =>
+        (r.getLong(0),
+          TextOps.tokensOf(r.getString(1)).length.toLong)).toSeq, budget)
+    assert(got == expected, s"got $got\nexpected $expected")
+    // over-budget doc 2 sits alone in its shard
+    val shardOf2 = got.find(_._1 == 2L).get._3
+    assert(got.count(_._3 == shardOf2) == 1, "over-budget doc must pack alone")
+    // budget = 1: every positive doc (after the first fill) breaks
+    val unit = TrainPrep.packTokenShardsGreedy(gappy, 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(unit == greedyReference(
+      gappy.collect().map(r =>
+        (r.getLong(0), TextOps.tokensOf(r.getString(1)).length.toLong)).toSeq, 1L))
+    // empty input
+    assert(TrainPrep.packTokenShardsGreedy(gappy.limit(0), budget).count() == 0L)
+  }
+
+  test("greedy packing randomized parity across layouts") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(123)
+    // token counts spanning 0, tiny, near-budget, over-budget
+    val sizes = (0 until 400).map { i =>
+      val n = rng.nextInt(100) match {
+        case x if x < 5 => 0
+        case x if x < 15 => 70 + rng.nextInt(40) // over budget
+        case x => 1 + rng.nextInt(40)
+      }
+      (i.toLong, n)
+    }
+    val df = sizes.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val budget = 64L
+    val expected = greedyReference(
+      sizes.map { case (id, n) =>
+        // empty text still tokenizes to one empty token? mirror the
+        // engine's tokensOf exactly instead of assuming
+        (id, TextOps.tokensOf(Seq.fill(n)("w").mkString(" ")).length.toLong)
+      }, budget)
+    for (parts <- Seq(3, 29)) {
+      val got = TrainPrep.packTokenShardsGreedy(df.repartition(parts), budget)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expected, s"randomized parity failed at $parts partitions")
+    }
   }
 
   test("stratum ranks survive empty partitions and singleton strata") {
