@@ -50,9 +50,12 @@ object Bench {
     // deterministic name order: timing stays comparable across rounds.
     // benchExclude keeps the one-line JSON inside the driver's bounded
     // tail capture (head-truncation loses the whole bench)
+    // an explicit SPARK_GRAFT_ONLY opt-in overrides benchExclude — the
+    // exclusion protects the unattended one-line JSON capture, not
+    // local profiling of an excluded query
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
-        only.forall(_.contains(name)) && !SparkEntry.benchExclude(name) }
+        only.map(_.contains(name)).getOrElse(!SparkEntry.benchExclude(name)) }
       .map { case (name, fn) => timeRow(name)(fn(spark, sfDir).count()) }
     // centisecond precision + basename-only sf keep the whole JSON
     // line under ~1700 chars: the driver captures a bounded stdout

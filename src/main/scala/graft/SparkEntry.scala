@@ -1373,10 +1373,14 @@ object SparkEntry {
 
     // global token offset in doc_id order; the engine computes the
     // same prefix sum distributed (two-phase), the oracle as a window
+    // coalesce mirrors the engine's null-text = 0 tokens on the ROW
+    // (the window sum already skips nulls, but the row's own n_tokens
+    // must also agree)
     "t_pack_shards" ->
       """WITH counts AS (
         |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |    coalesce(len(string_split_regex(trim(text), '\s+')), 0)::BIGINT
+        |      AS n_tokens
         |  FROM documents),
         |cum AS (
         |  SELECT doc_id, n_tokens,
@@ -1393,7 +1397,8 @@ object SparkEntry {
     "t_pack_greedy" ->
       """WITH RECURSIVE counts AS (
         |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n,
+        |    coalesce(len(string_split_regex(trim(text), '\s+')), 0)::BIGINT
+        |      AS n,
         |    row_number() OVER (ORDER BY doc_id) AS rn
         |  FROM documents),
         |packed AS (

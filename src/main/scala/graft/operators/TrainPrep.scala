@@ -52,15 +52,23 @@ object TrainPrep {
     * Output: (doc_id, n_tokens, shard, offset) where offset is the
     * doc's first-token position within its shard.
     */
-  def packTokenShards(docs: DataFrame, budget: Long): DataFrame = {
-    require(budget > 0, "budget must be positive")
+  /** Shared head of both packers: (doc_id, n_tokens) in doc_id order,
+    * range-partitioned and sorted. null text = 0 tokens: the doc keeps
+    * its place in the layout instead of a null n_tokens killing the
+    * typed passes. Pinned across the packers' two jobs (summary
+    * collect, then the carry-applying emit): without the persist the
+    * range shuffle could in principle be recomputed between them with
+    * resampled boundaries, and the broadcast carries would be applied
+    * to the WRONG partitions — a silent cross-run nondeterminism. The
+    * cache is slim (two longs per doc) and spills to disk; the
+    * ContextCleaner reclaims it once the returned frame is unreachable.
+    */
+  private def tokenCounts(docs: DataFrame): org.apache.spark.rdd.RDD[(Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = docs
+    docs
       .select(
         F.col("doc_id").cast("long"),
-        // null text = 0 tokens: the doc keeps its place in the layout
-        // instead of a null n_tokens killing the typed prefix-sum pass
         F.coalesce(
           F.size(TextOps.tokens(F.col("text"))).cast("long"),
           F.lit(0L)).as("n_tokens"))
@@ -68,14 +76,14 @@ object TrainPrep {
       .sortWithinPartitions("doc_id")
       .select($"doc_id".as[Long], $"n_tokens".as[Long])
       .rdd
-      // Pinned across the two jobs below (partial-sum collect, then the
-      // offset-applying emit). Without this the range shuffle could in
-      // principle be recomputed between them with resampled boundaries,
-      // and the broadcast offsets would be applied to the WRONG
-      // partitions — a silent cross-run nondeterminism. The cache is
-      // slim (two longs per doc) and spills to disk; the ContextCleaner
-      // reclaims it once the returned frame is unreachable.
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def packTokenShards(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = tokenCounts(docs)
     val partSums = counts
       .mapPartitionsWithIndex { (i, it) =>
         var s = 0L
@@ -129,19 +137,7 @@ object TrainPrep {
     require(budget > 0, "budget must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = docs
-      .select(
-        F.col("doc_id").cast("long"),
-        F.coalesce(
-          F.size(TextOps.tokens(F.col("text"))).cast("long"),
-          F.lit(0L)).as("n_tokens"))
-      .repartitionByRange(F.col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .select($"doc_id".as[Long], $"n_tokens".as[Long])
-      .rdd
-      // pinned across the summary and emit jobs — same determinism
-      // contract as packTokenShards
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = tokenCounts(docs)
 
     // phase 1: (idx, headSums, posTotal, mPos, tailShards, tailFills)
     val summaries = counts
@@ -217,7 +213,17 @@ object TrainPrep {
           j = l
         }
         if (j >= mPos) f += posTotal // whole partition joins the carry shard
-        else { s += tailS(j); f = tailF(j) } // tail of start = j+1 (0-based j)
+        else {
+          // tail of start = j+1 (0-based index j). The tail counts its
+          // first shard as newly opened — correct when the carry fill
+          // is > 0 (the break rule fires) but NOT when f == 0: an
+          // over-budget first doc joins the CURRENT (empty) shard
+          // without a break (the rule requires fill > 0), so the
+          // tail's first shard IS the carry shard, not a new one
+          val firstIsBreak = f > 0 || j > 0
+          s += tailS(j) - (if (firstIsBreak) 0L else 1L)
+          f = tailF(j)
+        }
       }
     }
     val bc = spark.sparkContext.broadcast((baseS, baseF))

@@ -87,12 +87,14 @@ class TrainPrepSpec extends SparkSpec {
 
   test("shard packing is byte-identical across input partition layouts") {
     val budget = 64L
-    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
-      TrainPrep.packTokenShards(df, budget).orderBy("doc_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    val single = run(docs.repartition(1))
-    val wide = run(docs.repartition(37))
-    val skewed = run(docs.repartition(8, F.col("source")))
+    def run(parts: Int, df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      withRealShuffle(parts) {
+        TrainPrep.packTokenShards(df, budget).orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      }
+    val single = run(1, docs.repartition(1))
+    val wide = run(37, docs.repartition(37))
+    val skewed = run(8, docs.repartition(8, F.col("source")))
     assert(single == wide, "1-partition vs 37-partition packing diverged")
     assert(single == skewed, "hash-partitioned input changed the packing")
   }
@@ -123,6 +125,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(TrainPrep.packTokenShards(gappy.limit(0), budget).count() == 0L)
   }
 
+  /** Run `body` with AQE partition-coalescing OFF and a real shuffle
+    * partition count: on spec-sized data AQE coalesces the packers'
+    * internal range shuffle to ONE partition, which silently reduces
+    * the distributed summary/carry machinery to a sequential replay —
+    * the r5 review found a carry-walk bug that all layout specs missed
+    * exactly this way.
+    */
+  private def withRealShuffle[A](n: Int)(body: => A): A = {
+    val s = spark
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val c0 = s.conf.get(coalesceKey, "true")
+    val p0 = s.conf.get(partKey)
+    s.conf.set(coalesceKey, "false")
+    s.conf.set(partKey, n.toString)
+    try body
+    finally { s.conf.set(coalesceKey, c0); s.conf.set(partKey, p0) }
+  }
+
   /** Sequential reference of the greedy doc-boundary packing rule. */
   private def greedyReference(
       docs: Seq[(Long, Long)], budget: Long): Seq[(Long, Long, Long, Long)] = {
@@ -142,9 +163,11 @@ class TrainPrepSpec extends SparkSpec {
         (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong)).toSeq,
       budget)
     for (parts <- Seq(1, 7, 37)) {
-      val got = TrainPrep.packTokenShardsGreedy(docs.repartition(parts), budget)
-        .orderBy("doc_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val got = withRealShuffle(parts) {
+        TrainPrep.packTokenShardsGreedy(docs.repartition(parts), budget)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      }
       assert(got == expected, s"greedy packing diverged at $parts partitions")
     }
     // doc-boundary invariant: no doc straddles — offset + n <= budget
@@ -169,9 +192,11 @@ class TrainPrepSpec extends SparkSpec {
       (9L, "k")                                   // 1
     ).toDF("doc_id", "text").repartition(11)
     val budget = 10L
-    val got = TrainPrep.packTokenShardsGreedy(gappy, budget)
-      .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = withRealShuffle(5) {
+      TrainPrep.packTokenShardsGreedy(gappy, budget)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
     val expected = greedyReference(
       gappy.collect().map(r =>
         (r.getLong(0),
@@ -214,11 +239,50 @@ class TrainPrepSpec extends SparkSpec {
         (id, TextOps.tokensOf(Seq.fill(n)("w").mkString(" ")).length.toLong)
       }, budget)
     for (parts <- Seq(3, 29)) {
-      val got = TrainPrep.packTokenShardsGreedy(df.repartition(parts), budget)
-        .orderBy("doc_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val got = withRealShuffle(parts) {
+        TrainPrep.packTokenShardsGreedy(df.repartition(parts), budget)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      }
       assert(got == expected, s"randomized parity failed at $parts partitions")
     }
+  }
+
+  test("greedy packing: over-budget FIRST doc with empty carry shard (r5 review bug)") {
+    val s = spark
+    import s.implicits._
+    // docs [50, 3, 3, 3], budget 10, REAL multi-partition shuffle: the
+    // driver carry walk must not count the tail's first shard as a
+    // break when the carry fill is 0 — the over-budget first doc joins
+    // the current (empty) shard. Sequential answer: shards (0,1,1,1).
+    val df = Seq(
+      (1L, Seq.fill(50)("t").mkString(" ")),
+      (2L, "a b c"), (3L, "d e f"), (4L, "g h i")
+    ).toDF("doc_id", "text")
+    val got = withRealShuffle(4) {
+      TrainPrep.packTokenShardsGreedy(df, 10L)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    }
+    assert(got == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 1L, 3L), (4L, 1L, 6L)),
+      s"carry walk must keep the over-budget first doc in shard 0: $got")
+    // same with leading zero-token docs keeping the fill at 0 across a
+    // partition boundary
+    val zeros = (Seq((0L, ""), (1L, "")) ++ Seq(
+      (2L, Seq.fill(50)("t").mkString(" ")), (3L, "a b c")))
+      .toDF("doc_id", "text")
+    val got2 = withRealShuffle(4) {
+      TrainPrep.packTokenShardsGreedy(zeros, 10L)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    }
+    // "" trims to "" and splits to one empty token — size 1, not 0, per
+    // TextOps.tokensOf; build the reference from the real tokenizer
+    val ref = greedyReference(
+      zeros.collect().map(r =>
+        (r.getLong(0), TextOps.tokensOf(r.getString(1)).length.toLong)).toSeq,
+      10L).map(t => (t._1, t._3))
+    assert(got2 == ref, s"got $got2 expected $ref")
   }
 
   test("stratum ranks survive empty partitions and singleton strata") {
