@@ -61,9 +61,12 @@ class TrainPrepSpec extends SparkSpec {
     val expected = docs
       .withColumn("r", F.row_number().over(w).cast("long"))
       .select(F.col("doc_id"), F.col("source"), F.col("r"))
-    val got = TrainPrep.stratumRanks(
-        docs.repartition(5), F.col("doc_id"), F.col("source"))
-      .select(F.col("key").as("doc_id"), F.col("stratum").as("source"), F.col("r"))
+    val got = withRealShuffle(5) {
+      TrainPrep.stratumRanks(
+          docs.repartition(5), F.col("doc_id"), F.col("source"))
+        .select(F.col("key").as("doc_id"), F.col("stratum").as("source"), F.col("r"))
+        .localCheckpoint() // materialize while the real-shuffle conf holds
+    }
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
       "distributed prefix-count ranks diverge from the window ranks")
   }
@@ -110,9 +113,11 @@ class TrainPrepSpec extends SparkSpec {
       (2001L, "y z")
     ).toDF("doc_id", "text").repartition(16) // most partitions empty
     val budget = 10L
-    val got = TrainPrep.packTokenShards(gappy, budget)
-      .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = withRealShuffle(6) {
+      TrainPrep.packTokenShards(gappy, budget)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
     // prefix sums: 0, 8, 58, 59 → shard = before/10, offset = before%10
     assert(got.toSeq == Seq(
       (3L, 8L, 0L, 0L), (100L, 50L, 0L, 8L),
@@ -290,9 +295,11 @@ class TrainPrepSpec extends SparkSpec {
     import s.implicits._
     val tiny = Seq((1L, "only"), (9L, "big"), (5L, "big"), (7L, "big"))
       .toDF("doc_id", "source").repartition(12)
-    val got = TrainPrep.stratumRanks(tiny, F.col("doc_id"), F.col("source"))
-      .orderBy("stratum", "r").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = withRealShuffle(12) {
+      TrainPrep.stratumRanks(tiny, F.col("doc_id"), F.col("source"))
+        .orderBy("stratum", "r").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    }
     assert(got.toSeq == Seq(
       (5L, "big", 1L), (7L, "big", 2L), (9L, "big", 3L), (1L, "only", 1L)))
   }
