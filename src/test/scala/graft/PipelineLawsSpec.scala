@@ -107,5 +107,64 @@ class PipelineLawsSpec extends SparkSpec {
     assert(streamed.sameElements(batchOut),
       s"stream ${streamed.length} rows != batch ${batchOut.length} rows")
     assert(batchOut.nonEmpty, "degenerate fixture: batch output empty")
+
+    // context-window chunking is a per-row explode — also stream-safe
+    val inC = MemoryStream[(Long, String, String)]
+    inC.addData(rows: _*)
+    StreamingOps.runToMemory(
+      TrainPrep.chunkTokenWindows(
+        inC.toDF().toDF("doc_id", "text", "source"), window = 8, stride = 5),
+      "chunk_stream", OutputMode.Append())
+    val chunksStreamed = s.sql("SELECT * FROM chunk_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val chunksBatch = TrainPrep.chunkTokenWindows(batch, window = 8, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(chunksStreamed.sameElements(chunksBatch) && chunksBatch.nonEmpty)
+  }
+
+  test("greedy packing invariants hold at 200k docs across 64 real partitions") {
+    val s = spark
+    import s.implicits._
+    val n = 200000
+    // deterministic size mix incl. zeros and over-budget docs; text
+    // synthesized as n tokens of "w"
+    val sizes = (0 until n).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffff
+      val tok = (h % 100) match {
+        case x if x < 3 => 0
+        case x if x < 8 => 600 + (h % 100).toInt // over budget
+        case _ => 1 + (h % 97).toInt
+      }
+      (i.toLong, tok)
+    }
+    val df = sizes.map { case (id, t) => (id, ("w " * t).trim) }
+      .toDF("doc_id", "text").repartition(48)
+    val budget = 512L
+    val got = {
+      val c0 = s.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val p0 = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "64")
+      try TrainPrep.packTokenShardsGreedy(df, budget)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      finally {
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", c0)
+        s.conf.set("spark.sql.shuffle.partitions", p0)
+      }
+    }
+    assert(got.length == n)
+    // full parity with the sequential rule (driver-side reference is
+    // cheap even at 200k)
+    var sRef = 0L; var f = 0L; var i = 0
+    got.foreach { case (id, nTok, shard, off) =>
+      // "" tokenizes to one empty token; sizes with 0 tokens were
+      // written as empty text → n_tokens 1, so recompute from the
+      // engine's own n_tokens rather than the generator's intent
+      if (nTok > 0 && f > 0 && f + nTok > budget) { sRef += 1; f = 0 }
+      assert(shard == sRef && off == f, s"doc $id diverges at row $i")
+      f += nTok
+      i += 1
+    }
   }
 }
