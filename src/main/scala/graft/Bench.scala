@@ -49,10 +49,8 @@ object Bench {
       .map { case (name, fn) => timeRow(name)(fn(spark, sfDir)) }
     // deterministic name order: timing stays comparable across rounds.
     // benchExclude keeps the one-line JSON inside the driver's bounded
-    // tail capture (head-truncation loses the whole bench)
-    // an explicit SPARK_GRAFT_ONLY opt-in overrides benchExclude — the
-    // exclusion protects the unattended one-line JSON capture, not
-    // local profiling of an excluded query
+    // tail capture (head-truncation loses the whole bench); an explicit
+    // SPARK_GRAFT_ONLY opt-in overrides it for local profiling
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(!SparkEntry.benchExclude(name)) }

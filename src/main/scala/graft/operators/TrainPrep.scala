@@ -42,16 +42,6 @@ object TrainPrep {
           .cast("long").as("n_tokens"))
   }
 
-  /** Pack documents into training shards by global token offset: docs
-    * are laid out in doc_id order; a doc belongs to the shard where
-    * its first token falls (`shard = offset_before / budget`). The
-    * running offset is a TWO-PHASE distributed prefix sum — per-
-    * partition partial sums to the driver (one long per partition),
-    * then a map-side scan with broadcast offsets — NOT a global-order
-    * window, which would move the whole corpus to one task.
-    * Output: (doc_id, n_tokens, shard, offset) where offset is the
-    * doc's first-token position within its shard.
-    */
   /** Shared head of both packers: (doc_id, n_tokens) in doc_id order,
     * range-partitioned and sorted. null text = 0 tokens: the doc keeps
     * its place in the layout instead of a null n_tokens killing the
@@ -79,6 +69,16 @@ object TrainPrep {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Pack documents into training shards by global token offset: docs
+    * are laid out in doc_id order; a doc belongs to the shard where
+    * its first token falls (`shard = offset_before / budget`). The
+    * running offset is a TWO-PHASE distributed prefix sum — per-
+    * partition partial sums to the driver (one long per partition),
+    * then a map-side scan with broadcast offsets — NOT a global-order
+    * window, which would move the whole corpus to one task.
+    * Output: (doc_id, n_tokens, shard, offset) where offset is the
+    * doc's first-token position within its shard.
+    */
   def packTokenShards(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = docs.sparkSession

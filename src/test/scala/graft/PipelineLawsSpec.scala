@@ -140,18 +140,10 @@ class PipelineLawsSpec extends SparkSpec {
     val df = sizes.map { case (id, t) => (id, ("w " * t).trim) }
       .toDF("doc_id", "text").repartition(48)
     val budget = 512L
-    val got = {
-      val c0 = s.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      val p0 = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions", "64")
-      try TrainPrep.packTokenShardsGreedy(df, budget)
+    val got = withRealShuffle(64) {
+      TrainPrep.packTokenShardsGreedy(df, budget)
         .orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      finally {
-        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", c0)
-        s.conf.set("spark.sql.shuffle.partitions", p0)
-      }
     }
     assert(got.length == n)
     // full parity with the sequential rule (driver-side reference is

@@ -8,6 +8,26 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   override def afterAll(): Unit = () // session shared across suites
+
+  /** Run `body` with AQE partition-coalescing OFF and a real shuffle
+    * partition count: on spec-sized data AQE coalesces internal
+    * shuffles (repartitionByRange etc.) to ONE partition, silently
+    * reducing distributed two-phase machinery to a sequential replay —
+    * the r5 review found a multi-partition carry-walk bug that every
+    * layout spec missed exactly this way. Any spec exercising
+    * distributed summary/carry logic must wrap the work in this.
+    */
+  def withRealShuffle[A](n: Int)(body: => A): A = {
+    val s = spark
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val c0 = s.conf.get(coalesceKey, "true")
+    val p0 = s.conf.get(partKey)
+    s.conf.set(coalesceKey, "false")
+    s.conf.set(partKey, n.toString)
+    try body
+    finally { s.conf.set(coalesceKey, c0); s.conf.set(partKey, p0) }
+  }
 }
 
 object SparkSpec {

@@ -130,25 +130,6 @@ class TrainPrepSpec extends SparkSpec {
     assert(TrainPrep.packTokenShards(gappy.limit(0), budget).count() == 0L)
   }
 
-  /** Run `body` with AQE partition-coalescing OFF and a real shuffle
-    * partition count: on spec-sized data AQE coalesces the packers'
-    * internal range shuffle to ONE partition, which silently reduces
-    * the distributed summary/carry machinery to a sequential replay —
-    * the r5 review found a carry-walk bug that all layout specs missed
-    * exactly this way.
-    */
-  private def withRealShuffle[A](n: Int)(body: => A): A = {
-    val s = spark
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val partKey = "spark.sql.shuffle.partitions"
-    val c0 = s.conf.get(coalesceKey, "true")
-    val p0 = s.conf.get(partKey)
-    s.conf.set(coalesceKey, "false")
-    s.conf.set(partKey, n.toString)
-    try body
-    finally { s.conf.set(coalesceKey, c0); s.conf.set(partKey, p0) }
-  }
-
   /** Sequential reference of the greedy doc-boundary packing rule. */
   private def greedyReference(
       docs: Seq[(Long, Long)], budget: Long): Seq[(Long, Long, Long, Long)] = {
