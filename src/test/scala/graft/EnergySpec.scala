@@ -45,6 +45,23 @@ class EnergySpec extends SparkSpec {
     assert(h1.map(_._2) == h1.map(_._2).sorted.reverse)
   }
 
+  test("energy model save/load round-trips searchEnergy and lambdas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-energy-model").toString
+    model.save(dir)
+    val loaded = graft.api.ArrowSpaceModel.load(spark, dir)
+    assert(loaded.nItems == model.nItems && loaded.nFeatures == model.nFeatures)
+    assert(math.abs(loaded.tau - model.tau) < 1e-12)
+    val q = itemsDf.where(F.col("id") === 5).select("vec").head.getSeq[Double](0).toArray
+    // searchEnergy needs e_raw + the feature Laplacian — both must
+    // survive the parquet+sidecar round trip bit-for-bit
+    val a = model.searchEnergy(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = loaded.searchEnergy(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, s"searchEnergy changed across save/load: $a vs $b")
+    val la = model.lambdas.orderBy("id").collect().map(_.getDouble(1)).toSeq
+    val lb = loaded.lambdas.orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(la == lb)
+  }
+
   test("lambdas are non-degenerate") {
     val l = model.lambdas.collect().map(_.getDouble(1))
     assert(l.forall(v => v >= 0.0 && v <= 1.0))
