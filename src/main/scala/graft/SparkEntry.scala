@@ -78,7 +78,7 @@ object SparkEntry {
     * New queries whose perf story is already covered by an existing
     * row go here; headline rows stay stable for round-over-round diffs.
     */
-  def benchExclude: Set[String] = Set("t_pack_greedy")
+  def benchExclude: Set[String] = Set("t_pack_greedy", "t_pack_manifest")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -436,6 +436,13 @@ object SparkEntry {
       // budget), oracle = recursive CTE replay of the same rule
       TrainPrep.packTokenShardsGreedy(docs(s, d), budget = 4096)
         .orderBy("doc_id")),
+
+    "t_pack_manifest" -> ((s, d) =>
+      // per-shard training manifest over the greedy layout: doc count,
+      // token total, layout-ordered doc id list (string-joined)
+      TrainPrep.shardManifest(
+        TrainPrep.packTokenShardsGreedy(docs(s, d), budget = 4096))
+        .orderBy("shard")),
 
     "d_sample_stratified" -> ((s, d) =>
       // deterministic md5-hash sampling, stratified by source: exact,
@@ -1416,6 +1423,29 @@ object SparkEntry {
         |  FROM counts c JOIN packed p ON c.rn = p.rn + 1)
         |SELECT doc_id, n AS n_tokens, shard, off AS "offset"
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // manifest over the same recursive replay; string_agg with ORDER BY
+    // mirrors the engine's array_sort(collect_list) layout order
+    "t_pack_manifest" ->
+      """WITH RECURSIVE counts AS (
+        |  SELECT doc_id,
+        |    coalesce(len(string_split_regex(trim(text), '\s+')), 0)::BIGINT
+        |      AS n,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT rn, doc_id, n, 0::BIGINT AS shard, n AS fill
+        |  FROM counts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.rn, c.doc_id, c.n,
+        |    CASE WHEN c.n > 0 AND p.fill > 0 AND p.fill + c.n > 4096
+        |         THEN p.shard + 1 ELSE p.shard END,
+        |    CASE WHEN c.n > 0 AND p.fill > 0 AND p.fill + c.n > 4096
+        |         THEN c.n ELSE p.fill + c.n END
+        |  FROM counts c JOIN packed p ON c.rn = p.rn + 1)
+        |SELECT shard, count(*) AS n_docs, sum(n) AS n_tokens,
+        |  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin,
 
     "d_sample_stratified" ->
       """SELECT doc_id, source FROM documents

@@ -241,6 +241,28 @@ object TrainPrep {
       .toDF("doc_id", "n_tokens", "shard", "offset")
   }
 
+  /** Shard manifest — the artifact a training job actually consumes:
+    * one row per shard with its doc count, token total, and the
+    * doc_ids in layout order (comma-joined string: portable across
+    * engines and safe under the driver's value-hash compare, unlike an
+    * array column). Input is either packer's output. One partial-agg
+    * shuffle keyed by shard; collect_list is per-shard bounded by the
+    * budget's doc capacity.
+    */
+  def shardManifest(packed: DataFrame): DataFrame =
+    packed
+      .groupBy("shard")
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum("n_tokens").as("n_tokens"),
+        // array_sort, not collect order: collect_list arrival order is
+        // nondeterministic; doc_id order IS the layout order
+        F.array_join(
+          F.transform(
+            F.array_sort(F.collect_list(F.col("doc_id"))),
+            _.cast("string")),
+          ",").as("doc_ids"))
+
   /** 1-based rank of `key` within each `stratum` WITHOUT a per-stratum
     * window (whose rank pass is one task per stratum — a skew wall when
     * one source dominates the corpus). Range-partition by (stratum,

@@ -271,6 +271,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(got2 == ref, s"got $got2 expected $ref")
   }
 
+  test("shard manifest partitions the corpus exactly once, in layout order") {
+    val budget = 64L
+    val packed = TrainPrep.packTokenShardsGreedy(docs, budget)
+    val manifest = TrainPrep.shardManifest(packed).orderBy("shard").collect()
+    // every doc appears exactly once across all manifests
+    val allIds = manifest.flatMap(_.getString(3).split(",")).map(_.toLong)
+    assert(allIds.sorted.toSeq == (0L until 50L))
+    // per-shard totals agree with the packing rows
+    val byShard = packed.collect()
+      .groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(1)).sum).toMap
+    manifest.foreach { r =>
+      assert(r.getLong(2) == byShard(r.getLong(0)), s"shard ${r.getLong(0)} tokens")
+      // ids inside a manifest are in layout (ascending doc_id) order
+      val ids = r.getString(3).split(",").map(_.toLong)
+      assert(ids.sameElements(ids.sorted))
+    }
+    // doc-boundary invariant at the manifest level: every multi-doc
+    // shard fits the budget (only a lone over-budget doc may exceed)
+    manifest.foreach { r =>
+      if (r.getLong(1) > 1) assert(r.getLong(2) <= budget,
+        s"multi-doc shard ${r.getLong(0)} exceeds budget: ${r.getLong(2)}")
+    }
+  }
+
   test("stratum ranks survive empty partitions and singleton strata") {
     val s = spark
     import s.implicits._
