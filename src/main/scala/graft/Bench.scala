@@ -43,10 +43,22 @@ object Bench {
     // one-time index builds run FIRST as their own named rows, so the
     // per-query rows below measure query cost — without this, whichever
     // a_* query ran first paid the lazy build and round-over-round
-    // diffs mis-attributed build drift to that query
+    // diffs mis-attributed build drift to that query. In ONLY mode the
+    // builds still RUN (untimed, no row) when not listed: otherwise the
+    // first selected a_* query would silently pay the lazy build again,
+    // the exact attribution noise the build rows exist to eliminate
     val builds = SparkEntry.buildSteps.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => timeRow(name)(fn(spark, sfDir)) }
+      .flatMap { case (name, fn) =>
+        if (only.forall(_.contains(name))) Some(timeRow(name)(fn(spark, sfDir)))
+        else {
+          try fn(spark, sfDir)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name (untimed) FAILED: ${e.getMessage}")
+          }
+          None
+        }
+      }
     // deterministic name order: timing stays comparable across rounds.
     // benchExclude keeps the one-line JSON inside the driver's bounded
     // tail capture (head-truncation loses the whole bench); an explicit

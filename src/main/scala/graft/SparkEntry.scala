@@ -1394,8 +1394,8 @@ object SparkEntry {
         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM counts)
-        |SELECT doc_id, n_tokens, before // 4096 AS shard,
-        |  before % 4096 AS "offset"
+        |SELECT doc_id, n_tokens, (before // 4096)::BIGINT AS shard,
+        |  (before % 4096)::BIGINT AS "offset"
         |FROM cum
         |ORDER BY doc_id""".stripMargin,
 
@@ -1443,7 +1443,7 @@ object SparkEntry {
         |    CASE WHEN c.n > 0 AND p.fill > 0 AND p.fill + c.n > 4096
         |         THEN c.n ELSE p.fill + c.n END
         |  FROM counts c JOIN packed p ON c.rn = p.rn + 1)
-        |SELECT shard, count(*) AS n_docs, sum(n) AS n_tokens,
+        |SELECT shard, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
         |  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
         |FROM packed GROUP BY shard ORDER BY shard""".stripMargin,
 

@@ -77,6 +77,10 @@ object EpsSuggest {
       F.avg(l2norm(F.col("vec"))).as("avg_norm")).head
     val n = head.getLong(0)
     require(n > 1, "need at least 2 items to suggest eps")
+    // max(size(vec)) and avg(norm) aggregate to null when EVERY vec is
+    // null — fail with the diagnostic's own message, not an NPE
+    require(!head.isNullAt(1) && !head.isNullAt(2),
+      "vec column is entirely null — suggestEps needs non-null vectors")
     val nF = head.getInt(1)
     val avgNorm = head.getDouble(2)
 

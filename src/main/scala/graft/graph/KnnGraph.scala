@@ -63,7 +63,11 @@ object KnnGraph {
     */
   final case class LshOptions(
       bucketLength: Option[Double] = None, // None = radius/2 heuristic
-      numHashTables: Int = 3)
+      numHashTables: Int = 3) {
+    require(numHashTables > 0, s"numHashTables must be positive, got $numHashTables")
+    require(bucketLength.forall(_ > 0.0),
+      s"bucketLength must be positive, got ${bucketLength.get}")
+  }
 
   /** items: (id: Long, vnorm: Array[Double]) — pre-normalized vectors. */
   def epsKnnEdges(

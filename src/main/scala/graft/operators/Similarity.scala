@@ -28,16 +28,27 @@ object Similarity {
 
   /** Measured gate for the exact all-pairs operators: throws past
     * `maxRows` with the operator's scale alternative spelled out.
+    *
+    * The probe is BOUNDED — `limit(maxRows+1).count()` reads at most
+    * maxRows+1 rows instead of re-executing the full upstream lineage
+    * for an exact count (which doubled the cost of every call on
+    * expensive inputs). Callers that already know the row count pass
+    * `knownRows` and skip the probe entirely; `maxRows ≥ Int.MaxValue`
+    * is the explicit "I accept the cost" opt-out and also skips it.
     */
   private[graft] def requireExactPairsBound(
       df: org.apache.spark.sql.Dataset[_], maxRows: Long, op: String,
-      alternative: String): Unit = {
-    val n = df.count()
-    require(n <= maxRows,
+      alternative: String, knownRows: Option[Long] = None): Unit = {
+    if (maxRows >= Int.MaxValue.toLong) return
+    val over = knownRows match {
+      case Some(n) => n > maxRows
+      case None => df.limit(maxRows.toInt + 1).count() > maxRows
+    }
+    require(!over,
       s"$op is an EXACT all-pairs operator (broadcast + N² distance " +
-        s"work) and is gated at maxRows=$maxRows; got $n rows. At this " +
-        s"scale use $alternative, or raise maxRows explicitly if the " +
-        "driver and the N² cost are truly acceptable.")
+        s"work) and is gated at maxRows=$maxRows; input exceeds it. At " +
+        s"this scale use $alternative, or raise maxRows explicitly if " +
+        "the driver and the N² cost are truly acceptable.")
   }
 
   /** Exact cosine top-k of `emb` (id, vec) against one query vector.

@@ -49,6 +49,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             fails += 1
             continue
+        # the driver hashes formatted values, so an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT sum -> float64) hash-
+        # mismatches even when the values are numerically equal; mirror that
+        # strictness here (this exact class hid the r4/r5 t_pack_* red rows)
+        kind_bad = [c for c in want.columns
+                    if {want[c].dtype.kind, got[c].dtype.kind} == {"i", "f"}]
+        if kind_bad:
+            print(f"FAIL {name}: int-vs-float dtype mismatch on {kind_bad} "
+                  f"(spark={[str(got[c].dtype) for c in kind_bad]}, "
+                  f"duck={[str(want[c].dtype) for c in kind_bad]})")
+            fails += 1
+            continue
         if len(want) != len(got):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             fails += 1
