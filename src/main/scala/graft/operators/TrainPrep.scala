@@ -14,6 +14,46 @@ import org.apache.spark.storage.StorageLevel
   */
 object TrainPrep {
 
+  /** RDDs pinned by the two-job packers/rankers, awaiting release.
+    * The pin is LOAD-BEARING for the lifetime of the returned frame:
+    * the broadcast carries were computed against the cached partition
+    * layout, so a re-execution after unpersist could range-shuffle
+    * into different partitions and apply the carries to the wrong
+    * ones. Callers that materialize the result (write it, or persist
+    * their own downstream frame) and will not re-execute the returned
+    * frame can reclaim the memory eagerly with
+    * [[releasePinnedCaches]]; otherwise the ContextCleaner reclaims
+    * each cache once its frame becomes unreachable.
+    */
+  private val pinnedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
+
+  private def pin[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    pinnedCaches.add(rdd)
+    rdd
+  }
+
+  /** Unpersist every RDD pinned by [[packTokenShards]],
+    * [[packTokenShardsGreedy]], [[stratumRanks]] and
+    * [[interleaveByStratum]] since the last release. Call AFTER
+    * materializing their results (see [[pinnedCaches]] — frames
+    * returned before the release must not be re-executed afterwards).
+    * Returns the number of caches released. Safe to call from
+    * iterative pipelines between batches; idempotent when nothing is
+    * pinned.
+    */
+  def releasePinnedCaches(blocking: Boolean = false): Int = {
+    var n = 0
+    var r = pinnedCaches.poll()
+    while (r != null) {
+      r.unpersist(blocking)
+      n += 1
+      r = pinnedCaches.poll()
+    }
+    n
+  }
+
   /** Sliding token-window chunks: windows of `window` tokens every
     * `stride` tokens, last window truncated (never empty). Chunk
     * starts are 0, stride, 2·stride, … while < n_tokens, so every
@@ -56,7 +96,7 @@ object TrainPrep {
   private def tokenCounts(docs: DataFrame): org.apache.spark.rdd.RDD[(Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    pin(docs
       .select(
         F.col("doc_id").cast("long"),
         F.coalesce(
@@ -65,8 +105,7 @@ object TrainPrep {
       .repartitionByRange(F.col("doc_id"))
       .sortWithinPartitions("doc_id")
       .select($"doc_id".as[Long], $"n_tokens".as[Long])
-      .rdd
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .rdd)
   }
 
   /** Pack documents into training shards by global token offset: docs
@@ -78,6 +117,9 @@ object TrainPrep {
     * window, which would move the whole corpus to one task.
     * Output: (doc_id, n_tokens, shard, offset) where offset is the
     * doc's first-token position within its shard.
+    * Pins a slim (doc_id, n_tokens) RDD across its two jobs; release
+    * eagerly with [[releasePinnedCaches]] after materializing, or let
+    * the ContextCleaner reclaim it (see [[pinnedCaches]]).
     */
   def packTokenShards(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
@@ -131,7 +173,8 @@ object TrainPrep {
     *   3. a map pass re-simulates each partition from its broadcast
     *      carry and emits every doc.
     * Same job shape as [[packTokenShards]]: one range shuffle, a
-    * summary collect, a map-side emit.
+    * summary collect, a map-side emit — and the same pinned RDD,
+    * released via [[releasePinnedCaches]].
     */
   def packTokenShardsGreedy(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
@@ -269,19 +312,20 @@ object TrainPrep {
     * key), count each partition's per-stratum rows (a driver-small
     * map: strata × partitions longs), broadcast exclusive offsets, and
     * assign ranks in a map-side scan. Output: (key, stratum, r).
+    * Pins the ranged RDD across its two jobs — release via
+    * [[releasePinnedCaches]] after materializing.
     */
   def stratumRanks(df: DataFrame, key: Column, stratum: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val typed = df
+    // same two-job pinning as packTokenShards: the per-stratum count
+    // pass and the rank-emitting pass must see identical partitions
+    val typed = pin(df
       .select(key.cast("long").as("key"), stratum.cast("string").as("stratum"))
       .repartitionByRange(F.col("stratum"), F.col("key"))
       .sortWithinPartitions("stratum", "key")
       .select($"key".as[Long], $"stratum".as[String])
-      .rdd
-      // same two-job pinning as packTokenShards: the per-stratum count
-      // pass and the rank-emitting pass must see identical partitions
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .rdd)
     val counts = typed
       .mapPartitionsWithIndex { (i, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]

@@ -325,4 +325,15 @@ class TrainPrepSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(bySrc("src0") > bySrc("src1") && bySrc("src0") > bySrc("src2"))
   }
+
+  test("releasePinnedCaches unpersists the packers' pinned RDDs") {
+    TrainPrep.releasePinnedCaches(blocking = true) // drain prior pins
+    val before = spark.sparkContext.getPersistentRDDs.size
+    TrainPrep.packTokenShards(docs, budget = 64).count()
+    TrainPrep.stratumRanks(docs, F.col("doc_id"), F.col("source")).count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 2)
+    assert(TrainPrep.releasePinnedCaches(blocking = true) == 2)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert(TrainPrep.releasePinnedCaches() == 0) // idempotent when drained
+  }
 }
