@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{ArrowSpaceBuilder, ArrowSpaceModel}
 import graft.core.GraphParams
-import graft.operators.{Dedup, Similarity, TextOps, TrainPrep}
+import graft.operators.{Dedup, FuzzyJoin, Similarity, TextOps, TrainPrep}
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import scala.collection.concurrent.TrieMap
@@ -78,7 +78,9 @@ object SparkEntry {
     * New queries whose perf story is already covered by an existing
     * row go here; headline rows stay stable for round-over-round diffs.
     */
-  def benchExclude: Set[String] = Set("t_pack_greedy", "t_pack_manifest")
+  def benchExclude: Set[String] = Set(
+    "t_pack_greedy", "t_pack_manifest",
+    "t_line_dedup", "t_bm25", "d_fuzzy_match")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -363,6 +365,26 @@ object SparkEntry {
       docs(s, d)
         .select(F.col("doc_id"), TextOps.fingerprint(F.col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    // C4-style cross-corpus dedup at 2-token-segment granularity (the
+    // testdata has no newlines, so segments stand in for lines)
+    "t_line_dedup" -> ((s, d) =>
+      TextOps.dedupLines(docs(s, d), minCount = 2, segmentTokens = Some(2))
+        .orderBy("doc_id")),
+
+    "t_bm25" -> ((s, d) =>
+      TextOps.bm25TopK(docs(s, d), Seq("spark", "vector", "stream"), 10)),
+
+    // SymSpell deletion-neighborhood fuzzy self-join: customer names
+    // are zero-padded serials, so edit-distance-1 pairs are the names
+    // differing in exactly one digit
+    "d_fuzzy_match" -> ((s, d) =>
+      FuzzyJoin.selfMatch(
+          tbl(s, d, "customer").where(F.col("c_custkey") <= 500)
+            .select(F.col("c_custkey").as("id"), F.col("c_name").as("s")),
+          maxDist = 1)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")),
 
     "t_lang_id" -> ((s, d) =>
       docs(s, d)
@@ -1826,6 +1848,69 @@ object SparkEntry {
         |FROM tok GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
         |LIMIT 50""".stripMargin,
+
+    // replay of dedupLines at 2-token-segment granularity: the oracle
+    // may use the skew-prone row_number() form the operator avoids —
+    // first occurrence by (doc_id, pos) is the same keeper either way
+    "t_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(t[(i-1)*2+1 : (i-1)*2+2], ' ') AS line
+        |  FROM (
+        |    SELECT doc_id, t,
+        |      unnest(generate_series(1, CAST(ceil(len(t) / 2.0) AS BIGINT))) AS i
+        |    FROM toks)),
+        |marked AS (
+        |  SELECT doc_id, pos, line,
+        |    count(*) OVER (PARTITION BY line) AS c,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM lines)
+        |SELECT doc_id,
+        |  sum(CASE WHEN c < 2 OR rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN c >= 2 AND rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN c < 2 OR rn = 1 THEN line END, ' '
+        |               ORDER BY pos), '')) AS clean_md5
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+        |corpus AS (
+        |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, count(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        |  WHERE token IN ('spark', 'vector', 'stream')
+        |  GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token, ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1) AS idf
+        |  FROM (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+        |        FROM tf GROUP BY token) d, corpus c)
+        |SELECT tf.doc_id,
+        |  round(sum(idf.idf * tf.tf * 2.2 /
+        |    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))), 6) AS score
+        |FROM tf
+        |JOIN idf USING (token)
+        |JOIN dl USING (doc_id), corpus c
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "d_fuzzy_match" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS name FROM customer
+        |  WHERE c_custkey <= 500)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  levenshtein(a.name, b.name)::BIGINT AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "m_paired_ttest" ->
       """WITH spend AS (

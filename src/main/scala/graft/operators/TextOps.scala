@@ -114,6 +114,122 @@ object TextOps {
       .orderBy(F.col("n_occurrences").desc, F.col("token").asc)
       .limit(k)
 
+  /** C4-style cross-corpus line deduplication (Raffel et al. 2020
+    * §2.2 reconstructed from the published description: any line
+    * occurring ≥ `minCount` times in the corpus is kept ONCE, at its
+    * first occurrence in (doc_id, position) order, and dropped
+    * everywhere else). `segmentTokens = Some(k)` dedups fixed k-token
+    * segments instead of newline-split lines — the fixed-granularity
+    * variant of exact substring dedup (Lee et al. 2021) for corpora
+    * without line structure.
+    *
+    * 100 TB shape: two bounded shuffles, no window. The corpus-wide
+    * occurrence stats are a groupBy(line) with partial aggregation
+    * (shuffle bounded by DISTINCT lines, not occurrences) keeping the
+    * first occurrence via a lexicographic min(struct(doc_id, pos)) —
+    * deliberately NOT row_number() over a line partition, which
+    * serializes each line's occurrences into one task and hits a skew
+    * wall on boilerplate lines that appear in half the corpus. The
+    * stats join back is 1:N per line (AQE skew-join splits heavy
+    * hitters), and reassembly is a groupBy(doc_id) with in-agg
+    * array_sort, not a global order.
+    *
+    * Output: (doc_id, n_kept, n_dropped, clean_md5) where clean_md5
+    * fingerprints the surviving text (lines re-joined in original
+    * order) — the md5, not the text, so multi-MB documents don't
+    * round-trip through the result. Null-text docs have no lines and
+    * are absent from the output.
+    */
+  def dedupLines(
+      docs: DataFrame, minCount: Int = 2,
+      segmentTokens: Option[Int] = None): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    segmentTokens.foreach(k => require(k > 0, s"segmentTokens must be positive, got $k"))
+    val (lineized, delim) = segmentTokens match {
+      case None => (F.split(F.col("text"), "\n"), "\n")
+      case Some(k) =>
+        val t = tokens(F.col("text"))
+        val nSeg = F.ceil(F.size(t).cast("double") / k).cast("int")
+        (F.transform(F.sequence(F.lit(0), nSeg - 1), i =>
+          F.array_join(F.slice(t, i * k + 1, F.lit(k)), " ")), " ")
+    }
+    val exploded = docs.select(
+      F.col("doc_id"), F.posexplode(lineized).as(Seq("pos", "line")))
+    val stats = exploded
+      .groupBy("line")
+      .agg(
+        F.count(F.lit(1)).as("c"),
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).as("keeper"))
+    val keep = F.col("c") < minCount ||
+      F.struct(F.col("doc_id"), F.col("pos")) === F.col("keeper")
+    exploded
+      .join(stats, "line")
+      .withColumn("keep", keep)
+      .groupBy("doc_id")
+      .agg(
+        F.sum(F.col("keep").cast("long")).as("n_kept"),
+        F.sum((!F.col("keep")).cast("long")).as("n_dropped"),
+        F.md5(F.array_join(
+          F.transform(
+            F.array_sort(F.collect_list(F.when(F.col("keep"),
+              F.struct(F.col("pos"), F.col("line"))))),
+            _.getField("line")),
+          delim)).as("clean_md5"))
+  }
+
+  /** BM25 keyword scoring (Robertson-Spärck Jones idf, the standard
+    * k1/b saturation): top-`k` documents for a bag of query `terms`.
+    * The keyword-retrieval primitive for corpus triage and eval-set
+    * mining, scored entirely as column algebra.
+    *
+    * 100 TB shape: a constant number of corpus scans (tf, doc-length,
+    * and the 1-row corpus aggregate — Catalyst reuses identical
+    * exchanges between the tf and df branches); the term filter lands
+    * BEFORE the explode's groupBy so the tf shuffle is bounded by
+    * docs × |terms| matched rows, not corpus tokens; df/idf collapses to ≤ |terms|
+    * rows and broadcast-joins back; doc length and the corpus
+    * (N, avgdl) scalars come from a 1-row aggregate cross-joined in
+    * (a broadcast, not a driver round-trip); the final top-k is
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Output: (doc_id, score) — score rounded to 6 decimals, ordered
+    * score-desc then doc_id-asc.
+    */
+  def bm25TopK(
+      docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val dl = docs.select(
+      F.col("doc_id"), F.size(tokens(F.col("text"))).cast("long").as("dl"))
+    val corpus = dl.agg(
+      F.count(F.lit(1)).cast("double").as("n"), F.avg("dl").as("avgdl"))
+    val tf = docs
+      .select(F.col("doc_id"), F.explode(tokens(F.col("text"))).as("token"))
+      .where(F.col("token").isin(terms: _*))
+      .groupBy("doc_id", "token")
+      .agg(F.count(F.lit(1)).cast("double").as("tf"))
+    val idf = tf
+      .groupBy("token")
+      .agg(F.countDistinct("doc_id").cast("double").as("df"))
+      .crossJoin(corpus)
+      .select(F.col("token"),
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+          .as("idf"))
+    tf
+      .join(F.broadcast(idf), "token")
+      .join(dl, "doc_id")
+      .crossJoin(corpus)
+      .select(F.col("doc_id"),
+        (F.col("idf") * F.col("tf") * (k1 + 1) /
+          (F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+          .as("contrib"))
+      .groupBy("doc_id")
+      .agg(F.round(F.sum("contrib"), 6).as("score"))
+      .orderBy(F.col("score").desc, F.col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
     * filters, reconstructed from the published heuristics): duplicate
     * line fraction, duplicate token fraction, and the occurrence share

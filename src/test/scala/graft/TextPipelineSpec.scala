@@ -82,4 +82,79 @@ class TextPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(survivors.toSeq == Seq(2L, 3L), survivors.mkString(","))
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dedupLines keeps the first (doc_id, pos) occurrence corpus-wide") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "boilerplate header\nunique one\nboilerplate header"),
+      (2L, "boilerplate header\nunique two"),
+      (3L, "all original\nlines here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLines(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 keeps pos 0 + 'unique one', drops its own repeat at pos 2
+    assert(out(0) == ((1L, 2L, 1L, md5Hex("boilerplate header\nunique one"))))
+    // doc 2 loses the header (doc 1 pos 0 is the keeper)
+    assert(out(1) == ((2L, 1L, 1L, md5Hex("unique two"))))
+    // doc 3 untouched
+    assert(out(2) == ((3L, 2L, 0L, md5Hex("all original\nlines here"))))
+  }
+
+  test("dedupLines segment mode dedups fixed k-token windows") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),   // segments: 'a b', 'c d', 'e'
+      (2L, "a b x y")      // 'a b' duplicates doc 1 pos 0; 'x y' unique
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLines(docs, minCount = 2, segmentTokens = Some(2))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 0L, md5Hex("a b c d e"))))
+    assert(out(1) == ((2L, 1L, 1L, md5Hex("x y"))))
+  }
+
+  test("dedupLines drops every copy past the keeper; empty doc -> md5('')") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "same line"),
+      (2L, "same line"),
+      (3L, "same line")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLines(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 1L, 0L, md5Hex("same line"))))
+    assert(out(1) == ((2L, 0L, 1L, md5Hex(""))))
+    assert(out(2) == ((3L, 0L, 1L, md5Hex(""))))
+  }
+
+  test("bm25 ranks term-dense docs first and honors k") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark filler filler filler filler filler"),
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler filler filler"),
+      (4L, "spark vector filler filler filler filler filler filler"),
+      (5L, "spark vector")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("spark", "vector"), k = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length == 3)
+    // doc 5: both terms AND the shortest doc (length normalization)
+    assert(out(0)._1 == 5L, out.mkString(","))
+    // both-term docs beat the single-term tf=3 doc? doc 4 (2 terms, dl 8)
+    // vs doc 1 (tf 3 of one term, dl 8): 'vector' is rarer (df 2 vs 4)
+    // so its idf outweighs the saturated tf
+    assert(out.map(_._1).contains(4L))
+    assert(!out.map(_._1).contains(3L)) // no terms, no row
+    // scores strictly ordered desc
+    assert(out.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+  }
 }
