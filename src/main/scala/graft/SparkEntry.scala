@@ -80,7 +80,8 @@ object SparkEntry {
     */
   def benchExclude: Set[String] = Set(
     "t_pack_greedy", "t_pack_manifest",
-    "t_line_dedup", "t_bm25", "d_fuzzy_match")
+    "t_line_dedup", "t_bm25", "d_fuzzy_match",
+    "t_ngram_counts", "t_length_batches", "d_sample_k_stratum")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -374,6 +375,18 @@ object SparkEntry {
 
     "t_bm25" -> ((s, d) =>
       TextOps.bm25TopK(docs(s, d), Seq("spark", "vector", "stream"), 10)),
+
+    "t_ngram_counts" -> ((s, d) =>
+      TextOps.ngramCounts(docs(s, d), n = 3, k = 30)),
+
+    "t_length_batches" -> ((s, d) =>
+      TrainPrep.lengthBucketBatches(docs(s, d), width = 16, batchSize = 8)
+        .orderBy("doc_id")),
+
+    "d_sample_k_stratum" -> ((s, d) =>
+      TrainPrep.sampleKPerStratum(
+          docs(s, d), F.col("doc_id"), F.col("source"), k = 10)
+        .orderBy("stratum", "hkey", "key")),
 
     // SymSpell deletion-neighborhood fuzzy self-join: customer names
     // are zero-padded serials, so edit-distance-1 pairs are the names
@@ -1901,6 +1914,51 @@ object SparkEntry {
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 10""".stripMargin,
+
+    "t_ngram_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(t[i : i+2], ' ') AS ngram
+        |  FROM (
+        |    SELECT doc_id, t,
+        |      unnest(generate_series(1, len(t) - 2)) AS i
+        |    FROM toks))
+        |SELECT ngram, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram ASC
+        |LIMIT 30""".stripMargin,
+
+    "t_length_batches" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens, (n_tokens // 16)::BIGINT AS bucket,
+        |    row_number() OVER (
+        |      PARTITION BY n_tokens // 16 ORDER BY doc_id) AS rn
+        |  FROM l)
+        |SELECT doc_id, n_tokens, bucket,
+        |  ((rn - 1) // 8)::BIGINT AS batch_idx,
+        |  ((rn - 1) % 8)::BIGINT AS pos_in_batch
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "d_sample_k_stratum" ->
+      """WITH h AS (
+        |  SELECT doc_id AS key, source AS stratum,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 1073741824 AS hkey
+        |  FROM documents),
+        |r AS (
+        |  SELECT key, stratum, hkey,
+        |    row_number() OVER (
+        |      PARTITION BY stratum ORDER BY hkey, key) AS rn
+        |  FROM h)
+        |SELECT key, stratum, hkey FROM r WHERE rn <= 10
+        |ORDER BY stratum, hkey, key""".stripMargin,
 
     "d_fuzzy_match" ->
       """WITH c AS (

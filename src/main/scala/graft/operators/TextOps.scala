@@ -114,6 +114,33 @@ object TextOps {
       .orderBy(F.col("n_occurrences").desc, F.col("token").asc)
       .limit(k)
 
+  /** Corpus n-gram statistics: the `k` most frequent token n-grams
+    * with occurrence and document counts — the LM-smoothing /
+    * contamination-screening primitive ([[vocab]] is the n = 1 case).
+    * The n-gram materialization is a per-row transform + explode
+    * (map-only); the count shuffle is partially aggregated, bounded
+    * by distinct n-grams per partition. Docs shorter than n tokens
+    * contribute nothing.
+    * Output: (ngram, n_occurrences, n_docs), count-desc / ngram-asc.
+    */
+  def ngramCounts(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k > 0, s"k must be positive, got $k")
+    val t = tokens(F.col("text"))
+    val grams = F.when(F.size(t) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(t) - n), i =>
+          F.array_join(F.slice(t, i + 1, F.lit(n)), " ")))
+      .otherwise(F.array().cast("array<string>"))
+    docs
+      .select(F.col("doc_id"), F.explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(
+        F.count(F.lit(1)).as("n_occurrences"),
+        F.countDistinct("doc_id").as("n_docs"))
+      .orderBy(F.col("n_occurrences").desc, F.col("ngram").asc)
+      .limit(k)
+  }
+
   /** C4-style cross-corpus line deduplication (Raffel et al. 2020
     * §2.2 reconstructed from the published description: any line
     * occurring ≥ `minCount` times in the corpus is kept ONCE, at its

@@ -393,6 +393,59 @@ object TrainPrep {
     F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") % buckets
 
+  /** Exact deterministic k-per-stratum sample: the k rows with the
+    * smallest (md5-hash, key) per stratum — a reservoir sample whose
+    * membership is a pure function of the data (any engine, any
+    * layout, any cluster size reproduces it), unlike rng reservoirs.
+    * Selection goes through [[graft.scale.Skew.saltedTopKPerKey]], so
+    * a stratum holding half the corpus still bounds every task: per-
+    * (stratum, salt) top-k first, then top-k of the ≤ salt·k
+    * survivors — never one task per stratum. The key tiebreak makes
+    * hash collisions harmless. Output: (key, stratum, hkey), the
+    * sampled rows.
+    */
+  def sampleKPerStratum(
+      df: DataFrame, key: Column, stratum: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val typed = df.select(
+      key.cast("long").as("key"), stratum.cast("string").as("stratum"))
+      .withColumn("hkey", hashBucket(F.col("key"), 1 << 30))
+    graft.scale.Skew
+      .saltedTopKPerKey(
+        typed, "stratum", Seq(F.col("hkey").asc, F.col("key").asc), k)
+      .select("key", "stratum", "hkey")
+  }
+
+  /** Length-bucketed batch assignment — the padding-minimizing batch
+    * layout for sequence training: docs are bucketed by token count
+    * (`bucket = n_tokens div width`) and numbered within their bucket
+    * in doc_id order, so consecutive `batchSize` ranks form a batch of
+    * near-equal lengths. Ranks come from [[stratumRanks]]'s two-phase
+    * distributed count (no per-bucket window task, no skew wall when
+    * one length class dominates — which it always does). Output:
+    * (doc_id, n_tokens, bucket, batch_idx, pos_in_batch).
+    */
+  def lengthBucketBatches(
+      docs: DataFrame, width: Int, batchSize: Int): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val withLen = docs.select(
+      F.col("doc_id").cast("long").as("doc_id"),
+      F.coalesce(
+        F.size(TextOps.tokens(F.col("text"))).cast("long"),
+        F.lit(0L)).as("n_tokens"))
+      .withColumn("bucket", F.expr(s"n_tokens div $width"))
+    val ranks = stratumRanks(withLen, F.col("doc_id"), F.col("bucket"))
+      .withColumnRenamed("key", "doc_id")
+      .drop("stratum")
+    withLen
+      .join(ranks, "doc_id")
+      .select(
+        F.col("doc_id"), F.col("n_tokens"), F.col("bucket"),
+        F.expr(s"(r - 1) div $batchSize").as("batch_idx"),
+        F.expr(s"(r - 1) % $batchSize").as("pos_in_batch"))
+  }
+
   /** Deterministic stratified sample: keep a row iff its md5 bucket
     * (out of 10 000) falls below the stratum's rate. A stateless
     * map-side filter — no count pass, no sampling shuffle, reproducible

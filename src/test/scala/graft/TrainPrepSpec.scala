@@ -326,6 +326,63 @@ class TrainPrepSpec extends SparkSpec {
     assert(bySrc("src0") > bySrc("src1") && bySrc("src0") > bySrc("src2"))
   }
 
+  test("sampleKPerStratum: exact k smallest (hash, key) per stratum, layout-independent") {
+    val k = 5
+    val got = TrainPrep.sampleKPerStratum(
+        docs, F.col("doc_id"), F.col("source"), k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replay the selection driver-side from the same hash
+    val hashed = docs.select(
+        F.col("doc_id"), F.col("source"),
+        TrainPrep.hashBucket(F.col("doc_id"), 1 << 30).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = hashed.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(k).toSeq
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.groupBy(_._2).forall(_._2.length == k))
+    // partition layout must not change membership
+    val relaid = TrainPrep.sampleKPerStratum(
+        docs.repartition(13), F.col("doc_id"), F.col("source"), k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(relaid.toSet == want)
+  }
+
+  test("lengthBucketBatches: near-equal lengths per batch, dense batch numbering") {
+    val out = TrainPrep.lengthBucketBatches(docs, width = 16, batchSize = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val lens = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").length.toLong).toMap
+    assert(out.length == lens.size)
+    out.foreach { case (id, n, bucket, _, pos) =>
+      assert(n == lens(id))
+      assert(bucket == n / 16)
+      assert(pos >= 0 && pos < 4)
+    }
+    // within a bucket, batch_idx/pos follow doc_id order densely
+    val byBucket = out.groupBy(_._3)
+    byBucket.foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._1)
+      inOrder.zipWithIndex.foreach { case ((_, _, _, batch, pos), i) =>
+        assert(batch == i / 4 && pos == i % 4)
+      }
+    }
+  }
+
+  test("ngramCounts matches a driver-side n-gram tally") {
+    val got = TextOps.ngramCounts(docs, n = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val all = docs.collect().flatMap { r =>
+      val t = r.getString(1).split("\\s+")
+      t.sliding(2).filter(_.length == 2).map(g => (r.getLong(0), g.mkString(" ")))
+    }
+    val want = all.groupBy(_._2).map { case (g, occ) =>
+      (g, occ.length.toLong, occ.map(_._1).distinct.length.toLong)
+    }.toSeq.sortBy(x => (-x._2, x._1)).take(10)
+    assert(got.toSeq == want)
+  }
+
   test("releasePinnedCaches unpersists the packers' pinned RDDs") {
     TrainPrep.releasePinnedCaches(blocking = true) // drain prior pins
     val before = spark.sparkContext.getPersistentRDDs.size
