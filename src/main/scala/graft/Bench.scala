@@ -32,7 +32,9 @@ object Bench {
       val ok =
         try { body; true }
         catch {
-          case e: Throwable =>
+          // NonFatal only: an OOM/linkage error means a corrupted JVM —
+          // let it crash rather than continue benching garbage
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
@@ -43,20 +45,22 @@ object Bench {
     // one-time index builds run FIRST as their own named rows, so the
     // per-query rows below measure query cost — without this, whichever
     // a_* query ran first paid the lazy build and round-over-round
-    // diffs mis-attributed build drift to that query. In ONLY mode the
-    // builds still RUN (untimed, no row) when not listed: otherwise the
-    // first selected a_* query would silently pay the lazy build again,
-    // the exact attribution noise the build rows exist to eliminate
+    // diffs mis-attributed build drift to that query. In ONLY mode an
+    // unlisted build still runs (untimed, no row) when a SELECTED query
+    // depends on it — otherwise that query would silently pay the lazy
+    // build, the exact attribution noise the build rows eliminate — but
+    // a selection touching no index skips the builds entirely
     val builds = SparkEntry.buildSteps.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
-        if (only.forall(_.contains(name))) Some(timeRow(name)(fn(spark, sfDir)))
-        else {
-          try fn(spark, sfDir)
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name (untimed) FAILED: ${e.getMessage}")
-          }
-          None
+        val deps = SparkEntry.buildDependents.getOrElse(name, Set.empty)
+        only match {
+          case Some(sel) if sel.contains(name) =>
+            Some(timeRow(name)(fn(spark, sfDir)))
+          case Some(sel) if sel.exists(deps.contains) =>
+            timeRow(s"$name (untimed)")(fn(spark, sfDir)) // failure logged; no row
+            None
+          case Some(_) => None
+          case None => Some(timeRow(name)(fn(spark, sfDir)))
         }
       }
     // deterministic name order: timing stays comparable across rounds.

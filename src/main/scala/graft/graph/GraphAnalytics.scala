@@ -401,7 +401,8 @@ object GraphAnalytics {
     */
   def cosineThresholdEdges(
       items: DataFrame, minCos: Double,
-      maxRows: Long = graft.operators.Similarity.ExactPairsMaxRows): DataFrame = {
+      maxRows: Long = graft.operators.Similarity.ExactPairsMaxRows,
+      knownRows: Option[Long] = None): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
     val typed = items
@@ -409,7 +410,7 @@ object GraphAnalytics {
       .select($"id".as[Long], $"vec".as[Array[Double]])
     graft.operators.Similarity.requireExactPairsBound(
       typed, maxRows, "cosineThresholdEdges",
-      "KnnGraph.epsKnnEdges(eps = 1 - minCos) candidate edges")
+      "KnnGraph.epsKnnEdges(eps = 1 - minCos) candidate edges", knownRows)
     val bc = spark.sparkContext.broadcast(typed.collect())
     typed
       .mapPartitions { it =>

@@ -59,14 +59,21 @@ object FuzzyJoin {
   private def verify(cand: DataFrame, maxDist: Int): DataFrame =
     cand
       .select("id_a", "id_b", "s_a", "s_b")
-      .dropDuplicates("id_a", "id_b") // collapse multi-variant hits pre-verify
+      // collapse multi-variant hits pre-verify — on the FULL tuple:
+      // deduping on ids alone would keep an arbitrary (s_a, s_b)
+      // representative, which under non-unique ids can drop a true
+      // match (the kept spelling verifies > maxDist while a dropped
+      // one matched) and makes the output s_a/s_b nondeterministic
+      .dropDuplicates("id_a", "id_b", "s_a", "s_b")
       .withColumn("dist", F.levenshtein(F.col("s_a"), F.col("s_b")).cast("long"))
       .where(F.col("dist") <= maxDist)
 
   /** All (left, right) pairs with levenshtein(s_a, s_b) ≤ maxDist.
     * Inputs need columns (`idCol`, `strCol`); null strings never match
     * (explode of a null variant array emits nothing).
-    * Output: (id_a, id_b, s_a, s_b, dist).
+    * Output: (id_a, id_b, s_a, s_b, dist) — one row per distinct
+    * (id, string) combination, so ids carrying several spellings
+    * surface every matching spelling pair deterministically.
     */
   def deletionJoin(
       left: DataFrame, right: DataFrame, maxDist: Int,

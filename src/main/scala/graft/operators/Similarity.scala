@@ -225,14 +225,16 @@ object Similarity {
     * band-join in [[graft.graph.KnnGraph]] / [[Dedup]] and top-k those.
     */
   def topCosinePairs(
-      emb: DataFrame, k: Int, maxRows: Long = ExactPairsMaxRows): DataFrame = {
+      emb: DataFrame, k: Int, maxRows: Long = ExactPairsMaxRows,
+      knownRows: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val typed = emb
       .select(F.col("id").cast("long"), F.col("vec").cast("array<double>"))
       .select($"id".as[Long], $"vec".as[Array[Double]])
     requireExactPairsBound(typed, maxRows, "topCosinePairs",
-      "KnnGraph.epsKnnEdges / Dedup banded candidates + saltedTopKPerKey")
+      "KnnGraph.epsKnnEdges / Dedup banded candidates + saltedTopKPerKey",
+      knownRows)
     val bc = spark.sparkContext.broadcast(typed.collect())
     typed
       .mapPartitions { it =>
@@ -379,14 +381,16 @@ object Similarity {
     */
   def cosineNearDupPairs(
       emb: DataFrame, threshold: Double,
-      maxRows: Long = ExactPairsMaxRows): DataFrame = {
+      maxRows: Long = ExactPairsMaxRows,
+      knownRows: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val typed = emb
       .select(F.col("id").cast("long"), F.col("vec").cast("array<double>"))
       .select($"id".as[Long], $"vec".as[Array[Double]])
     requireExactPairsBound(typed, maxRows, "cosineNearDupPairs",
-      "KnnGraph.epsKnnEdges(eps = 1 - threshold) for candidates, then the exact cosine refine")
+      "KnnGraph.epsKnnEdges(eps = 1 - threshold) for candidates, then the exact cosine refine",
+      knownRows)
     val bc = spark.sparkContext.broadcast(typed.collect())
     typed
       .mapPartitions { it =>

@@ -15,43 +15,90 @@ import org.apache.spark.storage.StorageLevel
 object TrainPrep {
 
   /** RDDs pinned by the two-job packers/rankers, awaiting release.
-    * The pin is LOAD-BEARING for the lifetime of the returned frame:
-    * the broadcast carries were computed against the cached partition
-    * layout, so a re-execution after unpersist could range-shuffle
-    * into different partitions and apply the carries to the wrong
-    * ones. Callers that materialize the result (write it, or persist
-    * their own downstream frame) and will not re-execute the returned
-    * frame can reclaim the memory eagerly with
-    * [[releasePinnedCaches]]; otherwise the ContextCleaner reclaims
-    * each cache once its frame becomes unreachable.
+    * The pin matters for the lifetime of the returned frame: the
+    * broadcast carries were computed against the cached partition
+    * layout, and a re-execution after unpersist could range-shuffle
+    * into different partitions — every second job therefore VERIFIES
+    * the layout it observes against a per-partition fingerprint from
+    * the first job (see [[layoutChecked]]) and fails loudly on drift,
+    * so a lost cache costs a recompute or an exception, never a
+    * silently wrong answer. The queue holds WEAK references: it never
+    * keeps an RDD alive, so the ContextCleaner still reclaims each
+    * cache once its frame becomes unreachable even if
+    * [[releasePinnedCaches]] is never called. Callers that materialize
+    * the result (write it, or persist their own downstream frame) can
+    * reclaim the memory eagerly with [[releasePinnedCaches]].
     */
   private val pinnedCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
 
   private def pin[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    pinnedCaches.add(rdd)
+    pinnedCaches.add(new java.lang.ref.WeakReference(rdd))
     rdd
   }
 
   /** Unpersist every RDD pinned by [[packTokenShards]],
     * [[packTokenShardsGreedy]], [[stratumRanks]] and
     * [[interleaveByStratum]] since the last release. Call AFTER
-    * materializing their results (see [[pinnedCaches]] — frames
-    * returned before the release must not be re-executed afterwards).
-    * Returns the number of caches released. Safe to call from
-    * iterative pipelines between batches; idempotent when nothing is
-    * pinned.
+    * materializing their results. Returns the number of caches
+    * released; idempotent when nothing is pinned. The release is
+    * PROCESS-GLOBAL: calling it while another pipeline's packer result
+    * is still unmaterialized unpins that result too — its next
+    * execution then recomputes the range shuffle, and the layout
+    * fingerprint check turns any boundary drift into a loud error
+    * (never a silent mis-carry). Frames released before materialization
+    * may therefore pay a recompute or raise; scope releases to quiet
+    * points between batches.
     */
   def releasePinnedCaches(blocking: Boolean = false): Int = {
     var n = 0
-    var r = pinnedCaches.poll()
-    while (r != null) {
-      r.unpersist(blocking)
-      n += 1
-      r = pinnedCaches.poll()
+    var ref = pinnedCaches.poll()
+    while (ref != null) {
+      val r = ref.get()
+      if (r != null && r.getStorageLevel != StorageLevel.NONE) {
+        r.unpersist(blocking)
+        n += 1
+      }
+      ref = pinnedCaches.poll()
     }
     n
+  }
+
+  /** Wraps a second-job partition iterator with the first job's
+    * fingerprint of the same partition: expected row count and first
+    * key. Under a fixed global sort order, contiguous range partitions
+    * that agree on (first key, count) for EVERY partition have
+    * identical contents — so a match proves the carry-applying pass is
+    * reading the exact layout the summary pass summarized, and any
+    * recompute that resampled range boundaries (cache evicted, or a
+    * concurrent [[releasePinnedCaches]]) throws instead of applying
+    * broadcast carries to the wrong rows.
+    */
+  private def layoutChecked[T, K](
+      part: Int, it: Iterator[T], expCount: Long, expFirst: K)(
+      key: T => K): Iterator[T] = new Iterator[T] {
+    private var n = 0L
+    private def drift(what: String): Nothing =
+      throw new IllegalStateException(
+        s"pinned range-shuffle layout drifted in partition $part ($what): " +
+          "the cached (key, value) layout the carry offsets were computed " +
+          "against was recomputed with different partition boundaries — " +
+          "likely the cache was evicted or releasePinnedCaches() ran " +
+          "before this result was materialized. Re-run the operator.")
+    def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h && n != expCount) drift(s"expected $expCount rows, saw $n")
+      h
+    }
+    def next(): T = {
+      val t = it.next()
+      if (n == 0L && expCount > 0L && key(t) != expFirst)
+        drift(s"expected first key $expFirst, saw ${key(t)}")
+      n += 1L
+      t
+    }
   }
 
   /** Sliding token-window chunks: windows of `window` tokens every
@@ -128,16 +175,24 @@ object TrainPrep {
     val counts = tokenCounts(docs)
     val partSums = counts
       .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L
-        it.foreach(s += _._2)
-        Iterator((i, s))
+        var s = 0L; var cnt = 0L; var first = Long.MinValue
+        it.foreach { case (id, n) =>
+          if (cnt == 0L) first = id
+          cnt += 1L; s += n
+        }
+        Iterator((i, s, cnt, first))
       }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
-    val bc = spark.sparkContext.broadcast(offsets)
+      .collect().sortBy(_._1)
+    // exclusive prefix per partition
+    val offsets = partSums.map(_._2).scanLeft(0L)(_ + _)
+    val fpCount = partSums.map(_._3)
+    val fpFirst = partSums.map(_._4)
+    val bc = spark.sparkContext.broadcast((offsets, fpCount, fpFirst))
     counts
-      .mapPartitionsWithIndex { (i, it) =>
-        var cum = bc.value(i)
+      .mapPartitionsWithIndex { (i, it0) =>
+        val (offs, cnts, firsts) = bc.value
+        val it = layoutChecked(i, it0, cnts(i), firsts(i))(_._1)
+        var cum = offs(i)
         it.map { case (id, n) =>
           val before = cum
           cum += n
@@ -182,11 +237,18 @@ object TrainPrep {
     import spark.implicits._
     val counts = tokenCounts(docs)
 
-    // phase 1: (idx, headSums, posTotal, mPos, tailShards, tailFills)
+    // phase 1: (idx, headSums, posTotal, mPos, tailShards, tailFills,
+    //           rowCount, firstId) — the last two are the layout
+    //           fingerprint the emit pass re-verifies
     val summaries = counts
       .mapPartitionsWithIndex { (idx, it) =>
         val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
-        it.foreach { case (_, n) => if (n > 0) pos += n }
+        var rows = 0L; var firstId = Long.MinValue
+        it.foreach { case (id, n) =>
+          if (rows == 0L) firstId = id
+          rows += 1L
+          if (n > 0) pos += n
+        }
         val m = pos.length
         val P = new Array[Long](m + 1) // positive-doc prefix sums
         var i = 0
@@ -231,7 +293,8 @@ object TrainPrep {
         }
         val nStarts = math.min(k + 1, m)
         val tails = Array.tabulate(nStarts)(t => tailFrom(t + 1))
-        Iterator((idx, headSums, P(m), m.toLong, tails.map(_._1), tails.map(_._2)))
+        Iterator((idx, headSums, P(m), m.toLong, tails.map(_._1),
+          tails.map(_._2), rows, firstId))
       }
       .collect().sortBy(_._1)
 
@@ -239,9 +302,11 @@ object TrainPrep {
     val nParts = summaries.length
     val baseS = new Array[Long](nParts)
     val baseF = new Array[Long](nParts)
+    val fpCount = summaries.map(_._7)
+    val fpFirst = summaries.map(_._8)
     var s = 0L
     var f = 0L
-    summaries.foreach { case (idx, headSums, posTotal, mPos, tailS, tailF) =>
+    summaries.foreach { case (idx, headSums, posTotal, mPos, tailS, tailF, _, _) =>
       baseS(idx) = s; baseF(idx) = f
       if (mPos > 0L) {
         // j = docs joining the carry shard (head sums ≤ budget − fill)
@@ -269,11 +334,13 @@ object TrainPrep {
         }
       }
     }
-    val bc = spark.sparkContext.broadcast((baseS, baseF))
+    val bc = spark.sparkContext.broadcast((baseS, baseF, fpCount, fpFirst))
     counts
-      .mapPartitionsWithIndex { (idx, it) =>
-        var s = bc.value._1(idx)
-        var f = bc.value._2(idx)
+      .mapPartitionsWithIndex { (idx, it0) =>
+        val (bs, bf, cnts, firsts) = bc.value
+        val it = layoutChecked(idx, it0, cnts(idx), firsts(idx))(_._1)
+        var s = bs(idx)
+        var f = bf(idx)
         it.map { case (id, n) =>
           if (n > 0 && f > 0 && f + n > budget) { s += 1; f = 0 }
           val out = (id, n, s, f)
@@ -329,25 +396,36 @@ object TrainPrep {
     val counts = typed
       .mapPartitionsWithIndex { (i, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { case (_, s) => m.update(s, m.getOrElse(s, 0L) + 1L) }
-        Iterator((i, m.toMap))
+        var rows = 0L; var first: (String, Long) = null
+        it.foreach { case (k, s) =>
+          if (rows == 0L) first = (s, k)
+          rows += 1L
+          m.update(s, m.getOrElse(s, 0L) + 1L)
+        }
+        Iterator((i, m.toMap, rows, first))
       }
       .collect().sortBy(_._1)
+    val fpCount = counts.map(_._3)
+    val fpFirst = counts.map(_._4)
     val nParts = counts.length
     val offsets: Array[Map[String, Long]] = {
       val run = scala.collection.mutable.Map.empty[String, Long]
       val out = new Array[Map[String, Long]](nParts)
-      counts.foreach { case (i, m) =>
+      counts.foreach { case (i, m, _, _) =>
         out(i) = run.toMap
         m.foreach { case (s, n) => run.update(s, run.getOrElse(s, 0L) + n) }
       }
       out
     }
-    val bc = spark.sparkContext.broadcast(offsets)
+    val bc = spark.sparkContext.broadcast((offsets, fpCount, fpFirst))
     typed
-      .mapPartitionsWithIndex { (i, it) =>
+      .mapPartitionsWithIndex { (i, it0) =>
+        val (offs, cnts, firsts) = bc.value
+        val it = layoutChecked(i, it0, cnts(i), firsts(i)) {
+          case (k, s) => (s, k)
+        }
         val run = scala.collection.mutable.Map.empty[String, Long]
-        bc.value(i).foreach { case (s, n) => run.update(s, n) }
+        offs(i).foreach { case (s, n) => run.update(s, n) }
         it.map { case (k, s) =>
           val r = run.getOrElse(s, 0L) + 1L
           run.update(s, r)

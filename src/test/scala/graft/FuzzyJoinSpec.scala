@@ -52,6 +52,20 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 1L), (2L, 11L, 1L)))
   }
 
+  test("non-unique ids keep every matching spelling pair deterministically") {
+    // id 1 carries two spellings; "ab"/"ba" is a deletion-neighborhood
+    // false positive (common variants "a"/"b", levenshtein 2) while
+    // "bad"/"ba" truly matches at dist 1. A dedup on ids alone could
+    // keep the FP representative and drop the real match.
+    val left = strs(1L -> "ab", 1L -> "bad")
+    val right = strs(2L -> "ba")
+    val got = FuzzyJoin.deletionJoin(left, right, maxDist = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(got == Set((1L, 2L, "bad", "ba", 1L)))
+  }
+
   test("candidate join is an equi-join, never a cartesian product") {
     val df = strs(1L -> "abc", 2L -> "abd")
     val plan = FuzzyJoin.selfMatch(df, maxDist = 1)

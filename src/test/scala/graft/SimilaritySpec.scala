@@ -34,6 +34,14 @@ class SimilaritySpec extends SparkSpec {
       assert(e.getMessage.contains(name) && e.getMessage.contains("KnnGraph"),
         s"$name gate message must name the operator and the scale alternative: ${e.getMessage}")
     }
+    // knownRows skips the probe but still gates: a declared over-bound
+    // count throws, a declared in-bound count runs the operator
+    val e = intercept[IllegalArgumentException](
+      Similarity.topCosinePairs(emb, 5, maxRows = 10, knownRows = Some(11L)))
+    assert(e.getMessage.contains("topCosinePairs"))
+    assert(Similarity
+      .topCosinePairs(emb, 5, maxRows = 1000, knownRows = Some(600L))
+      .count() == 5L)
   }
 
   test("SRP-Hamming top-k: clustered data recall, self-hit first, deterministic") {

@@ -386,11 +386,18 @@ class TrainPrepSpec extends SparkSpec {
   test("releasePinnedCaches unpersists the packers' pinned RDDs") {
     TrainPrep.releasePinnedCaches(blocking = true) // drain prior pins
     val before = spark.sparkContext.getPersistentRDDs.size
-    TrainPrep.packTokenShards(docs, budget = 64).count()
-    TrainPrep.stratumRanks(docs, F.col("doc_id"), F.col("source")).count()
+    // bind the frames: the pin queue holds WEAK references (so it can
+    // never leak), and an unreferenced frame's pin may be GC-cleared
+    // before the release — holding the frames keeps the count exact
+    val a = TrainPrep.packTokenShards(docs, budget = 64)
+    val b = TrainPrep.stratumRanks(docs, F.col("doc_id"), F.col("source"))
+    a.count(); b.count()
     assert(spark.sparkContext.getPersistentRDDs.size == before + 2)
     assert(TrainPrep.releasePinnedCaches(blocking = true) == 2)
     assert(spark.sparkContext.getPersistentRDDs.size == before)
     assert(TrainPrep.releasePinnedCaches() == 0) // idempotent when drained
+    // the released frames stay correct: the range layout is re-verified
+    // by the second job's fingerprint check on re-execution
+    assert(a.count() == docs.count() && b.count() == docs.count())
   }
 }
