@@ -81,7 +81,8 @@ object SparkEntry {
   def benchExclude: Set[String] = Set(
     "t_pack_greedy", "t_pack_manifest",
     "t_line_dedup", "t_bm25", "d_fuzzy_match",
-    "t_ngram_counts", "t_length_batches", "d_sample_k_stratum")
+    "t_ngram_counts", "t_length_batches", "d_sample_k_stratum",
+    "d_semantic_neardup", "d_temperature_sample")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -404,6 +405,24 @@ object SparkEntry {
       TrainPrep.sampleKPerStratum(
           docs(s, d), F.col("doc_id"), F.col("source"), k = 10)
         .orderBy("stratum", "hkey", "key")),
+
+    "d_temperature_sample" -> ((s, d) =>
+      // count^alpha source rebalancing (mBERT/XLM-R mix rule): alpha
+      // 0.5 up-weights small sources; md5 membership, zero corpus
+      // shuffle (tiny rate table broadcast back onto the scan)
+      TrainPrep.temperatureSample(
+          docs(s, d), F.col("doc_id"), F.col("source"),
+          alpha = 0.5, targetFraction = 0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    "d_semantic_neardup" -> ((s, d) =>
+      // SemDeDup: deterministic-k-means cells, exact cosine within a
+      // cell only — the cluster-blocked scale path for embedding dedup
+      // (equi-join on the cell id, never all-pairs)
+      graft.operators.Dedup.semanticNearDupPairs(
+          emb(s, d), threshold = 0.3, nClusters = 8, iters = 10)
+        .orderBy(F.col("score").desc, F.col("id_a"), F.col("id_b"))),
 
     // SymSpell deletion-neighborhood fuzzy self-join: customer names
     // are zero-padded serials, so edit-distance-1 pairs are the names
@@ -1980,6 +1999,44 @@ object SparkEntry {
         |  FROM h)
         |SELECT key, stratum, hkey FROM r WHERE rn <= 10
         |ORDER BY stratum, hkey, key""".stripMargin,
+
+    // same double algebra, same association order as the engine:
+    // rate_s = min(1, n_s^a / sum_pow * (target * n_tot) / n_s), then
+    // the shared md5-bucket membership rule
+    "d_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT source AS stratum, count(*)::DOUBLE AS n_s
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_s) AS n_tot, sum(pow(n_s, 0.5)) AS sum_pow
+        |  FROM c),
+        |r AS (SELECT stratum,
+        |    least(1.0, pow(n_s, 0.5) / sum_pow * (0.5 * n_tot) / n_s)
+        |      AS rate
+        |  FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON r.stratum = d.source
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+        |  % 10000 < round(rate * 10000)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // SemDeDup replay: the deterministic k-means cells (same
+    // farthest-point seeding + Lloyd recurrence as the IVF oracle),
+    // then exact cosine pairs within a cell only
+    "d_semantic_neardup" ->
+      (s"""WITH sdsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("sdsrc", 8, 10, "sd")},
+          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings)
+          |SELECT fa.id AS id_a, fb.id AS id_b,
+          |  round(list_cosine_similarity(a.v, b.v), 4) AS score
+          |FROM sdfin fa JOIN sdfin fb ON fa.c = fb.c AND fa.id < fb.id
+          |JOIN e a ON a.vec_id = fa.id
+          |JOIN e b ON b.vec_id = fb.id
+          |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+          |ORDER BY score DESC, id_a, id_b""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
 
     "d_fuzzy_match" ->
       """WITH c AS (

@@ -451,4 +451,44 @@ object Dedup {
       .orderBy(F.col("hamming").asc, F.col("doc_a").asc, F.col("doc_b").asc)
     materializeAndRelease(pairs, sh)
   }
+
+  /** SemDeDup-style semantic near-dup pairs — the CLUSTER-BLOCKED scale
+    * path for embedding-cosine dedup (Abbas et al. 2023, "SemDeDup:
+    * data-efficient learning at web-scale through semantic
+    * deduplication"): deterministic k-means partitions the corpus into
+    * `nClusters` semantic cells, and exact cosine runs only WITHIN a
+    * cell. Candidate generation is a shuffled EQUI-join on the cluster
+    * id — never a cartesian, never a driver broadcast of the table —
+    * so unlike [[Similarity.cosineNearDupPairs]] (exact, gated at
+    * [[Similarity.ExactPairsMaxRows]]) this shape survives corpus
+    * scale: per-task work is bounded by the largest cell, and the
+    * SemDeDup recall contract is explicit — near-dups split across two
+    * cells are missed by design (raise `nClusters` for smaller, purer
+    * cells; the paper runs K≈11k on 233M docs, i.e. cells of ~20k).
+    * Determinism: [[graft.scale.DeterministicKMeans]] (farthest-point
+    * seeding from min id, ascending-id sums) makes the cells — and so
+    * the answer — a pure function of the data, replayable by the
+    * DuckDB oracle.
+    * Output: (id_a, id_b, score) with id_a < id_b, cosine ≥ threshold.
+    */
+  def semanticNearDupPairs(
+      emb: DataFrame, threshold: Double, nClusters: Int,
+      iters: Int = 10): DataFrame = {
+    require(nClusters > 0, s"nClusters must be positive, got $nClusters")
+    val model = graft.scale.DeterministicKMeans.fit(
+      emb, nClusters, iters, idCol = "id", vecCol = "vec")
+    val assigned = graft.scale.DeterministicKMeans
+      .assign(emb, model, idCol = "id", vecCol = "vec")
+    val a = assigned.select(F.col("cluster"),
+      F.col("id").as("id_a"), F.col("vec").as("vec_a"))
+    val b = assigned.select(F.col("cluster"),
+      F.col("id").as("id_b"), F.col("vec").as("vec_b"))
+    a.join(b, "cluster")
+      .where(F.col("id_a") < F.col("id_b"))
+      .withColumn("score",
+        F.round(graft.functions.VectorFunctions.cosine(
+          F.col("vec_a"), F.col("vec_b")), 4))
+      .where(F.col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
 }

@@ -524,6 +524,50 @@ object TrainPrep {
         F.expr(s"(r - 1) % $batchSize").as("pos_in_batch"))
   }
 
+  /** Temperature-based source rebalancing — the `count^α` sampling rule
+    * multilingual / multi-source training mixes use (mBERT/XLM-R style):
+    * stratum s gets sampling weight w_s = n_s^α / Σ n_t^α, and the
+    * realized per-stratum rate is min(1, w_s · target·N / n_s), so the
+    * expected output size is ≈ `targetFraction`·N with small sources
+    * up-weighted (α < 1 flattens the distribution; α = 1 degenerates to
+    * a uniform `targetFraction` for every stratum; α = 0 equalizes
+    * strata). Membership is the same md5 filter as
+    * [[stratifiedHashSample]] — a pure function of the data.
+    * Plan shape: one tiny per-stratum count aggregate, a 1-row totals
+    * cross join, a BROADCAST join of the rates back onto the corpus,
+    * then a stateless filter — no corpus shuffle, no driver collect of
+    * anything larger than the stratum list. Output: the input rows that
+    * survive, original columns unchanged.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      alpha: Double,
+      targetFraction: Double): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df
+      .groupBy(stratum.cast("string").as("__stratum"))
+      .agg(F.count(F.lit(1)).cast("double").as("__n_s"))
+    val totals = counts.agg(
+      F.sum("__n_s").as("__n_tot"),
+      F.sum(F.pow(F.col("__n_s"), alpha)).as("__sum_pow"))
+    val rates = counts.crossJoin(totals).select(
+      F.col("__stratum"),
+      F.least(
+        F.lit(1.0),
+        F.pow(F.col("__n_s"), alpha) / F.col("__sum_pow") *
+          (F.lit(targetFraction) * F.col("__n_tot")) / F.col("__n_s"))
+        .as("__rate"))
+    df.join(
+        F.broadcast(rates),
+        stratum.cast("string") === F.col("__stratum"))
+      .where(hashBucket(key, 10000) < F.round(F.col("__rate") * 10000))
+      .drop("__stratum", "__rate")
+  }
+
   /** Deterministic stratified sample: keep a row iff its md5 bucket
     * (out of 10 000) falls below the stratum's rate. A stateless
     * map-side filter — no count pass, no sampling shuffle, reproducible

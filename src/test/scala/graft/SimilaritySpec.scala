@@ -44,6 +44,30 @@ class SimilaritySpec extends SparkSpec {
       .count() == 5L)
   }
 
+  test("semanticNearDupPairs: one cell equals exact all-pairs; cells only restrict") {
+    import graft.operators.Dedup
+    // K=1 puts everything in one cell — the cluster-blocked path must
+    // then reproduce the exact operator bit-for-bit
+    val exact = Similarity.cosineNearDupPairs(emb, 0.995)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneCell = Dedup.semanticNearDupPairs(emb, 0.995, nClusters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(oneCell == exact)
+    // more cells can only REMOVE (cross-cell) pairs, never invent them —
+    // and on this 8-mode data most near-dup mass is within-mode
+    val cells8 = Dedup.semanticNearDupPairs(emb, 0.995, nClusters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cells8.subsetOf(exact))
+    assert(cells8.size >= exact.size / 2,
+      s"8 well-separated modes should keep most pairs: ${cells8.size}/${exact.size}")
+    // candidate generation is an equi-join on the cell id, never a
+    // cartesian / driver broadcast of the table
+    val plan = Dedup.semanticNearDupPairs(emb, 0.995, nClusters = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("SRP-Hamming top-k: clustered data recall, self-hit first, deterministic") {
     // clustered data (8 well-separated modes): Hamming ranking over 256
     // sign bits separates modes cleanly — candidates cover the true

@@ -383,6 +383,37 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("temperatureSample: alpha=1 is uniform; alpha<1 up-weights small strata") {
+    val s = spark
+    import s.implicits._
+    // alpha = 1 degenerates to a uniform targetFraction for every
+    // stratum — exactly stratifiedHashSample's uniform rate, same rows
+    val uni = TrainPrep.temperatureSample(
+      docs, F.col("doc_id"), F.col("source"), alpha = 1.0, targetFraction = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flat = TrainPrep.stratifiedHashSample(
+      docs, F.col("doc_id"), F.col("source"), Map.empty, defaultRate = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uni == flat)
+    // skewed corpus: 400 rows of "big", 40 of "small"; alpha=0.5 at
+    // target 0.5 gives small a computed rate ≥ 1 (capped) — it is kept
+    // IN FULL — while big is sampled below its proportional share
+    val skewed = (0 until 440).map { i =>
+      (i.toLong, if (i < 400) "big" else "small")
+    }.toDF("doc_id", "source")
+    val kept = TrainPrep.temperatureSample(
+      skewed, F.col("doc_id"), F.col("source"), alpha = 0.5, targetFraction = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 40L, s"capped stratum must be kept whole: $kept")
+    assert(kept("big") < 220L, s"big stratum must be down-sampled: $kept")
+    // deterministic: md5 membership, no RNG
+    val again = TrainPrep.temperatureSample(
+      docs, F.col("doc_id"), F.col("source"), alpha = 1.0, targetFraction = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == uni)
+  }
+
   test("releasePinnedCaches unpersists the packers' pinned RDDs") {
     TrainPrep.releasePinnedCaches(blocking = true) // drain prior pins
     val before = spark.sparkContext.getPersistentRDDs.size
