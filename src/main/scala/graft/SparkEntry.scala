@@ -82,7 +82,7 @@ object SparkEntry {
     "t_pack_greedy", "t_pack_manifest",
     "t_line_dedup", "t_bm25", "d_fuzzy_match",
     "t_ngram_counts", "t_length_batches", "d_sample_k_stratum",
-    "d_semantic_neardup", "d_temperature_sample")
+    "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -372,6 +372,19 @@ object SparkEntry {
 
     "t_vocab" -> ((s, d) =>
       TextOps.vocab(docs(s, d), 50)),
+
+    "t_encode_tokens" -> ((s, d) => {
+      // corpus-derived top-100 vocab ranked (count desc, token asc) →
+      // ids 0..99, then the broadcast map-only encode; unk = -1. The
+      // rank window runs on the 100-row vocab frame, not the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val v = TextOps.vocab(docs(s, d), 100).select(
+        F.col("token"),
+        (F.row_number().over(
+          Window.orderBy(F.col("n_occurrences").desc, F.col("token").asc))
+          - 1).cast("long").as("id"))
+      TextOps.encodeTokens(docs(s, d), v, unkId = -1L).orderBy("doc_id")
+    }),
 
     "t_lang_dist" -> ((s, d) =>
       docs(s, d).groupBy("lang")
@@ -1897,6 +1910,41 @@ object SparkEntry {
         |FROM tok GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
         |LIMIT 50""".stripMargin,
+
+    // same vocab ranking as the engine (count desc, token asc → ids
+    // 0..99), then per-token LEFT JOIN with coalesce(id, -1); the
+    // documents LEFT JOIN keeps null-text docs as ('', 0, 0) to mirror
+    // the engine's null-text row
+    "t_encode_tokens" ->
+      """WITH voc AS (
+        |  SELECT token,
+        |    row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+        |      - 1 AS id
+        |  FROM (
+        |    SELECT token, count(*) AS n_occurrences
+        |    FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+        |            AS token FROM documents)
+        |    GROUP BY token
+        |    ORDER BY n_occurrences DESC, token ASC LIMIT 100)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS pos,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |enc AS (
+        |  SELECT t.doc_id,
+        |    string_agg(coalesce(v.id, -1)::VARCHAR, ' ' ORDER BY t.pos)
+        |      AS ids,
+        |    count(*)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        |  FROM tok t LEFT JOIN voc v ON v.token = t.token
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(e.ids, '') AS ids,
+        |  coalesce(e.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(e.n_oov, 0)::BIGINT AS n_oov
+        |FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // replay of dedupLines at 2-token-segment granularity: the oracle
     // may use the skew-prone row_number() form the operator avoids —

@@ -114,6 +114,61 @@ object TextOps {
       .orderBy(F.col("n_occurrences").desc, F.col("token").asc)
       .limit(k)
 
+  /** Vocab-id encoding — the tokenize-to-ids pass a training pipeline
+    * runs over the whole corpus: every token is mapped to its id
+    * through a BROADCAST dictionary, out-of-vocabulary tokens to
+    * `unkId`. The 100 TB shape: the vocab (even millions of entries)
+    * broadcasts once to every executor and the encode is a MAP-ONLY
+    * pass over the corpus scan — no token explode, no token-stream
+    * shuffle, no re-aggregation back to documents, which is what the
+    * join-based formulation would cost. Tokenization goes through
+    * [[tokensOf]], the executor-side replica of [[tokens]], so the
+    * compiled loop cannot drift from the Column path. Ids are emitted
+    * space-joined (portable across engines and safe under the driver's
+    * value-hash compare, like the shard manifest's doc list); a null
+    * text encodes to the empty string with 0 tokens.
+    * `vocabIds` needs columns (token, id); the collect is gated at
+    * `maxVocab` with a bounded probe (a vocabulary is driver-sized by
+    * construction — the gate catches passing the corpus by mistake).
+    * Output: (doc_id, ids, n_tokens, n_oov).
+    */
+  def encodeTokens(
+      docs: DataFrame, vocabIds: DataFrame, unkId: Long,
+      maxVocab: Long = 50000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typedVocab = vocabIds
+      .select(F.col("token").cast("string"), F.col("id").cast("long"))
+      .as[(String, Long)]
+    require(typedVocab.limit(maxVocab.toInt + 1).count() <= maxVocab,
+      s"encodeTokens vocab exceeds maxVocab=$maxVocab rows — a vocabulary " +
+        "is driver-sized by construction; this looks like the corpus. " +
+        "Pass the (token, id) dictionary, or raise maxVocab explicitly.")
+    val bc = spark.sparkContext.broadcast(typedVocab.collect().toMap)
+    docs
+      .select(F.col("doc_id").cast("long"), F.col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        if (text == null) (docId, "", 0L, 0L)
+        else {
+          val ts = tokensOf(text)
+          val sb = new java.lang.StringBuilder(ts.length * 3)
+          var oov = 0L
+          var i = 0
+          while (i < ts.length) {
+            if (i > 0) sb.append(' ')
+            bc.value.get(ts(i)) match {
+              case Some(id) => sb.append(id)
+              case None => sb.append(unkId); oov += 1L
+            }
+            i += 1
+          }
+          (docId, sb.toString, ts.length.toLong, oov)
+        }
+      }
+      .toDF("doc_id", "ids", "n_tokens", "n_oov")
+  }
+
   /** Corpus n-gram statistics: the `k` most frequent token n-grams
     * with occurrence and document counts — the LM-smoothing /
     * contamination-screening primitive ([[vocab]] is the n = 1 case).

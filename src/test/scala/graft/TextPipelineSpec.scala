@@ -134,6 +134,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, 1L, md5Hex(""))))
   }
 
+  test("encodeTokens: broadcast map-only encode, OOV to unk, null text empty") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the the dog"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vocab = Seq(("the", 0L), ("cat", 1L), ("sat", 2L)).toDF("token", "id")
+    val got = graft.operators.TextOps.encodeTokens(docs, vocab, unkId = -1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "0 1 2", 3L, 0L),
+      (2L, "0 0 -1", 3L, 1L), // repeated in-vocab + one OOV
+      (3L, "", 0L, 0L)))
+    // map-only: the corpus never shuffles — no exchange above the scan
+    // (the vocab collect is its own tiny job, not part of this plan)
+    val plan = graft.operators.TextOps.encodeTokens(docs, vocab, unkId = -1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // the vocab gate catches a corpus-sized dictionary
+    val e = intercept[IllegalArgumentException](
+      graft.operators.TextOps.encodeTokens(docs, vocab, unkId = -1L, maxVocab = 2L))
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("bm25 ranks term-dense docs first and honors k") {
     val s = spark
     import s.implicits._
