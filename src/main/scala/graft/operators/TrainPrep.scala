@@ -544,29 +544,56 @@ object TrainPrep {
       key: Column,
       stratum: Column,
       alpha: Double,
+      targetFraction: Double): DataFrame =
+    applySampleRates(df, key, stratum,
+      temperatureRates(df, stratum, alpha, targetFraction))
+
+  /** The per-stratum rate table behind [[temperatureSample]], exposed
+    * so a STREAM can apply batch-derived rates: compute the rates on a
+    * batch snapshot (streams can't run the global count aggregate),
+    * then [[applySampleRates]] on the live stream — the stream-static
+    * broadcast join + stateless filter is fully streaming-safe, and
+    * batch/stream membership is identical by construction (spec:
+    * PipelineLawsSpec). Output: (stratum, rate) with rate in [0, 1].
+    */
+  def temperatureRates(
+      df: DataFrame,
+      stratum: Column,
+      alpha: Double,
       targetFraction: Double): DataFrame = {
     require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
     require(targetFraction > 0.0 && targetFraction <= 1.0,
       s"targetFraction must be in (0, 1], got $targetFraction")
     val counts = df
-      .groupBy(stratum.cast("string").as("__stratum"))
+      .groupBy(stratum.cast("string").as("stratum"))
       .agg(F.count(F.lit(1)).cast("double").as("__n_s"))
     val totals = counts.agg(
       F.sum("__n_s").as("__n_tot"),
       F.sum(F.pow(F.col("__n_s"), alpha)).as("__sum_pow"))
-    val rates = counts.crossJoin(totals).select(
-      F.col("__stratum"),
+    counts.crossJoin(totals).select(
+      F.col("stratum"),
       F.least(
         F.lit(1.0),
         F.pow(F.col("__n_s"), alpha) / F.col("__sum_pow") *
           (F.lit(targetFraction) * F.col("__n_tot")) / F.col("__n_s"))
-        .as("__rate"))
+        .as("rate"))
+  }
+
+  /** md5-membership filter against a (stratum, rate) table — the apply
+    * half of [[temperatureSample]], usable on batch frames AND streams
+    * (broadcast stream-static join, no state). Rows whose stratum is
+    * absent from `rates` are DROPPED (rate 0): for sampling, an
+    * unlisted source must not leak through at full rate.
+    */
+  def applySampleRates(
+      df: DataFrame, key: Column, stratum: Column,
+      rates: DataFrame): DataFrame =
     df.join(
-        F.broadcast(rates),
+        F.broadcast(rates.select(
+          F.col("stratum").as("__stratum"), F.col("rate").as("__rate"))),
         stratum.cast("string") === F.col("__stratum"))
       .where(hashBucket(key, 10000) < F.round(F.col("__rate") * 10000))
       .drop("__stratum", "__rate")
-  }
 
   /** Deterministic stratified sample: keep a row iff its md5 bucket
     * (out of 10 000) falls below the stratum's rate. A stateless

@@ -108,6 +108,27 @@ class PipelineLawsSpec extends SparkSpec {
       s"stream ${streamed.length} rows != batch ${batchOut.length} rows")
     assert(batchOut.nonEmpty, "degenerate fixture: batch output empty")
 
+    // temperature sampling can't aggregate on a stream — its streaming
+    // face is batch-derived rates applied via the stream-static
+    // broadcast join; membership must match the batch operator exactly
+    val rates = TrainPrep.temperatureRates(
+      batch, F.col("source"), alpha = 0.5, targetFraction = 0.5)
+    val inT = MemoryStream[(Long, String, String)]
+    inT.addData(rows: _*)
+    StreamingOps.runToMemory(
+      TrainPrep.applySampleRates(
+        inT.toDF().toDF("doc_id", "text", "source"),
+        F.col("doc_id"), F.col("source"), rates)
+        .select("doc_id"),
+      "temp_stream", OutputMode.Append())
+    val tempStreamed = s.sql("SELECT doc_id FROM temp_stream")
+      .collect().map(_.getLong(0)).sorted
+    val tempBatch = TrainPrep.temperatureSample(
+      batch, F.col("doc_id"), F.col("source"),
+      alpha = 0.5, targetFraction = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(tempStreamed.sameElements(tempBatch) && tempBatch.nonEmpty)
+
     // context-window chunking is a per-row explode — also stream-safe
     val inC = MemoryStream[(Long, String, String)]
     inC.addData(rows: _*)
