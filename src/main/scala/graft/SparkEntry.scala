@@ -82,7 +82,8 @@ object SparkEntry {
     "t_pack_greedy", "t_pack_manifest",
     "t_line_dedup", "t_bm25", "d_fuzzy_match",
     "t_ngram_counts", "t_length_batches", "d_sample_k_stratum",
-    "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens")
+    "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens",
+    "v_ivf_topk_batch")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -656,6 +657,17 @@ object SparkEntry {
       // see SimilaritySpec).
       val index = Similarity.ivfBuild(emb(s, d), nLists = 16)
       Similarity.ivfTopK(index, queryVec(s, d), k = 20, nprobe = 12)
+    }),
+
+    "v_ivf_topk_batch" -> ((s, d) => {
+      // the batch-retrieval scale path: probe selection on the
+      // executors, ONE cluster-keyed join for all queries, salted
+      // per-query top-k (same operating point as v_ivf_topk)
+      val e = emb(s, d)
+      val index = Similarity.ivfBuild(e, nLists = 16)
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      Similarity.ivfTopKBatch(index, qs, k = 10, nprobe = 12)
     }),
 
     "d_ngram_jaccard" -> ((s, d) => {
@@ -1821,6 +1833,36 @@ object SparkEntry {
           |  GROUP BY a.id)
           |SELECT id, round(cos, 4) AS score FROM scored
           |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // batch generalization of the v_ivf_topk replay: per-query probe
+    // ranking, probe-bounded candidate join, rank on the ROUNDED score
+    // (the engine's batch parity convention — see v_batch_topk)
+    "v_ivf_topk_batch" ->
+      (s"""WITH ivsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("ivsrc", 16, 15, "iv")},
+          |qs AS (SELECT id AS qid, f, x FROM ivsrc WHERE id <= 4),
+          |cq AS (SELECT q.qid, k.c,
+          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+          |  FROM ivkc15 k JOIN qs q ON q.f = k.f GROUP BY q.qid, k.c),
+          |probes AS (SELECT qid, c FROM (
+          |  SELECT qid, c, row_number() OVER (
+          |    PARTITION BY qid ORDER BY d, c) AS rn FROM cq) WHERE rn <= 12),
+          |sel AS (SELECT p.qid, fin.id
+          |  FROM ivfin fin JOIN probes p ON p.c = fin.c),
+          |scored AS (SELECT s.qid, a.id,
+          |  round(sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)), 4)
+          |    AS score
+          |  FROM ivsrc a JOIN sel s ON s.id = a.id
+          |  JOIN qs q ON q.qid = s.qid AND q.f = a.f
+          |  GROUP BY s.qid, a.id)
+          |SELECT qid, id, score FROM (
+          |  SELECT qid, id, score, row_number() OVER (
+          |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+          |  FROM scored) WHERE rn <= 10
+          |ORDER BY qid, score DESC, id ASC""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
 
     "v_sql_surface" ->

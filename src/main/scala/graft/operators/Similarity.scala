@@ -317,7 +317,12 @@ object Similarity {
     * probe set ivfTopK uses (SimilaritySpec's clustered-recall spec).
     */
   def ivfProbes(index: IvfIndex, query: Array[Double], nprobe: Int): Array[Int] =
-    index.centroids
+    probesFor(index.centroids, query, nprobe)
+
+  private def probesFor(
+      centroids: Array[(Int, Array[Double])], query: Array[Double],
+      nprobe: Int): Array[Int] =
+    centroids
       .map { case (c, cv) =>
         (c, 1.0 - graft.functions.VectorKernels.cosine(query, cv))
       }
@@ -333,6 +338,47 @@ object Similarity {
       .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
       .orderBy(F.col("score").desc, F.col("id").asc)
       .limit(k)
+  }
+
+  /** MANY queries against the IVF index at once — the batch-retrieval
+    * scale path. [[ivfTopK]] is one driver-side probe selection per
+    * call; a million-query batch needs the probes chosen on the
+    * EXECUTORS and a single join to do all the scanning:
+    *   1. centroids broadcast; a map-only pass turns each query row
+    *      into its `nprobe` (qid, cluster) probe rows (same selection
+    *      as [[ivfProbes]] — shared code, can't drift);
+    *   2. ONE equi-join of the probe rows against the cluster-keyed
+    *      lists — each query scans only its probed lists, and the join
+    *      key is the cluster id, so co-grouping is by list exactly as
+    *      the partitioned layout prunes on disk;
+    *   3. exact per-query top-k through [[graft.scale.Skew
+    *      .saltedTopKPerKey]], so a query whose probes cover a huge
+    *      list still bounds every task.
+    * No per-query driver work, no window over all candidates in one
+    * task. Queries need columns (qid, qvec); output (qid, id, score),
+    * rank on the rounded score with id tiebreak (the engine's batch
+    * parity convention). Query vectors ride through the join once each
+    * — fine for probe-bounded fan-out (nprobe rows per query).
+    */
+  def ivfTopKBatch(
+      index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val probed = queries
+      .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        probesFor(bc.value, qv, nprobe).map(c => (qid, c, qv))
+      }
+      .toDF("qid", "cluster", "qvec")
+    val scored = probed
+      .join(index.assigned, "cluster")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.saltedTopKPerKey(
+        scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
   /** Persist an IVF index as cluster-partitioned Parquet plus a

@@ -92,6 +92,31 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("IVF batch search agrees with the single-query path per query") {
+    val index = Similarity.ivfBuild(emb, nLists = 8)
+    val s = spark
+    import s.implicits._
+    val qids = Seq(3L, 11L, 200L)
+    val qs = emb.where(F.col("id").isin(qids: _*))
+      .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+    val batch = Similarity.ivfTopKBatch(index, qs, k = 10, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qids.foreach { qid =>
+      val qv = emb.where(F.col("id") === qid)
+        .select("vec").head.getSeq[Double](0).toArray
+      val single = Similarity.ivfTopK(index, qv, 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"qid=$qid batch != single")
+    }
+    // probe-bounded equi-join, never a cartesian over queries × items
+    val plan = Similarity.ivfTopKBatch(index, qs, k = 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("IVF with nprobe=2 has high recall on clustered data") {
     val index = Similarity.ivfBuild(emb, nLists = 8)
     val brute = Similarity.annTopK(emb, query, 10).collect().map(_.getLong(0)).toSet
