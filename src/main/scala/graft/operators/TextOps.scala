@@ -140,11 +140,23 @@ object TextOps {
     val typedVocab = vocabIds
       .select(F.col("token").cast("string"), F.col("id").cast("long"))
       .as[(String, Long)]
-    require(typedVocab.limit(maxVocab.toInt + 1).count() <= maxVocab,
+    // ONE bounded fetch serves as both the gate probe and the collect
+    // (a separate limit+count would re-execute the vocab lineage — for
+    // a corpus-derived vocab that is the whole corpus aggregation,
+    // twice). Clamped before toInt: a maxVocab past Int.MaxValue must
+    // not wrap into a negative limit or a vacuously small probe.
+    val probeN = (math.min(maxVocab, Int.MaxValue - 1L) + 1L).toInt
+    val collected = typedVocab.take(probeN)
+    require(collected.length <= maxVocab,
       s"encodeTokens vocab exceeds maxVocab=$maxVocab rows — a vocabulary " +
         "is driver-sized by construction; this looks like the corpus. " +
         "Pass the (token, id) dictionary, or raise maxVocab explicitly.")
-    val bc = spark.sparkContext.broadcast(typedVocab.collect().toMap)
+    val vocabMap = collected.toMap
+    require(vocabMap.size == collected.length,
+      "encodeTokens vocab has duplicate token entries — toMap would keep " +
+        "an arbitrary id per token (partition-order-dependent encoding). " +
+        "Deduplicate the dictionary first.")
+    val bc = spark.sparkContext.broadcast(vocabMap)
     docs
       .select(F.col("doc_id").cast("long"), F.col("text").cast("string"))
       .as[(Long, String)]

@@ -583,7 +583,12 @@ object TrainPrep {
     * half of [[temperatureSample]], usable on batch frames AND streams
     * (broadcast stream-static join, no state). Rows whose stratum is
     * absent from `rates` are DROPPED (rate 0): for sampling, an
-    * unlisted source must not leak through at full rate.
+    * unlisted source must not leak through at full rate. The join is
+    * NULL-SAFE (`<=>`): a null stratum is a real group —
+    * [[temperatureRates]] counts it and assigns it a rate, so dropping
+    * those rows here would silently shrink the realized fraction below
+    * target (and break the α=1 ≡ uniform law on corpora with null
+    * sources).
     */
   def applySampleRates(
       df: DataFrame, key: Column, stratum: Column,
@@ -591,7 +596,7 @@ object TrainPrep {
     df.join(
         F.broadcast(rates.select(
           F.col("stratum").as("__stratum"), F.col("rate").as("__rate"))),
-        stratum.cast("string") === F.col("__stratum"))
+        stratum.cast("string") <=> F.col("__stratum"))
       .where(hashBucket(key, 10000) < F.round(F.col("__rate") * 10000))
       .drop("__stratum", "__rate")
 

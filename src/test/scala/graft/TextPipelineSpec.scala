@@ -157,6 +157,15 @@ class TextPipelineSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       graft.operators.TextOps.encodeTokens(docs, vocab, unkId = -1L, maxVocab = 2L))
     assert(e.getMessage.contains("maxVocab"))
+    // a maxVocab past Int.MaxValue must not wrap the probe
+    assert(graft.operators.TextOps.encodeTokens(
+      docs, vocab, unkId = -1L, maxVocab = Long.MaxValue).count() == 3L)
+    // duplicate dictionary entries fail loudly instead of encoding
+    // with an arbitrary partition-order-dependent id
+    val dup = vocab.union(Seq(("the", 7L)).toDF("token", "id"))
+    val d = intercept[IllegalArgumentException](
+      graft.operators.TextOps.encodeTokens(docs, dup, unkId = -1L))
+    assert(d.getMessage.contains("duplicate"))
   }
 
   test("bm25 ranks term-dense docs first and honors k") {

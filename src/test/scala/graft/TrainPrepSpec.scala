@@ -412,6 +412,22 @@ class TrainPrepSpec extends SparkSpec {
       docs, F.col("doc_id"), F.col("source"), alpha = 1.0, targetFraction = 0.4)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == uni)
+    // a null stratum is a real group: counted, rated, and KEPT through
+    // the null-safe rate join — the alpha=1 uniform law must also hold
+    // on a corpus with null sources (stratifiedHashSample rates null
+    // strata at the default)
+    val withNulls = docs.withColumn("source",
+      F.when(F.col("doc_id") % 5 === 0, F.lit(null: String))
+        .otherwise(F.col("source")))
+    val uniN = TrainPrep.temperatureSample(
+      withNulls, F.col("doc_id"), F.col("source"),
+      alpha = 1.0, targetFraction = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flatN = TrainPrep.stratifiedHashSample(
+      withNulls, F.col("doc_id"), F.col("source"), Map.empty, defaultRate = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uniN == flatN)
+    assert(uniN.exists(_ % 5 == 0), "null-stratum rows must be sampled, not dropped")
   }
 
   test("releasePinnedCaches unpersists the packers' pinned RDDs") {
