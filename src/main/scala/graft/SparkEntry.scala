@@ -83,7 +83,7 @@ object SparkEntry {
     "t_line_dedup", "t_bm25", "d_fuzzy_match",
     "t_ngram_counts", "t_length_batches", "d_sample_k_stratum",
     "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens",
-    "v_ivf_topk_batch")
+    "v_ivf_topk_batch", "d_dedup_against")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -429,6 +429,18 @@ object SparkEntry {
           alpha = 0.5, targetFraction = 0.5)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    "d_dedup_against" -> ((s, d) => {
+      // continual-pretraining dedup: new data (corpus) against the
+      // existing training set (reference); the reference is untouched
+      val all = docs(s, d)
+      Dedup.dedupAgainst(
+          all.where(F.col("doc_id") % 10 =!= 0),
+          all.where(F.col("doc_id") % 10 === 0),
+          jaccardThreshold = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
 
     "d_semantic_neardup" -> ((s, d) =>
       // SemDeDup: deterministic-k-means cells, exact cosine within a
@@ -1608,6 +1620,19 @@ object SparkEntry {
         |SELECT doc_id FROM keepers
         |WHERE doc_id NOT IN (
         |  SELECT doc_b FROM jpairs WHERE jaccard >= 0.8)
+        |ORDER BY doc_id""".stripMargin,
+
+    // cross-corpus dedup replay: the complete >= 0.8 pair set (prefix-
+    // filter candidates, exact jaccard) restricted to pairs crossing
+    // the corpus/reference split; survivors = corpus docs in no such
+    // pair (either orientation — jpairs orders doc_a < doc_b)
+    "d_dedup_against" ->
+      s"""WITH $JaccardPairsCte
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (
+        |  SELECT doc_a FROM jpairs WHERE jaccard >= 0.8 AND doc_b % 10 = 0
+        |  UNION
+        |  SELECT doc_b FROM jpairs WHERE jaccard >= 0.8 AND doc_a % 10 = 0)
         |ORDER BY doc_id""".stripMargin,
 
     // transitive closure of the exact >= 0.8 Jaccard pair graph via

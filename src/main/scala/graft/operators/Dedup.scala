@@ -287,6 +287,92 @@ object Dedup {
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** Cross-corpus MinHash near-dups: every (corpus doc, reference doc)
+    * pair with exact shingle Jaccard computed — the candidate engine
+    * behind [[dedupAgainst]], the continual-pretraining shape: new data
+    * is deduplicated AGAINST the existing training set, not against
+    * itself (the self-join form is [[minhashNearDupPairs]]; both share
+    * [[bandKeys]], so the banding schemes cannot diverge). Same scale
+    * story as the self-join: slim (id, sig) band frames ride the
+    * ×bands explosion, the cross join is a banded EQUI-join, the
+    * est-floor prunes map-side before the pair-dedup shuffle, and the
+    * exact verify re-joins shingles once per surviving candidate.
+    * Output: (doc_id, ref_id, est_jaccard, jaccard) — doc_id from
+    * `corpus`, ref_id from `reference`; the id spaces may overlap
+    * (different tables), pairs are keyed by the (doc_id, ref_id)
+    * combination.
+    */
+  def minhashNearDupAgainst(
+      corpus: DataFrame,
+      reference: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      estFloor: Double = 0.0): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigsC = minhashSignatures(corpus, shingleLen, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigsR = minhashSignatures(reference, shingleLen, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one-pass cache fill per side (the band join reads each once, the
+    // verify join once more — unmaterialized, the scans would race)
+    graft.core.Debug.timed("cross-minhash signatures") {
+      sigsC.count(); sigsR.count()
+    }
+    val a = bandKeys(sigsC, numHashes, bands).select(
+      F.col("band"), F.col("bh"), F.col("doc_id"), F.col("sig").as("sig_a"))
+    val b = bandKeys(sigsR, numHashes, bands).select(
+      F.col("band"), F.col("bh"), F.col("doc_id").as("ref_id"),
+      F.col("sig").as("sig_b"))
+    val candidates = graft.core.Debug.timed("cross-minhash candidates")(
+      a.join(b, Seq("band", "bh"))
+        .withColumn(
+          "est_jaccard",
+          sigAgreement(F.col("sig_a"), F.col("sig_b"), numHashes))
+        .where(F.col("est_jaccard") >= estFloor)
+        .select("doc_id", "ref_id", "est_jaccard")
+        .dropDuplicates("doc_id", "ref_id")
+        .localCheckpoint())
+    val shC = corpus
+      .join(candidates.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh_a"))
+    val shR = reference
+      .join(
+        candidates.select(F.col("ref_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(F.col("doc_id").as("ref_id"), shingles(F.col("text"), shingleLen).as("sh_b"))
+    val verified = candidates
+      .join(shC, "doc_id")
+      .join(shR, "ref_id")
+      .select(
+        F.col("doc_id"), F.col("ref_id"), F.col("est_jaccard"),
+        F.round(
+          F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
+            F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))), 4).as("jaccard"))
+      .orderBy(F.col("jaccard").desc, F.col("doc_id").asc, F.col("ref_id").asc)
+    graft.core.Debug.timed("cross-minhash verify")(
+      materializeAndRelease(verified, sigsC, sigsR))
+  }
+
+  /** Drop every corpus doc with a reference near-dup at exact Jaccard ≥
+    * `jaccardThreshold` — dedup new data against the existing training
+    * set (the reference itself is never modified). estFloor at 3/4·t,
+    * same σ-reasoning as [[dedupCorpus]]. Returns the surviving corpus
+    * rows unchanged.
+    */
+  def dedupAgainst(
+      corpus: DataFrame,
+      reference: DataFrame,
+      jaccardThreshold: Double = 0.8,
+      shingleLen: Int = 3): DataFrame = {
+    val losers = minhashNearDupAgainst(
+        corpus, reference, shingleLen, numHashes = 64, bands = 16,
+        estFloor = 0.75 * jaccardThreshold)
+      .where(F.col("jaccard") >= jaccardThreshold)
+      .select("doc_id").distinct()
+    corpus.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Transitive near-duplicate clusters: connected components over the
     * near-dup pair graph. Pairwise "drop doc_b" dedup is not transitive
     * (A~B and B~C does not imply A~C — dropping per pair can drop a

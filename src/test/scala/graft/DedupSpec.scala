@@ -77,6 +77,40 @@ class DedupSpec extends SparkSpec {
     (0 until 5).foreach(i => assert(!surviving.contains(100L + i), s"near-dup ${100 + i} kept"))
   }
 
+  test("dedupAgainst drops exactly the corpus docs near a reference doc") {
+    // reference = the 60 originals; corpus = planted near-dups (ids
+    // 100-104, one word changed) + exact dups (200-202) + fresh docs.
+    // The near-dups and exact dups must be dropped; fresh docs survive;
+    // the reference is never modified by construction.
+    val reference = docs.where(F.col("doc_id") < 100)
+    val s = spark
+    import s.implicits._
+    val fresh = Seq(
+      (300L, "totally novel content about nothing seen before"),
+      (301L, "another unseen document with fresh words entirely"))
+      .toDF("doc_id", "text")
+    val corpus = docs.where(F.col("doc_id") >= 100).unionByName(fresh)
+    val survivors = Dedup.dedupAgainst(corpus, reference, jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(300L, 301L),
+      s"only the fresh docs should survive: $survivors")
+    // cross pairs at >= 0.8 match the brute-force cross jaccard
+    val got = Dedup.minhashNearDupAgainst(corpus, reference)
+      .where(F.col("jaccard") >= 0.8)
+      .select("doc_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(F.col("doc_id"), Dedup.shingles(F.col("text"), 3).as("sh"))
+    val brute = sh(corpus).crossJoin(
+        sh(reference).select(F.col("doc_id").as("ref_id"), F.col("sh").as("sh_r")))
+      .select(F.col("doc_id"), F.col("ref_id"),
+        (F.size(F.array_intersect(F.col("sh"), F.col("sh_r"))).cast("double") /
+          F.size(F.array_union(F.col("sh"), F.col("sh_r")))).as("j"))
+      .where(F.col("j") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"banded cross pairs != brute force: $got vs $brute")
+  }
+
   test("simhash near-dup pairs include exact duplicates at hamming 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, maxDist = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
