@@ -373,6 +373,38 @@ object TrainPrep {
             _.cast("string")),
           ",").as("doc_ids"))
 
+  /** Persist a packed corpus as SHARD-PARTITIONED Parquet plus the
+    * training manifest — the artifact layout a training job consumes:
+    * `path/shards/shard=K/` holds shard K's documents (text joined back
+    * onto either packer's layout) so a data loader reads exactly its
+    * shard's files (partition pruning — spec-asserted) and never scans
+    * the corpus for one shard; `path/manifest/` is [[shardManifest]]'s
+    * per-shard doc/token accounting. Writing is one partitioned write
+    * (shuffle-free beyond the packer's own range layout); the join back
+    * to text is an equi-join on doc_id.
+    */
+  def writeShards(packed: DataFrame, docs: DataFrame, path: String): Unit = {
+    packed
+      .join(docs.select(F.col("doc_id").cast("long").as("doc_id"), F.col("text")), "doc_id")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/shards")
+    shardManifest(packed)
+      .write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** One shard of a [[writeShards]] layout — reads ONLY that shard's
+    * partition directory (the `shard` filter prunes at the source).
+    * The shard column is cast back to long: partition-directory type
+    * inference narrows it to int on read, and consumers hold the
+    * packers' long contract.
+    */
+  def readShard(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      shard: Long): DataFrame =
+    spark.read.parquet(s"$path/shards")
+      .where(F.col("shard") === shard)
+      .withColumn("shard", F.col("shard").cast("long"))
+
   /** 1-based rank of `key` within each `stratum` WITHOUT a per-stratum
     * window (whose rank pass is one task per stratum — a skew wall when
     * one source dominates the corpus). Range-partition by (stratum,

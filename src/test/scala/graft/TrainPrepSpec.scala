@@ -383,6 +383,33 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("writeShards: partitioned layout, pruned shard reads, manifest parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val packed = TrainPrep.packTokenShardsGreedy(docs, budget = 256)
+    TrainPrep.writeShards(packed, docs, dir)
+    TrainPrep.releasePinnedCaches(blocking = true)
+    // a single-shard read prunes to that partition at the source
+    val one = TrainPrep.readShard(spark, dir, shard = 0L)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("shard"),
+      s"no partition pruning in:\n${plan.take(1200)}")
+    // round-trip: every doc lands in its packed shard with its text
+    val got = spark.read.parquet(s"$dir/shards")
+      // partition inference narrows shard to int — normalize for compare
+      .select(F.col("doc_id"), F.col("shard").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = packed.select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // the persisted manifest equals the recomputed one
+    val m1 = spark.read.parquet(s"$dir/manifest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val m2 = TrainPrep.shardManifest(packed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(m1 == m2)
+    TrainPrep.releasePinnedCaches(blocking = true)
+  }
+
   test("temperatureSample: alpha=1 is uniform; alpha<1 up-weights small strata") {
     val s = spark
     import s.implicits._
