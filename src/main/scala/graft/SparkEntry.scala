@@ -83,7 +83,7 @@ object SparkEntry {
     "t_line_dedup", "t_bm25", "d_fuzzy_match",
     "t_ngram_counts", "t_length_batches", "d_sample_k_stratum",
     "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens",
-    "v_ivf_topk_batch", "d_dedup_against")
+    "v_ivf_topk_batch", "d_dedup_against", "t_corpus_report")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -373,6 +373,27 @@ object SparkEntry {
 
     "t_vocab" -> ((s, d) =>
       TextOps.vocab(docs(s, d), 50)),
+
+    "t_corpus_report" -> ((s, d) =>
+      // one-row corpus health report — the observability aggregate a
+      // pipeline runs before/after every filter stage: volume, token
+      // mass, exact length quantiles, source/lang diversity. One
+      // partially-aggregated pass; exact percentile is fine HERE
+      // because the report is one global row, not per-group state
+      docs(s, d)
+        .select(
+          F.col("doc_id"), F.col("source"), F.col("lang"),
+          F.coalesce(
+            F.size(TextOps.tokens(F.col("text"))).cast("long"),
+            F.lit(0L)).as("n_tokens"))
+        .agg(
+          F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_tokens").as("total_tokens"),
+          F.round(F.avg("n_tokens"), 4).as("avg_tokens"),
+          F.round(F.expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+          F.round(F.expr("percentile(n_tokens, 0.95)"), 4).as("p95_tokens"),
+          F.countDistinct("source").as("n_sources"),
+          F.countDistinct("lang").as("n_langs"))),
 
     "t_encode_tokens" -> ((s, d) => {
       // corpus-derived top-100 vocab ranked (count desc, token asc) →
@@ -1977,6 +1998,21 @@ object SparkEntry {
         |FROM tok GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
         |LIMIT 50""".stripMargin,
+
+    "t_corpus_report" ->
+      """WITH l AS (
+        |  SELECT source, lang,
+        |    coalesce(len(string_split_regex(trim(text), '\s+')), 0)::BIGINT
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  sum(n_tokens)::BIGINT AS total_tokens,
+        |  round(avg(n_tokens), 4) AS avg_tokens,
+        |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+        |  round(quantile_cont(n_tokens, 0.95), 4) AS p95_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM l""".stripMargin,
 
     // same vocab ranking as the engine (count desc, token asc → ids
     // 0..99), then per-token LEFT JOIN with coalesce(id, -1); the

@@ -129,6 +129,24 @@ class PipelineLawsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(tempStreamed.sameElements(tempBatch) && tempBatch.nonEmpty)
 
+    // vocab-id encoding is a map over a broadcast dictionary — the
+    // vocab is static (its bounded fetch happens at plan time), the
+    // stream side never aggregates, so the SAME operator runs on both
+    val vocabIds = Seq(("alpha", 0L), ("beta", 1L), ("gamma", 2L))
+      .toDF("token", "id")
+    val inE = MemoryStream[(Long, String, String)]
+    inE.addData(rows: _*)
+    StreamingOps.runToMemory(
+      TextOps.encodeTokens(
+        inE.toDF().toDF("doc_id", "text", "source"), vocabIds, unkId = -1L),
+      "enc_stream", OutputMode.Append())
+    val encStreamed = s.sql("SELECT doc_id, ids, n_oov FROM enc_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val encBatch = TextOps.encodeTokens(batch, vocabIds, unkId = -1L)
+      .select("doc_id", "ids", "n_oov")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(encStreamed.sameElements(encBatch) && encBatch.nonEmpty)
+
     // context-window chunking is a per-row explode — also stream-safe
     val inC = MemoryStream[(Long, String, String)]
     inC.addData(rows: _*)
