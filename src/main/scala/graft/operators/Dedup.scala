@@ -156,6 +156,75 @@ object Dedup {
         F.zip_with(sigA, sigB, (x, y) => F.when(x === y, 1.0).otherwise(0.0)),
         F.lit(0.0), (acc, v) => acc + v) / numHashes, 4)
 
+  /** Candidate-id sets at or below this row count are broadcast into
+    * the shingle semi-joins; above it the semi-join shuffles (the
+    * candidate set scales with near-dup density — on a boilerplate-
+    * heavy corpus an unconditional broadcast is a driver OOM, not a
+    * plan choice). The count is measured on the checkpointed candidate
+    * frame, so the gate costs a metadata scan, not a recompute.
+    */
+  private val BroadcastMaxCandidates = 2_000_000L
+
+  /** Shared candidate stage of [[minhashNearDupPairs]] and
+    * [[minhashNearDupAgainst]]: banded equi-join of two slim
+    * (band, bh, id, sig_a/sig_b) frames, optional pair predicate
+    * (`doc_a < doc_b` for the self-join; none for the cross join),
+    * signature-agreement estimate computed MAP-SIDE and floor-pruned
+    * before the pair-dedup shuffle, then localCheckpoint'ed — the
+    * candidate set feeds three consumers (the id semi-joins and the
+    * verify join), so it materializes once instead of re-running the
+    * band shuffle per consumer. Output: (idA, idB, est_jaccard).
+    */
+  private def bandedCandidates(
+      a: DataFrame, b: DataFrame, idA: String, idB: String,
+      pairFilter: Column, numHashes: Int, estFloor: Double,
+      label: String): DataFrame =
+    graft.core.Debug.timed(label)(
+      a.join(b, Seq("band", "bh"))
+        .where(pairFilter)
+        .withColumn(
+          "est_jaccard",
+          sigAgreement(F.col("sig_a"), F.col("sig_b"), numHashes))
+        .where(F.col("est_jaccard") >= estFloor)
+        .select(idA, idB, "est_jaccard")
+        .dropDuplicates(idA, idB)
+        .localCheckpoint())
+
+  /** Shingle only the docs whose ids appear in `ids` (semi-join,
+    * broadcast when the candidate count cleared
+    * [[BroadcastMaxCandidates]]): the exact-Jaccard verify is bounded
+    * by candidate density, never by corpus size — at 100 TB the full
+    * corpus is shingled exactly once (in the signature pass), not
+    * three times. Output: (doc_id, sh).
+    */
+  private def shinglesFor(
+      docs: DataFrame, ids: DataFrame, broadcastIds: Boolean,
+      shingleLen: Int): DataFrame =
+    docs
+      .join(if (broadcastIds) F.broadcast(ids) else ids,
+        Seq("doc_id"), "left_semi")
+      .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh"))
+
+  /** Shared verify stage: join each candidate pair back to its two
+    * shingle sets and compute the exact Jaccard, sorted by exact
+    * Jaccard descending with the pair ids as the tiebreak. `shA`/`shB`
+    * are (doc_id, sh) frames from [[shinglesFor]].
+    */
+  private def verifyExactJaccard(
+      candidates: DataFrame, idA: String, idB: String,
+      shA: DataFrame, shB: DataFrame): DataFrame =
+    candidates
+      .join(shA.select(F.col("doc_id").as(idA), F.col("sh").as("sh_a")), idA)
+      .join(shB.select(F.col("doc_id").as(idB), F.col("sh").as("sh_b")), idB)
+      .select(
+        F.col(idA),
+        F.col(idB),
+        F.col("est_jaccard"),
+        F.round(
+          F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
+            F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))), 4).as("jaccard"))
+      .orderBy(F.col("jaccard").desc, F.col(idA).asc, F.col(idB).asc)
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * shingle(n) → signature(numHashes) → `bands` bands of
@@ -197,48 +266,15 @@ object Dedup {
       F.col("band"), F.col("bh"), F.col("doc_id").as("doc_b"),
       F.col("sig").as("sig_b"))
 
-    // localCheckpoint: the candidate set feeds THREE consumers (the id
-    // semi-join below and both sides of the verify join) — materialize
-    // once instead of re-running the band shuffle per consumer
-    val candidates = graft.core.Debug.timed("minhash candidates")(
-      a.join(b, Seq("band", "bh"))
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-          "est_jaccard",
-          sigAgreement(F.col("sig_a"), F.col("sig_b"), numHashes))
-        .where(F.col("est_jaccard") >= estFloor)
-        .select("doc_a", "doc_b", "est_jaccard")
-        .dropDuplicates("doc_a", "doc_b")
-        .localCheckpoint())
-
-    // shingle only the docs that appear in a candidate pair: the
-    // exact-Jaccard verify is bounded by candidate density, never by
-    // corpus size — at 100 TB the full corpus is shingled exactly once
-    // (in the signature pass), not three times
+    val candidates = bandedCandidates(
+      a, b, "doc_a", "doc_b", F.col("doc_a") < F.col("doc_b"),
+      numHashes, estFloor, "minhash candidates")
     val candIds = candidates.select(F.col("doc_a").as("doc_id"))
       .unionByName(candidates.select(F.col("doc_b").as("doc_id")))
       .distinct()
-    // broadcast only when the id set is verifiably small: candidates
-    // are checkpointed, so the count is cheap, and a forced broadcast
-    // hint would override the size threshold — on a boilerplate-heavy
-    // corpus the candidate set scales with near-dup density and an
-    // unconditional broadcast is a driver OOM, not a plan choice
-    val candIdsSized =
-      if (candidates.count() <= 2_000_000L) F.broadcast(candIds) else candIds
-    val shTable = docs
-      .join(candIdsSized, Seq("doc_id"), "left_semi")
-      .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh"))
-    val verified = candidates
-      .join(shTable.select(F.col("doc_id").as("doc_a"), F.col("sh").as("sh_a")), "doc_a")
-      .join(shTable.select(F.col("doc_id").as("doc_b"), F.col("sh").as("sh_b")), "doc_b")
-      .select(
-        F.col("doc_a"),
-        F.col("doc_b"),
-        F.col("est_jaccard"),
-        F.round(
-          F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
-            F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))), 4).as("jaccard"))
-      .orderBy(F.col("jaccard").desc, F.col("doc_a").asc, F.col("doc_b").asc)
+    val small = candidates.count() <= BroadcastMaxCandidates
+    val shTable = shinglesFor(docs, candIds, small, shingleLen)
+    val verified = verifyExactJaccard(candidates, "doc_a", "doc_b", shTable, shTable)
     graft.core.Debug.timed("minhash verify")(materializeAndRelease(verified, sigs))
   }
 
@@ -324,32 +360,19 @@ object Dedup {
     val b = bandKeys(sigsR, numHashes, bands).select(
       F.col("band"), F.col("bh"), F.col("doc_id").as("ref_id"),
       F.col("sig").as("sig_b"))
-    val candidates = graft.core.Debug.timed("cross-minhash candidates")(
-      a.join(b, Seq("band", "bh"))
-        .withColumn(
-          "est_jaccard",
-          sigAgreement(F.col("sig_a"), F.col("sig_b"), numHashes))
-        .where(F.col("est_jaccard") >= estFloor)
-        .select("doc_id", "ref_id", "est_jaccard")
-        .dropDuplicates("doc_id", "ref_id")
-        .localCheckpoint())
-    val shC = corpus
-      .join(candidates.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-      .select(F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh_a"))
-    val shR = reference
-      .join(
-        candidates.select(F.col("ref_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
-      .select(F.col("doc_id").as("ref_id"), shingles(F.col("text"), shingleLen).as("sh_b"))
-    val verified = candidates
-      .join(shC, "doc_id")
-      .join(shR, "ref_id")
-      .select(
-        F.col("doc_id"), F.col("ref_id"), F.col("est_jaccard"),
-        F.round(
-          F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
-            F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))), 4).as("jaccard"))
-      .orderBy(F.col("jaccard").desc, F.col("doc_id").asc, F.col("ref_id").asc)
+    val candidates = bandedCandidates(
+      a, b, "doc_id", "ref_id", F.lit(true),
+      numHashes, estFloor, "cross-minhash candidates")
+    // same measured broadcast gate as the self-join: candidates are
+    // checkpointed, so the count is cheap, and a tiny candidate set
+    // must not force a full shuffle of a multi-TB reference table
+    val small = candidates.count() <= BroadcastMaxCandidates
+    val shC = shinglesFor(
+      corpus, candidates.select("doc_id").distinct(), small, shingleLen)
+    val shR = shinglesFor(
+      reference, candidates.select(F.col("ref_id").as("doc_id")).distinct(),
+      small, shingleLen)
+    val verified = verifyExactJaccard(candidates, "doc_id", "ref_id", shC, shR)
     graft.core.Debug.timed("cross-minhash verify")(
       materializeAndRelease(verified, sigsC, sigsR))
   }

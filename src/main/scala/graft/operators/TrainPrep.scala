@@ -379,13 +379,17 @@ object TrainPrep {
     * onto either packer's layout) so a data loader reads exactly its
     * shard's files (partition pruning — spec-asserted) and never scans
     * the corpus for one shard; `path/manifest/` is [[shardManifest]]'s
-    * per-shard doc/token accounting. Writing is one partitioned write
-    * (shuffle-free beyond the packer's own range layout); the join back
-    * to text is an equi-join on doc_id.
+    * per-shard doc/token accounting. The text join-back hash-scatters
+    * each shard's docs across join tasks, so the write REPARTITIONS on
+    * `shard` first: without it the dynamic-partition write opens a file
+    * per (task, shard) pair — at tens of thousands of shards that is a
+    * small-files blowup every pruned read then pays. One writer per
+    * shard; task size is bounded by the token budget, so no skew wall.
     */
   def writeShards(packed: DataFrame, docs: DataFrame, path: String): Unit = {
     packed
       .join(docs.select(F.col("doc_id").cast("long").as("doc_id"), F.col("text")), "doc_id")
+      .repartition(F.col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$path/shards")
     shardManifest(packed)

@@ -391,8 +391,11 @@ class TrainPrepSpec extends SparkSpec {
     // a single-shard read prunes to that partition at the source
     val one = TrainPrep.readShard(spark, dir, shard = 0L)
     val plan = one.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("shard"),
-      s"no partition pruning in:\n${plan.take(1200)}")
+    // match the FILTER CONTENT, not just the section header: empty
+    // filters print as "PartitionFilters: []" and the temp-dir path
+    // contains "shards", so bare contains() checks are vacuous
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(plan).isDefined,
+      s"no shard partition filter in:\n${plan.take(1200)}")
     // round-trip: every doc lands in its packed shard with its text
     val got = spark.read.parquet(s"$dir/shards")
       // partition inference narrows shard to int — normalize for compare
