@@ -83,7 +83,8 @@ object SparkEntry {
     "t_line_dedup", "t_bm25", "d_fuzzy_match",
     "t_ngram_counts", "t_length_batches", "d_sample_k_stratum",
     "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens",
-    "v_ivf_topk_batch", "d_dedup_against", "t_corpus_report")
+    "v_ivf_topk_batch", "d_dedup_against", "t_corpus_report",
+    "t_unigram_lm")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -431,6 +432,17 @@ object SparkEntry {
 
     "t_ngram_counts" -> ((s, d) =>
       TextOps.ngramCounts(docs(s, d), n = 3, k = 30)),
+
+    // CCNet-style LM quality scores: unigram LM trained on the corpus
+    // itself here (self-scoring ranks fluency within the corpus); the
+    // cross-corpus shape (train on trusted, score crawl) is the same
+    // operator with a different lmCorpus. Rounded at presentation
+    // time so the operator's raw double stays reusable.
+    "t_unigram_lm" -> ((s, d) =>
+      TextOps.unigramLogProb(docs(s, d), docs(s, d))
+        .select(F.col("doc_id"), F.col("n_tokens"),
+          F.round(F.col("bits_per_token"), 6).as("bits_per_token"))
+        .orderBy("doc_id")),
 
     "t_length_batches" -> ((s, d) =>
       TrainPrep.lengthBucketBatches(docs(s, d), width = 16, batchSize = 8)
@@ -2101,6 +2113,27 @@ object SparkEntry {
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 10""".stripMargin,
+
+    // add-one-smoothed unigram LM replay: denom = N + V + 1 (one OOV
+    // bucket); self-scoring means no OOV here, but the join form keeps
+    // the oracle honest about the per-token probability
+    "t_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY token),
+        |tot AS (SELECT sum(c) + count(*) + 1 AS denom FROM cnt),
+        |sc AS (
+        |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |    avg(-log2((cnt.c + 1) / tot.denom)) AS bits
+        |  FROM tok t JOIN cnt USING (token), tot
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+        |  round(coalesce(s.bits, 0), 6) AS bits_per_token
+        |FROM documents d LEFT JOIN sc s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "t_ngram_counts" ->
       """WITH toks AS (

@@ -208,6 +208,79 @@ object TextOps {
       .limit(k)
   }
 
+  /** CCNet-style unigram-LM quality scoring (Wenzek et al. 2020 §4.3
+    * reconstructed from the published description: score each document
+    * by its per-token negative log-likelihood under a language model
+    * trained on a trusted corpus; low bits-per-token ≈ fluent text,
+    * high ≈ gibberish/boilerplate — the filter sits between the
+    * reference harness's ad-hoc quality heuristics and a real LM).
+    * The model here is the add-one-smoothed unigram LM over
+    * `lmCorpus`: p(t) = (count(t)+1) / (N+V+1) with one reserved
+    * out-of-vocabulary bucket, so scoring a corpus DIFFERENT from the
+    * training one (the CCNet shape: score crawl text against a
+    * Wikipedia LM) is well-defined — unseen tokens cost
+    * -log2(1/(N+V+1)) bits.
+    *
+    * 100 TB shape, same split as [[encodeTokens]]: the LM training
+    * pass is ONE partially-aggregated groupBy(token) shuffle over
+    * `lmCorpus` (bounded by distinct tokens per partition), the model
+    * is a driver-sized (token → count) dictionary broadcast once, and
+    * scoring is a MAP-ONLY compiled pass over the `docs` scan — no
+    * token explode, no scoring-side shuffle, no re-aggregation back to
+    * documents. The collect is gated at `maxVocab` with the same
+    * bounded single-fetch probe (catches passing an unaggregated
+    * corpus as the LM by mistake). Tokenization goes through
+    * [[tokensOf]] so the compiled loop cannot drift from the Column
+    * path that trained the counts.
+    *
+    * Output: (doc_id, n_tokens, bits_per_token) — bits_per_token is
+    * the UNROUNDED mean of -log2 p(token); null-text docs emit
+    * (0, 0.0). Callers wanting stable cross-engine hashes should
+    * round at presentation time.
+    */
+  def unigramLogProb(
+      docs: DataFrame, lmCorpus: DataFrame,
+      maxVocab: Long = 50000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = lmCorpus
+      .select(F.explode(tokens(F.col("text"))).as("token"))
+      .groupBy("token")
+      .agg(F.count(F.lit(1)).as("c"))
+      .select(F.col("token").cast("string"), F.col("c").cast("long"))
+      .as[(String, Long)]
+    val probeN = (math.min(maxVocab, Int.MaxValue - 1L) + 1L).toInt
+    val collected = counts.take(probeN)
+    require(collected.length <= maxVocab,
+      s"unigramLogProb LM vocabulary exceeds maxVocab=$maxVocab tokens — " +
+        "a unigram LM is driver-sized by construction; this looks like an " +
+        "unaggregated corpus. Raise maxVocab explicitly if intended.")
+    val vocabMap = collected.toMap
+    val n = collected.iterator.map(_._2).sum.toDouble
+    val v = vocabMap.size.toDouble
+    val denom = n + v + 1.0
+    val ln2 = math.log(2.0)
+    val bc = spark.sparkContext.broadcast(vocabMap)
+    docs
+      .select(F.col("doc_id").cast("long"), F.col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        if (text == null) (docId, 0L, 0.0)
+        else {
+          val ts = tokensOf(text)
+          var bits = 0.0
+          var i = 0
+          while (i < ts.length) {
+            val c = bc.value.getOrElse(ts(i), 0L)
+            bits -= math.log((c + 1.0) / denom) / ln2
+            i += 1
+          }
+          (docId, ts.length.toLong, bits / ts.length)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bits_per_token")
+  }
+
   /** C4-style cross-corpus line deduplication (Raffel et al. 2020
     * §2.2 reconstructed from the published description: any line
     * occurring ≥ `minCount` times in the corpus is kept ONCE, at its

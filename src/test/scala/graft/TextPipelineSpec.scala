@@ -191,4 +191,33 @@ class TextPipelineSpec extends SparkSpec {
     // scores strictly ordered desc
     assert(out.sliding(2).forall(p => p(0)._2 >= p(1)._2))
   }
+
+  test("unigramLogProb: add-one bits/token, OOV bucket, map-only score") {
+    val s = spark
+    import s.implicits._
+    val lm = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // counts a:3 b:1 c:1 -> N=5, V=3, denom=9
+    // p(a)=4/9, p(b)=p(c)=2/9, OOV=1/9
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val docs = Seq(
+      (1L, "a a b"), // in-LM: (2*log2(9/4) + log2(9/2)) / 3
+      (2L, "a z"),   // cross-corpus shape: z is OOV -> log2(9)
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(docs, lm).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out(0)._2 == 3L)
+    assert(math.abs(out(0)._3 - (2 * log2(9.0 / 4) + log2(9.0 / 2)) / 3) < 1e-12)
+    assert(math.abs(out(1)._3 - (log2(9.0 / 4) + log2(9.0)) / 2) < 1e-12)
+    assert(out(2) == ((3L, 0L, 0.0))) // null text
+    // scoring is map-only over the docs scan: no exchange in its plan
+    // (the LM training agg is a separate job behind the collect)
+    val plan = TextOps.unigramLogProb(docs, lm)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // the gate catches an unaggregated-corpus-sized LM
+    val e = intercept[IllegalArgumentException](
+      TextOps.unigramLogProb(docs, lm, maxVocab = 2L))
+    assert(e.getMessage.contains("maxVocab"))
+  }
 }
