@@ -23,26 +23,41 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects at
-    * schema inference. EVERY events read goes through here so the
-    * legacy nanos-as-long conf is always set - a query must never
-    * depend on an earlier query in the run having set it (an ONLY
-    * subset or a different iteration order would silently drop it).
+  /** events.parquet has shipped with two `ts` layouts: TIMESTAMP(NANOS)
+    * (which Spark 4 rejects at schema inference unless the legacy
+    * nanos-as-long conf maps it to BIGINT) and, since the 2026-08
+    * testdata refresh, plain TIMESTAMP(MICROS). EVERY events read goes
+    * through here so the conf is always set BEFORE inference (a query
+    * must never depend on an earlier query in the run having set it)
+    * and so both layouts resolve — the raw frame exposes `ts` as BIGINT
+    * nanos or as a timestamp depending on the file; time arithmetic
+    * belongs on [[eventsUs]], which normalizes the difference.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tbl(s, dir, "events")
   }
 
-  /** events with ts converted to an exact microsecond timestamp:
-    * integer `div`, NOT `/ 1000` - Divide promotes the ~1.7e18 nanos
-    * to double (above 2^53), losing up to ~128 ns before the cast, so
-    * values near hour/session/range boundaries would disagree with the
-    * oracle's exact nanosecond arithmetic.
+  /** events with `ts` normalized to an exact microsecond TIMESTAMP
+    * regardless of the file layout:
+    *  - BIGINT nanos → integer `div 1000`, NOT `/ 1000` — Divide
+    *    promotes the ~1.7e18 nanos to double (above 2^53), losing up
+    *    to ~128 ns before the cast, so values near hour/session/range
+    *    boundaries would disagree with the oracle's exact arithmetic;
+    *  - TIMESTAMP_NTZ (micros files) → cast to TIMESTAMP, exact under
+    *    the UTC session timezone Verify/Bench pin;
+    *  - TIMESTAMP → already what downstream `cast("long")` epoch
+    *    arithmetic expects.
     */
-  private def eventsUs(s: SparkSession, dir: String): DataFrame =
-    events(s, dir).withColumn(
-      "ts", F.timestamp_micros(F.expr("ts div 1000")))
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val raw = events(s, dir)
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        F.timestamp_micros(F.expr("ts div 1000"))
+      case _ => F.col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", tsCol)
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.sources.CorpusSources.documents(s, s"$dir/documents.parquet")
@@ -225,8 +240,6 @@ object SparkEntry {
     }),
 
     "q_events_hourly" -> ((s, d) => {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects;
-      // read the raw nanos and convert.
       eventsUs(s, d)
         .groupBy(
           F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
