@@ -99,7 +99,7 @@ object SparkEntry {
     "t_ngram_counts", "t_length_batches", "d_sample_k_stratum",
     "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens",
     "v_ivf_topk_batch", "d_dedup_against", "t_corpus_report",
-    "t_unigram_lm")
+    "t_unigram_lm", "t_nb_classify")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -456,6 +456,19 @@ object SparkEntry {
         .select(F.col("doc_id"), F.col("n_tokens"),
           F.round(F.col("bits_per_token"), 6).as("bits_per_token"))
         .orderBy("doc_id")),
+
+    // fastText-style router, honest split: NB trained on the even half
+    // (lang labels), scores the odd half it never saw. margin_bits is
+    // the routing confidence a pipeline thresholds on.
+    "t_nb_classify" -> ((s, d) => {
+      val all = docs(s, d)
+      val train = all.where(F.col("doc_id") % 2 === 0)
+      val test = all.where(F.col("doc_id") % 2 =!= 0)
+      TextOps.nbClassify(test, train, "lang")
+        .select(F.col("doc_id"), F.col("pred_label"), F.col("n_tokens"),
+          F.round(F.col("margin_bits"), 6).as("margin_bits"))
+        .orderBy("doc_id")
+    }),
 
     "t_length_batches" -> ((s, d) =>
       TrainPrep.lengthBucketBatches(docs(s, d), width = 16, batchSize = 8)
@@ -2147,6 +2160,56 @@ object SparkEntry {
         |  round(coalesce(s.bits, 0), 6) AS bits_per_token
         |FROM documents d LEFT JOIN sc s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // multinomial NB replay: per-label add-one smoothing over the
+    // GLOBAL training vocab + one OOV bucket; argmax ties broken by
+    // label asc; margin = top1 - top2 score in bits
+    "t_nb_classify" ->
+      """WITH lab AS (
+        |  SELECT doc_id, lang AS label, text FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |ltok AS (
+        |  SELECT label,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM lab),
+        |cnt AS (
+        |  SELECT label, token, count(*)::DOUBLE AS c
+        |  FROM ltok GROUP BY 1, 2),
+        |nl AS (SELECT label, sum(c) AS n FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM cnt),
+        |prior AS (SELECT label, count(*)::DOUBLE AS d FROM lab GROUP BY 1),
+        |tot AS (SELECT sum(d) AS dd FROM prior),
+        |test AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
+        |stok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM test WHERE text IS NOT NULL),
+        |tokscore AS (
+        |  SELECT s.doc_id, nl.label,
+        |    sum(log2((coalesce(cnt.c, 0) + 1) / (nl.n + v.v + 1)))
+        |      AS tokbits,
+        |    count(*) AS n_tokens
+        |  FROM stok s CROSS JOIN nl CROSS JOIN v
+        |  LEFT JOIN cnt ON cnt.label = nl.label AND cnt.token = s.token
+        |  GROUP BY s.doc_id, nl.label, nl.n, v.v),
+        |scored AS (
+        |  SELECT t.doc_id, p.label,
+        |    log2(p.d / tot.dd) + coalesce(ts.tokbits, 0) AS score,
+        |    coalesce(ts.n_tokens, 0) AS n_tokens
+        |  FROM test t CROSS JOIN prior p CROSS JOIN tot
+        |  LEFT JOIN tokscore ts
+        |    ON ts.doc_id = t.doc_id AND ts.label = p.label),
+        |ranked AS (
+        |  SELECT doc_id, label, score, n_tokens,
+        |    row_number() OVER w AS rk,
+        |    score - lead(score) OVER w AS margin
+        |  FROM scored
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, label ASC))
+        |SELECT doc_id, label AS pred_label, n_tokens::BIGINT AS n_tokens,
+        |  round(coalesce(margin, 0), 6) AS margin_bits
+        |FROM ranked WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "t_ngram_counts" ->
       """WITH toks AS (

@@ -281,6 +281,114 @@ object TextOps {
       .toDF("doc_id", "n_tokens", "bits_per_token")
   }
 
+  /** fastText/CCNet-style supervised document classifier, here the
+    * closed-form multinomial Naive Bayes (Wenzek et al. 2020 use a
+    * trained fastText model to route crawl docs by language/quality;
+    * NB is the deterministic, oracle-replayable stand-in with the same
+    * pipeline seam: train on a labeled split, score the corpus). Per
+    * label L: p(t|L) = (c(t,L)+1)/(N_L+V+1) with add-one smoothing
+    * over the GLOBAL training vocabulary V plus one OOV bucket, prior
+    * p(L) = docs_L/docs. score(d,L) = log2 p(L) + Σ_t log2 p(t|L);
+    * the prediction is the argmax (ties broken by label ascending so
+    * the result is total-order deterministic) and `margin_bits` is
+    * the log-odds gap to the runner-up label — a routing-confidence
+    * signal a pipeline can threshold on.
+    *
+    * 100 TB shape, same split as [[unigramLogProb]]: training is ONE
+    * partially-aggregated groupBy(label, token) shuffle over the
+    * labeled frame (labeled data is the small side by construction —
+    * it is human- or model-annotated), the model is a driver-sized
+    * (token → per-label bits) dictionary broadcast once, and scoring
+    * is a MAP-ONLY compiled pass over the `docs` scan — no explode,
+    * no scoring-side shuffle. The model collect is gated at
+    * `maxModelRows` (label, token) pairs with a bounded single-fetch
+    * probe. Tokenization goes through [[tokensOf]] so the compiled
+    * scorer cannot drift from the Column path that trained the counts.
+    *
+    * Output: (doc_id, pred_label, n_tokens, margin_bits); null-text
+    * docs score on priors alone (n_tokens = 0). margin_bits is
+    * UNROUNDED — round at presentation time for cross-engine hashes.
+    */
+  def nbClassify(
+      docs: DataFrame, labeled: DataFrame, labelCol: String = "lang",
+      maxModelRows: Long = 50000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = labeled
+      .select(F.col(labelCol).cast("string").as("label"),
+        F.explode(tokens(F.col("text"))).as("token"))
+      .groupBy("label", "token")
+      .agg(F.count(F.lit(1)).as("c"))
+      .select(F.col("label"), F.col("token"), F.col("c").cast("long"))
+      .as[(String, String, Long)]
+    val probeN = (math.min(maxModelRows, Int.MaxValue - 1L) + 1L).toInt
+    val collected = pairs.take(probeN)
+    require(collected.length <= maxModelRows,
+      s"nbClassify model exceeds maxModelRows=$maxModelRows (label, token) " +
+        "rows — an NB model is driver-sized by construction; this looks " +
+        "like an unaggregated corpus. Raise maxModelRows if intended.")
+    // priors from doc counts; tiny (one row per label)
+    val priorRows = labeled
+      .groupBy(F.col(labelCol).cast("string").as("label"))
+      .agg(F.count(F.lit(1)).as("d"))
+      .as[(String, Long)].collect()
+    require(priorRows.nonEmpty, "nbClassify needs a non-empty labeled frame")
+    val labels = priorRows.map(_._1).sorted
+    val k = labels.length
+    val labelIdx = labels.zipWithIndex.toMap
+    val totalDocs = priorRows.iterator.map(_._2).sum.toDouble
+    val ln2 = math.log(2.0)
+    val priorBits = new Array[Double](k)
+    priorRows.foreach { case (l, d) =>
+      priorBits(labelIdx(l)) = math.log(d / totalDocs) / ln2 }
+    val nPerLabel = new Array[Double](k)
+    collected.foreach { case (l, _, c) => nPerLabel(labelIdx(l)) += c }
+    val vocab = collected.iterator.map(_._2).toSet
+    val denom = nPerLabel.map(_ + vocab.size + 1.0)
+    // per-token bits array over labels; absent (label, token) = c 0
+    val oovBits = denom.map(d => -math.log(d) / ln2)
+    val tokenBits = new java.util.HashMap[String, Array[Double]](
+      vocab.size * 2)
+    collected.foreach { case (l, t, c) =>
+      val arr = tokenBits.computeIfAbsent(t, _ => oovBits.clone())
+      val i = labelIdx(l)
+      arr(i) = math.log((c + 1.0) / denom(i)) / ln2
+    }
+    val bc = spark.sparkContext.broadcast((labels, priorBits, oovBits, tokenBits))
+    docs
+      .select(F.col("doc_id").cast("long"), F.col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        val (ls, prior, oov, model) = bc.value
+        val scores = prior.clone()
+        var n = 0L
+        if (text != null) {
+          val ts = tokensOf(text)
+          n = ts.length.toLong
+          var i = 0
+          while (i < ts.length) {
+            val arr = model.getOrDefault(ts(i), oov)
+            var j = 0
+            while (j < scores.length) { scores(j) += arr(j); j += 1 }
+            i += 1
+          }
+        }
+        // argmax with label-asc tie-break (labels are sorted, strict >)
+        var best = 0
+        var second = -1
+        var j = 1
+        while (j < scores.length) {
+          if (scores(j) > scores(best)) { second = best; best = j }
+          else if (second < 0 || scores(j) > scores(second)) second = j
+          j += 1
+        }
+        val margin =
+          if (second < 0) 0.0 else scores(best) - scores(second)
+        (docId, ls(best), n, margin)
+      }
+      .toDF("doc_id", "pred_label", "n_tokens", "margin_bits")
+  }
+
   /** C4-style cross-corpus line deduplication (Raffel et al. 2020
     * §2.2 reconstructed from the published description: any line
     * occurring ≥ `minCount` times in the corpus is kept ONCE, at its

@@ -220,4 +220,34 @@ class TextPipelineSpec extends SparkSpec {
       TextOps.unigramLogProb(docs, lm, maxVocab = 2L))
     assert(e.getMessage.contains("maxVocab"))
   }
+
+  test("nbClassify: add-one NB argmax, OOV, prior tie-break, map-only") {
+    val s = spark
+    import s.implicits._
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val labeled = Seq((1L, "x x y", "A"), (2L, "x z", "B"))
+      .toDF("doc_id", "text", "lab")
+    // cnt: (A,x)=2 (A,y)=1 (B,x)=1 (B,z)=1; V=3; denomA=3+3+1=7 denomB=2+3+1=6
+    // priors: both log2(1/2)
+    val docs = Seq(
+      (1L, "x y"), // A: log2(3/7)+log2(2/7) vs B: log2(2/6)+log2(1/6) -> A
+      (2L, "q"),   // OOV: A log2(1/7) vs B log2(1/6) -> B, margin log2(7/6)
+      (3L, null.asInstanceOf[String]) // prior tie -> label asc "A", margin 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.nbClassify(docs, labeled, "lab").orderBy("doc_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0)._2 == "A" && out(0)._3 == 2L)
+    val mA = log2(3.0 / 7) + log2(2.0 / 7) - (log2(2.0 / 6) + log2(1.0 / 6))
+    assert(math.abs(out(0)._4 - mA) < 1e-12)
+    assert(out(1)._2 == "B" && math.abs(out(1)._4 - log2(7.0 / 6)) < 1e-12)
+    assert(out(2) == ((3L, "A", 0L, 0.0)))
+    // scoring is map-only over the docs scan
+    val plan = TextOps.nbClassify(docs, labeled, "lab")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val e = intercept[IllegalArgumentException](
+      TextOps.nbClassify(docs, labeled, "lab", maxModelRows = 2L))
+    assert(e.getMessage.contains("maxModelRows"))
+  }
 }
