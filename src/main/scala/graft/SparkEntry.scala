@@ -99,7 +99,7 @@ object SparkEntry {
     "t_ngram_counts", "t_length_batches", "d_sample_k_stratum",
     "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens",
     "v_ivf_topk_batch", "d_dedup_against", "t_corpus_report",
-    "t_unigram_lm", "t_nb_classify")
+    "t_unigram_lm", "t_nb_classify", "v_hard_negatives")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -677,6 +677,20 @@ object SparkEntry {
 
     "v_emb_norms" -> ((s, d) =>
       Similarity.norms(emb(s, d)).orderBy("id")),
+
+    // contrastive hard negatives: nearest neighbors with a DIFFERENT
+    // class label, per query — theta-join rewritten as an equi-join
+    // on exploded negative-label keys (see Similarity.hardNegatives)
+    "v_hard_negatives" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings").select(
+        F.col("vec_id").as("id"),
+        F.col("embedding").cast("array<double>").as("vec"),
+        F.col("label"))
+      val q = e.where(F.col("id") < 5).select(
+        F.col("id").as("qid"), F.col("vec").as("qvec"),
+        F.col("label").as("qlabel"))
+      Similarity.hardNegatives(e, q, k = 10)
+    }),
 
     "v_top_cosine_pairs" -> ((s, d) =>
       Similarity.topCosinePairs(emb(s, d), 20)),
@@ -1854,6 +1868,23 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    "v_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    label::VARCHAR AS label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS ql
+        |  FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id, e.label AS neg_label,
+        |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |  FROM e JOIN q ON e.label <> q.ql),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rk
+        |  FROM scored)
+        |SELECT qid, id, neg_label, score FROM ranked WHERE rk <= 10
+        |ORDER BY qid, score DESC, id""".stripMargin,
 
     "d_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

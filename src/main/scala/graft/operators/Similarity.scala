@@ -458,4 +458,57 @@ object Similarity {
       .toDF("id_a", "id_b", "score")
       .orderBy(F.col("score").desc, F.col("id_a").asc, F.col("id_b").asc)
   }
+
+  /** Contrastive hard-negative mining: for each query (qid, qvec,
+    * qlabel), the exact top-k most-cosine-similar items whose label
+    * DIFFERS from the query's — the highest-loss negatives for
+    * contrastive/embedding training (the in-batch-negatives
+    * alternative misses exactly these).
+    *
+    * 100 TB shape: "label ≠ qlabel" is a theta-join, which Spark can
+    * only execute as a nested-loop join — instead each query is
+    * EXPLODED into its (|labels|−1) negative label keys and the join
+    * becomes a plain equi-join on `label`, co-partitioned and
+    * shuffle-friendly at any query count (label skew in the top-k is
+    * absorbed by the salted two-phase rank, same as searchBatch). The
+    * label domain is collected once and gated at `maxLabels` — the
+    * explode factor — so a mistakenly high-cardinality label column
+    * (e.g. a doc id) fails with an actionable message instead of a
+    * combinatorial blow-up. Exact brute-force scoring is the
+    * baseline contract; at extreme scale mine candidates per label
+    * partition with [[ivfTopKBatch]] first and refine here.
+    *
+    * Output: (qid, id, neg_label, score) — score is round-4 cosine;
+    * ties broken by id ascending. Labels compare as strings.
+    */
+  def hardNegatives(
+      emb: DataFrame, queries: DataFrame, k: Int,
+      maxLabels: Int = 10000): DataFrame = {
+    val spark = emb.sparkSession
+    val items = emb.select(
+      F.col("id").cast("long"),
+      F.col("vec").cast("array<double>"),
+      F.col("label").cast("string"))
+    val labelRows = items.select("label").distinct().limit(maxLabels + 1).collect()
+    require(labelRows.length <= maxLabels,
+      s"hardNegatives label domain exceeds maxLabels=$maxLabels — the " +
+        "negative-label explode is sized by label cardinality; this looks " +
+        "like a per-item id, not a class label. Raise maxLabels if intended.")
+    val labels = labelRows.map(_.getString(0)).sorted.toSeq
+    val expanded = queries
+      .select(
+        F.col("qid").cast("long"),
+        F.col("qvec").cast("array<double>"),
+        F.col("qlabel").cast("string"))
+      .withColumn("label",
+        F.explode(F.filter(F.typedLit(labels), l => l =!= F.col("qlabel"))))
+      .drop("qlabel")
+    val scored = items
+      .join(expanded, "label")
+      .select(F.col("qid"), F.col("id"), F.col("label").as("neg_label"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.saltedTopKPerKey(
+        scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
 }

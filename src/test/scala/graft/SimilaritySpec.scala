@@ -216,4 +216,34 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(recall(ivf) >= 0.9, s"IVF recall@20 = ${recall(ivf)} < 0.9")
   }
+
+  test("hardNegatives: cross-label top-k via equi-join, no nested loop") {
+    val sp = spark
+    import sp.implicits._
+    // 1.0-cos similarity structure: a2 is the closest cross-label item
+    // to q0 (label A); a same-label near-dup (id 1) must NOT appear
+    val emb = Seq(
+      (0L, Array(1.0, 0.0), "A"),
+      (1L, Array(0.99, 0.14), "A"), // same label: excluded
+      (2L, Array(0.9, 0.43), "B"),  // best negative
+      (3L, Array(0.0, 1.0), "B"),
+      (4L, Array(-1.0, 0.0), "C")
+    ).toDF("id", "vec", "label")
+    val q = emb.where($"id" === 0)
+      .select($"id".as("qid"), $"vec".as("qvec"), $"label".as("qlabel"))
+    val out = Similarity.hardNegatives(emb, q, k = 2)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq((0L, 2L, "B"), (0L, 3L, "B")))
+    // the theta-join rewrite must yield an equi-join plan — a
+    // BroadcastNestedLoopJoin here would be quadratic at scale
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // label-cardinality gate trips with an actionable message
+    val manyLabels = (0L until 50L).map(i => (i, Array(1.0, 0.0), s"L$i"))
+      .toDF("id", "vec", "label")
+    val e = intercept[IllegalArgumentException](
+      Similarity.hardNegatives(manyLabels, q, k = 2, maxLabels = 10))
+    assert(e.getMessage.contains("maxLabels"))
+  }
 }
