@@ -161,6 +161,49 @@ class PipelineLawsSpec extends SparkSpec {
     assert(chunksStreamed.sameElements(chunksBatch) && chunksBatch.nonEmpty)
   }
 
+  test("LM scoring and NB routing run unchanged on a stream (batch parity)") {
+    // both scorers train on a STATIC frame at plan time (gated collect
+    // + broadcast) and score via a stateless Dataset.map — the CCNet
+    // deployment shape: model trained offline, crawl scored on arrival
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val batch = randomDocs(60)
+    val rows = batch.as[(Long, String, String)].collect().toSeq
+    val lm = randomDocs(40, seed = 9)
+
+    val inL = MemoryStream[(Long, String, String)]
+    inL.addData(rows: _*)
+    StreamingOps.runToMemory(
+      TextOps.unigramLogProb(
+        inL.toDF().toDF("doc_id", "text", "source"), lm),
+      "lm_stream", OutputMode.Append())
+    val lmStreamed = s.sql("SELECT * FROM lm_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val lmBatch = TextOps.unigramLogProb(batch, lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(lmStreamed.sameElements(lmBatch) && lmBatch.nonEmpty)
+
+    val labeled = randomDocs(40, seed = 11)
+      .withColumn("lab",
+        F.when(F.col("doc_id") % 2 === 0, "even").otherwise("odd"))
+    val inN = MemoryStream[(Long, String, String)]
+    inN.addData(rows: _*)
+    StreamingOps.runToMemory(
+      TextOps.nbClassify(
+        inN.toDF().toDF("doc_id", "text", "source"), labeled, "lab"),
+      "nb_stream", OutputMode.Append())
+    val nbStreamed = s.sql("SELECT * FROM nb_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    val nbBatch = TextOps.nbClassify(batch, labeled, "lab")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    assert(nbStreamed.sameElements(nbBatch) && nbBatch.nonEmpty)
+  }
+
   test("greedy packing invariants hold at 200k docs across 64 real partitions") {
     val s = spark
     import s.implicits._
