@@ -99,7 +99,8 @@ object SparkEntry {
     "t_ngram_counts", "t_length_batches", "d_sample_k_stratum",
     "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens",
     "v_ivf_topk_batch", "d_dedup_against", "t_corpus_report",
-    "t_unigram_lm", "t_nb_classify", "v_hard_negatives")
+    "t_unigram_lm", "t_nb_classify", "v_hard_negatives",
+    "t_filter_funnel")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -473,6 +474,25 @@ object SparkEntry {
     "t_length_batches" -> ((s, d) =>
       TrainPrep.lengthBucketBatches(docs(s, d), width = 16, batchSize = 8)
         .orderBy("doc_id")),
+
+    // FineWeb-style curation funnel: per-stage attrition attribution
+    // over the canonical quality chain (first-failing-stage counting,
+    // so the columns reconcile: n_in = n_dropped + n_out, chained)
+    "t_filter_funnel" -> ((s, d) => {
+      val txt = F.col("text")
+      val nt = F.size(TextOps.tokens(txt))
+      val nsp = F.length(F.regexp_replace(txt, "\\s", "")).cast("double")
+      val vow = F.length(
+        F.regexp_replace(F.lower(txt), "[^aeiou]", "")).cast("double")
+      val lines = F.split(txt, "\n")
+      val dupLine = F.lit(1.0) -
+        F.size(F.array_distinct(lines)).cast("double") / F.size(lines)
+      TextOps.filterFunnel(docs(s, d), Seq(
+        "min_tokens" -> (nt >= 10),
+        "avg_token_len" -> (nsp / nt <= 12.0),
+        "vowel_ratio" -> (vow / F.length(txt) >= 0.2),
+        "dup_lines" -> (dupLine <= 0.3)))
+    }),
 
     "d_sample_k_stratum" -> ((s, d) =>
       TrainPrep.sampleKPerStratum(
@@ -2191,6 +2211,36 @@ object SparkEntry {
         |  round(coalesce(s.bits, 0), 6) AS bits_per_token
         |FROM documents d LEFT JOIN sc s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // funnel replay: same predicates as t_quality_filter/t_repetition
+    // oracles; first-failing-stage CASE, cumulative via count filters
+    "t_filter_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS nt,
+        |    length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS nsp,
+        |    length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))::DOUBLE
+        |      AS vow,
+        |    length(text)::DOUBLE AS tlen,
+        |    string_split(text, chr(10)) AS ln
+        |  FROM documents),
+        |fs AS (
+        |  SELECT doc_id, CASE
+        |    WHEN NOT coalesce(nt >= 10, FALSE) THEN 0
+        |    WHEN NOT coalesce(nsp / nt <= 12.0, FALSE) THEN 1
+        |    WHEN NOT coalesce(vow / tlen >= 0.2, FALSE) THEN 2
+        |    WHEN NOT coalesce(
+        |      1.0 - len(list_distinct(ln))::DOUBLE / len(ln) <= 0.3,
+        |      FALSE) THEN 3
+        |    ELSE 4 END AS f
+        |  FROM base)
+        |SELECT s.i AS stage_idx, s.name AS stage,
+        |  (SELECT count(*) FROM fs WHERE f >= s.i) AS n_in,
+        |  (SELECT count(*) FROM fs WHERE f = s.i) AS n_dropped,
+        |  (SELECT count(*) FROM fs WHERE f > s.i) AS n_out
+        |FROM (VALUES (0, 'min_tokens'), (1, 'avg_token_len'),
+        |  (2, 'vowel_ratio'), (3, 'dup_lines')) s(i, name)
+        |ORDER BY stage_idx""".stripMargin,
 
     // multinomial NB replay: per-label add-one smoothing over the
     // GLOBAL training vocab + one OOV bucket; argmax ties broken by

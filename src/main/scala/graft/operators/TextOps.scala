@@ -389,6 +389,58 @@ object TextOps {
       .toDF("doc_id", "pred_label", "n_tokens", "margin_bits")
   }
 
+  /** Filter-funnel attrition report: run the documents through an
+    * ORDERED chain of keep-predicates and report, per stage, how many
+    * docs entered, were dropped there, and survived — the standard
+    * pipeline-debugging artifact for corpus curation (the
+    * FineWeb/RefinedWeb reports publish exactly this table): a
+    * mis-tuned threshold shows up as one stage eating the corpus.
+    *
+    * Attribution is FIRST-FAILING-STAGE: a doc failing stages 2 and 4
+    * counts against stage 2 only, so column sums reconcile
+    * (n_in = n_dropped + n_out, chained). A NULL predicate (e.g. null
+    * text) counts as a failure — matching what `where(pred)` would
+    * drop — via coalesce(pred, false).
+    *
+    * 100 TB shape: ONE scan computes every predicate plus the
+    * first-fail index as column algebra (lazy CaseWhen, so a
+    * stage-3-only expression never evaluates on a doc that failed
+    * stage 0), ONE partially-aggregated groupBy over at most
+    * |stages|+1 keys, and the cumulative funnel is assembled on the
+    * driver from that tiny frame. No per-stage passes, no re-scan per
+    * threshold probed.
+    *
+    * Output: (stage_idx, stage, n_in, n_dropped, n_out) ordered by
+    * stage_idx.
+    */
+  def filterFunnel(
+      docs: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val failStage = stages.zipWithIndex
+      .foldLeft(F.when(F.lit(false), F.lit(-1))) {
+        case (acc, ((_, pred), i)) =>
+          acc.when(!F.coalesce(pred, F.lit(false)), F.lit(i))
+      }
+      .otherwise(F.lit(stages.length))
+    val counts = docs
+      .select(failStage.as("f"))
+      .groupBy("f").agg(F.count(F.lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val total = counts.valuesIterator.sum
+    var in = total
+    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+      val dropped = counts.getOrElse(i, 0L)
+      val out = in - dropped
+      val r = (i, name, in, dropped, out)
+      in = out
+      r
+    }
+    spark.createDataFrame(rows)
+      .toDF("stage_idx", "stage", "n_in", "n_dropped", "n_out")
+  }
+
   /** C4-style cross-corpus line deduplication (Raffel et al. 2020
     * §2.2 reconstructed from the published description: any line
     * occurring ≥ `minCount` times in the corpus is kept ONCE, at its

@@ -250,4 +250,29 @@ class TextPipelineSpec extends SparkSpec {
       TextOps.nbClassify(docs, labeled, "lab", maxModelRows = 2L))
     assert(e.getMessage.contains("maxModelRows"))
   }
+
+  test("filterFunnel: first-fail attribution, null drops, reconciliation") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "ok doc"),                    // fails stage 0 (short)
+      (2L, "a a a a a a a a a a"),       // passes both
+      (3L, null.asInstanceOf[String]),   // null -> stage 0
+      (4L, "zzzz zzzz zzzz zzzz zzzz zzzz zzzz zzzz zzzz zzzz") // no vowels -> stage 1
+    ).toDF("doc_id", "text")
+    val vow = F.length(
+      F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", "")).cast("double")
+    val out = TextOps.filterFunnel(docs, Seq(
+      "min_tokens" -> (F.size(TextOps.tokens(F.col("text"))) >= 10),
+      "vowel_ratio" -> (vow / F.length(F.col("text")) >= 0.2)))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out(0) == ((0, "min_tokens", 4L, 2L, 2L)))
+    assert(out(1) == ((1, "vowel_ratio", 2L, 1L, 1L)))
+    // reconciliation law: n_in(i+1) == n_out(i), n_in == dropped + out
+    assert(out.forall(r => r._3 == r._4 + r._5))
+    val e = intercept[IllegalArgumentException](
+      TextOps.filterFunnel(docs, Seq.empty))
+    assert(e.getMessage.contains("at least one stage"))
+  }
 }
