@@ -100,7 +100,7 @@ object SparkEntry {
     "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens",
     "v_ivf_topk_batch", "d_dedup_against", "t_corpus_report",
     "t_unigram_lm", "t_nb_classify", "v_hard_negatives",
-    "t_filter_funnel")
+    "t_filter_funnel", "t_ppl_buckets")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -474,6 +474,15 @@ object SparkEntry {
     "t_length_batches" -> ((s, d) =>
       TrainPrep.lengthBucketBatches(docs(s, d), width = 16, batchSize = 8)
         .orderBy("doc_id")),
+
+    // CCNet head/middle/tail split by LM-perplexity terciles —
+    // self-scored here; the cross-corpus LM shape is the same operator
+    "t_ppl_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(docs(s, d), docs(s, d))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.round(F.avg("bits_per_token"), 6).as("avg_bits"))
+        .orderBy("bucket")),
 
     // FineWeb-style curation funnel: per-stage attrition attribution
     // over the canonical quality chain (first-failing-stage counting,
@@ -2211,6 +2220,35 @@ object SparkEntry {
         |  round(coalesce(s.bits, 0), 6) AS bits_per_token
         |FROM documents d LEFT JOIN sc s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // perplexity-tercile replay: the t_unigram_lm model, round-6
+    // scores, exact interpolated quantiles (quantile_cont ==
+    // Spark's percentile), bucket CASE on the same rounded values
+    "t_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY token),
+        |tot AS (SELECT sum(c) + count(*) + 1 AS denom FROM cnt),
+        |sc AS (
+        |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |    avg(-log2((cnt.c + 1) / tot.denom)) AS bits
+        |  FROM tok t JOIN cnt USING (token), tot
+        |  GROUP BY t.doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, round(coalesce(s.bits, 0), 6) AS b
+        |  FROM documents d LEFT JOIN sc s USING (doc_id)),
+        |cuts AS (
+        |  SELECT quantile_cont(b, 1.0/3) AS t1, quantile_cont(b, 2.0/3) AS t2
+        |  FROM scored),
+        |lab AS (
+        |  SELECT CASE WHEN b <= t1 THEN 'head'
+        |    WHEN b <= t2 THEN 'middle' ELSE 'tail' END AS bucket, b
+        |  FROM scored, cuts)
+        |SELECT bucket, count(*) AS n_docs, round(avg(b), 6) AS avg_bits
+        |FROM lab GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
 
     // funnel replay: same predicates as t_quality_filter/t_repetition
     // oracles; first-failing-stage CASE, cumulative via count filters

@@ -389,6 +389,51 @@ object TextOps {
       .toDF("doc_id", "pred_label", "n_tokens", "margin_bits")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3 split
+    * the crawl into head/middle/tail by LM-perplexity terciles and
+    * train preferentially on the head): score every doc with
+    * [[unigramLogProb]] against `lmCorpus`, compute the exact
+    * interpolated quantile thresholds of the (round-6) bits-per-token
+    * distribution, and label each doc with its bucket.
+    *
+    * 100 TB shape: scoring is the map-only broadcast-LM pass; the
+    * thresholds are ONE `percentile` aggregate collapsing to a single
+    * driver row (|probs| doubles — never a global sort/ntile window,
+    * which would serialize the corpus into one task); bucketing is a
+    * map-only CASE against literal thresholds. Scores are rounded to
+    * 6 decimals BEFORE the quantile so both the thresholds and the
+    * boundary comparisons see the same values a replaying engine
+    * computes.
+    *
+    * Output: (doc_id, n_tokens, bits_per_token, bucket); buckets
+    * named by `names` (|names| = |probs|+1), ordered low→high bits
+    * (head = most fluent under the LM).
+    */
+  def perplexityBuckets(
+      docs: DataFrame, lmCorpus: DataFrame,
+      probs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      names: Seq[String] = Seq("head", "middle", "tail"),
+      maxVocab: Long = 50000000L): DataFrame = {
+    require(names.length == probs.length + 1,
+      s"need ${probs.length + 1} bucket names for ${probs.length} cut points")
+    require(probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
+      "probs must be ascending in (0, 1)")
+    val scored = unigramLogProb(docs, lmCorpus, maxVocab)
+      .withColumn("bits_per_token", F.round(F.col("bits_per_token"), 6))
+    val probsSql = probs.mkString("array(", ", ", ")")
+    val cutRow = scored.agg(
+      F.expr(s"percentile(bits_per_token, $probsSql)").as("cuts")).head
+    // an empty corpus has no quantiles — everything lands in names.last
+    val cuts: Seq[Double] =
+      if (cutRow.isNullAt(0)) Seq.empty
+      else cutRow.getSeq[Double](0)
+    val bucket = cuts.zip(names).foldLeft(F.when(F.lit(false), F.lit(""))) {
+      case (acc, (cut, name)) =>
+        acc.when(F.col("bits_per_token") <= cut, F.lit(name))
+    }.otherwise(F.lit(names.last))
+    scored.withColumn("bucket", bucket)
+  }
+
   /** Filter-funnel attrition report: run the documents through an
     * ORDERED chain of keep-predicates and report, per stage, how many
     * docs entered, were dropped there, and survived — the standard

@@ -251,6 +251,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("maxModelRows"))
   }
 
+  test("perplexityBuckets: tercile split covers all docs, head <= tail") {
+    val s = spark
+    import s.implicits._
+    // 9 docs with spread token mixes -> distinct bits values
+    val docs = (1L to 9L).map(i =>
+      (i, (Seq.fill(i.toInt)("common") ++ Seq.fill(10 - i.toInt)(s"rare$i"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.perplexityBuckets(docs, docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(out.length == 9)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // exact terciles over 9 distinct values: 3 docs per bucket
+    assert(byBucket.values.forall(_.length == 3))
+    // ordering law: every head score <= every middle <= every tail
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // custom cut points and names
+    val halves = TextOps.perplexityBuckets(
+      docs, docs, probs = Seq(0.5), names = Seq("keep", "drop"))
+      .groupBy("bucket").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(halves("keep") + halves("drop") == 9)
+    val e = intercept[IllegalArgumentException](
+      TextOps.perplexityBuckets(docs, docs, probs = Seq(0.5),
+        names = Seq("only")))
+    assert(e.getMessage.contains("bucket names"))
+  }
+
   test("filterFunnel: first-fail attribution, null drops, reconciliation") {
     val s = spark
     import s.implicits._
