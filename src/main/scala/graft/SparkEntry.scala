@@ -100,7 +100,7 @@ object SparkEntry {
     "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens",
     "v_ivf_topk_batch", "d_dedup_against", "t_corpus_report",
     "t_unigram_lm", "t_nb_classify", "v_hard_negatives",
-    "t_filter_funnel", "t_ppl_buckets")
+    "t_filter_funnel", "t_ppl_buckets", "t_span_corrupt")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -474,6 +474,11 @@ object SparkEntry {
     "t_length_batches" -> ((s, d) =>
       TrainPrep.lengthBucketBatches(docs(s, d), width = 16, batchSize = 8)
         .orderBy("doc_id")),
+
+    // T5 span corruption: deterministic block-hash masking (a pure
+    // function of (doc_id, position) — reproducible on any layout)
+    "t_span_corrupt" -> ((s, d) =>
+      TrainPrep.spanCorrupt(docs(s, d)).orderBy("doc_id")),
 
     // CCNet head/middle/tail split by LM-perplexity terciles —
     // self-scored here; the cross-corpus LM shape is the same operator
@@ -2219,6 +2224,62 @@ object SparkEntry {
         |  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
         |  round(coalesce(s.bits, 0), 6) AS bits_per_token
         |FROM documents d LEFT JOIN sc s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // span-corruption replay: same md5 block/length convention as
+    // hashBucket (first-8-hex unsigned), 1-based list_slice windows,
+    // sentinel rank = selected blocks before j, terminal sentinel
+    "t_span_corrupt" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |blk AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS j
+        |  FROM base),
+        |sel AS (
+        |  SELECT doc_id, t, j,
+        |    least(8, len(t) - j*8) AS bc,
+        |    ('0x' || substr(md5(doc_id || ':' || j), 1, 8))::BIGINT % 4 = 0
+        |      AS s,
+        |    least(
+        |      1 + ('0x' || substr(md5(doc_id || ':' || j || ':len'), 1, 8))
+        |        ::BIGINT % 3,
+        |      least(8, len(t) - j*8)) AS l
+        |  FROM blk),
+        |rk AS (
+        |  SELECT *, coalesce(sum(CASE WHEN s THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY doc_id ORDER BY j
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k0
+        |  FROM sel),
+        |p AS (
+        |  SELECT doc_id, j, s,
+        |    CASE WHEN NOT s THEN
+        |        array_to_string(list_slice(t, j*8+1, j*8+bc), ' ')
+        |      WHEN l = bc THEN '<extra_id_' || k0 || '>'
+        |      ELSE '<extra_id_' || k0 || '>' || ' ' ||
+        |        array_to_string(list_slice(t, j*8+l+1, j*8+bc), ' ')
+        |    END AS in_piece,
+        |    CASE WHEN s THEN '<extra_id_' || k0 || '>' || ' ' ||
+        |      array_to_string(list_slice(t, j*8+1, j*8+l), ' ')
+        |    END AS tgt_piece
+        |  FROM rk),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN in_piece <> '' THEN in_piece END,
+        |      ' ' ORDER BY j) AS input,
+        |    string_agg(tgt_piece, ' ' ORDER BY j) AS tgt0,
+        |    sum(CASE WHEN s THEN 1 ELSE 0 END) AS nsp
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE coalesce(a.input, '') END AS input,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE (CASE WHEN a.tgt0 IS NULL THEN ''
+        |      ELSE a.tgt0 || ' ' END) || '<extra_id_' || a.nsp || '>'
+        |  END AS target,
+        |  coalesce(a.nsp, 0)::BIGINT AS n_spans
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // perplexity-tercile replay: the t_unigram_lm model, round-6

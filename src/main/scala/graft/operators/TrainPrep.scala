@@ -655,4 +655,89 @@ object TrainPrep {
     }
     df.where(hashBucket(key, 10000) < threshold)
   }
+
+  /** Executor-side replica of [[hashBucket]]'s EXACT convention (first
+    * 8 hex chars of md5 as an unsigned int, mod buckets) for compiled
+    * loops — the cross-path law is spec-asserted so the two can't
+    * drift. The first 8 hex chars are the first 4 digest bytes,
+    * big-endian.
+    */
+  private[graft] def hashBucketOf(key: String, buckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % buckets
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4 reconstructed
+    * from the published objective: mask contiguous token spans, replace
+    * each with a numbered sentinel in the input, and emit the masked
+    * spans after their sentinels — plus a terminal sentinel — as the
+    * target), made DETERMINISTIC and layout-independent: instead of an
+    * rng + sequential greedy walk, tokens are cut into fixed blocks of
+    * `blockSize`, block j of doc d is masked iff
+    * md5(d:j) % selectEvery == 0, and the span is the block's first
+    * 1 + md5(d:j:len) % maxSpan tokens. Masking is a pure function of
+    * (doc_id, position) — any engine, any partitioning, any run
+    * reproduces it bit-for-bit (the property rng-based corruption
+    * cannot give a distributed pipeline), spans can never overlap by
+    * construction, and the expected corruption rate is
+    * (1 + (maxSpan-1)/2) / (blockSize · selectEvery) tokens.
+    *
+    * 100 TB shape: MAP-ONLY over the corpus scan — no shuffle, no
+    * state, no rng coordination; composes with [[chunkTokenWindows]]
+    * upstream and the packers downstream.
+    *
+    * Sentinels are `<extra_id_K>` with K dense per doc in block order;
+    * the target always ends with the terminal sentinel (equal to
+    * n_spans). Null text → (null, null, 0).
+    *
+    * Output: (doc_id, input, target, n_spans).
+    */
+  def spanCorrupt(
+      docs: DataFrame, blockSize: Int = 8, selectEvery: Int = 4,
+      maxSpan: Int = 3): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    require(selectEvery >= 1, s"selectEvery must be >= 1, got $selectEvery")
+    require(maxSpan >= 1 && maxSpan <= blockSize,
+      s"maxSpan must be in [1, blockSize], got $maxSpan")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(F.col("doc_id").cast("long"), F.col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        if (text == null) (docId, null: String, null: String, 0L)
+        else {
+          val ts = TextOps.tokensOf(text)
+          val n = ts.length
+          val nBlocks = (n + blockSize - 1) / blockSize
+          val inParts = scala.collection.mutable.ArrayBuffer.empty[String]
+          val tgtParts = scala.collection.mutable.ArrayBuffer.empty[String]
+          var k = 0
+          var j = 0
+          while (j < nBlocks) {
+            val start = j * blockSize
+            val end = math.min(start + blockSize, n)
+            if (hashBucketOf(s"$docId:$j", selectEvery) == 0L) {
+              val len = math.min(
+                1L + hashBucketOf(s"$docId:$j:len", maxSpan),
+                (end - start).toLong).toInt
+              val sent = s"<extra_id_$k>"
+              val rest = ts.slice(start + len, end)
+              inParts +=
+                (if (rest.isEmpty) sent else sent + " " + rest.mkString(" "))
+              tgtParts += sent + " " + ts.slice(start, start + len).mkString(" ")
+              k += 1
+            } else inParts += ts.slice(start, end).mkString(" ")
+            j += 1
+          }
+          val input = inParts.filter(_.nonEmpty).mkString(" ")
+          val target = (tgtParts :+ s"<extra_id_$k>").mkString(" ")
+          (docId, input, target, k.toLong)
+        }
+      }
+      .toDF("doc_id", "input", "target", "n_spans")
+  }
 }

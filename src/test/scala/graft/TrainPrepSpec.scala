@@ -477,4 +477,46 @@ class TrainPrepSpec extends SparkSpec {
     // by the second job's fingerprint check on re-execution
     assert(a.count() == docs.count() && b.count() == docs.count())
   }
+
+  test("hashBucketOf replicates the hashBucket column bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 200).map(i => s"$i:${i % 7}") ++ Seq("", "a b", "Ünïcode")
+    val fromCol = keys.toDF("k")
+      .select(TrainPrep.hashBucket(F.col("k"), 10000).as("b"))
+      .collect().map(_.getLong(0))
+    val fromFn = keys.map(TrainPrep.hashBucketOf(_, 10000))
+    assert(fromCol.toSeq == fromFn)
+  }
+
+  test("spanCorrupt: round-trips, dense sentinels, terminal marker, nulls") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 30).map(t => s"w${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = TrainPrep.spanCorrupt(docs).collect()
+      .map(r => (r.getLong(0),
+        Option(r.getString(1)), Option(r.getString(2)), r.getLong(3)))
+      .sortBy(_._1)
+    val sentinel = "<extra_id_(\\d+)>".r
+    var masked = 0L
+    out.filter(_._1 != 99L).foreach { case (id, Some(in), Some(tgt), nsp) =>
+      masked += nsp
+      // target = spans in order + terminal sentinel; sentinels dense 0..nsp
+      val tgtSent = sentinel.findAllMatchIn(tgt).map(_.group(1).toInt).toSeq
+      assert(tgtSent == (0 to nsp.toInt), s"doc $id sentinels $tgtSent")
+      assert(tgt.endsWith(s"<extra_id_$nsp>"))
+      // un-corrupt: replace each input sentinel with its target span
+      val spans = sentinel.split(tgt).map(_.trim).drop(1) // span k after sentinel k
+      val rebuilt = sentinel.replaceAllIn(in,
+        m => java.util.regex.Matcher.quoteReplacement(spans(m.group(1).toInt)))
+        .replaceAll("\\s+", " ").trim
+      val orig = (0 until 30).map(t => s"w${id}_$t").mkString(" ")
+      assert(rebuilt == orig, s"doc $id failed round-trip")
+    }
+    assert(masked > 0, "degenerate fixture: nothing masked")
+    assert(out.find(_._1 == 99L).get == ((99L, None, None, 0L)))
+  }
 }
