@@ -234,6 +234,57 @@ object Dedup {
     * (SURVEY.md §7.4). Output: (doc_a, doc_b, est_jaccard, jaccard)
     * sorted by exact Jaccard descending.
     */
+  /** One candidate (bands, rows) layout of an n-hash MinHash scheme
+    * with its S-curve statistics: detection probability for a pair at
+    * jaccard j is 1 − (1 − j^rows)^bands; `curveThreshold`
+    * (1/bands)^(1/rows) is the inflection where detection ≈ 1−1/e.
+    */
+  final case class BandingPlan(
+      numHashes: Int, bands: Int, rows: Int,
+      curveThreshold: Double, detectAtTarget: Double) {
+    def detectAt(j: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(j, rows), bands)
+    def render: String = {
+      val curve = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+        .map(j => f"p(detect|j=$j%.1f)=${detectAt(j)}%.4f").mkString(" ")
+      f"""# suggested banding (graft)
+         |num_hashes=$numHashes bands=$bands rows=$rows curve_threshold=$curveThreshold%.4f
+         |$curve""".stripMargin
+    }
+  }
+
+  /** Banding diagnostic mirroring [[graft.api.EpsSuggest]]'s role for
+    * the dedup side: a mis-banded MinHash scheme either silently MISSES
+    * near-dups (too few bands: the S-curve inflection sits above the
+    * target jaccard) or floods the verify join with candidates (too
+    * many bands: every low-similarity pair collides somewhere). This
+    * picks, among all (bands, rows) with bands·rows = numHashes, the
+    * layout with the FEWEST bands — fewest band keys, fewest candidate
+    * rows through the join — whose detection probability at
+    * `targetJaccard` still meets `minDetect`; if none qualifies it
+    * returns the max-detection layout (bands = numHashes) so the
+    * caller sees the scheme is underpowered rather than an exception.
+    * Pure driver-side arithmetic, no jobs. The engine's own 16×4
+    * default over 64 hashes is exactly suggestBanding(64, 0.8) —
+    * spec-asserted so the default can't silently drift from its
+    * rationale (miss ≤ 2.2e-4 at j ≥ 0.8).
+    */
+  def suggestBanding(
+      numHashes: Int, targetJaccard: Double,
+      minDetect: Double = 0.999): BandingPlan = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"targetJaccard must be in (0, 1), got $targetJaccard")
+    val layouts = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      BandingPlan(numHashes, b, r,
+        math.pow(1.0 / b, 1.0 / r),
+        1.0 - math.pow(1.0 - math.pow(targetJaccard, r), b))
+    }
+    layouts.find(_.detectAtTarget >= minDetect)
+      .getOrElse(layouts.maxBy(_.detectAtTarget))
+  }
+
   def minhashNearDupPairs(
       docs: DataFrame,
       shingleLen: Int = 3,
