@@ -403,7 +403,10 @@ object TextOps {
     * map-only CASE against literal thresholds. Scores are rounded to
     * 6 decimals BEFORE the quantile so both the thresholds and the
     * boundary comparisons see the same values a replaying engine
-    * computes.
+    * computes. NOTE the scoring pass runs TWICE (threshold aggregate
+    * now, bucket materialization later) — when the `docs` lineage is
+    * expensive, persist it first; the LM itself trains once either
+    * way (the broadcast happens at call time).
     *
     * Output: (doc_id, n_tokens, bits_per_token, bucket); buckets
     * named by `names` (|names| = |probs|+1), ordered low→high bits

@@ -245,5 +245,10 @@ class SimilaritySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Similarity.hardNegatives(manyLabels, q, k = 2, maxLabels = 10))
     assert(e.getMessage.contains("maxLabels"))
+    // edge: empty query set and single-label corpora return empty, not error
+    assert(Similarity.hardNegatives(emb, q.where($"qid" < 0), 2).count() == 0)
+    val oneLabel = emb.withColumn("label", F.lit("X"))
+    val qx = q.withColumn("qlabel", F.lit("X"))
+    assert(Similarity.hardNegatives(oneLabel, qx, 2).count() == 0)
   }
 }

@@ -278,6 +278,9 @@ class TextPipelineSpec extends SparkSpec {
       TextOps.perplexityBuckets(docs, docs, probs = Seq(0.5),
         names = Seq("only")))
     assert(e.getMessage.contains("bucket names"))
+    // edge: empty corpus -> empty frame, no NPE from the null quantile row
+    assert(TextOps.perplexityBuckets(
+      docs.where(F.col("doc_id") < 0), docs).count() == 0)
   }
 
   test("filterFunnel: first-fail attribution, null drops, reconciliation") {

@@ -519,4 +519,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(masked > 0, "degenerate fixture: nothing masked")
     assert(out.find(_._1 == 99L).get == ((99L, None, None, 0L)))
   }
+
+  test("spanCorrupt is layout-invariant and tolerates degenerate docs") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 100L).map(i =>
+      (i, if (i % 10 == 0) "" else (0 until i.toInt % 17).map(t => s"t$t")
+        .mkString(" "))).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TrainPrep.spanCorrupt(df).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    // masking is a pure function of (doc_id, position): any partition
+    // layout produces byte-identical output
+    assert(run(docs.repartition(1)) == run(docs.repartition(13)))
+    intercept[IllegalArgumentException](
+      TrainPrep.spanCorrupt(docs, maxSpan = 99))
+  }
 }
