@@ -100,7 +100,8 @@ object SparkEntry {
     "d_semantic_neardup", "d_temperature_sample", "t_encode_tokens",
     "v_ivf_topk_batch", "d_dedup_against", "t_corpus_report",
     "t_unigram_lm", "t_nb_classify", "v_hard_negatives",
-    "t_filter_funnel", "t_ppl_buckets", "t_span_corrupt")
+    "t_filter_funnel", "t_ppl_buckets", "t_span_corrupt",
+    "d_source_quota")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -474,6 +475,23 @@ object SparkEntry {
     "t_length_batches" -> ((s, d) =>
       TrainPrep.lengthBucketBatches(docs(s, d), width = 16, batchSize = 8)
         .orderBy("doc_id")),
+
+    // per-source token quota ("cap each domain at N tokens"): the
+    // two-job distributed prefix sum + a map-side budget CASE — the
+    // window replay below is the semantics, not the execution plan
+    "d_source_quota" -> ((s, d) => {
+      val doc = docs(s, d)
+      TrainPrep.stratumWeightQuota(
+          doc, F.col("doc_id"), F.col("source"),
+          // size(null) is -1, not NULL — null text must weigh 0 like
+          // the oracle's coalesce(len(...), 0)
+          F.when(F.col("text").isNull, 0)
+            .otherwise(F.size(TextOps.tokens(F.col("text")))),
+          budgets = Map("src0" -> 100L), defaultBudget = 300L)
+        .select(F.col("key").as("doc_id"), F.col("stratum").as("source"),
+          F.col("w").as("n_tokens"), F.col("before").as("tokens_before"))
+        .orderBy("doc_id")
+    }),
 
     // T5 span corruption: deterministic block-hash masking (a pure
     // function of (doc_id, position) — reproducible on any layout)
@@ -2225,6 +2243,25 @@ object SparkEntry {
         |  round(coalesce(s.bits, 0), 6) AS bits_per_token
         |FROM documents d LEFT JOIN sc s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // quota replay: inclusive per-source cumsum window, truncate at
+    // first overflow; src0 capped at 100 tokens, others at 300
+    "d_source_quota" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    coalesce(len(string_split_regex(trim(text), '\s+')), 0)::BIGINT
+        |      AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, w,
+        |    coalesce(sum(w) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM w)
+        |SELECT doc_id, source, w AS n_tokens,
+        |  before::BIGINT AS tokens_before
+        |FROM c
+        |WHERE before + w <= CASE WHEN source = 'src0' THEN 100 ELSE 300 END
+        |ORDER BY doc_id""".stripMargin,
 
     // span-corruption replay: same md5 block/length convention as
     // hashBucket (first-8-hex unsigned), 1-based list_slice windows,

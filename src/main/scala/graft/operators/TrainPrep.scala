@@ -471,6 +471,98 @@ object TrainPrep {
       .toDF("key", "stratum", "r")
   }
 
+  /** Weighted generalization of [[stratumRanks]]: the EXCLUSIVE
+    * per-stratum running sum of `weight` in (stratum, key) order —
+    * same two-job distributed prefix sum (range shuffle, per-partition
+    * stratum totals to the driver, broadcast exclusive offsets,
+    * map-side emit with the layout-fingerprint guard), never a
+    * per-stratum window (one task per dominant stratum). Null weights
+    * count as 0. Output: (key, stratum, w, before). Pins the ranged
+    * RDD across its two jobs — release via [[releasePinnedCaches]]
+    * after materializing.
+    */
+  def stratumPrefixSums(
+      df: DataFrame, key: Column, stratum: Column,
+      weight: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = pin(df
+      .select(key.cast("long").as("key"), stratum.cast("string").as("stratum"),
+        F.coalesce(weight.cast("long"), F.lit(0L)).as("w"))
+      .repartitionByRange(F.col("stratum"), F.col("key"))
+      .sortWithinPartitions("stratum", "key")
+      .select($"key".as[Long], $"stratum".as[String], $"w".as[Long])
+      .rdd)
+    val counts = typed
+      .mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        var rows = 0L; var first: (String, Long) = null
+        it.foreach { case (k, s, w) =>
+          if (rows == 0L) first = (s, k)
+          rows += 1L
+          m.update(s, m.getOrElse(s, 0L) + w)
+        }
+        Iterator((i, m.toMap, rows, first))
+      }
+      .collect().sortBy(_._1)
+    val fpCount = counts.map(_._3)
+    val fpFirst = counts.map(_._4)
+    val offsets: Array[Map[String, Long]] = {
+      val run = scala.collection.mutable.Map.empty[String, Long]
+      val out = new Array[Map[String, Long]](counts.length)
+      counts.foreach { case (i, m, _, _) =>
+        out(i) = run.toMap
+        m.foreach { case (s, n) => run.update(s, run.getOrElse(s, 0L) + n) }
+      }
+      out
+    }
+    val bc = spark.sparkContext.broadcast((offsets, fpCount, fpFirst))
+    typed
+      .mapPartitionsWithIndex { (i, it0) =>
+        val (offs, cnts, firsts) = bc.value
+        val it = layoutChecked(i, it0, cnts(i), firsts(i)) {
+          case (k, s, _) => (s, k)
+        }
+        val run = scala.collection.mutable.Map.empty[String, Long]
+        offs(i).foreach { case (s, n) => run.update(s, n) }
+        it.map { case (k, s, w) =>
+          val before = run.getOrElse(s, 0L)
+          run.update(s, before + w)
+          (k, s, w, before)
+        }
+      }
+      .toDF("key", "stratum", "w", "before")
+  }
+
+  /** Per-stratum weight quotas — the mixture-building step "cap source
+    * X at N tokens": keep a row iff its stratum's INCLUSIVE running
+    * weight in (stratum, key) order fits the stratum's budget. The
+    * running sum accumulates every row (kept or not), so the first doc
+    * that would overflow truncates its stratum: nothing after it is
+    * kept — the exact contract a replaying
+    * `sum(w) OVER (PARTITION BY stratum ORDER BY key)` window states
+    * (NOT a greedy best-fit that would skip the oversized doc and keep
+    * probing). Docs are never split. Selection is deterministic on any
+    * layout.
+    *
+    * 100 TB shape: [[stratumPrefixSums]]'s two-job distributed prefix
+    * sum plus a map-side budget CASE — no per-stratum window, no
+    * second shuffle.
+    *
+    * Output: (key, stratum, w, before) for kept rows only.
+    */
+  def stratumWeightQuota(
+      df: DataFrame, key: Column, stratum: Column, weight: Column,
+      budgets: Map[String, Long], defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0, s"defaultBudget must be >= 0")
+    val budgetCol = budgets.foldLeft(F.lit(defaultBudget).cast("long")) {
+      case (acc, (s, b)) =>
+        F.when(F.col("stratum") === s, F.lit(b).cast("long")).otherwise(acc)
+    }
+    stratumPrefixSums(df, key, stratum, weight)
+      .where(F.col("before") + F.col("w") <= budgetCol)
+  }
+
   /** Deterministic weighted corpus interleave: stratum ranks are
     * stretched by a per-stratum stride (stride 2 → every 2nd global
     * position, stride 4 → every 4th …), and sorting by the resulting

@@ -520,6 +520,35 @@ class TrainPrepSpec extends SparkSpec {
     assert(out.find(_._1 == 99L).get == ((99L, None, None, 0L)))
   }
 
+  test("stratumWeightQuota truncates at first overflow, per-stratum budgets") {
+    val s = spark
+    import s.implicits._
+    // A: w 4,4,9,1 with budget 10 -> keep 1,2 ONLY (9 overflows at
+    // before=8; the later w=1 doc sees before=17 and is out — the
+    // inclusive-cumsum contract, not greedy best-fit)
+    // B: w 5,5 budget 5 -> keep first only
+    val df = Seq(
+      (1L, "A", 4L), (2L, "A", 4L), (3L, "A", 9L), (4L, "A", 1L),
+      (5L, "B", 5L), (6L, "B", 5L)
+    ).toDF("id", "st", "wt")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val out = TrainPrep.stratumWeightQuota(
+        d, F.col("id"), F.col("st"), F.col("wt"),
+        budgets = Map("B" -> 5L), defaultBudget = 10L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      TrainPrep.releasePinnedCaches()
+      out
+    }
+    val expect = Seq((1L, "A", 0L), (2L, "A", 4L), (5L, "B", 0L))
+    assert(run(df.repartition(1)) == expect)
+    assert(run(df.repartition(5)) == expect)
+    // null weight counts as zero and stays eligible
+    val withNull = df.union(Seq((0L, "B", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "st", "wt"))
+    assert(run(withNull).contains((0L, "B", 0L)))
+  }
+
   test("spanCorrupt is layout-invariant and tolerates degenerate docs") {
     val s = spark
     import s.implicits._
