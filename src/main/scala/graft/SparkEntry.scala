@@ -101,7 +101,8 @@ object SparkEntry {
     "v_ivf_topk_batch", "d_dedup_against", "t_corpus_report",
     "t_unigram_lm", "t_nb_classify", "v_hard_negatives",
     "t_filter_funnel", "t_ppl_buckets", "t_span_corrupt",
-    "d_source_quota")
+    "d_source_quota", "d_split_assign", "t_dsir_weights",
+    "v_ann_topk_sq8")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -459,6 +460,21 @@ object SparkEntry {
           F.round(F.col("bits_per_token"), 6).as("bits_per_token"))
         .orderBy("doc_id")),
 
+    // DSIR importance weights: every 20th doc plays the target domain,
+    // the rest the raw pool; 512 hash buckets so the oracle replay
+    // stays cheap. High logw_bits = looks like the target.
+    "t_dsir_weights" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.dsirWeights(
+          all,
+          all.where(F.col("doc_id") % 20 === 0),
+          all.where(F.col("doc_id") % 20 =!= 0),
+          buckets = 512)
+        .select(F.col("doc_id"), F.col("n_grams"),
+          F.round(F.col("logw_bits"), 6).as("logw_bits"))
+        .orderBy("doc_id")
+    }),
+
     // fastText-style router, honest split: NB trained on the even half
     // (lang labels), scores the odd half it never saw. margin_bits is
     // the routing confidence a pipeline thresholds on.
@@ -492,6 +508,14 @@ object SparkEntry {
           F.col("w").as("n_tokens"), F.col("before").as("tokens_before"))
         .orderBy("doc_id")
     }),
+
+    // deterministic train/val/test holdout: md5-bucket CASE, map-only
+    // (a doc's split never flips as the corpus grows)
+    "d_split_assign" -> ((s, d) =>
+      TrainPrep.splitAssign(
+          docs(s, d), F.col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split").orderBy("doc_id")),
 
     // T5 span corruption: deterministic block-hash masking (a pure
     // function of (doc_id, position) — reproducible on any layout)
@@ -719,6 +743,12 @@ object SparkEntry {
       // path: same approximate contract, but reproducible enough for
       // the DuckDB oracle to replay the candidate set bit-for-bit
       Similarity.annTopKHamming(emb(s, d), queryVec(s, d), 20)),
+
+    // SQ8 quantized ANN: 8-bit per-dim codes (8× smaller than the
+    // float64 column), asymmetric dequantized-cosine candidates,
+    // exact rerank of the top 100
+    "v_ann_topk_sq8" -> ((s, d) =>
+      Similarity.sq8TopK(emb(s, d), queryVec(s, d), 20, rerank = 100)),
 
     "d_embed_neardup" -> ((s, d) =>
       // embedding-cosine near-dup: the fourth dedup mode (exact /
@@ -1921,6 +1951,38 @@ object SparkEntry {
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
 
+    // SQ8 replay: per-dim min/max arrays, affine 0..255 quantize +
+    // dequantize (constant dims pass through), dequantized-cosine
+    // candidate cut at 100 (round-4 then id tiebreak), exact rerank
+    "v_ann_topk_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |idx AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS j
+        |  FROM e),
+        |dims AS (SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+        |  FROM idx GROUP BY j),
+        |stats AS (SELECT list(mn ORDER BY j) AS mns,
+        |    list(mx ORDER BY j) AS mxs FROM dims),
+        |dq AS (SELECT e.vec_id,
+        |    list_transform(range(1, len(e.v) + 1), j ->
+        |      CASE WHEN s.mxs[j] = s.mns[j] THEN s.mns[j]
+        |        ELSE s.mns[j]
+        |          + round((e.v[j] - s.mns[j]) / (s.mxs[j] - s.mns[j]) * 255.0)
+        |            * (s.mxs[j] - s.mns[j]) / 255.0
+        |      END) AS dv
+        |  FROM e, stats s),
+        |ap AS (SELECT d.vec_id,
+        |    round(list_cosine_similarity(d.dv, q.qv), 4) AS approx
+        |  FROM dq d, q),
+        |cand AS (SELECT vec_id FROM ap
+        |  ORDER BY approx DESC, vec_id ASC LIMIT 100)
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e JOIN cand USING (vec_id), q
+        |ORDER BY score DESC, id ASC
+        |LIMIT 20""".stripMargin,
+
     "v_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    label::VARCHAR AS label
@@ -2223,6 +2285,41 @@ object SparkEntry {
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 10""".stripMargin,
 
+    // DSIR replay: hashed unigram+bigram buckets (same first-8-hex md5
+    // convention), add-one smoothing over the bucket range on both the
+    // target and raw multinomials, per-doc sum of the log-ratio
+    "t_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_concat(t,
+        |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+        |    AS g
+        |  FROM toks),
+        |gb AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+        |  FROM grams),
+        |tc AS (SELECT b, count(*)::DOUBLE AS c FROM gb
+        |       WHERE doc_id % 20 = 0 GROUP BY b),
+        |rc AS (SELECT b, count(*)::DOUBLE AS c FROM gb
+        |       WHERE doc_id % 20 <> 0 GROUP BY b),
+        |tn AS (SELECT coalesce(sum(c), 0) + 512 AS denom FROM tc),
+        |rn AS (SELECT coalesce(sum(c), 0) + 512 AS denom FROM rc),
+        |delta AS (
+        |  SELECT gb.doc_id,
+        |    log2((coalesce(tc.c, 0) + 1) / tn.denom) -
+        |    log2((coalesce(rc.c, 0) + 1) / rn.denom) AS dlt
+        |  FROM gb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), tn, rn),
+        |sc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_grams, sum(dlt) AS s
+        |  FROM delta GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+        |  round(coalesce(sc.s, 0), 6) AS logw_bits
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // add-one-smoothed unigram LM replay: denom = N + V + 1 (one OOV
     // bucket); self-scoring means no OOV here, but the join form keeps
     // the oracle honest about the per-token probability
@@ -2261,6 +2358,20 @@ object SparkEntry {
         |  before::BIGINT AS tokens_before
         |FROM c
         |WHERE before + w <= CASE WHEN source = 'src0' THEN 100 ELSE 300 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // split replay: same first-8-hex md5 bucket convention as
+    // hashBucket; cumulative cuts 8000/9000, last split is the ELSE
+    "d_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 10000 < 8000 THEN 'train'
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 10000 < 9000 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // span-corruption replay: same md5 block/length convention as

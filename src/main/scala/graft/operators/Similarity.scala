@@ -126,6 +126,94 @@ object Similarity {
     * re-ranks — one pass, no shuffle, sublinear in vector width.
     * Output: (id, score) — top `k` by (score DESC, id ASC).
     */
+  /** Per-dimension (min, max) of an (id, vec) frame in ONE
+    * treeAggregate pass — 2·d doubles to the driver, no explode, no
+    * shuffle of N·d rows (the posexplode/groupBy(dim) formulation
+    * shuffles the corpus re-keyed by dimension; at 100 TB that is the
+    * whole table again). min/max are order-independent, so the result
+    * is deterministic on any layout.
+    */
+  def dimStats(emb: DataFrame, dims: Int): (Array[Double], Array[Double]) = {
+    val vecs = emb.select(F.col("vec").cast("array<double>"))
+      .rdd.map(_.getSeq[Double](0))
+    vecs.treeAggregate(
+      (Array.fill(dims)(Double.PositiveInfinity),
+        Array.fill(dims)(Double.NegativeInfinity)))(
+      seqOp = { case ((mn, mx), v) =>
+        require(v != null && v.length == dims,
+          s"dimStats: expected rectangular $dims-dim vectors")
+        var j = 0
+        while (j < dims) {
+          val x = v(j)
+          if (x < mn(j)) mn(j) = x
+          if (x > mx(j)) mx(j) = x
+          j += 1
+        }
+        (mn, mx)
+      },
+      combOp = { case ((a1, b1), (a2, b2)) =>
+        var j = 0
+        while (j < dims) {
+          if (a2(j) < a1(j)) a1(j) = a2(j)
+          if (b2(j) > b1(j)) b1(j) = b2(j)
+          j += 1
+        }
+        (a1, b1)
+      })
+  }
+
+  /** Scalar-quantized (SQ8) cosine top-k — the memory-bound ANN scale
+    * path (the standard "SQ8" codec of the public ANN literature, e.g.
+    * faiss's ScalarQuantizer: per-dimension min/max, 8-bit codes,
+    * asymmetric distance): each dimension is affinely mapped to a
+    * 0..255 code (`round((x−min)·255/(max−min))`), candidates are
+    * ranked by cosine(query, DEQUANTIZED vector) — the query stays
+    * full-precision — and the top `rerank` survivors are re-scored
+    * against the exact vectors. An SQ8 index is 8× smaller than the
+    * float64 column (d bytes/vec), which is what lets a 100 TB corpus'
+    * codes live in cluster memory while the exact vectors stay on
+    * parquet for the bounded rerank fetch.
+    *
+    * Plan shape: one treeAggregate stats pass ([[dimStats]]), then ONE
+    * scan scoring dequantized cosines through the same codegen'd
+    * kernel the exact path uses (whole-stage codegen, no UDF), a
+    * TakeOrderedAndProject down to `rerank` rows, and a broadcast
+    * candidate join for the exact rerank. Constant dimensions
+    * (max == min) dequantize to the constant — no 0/0.
+    *
+    * Approx scores round to 4 decimals BEFORE the candidate cut (ties
+    * then break on id), so the candidate set is stable across engines
+    * — the contract that makes the operator oracle-replayable.
+    *
+    * Output: (id, score) — exact cosines of the reranked top-k.
+    */
+  def sq8TopK(
+      emb: DataFrame, query: Array[Double], k: Int,
+      rerank: Int = 100): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val (mins, maxs) = dimStats(emb, query.length)
+    val mnL = F.typedLit(mins)
+    val mxL = F.typedLit(maxs)
+    val dq = F.transform(F.col("vec").cast("array<double>"), (x, i) => {
+      val mn = F.element_at(mnL, i + 1)
+      val mx = F.element_at(mxL, i + 1)
+      val s = mx - mn
+      F.when(s === 0.0, mn)
+        .otherwise(mn + F.round((x - mn) / s * 255.0, 0) * s / 255.0)
+    })
+    val q = F.typedLit(query)
+    val cand = emb
+      .select(F.col("id"), F.round(cosine(dq, q), 4).as("approx"))
+      .orderBy(F.col("approx").desc, F.col("id").asc)
+      .limit(rerank)
+      .select("id")
+    emb.join(F.broadcast(cand), "id")
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
   def annTopKHamming(
       emb: DataFrame,
       query: Array[Double],

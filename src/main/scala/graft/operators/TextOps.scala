@@ -281,6 +281,104 @@ object TextOps {
       .toDF("doc_id", "n_tokens", "bits_per_token")
   }
 
+  /** Hashed unigram+bigram features of one document, in token order —
+    * the DSIR feature map. Shared by training and scoring so the two
+    * compiled paths cannot drift; bigrams join with a single space,
+    * buckets follow [[graft.operators.TrainPrep.hashBucketOf]]'s md5
+    * convention (first 8 hex chars unsigned, mod buckets) so a SQL
+    * replay is exact.
+    */
+  private[graft] def hashedGramsOf(text: String, buckets: Int): Array[Int] = {
+    val ts = tokensOf(text)
+    val out = new Array[Int](math.max(2 * ts.length - 1, 0))
+    var i = 0
+    while (i < ts.length) {
+      out(i) = TrainPrep.hashBucketOf(ts(i), buckets).toInt
+      i += 1
+    }
+    var j = 0
+    while (j < ts.length - 1) {
+      out(ts.length + j) =
+        TrainPrep.hashBucketOf(ts(j) + " " + ts(j + 1), buckets).toInt
+      j += 1
+    }
+    out
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS —
+    * reconstructed from the published method, §3: hashed-n-gram bag
+    * features, a multinomial model of the target and of the raw pool,
+    * and per-example log importance ratios): every doc in `docs` gets
+    * log2 w(x) = Σ_b c_b(x)·(log2 p̂_b − log2 q̂_b), where c_b counts
+    * the doc's hashed unigram+bigram features in bucket b, p̂ is the
+    * add-one-smoothed bucket distribution of the `target` corpus
+    * (the domain you want more of) and q̂ of the `raw` pool. Docs with
+    * high logw_bits look like the target; a selection pass keeps the
+    * top slice (deterministic top-k rather than the paper's Gumbel
+    * resampling, which an oracle could not replay).
+    *
+    * 100 TB shape: each model fit is ONE partially-aggregated
+    * explode→groupBy(bucket) shuffle whose output is ≤ `buckets` rows
+    * BY CONSTRUCTION (the hash range, not the corpus, bounds the
+    * model — no vocabulary gate needed, unlike [[unigramLogProb]]);
+    * the two log-ratio arrays collapse to a single broadcast
+    * Array[Double](buckets), and scoring is a MAP-ONLY compiled pass
+    * over the `docs` scan. Feature hashing and tokenization go
+    * through [[hashedGramsOf]] on BOTH train and score paths, so the
+    * model and the scorer cannot drift.
+    *
+    * Output: (doc_id, n_grams, logw_bits); null text → (id, 0, 0.0).
+    * logw_bits is UNROUNDED — round at presentation time for
+    * cross-engine hashes.
+    */
+  def dsirWeights(
+      docs: DataFrame, target: DataFrame, raw: DataFrame,
+      buckets: Int = 65536): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 24),
+      s"buckets must be in (0, 2^24] (driver holds one double per bucket); got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def bucketCounts(corpus: DataFrame): (Array[Long], Long) = {
+      val rows = corpus
+        .select(F.col("text").cast("string")).as[String]
+        .flatMap(t => if (t == null) Iterator.empty else hashedGramsOf(t, buckets).iterator)
+        .groupBy(F.col("value").as("b"))
+        .agg(F.count(F.lit(1)).as("c"))
+        .as[(Int, Long)]
+        .collect()
+      val arr = new Array[Long](buckets)
+      var n = 0L
+      rows.foreach { case (b, c) => arr(b) = c; n += c }
+      (arr, n)
+    }
+    val (tc, tn) = bucketCounts(target)
+    val (rc, rn) = bucketCounts(raw)
+    val ln2 = math.log(2.0)
+    val delta = new Array[Double](buckets)
+    var b = 0
+    while (b < buckets) {
+      delta(b) = (math.log((tc(b) + 1.0) / (tn + buckets.toDouble)) -
+        math.log((rc(b) + 1.0) / (rn + buckets.toDouble))) / ln2
+      b += 1
+    }
+    val bc = spark.sparkContext.broadcast(delta)
+    docs
+      .select(F.col("doc_id").cast("long"), F.col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        if (text == null) (docId, 0L, 0.0)
+        else {
+          val gs = hashedGramsOf(text, buckets)
+          var s = 0.0
+          var i = 0
+          while (i < gs.length) { s += bc.value(gs(i)); i += 1 }
+          (docId, gs.length.toLong, s)
+        }
+      }
+      .toDF("doc_id", "n_grams", "logw_bits")
+  }
+
   /** fastText/CCNet-style supervised document classifier, here the
     * closed-form multinomial Naive Bayes (Wenzek et al. 2020 use a
     * trained fastText model to route crawl docs by language/quality;

@@ -748,6 +748,47 @@ object TrainPrep {
     df.where(hashBucket(key, 10000) < threshold)
   }
 
+  /** Deterministic train/val/test split assignment: bucket =
+    * md5(key) % 10000 compared against cumulative per-split thresholds
+    * in the given order; the LAST split absorbs the rounding remainder,
+    * so every row lands in exactly one split (total + disjoint by
+    * construction). Membership is a pure function of the key — stable
+    * across runs, layouts, engines, and corpus growth: a doc's split
+    * never flips when new data arrives, the property an eval holdout
+    * needs to stay uncontaminated over the life of a training program
+    * (an rng or modulo-on-row-position split has neither).
+    *
+    * 100 TB shape: MAP-ONLY column algebra over the scan (one
+    * codegen'd md5 + a CASE per row) — no shuffle, no count pass, no
+    * state.
+    *
+    * Output: the input columns plus `split`.
+    */
+  def splitAssign(
+      df: DataFrame, key: Column, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "splitAssign needs at least 2 splits")
+    require(splits.forall(_._2 >= 0.0), "split fractions must be >= 0")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be distinct")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1.0 (got $total)")
+    // round, don't truncate — same double-representation hazard as
+    // stratifiedHashSample's thresholds
+    val cuts = splits.init
+      .scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }
+      .tail
+    val bucket = hashBucket(key, 10000)
+    val assigned = splits.init.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cut)) =>
+        Some(acc match {
+          case None    => F.when(bucket < cut, F.lit(name))
+          case Some(c) => c.when(bucket < cut, F.lit(name))
+        })
+    }.get.otherwise(F.lit(splits.last._1))
+    df.withColumn("split", assigned)
+  }
+
   /** Executor-side replica of [[hashBucket]]'s EXACT convention (first
     * 8 hex chars of md5 as an unsigned int, mod buckets) for compiled
     * loops — the cross-path law is spec-asserted so the two can't

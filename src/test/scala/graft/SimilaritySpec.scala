@@ -84,6 +84,32 @@ class SimilaritySpec extends SparkSpec {
       b.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("SQ8 top-k: dequantized candidates + exact rerank match brute force") {
+    // quantization error per dim is <= (max-min)/510, tiny next to the
+    // cluster structure here, so the reranked top-20 must equal the
+    // exact top-20 (same (score, id) ordering contract)
+    val exact = Similarity.annTopK(emb, query, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sq = Similarity.sq8TopK(emb, query, 20, rerank = 100).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sq == exact, s"sq8=$sq exact=$exact")
+    // constant dimension (max == min) must dequantize to the constant,
+    // not 0/0 — append one and re-run
+    val s = spark
+    import s.implicits._
+    val withConst = emb.select(F.col("id"),
+      F.concat(F.col("vec"), F.array(F.lit(2.5))).as("vec"))
+    val q2 = query :+ 2.5
+    val sq2 = Similarity.sq8TopK(withConst, q2, 5).collect()
+    assert(sq2.length == 5 && sq2.forall(r => !r.getDouble(1).isNaN))
+    // candidate scan + rerank: no full sort in the plan (partial top-k)
+    val plan = Similarity.sq8TopK(emb, query, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    intercept[IllegalArgumentException](
+      Similarity.sq8TopK(emb, query, 20, rerank = 5))
+  }
+
   test("IVF top-k with full probes equals brute force exactly") {
     val index = Similarity.ivfBuild(emb, nLists = 8)
     val brute = Similarity.annTopK(emb, query, 10).collect().map(_.getLong(0)).toSeq

@@ -221,6 +221,42 @@ class TextPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("maxVocab"))
   }
 
+  test("dsirWeights: hashed-gram log-ratio, target affinity, map-only") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, "good clean prose")).toDF("doc_id", "text")
+    val raw = Seq((2L, "spam spam junk")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "good clean prose"),
+      (2L, "spam spam junk"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val B = 64
+    val out = TextOps.dsirWeights(docs, target, raw, buckets = B)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // n_grams = unigrams + bigrams = 3 + 2
+    assert(out(0)._2 == 5L && out(1)._2 == 5L)
+    // a target-looking doc scores above a raw-looking one
+    assert(out(0)._3 > 0.0 && out(1)._3 < 0.0)
+    assert(out(0)._3 > out(1)._3)
+    assert(out(2) == ((3L, 0L, 0.0))) // null text
+    // closed-form check for the target doc: its 5 grams are unique,
+    // each lands in a target bucket with c=1 (barring collisions the
+    // assertion below would catch): delta = log2(2/(5+B)) - log2(1/(5+B))
+    // = 1 bit per gram when buckets don't collide across corpora
+    val tGrams = TextOps.hashedGramsOf("good clean prose", B)
+    val rGrams = TextOps.hashedGramsOf("spam spam junk", B)
+    if (tGrams.distinct.length == 5 && tGrams.intersect(rGrams).isEmpty)
+      assert(math.abs(out(0)._3 - 5.0) < 1e-12, out(0).toString)
+    // scoring is map-only over the docs scan
+    val plan = TextOps.dsirWeights(docs, target, raw, buckets = B)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException](
+      TextOps.dsirWeights(docs, target, raw, buckets = 0))
+  }
+
   test("nbClassify: add-one NB argmax, OOV, prior tie-break, map-only") {
     val s = spark
     import s.implicits._

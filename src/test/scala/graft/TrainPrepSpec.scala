@@ -549,6 +549,39 @@ class TrainPrepSpec extends SparkSpec {
     assert(run(withNull).contains((0L, "B", 0L)))
   }
 
+  test("splitAssign is total, disjoint, key-stable, and validated") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 2000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = TrainPrep.splitAssign(df, F.col("doc_id"), splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // total: every key got exactly one split from the declared set
+    assert(out.size == 2000 && out.values.toSet.subsetOf(Set("train", "val", "test")))
+    // realized fractions near the targets (md5 is uniform; 2000 keys)
+    val frac = out.values.groupBy(identity).map { case (k, v) => k -> v.size / 2000.0 }
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.03, frac.toString)
+    // key-stable: membership is a pure function of the key, so a
+    // GROWN corpus never reassigns an existing key
+    val grown = TrainPrep.splitAssign(
+      (1L to 4000L).toDF("doc_id"), F.col("doc_id"), splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.forall { case (k, v) => grown(k) == v })
+    // matches the executor-side md5 convention exactly
+    out.foreach { case (k, v) =>
+      val b = TrainPrep.hashBucketOf(k.toString, 10000)
+      val expect = if (b < 8000) "train" else if (b < 9000) "val" else "test"
+      assert(v == expect, s"key $k bucket $b")
+    }
+    intercept[IllegalArgumentException](
+      TrainPrep.splitAssign(df, F.col("doc_id"), Seq("only" -> 1.0)))
+    intercept[IllegalArgumentException](
+      TrainPrep.splitAssign(df, F.col("doc_id"), Seq("a" -> 0.7, "b" -> 0.2)))
+    intercept[IllegalArgumentException](
+      TrainPrep.splitAssign(df, F.col("doc_id"), Seq("a" -> 0.5, "a" -> 0.5)))
+  }
+
   test("spanCorrupt is layout-invariant and tolerates degenerate docs") {
     val s = spark
     import s.implicits._
