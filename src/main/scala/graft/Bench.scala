@@ -13,6 +13,7 @@ object Bench {
     // single {"metric":...} line, and benign WindowExec warnings (tiny
     // top-k frames ranked with a global window) would crowd it out
     spark.sparkContext.setLogLevel("ERROR")
+    val sc = spark.sparkContext
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // stage-timing traces for local profiling (never set by the driver)
@@ -42,6 +43,36 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -sec)
     }
+    /** Total bytes currently cached in the block manager — the storage
+      * footprint a query inherits from everything before it. Recorded
+      * per row in the file artifact (never stdout): r6's graph-block
+      * regression (g_ppr 2.4→23.5 s with zero graph-code change,
+      * isolated re-run 4.2 s) was attributed to storage/GC pressure
+      * accumulating across the 83-query JVM, and this column is the
+      * evidence trail that confirms or clears that theory per run.
+      */
+    def cachedMb(): Double =
+      sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum / 1e6
+    /** Between-queries hygiene, OUTSIDE any timed row: release the
+      * packer/ranker pinned caches (their results are materialized by
+      * the count() above — ADVICE r6 flagged d_source_quota's pin as
+      * living for the rest of the run) and, at query-block boundaries,
+      * a driver GC so the ContextCleaner promptly reclaims
+      * localCheckpoint blocks whose frames are now unreachable
+      * (Dedup.materializeAndRelease checkpoints every d_* result; the
+      * blocks are dead after count() but stay in storage memory until
+      * a GC enqueues their references — exactly the accumulation that
+      * inflated the late g_* block at r6).
+      */
+    var lastBlock = ""
+    def hygiene(name: String): Unit = {
+      graft.operators.TrainPrep.releasePinnedCaches()
+      val block = name.takeWhile(_ != '_')
+      if (block != lastBlock) {
+        if (lastBlock.nonEmpty) System.gc()
+        lastBlock = block
+      }
+    }
     // one-time index builds run FIRST as their own named rows, so the
     // per-query rows below measure query cost — without this, whichever
     // a_* query ran first paid the lazy build and round-over-round
@@ -63,30 +94,53 @@ object Bench {
           case None => Some(timeRow(name)(fn(spark, sfDir)))
         }
       }
-    // deterministic name order: timing stays comparable across rounds.
-    // benchExclude keeps the one-line JSON inside the driver's bounded
-    // tail capture (head-truncation loses the whole bench); an explicit
-    // SPARK_GRAFT_ONLY opt-in overrides it for local profiling
+    // EVERY query is timed (deterministic name order, so timing stays
+    // comparable across rounds) and lands in the file artifact below;
+    // benchExclude only trims the one-line stdout JSON so it stays
+    // inside the driver's bounded tail capture. r6's review flagged
+    // that the 22 newest operators had correctness rows but zero
+    // timing history — the file artifact closes that without risking
+    // the head-truncation that lost r02's bench numbers.
+    val storage = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    builds.foreach { case (n, _) => storage(n) = cachedMb() }
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) =>
-        only.map(_.contains(name)).getOrElse(!SparkEntry.benchExclude(name)) }
-      .map { case (name, fn) => timeRow(name)(fn(spark, sfDir).count()) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        hygiene(name)
+        val row = timeRow(name)(fn(spark, sfDir).count())
+        storage(name) = cachedMb()
+        row
+      }
     // centisecond precision + basename-only sf keep the whole JSON
     // line under ~1700 chars: the driver captures a bounded stdout
     // tail (observed 2000 chars, minus sbt's trailing success line),
     // and a head-truncated line is unparseable — r02 lost its bench
     // numbers exactly this way
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    // the headline total sums SUCCESSFUL queries only — summing the
-    // raw values would let a crashed 5s query SUBTRACT its negative
-    // marker and make a failing round look faster than a passing one;
-    // failures are reported in their own field and via the exit code
+    def toJson(rows: Seq[(String, Double)]): String =
+      rows.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    def totalOf(rows: Seq[(String, Double)]): Double =
+      // successful queries only — summing raw values would let a
+      // crashed 5s query SUBTRACT its negative marker and make a
+      // failing round look faster than a passing one
+      rows.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfName"}""")
+    // FULL artifact → file (committed per round): all rows + per-row
+    // cached storage MB. The slim stdout line keeps the r5/r6 row set
+    // so the driver's round-over-round totals compare like for like.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r07.json")
+    val full =
+      s"""{"metric":"total","value":${fmt(totalOf(results))},"unit":"sec",""" +
+        s""""failed":$nFailed,"sf":"$sfName","queries":${toJson(results)},""" +
+        s""""cached_mb_after":${toJson(storage.toSeq)}}""" + "\n"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), full)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}") }
+    val slim = results.filter { case (name, _) =>
+      only.isDefined || !SparkEntry.benchExclude(name) }
+    println(s"""{"metric":"total","value":${fmt(totalOf(slim))},"unit":"sec","failed":$nFailed,"queries":${toJson(slim)},"sf":"$sfName"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

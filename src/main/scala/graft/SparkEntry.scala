@@ -2514,13 +2514,14 @@ object SparkEntry {
         |    unnest(string_split_regex(trim(text), '\s+')) AS token
         |  FROM test WHERE text IS NOT NULL),
         |tokscore AS (
-        |  SELECT s.doc_id, nl.label,
-        |    sum(log2((coalesce(cnt.c, 0) + 1) / (nl.n + v.v + 1)))
-        |      AS tokbits,
+        |  SELECT s.doc_id, p.label,
+        |    sum(log2((coalesce(cnt.c, 0) + 1)
+        |      / (coalesce(nl.n, 0) + v.v + 1))) AS tokbits,
         |    count(*) AS n_tokens
-        |  FROM stok s CROSS JOIN nl CROSS JOIN v
-        |  LEFT JOIN cnt ON cnt.label = nl.label AND cnt.token = s.token
-        |  GROUP BY s.doc_id, nl.label, nl.n, v.v),
+        |  FROM stok s CROSS JOIN prior p CROSS JOIN v
+        |  LEFT JOIN nl ON nl.label = p.label
+        |  LEFT JOIN cnt ON cnt.label = p.label AND cnt.token = s.token
+        |  GROUP BY s.doc_id, p.label, nl.n, v.v),
         |scored AS (
         |  SELECT t.doc_id, p.label,
         |    log2(p.d / tot.dd) + coalesce(ts.tokbits, 0) AS score,

@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the parquet write above materialized the frame, so the
+      // packer/ranker pinned caches are safe to drop (ADVICE r6:
+      // d_source_quota's pin otherwise lives for the whole run)
+      graft.operators.TrainPrep.releasePinnedCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

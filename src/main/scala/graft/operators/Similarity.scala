@@ -577,7 +577,12 @@ object Similarity {
       F.col("id").cast("long"),
       F.col("vec").cast("array<double>"),
       F.col("label").cast("string"))
-    val labelRows = items.select("label").distinct().limit(maxLabels + 1).collect()
+    // null labels are excluded from the domain BEFORE collect: the
+    // documented semantics (label <> qlabel) drop null-label rows, the
+    // equi-join below drops null keys anyway, and a null in the
+    // collected array would NPE the driver-side sort (ADVICE r6)
+    val labelRows = items.where(F.col("label").isNotNull)
+      .select("label").distinct().limit(maxLabels + 1).collect()
     require(labelRows.length <= maxLabels,
       s"hardNegatives label domain exceeds maxLabels=$maxLabels — the " +
         "negative-label explode is sized by label cardinality; this looks " +

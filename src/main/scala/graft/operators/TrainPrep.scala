@@ -543,7 +543,11 @@ object TrainPrep {
     * `sum(w) OVER (PARTITION BY stratum ORDER BY key)` window states
     * (NOT a greedy best-fit that would skip the oversized doc and keep
     * probing). Docs are never split. Selection is deterministic on any
-    * layout.
+    * layout. Weights must be NON-NEGATIVE — a negative weight would
+    * shrink the running sum and let rows after the first overflow
+    * re-qualify, silently voiding the truncation guarantee — so the
+    * scan fails fast (raise_error, no extra validation job) on the
+    * first negative weight it sees (ADVICE r6).
     *
     * 100 TB shape: [[stratumPrefixSums]]'s two-job distributed prefix
     * sum plus a map-side budget CASE — no per-stratum window, no
@@ -559,7 +563,13 @@ object TrainPrep {
       case (acc, (s, b)) =>
         F.when(F.col("stratum") === s, F.lit(b).cast("long")).otherwise(acc)
     }
-    stratumPrefixSums(df, key, stratum, weight)
+    val w = weight.cast("long")
+    val checked = F.when(w < 0, F.raise_error(F.concat(
+        F.lit("stratumWeightQuota: negative weight "), w.cast("string"),
+        F.lit(" — the truncate-on-first-overflow contract assumes " +
+          "non-negative weights"))).cast("long"))
+      .otherwise(w)
+    stratumPrefixSums(df, key, stratum, checked)
       .where(F.col("before") + F.col("w") <= budgetCol)
   }
 
