@@ -744,11 +744,15 @@ object SparkEntry {
       // the DuckDB oracle to replay the candidate set bit-for-bit
       Similarity.annTopKHamming(emb(s, d), queryVec(s, d), 20)),
 
-    // SQ8 quantized ANN: 8-bit per-dim codes (8× smaller than the
-    // float64 column), asymmetric dequantized-cosine candidates,
-    // exact rerank of the top 100
-    "v_ann_topk_sq8" -> ((s, d) =>
-      Similarity.sq8TopK(emb(s, d), queryVec(s, d), 20, rerank = 100)),
+    // SQ8 quantized ANN through the MATERIALIZED index: codes are a
+    // real d-byte BINARY column (8× smaller than the float64 vectors),
+    // the candidate scan reads only codes, and the exact vectors are
+    // touched by the bounded rerank join alone
+    "v_ann_topk_sq8" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.sq8TopK(
+        Similarity.sq8Encode(e), e, queryVec(s, d), 20, rerank = 100)
+    }),
 
     "d_embed_neardup" -> ((s, d) =>
       // embedding-cosine near-dup: the fourth dedup mode (exact /

@@ -58,6 +58,18 @@ object VectorFunctions {
   def lambdaScore(cos: Column, lambdaItem: Column, lambdaQ: Double, tau: Double): Column =
     lit(tau) * cos + lit(1.0 - tau) * lambdaProximity(lambdaItem, lit(lambdaQ))
 
+  /** SQ8-quantize an ARRAY<DOUBLE> vector to BINARY codes (one byte
+    * per dimension) under per-dimension (mins, maxs) stats — the
+    * materialized 8×-smaller index column of the SQ8 ANN path. */
+  def sq8Encode(v: Column, mins: Column, maxs: Column): Column =
+    Shim.column(Sq8EncodeVec(asDoubles(v), asDoubles(mins), asDoubles(maxs)))
+
+  /** Asymmetric dequantized cosine: BINARY SQ8 codes scored against a
+    * full-precision query, one fused codegen loop. */
+  def sq8Cosine(codes: Column, q: Column, mins: Column, maxs: Column): Column =
+    Shim.column(Sq8CosineDeq(
+      Shim.expression(codes), asDoubles(q), asDoubles(mins), asDoubles(maxs)))
+
   /** Register the native kernels for SQL use (`graft_cosine(a,b)` etc.). */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
@@ -67,5 +79,9 @@ object VectorFunctions {
     Shim.registerFunction(spark, "graft_cosine", es => CosineSimilarity(d(es(0)), d(es(1))))
     Shim.registerFunction(spark, "graft_l2norm", es => L2Norm(d(es.head)))
     Shim.registerFunction(spark, "graft_l2normalize", es => L2Normalize(d(es.head)))
+    Shim.registerFunction(spark, "graft_sq8_encode",
+      es => Sq8EncodeVec(d(es(0)), d(es(1)), d(es(2))))
+    Shim.registerFunction(spark, "graft_sq8_cosine",
+      es => Sq8CosineDeq(es(0), d(es(1)), d(es(2)), d(es(3))))
   }
 }

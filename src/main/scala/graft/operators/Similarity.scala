@@ -162,49 +162,82 @@ object Similarity {
       })
   }
 
-  /** Scalar-quantized (SQ8) cosine top-k — the memory-bound ANN scale
-    * path (the standard "SQ8" codec of the public ANN literature, e.g.
-    * faiss's ScalarQuantizer: per-dimension min/max, 8-bit codes,
-    * asymmetric distance): each dimension is affinely mapped to a
-    * 0..255 code (`round((x−min)·255/(max−min))`), candidates are
-    * ranked by cosine(query, DEQUANTIZED vector) — the query stays
-    * full-precision — and the top `rerank` survivors are re-scored
-    * against the exact vectors. An SQ8 index is 8× smaller than the
-    * float64 column (d bytes/vec), which is what lets a 100 TB corpus'
-    * codes live in cluster memory while the exact vectors stay on
-    * parquet for the bounded rerank fetch.
-    *
-    * Plan shape: one treeAggregate stats pass ([[dimStats]]), then ONE
-    * scan scoring dequantized cosines through the same codegen'd
-    * kernel the exact path uses (whole-stage codegen, no UDF), a
-    * TakeOrderedAndProject down to `rerank` rows, and a broadcast
-    * candidate join for the exact rerank. Constant dimensions
-    * (max == min) dequantize to the constant — no 0/0.
+  /** A materialized SQ8 index: `codes` is (id, codes BINARY) — ONE
+    * byte per dimension, 8× denser than the float64 vector column —
+    * plus the per-dimension (min, max) sidecar the codes were encoded
+    * under. At cluster scale the codes table is what lives in memory
+    * (or a slim parquet column co-partitioned with the corpus) while
+    * the exact vectors stay on parquet, touched only by the bounded
+    * rerank join. Build with [[sq8Encode]], query with [[sq8TopK]],
+    * drop with [[sq8Release]].
+    */
+  final case class Sq8Index(
+      codes: DataFrame, mins: Array[Double], maxs: Array[Double])
+
+  /** Encode (id, vec) to a materialized SQ8 index (see the faiss-style
+    * codec contract on [[sq8TopK]]): one [[dimStats]] treeAggregate
+    * pass for the (min, max) sidecar — 2·d doubles on the driver —
+    * then one map-only codegen scan ([[graft.functions.Sq8EncodeVec]])
+    * producing the d-byte BINARY codes column. `persist=true` (the
+    * default) caches the codes for repeated queries — the in-memory
+    * analogue of writing them as a parquet sidecar table; one-shot
+    * callers pass false and the encode fuses into the query scan.
+    * `decode(encode(x))` is bit-identical to the expression-algebra
+    * quantizer the DuckDB oracle replays (encode rounds with the same
+    * decimal HALF_UP as `F.round` — see [[graft.functions.Sq8Kernels]]).
+    */
+  def sq8Encode(emb: DataFrame, persist: Boolean = true): Sq8Index = {
+    val first = emb.select(F.col("vec")).limit(1).collect()
+    require(first.nonEmpty, "sq8Encode: empty corpus — nothing to quantize")
+    val dims = first(0).getSeq[Any](0).length
+    val (mins, maxs) = dimStats(emb, dims)
+    val codes = emb.select(
+      F.col("id"),
+      graft.functions.VectorFunctions.sq8Encode(
+        F.col("vec"), F.typedLit(mins), F.typedLit(maxs)).as("codes"))
+    val out =
+      if (persist)
+        codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else codes
+    Sq8Index(out, mins, maxs)
+  }
+
+  /** Release an in-memory index's cached codes (no-op when built with
+    * persist=false or already released). */
+  def sq8Release(index: Sq8Index): Unit =
+    index.codes.unpersist(blocking = false)
+
+  /** SQ8 top-k over a materialized index: candidates ranked by
+    * asymmetric dequantized cosine — ONE codegen scan over the d-byte
+    * codes ([[graft.functions.Sq8CosineDeq]]; the query stays
+    * full-precision, dequant is fused into the cosine loop, no
+    * intermediate array) — cut to `rerank` by TakeOrderedAndProject,
+    * then re-scored against the EXACT vectors in `emb` via a broadcast
+    * candidate join. This is the memory-bound scale shape: the scan
+    * touches only codes (d bytes/row), and full-precision vectors are
+    * read for just `rerank` rows.
     *
     * Approx scores round to 4 decimals BEFORE the candidate cut (ties
     * then break on id), so the candidate set is stable across engines
     * — the contract that makes the operator oracle-replayable.
+    * Constant dimensions (max == min) dequantize to the constant.
     *
     * Output: (id, score) — exact cosines of the reranked top-k.
     */
   def sq8TopK(
-      emb: DataFrame, query: Array[Double], k: Int,
-      rerank: Int = 100): DataFrame = {
+      index: Sq8Index, emb: DataFrame, query: Array[Double], k: Int,
+      rerank: Int): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val (mins, maxs) = dimStats(emb, query.length)
-    val mnL = F.typedLit(mins)
-    val mxL = F.typedLit(maxs)
-    val dq = F.transform(F.col("vec").cast("array<double>"), (x, i) => {
-      val mn = F.element_at(mnL, i + 1)
-      val mx = F.element_at(mxL, i + 1)
-      val s = mx - mn
-      F.when(s === 0.0, mn)
-        .otherwise(mn + F.round((x - mn) / s * 255.0, 0) * s / 255.0)
-    })
+    require(query.length == index.mins.length,
+      s"query has ${query.length} dims but index was encoded for " +
+        s"${index.mins.length}")
     val q = F.typedLit(query)
-    val cand = emb
-      .select(F.col("id"), F.round(cosine(dq, q), 4).as("approx"))
+    val cand = index.codes
+      .select(F.col("id"),
+        F.round(graft.functions.VectorFunctions.sq8Cosine(
+          F.col("codes"), q, F.typedLit(index.mins),
+          F.typedLit(index.maxs)), 4).as("approx"))
       .orderBy(F.col("approx").desc, F.col("id").asc)
       .limit(rerank)
       .select("id")
@@ -212,6 +245,28 @@ object Similarity {
       .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
       .orderBy(F.col("score").desc, F.col("id").asc)
       .limit(k)
+  }
+
+  /** One-shot SQ8 cosine top-k — the memory-bound ANN scale path (the
+    * standard "SQ8" codec of the public ANN literature, e.g. faiss's
+    * ScalarQuantizer: per-dimension min/max, 8-bit codes, asymmetric
+    * distance): each dimension is affinely mapped to a 0..255 code
+    * (`round((x−min)·255/(max−min))`), candidates are ranked by
+    * cosine(query, DEQUANTIZED vector) — the query stays full-
+    * precision — and the top `rerank` survivors are re-scored against
+    * the exact vectors.
+    *
+    * Convenience composition of [[sq8Encode]] (unpersisted — a single
+    * query reads the corpus once either way, so the encode fuses into
+    * the candidate scan) and the indexed [[sq8TopK]]; repeated-query
+    * callers build the index once instead.
+    */
+  def sq8TopK(
+      emb: DataFrame, query: Array[Double], k: Int,
+      rerank: Int = 100): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    sq8TopK(sq8Encode(emb, persist = false), emb, query, k, rerank)
   }
 
   def annTopKHamming(

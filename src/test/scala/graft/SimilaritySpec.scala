@@ -110,6 +110,38 @@ class SimilaritySpec extends SparkSpec {
       Similarity.sq8TopK(emb, query, 20, rerank = 5))
   }
 
+  test("SQ8 materialized index: d-byte codes, one-shot parity, tight-rerank recall") {
+    val index = Similarity.sq8Encode(emb)
+    try {
+      // the codes column is REAL bytes — exactly d = 32 per row, so the
+      // "8× smaller than float64" memory claim is the column's actual
+      // width, not a scaladoc aspiration
+      val lens = index.codes.select(F.length(F.col("codes")).as("l"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      assert(lens == Seq(32), s"codes must be exactly 32 bytes/row, got $lens")
+      // indexed path == one-shot path, row for row: both run the same
+      // quantizer (encode is BigDecimal HALF_UP like F.round), so
+      // materializing codes must not move a single candidate
+      val one = Similarity.sq8TopK(emb, query, 20, rerank = 100).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaIdx = Similarity.sq8TopK(index, emb, query, 20, rerank = 100)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaIdx == one, s"indexed=$viaIdx one-shot=$one")
+      // quantization-bite recall: ZERO rerank headroom (rerank == k) on
+      // the anisotropic 8-mode corpus — the candidate set is then chosen
+      // purely by dequantized scores, so quantization error directly
+      // costs recall if the codec is sloppy
+      val exactIds = Similarity.annTopK(emb, query, 20).collect()
+        .map(_.getLong(0)).toSet
+      val tightIds = Similarity.sq8TopK(index, emb, query, 20, rerank = 20)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (exactIds & tightIds).size / 20.0
+      assert(recall >= 0.95, s"tight-rerank recall@20 = $recall < 0.95")
+    } finally Similarity.sq8Release(index)
+    assert(index.codes.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("IVF top-k with full probes equals brute force exactly") {
     val index = Similarity.ivfBuild(emb, nLists = 8)
     val brute = Similarity.annTopK(emb, query, 10).collect().map(_.getLong(0)).toSeq
