@@ -102,7 +102,7 @@ object SparkEntry {
     "t_unigram_lm", "t_nb_classify", "v_hard_negatives",
     "t_filter_funnel", "t_ppl_buckets", "t_span_corrupt",
     "d_source_quota", "d_split_assign", "t_dsir_weights",
-    "v_ann_topk_sq8")
+    "v_ann_topk_sq8", "v_hard_negatives_approx")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -776,6 +776,20 @@ object SparkEntry {
         F.col("id").as("qid"), F.col("vec").as("qvec"),
         F.col("label").as("qlabel"))
       Similarity.hardNegatives(e, q, k = 10)
+    }),
+
+    // the 100 TB sibling: IVF-pruned candidates (same DeterministicKMeans
+    // coarse quantizer as v_ivf_topk, nprobe=12 of 16 lists), label
+    // filter, exact scoring of the survivors only
+    "v_hard_negatives_approx" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings").select(
+        F.col("vec_id").as("id"),
+        F.col("embedding").cast("array<double>").as("vec"),
+        F.col("label"))
+      val q = e.where(F.col("id") < 5).select(
+        F.col("id").as("qid"), F.col("vec").as("qvec"),
+        F.col("label").as("qlabel"))
+      Similarity.hardNegativesApprox(e, q, k = 10, nLists = 16, nprobe = 12)
     }),
 
     "v_top_cosine_pairs" -> ((s, d) =>
@@ -2003,6 +2017,44 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, id, neg_label, score FROM ranked WHERE rk <= 10
         |ORDER BY qid, score DESC, id""".stripMargin,
+
+    // IVF-pruned hard negatives: the v_ivf_topk_batch probe replay
+    // (same DeterministicKMeans CTE chain, per-query probe ranking,
+    // probe-bounded candidate set) with the cross-label filter applied
+    // before the per-query top-k; scores stay exact round-4 cosine
+    "v_hard_negatives_approx" ->
+      (s"""WITH ivsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("ivsrc", 16, 15, "iv")},
+          |lab AS (SELECT vec_id AS id, label::VARCHAR AS label
+          |  FROM embeddings),
+          |qlab AS (SELECT vec_id AS qid, label::VARCHAR AS ql
+          |  FROM embeddings WHERE vec_id < 5),
+          |qs AS (SELECT id AS qid, f, x FROM ivsrc WHERE id < 5),
+          |cq AS (SELECT q.qid, k.c,
+          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+          |  FROM ivkc15 k JOIN qs q ON q.f = k.f GROUP BY q.qid, k.c),
+          |probes AS (SELECT qid, c FROM (
+          |  SELECT qid, c, row_number() OVER (
+          |    PARTITION BY qid ORDER BY d, c) AS rn FROM cq) WHERE rn <= 12),
+          |sel AS (SELECT p.qid, fin.id
+          |  FROM ivfin fin JOIN probes p ON p.c = fin.c),
+          |scored AS (SELECT s.qid, a.id, l.label AS neg_label,
+          |  round(sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)), 4)
+          |    AS score
+          |  FROM ivsrc a JOIN sel s ON s.id = a.id
+          |  JOIN qs q ON q.qid = s.qid AND q.f = a.f
+          |  JOIN lab l ON l.id = a.id
+          |  JOIN qlab ON qlab.qid = s.qid
+          |  WHERE l.label IS NOT NULL AND l.label <> qlab.ql
+          |  GROUP BY s.qid, a.id, l.label)
+          |SELECT qid, id, neg_label, score FROM (
+          |  SELECT qid, id, neg_label, score, row_number() OVER (
+          |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+          |  FROM scored) WHERE rn <= 10
+          |ORDER BY qid, score DESC, id ASC""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
 
     "d_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -626,12 +626,30 @@ object Similarity {
     */
   def hardNegatives(
       emb: DataFrame, queries: DataFrame, k: Int,
-      maxLabels: Int = 10000): DataFrame = {
+      maxLabels: Int = 10000,
+      maxScoredPairs: Long = 25000000L): DataFrame = {
     val spark = emb.sparkSession
     val items = emb.select(
       F.col("id").cast("long"),
       F.col("vec").cast("array<double>"),
       F.col("label").cast("string"))
+    // the scored join below computes ~N×Q cosines — exact by contract,
+    // quadratic by nature. Like every other exact operator here
+    // (requireExactPairsBound), the cost is measured and gated with
+    // the scale path named, never silently paid: two column-pruned
+    // counts, then fail fast if the product exceeds the bound.
+    // maxScoredPairs >= Long.MaxValue is the explicit opt-out.
+    if (maxScoredPairs < Long.MaxValue) {
+      val n = items.count()
+      val nq = queries.count()
+      require(n * nq <= maxScoredPairs,
+        s"hardNegatives scores every (item, query) pair exactly — " +
+          s"$n items × $nq queries = ${n * nq} cosines exceeds " +
+          s"maxScoredPairs=$maxScoredPairs. At this scale use " +
+          "hardNegativesApprox (IVF-pruned candidates, same output " +
+          "contract, recall bounded by nprobe/nLists), or raise " +
+          "maxScoredPairs explicitly if the N×Q cost is truly acceptable.")
+    }
     // null labels are excluded from the domain BEFORE collect: the
     // documented semantics (label <> qlabel) drop null-label rows, the
     // equi-join below drops null keys anyway, and a null in the
@@ -658,5 +676,73 @@ object Similarity {
     graft.scale.Skew.saltedTopKPerKey(
         scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
+  /** Approximate hard-negative mining — the 100 TB sibling of
+    * [[hardNegatives]]: candidates come from IVF probe pruning instead
+    * of scoring every (item, query) pair. Items are coarse-quantized
+    * by [[graft.scale.DeterministicKMeans]] (the SAME model/predict
+    * code path as [[ivfBuild]], so list assignment cannot drift from
+    * the IVF operators); each query selects its `nprobe` nearest lists
+    * on the executors (shared [[probesFor]] selection, broadcast
+    * centroids, no per-query driver work); candidates are the probed
+    * lists' items with `label <> qlabel`, scored by EXACT round-4
+    * cosine; the salted two-phase top-k bounds every task. Work is
+    * ~(nprobe/nLists)·N per query instead of N — the approximation is
+    * purely which candidates are seen (scores are exact), so recall
+    * loss is the probe-miss rate, measured at ≥0.9 on a clustered
+    * corpus by SimilaritySpec.
+    *
+    * Same output contract as [[hardNegatives]]: (qid, id, neg_label,
+    * score), top `k` per qid by (score DESC, id ASC); null item labels
+    * are never negatives; a null qlabel yields no rows for that query
+    * (the filter is null-strict, matching the exact operator).
+    *
+    * The per-query result is bounded (Q×k rows), so the operator
+    * materializes it (localCheckpoint) and releases the assignment
+    * cache before returning — callers get a plain frame, not a pinned
+    * index to manage.
+    */
+  def hardNegativesApprox(
+      emb: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nprobe: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(nLists > 0 && nprobe > 0 && nprobe <= nLists,
+      s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=$nLists")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val items = emb.select(
+      F.col("id").cast("long"),
+      F.col("vec").cast("array<double>"),
+      F.col("label").cast("string"))
+    val model = graft.scale.DeterministicKMeans.fit(
+      items, nLists, maxIter = 15, idCol = "id", vecCol = "vec")
+    val bcM = spark.sparkContext.broadcast(model)
+    val assigned = items
+      .as[(Long, Array[Double], String)]
+      .map { case (id, x, l) => (id, x, l, bcM.value.predict(x)) }
+      .toDF("id", "vec", "label", "cluster")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = model.centers.zipWithIndex.map(_.swap)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val probed = queries
+      .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"),
+        F.col("qlabel").cast("string"))
+      .as[(Long, Array[Double], String)]
+      .flatMap { case (qid, qv, ql) =>
+        probesFor(bcC.value, qv, nprobe).map(c => (qid, c, qv, ql))
+      }
+      .toDF("qid", "cluster", "qvec", "qlabel")
+    val scored = probed
+      .join(assigned, "cluster")
+      .where(F.col("label").isNotNull && F.col("label") =!= F.col("qlabel"))
+      .select(F.col("qid"), F.col("id"), F.col("label").as("neg_label"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    val topk = graft.scale.Skew.saltedTopKPerKey(
+        scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+      .localCheckpoint()
+    assigned.unpersist(blocking = false)
+    topk
   }
 }

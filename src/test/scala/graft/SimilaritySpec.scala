@@ -308,5 +308,53 @@ class SimilaritySpec extends SparkSpec {
     val oneLabel = emb.withColumn("label", F.lit("X"))
     val qx = q.withColumn("qlabel", F.lit("X"))
     assert(Similarity.hardNegatives(oneLabel, qx, 2).count() == 0)
+    // null item label never appears as a negative; null qlabel yields
+    // no rows for that query (null-strict filter, ADVICE r6 — and no
+    // driver NPE collecting the label domain)
+    val withNull = emb.withColumn("label",
+      F.when($"id" === 3L, F.lit(null: String)).otherwise($"label"))
+    val nrows = Similarity.hardNegatives(withNull, q, k = 4).collect()
+    assert(!nrows.exists(_.getLong(1) == 3L), "null-label item leaked")
+    val qNull = q.withColumn("qlabel", F.lit(null: String))
+    assert(Similarity.hardNegatives(emb, qNull, 2).count() == 0)
+  }
+
+  test("hardNegativesApprox: probe-pruned recall >= 0.9; exact N x Q gate trips") {
+    val s = spark
+    import s.implicits._
+    // label = mode id: hard negatives are the nearest items of OTHER
+    // modes, concentrated in the few clusters adjacent to the query's
+    val labeled = emb.withColumn("label", (F.col("id") % 8).cast("string"))
+    val qs = labeled.where(F.col("id") < 8).select(
+      F.col("id").as("qid"), F.col("vec").as("qvec"),
+      F.col("label").as("qlabel"))
+    val exact = Similarity.hardNegatives(labeled, qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // half the lists probed: work per query is ~nprobe/nLists of the
+    // corpus, and the only approximation is probe misses — scores of
+    // surviving candidates are exact
+    val approx = Similarity
+      .hardNegativesApprox(labeled, qs, k = 10, nLists = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"probe-pruned recall = $recall < 0.9")
+    // the exact operator's measured N x Q gate: actionable message
+    // naming the approximate sibling
+    val e = intercept[IllegalArgumentException](
+      Similarity.hardNegatives(labeled, qs, k = 10, maxScoredPairs = 100L))
+    assert(e.getMessage.contains("hardNegativesApprox"),
+      s"gate must name the scale path: ${e.getMessage}")
+    // null qlabel parity with the exact operator: no rows for that query
+    val qNull = qs.limit(1).withColumn("qlabel", F.lit(null: String))
+    assert(Similarity
+      .hardNegativesApprox(labeled, qNull, k = 5, nLists = 8, nprobe = 8)
+      .count() == 0)
+    // full probes = no pruning: the approx operator must reproduce the
+    // exact top-k pair set (scores are exact either way)
+    val fullProbes = Similarity
+      .hardNegativesApprox(labeled, qs, k = 10, nLists = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullProbes == exact,
+      s"nprobe=nLists must equal exact; diff=${(fullProbes diff exact) ++ (exact diff fullProbes)}")
   }
 }
