@@ -76,7 +76,7 @@ object TrainPrep {
     * concurrent [[releasePinnedCaches]]) throws instead of applying
     * broadcast carries to the wrong rows.
     */
-  private def layoutChecked[T, K](
+  private[graft] def layoutChecked[T, K](
       part: Int, it: Iterator[T], expCount: Long, expFirst: K)(
       key: T => K): Iterator[T] = new Iterator[T] {
     private var n = 0L

@@ -598,4 +598,87 @@ class TrainPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TrainPrep.spanCorrupt(docs, maxSpan = 99))
   }
+
+  test("iterative packer pipeline: pinned caches never accumulate across calls") {
+    val sc = spark.sparkContext
+    // a long-lived session (Bench/Verify, a training-prep driver loop)
+    // interleaves packers, rankers, and quotas for many batches; every
+    // pin must be released by the post-materialize release call, and
+    // the registry must return to its starting size each iteration —
+    // r6's bench regression was exactly this class of accumulation
+    TrainPrep.releasePinnedCaches()
+    val base = sc.getPersistentRDDs.size
+    (1 to 4).foreach { i =>
+      // the frames are held in scope across the release so the weak
+      // pins are deterministically alive (dropping them earlier lets
+      // an interim GC collect a pin before release counts it — the
+      // queue tolerates that by design, but the spec wants exact counts)
+      val f1 = TrainPrep.packTokenShards(docs, 16L * i)
+      val f2 = TrainPrep.packTokenShardsGreedy(docs, 16L * i)
+      val f3 = TrainPrep.stratumWeightQuota(
+        docs, F.col("doc_id"), F.col("source"),
+        F.size(TextOps.tokens(F.col("text"))),
+        budgets = Map.empty, defaultBudget = 40L * i)
+      assert(f1.collect().nonEmpty && f2.collect().nonEmpty &&
+        f3.collect().nonEmpty)
+      assert(sc.getPersistentRDDs.size > base,
+        "packers must pin their range-shuffled layout until release")
+      val released = TrainPrep.releasePinnedCaches()
+      assert(released >= 3, s"expected >= 3 pins released, got $released")
+      assert(Seq(f1, f2, f3).forall(_ != null)) // keep frames live past release
+      assert(sc.getPersistentRDDs.size == base,
+        s"pinned caches accumulated after iteration $i")
+      // GC pressure between batches: the weak-ref queue must tolerate
+      // collected refs (a dead ref is skipped, not an error)
+      System.gc()
+    }
+    assert(TrainPrep.releasePinnedCaches() == 0, "release must be idempotent")
+  }
+
+  test("eviction before materialization recomputes correctly or raises — never mis-carries") {
+    // packTokenShards runs two jobs against one pinned layout. If the
+    // cache is evicted (or released early) between them, the second job
+    // recomputes the range shuffle; the per-partition (count, first
+    // key) fingerprint then either matches (recompute landed on the
+    // identical layout — correct carries) or MUST raise. Silently
+    // applying job-1 carries to a drifted layout is the one forbidden
+    // outcome.
+    val expect = TrainPrep.packTokenShards(docs, 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted
+    TrainPrep.releasePinnedCaches()
+    val frame = TrainPrep.packTokenShards(docs, 64L)
+    // forced eviction BEFORE the frame is materialized
+    assert(TrainPrep.releasePinnedCaches() >= 1)
+    val got =
+      try Right(frame.collect().map(r =>
+        (r.getLong(0), r.getLong(2), r.getLong(3))).sorted)
+      catch { case e: Throwable => Left(e) }
+    got match {
+      case Right(rows) => assert(rows.toSeq == expect.toSeq,
+        "post-eviction recompute produced different shards without raising")
+      case Left(e) =>
+        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).toSeq
+        assert(msgs.exists(_.contains("layout drifted")),
+          s"unexpected failure class: $e")
+    }
+    TrainPrep.releasePinnedCaches()
+    // the guard itself: a drifted first key or short partition raises
+    // with the re-run instruction instead of applying carries anyway
+    val itDrift = TrainPrep.layoutChecked(
+      3, Iterator((9L, 1L)), expCount = 1L, expFirst = 7L)(_._1)
+    val eDrift = intercept[IllegalStateException](itDrift.next())
+    assert(eDrift.getMessage.contains("layout drifted") &&
+      eDrift.getMessage.contains("partition 3"))
+    val itShort = TrainPrep.layoutChecked(
+      1, Iterator((7L, 1L)), expCount = 2L, expFirst = 7L)(_._1)
+    val eShort = intercept[IllegalStateException] {
+      while (itShort.hasNext) itShort.next()
+    }
+    assert(eShort.getMessage.contains("expected 2 rows"))
+    // a matching fingerprint passes rows through untouched
+    val ok = TrainPrep.layoutChecked(
+      0, Iterator((7L, 1L), (8L, 2L)), expCount = 2L, expFirst = 7L)(_._1)
+    assert(ok.toSeq == Seq((7L, 1L), (8L, 2L)))
+  }
 }
