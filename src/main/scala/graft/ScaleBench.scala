@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+
+/** Synthetic scale-up bench (round-7, VERDICT r6 stretch item): every
+  * scale claim so far was extrapolated from sf0.1 (5k docs / 2k
+  * vectors), so this main generates a deterministic corpus 40–50×
+  * that — 200k documents, 100k × 64 embeddings — ENTIRELY with Spark
+  * expressions (no driver loops, no RNG: content is a pure function of
+  * (id, position) via xxhash64, so runs are byte-identical) and times
+  * the headline dedup / ANN / packing operators at it. Results go to
+  * `SCALE_BENCH_r07.json` (override: SPARK_GRAFT_SCALE_OUT), one row
+  * per operator plus the corpus shape, so the measured scaling of the
+  * banded joins, IVF probe pruning, SQ8 scan, and prefix-sum packers
+  * is a committed artifact instead of an asymptotic argument.
+  *
+  * Scale knob: SPARK_GRAFT_SCALE (default 40 = 200k docs; 1 ≈ sf0.1).
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "40").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{Dedup, Similarity, TrainPrep, TextOps}
+
+    val nDocs = 5000L * scale
+    val nVecs = 2000L * scale.min(50)
+    val dims = 64
+
+    // ---- synthetic documents: ~45 tokens from a 6k vocab with a
+    // cubed-uniform skew (zipf-ish head), 3% appended exact dups, 3%
+    // near-dups (one token appended) — enough dup mass that the banded
+    // join and verify stages do real work
+    def word(h: Column): Column =
+      F.concat(F.lit("w"), F.pow(F.pmod(h, F.lit(1000)).cast("double") / 1000.0, 3.0)
+        .*(6000).cast("int").cast("string"))
+    def textFor(id: Column): Column =
+      F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.pmod(F.xxhash64(id, F.lit("len")), F.lit(31)).cast("int") + 30),
+        j => word(F.xxhash64(id, j))))
+    val base = spark.range(nDocs).select(
+      F.col("id").as("doc_id"),
+      textFor(F.col("id")).as("text"),
+      F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(10))).as("source"))
+    val exactDups = spark.range(nDocs / 33).select(
+      (F.col("id") * 33 + nDocs).as("doc_id"),
+      textFor(F.col("id") * 33).as("text"),
+      F.lit("srcdup").as("source"))
+    val nearDups = spark.range(nDocs / 33).select(
+      (F.col("id") * 33 + 1 + nDocs + nDocs / 33 * 33).as("doc_id"),
+      F.concat(textFor(F.col("id") * 33 + 1), F.lit(" extratoken")).as("text"),
+      F.lit("srcnear").as("source"))
+    val docs = base.unionByName(exactDups).unionByName(nearDups)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- synthetic embeddings: 32 well-separated modes + per-(id,dim)
+    // hash noise, L2-normalized (the IVF/SQ8 contract), label = mode
+    val vecCol = graft.functions.VectorFunctions.l2normalize(
+      F.transform(F.sequence(F.lit(0), F.lit(dims - 1)), f =>
+        F.sin(F.pmod(F.col("id"), F.lit(32)).cast("double") * 0.7 +
+          f.cast("double") * 0.37) +
+          (F.pmod(F.xxhash64(F.col("id"), f), F.lit(1000)).cast("double") / 1000.0
+            - 0.5) * 0.3))
+    val emb = spark.range(nVecs).select(
+      F.col("id"),
+      vecCol.as("vec"),
+      F.pmod(F.col("id"), F.lit(32)).cast("string").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = spark.range(1000).select(
+      (F.col("id") * (nVecs / 1000)).as("qid"))
+      .join(emb.withColumnRenamed("id", "qid"), "qid")
+      .select(F.col("qid"), F.col("vec").as("qvec"),
+        F.col("label").as("qlabel"))
+
+    println(s"[scale] docs=${docs.count()} vecs=${emb.count()} dims=$dims")
+
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    def bench(name: String)(body: => Long): Unit = {
+      graft.operators.TrainPrep.releasePinnedCaches()
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      rows(name) = (sec, n)
+      println(f"[scale] $name%-28s ${sec}%8.2f s  rows=$n")
+    }
+
+    bench("d_exact_groups") {
+      Dedup.exactGroups(docs).where(F.col("n_docs") > 1).count()
+    }
+    bench("d_minhash_neardup") {
+      Dedup.minhashNearDupPairs(docs, estFloor = 0.6)
+        .where(F.col("jaccard") >= 0.8).count()
+    }
+    bench("d_simhash_neardup") {
+      Dedup.simhashNearDupPairs(docs).count()
+    }
+    bench("d_decontaminate") {
+      val eval = docs.where(F.col("doc_id") % 50 === 0)
+      val corpus = docs.where(F.col("doc_id") % 50 =!= 0)
+      Dedup.decontaminate(corpus, eval, n = 8).count()
+    }
+    bench("t_pack_shards") {
+      val n = TrainPrep.packTokenShards(docs, budget = 1 << 20).count()
+      TrainPrep.releasePinnedCaches(); n
+    }
+    bench("t_pack_greedy") {
+      val n = TrainPrep.packTokenShardsGreedy(docs, budget = 1 << 20).count()
+      TrainPrep.releasePinnedCaches(); n
+    }
+    bench("d_source_quota") {
+      val n = TrainPrep.stratumWeightQuota(
+        docs, F.col("doc_id"), F.col("source"),
+        F.size(TextOps.tokens(F.col("text"))),
+        budgets = Map.empty, defaultBudget = 200000L).count()
+      TrainPrep.releasePinnedCaches(); n
+    }
+    val ivf = {
+      val t0 = System.nanoTime()
+      val index = Similarity.ivfBuild(emb.select("id", "vec"), nLists = 64)
+      index.assigned.count() // materialize the lists into the build row
+      rows("v_ivf_build") = ((System.nanoTime() - t0) / 1e9, nVecs)
+      println(f"[scale] v_ivf_build              ${rows("v_ivf_build")._1}%8.2f s  rows=$nVecs")
+      index
+    }
+    bench("v_ivf_topk_batch") {
+      Similarity.ivfTopKBatch(ivf, queries, k = 10, nprobe = 8).count()
+    }
+    Similarity.ivfRelease(ivf)
+    val sq8 = {
+      val t0 = System.nanoTime()
+      val index = Similarity.sq8Encode(emb)
+      index.codes.count()
+      rows("v_sq8_encode") = ((System.nanoTime() - t0) / 1e9, nVecs)
+      println(f"[scale] v_sq8_encode             ${rows("v_sq8_encode")._1}%8.2f s  rows=$nVecs")
+      index
+    }
+    bench("v_sq8_topk") {
+      val q = emb.where(F.col("id") === 11).select("vec")
+        .head.getSeq[Double](0).toArray
+      Similarity.sq8TopK(sq8, emb, q, k = 20, rerank = 200).count()
+    }
+    Similarity.sq8Release(sq8)
+    bench("v_hard_negatives_approx") {
+      Similarity.hardNegativesApprox(
+        emb, queries, k = 10, nLists = 64, nprobe = 8).count()
+    }
+
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r07.json")
+    val json =
+      s"""{"metric":"scale_total","value":${fmt(rows.values.map(_._1).sum)},""" +
+        s""""unit":"sec","scale":$scale,"n_docs":${docs.count()},""" +
+        s""""n_vecs":$nVecs,"dims":$dims,"queries":{""" +
+        rows.map { case (k, (s, n)) =>
+          s""""$k":{"sec":${fmt(s)},"rows":$n}""" }.mkString(",") +
+        "}}\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(json)
+    spark.stop()
+  }
+}

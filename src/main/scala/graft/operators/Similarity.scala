@@ -247,6 +247,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an SQ8 index: the codes table as Parquet (a BINARY column
+    * compresses to ~d bytes/row — the slim sidecar a 100 TB corpus
+    * keeps hot while the float vectors stay cold) plus the per-dim
+    * (min, max) stats as a JSON sidecar on the SAME filesystem (see
+    * [[ivfSave]] for why not java.nio).
+    */
+  def sq8Save(index: Sq8Index, path: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    def arr(a: Array[Double]) = a.mkString("[", ",", "]")
+    graft.api.ArrowSpaceModel.writeSidecar(
+      index.codes.sparkSession, s"$path/stats.json",
+      s"""{"dims":${index.mins.length},"mins":${arr(index.mins)},""" +
+        s""""maxs":${arr(index.maxs)}}""")
+  }
+
+  def sq8Load(spark: org.apache.spark.sql.SparkSession, path: String): Sq8Index = {
+    val txt = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/stats.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def arr(name: String): Array[Double] =
+      ("\"" + name + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt).get
+        .group(1).split(",").map(_.toDouble)
+    Sq8Index(spark.read.parquet(s"$path/codes"), arr("mins"), arr("maxs"))
+  }
+
   /** One-shot SQ8 cosine top-k — the memory-bound ANN scale path (the
     * standard "SQ8" codec of the public ANN literature, e.g. faiss's
     * ScalarQuantizer: per-dimension min/max, 8-bit codes, asymmetric
@@ -706,9 +735,7 @@ object Similarity {
   def hardNegativesApprox(
       emb: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 16, nprobe: Int = 8): DataFrame = {
-    require(k > 0, s"k must be positive; got $k")
-    require(nLists > 0 && nprobe > 0 && nprobe <= nLists,
-      s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=$nLists")
+    require(nLists > 0, s"nLists must be positive; got $nLists")
     val spark = emb.sparkSession
     import spark.implicits._
     val items = emb.select(
@@ -724,6 +751,46 @@ object Similarity {
       .toDF("id", "vec", "label", "cluster")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = model.centers.zipWithIndex.map(_.swap)
+    hardNegativesProbed(assigned, centroids, queries, k, nprobe,
+      release = Seq(assigned))
+  }
+
+  /** [[hardNegativesApprox]] against a PREBUILT [[IvfIndex]]: the
+    * coarse-quantizer fit dominates the one-shot variant at scale
+    * (measured: ~22 s of its 24 s at 80k×64 — SCALE_BENCH_r07), and a
+    * mining pipeline runs MANY query batches against one corpus, so
+    * amortize it: build once with [[ivfBuild]], pass a slim (id,
+    * label) frame, and each batch pays only the probe join. Labels
+    * ride in via an id equi-join against the probe-bounded candidates
+    * — never a corpus-wide re-join.
+    */
+  def hardNegativesApprox(
+      index: IvfIndex, labels: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val lab = labels.select(
+      F.col("id").cast("long"), F.col("label").cast("string"))
+    val assigned = index.assigned.join(lab, "id")
+      .select("id", "vec", "label", "cluster")
+    hardNegativesProbed(assigned, index.centroids, queries, k, nprobe,
+      release = Seq.empty)
+  }
+
+  /** Shared probe→filter→score→top-k core of both
+    * [[hardNegativesApprox]] overloads (one fits its own quantizer,
+    * one reuses an [[IvfIndex]]) — single code path, schemes can't
+    * drift. Releases `release` after materializing the bounded (Q×k)
+    * result via localCheckpoint.
+    */
+  private def hardNegativesProbed(
+      assigned: DataFrame, centroids: Array[(Int, Array[Double])],
+      queries: DataFrame, k: Int, nprobe: Int,
+      release: Seq[DataFrame]): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(nprobe > 0 && nprobe <= centroids.length,
+      s"need 0 < nprobe <= nLists; got nprobe=$nprobe " +
+        s"nLists=${centroids.length}")
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val bcC = spark.sparkContext.broadcast(centroids)
     val probed = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"),
@@ -742,7 +809,7 @@ object Similarity {
         scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
       .localCheckpoint()
-    assigned.unpersist(blocking = false)
+    release.foreach(_.unpersist(blocking = false))
     topk
   }
 }

@@ -142,6 +142,30 @@ class SimilaritySpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("SQ8 index save/load: round-trip parity and on-disk code density") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8idx").toString
+    val index = Similarity.sq8Encode(emb, persist = false)
+    Similarity.sq8Save(index, dir)
+    val loaded = Similarity.sq8Load(spark, dir)
+    assert(loaded.mins.toSeq == index.mins.toSeq &&
+      loaded.maxs.toSeq == index.maxs.toSeq)
+    val fresh = Similarity.sq8TopK(index, emb, query, 20, 100).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaDisk = Similarity.sq8TopK(loaded, emb, query, 20, 100).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaDisk == fresh)
+    // density: the saved codes column must be several times smaller on
+    // disk than the float64 vectors it indexes (1 byte vs 8 per dim;
+    // parquet framing and compression eat some of the 8×, so assert a
+    // conservative 3×)
+    emb.select("id", "vec").write.mode("overwrite").parquet(s"$dir/vecraw")
+    def dirBytes(p: String): Long = new java.io.File(p)
+      .listFiles.filter(_.isFile).map(_.length).sum
+    val codesB = dirBytes(s"$dir/codes")
+    val vecsB = dirBytes(s"$dir/vecraw")
+    assert(codesB * 3 < vecsB, s"codes=$codesB bytes vs vectors=$vecsB")
+  }
+
   test("IVF top-k with full probes equals brute force exactly") {
     val index = Similarity.ivfBuild(emb, nLists = 8)
     val brute = Similarity.annTopK(emb, query, 10).collect().map(_.getLong(0)).toSeq
@@ -356,5 +380,15 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fullProbes == exact,
       s"nprobe=nLists must equal exact; diff=${(fullProbes diff exact) ++ (exact diff fullProbes)}")
+    // prebuilt-index overload (the amortized batch-mining shape) runs
+    // the same quantizer fit on the same vectors, so it must reproduce
+    // the one-shot result pair for pair
+    val index = Similarity.ivfBuild(labeled.select("id", "vec"), nLists = 8)
+    val viaIndex = Similarity
+      .hardNegativesApprox(index, labeled.select("id", "label"), qs,
+        k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Similarity.ivfRelease(index)
+    assert(viaIndex == approx, "index-reuse overload diverged from one-shot")
   }
 }
