@@ -102,7 +102,7 @@ object SparkEntry {
     "t_unigram_lm", "t_nb_classify", "v_hard_negatives",
     "t_filter_funnel", "t_ppl_buckets", "t_span_corrupt",
     "d_source_quota", "d_split_assign", "t_dsir_weights",
-    "v_ann_topk_sq8", "v_hard_negatives_approx")
+    "v_ann_topk_sq8", "v_hard_negatives_approx", "t_gopher_rules")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -387,6 +387,13 @@ object SparkEntry {
 
     "t_text_quality" -> ((s, d) =>
       TextOps.textQuality(docs(s, d)).orderBy("doc_id")),
+
+    // Gopher/MassiveText rules: integer signals + one verdict column;
+    // passes cast to INT so both engines hash 0/1 identically
+    "t_gopher_rules" -> ((s, d) =>
+      TextOps.gopherFlags(docs(s, d))
+        .withColumn("passes", F.col("passes").cast("int"))
+        .orderBy("doc_id")),
 
     "t_vocab" -> ((s, d) =>
       TextOps.vocab(docs(s, d), 50)),
@@ -1517,6 +1524,50 @@ object SparkEntry {
         |    + length(string_split_regex(trim(text), '\s+'))::DOUBLE * 10.0
         |      / length(text), 4) AS quality_score
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules replay: same integer counts, same cross-multiplied
+    // thresholds — no float ratio anywhere, so the verdict is
+    // bit-stable by construction
+    "t_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    coalesce(len(toks), 0)::BIGINT AS n_words,
+        |    coalesce(length(regexp_replace(text, '\s', '', 'g')), 0)::BIGINT
+        |      AS n_word_chars,
+        |    coalesce(len(lines), 0)::BIGINT AS n_lines,
+        |    coalesce(len(list_filter(lines,
+        |      l -> regexp_matches(trim(l), '^[-*•]'))), 0)::BIGINT
+        |      AS n_bullet_lines,
+        |    coalesce(len(list_filter(lines,
+        |      l -> regexp_matches(rtrim(l), '\.\.\.$'))), 0)::BIGINT
+        |      AS n_ellipsis_lines,
+        |    coalesce(len(list_filter(toks,
+        |      t -> regexp_matches(t, '[A-Za-z]'))), 0)::BIGINT
+        |      AS n_alpha_words,
+        |    coalesce(len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(list_transform(toks, t -> lower(t)), w))),
+        |      0)::BIGINT AS n_stopwords,
+        |    (coalesce(len(regexp_extract_all(text, '#')), 0)
+        |      + coalesce(len(regexp_extract_all(text, '\.\.\.')), 0))::BIGINT
+        |      AS n_symbols
+        |  FROM base)
+        |SELECT doc_id, n_words, n_word_chars, n_lines, n_bullet_lines,
+        |  n_ellipsis_lines, n_alpha_words, n_stopwords, n_symbols,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+        |    AND n_symbols * 10 <= n_words
+        |    AND n_bullet_lines * 10 < n_lines * 9
+        |    AND n_ellipsis_lines * 10 < n_lines * 3
+        |    AND n_alpha_words * 5 >= n_words * 4
+        |    AND n_stopwords >= 2)::INT AS passes
+        |FROM c
         |ORDER BY doc_id""".stripMargin,
 
     "t_lang_dist" ->

@@ -97,6 +97,71 @@ object TextOps {
       .where(vowels.cast("double") / F.length(F.col("text")) >= minVowelRatio)
   }
 
+  /** The eight Gopher stop words (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", MassiveText rule 7). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    * Appendix A1.1) as per-document flags — the standard published
+    * pre-training filter set, kept as SIGNALS plus one `passes`
+    * verdict so a pipeline can report per-rule attrition (compose with
+    * [[filterFunnel]]) instead of a black-box keep/drop:
+    *
+    *   1. 50 ≤ word count ≤ 100,000
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio (# or …) ≤ 0.1
+    *   4. < 90% of lines start with a bullet (-, *, •)
+    *   5. < 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 distinct Gopher stop words present
+    *
+    * Every signal is an INTEGER count and each threshold is evaluated
+    * as cross-multiplied integer arithmetic (`3·n_words ≤ n_word_chars`,
+    * never `n_word_chars/n_words ≥ 3.0`) — no float ratio ever hits
+    * the row, so the verdict is bit-stable across engines and the
+    * DuckDB oracle replays it exactly. One map-only scan: column
+    * algebra over split/filter/regexp_count, codegen end to end, no
+    * UDF, no shuffle.
+    *
+    * Output: (doc_id, n_words, n_word_chars, n_lines, n_bullet_lines,
+    * n_ellipsis_lines, n_alpha_words, n_stopwords, n_symbols, passes);
+    * null text yields zero counts and passes = false.
+    */
+  def gopherFlags(docs: DataFrame): DataFrame = {
+    val toks = tokens(F.col("text"))
+    val lines = F.split(F.col("text"), "\n")
+    def cnt(c: Column): Column = F.coalesce(c.cast("long"), F.lit(0L))
+    val nWords = cnt(F.size(toks))
+    val nWordChars =
+      cnt(F.length(F.regexp_replace(F.col("text"), "\\s", "")))
+    val nLines = cnt(F.size(lines))
+    val nBullet = cnt(F.size(
+      F.filter(lines, l => F.trim(l).rlike("^[-*•]"))))
+    val nEllipsisEnd = cnt(F.size(
+      F.filter(lines, l => F.rtrim(l).rlike("\\.\\.\\.$"))))
+    val nAlpha = cnt(F.size(F.filter(toks, t => t.rlike("[A-Za-z]"))))
+    val toksLower = F.transform(toks, t => F.lower(t))
+    val nStop = cnt(F.size(F.filter(
+      F.typedLit(GopherStopwords), w => F.array_contains(toksLower, w))))
+    val nSymbols = cnt(F.regexp_count(F.col("text"), F.lit("#"))) +
+      cnt(F.regexp_count(F.col("text"), F.lit("\\.\\.\\.")))
+    docs.select(
+      F.col("doc_id"), nWords.as("n_words"), nWordChars.as("n_word_chars"),
+      nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
+      nEllipsisEnd.as("n_ellipsis_lines"), nAlpha.as("n_alpha_words"),
+      nStop.as("n_stopwords"), nSymbols.as("n_symbols"))
+      .withColumn("passes",
+        F.col("n_words") >= 50 && F.col("n_words") <= 100000 &&
+          F.col("n_word_chars") >= F.col("n_words") * 3 &&
+          F.col("n_word_chars") <= F.col("n_words") * 10 &&
+          F.col("n_symbols") * 10 <= F.col("n_words") &&
+          F.col("n_bullet_lines") * 10 < F.col("n_lines") * 9 &&
+          F.col("n_ellipsis_lines") * 10 < F.col("n_lines") * 3 &&
+          F.col("n_alpha_words") * 5 >= F.col("n_words") * 4 &&
+          F.col("n_stopwords") >= 2)
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with counts and
     * document frequency — the tokenizer-training primitive. Shape:
     * explode + groupBy(token) with partial aggregation (map-side

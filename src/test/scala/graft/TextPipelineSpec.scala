@@ -343,4 +343,34 @@ class TextPipelineSpec extends SparkSpec {
       TextOps.filterFunnel(docs, Seq.empty))
     assert(e.getMessage.contains("at least one stage"))
   }
+
+  test("gopherFlags: each published rule trips on its crafted document") {
+    val s = spark
+    import s.implicits._
+    // a clean passing doc: 60 normal words incl. several stop words
+    val good = (Seq("the", "be", "to", "of", "and") ++
+      Seq.fill(55)("word")).mkString(" ")
+    val docs = Seq(
+      (0L, good),                                        // passes all
+      (1L, "too few words the be"),                      // rule 1 (n < 50)
+      (2L, (Seq("the", "be") ++ Seq.fill(58)("ab")).mkString(" ")), // rule 2 (mean len < 3)
+      (3L, (Seq("the", "be") ++ Seq.fill(58)("#tag")).mkString(" ")), // rule 3 (symbols > 10%)
+      (4L, (0 until 60).map(i => s"- the be bullet line $i").mkString("\n")), // rule 4 (90% bullets)
+      (5L, (0 until 60).map(i => s"the be trailing line $i ...").mkString("\n")), // rule 5 (30% ellipsis ends)
+      (6L, (Seq("the", "be") ++ Seq.fill(58)("12345")).mkString(" ")), // rule 6 (alpha < 80%)
+      (7L, Seq.fill(60)("word").mkString(" ")),          // rule 7 (< 2 stop words)
+      (8L, null.asInstanceOf[String])                    // null: zero counts, fails
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherFlags(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+    assert(out(0L), "the clean doc must pass every rule")
+    (1L to 8L).foreach(id => assert(!out(id), s"doc $id must fail"))
+    // signals are integers a funnel can attribute: the bullet doc's
+    // line counts are exact
+    val bulletRow = TextOps.gopherFlags(docs)
+      .where(F.col("doc_id") === 4L).head
+    assert(bulletRow.getLong(3) == 60L && bulletRow.getLong(4) == 60L)
+    // composes with filterFunnel via the passes column
+    assert(TextOps.gopherFlags(docs).where(F.col("passes")).count() == 1L)
+  }
 }
