@@ -81,10 +81,11 @@ object Bench {
     // depends on it — otherwise that query would silently pay the lazy
     // build, the exact attribution noise the build rows eliminate — but
     // a selection touching no index skips the builds entirely
+    val storage = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val builds = SparkEntry.buildSteps.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val deps = SparkEntry.buildDependents.getOrElse(name, Set.empty)
-        only match {
+        val row = only match {
           case Some(sel) if sel.contains(name) =>
             Some(timeRow(name)(fn(spark, sfDir)))
           case Some(sel) if sel.exists(deps.contains) =>
@@ -93,6 +94,8 @@ object Bench {
           case Some(_) => None
           case None => Some(timeRow(name)(fn(spark, sfDir)))
         }
+        row.foreach { case (n, _) => storage(n) = cachedMb() }
+        row
       }
     // EVERY query is timed (deterministic name order, so timing stays
     // comparable across rounds) and lands in the file artifact below;
@@ -101,8 +104,6 @@ object Bench {
     // that the 22 newest operators had correctness rows but zero
     // timing history — the file artifact closes that without risking
     // the head-truncation that lost r02's bench numbers.
-    val storage = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    builds.foreach { case (n, _) => storage(n) = cachedMb() }
     val results = builds ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

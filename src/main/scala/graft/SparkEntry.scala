@@ -102,7 +102,8 @@ object SparkEntry {
     "t_unigram_lm", "t_nb_classify", "v_hard_negatives",
     "t_filter_funnel", "t_ppl_buckets", "t_span_corrupt",
     "d_source_quota", "d_split_assign", "t_dsir_weights",
-    "v_ann_topk_sq8", "v_hard_negatives_approx", "t_gopher_rules")
+    "v_ann_topk_sq8", "v_hard_negatives_approx", "t_gopher_rules",
+    "t_bpe_merges")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -394,6 +395,13 @@ object SparkEntry {
       TextOps.gopherFlags(docs(s, d))
         .withColumn("passes", F.col("passes").cast("int"))
         .orderBy("doc_id")),
+
+    // BPE merge training: iterative pairwise merging is not reasonably
+    // SQL-expressible, so this is a rows-level check (no oracleSql
+    // entry — the driver contract's weaker mode); the exact merge
+    // sequence is spec-pinned on the Sennrich reference corpus
+    "t_bpe_merges" -> ((s, d) =>
+      TextOps.bpeTrain(docs(s, d), numMerges = 30).orderBy("rank")),
 
     "t_vocab" -> ((s, d) =>
       TextOps.vocab(docs(s, d), 50)),

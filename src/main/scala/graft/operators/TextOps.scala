@@ -97,6 +97,93 @@ object TextOps {
       .where(vowels.cast("double") / F.length(F.col("text")) >= minVowelRatio)
   }
 
+  /** End-of-word marker for [[bpeTrain]] (the Sennrich et al. 2016
+    * convention: each word ends in a distinct symbol so merges can't
+    * cross word boundaries and detokenization stays invertible). */
+  val BpeEndOfWord = "</w>"
+
+  /** Classic BPE merge training (Sennrich et al. 2016) — the
+    * tokenizer-training step between [[vocab]] (word counts) and
+    * [[encodeTokens]] (id encoding). The DISTRIBUTED work is exactly
+    * one shuffle: tokens explode → groupBy(word) count, whose output
+    * is the distinct-word table — bounded by vocabulary, not corpus
+    * size (the fastBPE/HF convention: merges are learned from word
+    * FREQUENCIES, so a 100 TB corpus contributes one count pass and
+    * the merge loop never sees it). The loop itself runs driver-side
+    * over that table, gated at `maxWords` with an actionable error
+    * (pre-filter the corpus or sample — merge ranks converge fast in
+    * word-count samples).
+    *
+    * Deterministic by construction: the winning pair each round is
+    * max by (count, then LEFT asc, then RIGHT asc) — no hash-order
+    * dependence — so the merge sequence is reproducible on any
+    * layout, engine, or run. Words are char sequences ending in
+    * [[BpeEndOfWord]]. Stops early when no pair remains.
+    *
+    * Output: (rank, left, right, merged, pair_count), rank ascending
+    * from 0 — the merge table a tokenizer consumes, driver-sized
+    * (`numMerges` rows). Iterative pairwise merging is not reasonably
+    * SQL-expressible, so this operator carries a rows-level check plus
+    * an exact-sequence spec (the Sennrich reference corpus) instead of
+    * a DuckDB oracle.
+    */
+  def bpeTrain(
+      docs: DataFrame, numMerges: Int,
+      maxWords: Int = 200000): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive; got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(F.explode(tokens(F.col("text"))).as("word"))
+      .where(F.col("word") =!= "")
+      .groupBy("word").agg(F.count(F.lit(1)).as("n"))
+    val rows = words.limit(maxWords + 1).collect()
+    require(rows.length <= maxWords,
+      s"bpeTrain: more than maxWords=$maxWords distinct words — the merge " +
+        "loop is driver-side over the word-frequency table. Pre-filter " +
+        "(qualityFilter / vocab top-k) or train on a hash sample " +
+        "(TrainPrep.stratifiedHashSample); merge ranks are stable under " +
+        "sampling.")
+    var syms: Array[(Array[String], Long)] = rows.map { r =>
+      (r.getString(0).map(_.toString).toArray :+ BpeEndOfWord, r.getLong(1))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (s, n) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val merged = l + r
+        merges += ((rank, l, r, merged, c))
+        syms = syms.map { case (s, n) =>
+          if (s.length < 2) (s, n)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                out += merged; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   /** The eight Gopher stop words (Rae et al. 2021, "Scaling Language
     * Models: ... Gopher", MassiveText rule 7). */
   val GopherStopwords: Seq[String] =

@@ -344,6 +344,42 @@ class TextPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("at least one stage"))
   }
 
+  test("bpeTrain: exact merge sequence on the Sennrich reference corpus") {
+    val s = spark
+    import s.implicits._
+    // the BPE paper's canonical word-frequency table: low x5, lower x2,
+    // newest x6, widest x3 — merge sequence hand-computed with the
+    // (count desc, left asc, right asc) tie-break:
+    //   (e,s):9  (es,t):9  (est,</w>):9  (l,o):7  (lo,w):7
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, numMerges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(merges == Seq(
+      (0, "e", "s", "es", 9L),
+      (1, "es", "t", "est", 9L),
+      (2, "est", "</w>", "est</w>", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L)), merges.toString)
+    // layout invariance: the distributed word count feeds a
+    // deterministic loop, so partitioning cannot change the sequence
+    val repart = TextOps.bpeTrain(docs.repartition(7), numMerges = 5)
+      .collect().map(r => r.getString(3)).toSeq
+    assert(repart == merges.map(_._4))
+    // early stop: asking for more merges than pairs exist terminates
+    val tiny = Seq((0L, "ab")).toDF("doc_id", "text")
+    // "ab</w>": (a,b) -> (ab,</w>) -> single symbol, no pairs left
+    assert(TextOps.bpeTrain(tiny, numMerges = 99).count() == 2L)
+    // the word-table gate trips with the sampling alternative named
+    val e = intercept[IllegalArgumentException](
+      TextOps.bpeTrain(docs, numMerges = 2, maxWords = 2))
+    assert(e.getMessage.contains("stratifiedHashSample"))
+  }
+
   test("gopherFlags: each published rule trips on its crafted document") {
     val s = spark
     import s.implicits._
