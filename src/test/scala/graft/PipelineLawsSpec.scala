@@ -159,6 +159,20 @@ class PipelineLawsSpec extends SparkSpec {
     val chunksBatch = TrainPrep.chunkTokenWindows(batch, window = 8, stride = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
     assert(chunksStreamed.sameElements(chunksBatch) && chunksBatch.nonEmpty)
+
+    // Gopher rules are map-only column algebra — the SAME operator is
+    // an ingest-time quality gate on a stream, verdict for verdict
+    val inG = MemoryStream[(Long, String, String)]
+    inG.addData(rows: _*)
+    StreamingOps.runToMemory(
+      TextOps.gopherFlags(inG.toDF().toDF("doc_id", "text", "source")),
+      "gopher_stream", OutputMode.Append())
+    val gopherStreamed = s.sql("SELECT doc_id, n_words, passes FROM gopher_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    val gopherBatch = TextOps.gopherFlags(batch)
+      .select("doc_id", "n_words", "passes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(gopherStreamed.sameElements(gopherBatch) && gopherBatch.nonEmpty)
   }
 
   test("LM scoring and NB routing run unchanged on a stream (batch parity)") {
