@@ -103,7 +103,7 @@ object SparkEntry {
     "t_filter_funnel", "t_ppl_buckets", "t_span_corrupt",
     "d_source_quota", "d_split_assign", "t_dsir_weights",
     "v_ann_topk_sq8", "v_hard_negatives_approx", "t_gopher_rules",
-    "t_bpe_merges")
+    "t_bpe_merges", "v_ann_topk_sq8_batch")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -767,6 +767,17 @@ object SparkEntry {
       val e = emb(s, d)
       Similarity.sq8TopK(
         Similarity.sq8Encode(e), e, queryVec(s, d), 20, rerank = 100)
+    }),
+
+    // batch face of the SQ8 index: one codes scan scores all queries
+    // (broadcast query side), salted per-query candidate cut, one
+    // rerank join for every query's survivors
+    "v_ann_topk_sq8_batch" -> ((s, d) => {
+      val e = emb(s, d)
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      Similarity.sq8TopKBatch(
+        Similarity.sq8Encode(e), e, qs, k = 10, rerank = 100)
     }),
 
     "d_embed_neardup" -> ((s, d) =>
@@ -2059,6 +2070,44 @@ object SparkEntry {
         |FROM e JOIN cand USING (vec_id), q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    // batch generalization of the v_ann_topk_sq8 replay: per-qid
+    // candidate window on the dequantized scores, exact rerank per qid
+    "v_ann_topk_sq8_batch" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |idx AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS j
+        |  FROM e),
+        |dims AS (SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+        |  FROM idx GROUP BY j),
+        |stats AS (SELECT list(mn ORDER BY j) AS mns,
+        |    list(mx ORDER BY j) AS mxs FROM dims),
+        |dq AS (SELECT e.vec_id,
+        |    list_transform(range(1, len(e.v) + 1), j ->
+        |      CASE WHEN s.mxs[j] = s.mns[j] THEN s.mns[j]
+        |        ELSE s.mns[j]
+        |          + round((e.v[j] - s.mns[j]) / (s.mxs[j] - s.mns[j]) * 255.0)
+        |            * (s.mxs[j] - s.mns[j]) / 255.0
+        |      END) AS dv
+        |  FROM e, stats s),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 4),
+        |ap AS (SELECT q.qid, d.vec_id,
+        |    round(list_cosine_similarity(d.dv, q.qv), 4) AS approx
+        |  FROM dq d, q),
+        |cand AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY approx DESC, vec_id ASC) AS rn
+        |  FROM ap) WHERE rn <= 100),
+        |scored AS (SELECT c.qid, e.vec_id AS id,
+        |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+        |  JOIN q ON q.qid = c.qid)
+        |SELECT qid, id, score FROM (
+        |  SELECT qid, id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+        |  FROM scored) WHERE rn <= 10
+        |ORDER BY qid, score DESC, id ASC""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("),
 
     "v_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -276,6 +276,46 @@ object Similarity {
     Sq8Index(spark.read.parquet(s"$path/codes"), arr("mins"), arr("maxs"))
   }
 
+  /** MANY queries against one SQ8 index — the batch face of
+    * [[sq8TopK]], completing the batch matrix (exact `searchBatch`,
+    * IVF `ivfTopKBatch`, SQ8 here): ONE scan of the d-byte codes
+    * column scores every (code row × query) pair — the query side is
+    * a BROADCAST (bounded by the batch, never a shuffle of the codes)
+    * — then the salted two-phase top-k bounds every task and the
+    * exact rerank joins `emb` once for all queries' survivors.
+    * Candidates are cut per query on round-4 approx scores with id
+    * tie-break (the engine's batch parity convention), so the result
+    * for each qid equals the single-query [[sq8TopK]] at the same
+    * rerank. Queries need (qid, qvec); output (qid, id, score) —
+    * exact round-4 cosines, (score DESC, id ASC) per qid.
+    */
+  def sq8TopKBatch(
+      index: Sq8Index, emb: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val qs = queries.select(
+      F.col("qid").cast("long"),
+      F.col("qvec").cast("array<double>"))
+    val approx = index.codes
+      .crossJoin(F.broadcast(qs))
+      .select(F.col("qid"), F.col("id"),
+        F.round(graft.functions.VectorFunctions.sq8Cosine(
+          F.col("codes"), F.col("qvec"), F.typedLit(index.mins),
+          F.typedLit(index.maxs)), 4).as("approx"))
+    val cand = graft.scale.Skew.saltedTopKPerKey(
+        approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
+      .select("qid", "id")
+    val rescored = cand
+      .join(emb.select(F.col("id"), F.col("vec")), "id")
+      .join(F.broadcast(qs), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.saltedTopKPerKey(
+        rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
   /** One-shot SQ8 cosine top-k — the memory-bound ANN scale path (the
     * standard "SQ8" codec of the public ANN literature, e.g. faiss's
     * ScalarQuantizer: per-dimension min/max, 8-bit codes, asymmetric

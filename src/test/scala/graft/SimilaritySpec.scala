@@ -142,6 +142,25 @@ class SimilaritySpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("SQ8 batch equals the single-query indexed path per query") {
+    val index = Similarity.sq8Encode(emb)
+    try {
+      val qs = emb.where(F.col("id") < 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val batch = Similarity.sq8TopKBatch(index, emb, qs, k = 10, rerank = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      (0L until 4L).foreach { qid =>
+        val q = emb.where(F.col("id") === qid).select("vec")
+          .head.getSeq[Double](0).toArray
+        val single = Similarity.sq8TopK(index, emb, q, 10, 50).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single,
+          s"qid=$qid batch=${batch(qid)} single=$single")
+      }
+    } finally Similarity.sq8Release(index)
+  }
+
   test("SQ8 index save/load: round-trip parity and on-disk code density") {
     val dir = java.nio.file.Files.createTempDirectory("sq8idx").toString
     val index = Similarity.sq8Encode(emb, persist = false)
