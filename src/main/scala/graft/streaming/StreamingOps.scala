@@ -66,6 +66,83 @@ object StreamingOps {
       .toDF("user_id", "n", "mean", "max")
   }
 
+  /** Open-session state for [[sessionizeStream]]: event-time bounds
+    * and count of the ONE in-progress session per user — state is
+    * O(1) per key regardless of stream length, the property that lets
+    * a 100 TB/day event stream sessionize with bounded memory. */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Streaming gap sessionization — the stateful face of the batch
+    * `q_sessionize` window query (sessions split when consecutive
+    * events of a user are more than `gapSeconds` apart). Per user,
+    * `flatMapGroupsWithState` keeps only the ONE open session and
+    * emits a session row the moment it provably closes:
+    *
+    *   - a new event more than `gapSeconds` after the open session's
+    *     last event closes it (emitted immediately, Append mode);
+    *   - the event-time TIMEOUT (watermark passing last + gap) closes
+    *     a session no future in-watermark event can extend — so idle
+    *     users' state ages out and every session is eventually
+    *     emitted exactly once.
+    *
+    * Events later than the watermark are dropped by the engine before
+    * the state function (the documented Append + EventTimeTimeout
+    * contract); within the watermark, out-of-order events that land
+    * inside the open session merely widen it (min-start/max-last), so
+    * the output equals the batch window query whenever arrival lag
+    * stays under `watermarkDelay`. Input needs (user_id, ts
+    * TIMESTAMP); output (user_id, session_start, session_end,
+    * n_events) in event-time.
+    */
+  def sessionizeStream(
+      events: DataFrame,
+      gapSeconds: Long = 1800L,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive; got $gapSeconds")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(F.col("user_id").cast("long"), F.col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[OpenSession]) =>
+          def emit(s: OpenSession) =
+            (user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: nothing in-watermark can
+            // extend this session — close and clear
+            val out = state.getOption.map(emit).toIterator
+            state.remove()
+            out
+          } else {
+            val gapMs = gapSeconds * 1000L
+            val closed = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+            var open = state.getOption
+            rows.map(_._2.getTime).toArray.sorted.foreach { t =>
+              open match {
+                case None => open = Some(OpenSession(t, t, 1L))
+                case Some(s) if t > s.last + gapMs =>
+                  closed += s
+                  open = Some(OpenSession(t, t, 1L))
+                case Some(s) =>
+                  open = Some(OpenSession(
+                    math.min(s.start, t), math.max(s.last, t), s.n + 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.map(emit).iterator
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
+  }
+
   /** Incremental λ-scoring: for each arriving (id, vec), compute the
     * synthetic λ against the broadcast feature Laplacian and the
     * blended score vs a fixed query — stateless per-row map, so it

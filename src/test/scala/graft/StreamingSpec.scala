@@ -48,6 +48,51 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(2) - 4.0) < 1e-9) // mean of 2,4,6
   }
 
+  test("streaming sessionization closes sessions by gap and by event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, Timestamp)]
+    val df = in.toDF().toDF("user_id", "ts")
+    val out = StreamingOps.sessionizeStream(
+      df, gapSeconds = 60L, watermarkDelay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    // user 1 session A: 1000, 1030, 1050; session B: 1200, 1220.
+    // user 2: one event (1010). Events must stay ABOVE the running
+    // watermark (initial watermark is epoch 0 and it trails max event
+    // time by 10 s, so each batch's events sit within 10 s of the
+    // previous batch's max — the Append/EventTimeTimeout contract
+    // drops anything older). Session A closes the moment event 1200
+    // arrives (gap 150 > 60); B and user 2's singleton close via the
+    // event-time timeout once sentinel events push the watermark far
+    // past last + gap.
+    in.addData((1L, ts(1000)), (1L, ts(1030)), (2L, ts(1010)))
+    q.processAllAvailable()
+    in.addData((1L, ts(1050)))
+    q.processAllAvailable()
+    in.addData((1L, ts(1200)), (1L, ts(1220)))
+    q.processAllAvailable()
+    // two sentinel batches: the first advances the watermark, the
+    // second triggers a batch in which the pending timeouts fire
+    in.addData((99L, ts(100000)))
+    q.processAllAvailable()
+    in.addData((99L, ts(200000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT * FROM sess WHERE user_id < 10 ORDER BY user_id, session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L,
+        r.getTimestamp(2).getTime / 1000L, r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 1000L, 1050L, 3L), // session A: closed by the gap at t=1200
+      (1L, 1200L, 1220L, 2L), // session B: closed by timeout
+      (2L, 1010L, 1010L, 1L)), // singleton: closed by timeout
+      rows.toSeq.toString)
+  }
+
   test("file-source streaming over the testdata documents parquet") {
     val s = spark
     import s.implicits._
