@@ -144,11 +144,38 @@ object ScaleBench {
         .head.getSeq[Double](0).toArray
       Similarity.sq8TopK(sq8, emb, q, k = 20, rerank = 200).count()
     }
+    bench("v_sq8_topk_batch") {
+      Similarity.sq8TopKBatch(
+        sq8, emb, queries.select("qid", "qvec"), k = 10, rerank = 100).count()
+    }
+    // on-disk density: the codes column vs the float64 vectors it
+    // indexes, measured (parquet framing/compression included) — the
+    // artifact form of the "8x smaller" claim
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("sq8scale").toString
+      Similarity.sq8Save(sq8, dir)
+      emb.select("id", "vec").write.mode("overwrite").parquet(s"$dir/vecraw")
+      def bytes(p: String): Long = new java.io.File(p)
+        .listFiles.filter(_.isFile).map(_.length).sum
+      val cb = bytes(s"$dir/codes"); val vb = bytes(s"$dir/vecraw")
+      rows("sq8_codes_bytes") = (cb.toDouble, nVecs)
+      rows("sq8_vectors_bytes") = (vb.toDouble, nVecs)
+      println(f"[scale] sq8 on-disk: codes=$cb%d B vs vectors=$vb%d B (${vb.toDouble / cb}%.1fx)")
+    }
     Similarity.sq8Release(sq8)
     bench("v_hard_negatives_approx") {
       Similarity.hardNegativesApprox(
         emb, queries, k = 10, nLists = 64, nprobe = 8).count()
     }
+    // the amortized mining shape: quantizer fit paid once (the
+    // v_ivf_build row), every batch pays only probe + score
+    val ivf2 = Similarity.ivfBuild(emb.select("id", "vec"), nLists = 64)
+    ivf2.assigned.count()
+    bench("v_hard_negatives_idx") {
+      Similarity.hardNegativesApprox(
+        ivf2, emb.select("id", "label"), queries, k = 10, nprobe = 8).count()
+    }
+    Similarity.ivfRelease(ivf2)
 
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r07.json")
