@@ -99,4 +99,54 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h1 ^ h1) == 0)
     assert(java.lang.Long.bitCount(h1 ^ ~h1) == 64)
   }
+
+  test("sq8 codec: codes bounded, reconstruction error <= half a step, range endpoints exact") {
+    import graft.functions.Sq8Kernels
+    (1 to 300).foreach { _ =>
+      val d = 1 + rng.nextInt(64)
+      val xs = Array.fill(d)(rng.nextDouble() * 200.0 - 100.0)
+      val mins = xs.clone(); val maxs = xs.clone()
+      // widen stats beyond the data (the dimStats contract: mins/maxs
+      // bound the corpus, any one vector sits inside)
+      (0 until d).foreach { j =>
+        mins(j) -= rng.nextDouble() * 10.0
+        maxs(j) += rng.nextDouble() * 10.0
+      }
+      val codes = Sq8Kernels.encode(xs, mins, maxs)
+      (0 until d).foreach { j =>
+        val c = codes(j) & 0xFF
+        assert(c >= 0 && c <= 255)
+        val s = maxs(j) - mins(j)
+        val deq = if (s == 0.0) mins(j) else mins(j) + c * s / 255.0
+        // quantization error is at most half a step (s/510) plus fp slack
+        assert(math.abs(deq - xs(j)) <= s / 510.0 + 1e-9,
+          s"dim $j: x=${xs(j)} deq=$deq step=${s / 255.0}")
+      }
+      // endpoints land exactly on code 0 / 255; a constant dim is code 0
+      val lo = Sq8Kernels.encode(mins, mins, maxs)
+      val hi = Sq8Kernels.encode(maxs, mins, maxs)
+      assert(lo.forall(b => (b & 0xFF) == 0))
+      assert(hi.forall { b => (b & 0xFF) == 255 } ||
+        (0 until d).exists(j => maxs(j) == mins(j)))
+    }
+  }
+
+  test("sq8 asymmetric cosine equals cosine of the dequantized vector") {
+    import graft.functions.Sq8Kernels
+    (1 to 300).foreach { _ =>
+      val d = 1 + rng.nextInt(48)
+      val xs = Array.fill(d)(rng.nextDouble() * 2.0 - 1.0)
+      val q = Array.fill(d)(rng.nextDouble() * 2.0 - 1.0)
+      val mins = Array.fill(d)(-1.5); val maxs = Array.fill(d)(1.5)
+      val codes = Sq8Kernels.encode(xs, mins, maxs)
+      val deq = (0 until d).map { j =>
+        val s = maxs(j) - mins(j)
+        if (s == 0.0) mins(j) else mins(j) + (codes(j) & 0xFF) * s / 255.0
+      }.toArray
+      val fused = Sq8Kernels.cosineDeq(codes, q, mins, maxs)
+      val reference = VectorKernels.cosine(deq, q)
+      assert(math.abs(fused - reference) < 1e-12,
+        s"fused=$fused two-step=$reference")
+    }
+  }
 }
