@@ -52,4 +52,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
     assert(!plan.contains("SortMergeJoin"), plan.take(1000))
   }
+
+  test("SQ8 plans: indexed top-k is scan+TakeOrdered+broadcast rerank; batch bounds shuffle via WindowGroupLimit") {
+    val s = spark
+    import s.implicits._
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(f => math.sin(i * 0.3 + f)))).toDF("id", "vec")
+    val index = graft.operators.Similarity.sq8Encode(emb, persist = false)
+    val q = Array.tabulate(8)(f => math.cos(f * 0.2))
+    val single = graft.operators.Similarity.sq8TopK(index, emb, q, 5, 20)
+      .queryExecution.executedPlan.toString
+    // candidate cut is a partial per-partition top-k, the rerank joins
+    // a broadcast candidate list — never a sort-merge or cartesian
+    assert(single.contains("TakeOrderedAndProject"), single.take(1200))
+    assert(single.contains("BroadcastHashJoin"), single.take(1200))
+    assert(!single.contains("SortMergeJoin") &&
+      !single.contains("CartesianProduct"), single.take(1200))
+    val qs = emb.where(F.col("id") < 3)
+      .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+    val batch = graft.operators.Similarity.sq8TopKBatch(index, emb, qs, 5, 20)
+      .queryExecution.executedPlan.toString
+    // the salted per-query cut must push a group-limit BELOW the
+    // exchange (WindowGroupLimit) so only ~rerank rows per (qid, salt)
+    // ever shuffle — the Q×N scored rows stay in their map tasks
+    assert(batch.contains("WindowGroupLimit"), batch.take(1500))
+    assert(!batch.contains("SortMergeJoin"), batch.take(1500))
+  }
+
+  test("gopherFlags is a map-only scan: no exchange in the plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.operators.TextOps.gopherFlags(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      plan.take(1000))
+  }
 }
