@@ -103,7 +103,7 @@ object SparkEntry {
     "t_filter_funnel", "t_ppl_buckets", "t_span_corrupt",
     "d_source_quota", "d_split_assign", "t_dsir_weights",
     "v_ann_topk_sq8", "v_hard_negatives_approx", "t_gopher_rules",
-    "t_bpe_merges", "v_ann_topk_sq8_batch")
+    "t_bpe_merges", "v_ann_topk_sq8_batch", "d_curate_corpus")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -661,6 +661,21 @@ object SparkEntry {
       val corpus = all.where(F.col("doc_id") % 20 =!= 0)
       Dedup.decontaminate(corpus, eval, n = 4)
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // one-call curation recipe with first-fail attribution: quality
+    // (word count >= 20) -> exact-dedup keeper -> decontamination vs
+    // the every-20th-doc eval split (same 4-gram rationale as
+    // d_decontaminate)
+    "d_curate_corpus" -> ((s, d) => {
+      val all = docs(s, d)
+      val eval = all.where(F.col("doc_id") % 20 === 0)
+      val corpus = all.where(F.col("doc_id") % 20 =!= 0)
+      Dedup.curateCorpus(
+          corpus, eval,
+          F.size(graft.operators.TextOps.tokens(F.col("text"))) >= 20,
+          n = 4)
+        .orderBy("doc_id")
     }),
 
     // ---- training-data preparation (engine additions) ----
@@ -1711,6 +1726,58 @@ object SparkEntry {
         |WHERE doc_id % 20 != 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+
+    // curation recipe replay: sequential stage semantics — fingerprint
+    // groups over quality survivors only, contamination over surviving
+    // keepers only; gram construction copied from d_decontaminate
+    "d_curate_corpus" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    coalesce(len(string_split_regex(trim(text), '\s+')) >= 20,
+        |      false) AS q_ok
+        |  FROM corpus),
+        |fpt AS (
+        |  SELECT doc_id, text,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM q WHERE q_ok),
+        |keep AS (SELECT fp, min(doc_id) AS keeper FROM fpt GROUP BY fp),
+        |wk AS (SELECT f.doc_id, f.text, k.keeper
+        |  FROM fpt f JOIN keep k USING (fp)),
+        |ktoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM wk WHERE doc_id = keeper AND text IS NOT NULL),
+        |kgrams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |    END AS gs
+        |  FROM ktoks),
+        |kg AS (SELECT doc_id, unnest(gs) AS g FROM kgrams),
+        |etoks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL),
+        |egrams AS (
+        |  SELECT CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |    END AS gs
+        |  FROM etoks),
+        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM egrams),
+        |contam AS (
+        |  SELECT DISTINCT kg.doc_id FROM kg
+        |  WHERE kg.g IN (SELECT g FROM ev))
+        |SELECT q.doc_id,
+        |  CASE WHEN NOT q.q_ok THEN 'quality'
+        |    WHEN q.doc_id <> w.keeper THEN 'exact_dup'
+        |    WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+        |  END AS first_fail
+        |FROM q LEFT JOIN wk w ON w.doc_id = q.doc_id
+        |LEFT JOIN contam c ON c.doc_id = q.doc_id
+        |ORDER BY q.doc_id""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("),
 
     // sliding 32-token windows every 24 tokens; DuckDB list slicing is
     // 1-based inclusive and clamps at the list end, mirroring Spark's

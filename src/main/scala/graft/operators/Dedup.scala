@@ -489,6 +489,58 @@ object Dedup {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** One-call curation recipe with FIRST-FAIL attribution — the
+    * ingest composition a pretraining pipeline actually runs (quality
+    * gate → exact dedup → eval-set decontamination), evaluated
+    * SEQUENTIALLY: dedup keepers are chosen among quality-passing
+    * docs only, and contamination is checked for surviving keepers
+    * only — so every doc is charged to the FIRST stage that would
+    * have dropped it, the semantics a funnel report needs (group the
+    * output by `first_fail` for the attrition table).
+    *
+    * `qualityPred` is the caller's per-row quality column (compose
+    * [[TextOps.gopherFlags]]' `passes`, [[TextOps.qualityFilter]]'s
+    * conditions, or any predicate); nulls count as failing.
+    *
+    * Output: (doc_id, first_fail) for EVERY corpus doc; first_fail ∈
+    * {'quality', 'exact_dup', 'contaminated'} or NULL for survivors.
+    *
+    * 100 TB shape: no new shuffle class beyond the component
+    * operators — one fingerprint groupBy over quality survivors, one
+    * gram semi-join of keepers against the DISTINCT eval grams (eval
+    * side collapses like [[decontaminate]]), and slim doc_id
+    * equi-joins to assemble the attribution.
+    */
+  def curateCorpus(
+      corpus: DataFrame, evalDocs: DataFrame, qualityPred: Column,
+      n: Int = 13): DataFrame = {
+    val q = corpus.select(
+      F.col("doc_id"), F.col("text"),
+      F.coalesce(qualityPred, F.lit(false)).as("q_ok"))
+    val passed = q.where(F.col("q_ok"))
+      .select(F.col("doc_id"), F.col("text"),
+        TextOps.fingerprint(F.col("text")).as("fp"))
+    val keepers = passed.groupBy("fp").agg(F.min("doc_id").as("keeper"))
+    val withKeeper = passed.join(keepers, "fp")
+      .select("doc_id", "text", "keeper")
+    val keeperDocs = withKeeper
+      .where(F.col("doc_id") === F.col("keeper"))
+      .select("doc_id", "text")
+    val evalGrams = explodedGrams(evalDocs, n).select("g").distinct()
+    val contaminated = explodedGrams(keeperDocs, n)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("contam", F.lit(true))
+    q.select("doc_id", "q_ok")
+      .join(withKeeper.select("doc_id", "keeper"), Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.when(!F.col("q_ok"), "quality")
+          .when(F.col("doc_id") =!= F.col("keeper"), "exact_dup")
+          .when(F.col("contam"), "contaminated")
+          .as("first_fail"))
+  }
+
   /** (doc_id, gram) with one row per word n-gram occurrence — the
     * exploded counterpart of [[shingles]] (docs with < n tokens
     * collapse to one whole-text gram the same way). explode + slice +

@@ -188,4 +188,38 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.suggestBanding(0, 0.8))
     intercept[IllegalArgumentException](Dedup.suggestBanding(64, 1.0))
   }
+
+  test("curateCorpus charges each doc to the FIRST failing stage") {
+    val s = spark
+    import s.implicits._
+    def toks(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val dupText = toks("a", 20)
+    val contamText = "alpha beta gamma delta " + toks("x", 16)
+    val corpus = Seq(
+      (0L, "tiny doc"),                   // fails quality (< 20 tokens)
+      (1L, dupText),                      // keeper of its group -> kept
+      (2L, dupText),                      // exact_dup
+      (3L, contamText),                   // keeper, shares a 4-gram with eval
+      (4L, toks("c", 20)),                // clean -> kept
+      (6L, contamText),                   // dup of 3: charged exact_dup,
+                                          //  NOT contaminated (sequential)
+      (7L, null.asInstanceOf[String])     // null -> quality
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.curateCorpus(
+        corpus, eval,
+        F.size(graft.operators.TextOps.tokens(F.col("text"))) >= 20, n = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      0L -> Some("quality"),
+      1L -> None,
+      2L -> Some("exact_dup"),
+      3L -> Some("contaminated"),
+      4L -> None,
+      6L -> Some("exact_dup"),
+      7L -> Some("quality")))
+    // funnel reconciliation: every doc is attributed exactly once
+    assert(out.size == 7)
+  }
 }
