@@ -176,6 +176,54 @@ object ScaleBench {
         ivf2, emb.select("id", "label"), queries, k = 10, nprobe = 8).count()
     }
     Similarity.ivfRelease(ivf2)
+    bench("d_dup_clusters") {
+      // transitive closure over the banded near-dup pairs (GraphX CC)
+      Dedup.dupClusters(
+        Dedup.minhashNearDupPairs(docs, estFloor = 0.6)
+          .where(F.col("jaccard") >= 0.8)).count()
+    }
+    bench("d_curate_corpus") {
+      // the one-call recipe: quality -> exact-dedup -> decontamination
+      val eval = docs.where(F.col("doc_id") % 50 === 0)
+      val corpus = docs.where(F.col("doc_id") % 50 =!= 0)
+      Dedup.curateCorpus(
+        corpus, eval,
+        F.size(TextOps.tokens(F.col("text"))) >= 20, n = 8).count()
+    }
+
+    // ---- synthetic events: ~10 events per user across nVecs/4 users,
+    // hash-jittered timestamps over a day — the time-join block
+    val nEvents = nVecs * 10
+    val events = spark.range(nEvents).select(
+      F.pmod(F.col("id"), F.lit(nVecs / 4)).as("user_id"),
+      F.timestamp_seconds(
+        F.lit(1767225600L) + F.pmod(F.xxhash64(F.col("id")), F.lit(86400L)))
+        .as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[scale] events=${events.count()}")
+    bench("q_sessionize") {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      events
+        .withColumn("prev_ts", F.lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          F.when(F.col("prev_ts").isNull ||
+            F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(byUser))
+        .groupBy("user_id")
+        .agg(F.max("session_id").as("n_sessions"),
+          F.count(F.lit(1)).as("n_events"))
+        .count()
+    }
+    bench("q_asof_enrich") {
+      // every event enriched with the latest prior reading of its user
+      val readings = events.sample(0.1, seed = 7)
+        .withColumn("reading", F.col("user_id").cast("double"))
+      graft.operators.AsOfJoin.asofJoin(
+        events, readings, "user_id", "ts", "ts", Seq("reading")).count()
+    }
+    events.unpersist(blocking = false)
 
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r07.json")
