@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize}
+import graft.functions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, Sq8CosineDeq, Sq8EncodeVec}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -31,5 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_l2normalize"), info("graft_l2normalize", "L2 normalize"),
       (es: Seq[Expression]) => L2Normalize(d(es.head))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8_encode"),
+      info("graft_sq8_encode", "SQ8-quantize a vector to BINARY codes"),
+      (es: Seq[Expression]) => Sq8EncodeVec(d(es(0)), d(es(1)), d(es(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8_cosine"),
+      info("graft_sq8_cosine", "asymmetric dequantized cosine over SQ8 codes"),
+      (es: Seq[Expression]) => Sq8CosineDeq(es(0), d(es(1)), d(es(2)), d(es(3)))))
   }
 }

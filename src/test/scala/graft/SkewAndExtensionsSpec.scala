@@ -38,5 +38,15 @@ class SkewAndExtensionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(0) - math.sqrt(0.5)) < 1e-12)
     assert(row.getDouble(1) == 11.0)
     assert(row.getDouble(2) == 5.0)
+    // SQ8 kernels are SQL citizens too: encode to BINARY, score the
+    // codes asymmetrically — round-trips the quantizer in pure SQL
+    val sq8 = spark.sql(
+      "SELECT graft_sq8_cosine(" +
+        "graft_sq8_encode(array(0.5,1.0), array(0.0,0.0), array(1.0,2.0)), " +
+        "array(0.5,1.0), array(0.0,0.0), array(1.0,2.0)) AS c, " +
+        "length(graft_sq8_encode(array(0.5,1.0), array(0.0,0.0), " +
+        "array(1.0,2.0))) AS w").head
+    assert(math.abs(sq8.getDouble(0) - 1.0) < 1e-6, sq8.toString)
+    assert(sq8.getInt(1) == 2)
   }
 }
