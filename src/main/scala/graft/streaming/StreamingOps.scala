@@ -103,6 +103,9 @@ object StreamingOps {
     import spark.implicits._
     events
       .select(F.col("user_id").cast("long"), F.col("ts").cast("timestamp"))
+      // null keys/times carry no session semantics — and a null
+      // user_id would NPE the primitive Long encoder below
+      .where(F.col("user_id").isNotNull && F.col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)

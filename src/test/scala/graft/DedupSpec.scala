@@ -221,5 +221,15 @@ class DedupSpec extends SparkSpec {
       7L -> Some("quality")))
     // funnel reconciliation: every doc is attributed exactly once
     assert(out.size == 7)
+    // empty eval set: the decontamination stage is a no-op, so the
+    // contaminated keeper is simply kept
+    val noEval = Dedup.curateCorpus(
+        corpus, eval.where(F.lit(false)),
+        F.size(graft.operators.TextOps.tokens(F.col("text"))) >= 20, n = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(noEval(3L).isEmpty && noEval(0L) == Some("quality"))
+    // empty corpus: empty attribution, schema intact
+    assert(Dedup.curateCorpus(
+      corpus.where(F.lit(false)), eval, F.lit(true), n = 4).count() == 0L)
   }
 }

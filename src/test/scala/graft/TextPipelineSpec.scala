@@ -378,6 +378,12 @@ class TextPipelineSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       TextOps.bpeTrain(docs, numMerges = 2, maxWords = 2))
     assert(e.getMessage.contains("stratifiedHashSample"))
+    // degenerate corpora: empty and all-null text yield ZERO merges
+    // (schema intact), not an exception
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(empty, numMerges = 3).count() == 0L)
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(nulls, numMerges = 3).count() == 0L)
   }
 
   test("gopherFlags: each published rule trips on its crafted document") {
