@@ -103,7 +103,8 @@ object SparkEntry {
     "t_filter_funnel", "t_ppl_buckets", "t_span_corrupt",
     "d_source_quota", "d_split_assign", "t_dsir_weights",
     "v_ann_topk_sq8", "v_hard_negatives_approx", "t_gopher_rules",
-    "t_bpe_merges", "v_ann_topk_sq8_batch", "d_curate_corpus")
+    "t_bpe_merges", "v_ann_topk_sq8_batch", "d_curate_corpus",
+    "t_bpe_encode")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -402,6 +403,15 @@ object SparkEntry {
     // sequence is spec-pinned on the Sennrich reference corpus
     "t_bpe_merges" -> ((s, d) =>
       TextOps.bpeTrain(docs(s, d), numMerges = 30).orderBy("rank")),
+
+    // the encode pass over the learned merges (rows-level check, like
+    // t_bpe_merges — the greedy per-word loop is not SQL-expressible;
+    // the exact pieces are spec-pinned on the Sennrich corpus)
+    "t_bpe_encode" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.bpeApply(all, TextOps.bpeTrain(all, numMerges = 30))
+        .orderBy("doc_id")
+    }),
 
     "t_vocab" -> ((s, d) =>
       TextOps.vocab(docs(s, d), 50)),

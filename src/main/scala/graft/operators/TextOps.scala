@@ -184,6 +184,107 @@ object TextOps {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Apply a learned BPE merge table — the encode pass that pairs with
+    * [[bpeTrain]]: each word (chars + [[BpeEndOfWord]], the SAME
+    * symbolization as training, via the same [[tokensOf]] tokenizer —
+    * shared code, the paths cannot drift) is reduced by repeatedly
+    * merging its LOWEST-RANK adjacent pair (the standard greedy BPE
+    * encode), yielding subword pieces. The merge table broadcasts
+    * (gated at `maxMerges` — it is rank-table-sized by construction)
+    * and the pass is MAP-ONLY over the corpus scan: no explode, no
+    * token shuffle. A per-partition memo caches encodings by word —
+    * zipf corpora re-encode the head words constantly, so the loop
+    * runs once per DISTINCT word per partition, not once per
+    * occurrence. Output: (doc_id, pieces, n_pieces, n_words) with
+    * pieces space-joined; null text encodes to the empty string.
+    */
+  def bpeApply(
+      docs: DataFrame, merges: DataFrame,
+      maxMerges: Long = 1000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probeN = (math.min(maxMerges, Int.MaxValue - 1L) + 1L).toInt
+    val collected = merges
+      .select(F.col("rank").cast("int"), F.col("left").cast("string"),
+        F.col("right").cast("string"))
+      .as[(Int, String, String)]
+      .take(probeN)
+    require(collected.length <= maxMerges,
+      s"bpeApply merge table exceeds maxMerges=$maxMerges rows — a merge " +
+        "table is vocabulary-sized by construction; this looks like the " +
+        "corpus. Pass bpeTrain's output, or raise maxMerges explicitly.")
+    val rankMap: Map[(String, String), Int] =
+      collected.map { case (r, l, rt) => (l, rt) -> r }.toMap
+    val bc = spark.sparkContext.broadcast(rankMap)
+    docs
+      .select(F.col("doc_id").cast("long"), F.col("text").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        val memo = new java.util.HashMap[String, Array[String]](1 << 12)
+        def encodeWord(w: String): Array[String] = {
+          val hit = memo.get(w)
+          if (hit != null) hit
+          else {
+            var syms = (w.map(_.toString) :+ BpeEndOfWord).toArray
+            var done = false
+            while (!done && syms.length > 1) {
+              var best = Int.MaxValue
+              var at = -1
+              var i = 0
+              while (i < syms.length - 1) {
+                val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+                if (r < best) { best = r; at = i }
+                i += 1
+              }
+              if (at < 0) done = true
+              else {
+                // merge EVERY occurrence of the winning pair, left to
+                // right — the same application order training used
+                val l = syms(at); val rr = syms(at + 1); val m = l + rr
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                var j = 0
+                while (j < syms.length) {
+                  if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == rr) {
+                    out += m; j += 2
+                  } else { out += syms(j); j += 1 }
+                }
+                syms = out.toArray
+              }
+            }
+            // bound the memo: zipf heads hit constantly, the long tail
+            // would otherwise grow the map without limit
+            if (memo.size < 200000) memo.put(w, syms)
+            syms
+          }
+        }
+        it.map { case (docId, text) =>
+          if (text == null) (docId, "", 0L, 0L)
+          else {
+            // empty words carry no pieces (training's word table
+            // excluded them the same way)
+            val ws = tokensOf(text).filter(_.nonEmpty)
+            val sb = new java.lang.StringBuilder(text.length * 2)
+            var pieces = 0L
+            var i = 0
+            while (i < ws.length) {
+              val ps = encodeWord(ws(i))
+              var j = 0
+              while (j < ps.length) {
+                if (pieces > 0L) sb.append(' ')
+                sb.append(ps(j))
+                pieces += 1L
+                j += 1
+              }
+              i += 1
+            }
+            (docId, sb.toString, pieces, ws.length.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "pieces", "n_pieces", "n_words")
+  }
+
   /** The eight Gopher stop words (Rae et al. 2021, "Scaling Language
     * Models: ... Gopher", MassiveText rule 7). */
   val GopherStopwords: Seq[String] =

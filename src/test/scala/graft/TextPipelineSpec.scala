@@ -386,6 +386,42 @@ class TextPipelineSpec extends SparkSpec {
     assert(TextOps.bpeTrain(nulls, numMerges = 3).count() == 0L)
   }
 
+  test("bpeApply: greedy encode with the learned merges, hand-checked pieces") {
+    val s = spark
+    import s.implicits._
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, numMerges = 5)
+    // merges: es, est, est</w>, lo, low — so:
+    //   low    -> l o w </w> -(lo)-> lo w </w> -(low)-> low </w>
+    //   newest -> (e,s)->es, (es,t)->est, (est,</w>)->est</w>;
+    //             n e w stay single (no such merges)
+    //   lower  -> (lo) -> (low) -> low e r </w>
+    val out = TextOps.bpeApply(
+        Seq((0L, "low newest lower"), (1L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"),
+        merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == (("low </w> n e w est</w> low e r </w>", 10L, 3L)),
+      out(0L).toString)
+    assert(out(1L) == (("", 0L, 0L)))
+    // no merge table: every word splits to chars + the end marker
+    val bare = TextOps.bpeApply(
+        Seq((0L, "ab")).toDF("doc_id", "text"),
+        merges.where(F.lit(false)))
+      .head
+    assert(bare.getString(1) == "a b </w>" && bare.getLong(2) == 3L)
+    // the merge-table gate names the expected input
+    val e = intercept[IllegalArgumentException](
+      TextOps.bpeApply(Seq((0L, "x")).toDF("doc_id", "text"),
+        merges, maxMerges = 2))
+    assert(e.getMessage.contains("bpeTrain"))
+  }
+
   test("gopherFlags: each published rule trips on its crafted document") {
     val s = spark
     import s.implicits._
