@@ -104,7 +104,7 @@ object SparkEntry {
     "d_source_quota", "d_split_assign", "t_dsir_weights",
     "v_ann_topk_sq8", "v_hard_negatives_approx", "t_gopher_rules",
     "t_bpe_merges", "v_ann_topk_sq8_batch", "d_curate_corpus",
-    "t_bpe_encode")
+    "t_bpe_encode", "d_contamination_report")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -671,6 +671,16 @@ object SparkEntry {
       val corpus = all.where(F.col("doc_id") % 20 =!= 0)
       Dedup.decontaminate(corpus, eval, n = 4)
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // which benchmark docs leak, and how broadly: distinct corpus-doc
+    // hits per eval doc (same 4-gram rationale as d_decontaminate)
+    "d_contamination_report" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.contaminationReport(
+          all.where(F.col("doc_id") % 20 =!= 0),
+          all.where(F.col("doc_id") % 20 === 0), n = 4)
+        .orderBy("eval_doc_id")
     }),
 
     // one-call curation recipe with first-fail attribution: quality
@@ -1736,6 +1746,31 @@ object SparkEntry {
         |WHERE doc_id % 20 != 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+
+    // contamination-report replay: distinct grams per side, equi-join,
+    // distinct-pair count per eval doc; zeros kept via LEFT JOIN
+    "d_contamination_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |    END AS gs
+        |  FROM toks),
+        |g2 AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        |eg AS (SELECT DISTINCT doc_id AS eid, g FROM g2 WHERE doc_id % 20 = 0),
+        |cg AS (SELECT DISTINCT doc_id AS cid, g FROM g2 WHERE doc_id % 20 <> 0),
+        |hits AS (
+        |  SELECT eid, count(DISTINCT cid) AS n
+        |  FROM eg JOIN cg USING (g) GROUP BY eid)
+        |SELECT d.doc_id AS eval_doc_id, coalesce(h.n, 0)::BIGINT AS n_corpus_hits
+        |FROM documents d LEFT JOIN hits h ON h.eid = d.doc_id
+        |WHERE d.doc_id % 20 = 0
+        |ORDER BY eval_doc_id""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("),
 
     // curation recipe replay: sequential stage semantics — fingerprint
     // groups over quality survivors only, contamination over surviving

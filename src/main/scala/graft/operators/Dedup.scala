@@ -489,6 +489,38 @@ object Dedup {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-eval-doc contamination report — the observability face of
+    * [[decontaminate]]: for each eval/benchmark document, how many
+    * DISTINCT corpus documents share at least one word n-gram with it
+    * (0 for clean eval docs, which stay in the output via the left
+    * join). This is the question a contamination review actually asks
+    * — "which benchmark items leak, and how broadly" — where
+    * [[decontaminate]] only answers "which corpus docs to drop".
+    *
+    * 100 TB shape: both gram sides deduplicate BEFORE the join (the
+    * eval side is benchmark-sized; the corpus side's distinct is
+    * bounded by distinct (doc, gram) pairs, the same worst case the
+    * decontaminate scan already carries), then one equi-join on the
+    * gram and a two-level distinct/count aggregation.
+    *
+    * Output: (eval_doc_id, n_corpus_hits), every eval doc present.
+    */
+  def contaminationReport(
+      corpus: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    val eg = explodedGrams(evalDocs, n)
+      .select(F.col("doc_id").as("eval_doc_id"), F.col("g")).distinct()
+    val cg = explodedGrams(corpus, n)
+      .select(F.col("doc_id").as("corpus_doc_id"), F.col("g")).distinct()
+    val hits = eg.join(cg, "g")
+      .select("eval_doc_id", "corpus_doc_id").distinct()
+      .groupBy("eval_doc_id")
+      .agg(F.count(F.lit(1)).as("n_corpus_hits"))
+    evalDocs.select(F.col("doc_id").as("eval_doc_id"))
+      .join(hits, Seq("eval_doc_id"), "left")
+      .select(F.col("eval_doc_id"),
+        F.coalesce(F.col("n_corpus_hits"), F.lit(0L)).as("n_corpus_hits"))
+  }
+
   /** One-call curation recipe with FIRST-FAIL attribution — the
     * ingest composition a pretraining pipeline actually runs (quality
     * gate → exact dedup → eval-set decontamination), evaluated

@@ -232,4 +232,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.curateCorpus(
       corpus.where(F.lit(false)), eval, F.lit(true), n = 4).count() == 0L)
   }
+
+  test("contaminationReport counts distinct corpus hits per eval doc, zeros kept") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta extra"),  // shares the eval gram
+      (2L, "alpha beta gamma delta more"),   // shares it too
+      (3L, "unrelated text entirely here")   // clean
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "nothing matches this one here"),
+      (102L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, eval, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // leaking eval doc counts DISTINCT corpus docs; clean and
+    // null-text eval docs stay in the report with 0
+    assert(out == Map(100L -> 2L, 101L -> 0L, 102L -> 0L), out.toString)
+  }
 }
