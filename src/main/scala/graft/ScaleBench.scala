@@ -190,6 +190,25 @@ object ScaleBench {
         corpus, eval,
         F.size(TextOps.tokens(F.col("text"))) >= 20, n = 8).count()
     }
+    bench("d_contamination_report") {
+      Dedup.contaminationReport(
+        docs.where(F.col("doc_id") % 50 =!= 0),
+        docs.where(F.col("doc_id") % 50 === 0), n = 8).count()
+    }
+    // tokenizer block: merge training is ONE word-count shuffle (the
+    // vocabulary, not the corpus, bounds the driver loop); the encode
+    // is a map-only broadcast pass with a per-partition word memo
+    val bpeMerges = {
+      val t0 = System.nanoTime()
+      val m = TextOps.bpeTrain(docs, numMerges = 500)
+      val nm = m.count()
+      rows("t_bpe_train") = ((System.nanoTime() - t0) / 1e9, nm)
+      println(f"[scale] t_bpe_train              ${rows("t_bpe_train")._1}%8.2f s  rows=$nm")
+      m
+    }
+    bench("t_bpe_encode") {
+      TextOps.bpeApply(docs, bpeMerges).count()
+    }
 
     // ---- synthetic events: ~10 events per user across nVecs/4 users,
     // hash-jittered timestamps over a day — the time-join block
