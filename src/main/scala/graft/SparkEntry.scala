@@ -104,7 +104,9 @@ object SparkEntry {
     "d_source_quota", "d_split_assign", "t_dsir_weights",
     "v_ann_topk_sq8", "v_hard_negatives_approx", "t_gopher_rules",
     "t_bpe_merges", "v_ann_topk_sq8_batch", "d_curate_corpus",
-    "t_bpe_encode", "d_contamination_report")
+    "t_bpe_encode", "d_contamination_report", "t_c4_rules",
+    "d_dup_spans", "d_proto_prune", "q_merge_upsert",
+    "q_resample_gapfill")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -396,6 +398,33 @@ object SparkEntry {
       TextOps.gopherFlags(docs(s, d))
         .withColumn("passes", F.col("passes").cast("int"))
         .orderBy("doc_id")),
+
+    // C4 line-level cleaning: the corpus is single-line word salad, so
+    // the query first derives a structured page deterministically
+    // (terminal punctuation + newline after every 8th word, plus
+    // injected boilerplate/lorem/brace lines on fixed doc_id strata so
+    // every rule actually fires), then runs the operator; the oracle
+    // replays both the derivation and the rules
+    "t_c4_rules" -> ((s, d) => {
+      val structured =
+        F.regexp_replace(F.col("text"), "((?:\\S+ ){7}\\S+) ", "$1.\n")
+      val withJs = F.when(F.col("doc_id") % 5 === 2,
+          F.concat(
+            F.lit("javascript cookies enable your browser please.\n"),
+            structured))
+        .otherwise(structured)
+      val withLorem = F.when(F.col("doc_id") % 7 === 0,
+          F.concat(withJs, F.lit("\nlorem ipsum dolor sit amet friend.")))
+        .otherwise(withJs)
+      val withBrace = F.when(F.col("doc_id") % 11 === 3,
+          F.concat(withLorem, F.lit("\nif (x) { return y; }")))
+        .otherwise(withLorem)
+      TextOps.c4Clean(docs(s, d).select(F.col("doc_id"), withBrace.as("text")))
+        .withColumn("has_lorem", F.col("has_lorem").cast("int"))
+        .withColumn("has_brace", F.col("has_brace").cast("int"))
+        .withColumn("passes", F.col("passes").cast("int"))
+        .orderBy("doc_id")
+    }),
 
     // BPE merge training: iterative pairwise merging is not reasonably
     // SQL-expressible, so this is a rows-level check (no oracleSql
@@ -1622,6 +1651,53 @@ object SparkEntry {
         |    AND n_alpha_words * 5 >= n_words * 4
         |    AND n_stopwords >= 2)::INT AS passes
         |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    // C4 replay: same page derivation (RE2 \1 backref + 'g' flag where
+    // Spark replaces globally by default), same line keep-rules, same
+    // doc flags
+    "t_c4_rules" ->
+      """WITH prep AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1.' || chr(10), 'g')
+        |      AS s
+        |  FROM documents),
+        |prep2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 2
+        |    THEN 'javascript cookies enable your browser please.'
+        |      || chr(10) || s
+        |    ELSE s END AS s FROM prep),
+        |prep3 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN s || chr(10) || 'lorem ipsum dolor sit amet friend.'
+        |    ELSE s END AS s FROM prep2),
+        |src AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 3
+        |    THEN s || chr(10) || 'if (x) { return y; }'
+        |    ELSE s END AS t FROM prep3),
+        |k AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+        |    list_filter(string_split(t, chr(10)),
+        |      x -> regexp_matches(rtrim(x), '[.!?"]$')
+        |        AND len(string_split_regex(trim(x), '\s+')) >= 5
+        |        AND NOT regexp_matches(lower(x), 'javascript')) AS kept
+        |  FROM src),
+        |o AS (
+        |  SELECT doc_id,
+        |    array_to_string(kept, chr(10)) AS text_clean,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(kept)::BIGINT AS n_lines_kept,
+        |    coalesce(len(regexp_extract_all(
+        |      array_to_string(kept, chr(10)), '[.!?]')), 0)::BIGINT
+        |      AS n_sentences,
+        |    regexp_matches(lower(t), 'lorem ipsum') AS has_lorem,
+        |    regexp_matches(t, '\{') AS has_brace
+        |  FROM k)
+        |SELECT doc_id, text_clean, n_lines, n_lines_kept, n_sentences,
+        |  has_lorem::INT AS has_lorem, has_brace::INT AS has_brace,
+        |  (NOT has_lorem AND NOT has_brace AND n_sentences >= 3)::INT
+        |    AS passes
+        |FROM o
         |ORDER BY doc_id""".stripMargin,
 
     "t_lang_dist" ->

@@ -350,6 +350,55 @@ object TextOps {
           F.col("n_stopwords") >= 2)
   }
 
+  /** C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning", §2.2) — the line-granularity complement of
+    * [[gopherFlags]]'s document-granularity rules. A line is KEPT iff:
+    *   1. it ends (after right-trim) in a terminal punctuation mark
+    *      (`.`, `!`, `?`, or `"`),
+    *   2. it has at least `minLineWords` whitespace-separated words,
+    *   3. it does not contain the word "javascript" (case-insensitive)
+    *      — the paper's boilerplate/cookie-notice proxy.
+    * Document-level flags on the ORIGINAL text, per the paper: any
+    * occurrence of the phrase "lorem ipsum" (case-insensitive) or of a
+    * curly brace `{` (code) disqualifies the page outright; the page
+    * must also retain at least `minSentences` sentences (terminal
+    * punctuation marks counted over the KEPT lines).
+    *
+    * Pure column algebra (split / filter-lambda / regexp), one map-only
+    * codegen scan, no shuffle — at 100 TB this is a linear pass whose
+    * cost is the parquet read. Null text behaves as the empty page:
+    * one raw line, zero kept lines, `passes = false`.
+    *
+    * Output: (doc_id, text_clean, n_lines, n_lines_kept, n_sentences,
+    * has_lorem, has_brace, passes).
+    */
+  def c4Clean(
+      docs: DataFrame,
+      minLineWords: Int = 5,
+      minSentences: Int = 3): DataFrame = {
+    val raw = F.coalesce(F.col("text"), F.lit(""))
+    val lines = F.split(raw, "\n")
+    val kept = F.filter(lines, l =>
+      F.rtrim(l).rlike("[.!?\"]$") &&
+        F.size(F.split(F.trim(l), "\\s+")) >= minLineWords &&
+        !F.lower(l).rlike("javascript"))
+    val textClean = F.array_join(kept, "\n")
+    val nSentences =
+      F.coalesce(F.regexp_count(textClean, F.lit("[.!?]")), F.lit(0L))
+        .cast("long")
+    docs.select(
+      F.col("doc_id"),
+      textClean.as("text_clean"),
+      F.size(lines).cast("long").as("n_lines"),
+      F.size(kept).cast("long").as("n_lines_kept"),
+      nSentences.as("n_sentences"),
+      F.lower(raw).rlike("lorem ipsum").as("has_lorem"),
+      raw.rlike("\\{").as("has_brace"))
+      .withColumn("passes",
+        !F.col("has_lorem") && !F.col("has_brace") &&
+          F.col("n_sentences") >= minSentences)
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with counts and
     * document frequency — the tokenizer-training primitive. Shape:
     * explode + groupBy(token) with partial aggregation (map-side

@@ -451,4 +451,42 @@ class TextPipelineSpec extends SparkSpec {
     // composes with filterFunnel via the passes column
     assert(TextOps.gopherFlags(docs).where(F.col("passes")).count() == 1L)
   }
+
+  test("c4Clean: each line rule and doc flag trips on its crafted page") {
+    val s = spark
+    import s.implicits._
+    val goodLine = "this line has at least five words."
+    val docs = Seq(
+      (0L, s"$goodLine\n$goodLine\nAnd a third full sentence here!"),
+      (1L, s"$goodLine\nno terminal punctuation on this line\nshort one."),
+      (2L, s"$goodLine\nenable javascript cookies in your browser please."),
+      (3L, s"$goodLine\n$goodLine\nLorem IPSUM dolor sit amet indeed."),
+      (4L, s"$goodLine\n$goodLine\nif (x) { return y; }"),
+      (5L, s"$goodLine\n$goodLine"), // only 2 sentences
+      (6L, "Quoted lines also count as terminal \"\ntrailing spaces kept too five words.   "),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = TextOps.c4Clean(docs).orderBy("doc_id").collect()
+    def r(i: Int) = rows(i)
+    // doc 0: all three lines kept, 3 sentences, passes
+    assert(r(0).getLong(3) == 3L && r(0).getLong(4) == 3L)
+    assert(r(0).getBoolean(7))
+    // doc 1: the unpunctuated line and the 2-word line are dropped
+    assert(r(1).getLong(3) == 1L && r(1).getString(1) == goodLine)
+    // doc 2: the javascript line is dropped despite valid punct/words
+    assert(r(2).getLong(3) == 1L)
+    // doc 3/4: lines may be kept but the doc-level flag fails the page
+    assert(r(3).getBoolean(5) && !r(3).getBoolean(7))
+    assert(r(4).getBoolean(6) && !r(4).getBoolean(7))
+    // doc 5: clean but below the 3-sentence floor
+    assert(r(5).getLong(4) == 2L && !r(5).getBoolean(7))
+    // doc 6: a trailing quote is terminal; rtrim ignores line-end spaces
+    assert(r(6).getLong(3) == 2L)
+    // doc 7: null text = empty page semantics
+    assert(r(7).getLong(3) == 0L && r(7).getString(1) == "" &&
+      !r(7).getBoolean(7))
+    // the whole operator is one map-only scan: no exchange in the plan
+    val plan = TextOps.c4Clean(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
 }
