@@ -712,6 +712,13 @@ object SparkEntry {
         .orderBy("eval_doc_id")
     }),
 
+    // repeated-span detection: 3-grams (not 8 — the ~40-word synthetic
+    // vocabulary only collides at short widths, same rationale as
+    // d_decontaminate's 4) occurring in >= 2 distinct docs; per-doc
+    // duplicated-window and covered-position counts
+    "d_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(docs(s, d), n = 3, minDocs = 2).orderBy("doc_id")),
+
     // one-call curation recipe with first-fail attribution: quality
     // (word count >= 20) -> exact-dedup keeper -> decontamination vs
     // the every-20th-doc eval split (same 4-gram rationale as
@@ -1846,6 +1853,48 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON h.eid = d.doc_id
         |WHERE d.doc_id % 20 = 0
         |ORDER BY eval_doc_id""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("),
+
+    // repeated-span replay: full 3-token windows, grams in >= 2
+    // distinct docs, coverage as the same running-max interval sweep
+    // (pe = furthest end among earlier windows; each window adds
+    // n - overlap new positions)
+    "d_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |w0 AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+        |w2 AS (
+        |  SELECT doc_id, i,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM w0),
+        |dg AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS nd FROM w2 GROUP BY g)
+        |  WHERE nd >= 2),
+        |dw AS (SELECT doc_id, i FROM w2 WHERE g IN (SELECT g FROM dg)),
+        |cov0 AS (
+        |  SELECT doc_id, i,
+        |    max(i + 2) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM dw),
+        |per AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_dup_windows,
+        |    sum(greatest(0, 3 - greatest(0, coalesce(pe, 0) - i + 1)))::BIGINT
+        |      AS n_dup_tokens
+        |  FROM cov0 GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |    coalesce(len(string_split_regex(trim(text), '\s+')), 0)::BIGINT
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT b.doc_id, b.n_tokens,
+        |  greatest(b.n_tokens - 2, 0)::BIGINT AS n_windows,
+        |  coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+        |  coalesce(p.n_dup_tokens, 0)::BIGINT AS n_dup_tokens
+        |FROM base b LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("),
 
     // curation recipe replay: sequential stage semantics — fingerprint

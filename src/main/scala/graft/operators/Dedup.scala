@@ -521,6 +521,84 @@ object Dedup {
         F.coalesce(F.col("n_corpus_hits"), F.lit(0L)).as("n_corpus_hits"))
   }
 
+  /** Repeated-span detection — the fixed-width signal of Lee et al.
+    * 2021's ExactSubstr pass ("Deduplicating Training Data Makes
+    * Language Models Better"): a span is a window of `n` consecutive
+    * word tokens, and a span is DUPLICATED when the identical n-token
+    * sequence occurs in at least `minDocs` distinct documents. Per
+    * document this reports how many windows exist, how many are
+    * duplicated, and how many token POSITIONS are covered by at least
+    * one duplicated window — the "how much of this page is shared
+    * boilerplate" number that decides between stripping spans and
+    * dropping pages. Unlike [[explodedGrams]], only FULL windows
+    * count: a doc with fewer than `n` tokens has zero windows (the
+    * whole-text collapse would fabricate cross-doc matches between
+    * short docs of unequal length).
+    *
+    * 100 TB shape: one window explode (rows = token count, the same
+    * scan class as [[decontaminate]]), a gram-keyed distinct +
+    * count >= minDocs bounded by DISTINCT grams (partial agg on the
+    * slim (g, doc_id) projection), one semi-join back, then per-doc
+    * interval-union coverage via a running-max window over sorted
+    * start positions (`covered += max(0, n - overlap(prevEnd, s))`) —
+    * never a per-token explosion for coverage. Clean docs stay in the
+    * output with zeros via the left join from the corpus.
+    *
+    * Output: (doc_id, n_tokens, n_windows, n_dup_windows,
+    * n_dup_tokens), every corpus doc present.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"span width n must be >= 2, got $n")
+    require(minDocs >= 2,
+      s"minDocs must be >= 2 (a span trivially occurs in its own doc), got $minDocs")
+    val t = TextOps.tokens(F.col("text"))
+    val toks = docs.where(F.col("text").isNotNull)
+      .select(F.col("doc_id"), t.as("t"))
+    val wins = toks
+      .select(
+        F.col("doc_id"), F.col("t"),
+        // sequence(a, b) DESCENDS when b < a — guard zero-window docs
+        // with an empty array so explode drops them instead
+        F.explode(
+          F.when(F.size(F.col("t")) >= n,
+              F.sequence(F.lit(1), F.size(F.col("t")) - (n - 1)))
+            .otherwise(F.array())).as("i"))
+      .select(
+        F.col("doc_id"), F.col("i"),
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(n))).as("g"))
+    val dupGrams = wins.select("g", "doc_id").distinct()
+      .groupBy("g").agg(F.count(F.lit(1)).as("nd"))
+      .where(F.col("nd") >= minDocs)
+      .select("g")
+    val dupWins = wins.join(dupGrams, Seq("g"), "left_semi")
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Long.MinValue, -1)
+    val perDoc = dupWins
+      .withColumn("pe", F.max(F.col("i") + (n - 1)).over(sweep))
+      .groupBy("doc_id")
+      .agg(
+        F.count(F.lit(1)).as("n_dup_windows"),
+        F.sum(F.greatest(
+          F.lit(0L),
+          F.lit(n.toLong) - F.greatest(
+            F.lit(0L),
+            F.coalesce(F.col("pe"), F.lit(0L)) - F.col("i") + 1L)))
+          .as("n_dup_tokens"))
+    docs
+      .select(
+        F.col("doc_id"),
+        F.when(F.col("text").isNull, 0L)
+          .otherwise(F.size(t).cast("long")).as("n_tokens"))
+      .withColumn("n_windows",
+        F.greatest(F.col("n_tokens") - (n - 1), F.lit(0L)))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        F.col("doc_id"), F.col("n_tokens"), F.col("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0L)).as("n_dup_windows"),
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0L)).as("n_dup_tokens"))
+  }
+
   /** One-call curation recipe with FIRST-FAIL attribution — the
     * ingest composition a pretraining pipeline actually runs (quality
     * gate → exact dedup → eval-set decontamination), evaluated

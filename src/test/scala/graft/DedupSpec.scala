@@ -252,4 +252,31 @@ class DedupSpec extends SparkSpec {
     // null-text eval docs stay in the report with 0
     assert(out == Map(100L -> 2L, 101L -> 0L, 102L -> 0L), out.toString)
   }
+
+  test("dupSpans: interval-union coverage over duplicated fixed-width windows") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      (1L, "a b c d e f"),        // windows 1..4; shares [a b c],[b c d] with doc 2
+      (2L, "x a b c d y"),        // dup windows at i=2,3
+      (3L, "p q"),                // below width: zero windows
+      (4L, null.asInstanceOf[String]),
+      (5L, "a b c z1 z2 z3 a b c") // disjoint repeats of the shared gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(pages, n = 3, minDocs = 2).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: dup windows i=1,2 cover positions 1..4 (overlap merged)
+    assert(out(1L) == (6L, 4L, 2L, 4L), out(1L).toString)
+    // doc 2: dup windows i=2,3 cover 2..5
+    assert(out(2L) == (6L, 4L, 2L, 4L), out(2L).toString)
+    // short and null docs stay with zeros
+    assert(out(3L) == (2L, 0L, 0L, 0L))
+    assert(out(4L) == (0L, 0L, 0L, 0L))
+    // doc 5: two DISJOINT dup windows (i=1, i=7): no merge, 6 covered
+    assert(out(5L) == (9L, 7L, 2L, 6L), out(5L).toString)
+    // width/minDocs gates carry their rationale
+    intercept[IllegalArgumentException](Dedup.dupSpans(pages, n = 1))
+    intercept[IllegalArgumentException](Dedup.dupSpans(pages, minDocs = 1))
+  }
 }
