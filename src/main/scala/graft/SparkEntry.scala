@@ -639,6 +639,15 @@ object SparkEntry {
           emb(s, d), threshold = 0.3, nClusters = 8, iters = 10)
         .orderBy(F.col("score").desc, F.col("id_a"), F.col("id_b"))),
 
+    // D4-style prototype pruning: same deterministic k-means cells,
+    // rank-by-distance-to-centroid within each cell, drop the closest
+    // 20% (the redundant cluster cores), keep the informative tail
+    "d_proto_prune" -> ((s, d) =>
+      graft.operators.Dedup.prototypePrune(
+          emb(s, d), dropFrac = 0.2, nClusters = 8, iters = 10)
+        .withColumn("keep", F.col("keep").cast("int"))
+        .orderBy("cluster", "rnk")),
+
     // SymSpell deletion-neighborhood fuzzy self-join: customer names
     // are zero-padded serials, so edit-distance-1 pairs are the names
     // differing in exactly one digit
@@ -3026,6 +3035,33 @@ object SparkEntry {
           |JOIN e b ON b.vec_id = fb.id
           |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
           |ORDER BY score DESC, id_a, id_b""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // prototype-pruning replay: same k-means recurrence, then squared
+    // L2 to the final centroid, row_number within the cell (dist asc,
+    // id asc), keep = rank beyond the ceil(0.2 n) prototypical head
+    "d_proto_prune" ->
+      (s"""WITH ppsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("ppsrc", 8, 10, "pp")},
+          |ppd2 AS (
+          |  SELECT t.id, f2.c, sum((t.x - k.cx) * (t.x - k.cx)) AS d2
+          |  FROM ppsrc t
+          |  JOIN ppfin f2 ON f2.id = t.id
+          |  JOIN ppkc10 k ON k.c = f2.c AND k.f = t.f
+          |  GROUP BY t.id, f2.c),
+          |ppr2 AS (
+          |  SELECT id, c AS cluster, d2,
+          |    row_number() OVER (PARTITION BY c ORDER BY d2 ASC, id ASC)
+          |      AS rnk,
+          |    count(*) OVER (PARTITION BY c) AS n_in_cluster
+          |  FROM ppd2)
+          |SELECT id, cluster::INT AS cluster, round(d2, 4) AS dist,
+          |  rnk::BIGINT AS rnk, n_in_cluster::BIGINT AS n_in_cluster,
+          |  (rnk > ceil(0.2 * n_in_cluster))::INT AS keep
+          |FROM ppr2
+          |ORDER BY cluster, rnk""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
 
     "d_fuzzy_match" ->

@@ -813,4 +813,62 @@ object Dedup {
       .where(F.col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }
+
+  /** Prototype pruning (Sorscher et al. 2022, "Beyond neural scaling
+    * laws"; the D4 recipe's SSL-prototypes stage): cluster the
+    * embedding space with the engine's deterministic k-means, rank
+    * each item by squared-L2 distance to its own centroid, and mark
+    * the `dropFrac` MOST PROTOTYPICAL items of every cluster (the
+    * closest — the easy, redundant examples) for removal, keeping the
+    * informative tail. The complement of [[semanticNearDupPairs]]:
+    * SemDeDup removes near-identical PAIRS, prototype pruning thins
+    * dense cluster CORES even when no pair crosses a similarity
+    * threshold.
+    *
+    * 100 TB shape: k-means fit/assign are the engine's existing
+    * scale-path primitives (driver-sized model, broadcast to
+    * executors); distance is one broadcast equi-join on the cluster id
+    * + a codegen zip_with/aggregate fold; ranking is a per-cluster
+    * window — size `nClusters` so clusters stay sort-spill-friendly
+    * (~corpus_rows / 10M clusters keeps a cluster's sort inside one
+    * task's spillable buffer). Ties (equal distance) break by id, so
+    * the verdict is deterministic and oracle-replayable.
+    *
+    * Output: (id, cluster, dist [squared L2, rounded 4dp], rnk [1 =
+    * most prototypical], n_in_cluster, keep) — every input row
+    * present; `keep = rnk > ceil(dropFrac * n_in_cluster)`.
+    */
+  def prototypePrune(
+      emb: DataFrame, dropFrac: Double = 0.2, nClusters: Int = 8,
+      iters: Int = 10): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    require(nClusters > 0, s"nClusters must be positive, got $nClusters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val model = graft.scale.DeterministicKMeans.fit(
+      emb, nClusters, iters, idCol = "id", vecCol = "vec")
+    val assigned = graft.scale.DeterministicKMeans
+      .assign(emb, model, idCol = "id", vecCol = "vec")
+    val cents = model.centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster", "cvec")
+    val d2 = F.aggregate(
+      F.zip_with(F.col("vec"), F.col("cvec"), (a, b) => (a - b) * (a - b)),
+      F.lit(0.0), (acc, x) => acc + x)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(F.col("d2").asc, F.col("id").asc)
+    val cwin = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    assigned
+      .join(F.broadcast(cents), "cluster")
+      .withColumn("d2", d2)
+      .withColumn("rnk", F.row_number().over(win).cast("long"))
+      .withColumn("n_in_cluster", F.count(F.lit(1)).over(cwin))
+      .select(
+        F.col("id"), F.col("cluster"),
+        F.round(F.col("d2"), 4).as("dist"),
+        F.col("rnk"), F.col("n_in_cluster"),
+        (F.col("rnk") > F.ceil(F.lit(dropFrac) * F.col("n_in_cluster")))
+          .as("keep"))
+  }
 }

@@ -279,4 +279,35 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.dupSpans(pages, n = 1))
     intercept[IllegalArgumentException](Dedup.dupSpans(pages, minDocs = 1))
   }
+
+  test("prototypePrune drops the cluster cores, keeps the informative tail") {
+    val s = spark
+    import s.implicits._
+    // two well-separated 1-D blobs; within each, the point nearest the
+    // blob mean is the prototype
+    def blob(base: Double, idOff: Long) =
+      (0 until 5).map(i => (idOff + i, Array(base + 0.1 * i, base)))
+    val emb = (blob(0.0, 0L) ++ blob(10.0, 10L)).toDF("id", "vec")
+    val out = Dedup.prototypePrune(emb, dropFrac = 0.4, nClusters = 2,
+      iters = 5).collect()
+    assert(out.length == 10, "every input row stays in the output")
+    val byCluster = out.groupBy(_.getInt(1))
+    assert(byCluster.size == 2 && byCluster.values.forall(_.length == 5))
+    // blob mean x = base + 0.2: ranks are 2 < 1 < 3 < 0 < 4 (distance
+    // asc, id tie-break asc); ceil(0.4 * 5) = 2 prototypes dropped
+    for ((off, rows) <- Seq((0L, byCluster), (10L, byCluster))) {
+      val cl = out.filter(r => r.getLong(0) / 10 * 10 == off)
+      val ranked = cl.sortBy(_.getLong(3)).map(_.getLong(0) - off)
+      assert(ranked.toSeq == Seq(2L, 1L, 3L, 0L, 4L), ranked.mkString(","))
+      val kept = cl.filter(_.getBoolean(5)).map(_.getLong(0) - off).toSet
+      assert(kept == Set(3L, 0L, 4L), kept.toString)
+    }
+    // dropFrac = 0 keeps everything; bounds are validated
+    val all = Dedup.prototypePrune(emb, dropFrac = 0.0, nClusters = 2)
+    assert(all.where(F.col("keep")).count() == 10)
+    intercept[IllegalArgumentException](
+      Dedup.prototypePrune(emb, dropFrac = 1.0))
+    intercept[IllegalArgumentException](
+      Dedup.prototypePrune(emb, nClusters = 0))
+  }
 }
