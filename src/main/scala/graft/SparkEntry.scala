@@ -1042,6 +1042,35 @@ object SparkEntry {
         .toDF("n_custs", "n_both", "n_only_f")
     }),
 
+    // MERGE INTO semantics: a deterministic changelog derived from the
+    // orders table (deletes on %10=7, a superseded then a winning
+    // update on %10=4, an update on %10=1, inserts on %10=2 at shifted
+    // keys) applied via last-writer-wins CDC merge
+    "q_merge_upsert" -> ((s, d) => {
+      import graft.operators.Cdc
+      val snap = tbl(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val k = F.col("o_orderkey")
+      def ch(df: DataFrame, op: String, seq: Long): DataFrame =
+        df.withColumn("op", F.lit(op)).withColumn("seq", F.lit(seq))
+      val del = ch(snap.where(k % 10 === 7), "D", 1L)
+      val updLost = ch(
+        snap.where(k % 10 === 4)
+          .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 4)),
+        "U", 1L)
+      val updWin = ch(
+        snap.where(k % 10 === 1 || k % 10 === 4)
+          .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4)),
+        "U", 2L)
+      val ins = ch(
+        snap.where(k % 10 === 2).withColumn("o_orderkey", k + 1000000L),
+        "I", 1L)
+      Cdc.mergeChanges(
+          snap, del.unionByName(updLost).unionByName(updWin).unionByName(ins),
+          keys = Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- multimodal columns (binary payload + typed meta) ----
     "mm_payload_stats" -> ((s, d) => {
       import graft.operators.Multimodal
@@ -2210,6 +2239,42 @@ object SparkEntry {
         |     EXCEPT
         |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'))
         |    AS n_only_f""".stripMargin,
+
+    // MERGE replay: same derived changelog, row_number (seq desc, op
+    // desc) picks the winner, full join applies it; 'D' winners drop
+    "q_merge_upsert" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    'D' AS op, 1 AS seq FROM snap WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    round(o_totalprice * 2, 4), 'U', 1 FROM snap
+        |  WHERE o_orderkey % 10 = 4
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    round(o_totalprice * 1.1, 4), 'U', 2 FROM snap
+        |  WHERE o_orderkey % 10 IN (1, 4)
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus,
+        |    o_totalprice, 'I', 1 FROM snap WHERE o_orderkey % 10 = 2),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, op DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT coalesce(l.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+        |    ELSE s.o_custkey END AS o_custkey,
+        |  CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+        |    ELSE s.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+        |    ELSE s.o_totalprice END AS o_totalprice
+        |FROM snap s FULL JOIN latest l ON l.o_orderkey = s.o_orderkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "mm_payload_stats" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
