@@ -258,6 +258,20 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // dense per-user hourly grid with forward fill (resample+ffill):
+    // hour rendered as a string so both engines hash identically (same
+    // device as q_events_hourly)
+    "q_resample_gapfill" -> ((s, d) =>
+      graft.operators.TimeSeries.resampleGapFill(
+          eventsUs(s, d).where(F.col("user_id") < 8),
+          keyCol = "user_id", tsCol = "ts", valueCol = "value")
+        .select(
+          F.col("user_id"),
+          F.date_format(F.col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          F.col("n_events"), F.col("sum_value"), F.col("filled_value"),
+          F.col("is_gap").cast("int").as("is_gap"))
+        .orderBy("user_id", "hour")),
+
     "q_topk_parts" -> ((s, d) =>
       tbl(s, d, "part")
         .select(
@@ -1522,6 +1536,35 @@ object SparkEntry {
         |GROUP BY hour, event_type
         |HAVING count(*) >= 5
         |ORDER BY hour, event_type""".stripMargin,
+
+    // resample replay: per-user span via generate_series, LEFT JOIN
+    // marks gaps, last_value IGNORE NULLS forward-fills the rounded
+    // per-bucket sums
+    "q_resample_gapfill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS b, value
+        |  FROM events WHERE user_id < 8),
+        |agg AS (
+        |  SELECT user_id, b, count(*) AS n, round(sum(value), 2) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |    AS b
+        |  FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.b, a.n, a.v
+        |  FROM grid g LEFT JOIN agg a USING (user_id, b))
+        |SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  coalesce(n, 0)::BIGINT AS n_events,
+        |  coalesce(v, 0.0) AS sum_value,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value,
+        |  (n IS NULL)::INT AS is_gap
+        |FROM j
+        |ORDER BY user_id, hour""".stripMargin,
 
     "q_topk_parts" ->
       """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price

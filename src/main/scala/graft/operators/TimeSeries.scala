@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series regularization operators: event streams are irregular,
+  * training/feature pipelines want dense per-key grids.
+  */
+object TimeSeries {
+
+  /** Resample an event stream onto a dense per-key time grid with
+    * forward-filled values — `pandas.resample().ffill()` semantics as
+    * one distributed plan. Events are bucketed by `date_trunc(bucket,
+    * ts)` and summed; every key then gets EVERY bucket between its own
+    * first and last active bucket (missing ones materialized as gap
+    * rows), and `filled_value` carries the most recent non-gap sum
+    * forward across gaps.
+    *
+    * 100 TB shape: one groupBy((key, bucket)) with partial aggregation
+    * (the exchange carries one row per key-bucket, not per event); the
+    * per-key span is a second partial agg over the already-collapsed
+    * buckets; the grid is a map-side `sequence`/`explode` bounded by
+    * span-hours per key (never a cartesian against a global calendar
+    * — a key active for a day contributes 24 rows regardless of the
+    * corpus span); the forward fill is a per-key ordered window, the
+    * irreducible contract of ffill, whose partitions are key-spans
+    * (bounded), not the corpus.
+    *
+    * Output: (key, bucket_ts, n_events, sum_value, filled_value,
+    * is_gap), one row per key × in-span bucket; `sum_value` is 0.0 on
+    * gap rows while `filled_value` repeats the last active bucket's
+    * sum (rounded to 2dp at the bucket, so fills replay bit-stably).
+    */
+  def resampleGapFill(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucket: String = "hour"): DataFrame = {
+    val bucketed = events
+      .groupBy(F.col(keyCol), F.date_trunc(bucket, F.col(tsCol)).as("bucket_ts"))
+      .agg(
+        F.count(F.lit(1)).as("n_events"),
+        F.round(F.sum(valueCol), 2).as("sum_value"))
+    val grid = bucketed
+      .groupBy(keyCol)
+      .agg(F.min("bucket_ts").as("lo"), F.max("bucket_ts").as("hi"))
+      .select(
+        F.col(keyCol),
+        F.explode(F.sequence(
+          F.col("lo"), F.col("hi"),
+          F.expr(s"interval 1 $bucket"))).as("bucket_ts"))
+    val ffill = Window.partitionBy(keyCol).orderBy("bucket_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(bucketed, Seq(keyCol, "bucket_ts"), "left")
+      .select(
+        F.col(keyCol), F.col("bucket_ts"),
+        F.coalesce(F.col("n_events"), F.lit(0L)).as("n_events"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).as("sum_value"),
+        F.last(F.col("sum_value"), ignoreNulls = true).over(ffill)
+          .as("filled_value"),
+        F.col("n_events").isNull.as("is_gap"))
+  }
+}
