@@ -73,22 +73,44 @@ object GraphAnalytics {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def run(source: Long): DataFrame = {
-      var r = nodes.mapPartitions(
-        it => it.map { case (id, _) => (id, if (id == source) 1.0 else 0.0) },
-        preservesPartitioning = true)
+      // Frontier-sparse state: `r` carries ONLY nodes with nonzero
+      // mass (iteration i reaches at most the i-hop ball around the
+      // source), so early steps join/aggregate a frontier, not the
+      // whole graph, and the full node set is touched exactly once at
+      // the end to reconstitute zeros. Bit-identical to the dense
+      // recurrence: dropped terms are exact 0.0 contributions, and the
+      // per-key sums of the surviving (all non-negative) terms are the
+      // same values the oracle's unrolled CTEs compute (g_* rows round
+      // to 6dp, so combiner-order ulps cannot surface either way).
+      val srcPart = part.getPartition(source)
+      var r = spark.sparkContext
+        .parallelize(Seq((source, 1.0)), 1).partitionBy(part)
       var iter = 0
       while (iter < numIter) {
         val contrib = withInv.join(r) // narrow: both sides on `part`
           .map { case (_, ((d, inv), rv)) => (d, rv * inv) }
           .aggregateByKey(0.0, part)(_ + _, _ + _) // the step's one shuffle
-        r = nodes.leftOuterJoin(contrib).mapPartitions(
-          it => it.map { case (id, (_, s)) =>
-            (id, (if (id == source) 0.15 else 0.0) + 0.85 * s.getOrElse(0.0))
-          },
-          preservesPartitioning = true)
+        r = contrib.mapPartitionsWithIndex({ (i, it) =>
+          if (i != srcPart) it.map { case (id, s) => (id, 0.85 * s) }
+          else {
+            var seen = false
+            val damped = it.map { case (id, s) =>
+              val tele = if (id == source) { seen = true; 0.15 } else 0.0
+              (id, tele + 0.85 * s)
+            }
+            // the teleport term must survive even when no mass flowed
+            // back to the source this step (++'s operand is by-name:
+            // `seen` is read only after `damped` is exhausted)
+            damped ++ (if (seen) Iterator.empty
+                       else Iterator((source, 0.15)))
+          }
+        }, preservesPartitioning = true)
         iter += 1
       }
-      r.toDF("id", "ppr").localCheckpoint()
+      nodes.leftOuterJoin(r).mapPartitions(
+        it => it.map { case (id, (_, s)) => (id, s.getOrElse(0.0)) },
+        preservesPartitioning = true)
+        .toDF("id", "ppr").localCheckpoint()
     }
 
     /** All-sources-at-once PPR: the state is a per-node slot ARRAY (one
