@@ -62,6 +62,37 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.sources.CorpusSources.documents(s, s"$dir/documents.parquet")
 
+  /** Orders projected to the CDC demo payload (q_merge_upsert /
+    * q_scd2_history share it with their oracles).
+    */
+  private def ordersSnapshot(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  /** Deterministic changelog over [[ordersSnapshot]]: deletes on
+    * %10=7, a seq-1 update superseded by a seq-2 update on %10=4, a
+    * seq-2 update on %10=1, inserts at shifted keys on %10=2.
+    */
+  private def ordersChangelog(s: SparkSession, dir: String): DataFrame = {
+    val snap = ordersSnapshot(s, dir)
+    val k = F.col("o_orderkey")
+    def ch(df: DataFrame, op: String, seq: Long): DataFrame =
+      df.withColumn("op", F.lit(op)).withColumn("seq", F.lit(seq))
+    val del = ch(snap.where(k % 10 === 7), "D", 1L)
+    val updLost = ch(
+      snap.where(k % 10 === 4)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 4)),
+      "U", 1L)
+    val updWin = ch(
+      snap.where(k % 10 === 1 || k % 10 === 4)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4)),
+      "U", 2L)
+    val ins = ch(
+      snap.where(k % 10 === 2).withColumn("o_orderkey", k + 1000000L),
+      "I", 1L)
+    del.unionByName(updLost).unionByName(updWin).unionByName(ins)
+  }
+
   /** embeddings normalized to the engine schema (id, vec). */
   private def emb(s: SparkSession, dir: String): DataFrame =
     graft.sources.CorpusSources.embeddings(s, s"$dir/embeddings.parquet")
@@ -106,7 +137,7 @@ object SparkEntry {
     "t_bpe_merges", "v_ann_topk_sq8_batch", "d_curate_corpus",
     "t_bpe_encode", "d_contamination_report", "t_c4_rules",
     "d_dup_spans", "d_proto_prune", "q_merge_upsert",
-    "q_resample_gapfill")
+    "q_resample_gapfill", "q_scd2_history", "q_event_funnel")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -271,6 +302,21 @@ object SparkEntry {
           F.col("n_events"), F.col("sum_value"), F.col("filled_value"),
           F.col("is_gap").cast("int").as("is_gap"))
         .orderBy("user_id", "hour")),
+
+    // ordered conversion funnel: earliest view, first click strictly
+    // after it, first purchase strictly after that — per user
+    "q_event_funnel" -> ((s, d) =>
+      graft.operators.TimeSeries.funnelStages(
+          eventsUs(s, d), keyCol = "user_id", tsCol = "ts",
+          typeCol = "event_type", stages = Seq("view", "click", "purchase"))
+        .select(
+          F.col("user_id"),
+          F.date_format(F.col("ts_1"), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+          F.date_format(F.col("ts_2"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+          F.date_format(F.col("ts_3"), "yyyy-MM-dd HH:mm:ss")
+            .as("t_purchase"),
+          F.col("n_stages"))
+        .orderBy("user_id")),
 
     "q_topk_parts" -> ((s, d) =>
       tbl(s, d, "part")
@@ -1060,30 +1106,19 @@ object SparkEntry {
     // orders table (deletes on %10=7, a superseded then a winning
     // update on %10=4, an update on %10=1, inserts on %10=2 at shifted
     // keys) applied via last-writer-wins CDC merge
-    "q_merge_upsert" -> ((s, d) => {
-      import graft.operators.Cdc
-      val snap = tbl(s, d, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      val k = F.col("o_orderkey")
-      def ch(df: DataFrame, op: String, seq: Long): DataFrame =
-        df.withColumn("op", F.lit(op)).withColumn("seq", F.lit(seq))
-      val del = ch(snap.where(k % 10 === 7), "D", 1L)
-      val updLost = ch(
-        snap.where(k % 10 === 4)
-          .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 4)),
-        "U", 1L)
-      val updWin = ch(
-        snap.where(k % 10 === 1 || k % 10 === 4)
-          .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4)),
-        "U", 2L)
-      val ins = ch(
-        snap.where(k % 10 === 2).withColumn("o_orderkey", k + 1000000L),
-        "I", 1L)
-      Cdc.mergeChanges(
-          snap, del.unionByName(updLost).unionByName(updWin).unionByName(ins),
+    "q_merge_upsert" -> ((s, d) =>
+      graft.operators.Cdc.mergeChanges(
+          ordersSnapshot(s, d), ordersChangelog(s, d),
           keys = Seq("o_orderkey"))
-        .orderBy("o_orderkey")
-    }),
+        .orderBy("o_orderkey")),
+
+    // the same changelog as an SCD2 history table: per-key version
+    // intervals in seq coordinates, deletes close without emitting
+    "q_scd2_history" -> ((s, d) =>
+      graft.operators.Cdc.scd2History(
+          ordersChangelog(s, d), keys = Seq("o_orderkey"))
+        .withColumn("is_current", F.col("is_current").cast("int"))
+        .orderBy("o_orderkey", "valid_from_seq")),
 
     // ---- multimodal columns (binary payload + typed meta) ----
     "mm_payload_stats" -> ((s, d) => {
@@ -1536,6 +1571,31 @@ object SparkEntry {
         |GROUP BY hour, event_type
         |HAVING count(*) >= 5
         |ORDER BY hour, event_type""".stripMargin,
+
+    // funnel replay: chained min-after-previous-stage CTEs, LEFT JOINs
+    // keep stalled users, strftime for hash-stable timestamps
+    "q_event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        |  strftime(t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+        |  strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+        |  strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+        |  ((t1 IS NOT NULL)::BIGINT + (t2 IS NOT NULL)::BIGINT
+        |    + (t3 IS NOT NULL)::BIGINT) AS n_stages
+        |FROM s1
+        |LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id
+        |ORDER BY s1.user_id""".stripMargin,
 
     // resample replay: per-user span via generate_series, LEFT JOIN
     // marks gaps, last_value IGNORE NULLS forward-fills the rounded
@@ -2318,6 +2378,35 @@ object SparkEntry {
         |FROM snap s FULL JOIN latest l ON l.o_orderkey = s.o_orderkey
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+
+    // SCD2 replay: lead(seq) over (seq asc, op asc) closes each
+    // version at the key's next change; 'D' rows close but emit none
+    "q_scd2_history" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    'D' AS op, 1 AS seq FROM snap WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    round(o_totalprice * 2, 4), 'U', 1 FROM snap
+        |  WHERE o_orderkey % 10 = 4
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    round(o_totalprice * 1.1, 4), 'U', 2 FROM snap
+        |  WHERE o_orderkey % 10 IN (1, 4)
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus,
+        |    o_totalprice, 'I', 1 FROM snap WHERE o_orderkey % 10 = 2),
+        |v AS (
+        |  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq ASC, op ASC) AS vt FROM ch)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  seq::BIGINT AS valid_from_seq, vt::BIGINT AS valid_to_seq,
+        |  (vt IS NULL)::INT AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY o_orderkey, valid_from_seq""".stripMargin,
 
     "mm_payload_stats" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

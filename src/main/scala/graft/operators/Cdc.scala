@@ -56,4 +56,50 @@ object Cdc {
       .select(keys.map(F.col) ++ payload.map(c =>
         F.when(op.isNotNull, F.col(s"_c_$c")).otherwise(F.col(c)).as(c)): _*)
   }
+
+  /** Slowly-changing-dimension type-2 history from a changelog: one
+    * row per key VERSION with its validity interval in sequence
+    * coordinates. Every non-delete change opens a version at its own
+    * seq; the version closes at the key's NEXT change (whatever its
+    * op — an update supersedes, a delete terminates), and the last
+    * open version is flagged current. Delete rows close the preceding
+    * version but emit none themselves, so a deleted key has no
+    * current row — [[mergeChanges]]' final state is exactly this
+    * history filtered to `is_current`.
+    *
+    * Changes sharing a seq order deterministically by op ascending
+    * ('D' < 'I' < 'U'), mirroring [[mergeChanges]]' op-descending
+    * winner rule: the tie's winner there is the LAST version here.
+    *
+    * 100 TB shape: one per-key window (lead over seq) across the
+    * changelog — history construction is inherently an ordered scan of
+    * each key's changes, and the window partitions by key, bounded by
+    * per-key change counts, never the snapshot.
+    *
+    * Output: changelog payload + (valid_from_seq, valid_to_seq
+    * [null = open], is_current).
+    */
+  def scd2History(
+      changes: DataFrame,
+      keys: Seq[String],
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    val missing = (keys :+ opCol :+ seqCol)
+      .filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes is missing columns: ${missing.mkString(", ")}")
+    val payload = changes.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == opCol || c == seqCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col(seqCol).asc, F.col(opCol).asc)
+    changes
+      .withColumn("valid_to_seq", F.lead(F.col(seqCol), 1).over(w))
+      .where(F.col(opCol) =!= "D")
+      .select((keys ++ payload).map(F.col) ++ Seq(
+        F.col(seqCol).as("valid_from_seq"),
+        F.col("valid_to_seq"),
+        F.col("valid_to_seq").isNull.as("is_current")): _*)
+  }
 }

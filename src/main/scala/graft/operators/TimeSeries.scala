@@ -62,4 +62,51 @@ object TimeSeries {
           .as("filled_value"),
         F.col("n_events").isNull.as("is_gap"))
   }
+
+  /** Ordered conversion funnel: for each key, the earliest time it
+    * completed stage 1, then stage 2 STRICTLY AFTER stage 1, and so on
+    * — the "view → click → purchase" question, with the standard
+    * earliest-completion semantics (greedy first-match minimizes each
+    * stage time, which maximizes the set of keys that can complete
+    * later stages). Keys that never reach stage 1 are absent; a key
+    * stalled at stage i carries nulls from `ts_(i+1)` on.
+    *
+    * 100 TB shape: one filtered groupBy(key) aggregation per stage —
+    * every stage is a partial-aggregating min (the exchange carries
+    * one row per surviving key), chained by slim key equi-joins;
+    * stages.length is small and fixed, so this is k map-combined
+    * shuffles, never a per-key event sort or a collect_list of event
+    * histories.
+    *
+    * Output: (key, ts_1 .. ts_k, n_stages).
+    */
+  def funnelStages(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage required")
+    require(stages.distinct.size == stages.size,
+      s"stages must be distinct, got ${stages.mkString(", ")}")
+    val first = events.where(F.col(typeCol) === stages.head)
+      .groupBy(keyCol).agg(F.min(tsCol).as("ts_1"))
+    val full = stages.drop(1).zipWithIndex.foldLeft(first) {
+      case (acc, (stage, i)) =>
+        val prev = s"ts_${i + 1}"
+        val cur = s"ts_${i + 2}"
+        val reached = acc
+          .join(
+            events.where(F.col(typeCol) === stage)
+              .select(F.col(keyCol), F.col(tsCol).as("_evt")),
+            Seq(keyCol))
+          .where(F.col("_evt") > F.col(prev))
+          .groupBy(keyCol).agg(F.min("_evt").as(cur))
+        acc.join(reached, Seq(keyCol), "left")
+    }
+    val reachedCount = stages.indices
+      .map(i => F.when(F.col(s"ts_${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    full.withColumn("n_stages", reachedCount)
+  }
 }

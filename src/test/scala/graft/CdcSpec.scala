@@ -70,4 +70,42 @@ class CdcSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"expected no Window exec:\n$plan")
   }
+
+  test("scd2History: version intervals close at the next change, deletes emit none") {
+    val s = spark
+    import s.implicits._
+    val changes = Seq(
+      (1L, "x1", 1.0, "U", 1L),   // [1,2)
+      (1L, "x3", 3.0, "U", 3L),   // [3, open) current
+      (1L, "x2", 2.0, "U", 2L),   // [2,3)
+      (2L, "y", 5.0, "U", 1L),    // [1,2) then deleted: no current row
+      (2L, "y", 5.0, "D", 2L),
+      (3L, "z", 9.0, "I", 1L),    // single open version
+      (4L, "t1", 1.0, "D", 5L),   // seq tie: 'D' orders first (op asc),
+      (4L, "t2", 2.0, "U", 5L)    // 'U' is the last = current version
+    ).toDF("k", "name", "v", "op", "seq")
+    val h = Cdc.scd2History(changes, Seq("k"))
+      .orderBy("k", "valid_from_seq").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getBoolean(5)))
+    assert(h.toSeq == Seq(
+      (1L, "x1", 1L, Some(2L), false),
+      (1L, "x2", 2L, Some(3L), false),
+      (1L, "x3", 3L, None, true),
+      (2L, "y", 1L, Some(2L), false),
+      (3L, "z", 1L, None, true),
+      (4L, "t2", 5L, None, true)), h.mkString("; "))
+    // law: current versions == mergeChanges applied to an empty
+    // snapshot (history's open rows ARE the merged state)
+    val empty = Seq.empty[(Long, String, Double)].toDF("k", "name", "v")
+    val merged = Cdc.mergeChanges(empty, changes, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val current = Cdc.scd2History(changes, Seq("k"))
+      .where(F.col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(merged == current, s"merged=$merged current=$current")
+  }
 }

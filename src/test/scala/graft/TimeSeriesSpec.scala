@@ -47,4 +47,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(days.length == 3)
     assert(days.map(_.getBoolean(5)).toSeq == Seq(false, true, false))
   }
+
+  test("funnelStages: ordered strictly-after semantics per key") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      ("a", ts(1), "view"), ("a", ts(2), "click"), ("a", ts(3), "purchase"),
+      // click BEFORE the first view does not count
+      ("b", ts(2), "view"), ("b", ts(1), "click"),
+      // purchase without an intervening click stays unreached
+      ("c", ts(2), "view"), ("c", ts(3), "purchase"),
+      // no view at all: absent from the funnel
+      ("d", ts(1), "click"),
+      // simultaneous events are not strictly after
+      ("e", ts(1), "view"), ("e", ts(1), "click"),
+      // earliest-first: the 2nd view is ignored, click@3 counts
+      ("f", ts(1), "view"), ("f", ts(4), "view"), ("f", ts(3), "click")
+    ).toDF("k", "t", "typ")
+    val out = TimeSeries.funnelStages(ev, "k", "t", "typ",
+      Seq("view", "click", "purchase"))
+      .orderBy("k").collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out == Map("a" -> 3L, "b" -> 1L, "c" -> 1L, "e" -> 1L,
+      "f" -> 2L), out.toString)
+    intercept[IllegalArgumentException](
+      TimeSeries.funnelStages(ev, "k", "t", "typ", Seq.empty))
+    intercept[IllegalArgumentException](
+      TimeSeries.funnelStages(ev, "k", "t", "typ", Seq("view", "view")))
+  }
 }
