@@ -375,6 +375,51 @@ object StreamingOps {
   /** Convenience: run a streaming DataFrame to a memory sink and block
     * until all available input is processed (test/driver helper).
     */
+  /** Winner-so-far per key for [[upsertStream]]: the highest (seq, op)
+    * change seen — O(1) state per key, the same last-writer-wins order
+    * as the batch merge. */
+  final case class UpsertState(seq: Long, op: String, payload: String)
+
+  /** Streaming face of [[graft.operators.Cdc.mergeChanges]]: maintain
+    * a keyed materialized view over a changelog STREAM, emitting the
+    * key's current row whenever its winner changes (Update mode). The
+    * winner order is the batch operator's exactly — highest `seq`,
+    * ties by `op` descending — and it is applied MONOTONICALLY: a
+    * change arriving out of order below the current winner is ignored,
+    * so any batch/arrival interleaving of the same changelog converges
+    * to the same view (the stream/batch parity law the spec asserts).
+    * A winning 'D' emits a tombstone (`is_deleted = true`, null
+    * payload), the signal a downstream sink needs to delete the key.
+    *
+    * Input columns: (key LONG, op STRING, seq LONG, payload STRING —
+    * pack wide payloads with `to_json(struct(...))`, unpack with
+    * `from_json`). State per key is one (seq, op, payload) — bounded
+    * by the keyspace, not the stream; keys never retract, matching a
+    * CDC feed where every key's history ends in 'D' or stays live.
+    */
+  def upsertStream(changes: DataFrame): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .select($"key".as[Long], $"op".as[String], $"seq".as[Long],
+        $"payload".as[String])
+      .groupByKey(_._1)
+      .mapGroupsWithState[UpsertState, (Long, Long, String, Boolean)](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[UpsertState]) =>
+          var cur = state.getOption.orNull
+          rows.foreach { case (_, op, seq, p) =>
+            val wins = cur == null || seq > cur.seq ||
+              (seq == cur.seq && op > cur.op)
+            if (wins) cur = UpsertState(seq, op, p)
+          }
+          state.update(cur)
+          (key, cur.seq,
+            if (cur.op == "D") null else cur.payload, cur.op == "D")
+      }
+      .toDF("key", "seq", "payload", "is_deleted")
+  }
+
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
     val q = df.writeStream
       .format("memory")
