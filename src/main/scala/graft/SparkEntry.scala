@@ -137,7 +137,8 @@ object SparkEntry {
     "t_bpe_merges", "v_ann_topk_sq8_batch", "d_curate_corpus",
     "t_bpe_encode", "d_contamination_report", "t_c4_rules",
     "d_dup_spans", "d_proto_prune", "q_merge_upsert",
-    "q_resample_gapfill", "q_scd2_history", "q_event_funnel")
+    "q_resample_gapfill", "q_scd2_history", "q_event_funnel",
+    "v_ivf_append")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1008,6 +1009,20 @@ object SparkEntry {
       // see SimilaritySpec).
       val index = Similarity.ivfBuild(emb(s, d), nLists = 16)
       Similarity.ivfTopK(index, queryVec(s, d), k = 20, nprobe = 12)
+    }),
+
+    // incremental index maintenance: fit the coarse quantizer on the
+    // even half, append the odd half against the FROZEN centroids —
+    // output is every row's list assignment in the widened index
+    "v_ivf_append" -> ((s, d) => {
+      val all = emb(s, d)
+      val idx0 = Similarity.ivfBuild(all.where(F.col("id") % 2 === 0),
+        nLists = 8)
+      val idx = Similarity.ivfAppend(idx0, all.where(F.col("id") % 2 =!= 0))
+      val out = idx.assigned.select(F.col("id"), F.col("cluster"))
+        .orderBy("id").localCheckpoint()
+      Similarity.ivfRelease(idx)
+      out
     }),
 
     "v_ivf_topk_batch" -> ((s, d) => {
@@ -2652,6 +2667,28 @@ object SparkEntry {
     // (k=16 lists, 15 Lloyd rounds on the RAW vectors), probes = the
     // nprobe=12 lists nearest the query by rectified cosine, then
     // exact cosine top-20 within the probed lists.
+    // append replay: quantizer fitted on the even half only, every
+    // row (old and appended) assigned by argmin against those frozen
+    // final centroids
+    "v_ivf_append" ->
+      (s"""WITH vasrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+          |  WHERE vec_id % 2 = 0),
+          |allsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("vasrc", 8, 15, "va")},
+          |vaasg AS (SELECT id, c FROM (
+          |  SELECT t.id, k2.c, row_number() OVER (PARTITION BY t.id
+          |    ORDER BY sum((t.x - k2.cx) * (t.x - k2.cx)) ASC, k2.c ASC)
+          |    AS rn
+          |  FROM allsrc t JOIN vakc15 k2 ON k2.f = t.f
+          |  GROUP BY t.id, k2.c) WHERE rn = 1)
+          |SELECT id, c::INT AS cluster FROM vaasg
+          |ORDER BY id""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
     "v_ivf_topk" ->
       (s"""WITH ivsrc AS (SELECT vec_id AS id,
           |  generate_subscripts(embedding, 1) AS f,

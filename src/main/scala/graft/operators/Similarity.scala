@@ -524,6 +524,37 @@ object Similarity {
   def ivfRelease(index: IvfIndex): Unit =
     index.assigned.unpersist(blocking = false)
 
+  /** Incremental index maintenance: assign `newEmb` to the EXISTING
+    * coarse quantizer (no refit) and extend the inverted lists — the
+    * operation a continuously-ingesting corpus runs between periodic
+    * rebuilds, at the cost of one assignment scan over the NEW rows
+    * only (broadcast centroids, map-only) instead of a full k-means
+    * refit over the corpus. Same `newEmb` contract as [[ivfBuild]]:
+    * L2-normalized vectors, (id, vec) columns; ids are the caller's
+    * namespace — this operator does not dedup against existing lists.
+    *
+    * The returned index persists the widened assignment and the input
+    * index's cache is released after the new one materializes, so
+    * repeated appends hold ONE copy of the lists, not a chain.
+    * Centroids are unchanged — probe selection stays consistent with
+    * every earlier query — which also means recall decays as the
+    * appended distribution drifts from the fitted one: rebuild cadence
+    * (e.g. every +30% rows) is the caller's contract, the classic IVF
+    * maintenance trade.
+    */
+  def ivfAppend(index: IvfIndex, newEmb: DataFrame): IvfIndex = {
+    val model = graft.scale.DeterministicKMeans.Model(
+      index.centroids.sortBy(_._1).map(_._2))
+    val newAssigned = graft.scale.DeterministicKMeans.assign(
+        newEmb, model, idCol = "id", vecCol = "vec")
+      .select("id", "vec", "cluster")
+    val widened = index.assigned.unionByName(newAssigned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    widened.count() // materialize before dropping the predecessor
+    ivfRelease(index)
+    IvfIndex(widened, index.centroids, index.k)
+  }
+
   /** The nprobe nearest inverted lists for a query — public so recall
     * and scanned-fraction claims are measurable against the EXACT
     * probe set ivfTopK uses (SimilaritySpec's clustered-recall spec).

@@ -218,6 +218,40 @@ class SimilaritySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ivfAppend: frozen-centroid assignment, cache handoff, searchable adds") {
+    val even = emb.where(F.col("id") % 2 === 0)
+    val odd = emb.where(F.col("id") % 2 =!= 0)
+    val idx0 = Similarity.ivfBuild(even, nLists = 8)
+    val before = idx0.assigned
+    val idx = Similarity.ivfAppend(idx0, odd)
+    // the widened index holds every row; centroids are untouched
+    assert(idx.assigned.count() == emb.count())
+    assert(idx.centroids.zip(idx0.centroids).forall {
+      case ((c1, v1), (c2, v2)) => c1 == c2 && v1.sameElements(v2) })
+    // appended rows land on the argmin of the FROZEN centroids — the
+    // driver-side model replays the executor assignment exactly
+    val model = graft.scale.DeterministicKMeans.Model(
+      idx.centroids.sortBy(_._1).map(_._2))
+    val s = spark
+    import s.implicits._
+    val appended = idx.assigned.where(F.col("id") % 2 =!= 0)
+      .select($"id".as[Long], $"vec".as[Array[Double]], $"cluster".as[Int])
+      .collect()
+    appended.foreach { case (id, v, c) =>
+      assert(c == model.predict(v), s"id=$id assigned $c")
+    }
+    // an appended vector is retrievable through the same probe path
+    val qv = emb.where(F.col("id") === 11)
+      .select("vec").head.getSeq[Double](0).toArray
+    val hits = Similarity.ivfTopK(idx, qv, k = 5, nprobe = 8)
+      .collect().map(_.getLong(0))
+    assert(hits.head == 11L, s"appended id 11 not the top hit: ${hits.toSeq}")
+    // predecessor cache was handed off, not leaked
+    assert(before.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "old index assignment should be unpersisted after append")
+    Similarity.ivfRelease(idx)
+  }
+
   test("IVF with nprobe=2 has high recall on clustered data") {
     val index = Similarity.ivfBuild(emb, nLists = 8)
     val brute = Similarity.annTopK(emb, query, 10).collect().map(_.getLong(0)).toSet
