@@ -138,7 +138,7 @@ object SparkEntry {
     "t_bpe_encode", "d_contamination_report", "t_c4_rules",
     "d_dup_spans", "d_proto_prune", "q_merge_upsert",
     "q_resample_gapfill", "q_scd2_history", "q_event_funnel",
-    "v_ivf_append")
+    "v_ivf_append", "v_ann_topk_pq")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -919,6 +919,19 @@ object SparkEntry {
         .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
       Similarity.sq8TopKBatch(
         Similarity.sq8Encode(e), e, qs, k = 10, rerank = 100)
+    }),
+
+    // PQ quantized ANN: m=4 byte codes per row (16× denser than the
+    // float64 vectors), per-subspace DeterministicKMeans codebooks so
+    // the codec is oracle-replayable, ADC lookup-table scan, bounded
+    // exact rerank — the third codec beside exact and SQ8
+    "v_ann_topk_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val index = Similarity.pqBuild(e, m = 4, ksub = 8, iters = 10)
+      val out = Similarity.pqTopK(index, e, queryVec(s, d), 20, rerank = 100)
+        .localCheckpoint()
+      Similarity.pqRelease(index)
+      out
     }),
 
     "d_embed_neardup" -> ((s, d) =>
@@ -2528,6 +2541,48 @@ object SparkEntry {
         |FROM e JOIN cand USING (vec_id), q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    // PQ replay: 4 per-subspace DeterministicKMeans recurrences (8
+    // codebook entries, 10 Lloyd rounds over 16-dim slices; same CTE
+    // generator as the IVF oracle), reconstruction = the concatenated
+    // assigned centroids, ADC approx = cosine(query, reconstruction)
+    // (round-4, id tiebreak) cut at 100, exact rerank top-20
+    "v_ann_topk_pq" ->
+      (s"""WITH pqsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |p0src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 1 AND 16),
+          |p1src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 17 AND 32),
+          |p2src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 33 AND 48),
+          |p3src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 49 AND 64),
+          |${kmeansCtes("p0src", 8, 10, "p0")},
+          |${kmeansCtes("p1src", 8, 10, "p1")},
+          |${kmeansCtes("p2src", 8, 10, "p2")},
+          |${kmeansCtes("p3src", 8, 10, "p3")},
+          |recon AS (
+          |  SELECT fin.id, k.f, k.cx
+          |  FROM p0fin fin JOIN p0kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p1fin fin JOIN p1kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p2fin fin JOIN p2kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p3fin fin JOIN p3kc10 k ON k.c = fin.c),
+          |q AS (SELECT f, x FROM pqsrc WHERE id = 0),
+          |qn AS (SELECT sqrt(sum(x * x)) AS v FROM q),
+          |ap AS (SELECT r.id,
+          |  round(sum(q.x * r.cx) / (qn.v * sqrt(sum(r.cx * r.cx))), 4)
+          |    AS approx
+          |  FROM recon r JOIN q ON q.f = r.f CROSS JOIN qn
+          |  GROUP BY r.id, qn.v),
+          |cand AS (SELECT id FROM ap ORDER BY approx DESC, id ASC LIMIT 100),
+          |scored AS (SELECT a.id,
+          |  sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)) AS cos
+          |  FROM pqsrc a JOIN q ON q.f = a.f JOIN cand c ON c.id = a.id
+          |  GROUP BY a.id)
+          |SELECT id, round(cos, 4) AS score FROM scored
+          |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
 
     // batch generalization of the v_ann_topk_sq8 replay: per-qid
     // candidate window on the dequantized scores, exact rerank per qid

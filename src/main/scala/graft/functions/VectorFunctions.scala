@@ -70,6 +70,22 @@ object VectorFunctions {
     Shim.column(Sq8CosineDeq(
       Shim.expression(codes), asDoubles(q), asDoubles(mins), asDoubles(maxs)))
 
+  /** PQ-encode an ARRAY<DOUBLE> vector to BINARY codes (one byte per
+    * subspace — m bytes/row) against a flattened [m][ksub][dsub]
+    * codebook array. */
+  def pqEncode(v: Column, booksFlat: Column, m: Int, ksub: Int): Column =
+    Shim.column(PqEncodeVec(
+      asDoubles(v), asDoubles(booksFlat),
+      Shim.expression(lit(m)), Shim.expression(lit(ksub))))
+
+  /** Asymmetric-distance cosine over PQ codes: per-subspace dot/norm²
+    * lookup tables (computed once per query), m byte-indexed reads per
+    * row. Equals cosine(query, reconstruction(codes)). */
+  def pqAdcCosine(codes: Column, lutDot: Column, lutN2: Column, qnorm: Column): Column =
+    Shim.column(PqAdcCosine(
+      Shim.expression(codes), asDoubles(lutDot), asDoubles(lutN2),
+      Shim.expression(qnorm.cast("double"))))
+
   /** Register the native kernels for SQL use (`graft_cosine(a,b)` etc.). */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
@@ -83,5 +99,10 @@ object VectorFunctions {
       es => Sq8EncodeVec(d(es(0)), d(es(1)), d(es(2))))
     Shim.registerFunction(spark, "graft_sq8_cosine",
       es => Sq8CosineDeq(es(0), d(es(1)), d(es(2)), d(es(3))))
+    Shim.registerFunction(spark, "graft_pq_encode",
+      es => PqEncodeVec(d(es(0)), d(es(1)), es(2), es(3)))
+    Shim.registerFunction(spark, "graft_pq_adc_cosine",
+      es => PqAdcCosine(es(0), d(es(1)), d(es(2)),
+        Cast(es(3), DoubleType)))
   }
 }

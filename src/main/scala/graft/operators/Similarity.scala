@@ -338,6 +338,173 @@ object Similarity {
     sq8TopK(sq8Encode(emb, persist = false), emb, query, k, rerank)
   }
 
+  /** A materialized PQ index: `codes` is (id, codes BINARY) — ONE byte
+    * per SUBSPACE, i.e. m bytes/row against d·8 for the float64 column
+    * (64× denser at m=8, d=64) — plus the [m][ksub][dsub] codebooks
+    * (m·ksub·dsub doubles of driver-side state, e.g. 8·16·8 = 1 KiB).
+    * The third member of the codec family (exact → SQ8 → PQ), the
+    * standard product-quantization design of the public ANN literature
+    * (Jégou et al. TPAMI'11; faiss IndexPQ). Codebooks are trained by
+    * [[graft.scale.DeterministicKMeans]] per subspace, so encode and
+    * scoring are exactly oracle-replayable. Build with [[pqBuild]],
+    * query with [[pqTopK]], drop with [[pqRelease]].
+    */
+  final case class PqIndex(
+      codes: DataFrame, books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def ksub: Int = books.headOption.map(_.length).getOrElse(0)
+    def dsub: Int =
+      books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    private[operators] def flat: Array[Double] = books.flatten.flatten
+  }
+
+  /** Train per-subspace codebooks and encode the corpus: `m`
+    * DeterministicKMeans fits over the sliced columns (each fit's
+    * input is N×dsub — the slices ride the SAME cached corpus scan,
+    * and a coarse-quantizer-sized input takes the driver-local fast
+    * path), then ONE map-only codegen scan ([[graft.functions
+    * .PqEncodeVec]]) producing the m-byte BINARY codes column.
+    * Same normalization contract as [[ivfBuild]]: cosine scoring
+    * assumes L2-normalized input at build AND query time.
+    *
+    * dims must divide evenly into `m` subspaces; `ksub` ≤ 256 so a
+    * code fits one byte.
+    */
+  def pqBuild(
+      emb: DataFrame, m: Int, ksub: Int, iters: Int = 10,
+      persist: Boolean = true): PqIndex = {
+    require(m > 0, s"m must be positive; got $m")
+    require(ksub > 0 && ksub <= 256, s"ksub must be in 1..256; got $ksub")
+    val first = emb.select(F.col("vec")).limit(1).collect()
+    require(first.nonEmpty, "pqBuild: empty corpus — nothing to quantize")
+    val dims = first(0).getSeq[Any](0).length
+    require(dims % m == 0,
+      s"pqBuild: $dims dims do not split into $m equal subspaces")
+    val dsub = dims / m
+    val base = emb
+      .select(F.col("id"), F.col("vec").cast("array<double>").as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = Array.tabulate(m) { s =>
+        val sub = base.select(
+          F.col("id"), F.slice(F.col("vec"), s * dsub + 1, dsub).as("x"))
+        graft.scale.DeterministicKMeans.fit(sub, ksub, maxIter = iters).centers
+      }
+      val idx = PqIndex(null, books)
+      val codes = base.select(
+        F.col("id"),
+        graft.functions.VectorFunctions.pqEncode(
+          F.col("vec"), F.typedLit(idx.flat), m, ksub).as("codes"))
+      val out =
+        if (persist) {
+          val p = codes.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count() // materialize so `base` can be dropped on exit
+          p
+        } else codes.localCheckpoint() // sever lineage from the dropped cache
+      idx.copy(codes = out)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Release an in-memory index's cached codes. */
+  def pqRelease(index: PqIndex): Unit =
+    index.codes.unpersist(blocking = false)
+
+  /** PQ top-k: asymmetric-distance scoring over the m-byte codes — the
+    * per-subspace dot/norm² lookup tables (m·ksub doubles) are
+    * computed ONCE on the driver and ride into the codegen scan as
+    * literals, so each row costs m byte-indexed table reads, never a
+    * loop over the original dims — cut to `rerank` candidates on the
+    * round-4 approx score (id tie-break, the engine's stable-candidate
+    * convention), then re-scored against the EXACT vectors in `emb`
+    * via a broadcast candidate join. The approx score IS
+    * cosine(query, reconstruction), so recall depends only on
+    * quantization error, not on a separate scoring approximation.
+    *
+    * Output: (id, score) — exact round-4 cosines of the reranked
+    * top-k, (score DESC, id ASC).
+    */
+  def pqTopK(
+      index: PqIndex, emb: DataFrame, query: Array[Double], k: Int,
+      rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val m = index.m
+    val ksub = index.ksub
+    val dsub = index.dsub
+    require(query.length == m * dsub,
+      s"query has ${query.length} dims but index was encoded for ${m * dsub}")
+    val lutDot = new Array[Double](m * ksub)
+    val lutN2 = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
+        val c = index.books(s)(j)
+        var d = 0.0
+        var n2 = 0.0
+        var f = 0
+        while (f < dsub) {
+          d += query(s * dsub + f) * c(f)
+          n2 += c(f) * c(f)
+          f += 1
+        }
+        lutDot(s * ksub + j) = d
+        lutN2(s * ksub + j) = n2
+        j += 1
+      }
+      s += 1
+    }
+    val qnorm = math.sqrt(query.map(x => x * x).sum)
+    val q = F.typedLit(query)
+    val cand = index.codes
+      .select(F.col("id"),
+        F.round(graft.functions.VectorFunctions.pqAdcCosine(
+          F.col("codes"), F.typedLit(lutDot), F.typedLit(lutN2),
+          F.lit(qnorm)), 4).as("approx"))
+      .orderBy(F.col("approx").desc, F.col("id").asc)
+      .limit(rerank)
+      .select("id")
+    emb.join(F.broadcast(cand), "id")
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
+  /** Persist a PQ index: the m-byte codes as Parquet plus the
+    * codebooks as a JSON sidecar on the same filesystem. */
+  def pqSave(index: PqIndex, path: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val books = index.books.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    graft.api.ArrowSpaceModel.writeSidecar(
+      index.codes.sparkSession, s"$path/books.json",
+      s"""{"m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},""" +
+        s""""books":$books}""")
+  }
+
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val txt = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/books.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def intOf(name: String): Int =
+      ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(txt).get.group(1).toInt
+    val (m, ksub, dsub) = (intOf("m"), intOf("ksub"), intOf("dsub"))
+    val flat = "-?\\d+(?:\\.\\d+(?:[eE][+-]?\\d+)?)?".r
+      .findAllIn(txt.substring(txt.indexOf("\"books\":")))
+      .map(_.toDouble).toArray
+    require(flat.length == m * ksub * dsub,
+      s"pqLoad: sidecar has ${flat.length} codebook values, " +
+        s"expected ${m * ksub * dsub}")
+    val books = Array.tabulate(m, ksub)((s, j) =>
+      flat.slice((s * ksub + j) * dsub, (s * ksub + j + 1) * dsub))
+    PqIndex(spark.read.parquet(s"$path/codes"), books)
+  }
+
   def annTopKHamming(
       emb: DataFrame,
       query: Array[Double],

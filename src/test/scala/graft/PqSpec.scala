@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{functions => F}
+
+/** Product-quantization codec: m-byte codes, ADC scoring = cosine of
+  * the reconstruction, rerank-bounded exactness, and the save/load
+  * round trip. Mirrors the SQ8 contract suite one codec over.
+  */
+class PqSpec extends SparkSpec {
+
+  // 8 well-separated modes in 32 dims — real cosine structure, so a
+  // per-subspace codebook of 16 entries captures the modes and tight
+  // reranks still recall (near-orthogonal noise would not)
+  lazy val emb = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31)
+    (0 until 600).map { i =>
+      val base = Array.tabulate(32)(f => math.sin((i % 8) * 0.9 + f * 0.4))
+      (i.toLong, base.map(_ + rng.nextGaussian() * 0.15))
+    }.toDF("id", "vec")
+  }
+
+  lazy val query: Array[Double] =
+    emb.where(F.col("id") === 11).select("vec").head.getSeq[Double](0).toArray
+
+  test("codes are m bytes/row; full-coverage rerank reproduces exact top-k") {
+    val index = Similarity.pqBuild(emb, m = 4, ksub = 16)
+    try {
+      assert(index.m == 4 && index.ksub == 16 && index.dsub == 8)
+      // the density claim is literal: every code is a 4-byte BINARY
+      val lens = index.codes.select(F.length(F.col("codes")).as("l"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      assert(lens == Seq(4), s"codes must be m=4 bytes, got lengths $lens")
+      // rerank covering the corpus → the exact-rerank join IS the
+      // answer; candidate ordering cannot lose anything
+      val exact = Similarity.annTopK(emb, query, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaPq = Similarity.pqTopK(index, emb, query, 10, rerank = 600)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaPq == exact)
+    } finally Similarity.pqRelease(index)
+  }
+
+  test("ADC score equals cosine(query, reconstruction) — kernel parity") {
+    val index = Similarity.pqBuild(emb, m = 4, ksub = 16)
+    try {
+      val m = index.m; val ksub = index.ksub; val dsub = index.dsub
+      val flat = index.books.flatten.flatten
+      val rows = emb.limit(25).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val lutDot = new Array[Double](m * ksub)
+      val lutN2 = new Array[Double](m * ksub)
+      for (s <- 0 until m; j <- 0 until ksub) {
+        val c = index.books(s)(j)
+        lutDot(s * ksub + j) =
+          (0 until dsub).map(f => query(s * dsub + f) * c(f)).sum
+        lutN2(s * ksub + j) = c.map(x => x * x).sum
+      }
+      val qnorm = math.sqrt(query.map(x => x * x).sum)
+      for ((_, x) <- rows) {
+        val codes = graft.functions.PqKernels.encode(x, flat, m, ksub)
+        // reconstruction by hand
+        val recon = Array.tabulate(m * dsub) { i =>
+          val s = i / dsub
+          index.books(s)(codes(s) & 0xFF)(i % dsub)
+        }
+        val dot = recon.zip(query).map { case (a, b) => a * b }.sum
+        val n2 = recon.map(a => a * a).sum
+        val want =
+          if (qnorm == 0.0 || n2 == 0.0) 0.0
+          else dot / (qnorm * math.sqrt(n2))
+        val got = graft.functions.PqKernels.adcCosine(codes, lutDot, lutN2, qnorm)
+        assert(math.abs(got - want) < 1e-9, s"$got vs $want")
+      }
+    } finally Similarity.pqRelease(index)
+  }
+
+  test("tight-rerank recall tracks the code budget on clustered data") {
+    // measured curve on this corpus at rerank=2k (all deterministic —
+    // fixed corpus seed + DeterministicKMeans): m=4/ksub=16 → 0.75,
+    // m=8/ksub=16 → 0.80, m=8/ksub=64 → 0.90, m=8/ksub=256 → 1.00.
+    // Within one mode many rows share a coarse code, so ADC cannot
+    // rank them and the tie-break cut loses true neighbors — the
+    // classic PQ resolution/budget trade; the spec pins the documented
+    // m=8/ksub=64 operating point.
+    val index = Similarity.pqBuild(emb, m = 8, ksub = 64)
+    try {
+      val exact = Similarity.annTopK(emb, query, 20)
+        .collect().map(_.getLong(0)).toSet
+      val got = Similarity.pqTopK(index, emb, query, 20, rerank = 40)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (exact & got).size / 20.0
+      assert(recall >= 0.9, s"tight-rerank recall@20 = $recall < 0.9")
+    } finally Similarity.pqRelease(index)
+  }
+
+  test("save/load round trip preserves results; loaded codebooks bit-match") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val index = Similarity.pqBuild(emb, m = 4, ksub = 16)
+    try {
+      Similarity.pqSave(index, dir)
+      val loaded = Similarity.pqLoad(spark, dir)
+      assert(loaded.m == index.m && loaded.ksub == index.ksub &&
+        loaded.dsub == index.dsub)
+      for (s <- 0 until index.m; j <- 0 until index.ksub)
+        assert(loaded.books(s)(j).toSeq == index.books(s)(j).toSeq,
+          s"codebook ($s,$j) drifted through the JSON sidecar")
+      val a = Similarity.pqTopK(index, emb, query, 10, rerank = 100)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Similarity.pqTopK(loaded, emb, query, 10, rerank = 100)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b)
+    } finally Similarity.pqRelease(index)
+  }
+
+  test("validation: dims must split, ksub fits a byte, rerank >= k") {
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.pqBuild(emb, m = 5, ksub = 8))
+    assert(e1.getMessage.contains("subspaces"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.pqBuild(emb, m = 4, ksub = 300))
+    assert(e2.getMessage.contains("256"))
+    val index = Similarity.pqBuild(emb, m = 4, ksub = 8)
+    try {
+      val e3 = intercept[IllegalArgumentException](
+        Similarity.pqTopK(index, emb, query, 10, rerank = 5))
+      assert(e3.getMessage.contains("rerank"))
+      val e4 = intercept[IllegalArgumentException](
+        Similarity.pqTopK(index, emb, query.take(16), 10, rerank = 20))
+      assert(e4.getMessage.contains("dims"))
+    } finally Similarity.pqRelease(index)
+  }
+}
