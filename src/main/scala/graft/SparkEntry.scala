@@ -138,7 +138,7 @@ object SparkEntry {
     "t_bpe_encode", "d_contamination_report", "t_c4_rules",
     "d_dup_spans", "d_proto_prune", "q_merge_upsert",
     "q_resample_gapfill", "q_scd2_history", "q_event_funnel",
-    "v_ivf_append", "v_ann_topk_pq")
+    "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -931,6 +931,21 @@ object SparkEntry {
       val out = Similarity.pqTopK(index, e, queryVec(s, d), 20, rerank = 100)
         .localCheckpoint()
       Similarity.pqRelease(index)
+      out
+    }),
+
+    // IVF+PQ composition (IndexIVFPQ): lists prune WHICH rows are
+    // scanned (nprobe=12 of 16), PQ codes bound WHAT the scan reads
+    // (4 bytes/row through the ADC expression), exact rerank at 60
+    "v_ivf_pq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val pq = Similarity.pqBuild(e, m = 4, ksub = 8, iters = 10)
+      val out = Similarity.ivfPqTopK(
+        ivf, pq, e, queryVec(s, d), k = 20, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.pqRelease(pq)
       out
     }),
 
@@ -2576,6 +2591,54 @@ object SparkEntry {
           |  FROM recon r JOIN q ON q.f = r.f CROSS JOIN qn
           |  GROUP BY r.id, qn.v),
           |cand AS (SELECT id FROM ap ORDER BY approx DESC, id ASC LIMIT 100),
+          |scored AS (SELECT a.id,
+          |  sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)) AS cos
+          |  FROM pqsrc a JOIN q ON q.f = a.f JOIN cand c ON c.id = a.id
+          |  GROUP BY a.id)
+          |SELECT id, round(cos, 4) AS score FROM scored
+          |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // IVF+PQ replay: the v_ivf_topk probe chain (k=16 lists, 15 Lloyd
+    // rounds, nprobe=12) intersected with the v_ann_topk_pq ADC chain
+    // (4 subspaces, 8 entries, 10 rounds) — candidates are probed rows
+    // ranked by round-4 reconstruction cosine, cut at 60, exact rerank
+    "v_ivf_pq_topk" ->
+      (s"""WITH pqsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("pqsrc", 16, 15, "iv")},
+          |p0src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 1 AND 16),
+          |p1src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 17 AND 32),
+          |p2src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 33 AND 48),
+          |p3src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 49 AND 64),
+          |${kmeansCtes("p0src", 8, 10, "p0")},
+          |${kmeansCtes("p1src", 8, 10, "p1")},
+          |${kmeansCtes("p2src", 8, 10, "p2")},
+          |${kmeansCtes("p3src", 8, 10, "p3")},
+          |q AS (SELECT f, x FROM pqsrc WHERE id = 0),
+          |cq AS (SELECT k.c,
+          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+          |  FROM ivkc15 k JOIN q ON q.f = k.f GROUP BY k.c),
+          |probes AS (SELECT c FROM cq ORDER BY d, c LIMIT 12),
+          |sel AS (SELECT fin.id FROM ivfin fin JOIN probes p ON p.c = fin.c),
+          |recon AS (
+          |  SELECT fin.id, k.f, k.cx
+          |  FROM p0fin fin JOIN p0kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p1fin fin JOIN p1kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p2fin fin JOIN p2kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p3fin fin JOIN p3kc10 k ON k.c = fin.c),
+          |qn AS (SELECT sqrt(sum(x * x)) AS v FROM q),
+          |ap AS (SELECT r.id,
+          |  round(sum(q.x * r.cx) / (qn.v * sqrt(sum(r.cx * r.cx))), 4)
+          |    AS approx
+          |  FROM recon r JOIN sel s ON s.id = r.id
+          |  JOIN q ON q.f = r.f CROSS JOIN qn
+          |  GROUP BY r.id, qn.v),
+          |cand AS (SELECT id FROM ap ORDER BY approx DESC, id ASC LIMIT 60),
           |scored AS (SELECT a.id,
           |  sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)) AS cos
           |  FROM pqsrc a JOIN q ON q.f = a.f JOIN cand c ON c.id = a.id

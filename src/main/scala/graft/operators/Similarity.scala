@@ -424,11 +424,11 @@ object Similarity {
     * Output: (id, score) — exact round-4 cosines of the reranked
     * top-k, (score DESC, id ASC).
     */
-  def pqTopK(
-      index: PqIndex, emb: DataFrame, query: Array[Double], k: Int,
-      rerank: Int): DataFrame = {
-    require(k > 0, s"k must be positive; got $k")
-    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+  /** Per-query ADC lookup tables: lutDot[s·ksub+j] = ⟨q_s, c_sj⟩,
+    * lutN2[s·ksub+j] = ‖c_sj‖² — m·ksub doubles, computed once per
+    * query on the driver. */
+  private def pqLuts(
+      index: PqIndex, query: Array[Double]): (Array[Double], Array[Double]) = {
     val m = index.m
     val ksub = index.ksub
     val dsub = index.dsub
@@ -455,6 +455,15 @@ object Similarity {
       }
       s += 1
     }
+    (lutDot, lutN2)
+  }
+
+  def pqTopK(
+      index: PqIndex, emb: DataFrame, query: Array[Double], k: Int,
+      rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val (lutDot, lutN2) = pqLuts(index, query)
     val qnorm = math.sqrt(query.map(x => x * x).sum)
     val q = F.typedLit(query)
     val cand = index.codes
@@ -503,6 +512,49 @@ object Similarity {
     val books = Array.tabulate(m, ksub)((s, j) =>
       flat.slice((s * ksub + j) * dsub, (s * ksub + j + 1) * dsub))
     PqIndex(spark.read.parquet(s"$path/codes"), books)
+  }
+
+  /** IVF+PQ — the composed scale shape (faiss IndexIVFPQ): the
+    * inverted lists prune WHICH rows are scanned (`nprobe` of `k`
+    * lists — the ivfTopK pruning, partition-prunable when the lists
+    * are saved `partitionBy("cluster")`), and the PQ codes bound WHAT
+    * the scan reads (m bytes/row through the ADC codegen expression —
+    * the pqTopK memory story). At 100 TB this is the only shape where
+    * both the scan fraction AND the per-row cost are sublinear in the
+    * raw corpus: probes × m bytes, with full-precision vectors touched
+    * by the bounded rerank join alone.
+    *
+    * The candidate set is (probed lists) ∩ codes, cut to `rerank` on
+    * the round-4 ADC score with id tie-break — same stable-candidate
+    * convention as [[pqTopK]], so the composition is oracle-replayable
+    * end to end. Output: (id, score) — exact round-4 cosines,
+    * (score DESC, id ASC).
+    */
+  def ivfPqTopK(
+      ivf: IvfIndex, pq: PqIndex, emb: DataFrame, query: Array[Double],
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val probes = ivfProbes(ivf, query, nprobe)
+    val (lutDot, lutN2) = pqLuts(pq, query)
+    val qnorm = math.sqrt(query.map(x => x * x).sum)
+    val q = F.typedLit(query)
+    val sel = ivf.assigned
+      .where(F.col("cluster").isin(probes.toSeq: _*))
+      .select("id")
+    val cand = pq.codes
+      .join(sel, "id") // both sides carry only (id[, codes]) — slim join
+      .select(F.col("id"),
+        F.round(graft.functions.VectorFunctions.pqAdcCosine(
+          F.col("codes"), F.typedLit(lutDot), F.typedLit(lutN2),
+          F.lit(qnorm)), 4).as("approx"))
+      .orderBy(F.col("approx").desc, F.col("id").asc)
+      .limit(rerank)
+      .select("id")
+    emb.join(F.broadcast(cand), "id")
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
   }
 
   def annTopKHamming(

@@ -115,6 +115,38 @@ class PqSpec extends SparkSpec {
     } finally Similarity.pqRelease(index)
   }
 
+  test("IVF+PQ: full probes degenerate to pqTopK; pruning only restricts") {
+    val ivf = Similarity.ivfBuild(emb, nLists = 8)
+    val pq = Similarity.pqBuild(emb, m = 8, ksub = 64)
+    try {
+      // probing every list = no pruning: the composition must equal
+      // the plain PQ scan at the same rerank, row for row
+      val all = Similarity.ivfPqTopK(ivf, pq, emb, query, 10,
+          nprobe = 8, rerank = 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val plain = Similarity.pqTopK(pq, emb, query, 10, rerank = 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(all == plain)
+      // pruned probes can only draw candidates from the probed lists
+      val probes = Similarity.ivfProbes(ivf, query, 2).toSet
+      val probedIds = ivf.assigned
+        .where(F.col("cluster").isin(probes.toSeq: _*))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val pruned = Similarity.ivfPqTopK(ivf, pq, emb, query, 10,
+          nprobe = 2, rerank = 60)
+        .collect().map(_.getLong(0)).toSet
+      assert(pruned.subsetOf(probedIds))
+      // and on clustered data 2-of-8 probes still recall the exact set
+      val exact = Similarity.annTopK(emb, query, 10)
+        .collect().map(_.getLong(0)).toSet
+      assert((pruned & exact).size >= 9,
+        s"IVF+PQ recall@10 too low: $pruned vs $exact")
+    } finally {
+      Similarity.ivfRelease(ivf)
+      Similarity.pqRelease(pq)
+    }
+  }
+
   test("validation: dims must split, ksub fits a byte, rerank >= k") {
     val e1 = intercept[IllegalArgumentException](
       Similarity.pqBuild(emb, m = 5, ksub = 8))
