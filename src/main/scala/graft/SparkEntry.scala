@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{ArrowSpaceBuilder, ArrowSpaceModel}
 import graft.core.GraphParams
-import graft.operators.{Dedup, FuzzyJoin, Similarity, TextOps, TrainPrep}
+import graft.operators.{BloomJoin, Dedup, FuzzyJoin, Similarity, TextOps, TrainPrep}
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import scala.collection.concurrent.TrieMap
@@ -138,7 +138,8 @@ object SparkEntry {
     "t_bpe_encode", "d_contamination_report", "t_c4_rules",
     "d_dup_spans", "d_proto_prune", "q_merge_upsert",
     "q_resample_gapfill", "q_scd2_history", "q_event_funnel",
-    "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk")
+    "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk",
+    "q_bloom_semi", "q_bloom_anti")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -266,6 +267,39 @@ object SparkEntry {
         F.round(F.avg("p_retailprice"), 4).as("avg_price"),
         F.round(F.min("p_retailprice"), 2).as("min_price"),
         F.round(F.max("p_retailprice"), 2).as("max_price"))),
+
+    // bloom-prefiltered SEMI join: the big side (lineitem) is filtered
+    // by a codegen Bloom probe BEFORE any shuffle — only matches + fpp
+    // reach the exact verify join; result is bit-identical to the
+    // plain semi join (oracle = IN-subquery)
+    "q_bloom_semi" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+      val urgent = tbl(s, d, "orders")
+        .where(F.col("o_orderpriority") === "1-URGENT")
+        .select(F.col("o_orderkey").as("l_orderkey"))
+      BloomJoin.semiJoin(li, urgent, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+          F.round(F.sum("l_extendedprice"), 2).as("revenue"),
+          F.count(F.lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+    }),
+
+    // bloom-prefiltered ANTI join: probe-failers are definite
+    // non-members and never shuffle; probe-passers take the exact
+    // anti check (oracle = NOT EXISTS)
+    "q_bloom_anti" -> ((s, d) => {
+      // "stale parts": no shipment since 2001 — the recency filter
+      // keeps both legs non-trivial (49 keep / 1951 drop at sf0.01)
+      val p = tbl(s, d, "part")
+      val ordered = tbl(s, d, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit("2001-01-01"))
+        .select(F.col("l_partkey").as("p_partkey"))
+      BloomJoin.antiJoin(p, ordered, "p_partkey")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    }),
 
     "q_customers_without_orders" -> ((s, d) => {
       val c = tbl(s, d, "customer")
@@ -1598,6 +1632,25 @@ object SparkEntry {
     // NOT EXISTS, not NOT IN: a single NULL o_custkey would make
     // NOT IN return zero rows while the engine's left_anti join
     // (null-safe) keeps the normal counts
+    "q_bloom_semi" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_bloom_anti" ->
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |   AND l_shipdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
     "q_customers_without_orders" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
