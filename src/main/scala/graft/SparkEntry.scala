@@ -139,7 +139,7 @@ object SparkEntry {
     "d_dup_spans", "d_proto_prune", "q_merge_upsert",
     "q_resample_gapfill", "q_scd2_history", "q_event_funnel",
     "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk",
-    "q_bloom_semi", "q_bloom_anti")
+    "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -539,6 +539,19 @@ object SparkEntry {
 
     "t_vocab" -> ((s, d) =>
       TextOps.vocab(docs(s, d), 50)),
+
+    // robust per-source outlier trim: modified z-score on exact
+    // medians (Iglewicz-Hoaglin 0.6745·(v−med)/MAD, cut 3.5) — the
+    // heavy-tail-immune length cut; swap approx_percentile at 100 TB
+    "t_mad_outliers" -> ((s, d) =>
+      TextOps.madOutliers(docs(s, d))),
+
+    // Deequ-style one-pass table profile: per column — rows, nulls,
+    // exact distinct (single scan through an Expand), numeric
+    // min/max/mean/std
+    "q_data_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(
+        docs(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
     "t_corpus_report" -> ((s, d) =>
       // one-row corpus health report — the observability aggregate a
@@ -2996,6 +3009,60 @@ object SparkEntry {
         |FROM tok GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
         |LIMIT 50""".stripMargin,
+
+    // modified-z replay: exact interpolated medians (quantile_cont =
+    // Spark's percentile), outlier flag computed on the ROUNDED mz —
+    // the engine's convention, so boundary values can't hash-split
+    "t_mad_outliers" ->
+      """WITH base AS (SELECT doc_id, source AS stratum,
+        |  CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |med AS (SELECT stratum, quantile_cont(v, 0.5) AS med
+        |  FROM base GROUP BY stratum),
+        |dev AS (SELECT b.doc_id, b.stratum, b.v, m.med,
+        |  abs(b.v - m.med) AS ad FROM base b JOIN med m USING (stratum)),
+        |mad AS (SELECT stratum, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY stratum),
+        |mz AS (SELECT d.doc_id, d.stratum, d.v,
+        |  round(CASE WHEN m.mad = 0 THEN 0.0
+        |    ELSE 0.6745 * (d.v - d.med) / m.mad END, 4) AS mz
+        |  FROM dev d JOIN mad m USING (stratum))
+        |SELECT doc_id, stratum, v, mz,
+        |  (abs(mz) > 3.5)::INT AS is_outlier
+        |FROM mz ORDER BY doc_id""".stripMargin,
+
+    "q_data_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS DOUBLE) AS min_v,
+        |    CAST(max(doc_id) AS DOUBLE) AS max_v,
+        |    round(avg(doc_id), 4) AS mean_v,
+        |    round(stddev_samp(doc_id), 4) AS std_v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*),
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT lang), NULL, NULL, NULL, NULL
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT n_chars),
+        |    CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |    round(avg(n_chars), 4), round(stddev_samp(n_chars), 4)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT source), NULL, NULL, NULL, NULL
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*),
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT text), NULL, NULL, NULL, NULL
+        |  FROM documents)
+        |ORDER BY "column"""".stripMargin,
 
     "t_corpus_report" ->
       """WITH l AS (

@@ -1085,6 +1085,54 @@ object TextOps {
         F.lit(PhoneRe)).as("n_phones"),
       redactPii(F.col("text")).as("redacted"))
 
+  /** Robust per-stratum outlier flags by modified z-score (Iglewicz &
+    * Hoaglin 1993: 0.6745·(v − median)/MAD, cut at 3.5) — the
+    * length/quality trim a curation pipeline runs per source, immune
+    * to the heavy tails that wreck mean/σ cuts on web corpora (one
+    * 100 MB document shifts a source's mean past half its rows; it
+    * moves the median not at all).
+    *
+    * Two exact-percentile aggregations (median of v, then median of
+    * |v − median|), each ONE partial-aggregated shuffle of (stratum,
+    * value) pairs, medians joined back via broadcast (stratum
+    * cardinality is small by construction). At 100 TB swap
+    * `percentile` for `approx_percentile(…, 0.5, 10000)` — same plan
+    * shape, bounded state; exact here so the operator is
+    * oracle-replayable.
+    *
+    * A stratum with MAD = 0 (over half its values identical) defines
+    * mz = 0 for every row — no outliers — rather than dividing by
+    * zero; cut strata that degenerate this way on the raw value
+    * deserve a rule, not a NaN.
+    *
+    * Output: (doc_id, stratum, v, mz round-4, is_outlier 0/1).
+    */
+  def madOutliers(
+      docs: DataFrame, valueCol: String = "n_chars",
+      stratumCol: String = "source", cut: Double = 3.5): DataFrame = {
+    require(cut > 0.0, s"cut must be positive; got $cut")
+    val base = docs.select(
+      F.col("doc_id"), F.col(stratumCol).as("stratum"),
+      F.col(valueCol).cast("double").as("v"))
+    // exact interpolated percentile (matches DuckDB quantile_cont)
+    val medExact = base.groupBy("stratum")
+      .agg(F.expr("percentile(v, 0.5)").as("med"))
+    val dev = base.join(F.broadcast(medExact), "stratum")
+      .withColumn("ad", F.abs(F.col("v") - F.col("med")))
+    val mad = dev.groupBy("stratum")
+      .agg(F.expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(F.broadcast(mad), "stratum")
+      .select(
+        F.col("doc_id"), F.col("stratum"), F.col("v"),
+        F.round(
+          F.when(F.col("mad") === 0.0, 0.0)
+            .otherwise(F.lit(0.6745) * (F.col("v") - F.col("med")) / F.col("mad")),
+          4).as("mz"))
+      .withColumn("is_outlier",
+        (F.abs(F.col("mz")) > cut).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Marker-token language ID (deterministic cascade, n-gram-free
     * heuristic): first matching stopword wins, else "unk".
     */
