@@ -139,7 +139,8 @@ object SparkEntry {
     "d_dup_spans", "d_proto_prune", "q_merge_upsert",
     "q_resample_gapfill", "q_scd2_history", "q_event_funnel",
     "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk",
-    "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile")
+    "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
+    "v_bitext_mine")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1036,6 +1037,16 @@ object SparkEntry {
 
     "v_top_cosine_pairs" -> ((s, d) =>
       Similarity.topCosinePairs(emb(s, d), 20)),
+
+    // margin-based bitext mining (LASER/CCMatrix): even ids are side
+    // A, odd ids side B; ratio margin normalizes hubness away; best
+    // partner per A-doc above margin 1.0
+    "v_bitext_mine" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bitextMine(
+        e.where(F.col("id") % 2 === 0),
+        e.where(F.col("id") % 2 =!= 0), k = 4, threshold = 1.0)
+    }),
 
     "v_sql_surface" -> ((s, d) => {
       // the registered-SQL path itself, oracle-checked: pure spark.sql
@@ -2804,6 +2815,37 @@ object SparkEntry {
           |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
           |  FROM scored) WHERE rn <= 10
           |ORDER BY qid, score DESC, id ASC""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // margin replay: all-pairs cosines, forward/backward top-4 NN
+    // averages as denominators, ratio margin, argmax per A-doc on the
+    // RAW margin (id_b tiebreak), threshold on the ROUNDED margin —
+    // the engine's conventions exactly
+    "v_bitext_mine" ->
+      ("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |sa AS (SELECT id AS id_a, v AS va FROM e WHERE id % 2 = 0),
+        |sb AS (SELECT id AS id_b, v AS vb FROM e WHERE id % 2 <> 0),
+        |p AS (SELECT id_a, id_b, list_cosine_similarity(va, vb) AS cos
+        |  FROM sa CROSS JOIN sb),
+        |fa AS (SELECT id_a, avg(cos) AS den_a FROM (
+        |  SELECT id_a, cos, row_number() OVER (
+        |    PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn FROM p)
+        |  WHERE rn <= 4 GROUP BY id_a),
+        |fb AS (SELECT id_b, avg(cos) AS den_b FROM (
+        |  SELECT id_b, cos, row_number() OVER (
+        |    PARTITION BY id_b ORDER BY cos DESC, id_a ASC) AS rn FROM p)
+        |  WHERE rn <= 4 GROUP BY id_b),
+        |m AS (SELECT p.id_a, p.id_b, p.cos,
+        |  p.cos / ((fa.den_a + fb.den_b) / 2) AS margin
+        |  FROM p JOIN fa USING (id_a) JOIN fb USING (id_b)),
+        |best AS (SELECT id_a, id_b, round(cos, 4) AS cos,
+        |  round(margin, 4) AS margin, row_number() OVER (
+        |    PARTITION BY id_a ORDER BY margin DESC, id_b ASC) AS rn
+        |  FROM m)
+        |SELECT id_a, id_b, cos, margin FROM best
+        |WHERE rn = 1 AND margin > 1.0
+        |ORDER BY id_a""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
 
     "d_embed_neardup" ->

@@ -1102,4 +1102,70 @@ object Similarity {
     release.foreach(_.unpersist(blocking = false))
     topk
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    * LASER/CCMatrix criterion): align each document of side `a` with
+    * its best counterpart in side `b` by the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((avgₖNN_B(x) + avgₖNN_A(y)) / 2)
+    *
+    * — raw cosine over-pairs hubs (vectors near everything) and
+    * under-pairs outliers; dividing by the average similarity of each
+    * side's k nearest neighbors normalizes both away, which is why
+    * every large public parallel-corpus mine uses the margin, not the
+    * cosine, as its score.
+    *
+    * Exact by contract and GATED like every exact all-pairs operator
+    * here (|a|·|b| cosines, `requireExactPairsBound` on the combined
+    * row count): the mining criterion needs each side's kNN
+    * denominators, so candidate generation IS the scored join. At
+    * 100 TB mine candidates with [[ivfTopKBatch]] per side (forward
+    * and backward top-k lists), compute the same margins on those
+    * bounded lists, and refine here — the formula and tie rules below
+    * stay the contract.
+    *
+    * Output: (id_a, id_b, cos, margin) — one row per side-`a` doc: its
+    * argmax-margin partner (raw-margin ties → smaller id_b), kept when
+    * the ROUNDED margin exceeds `threshold`; cos/margin round-4;
+    * ordered by id_a.
+    */
+  def bitextMine(
+      a: DataFrame, b: DataFrame, k: Int = 4, threshold: Double = 1.0,
+      maxRows: Long = 100000L): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    val sa = a.select(F.col("id").cast("long").as("id_a"),
+      F.col("vec").cast("array<double>").as("va"))
+    val sb = b.select(F.col("id").cast("long").as("id_b"),
+      F.col("vec").cast("array<double>").as("vb"))
+    requireExactPairsBound(
+      sa.unionByName(sb.toDF("id_a", "va")), maxRows, "bitextMine",
+      "ivfTopKBatch forward/backward candidate lists, then the same margin refine",
+      None)
+    val pairs = sa.crossJoin(sb)
+      .select(F.col("id_a"), F.col("id_b"),
+        cosine(F.col("va"), F.col("vb")).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fwd = graft.scale.Skew.saltedTopKPerKey(
+          pairs, "id_a", Seq(F.col("cos").desc, F.col("id_b").asc), k)
+        .groupBy("id_a").agg(F.avg("cos").as("den_a"))
+      val bwd = graft.scale.Skew.saltedTopKPerKey(
+          pairs, "id_b", Seq(F.col("cos").desc, F.col("id_a").asc), k)
+        .groupBy("id_b").agg(F.avg("cos").as("den_b"))
+      val margins = pairs
+        .join(F.broadcast(fwd), "id_a")
+        .join(F.broadcast(bwd), "id_b")
+        .withColumn("margin",
+          F.col("cos") / ((F.col("den_a") + F.col("den_b")) / 2))
+      val best = graft.scale.Skew.saltedTopKPerKey(
+          margins, "id_a", Seq(F.col("margin").desc, F.col("id_b").asc), 1)
+        .select(F.col("id_a"), F.col("id_b"),
+          F.round(F.col("cos"), 4).as("cos"),
+          F.round(F.col("margin"), 4).as("margin"))
+        .where(F.col("margin") > threshold)
+        .orderBy("id_a")
+        .localCheckpoint()
+      best
+    } finally pairs.unpersist(blocking = false)
+  }
 }

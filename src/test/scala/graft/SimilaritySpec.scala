@@ -444,4 +444,43 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfRelease(index)
     assert(viaIndex == approx, "index-reuse overload diverged from one-shot")
   }
+
+  test("bitextMine: planted translations recovered; margin penalizes the hub") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(53)
+    def v(i: Int): Array[Double] =
+      Array.tabulate(24)(f => math.sin(i * 1.7 + f * 0.61))
+    // side A: 40 docs; side B: the same docs lightly noised (the
+    // planted translations, id+1000) PLUS a hub at id 2000 — the
+    // normalized mean direction, cosine-close to everything
+    val aRows = (0 until 40).map(i => (i.toLong, v(i)))
+    val bRows = (0 until 40).map(i =>
+      (i + 1000L, v(i).map(_ + rng.nextGaussian() * 0.05)))
+    val mean = Array.tabulate(24)(f => aRows.map(_._2(f)).sum / 40.0)
+    val hub = (2000L, mean)
+    val a = aRows.toDF("id", "vec")
+    val b = (bRows :+ hub).toDF("id", "vec")
+    val mined = Similarity.bitextMine(a, b, k = 4, threshold = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // raw-cosine argmax for comparison: how many A docs the hub wins
+    val pairs = for ((ia, va) <- aRows; (ib, vb) <- bRows :+ hub)
+      yield (ia, ib, graft.functions.VectorKernels.cosine(va, vb))
+    val cosBest = pairs.groupBy(_._1).map { case (ia, ps) =>
+      ia -> ps.maxBy(p => (p._3, -p._2))._2 }
+    val hubByCos = cosBest.count(_._2 == 2000L)
+    val hubByMargin = mined.count(_._2 == 2000L)
+    assert(hubByMargin <= hubByCos,
+      s"margin must not pick the hub more than cosine does: $hubByMargin > $hubByCos")
+    // and the true translations dominate the alignment
+    val correct = mined.count { case (ia, ib) => ib == ia + 1000L }
+    assert(correct >= 36, s"only $correct/40 planted pairs recovered: $mined")
+  }
+
+  test("bitextMine: exact all-pairs gate trips with the scale path named") {
+    val e = intercept[IllegalArgumentException](
+      Similarity.bitextMine(emb, emb, k = 4, maxRows = 10))
+    assert(e.getMessage.contains("bitextMine") &&
+      e.getMessage.contains("ivfTopKBatch"))
+  }
 }
