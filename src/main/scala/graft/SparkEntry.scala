@@ -140,7 +140,7 @@ object SparkEntry {
     "q_resample_gapfill", "q_scd2_history", "q_event_funnel",
     "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk",
     "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
-    "v_bitext_mine")
+    "v_bitext_mine", "d_dedup_against_index")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -735,6 +735,26 @@ object SparkEntry {
       Dedup.dedupAgainst(
           all.where(F.col("doc_id") % 10 =!= 0),
           all.where(F.col("doc_id") % 10 === 0),
+          jaccardThreshold = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // the incremental-ingestion shape of d_dedup_against: reference
+    // band rows + shingles persisted once (save/load round trip
+    // included), each new drop pays its own signature pass only; the
+    // result contract is IDENTICAL to the two-frame operator, so the
+    // oracle is shared
+    "d_dedup_against_index" -> ((s, d) => {
+      val all = docs(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-mhidx").toString
+      val built = Dedup.minhashIndexBuild(all.where(F.col("doc_id") % 10 === 0))
+      Dedup.minhashIndexSave(built, dir)
+      Dedup.minhashIndexRelease(built)
+      val index = Dedup.minhashIndexLoad(s, dir)
+      Dedup.dedupAgainstIndex(
+          all.where(F.col("doc_id") % 10 =!= 0), index,
           jaccardThreshold = 0.8)
         .select("doc_id")
         .orderBy("doc_id")
@@ -2368,6 +2388,18 @@ object SparkEntry {
     // the corpus/reference split; survivors = corpus docs in no such
     // pair (either orientation — jpairs orders doc_a < doc_b)
     "d_dedup_against" ->
+      s"""WITH $JaccardPairsCte
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (
+        |  SELECT doc_a FROM jpairs WHERE jaccard >= 0.8 AND doc_b % 10 = 0
+        |  UNION
+        |  SELECT doc_b FROM jpairs WHERE jaccard >= 0.8 AND doc_a % 10 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical contract to d_dedup_against — the index path stores
+    // precomputed band rows/shingles but the candidate scheme and
+    // verify are shared code, so the same replay applies
+    "d_dedup_against_index" ->
       s"""WITH $JaccardPairsCte
         |SELECT doc_id FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (

@@ -447,6 +447,143 @@ object Dedup {
     corpus.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** A persisted MinHash band index over a reference corpus — the form
+    * a continuously-ingesting pipeline keeps BETWEEN dedup runs, so
+    * each new drop pays one signature pass over the NEW docs only,
+    * never a re-shingle of the multi-TB training set:
+    *
+    *   - `bandRows`: (band, bh, doc_id, sig) — the banded join side,
+    *     precomputed once (the only state the candidate join touches)
+    *   - `refShingles`: (doc_id, sh) — the exact-Jaccard verify
+    *     sidecar, read only for candidate ids (bounded semi-join)
+    *
+    * Unlike [[graft.operators.Similarity.ivfAppend]] (frozen
+    * centroids → recall decays as the distribution drifts), appending
+    * here is EXACT: signatures are per-document, so
+    * `build(A ∪ B) ≡ append(build(A), B)` — spec-pinned. Build with
+    * [[minhashIndexBuild]], query with [[minhashNearDupAgainstIndex]]
+    * / [[dedupAgainstIndex]], persist with [[minhashIndexSave]].
+    */
+  final case class MinhashIndex(
+      bandRows: DataFrame, refShingles: DataFrame,
+      numHashes: Int, bands: Int, shingleLen: Int)
+
+  def minhashIndexBuild(
+      reference: DataFrame, shingleLen: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, persist: Boolean = true): MinhashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignatures(reference, shingleLen, numHashes)
+    val rows = bandKeys(sigs, numHashes, bands)
+      .select("band", "bh", "doc_id", "sig")
+    val sh = reference.select(
+      F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh"))
+    def p(df: DataFrame) =
+      if (persist)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    MinhashIndex(p(rows), p(sh), numHashes, bands, shingleLen)
+  }
+
+  def minhashIndexRelease(index: MinhashIndex): Unit = {
+    index.bandRows.unpersist(blocking = false)
+    index.refShingles.unpersist(blocking = false)
+  }
+
+  /** Exact incremental maintenance: band rows and shingles of the new
+    * docs are unioned in — per-document state, no refit, no drift.
+    * The widened frames materialize before the input index's caches
+    * drop, so repeated appends hold one copy (same discipline as
+    * [[graft.operators.Similarity.ivfAppend]]).
+    */
+  def minhashIndexAppend(index: MinhashIndex, newDocs: DataFrame): MinhashIndex = {
+    val add = minhashIndexBuild(
+      newDocs, index.shingleLen, index.numHashes, index.bands,
+      persist = false)
+    val rows = index.bandRows.unionByName(add.bandRows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = index.refShingles.unionByName(add.refShingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count(); sh.count()
+    minhashIndexRelease(index)
+    MinhashIndex(rows, sh, index.numHashes, index.bands, index.shingleLen)
+  }
+
+  /** Persist: band rows PARTITIONED BY band (a probe for one band
+    * prunes to its partition on the saved layout) + shingles + a meta
+    * sidecar. */
+  def minhashIndexSave(index: MinhashIndex, path: String): Unit = {
+    index.bandRows.write.mode("overwrite")
+      .partitionBy("band").parquet(s"$path/bands")
+    index.refShingles.write.mode("overwrite").parquet(s"$path/shingles")
+    graft.api.ArrowSpaceModel.writeSidecar(
+      index.bandRows.sparkSession, s"$path/meta.json",
+      s"""{"numHashes":${index.numHashes},"bands":${index.bands},""" +
+        s""""shingleLen":${index.shingleLen}}""")
+  }
+
+  def minhashIndexLoad(
+      spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
+    val txt = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def intOf(name: String): Int =
+      ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(txt).get.group(1).toInt
+    MinhashIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"),
+      intOf("numHashes"), intOf("bands"), intOf("shingleLen"))
+  }
+
+  /** [[minhashNearDupAgainst]] with the reference side PREBUILT: the
+    * corpus pays its signature pass, the reference contributes its
+    * stored band rows to the candidate equi-join and its stored
+    * shingles to the bounded verify. Output contract identical to the
+    * two-frame operator (same candidate scheme by construction — the
+    * index stores [[bandKeys]] rows).
+    */
+  def minhashNearDupAgainstIndex(
+      corpus: DataFrame, index: MinhashIndex,
+      estFloor: Double = 0.0): DataFrame = {
+    val sigsC = minhashSignatures(corpus, index.shingleLen, index.numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Debug.timed("index-minhash signatures")(sigsC.count())
+    val a = bandKeys(sigsC, index.numHashes, index.bands).select(
+      F.col("band"), F.col("bh"), F.col("doc_id"), F.col("sig").as("sig_a"))
+    val b = index.bandRows.select(
+      F.col("band"), F.col("bh"), F.col("doc_id").as("ref_id"),
+      F.col("sig").as("sig_b"))
+    val candidates = bandedCandidates(
+      a, b, "doc_id", "ref_id", F.lit(true),
+      index.numHashes, estFloor, "index-minhash candidates")
+    val small = candidates.count() <= BroadcastMaxCandidates
+    val shC = shinglesFor(
+      corpus, candidates.select("doc_id").distinct(), small,
+      index.shingleLen)
+    val candRef = candidates.select(F.col("ref_id").as("doc_id")).distinct()
+    val shR = index.refShingles.join(
+      if (small) F.broadcast(candRef) else candRef,
+      Seq("doc_id"), "left_semi")
+    val verified = verifyExactJaccard(candidates, "doc_id", "ref_id", shC, shR)
+    graft.core.Debug.timed("index-minhash verify")(
+      materializeAndRelease(verified, sigsC))
+  }
+
+  /** [[dedupAgainst]] with a prebuilt index — the incremental-drop
+    * shape: estFloor defaults to the same 3/4·t prune. */
+  def dedupAgainstIndex(
+      corpus: DataFrame, index: MinhashIndex,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val losers = minhashNearDupAgainstIndex(
+        corpus, index, estFloor = 0.75 * jaccardThreshold)
+      .where(F.col("jaccard") >= jaccardThreshold)
+      .select("doc_id").distinct()
+    corpus.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Transitive near-duplicate clusters: connected components over the
     * near-dup pair graph. Pairwise "drop doc_b" dedup is not transitive
     * (A~B and B~C does not imply A~C — dropping per pair can drop a

@@ -111,6 +111,50 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"banded cross pairs != brute force: $got vs $brute")
   }
 
+  test("minhash index: parity with two-frame operator, exact append law, round trip") {
+    val s = spark
+    import s.implicits._
+    val reference = docs.where(F.col("doc_id") < 100)
+    val fresh = Seq(
+      (300L, "totally novel content about nothing seen before"),
+      (301L, "another unseen document with fresh words entirely"))
+      .toDF("doc_id", "text")
+    val corpus = docs.where(F.col("doc_id") >= 100).unionByName(fresh)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    // 1. index path == two-frame path, row for row (shared candidate
+    // scheme by construction — the index stores bandKeys rows)
+    val twoFrame = pairsOf(Dedup.minhashNearDupAgainst(corpus, reference))
+    val index = Dedup.minhashIndexBuild(reference)
+    try {
+      assert(pairsOf(Dedup.minhashNearDupAgainstIndex(corpus, index)) == twoFrame)
+      // 2. survivors contract matches dedupAgainst
+      val survivors = Dedup.dedupAgainstIndex(corpus, index)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(300L, 301L), s"index survivors: $survivors")
+    } finally Dedup.minhashIndexRelease(index)
+    // 3. append is EXACT (per-doc state, unlike IVF's frozen
+    // centroids): build(A ∪ B) == append(build(A), B)
+    val refA = reference.where(F.col("doc_id") < 30)
+    val refB = reference.where(F.col("doc_id") >= 30)
+    val appended = Dedup.minhashIndexAppend(Dedup.minhashIndexBuild(refA), refB)
+    try {
+      assert(pairsOf(Dedup.minhashNearDupAgainstIndex(corpus, appended)) == twoFrame)
+    } finally Dedup.minhashIndexRelease(appended)
+    // 4. save/load round trip; saved band layout is band-partitioned
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    val built = Dedup.minhashIndexBuild(reference)
+    Dedup.minhashIndexSave(built, dir)
+    Dedup.minhashIndexRelease(built)
+    val loaded = Dedup.minhashIndexLoad(spark, dir)
+    assert(loaded.numHashes == 64 && loaded.bands == 16 && loaded.shingleLen == 3)
+    assert(pairsOf(Dedup.minhashNearDupAgainstIndex(corpus, loaded)) == twoFrame)
+    assert(new java.io.File(s"$dir/bands").listFiles()
+      .exists(_.getName.startsWith("band=")),
+      "saved band rows must be partitioned by band")
+  }
+
   test("simhash near-dup pairs include exact duplicates at hamming 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, maxDist = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
