@@ -140,7 +140,8 @@ object SparkEntry {
     "q_resample_gapfill", "q_scd2_history", "q_event_funnel",
     "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk",
     "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
-    "v_bitext_mine", "d_dedup_against_index")
+    "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
+    "q_skew_report")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -540,6 +541,19 @@ object SparkEntry {
 
     "t_vocab" -> ((s, d) =>
       TextOps.vocab(docs(s, d), 50)),
+
+    // φ-heavy hitters WITHOUT shuffling the token stream: per-partition
+    // Misra-Gries candidates (complete for count >= φN by pigeonhole),
+    // exact verify counts on the broadcast candidate set only
+    "t_heavy_tokens" -> ((s, d) =>
+      TextOps.heavyTokens(docs(s, d), phi = 0.002)),
+
+    // pre-join skew diagnostic: top-N hottest keys with share and
+    // cumulative share — one partial-agg shuffle + TakeOrdered, never
+    // a global window over all keys
+    "q_skew_report" -> ((s, d) =>
+      graft.scale.Skew.report(
+        events(s, d).select("user_id"), "user_id", topN = 20)),
 
     // robust per-source outlier trim: modified z-score on exact
     // medians (Iglewicz-Hoaglin 0.6745·(v−med)/MAD, cut 3.5) — the
@@ -3083,6 +3097,35 @@ object SparkEntry {
         |FROM tok GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
         |LIMIT 50""".stripMargin,
+
+    // heavy-hitter replay: the OUTPUT contract is partitioning-free
+    // (exactly the tokens with count >= ceil(φN), exact counts), so
+    // the oracle ignores the Misra-Gries candidate stage entirely
+    "t_heavy_tokens" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS t FROM tok)
+        |SELECT token, count(*) AS n,
+        |  round(count(*) / any_value(tot.t), 4) AS share
+        |FROM tok CROSS JOIN tot
+        |GROUP BY token
+        |HAVING count(*) >= ceil(0.002 * any_value(tot.t))
+        |ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') AS key,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM events),
+        |top AS (SELECT key, n,
+        |  row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+        |  FROM c ORDER BY n DESC, key ASC LIMIT 20)
+        |SELECT rank, key, n, round(n / tot.t, 4) AS share,
+        |  round(sum(n) OVER (ORDER BY rank) / tot.t, 4) AS cum_share
+        |FROM top CROSS JOIN tot
+        |ORDER BY rank""".stripMargin,
 
     // modified-z replay: exact interpolated medians (quantile_cont =
     // Spark's percentile), outlier flag computed on the ROUNDED mz —

@@ -1085,6 +1085,80 @@ object TextOps {
         F.lit(PhoneRe)).as("n_phones"),
       redactPii(F.col("text")).as("redacted"))
 
+  /** φ-heavy hitters over the token stream with EXACT output counts —
+    * the "hot tokens" diagnostic (tokenizer-vocab sanity, boilerplate
+    * detection, stopword drift) computed WITHOUT shuffling every
+    * token: a full `groupBy(token)` moves the whole exploded token
+    * stream (≈ corpus size again); at 100 TB that shuffle dwarfs the
+    * answer, which is a few hundred rows.
+    *
+    * Shape: per-partition Misra-Gries summaries (capacity
+    * ⌈safety/φ⌉, amortized O(1) per token, bounded memory) emit a
+    * candidate set of ≤ partitions·capacity tokens; the MG guarantee
+    * makes the union COMPLETE for every token with global count ≥
+    * φ·N (if a token reaches φN overall, some partition holds ≥ φ·n_p
+    * of it, which survives a capacity-⌈safety/φ⌉ summary for
+    * safety > 1 — pigeonhole), so the exact verify pass — tokens
+    * semi-joined to the broadcast candidates, then counted — loses
+    * nothing. False candidates are filtered by the exact threshold.
+    * The OUTPUT is therefore deterministic and partitioning-free:
+    * exactly the tokens with count ≥ ⌈φ·N⌉, their exact counts —
+    * which is what makes the operator oracle-replayable even though
+    * the candidate stage is approximate.
+    *
+    * Output: (token, n, share round-4), count-desc then token asc.
+    */
+  def heavyTokens(
+      docs: DataFrame, phi: Double = 0.002, safety: Int = 2): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1]; got $phi")
+    require(safety >= 2, s"safety must be >= 2 for completeness; got $safety")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cap = math.max(8, math.ceil(safety / phi).toInt)
+    // N: map-only partial agg over per-doc token counts — no explode
+    // crosses the network for the denominator
+    val total = docs
+      .select(F.coalesce(F.size(tokens(F.col("text"))), F.lit(0))
+        .cast("long").as("n"))
+      .agg(F.sum("n")).head.getLong(0)
+    val minCount = math.max(1L, math.ceil(phi * total).toLong)
+    val toks = docs.select(F.col("text")).as[String]
+    val candidates = toks
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, java.lang.Long](cap * 2)
+        it.foreach { text =>
+          if (text != null) tokensOf(text).foreach { t =>
+            val c = m.get(t)
+            if (c != null) m.put(t, c + 1L)
+            else if (m.size < cap) m.put(t, 1L)
+            else {
+              // Misra-Gries decrement-all: amortized O(1) — each sweep
+              // removes >= as much mass as insertions added since the
+              // last sweep
+              val itr = m.entrySet().iterator()
+              while (itr.hasNext) {
+                val e = itr.next()
+                if (e.getValue <= 1L) itr.remove()
+                else e.setValue(e.getValue - 1L)
+              }
+            }
+          }
+        }
+        scala.jdk.CollectionConverters
+          .SetHasAsScala(m.keySet()).asScala.toVector.iterator
+      }
+      .toDF("token").distinct()
+    val exploded = docs.select(
+      F.explode(tokens(F.col("text"))).as("token"))
+    exploded
+      .join(F.broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token")
+      .agg(F.count(F.lit(1)).as("n"))
+      .where(F.col("n") >= minCount)
+      .withColumn("share", F.round(F.col("n") / F.lit(total.toDouble), 4))
+      .orderBy(F.col("n").desc, F.col("token").asc)
+  }
+
   /** Robust per-stratum outlier flags by modified z-score (Iglewicz &
     * Hoaglin 1993: 0.6745·(v − median)/MAD, cut at 3.5) — the
     * length/quality trim a curation pipeline runs per source, immune

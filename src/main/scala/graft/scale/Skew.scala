@@ -36,4 +36,41 @@ object Skew {
       .where(F.col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Key-skew diagnostic — the pre-join measurement that decides
+    * whether a shuffle needs salting / AQE skew handling BEFORE the
+    * job is launched at 100 TB, instead of discovering the hot key
+    * from a straggler task three hours in.
+    *
+    * ONE partial-aggregated count shuffle of (key) pairs, then the
+    * top-N keys via TakeOrderedAndProject (never a global window over
+    * all keys); rank and cumulative share are window math over the N
+    * surviving rows only. Output: (rank, key STRING, n, share round-4,
+    * cum_share round-4) — `cum_share` at rank N tells you how
+    * concentrated the shuffle is (e.g. top-20 keys = 60% of rows ⇒
+    * salt or broadcast), `share` at rank 1 bounds the biggest task.
+    * NULL keys count as the literal key "NULL" so they are visible —
+    * a null-heavy join key is the most common skew of all.
+    */
+  def report(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN > 0, s"topN must be positive; got $topN")
+    val total = df.count()
+    require(total > 0, "skew report of an empty frame")
+    val counts = df
+      .select(F.coalesce(F.col(keyCol).cast("string"), F.lit("NULL")).as("key"))
+      .groupBy("key")
+      .agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("key").asc)
+      .limit(topN)
+    val w = Window.orderBy(F.col("n").desc, F.col("key").asc)
+    counts
+      .withColumn("rank", F.row_number().over(w))
+      .withColumn("share", F.round(F.col("n") / F.lit(total.toDouble), 4))
+      .withColumn("cum_share",
+        F.round(F.sum("n").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / F.lit(total.toDouble), 4))
+      .select("rank", "key", "n", "share", "cum_share")
+      .orderBy("rank")
+  }
 }

@@ -49,4 +49,55 @@ class SkewAndExtensionsSpec extends SparkSpec {
     assert(math.abs(sq8.getDouble(0) - 1.0) < 1e-6, sq8.toString)
     assert(sq8.getInt(1) == 2)
   }
+
+  test("Skew.report: ranks, shares, cumulative shares, visible NULL keys") {
+    val s = spark
+    import s.implicits._
+    // 100 rows: key A×50, B×30, C×15, null×5
+    val df = (Seq.fill(50)("A") ++ Seq.fill(30)("B") ++ Seq.fill(15)("C") ++
+        Seq.fill[String](5)(null)).toDF("k")
+    val rows = graft.scale.Skew.report(df, "k", topN = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1, "A", 50L, 0.5, 0.5),
+      (2, "B", 30L, 0.3, 0.8),
+      (3, "C", 15L, 0.15, 0.95)))
+    // null keys surface as the literal "NULL" when topN covers them
+    val all = graft.scale.Skew.report(df, "k", topN = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(all("NULL") == 5L)
+  }
+
+  test("heavyTokens: exact output, invariant under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    // zipf-ish: token t_i appears ~ 1/(i+1) — a few heavy, long tail
+    val docs = (0 until 300).map { d =>
+      val words = (0 until 40).map { _ =>
+        val r = rng.nextDouble()
+        val i = math.min(99, (1.0 / (r + 0.01)).toInt)
+        s"t$i"
+      }
+      (d.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val brute = docs
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.TextOps.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("token"))
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = brute.values.sum
+    val minCount = math.ceil(0.01 * total).toLong
+    val want = brute.filter(_._2 >= minCount)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = graft.operators.TextOps
+        .heavyTokens(docs.repartition(parts), phi = 0.01)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"parts=$parts: ${got.keySet diff want.keySet} extra, " +
+          s"${want.keySet diff got.keySet} missing")
+    }
+  }
 }
