@@ -141,7 +141,7 @@ object SparkEntry {
     "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk",
     "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
     "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
-    "q_skew_report")
+    "q_skew_report", "g_kcore")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1519,6 +1519,18 @@ object SparkEntry {
     "g_components" -> ((s, d) => {
       val (_, edges) = model(s, d)
       graft.graph.GraphAnalytics.connectedComponents(edges).orderBy("id")
+    }),
+    "g_kcore" -> ((s, d) => {
+      // dense-backbone extraction: 3-core of the cos>=0.3 threshold
+      // graph (the kNN graph is degree-homogeneous by construction —
+      // its cores are all-or-nothing; the threshold graph peels over
+      // ~10 rounds to a 316-node core at sf0.01). 12 unrolled rounds
+      // in the oracle; the monotone fixpoint makes spares no-ops.
+      val und = graft.graph.GraphAnalytics
+        .cosineThresholdEdges(emb(s, d), 0.3)
+      val sym = und.unionByName(
+        und.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      graft.graph.GraphAnalytics.kCore(sym, k = 3, maxRounds = 12)
     }),
     "g_communities" -> ((s, d) => {
       val (_, edges) = model(s, d)
@@ -3757,6 +3769,20 @@ object SparkEntry {
 
     "g_ppr" -> PprOracleSql,
 
+    "g_kcore" ->
+      (s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |sym AS (SELECT a.id AS src, b.id AS dst
+         |  FROM e a JOIN e b ON a.id <> b.id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |${kcoreRoundsCte(3, 12)}
+         |SELECT s.src AS id, count(*) AS deg FROM sym s
+         |JOIN kc12 a ON a.id = s.src
+         |JOIN kc12 b ON b.id = s.dst
+         |GROUP BY s.src ORDER BY id""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
     "g_communities" ->
       s"""WITH $GraphBaseCte,
          |${lpaRoundsCte(5)}
@@ -4107,6 +4133,22 @@ object SparkEntry {
       |nodes AS (SELECT DISTINCT src AS id FROM sym),
       |outdeg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)"""
       .stripMargin
+
+  /** Unrolled k-core peeling over GraphBaseCte's `sym`/`nodes`:
+    * kc0 = all nodes; kc_{i+1} = nodes whose degree among kc_i ≥ k.
+    * Monotone, so a converged fixpoint is invariant under the spare
+    * rounds. Ends in kc`rounds`. */
+  private def kcoreRoundsCte(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder("kc0 AS (SELECT id FROM nodes)")
+    for (i <- 1 to rounds) sb.append(
+      s""",
+         |kd$i AS (SELECT s.src AS id, count(*) AS deg FROM sym s
+         |  JOIN kc${i - 1} a ON a.id = s.src
+         |  JOIN kc${i - 1} b ON b.id = s.dst
+         |  GROUP BY s.src),
+         |kc$i AS (SELECT id FROM kd$i WHERE deg >= $k)""".stripMargin)
+    sb.toString
+  }
 
   /** Unrolled personalized-PageRank recurrence from anchor 0
     * (GraphX staticPersonalizedPageRank: r ← 0.15·δ + 0.85·Σ r/outdeg,

@@ -452,4 +452,58 @@ object GraphAnalytics {
       }
       .toDF("src", "dst")
   }
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * — the standard "dense backbone" extraction (community seeding,
+    * spam-farm detection, graph sparsification before an expensive
+    * pass). Computed by iterative peeling: drop nodes with degree < k,
+    * recompute degrees among survivors, repeat to the fixpoint.
+    *
+    * Distributed shape: each round is ONE semi-join of the edge list
+    * against the (strictly shrinking, localCheckpoint'ed) survivor
+    * set per endpoint + one partial-agg degree count; the survivor
+    * set is broadcast-sized long before the edge list is. Peeling is
+    * MONOTONE — nodes are only ever removed — so an unchanged
+    * survivor COUNT proves an unchanged survivor SET and the loop
+    * stops on the count alone (no set comparison job). Rounds are
+    * data-dependent but bounded by `maxRounds`; a converged fixpoint
+    * is invariant under further rounds, which is what lets a
+    * fixed-unroll SQL replay match the engine exactly whenever
+    * convergence happens within the unroll budget.
+    *
+    * Input: symmetric (src, dst) edges (both directions present, as
+    * the engine's kNN graphs are). Output: (id, deg) for core
+    * members, deg = degree WITHIN the core, ordered by id.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
+    val sym = edges.select(
+      F.col("src").cast("long").as("src"), F.col("dst").cast("long").as("dst"))
+    def degreesAmong(survivors: DataFrame): DataFrame =
+      sym
+        .join(F.broadcast(survivors.select(F.col("id").as("src"))),
+          Seq("src"), "left_semi")
+        .join(F.broadcast(survivors.select(F.col("id").as("dst"))),
+          Seq("dst"), "left_semi")
+        .groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+        .select(F.col("src").as("id"), F.col("deg"))
+    var survivors = sym.select(F.col("src").as("id")).distinct()
+      .localCheckpoint()
+    var n = survivors.count()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds && n > 0) {
+      val next = degreesAmong(survivors)
+        .where(F.col("deg") >= k)
+        .select("id")
+        .localCheckpoint()
+      val m = next.count()
+      stable = m == n // monotone removal: equal count == equal set
+      survivors = next
+      n = m
+      round += 1
+    }
+    degreesAmong(survivors).orderBy("id")
+  }
 }

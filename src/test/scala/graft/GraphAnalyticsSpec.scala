@@ -97,4 +97,39 @@ class GraphAnalyticsSpec extends SparkSpec {
     val e = Seq((0L, 1L, 0.0, 1.0), (1L, 0L, 0.0, 1.0)).toDF("src", "dst", "dist", "weight")
     assert(conductance(e, Set(0L, 1L)) == 1.0) // V\S empty -> denom 0
   }
+
+  test("kCore: peeling cascade reaches the known core; invariants hold") {
+    val s = spark
+    import s.implicits._
+    // triangle {0,1,2} + a path tail 2-3-4: the 2-core is exactly the
+    // triangle, and reaching it takes TWO peeling rounds (4 falls
+    // first, then 3 — degree cascades are the point of the operator)
+    def und(ps: (Long, Long)*): org.apache.spark.sql.DataFrame =
+      (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
+    val g = und((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+    val core = graft.graph.GraphAnalytics.kCore(g, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // a one-round cap must stop mid-cascade (4 gone, 3 still in) —
+    // the bounded-unroll contract the SQL replay relies on
+    val capped = graft.graph.GraphAnalytics.kCore(g, k = 2, maxRounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(0L, 1L, 2L, 3L))
+    // self-consistency + maximality on a bigger random graph: every
+    // member's in-core degree >= k, and no removed node would qualify
+    val rng = new scala.util.Random(11)
+    val ps = (0 until 400).map(_ =>
+      (rng.nextInt(60).toLong, rng.nextInt(60).toLong)).filter(p => p._1 != p._2)
+    val big = und(ps.distinct: _*)
+    val k = 4
+    val got = graft.graph.GraphAnalytics.kCore(big, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ >= k), s"core member below degree $k: $got")
+    val adj = ps.distinct.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val members = got.keySet
+    for (id <- adj.keySet if !members.contains(id))
+      assert(adj(id).count(members.contains) < k,
+        s"removed node $id would qualify for the core — not maximal")
+  }
 }
