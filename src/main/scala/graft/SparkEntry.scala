@@ -141,7 +141,7 @@ object SparkEntry {
     "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk",
     "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
     "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
-    "q_skew_report", "g_kcore")
+    "q_skew_report", "g_kcore", "q_zorder_values")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -554,6 +554,28 @@ object SparkEntry {
     "q_skew_report" -> ((s, d) =>
       graft.scale.Skew.report(
         events(s, d).select("user_id"), "user_id", topN = 20)),
+
+    // Morton keys for Z-ordered layout: both dims quantized over their
+    // measured domain, bit-interleaved in pure column algebra — the
+    // key zorderWrite files/sorts by so footer min/max prunes BOTH dims
+    "q_zorder_values" -> ((s, d) => {
+      val ev = events(s, d)
+        .where(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "value")
+      val st = ev.agg(
+        F.min(F.col("user_id").cast("double")),
+        F.max(F.col("user_id").cast("double")),
+        F.min("value"), F.max("value")).head()
+      ev.select(
+        F.col("event_id"),
+        graft.operators.Layout.zvalue(
+          graft.operators.Layout.quantize(
+            F.col("user_id"), st.getDouble(0), st.getDouble(1), 8),
+          graft.operators.Layout.quantize(
+            F.col("value"), st.getDouble(2), st.getDouble(3), 8),
+          8).as("zv"))
+        .orderBy("event_id")
+    }),
 
     // robust per-source outlier trim: modified z-score on exact
     // medians (Iglewicz-Hoaglin 0.6745·(v−med)/MAD, cut 3.5) — the
@@ -3124,6 +3146,29 @@ object SparkEntry {
         |GROUP BY token
         |HAVING count(*) >= ceil(0.002 * any_value(tot.t))
         |ORDER BY n DESC, token ASC""".stripMargin,
+
+    // Morton replay: same measured-domain quantization arithmetic
+    // (identical IEEE op order: (x−mn)/(mx−mn)·255, floor, clamp) and
+    // the unrolled bit-interleave
+    "q_zorder_values" -> {
+      def q(col: String, mn: String, mx: String): String =
+        s"greatest(0, least(255, CAST(floor((CAST($col AS DOUBLE) - $mn)" +
+          s" / ($mx - $mn) * 255) AS BIGINT)))"
+      val interleave = (0 until 8).map(i =>
+        s"(((qa >> $i) & 1) << ${2 * i}) | (((qb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH src AS (SELECT event_id, user_id, value FROM events
+         |  WHERE event_id < 2000),
+         |st AS (SELECT CAST(min(user_id) AS DOUBLE) AS amn,
+         |  CAST(max(user_id) AS DOUBLE) AS amx,
+         |  min(value) AS bmn, max(value) AS bmx FROM src),
+         |qv AS (SELECT event_id,
+         |  ${q("user_id", "st.amn", "st.amx")} AS qa,
+         |  ${q("value", "st.bmn", "st.bmx")} AS qb
+         |  FROM src CROSS JOIN st)
+         |SELECT event_id, $interleave AS zv FROM qv
+         |ORDER BY event_id""".stripMargin
+    },
 
     "q_skew_report" ->
       """WITH c AS (
