@@ -124,6 +124,18 @@ object SparkEntry {
     * New queries whose perf story is already covered by an existing
     * row go here; headline rows stay stable for round-over-round diffs.
     */
+  /** Fellegi-Sunter weights for q_entity_resolve — defined ONCE and
+    * interpolated into the oracle SQL so both engines use the exact
+    * same double constants (name: exact-match evidence strong, chance
+    * collision rare; nation ~1/25 chance agreement; segment ~1/5).
+    */
+  private val ErNameW =
+    graft.operators.EntityResolution.FieldWeight("c_name", 0.95, 0.001)
+  private val ErNatW =
+    graft.operators.EntityResolution.FieldWeight("c_nationkey", 0.9, 0.04)
+  private val ErSegW =
+    graft.operators.EntityResolution.FieldWeight("c_mktsegment", 0.9, 0.2)
+
   def benchExclude: Set[String] = Set(
     "t_pack_greedy", "t_pack_manifest",
     "t_line_dedup", "t_bm25", "d_fuzzy_match",
@@ -141,7 +153,7 @@ object SparkEntry {
     "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk",
     "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
     "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
-    "q_skew_report", "g_kcore", "q_zorder_values")
+    "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -816,6 +828,21 @@ object SparkEntry {
     // SymSpell deletion-neighborhood fuzzy self-join: customer names
     // are zero-padded serials, so edit-distance-1 pairs are the names
     // differing in exactly one digit
+    // Fellegi-Sunter entity resolution: deletion-join blocking on the
+    // name, log2(m/u) field weights (constants shared verbatim with
+    // the oracle), links at score >= 0 closed transitively, canonical
+    // id = entity minimum
+    "q_entity_resolve" -> ((s, d) => {
+      import graft.operators.EntityResolution
+      import graft.operators.EntityResolution.FieldWeight
+      EntityResolution.resolve(
+        tbl(s, d, "customer").where(F.col("c_custkey") <= 500),
+        "c_custkey", "c_name",
+        name = ErNameW,
+        fields = Seq(ErNatW, ErSegW),
+        threshold = 0.0)
+    }),
+
     "d_fuzzy_match" -> ((s, d) =>
       FuzzyJoin.selfMatch(
           tbl(s, d, "customer").where(F.col("c_custkey") <= 500)
@@ -3709,6 +3736,39 @@ object SparkEntry {
           |FROM ppr2
           |ORDER BY cluster, rnk""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
+
+    // FS replay: same blocking predicate (lev <= 1), the same weight
+    // CONSTANTS interpolated from the Scala FieldWeights (double
+    // round-trip via toString — no independent log2 evaluation to
+    // drift), threshold on the rounded score, recursive min-label CC
+    "q_entity_resolve" ->
+      s"""WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |    c_nationkey AS nat, c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey <= 500),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    round((CASE WHEN levenshtein(a.name, b.name) = 0
+        |        THEN ${ErNameW.agreeW} ELSE ${ErNameW.disagreeW} END)
+        |      + (CASE WHEN a.nat = b.nat
+        |        THEN ${ErNatW.agreeW} ELSE ${ErNatW.disagreeW} END)
+        |      + (CASE WHEN a.seg = b.seg
+        |        THEN ${ErSegW.agreeW} ELSE ${ErSegW.disagreeW} END), 4)
+        |      AS score
+        |  FROM c a JOIN c b
+        |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1),
+        |dup AS (SELECT id_a, id_b FROM p WHERE score >= 0.0),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM dup
+        |  UNION SELECT id_b AS src, id_a AS dst FROM dup),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |r(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.dst, r.lab FROM r JOIN sym s ON s.src = r.id
+        |  WHERE r.lab < s.dst)
+        |SELECT id, min(lab) AS canonical FROM r
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     "d_fuzzy_match" ->
       """WITH c AS (
