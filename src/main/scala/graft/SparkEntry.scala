@@ -153,7 +153,8 @@ object SparkEntry {
     "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk",
     "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
     "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
-    "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve")
+    "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve",
+    "d_split_leakfree")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -727,6 +728,19 @@ object SparkEntry {
           docs(s, d), F.col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "source", "split").orderBy("doc_id")),
+
+    // leakage-free split: near-dup clusters share one split key, so a
+    // pair can never straddle train/test; singletons split exactly as
+    // d_split_assign does
+    "d_split_leakfree" -> ((s, d) => {
+      val all = docs(s, d)
+      val pairs = Dedup.minhashNearDupPairs(all, estFloor = 0.6)
+        .where(F.col("jaccard") >= 0.8)
+      TrainPrep.leakFreeSplit(
+          all, pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    }),
 
     // T5 span corruption: deterministic block-hash masking (a pure
     // function of (doc_id, position) — reproducible on any layout)
@@ -3455,6 +3469,36 @@ object SparkEntry {
         |    ELSE 'test'
         |  END AS split
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // leak-free replay: exact >= 0.8 Jaccard pairs -> recursive
+    // min-label closure -> coalesce(keeper, doc_id) as the split key
+    // -> the same md5 CASE as d_split_assign on that key
+    "d_split_leakfree" ->
+      s"""WITH RECURSIVE $JaccardPairsCte,
+        |dup AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.8),
+        |symp AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM dup
+        |  UNION SELECT doc_b AS src, doc_a AS dst FROM dup),
+        |pnodes AS (SELECT DISTINCT src AS id FROM symp),
+        |r(id, lab) AS (
+        |  SELECT id, id FROM pnodes
+        |  UNION
+        |  SELECT s.dst, r.lab FROM r JOIN symp s ON s.src = r.id
+        |  WHERE r.lab < s.dst),
+        |keep AS (SELECT id AS doc_id, min(lab) AS keeper FROM r GROUP BY id),
+        |keyed AS (
+        |  SELECT d.doc_id, coalesce(k.keeper, d.doc_id) AS split_key
+        |  FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id)
+        |SELECT doc_id, split_key,
+        |  CASE
+        |    WHEN ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))::BIGINT
+        |      % 10000 < 8000 THEN 'train'
+        |    WHEN ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))::BIGINT
+        |      % 10000 < 9000 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM keyed
         |ORDER BY doc_id""".stripMargin,
 
     // span-corruption replay: same md5 block/length convention as

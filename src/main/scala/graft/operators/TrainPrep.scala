@@ -799,6 +799,41 @@ object TrainPrep {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-free split: [[splitAssign]] keyed by the near-duplicate
+    * CLUSTER instead of the document — the split a held-out eval set
+    * actually needs. A per-doc hash split scatters a near-dup pair
+    * across train and test with probability 2·p·(1−p); every such
+    * pair is soft test-set contamination (the model saw an
+    * ~identical doc in training), and on web corpora near-dup rates
+    * make that the rule, not the tail. Keying the hash by the
+    * cluster representative sends every member of a dup cluster to
+    * the SAME split; singletons key by themselves, so their
+    * assignment is IDENTICAL to plain [[splitAssign]] — growing the
+    * corpus or re-running dedup never flips a clean doc's split.
+    *
+    * `pairs` is any (doc_a, doc_b) near-dup pair frame (e.g.
+    * `Dedup.minhashNearDupPairs(...).where(jaccard ≥ t)`); closure to
+    * clusters is [[Dedup.dupClusters]]' GraphX CC, representative =
+    * cluster min. 100 TB shape: the CC runs on the PAIR graph (dup
+    * pairs, not the corpus), the join back is one shuffle keyed by
+    * doc_id, and the split itself stays map-only.
+    *
+    * Output: input columns + `split_key` (the cluster-or-self key) +
+    * `split`.
+    */
+  def leakFreeSplit(
+      docs: DataFrame, pairs: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val clusters = Dedup.dupClusters(pairs)
+      .select(F.col("doc_id"), F.col("keeper"))
+    val keyed = docs
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key",
+        F.coalesce(F.col("keeper"), F.col("doc_id")))
+      .drop("keeper")
+    splitAssign(keyed, F.col("split_key"), splits)
+  }
+
   /** Executor-side replica of [[hashBucket]]'s EXACT convention (first
     * 8 hex chars of md5 as an unsigned int, mod buckets) for compiled
     * loops — the cross-path law is spec-asserted so the two can't

@@ -582,6 +582,35 @@ class TrainPrepSpec extends SparkSpec {
       TrainPrep.splitAssign(df, F.col("doc_id"), Seq("a" -> 0.5, "a" -> 0.5)))
   }
 
+  test("leakFreeSplit: dup clusters share one split; singletons match splitAssign") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 1000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // near-dup pairs forming clusters {1,2,3} (chain) and {10,11}; the
+    // rest singletons. Chain 1-2, 2-3: 1 and 3 never paired directly —
+    // transitive closure must still co-locate them.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = TrainPrep.leakFreeSplit(docs, pairs, splits)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every cluster member keys by the cluster min and lands together
+    assert(Set(1L, 2L, 3L).map(out(_)).size == 1)
+    assert(out(1L)._1 == 1L)
+    assert(Set(10L, 11L).map(out(_)).size == 1)
+    assert(out(10L)._1 == 10L)
+    // singletons: split_key = self, split identical to plain splitAssign
+    val plain = TrainPrep.splitAssign(docs, F.col("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(1L, 2L, 3L, 10L, 11L)
+    for ((id, (key, sp)) <- out if !clustered(id)) {
+      assert(key == id)
+      assert(sp == plain(id), s"singleton $id drifted from splitAssign")
+    }
+    // the leak-free guarantee, stated directly: no pair straddles splits
+    for (Seq(a, b) <- Seq(Seq(1L, 2L), Seq(2L, 3L), Seq(1L, 3L), Seq(10L, 11L)))
+      assert(out(a)._2 == out(b)._2, s"pair ($a,$b) straddles splits")
+  }
+
   test("spanCorrupt is layout-invariant and tolerates degenerate docs") {
     val s = spark
     import s.implicits._
