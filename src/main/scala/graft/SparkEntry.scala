@@ -154,7 +154,7 @@ object SparkEntry {
     "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
     "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
     "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve",
-    "d_split_leakfree")
+    "d_split_leakfree", "v_rrf_fusion")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -660,6 +660,22 @@ object SparkEntry {
 
     "t_ngram_counts" -> ((s, d) =>
       TextOps.ngramCounts(docs(s, d), n = 3, k = 30)),
+
+    // hybrid retrieval: BM25 lexical top-20 fused with cosine ANN
+    // top-20 by Reciprocal Rank Fusion — rank-based, so the two
+    // incomparable score scales need no calibration
+    "v_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def ranked(df: DataFrame, id: String): DataFrame = df.select(
+        F.col(id).as("doc_id"),
+        F.row_number().over(
+          Window.orderBy(F.col("score").desc, F.col(id).asc)).as("rank"))
+      val lex = ranked(
+        TextOps.bm25TopK(docs(s, d), Seq("spark", "vector", "stream"), 20),
+        "doc_id")
+      val sem = ranked(Similarity.annTopK(emb(s, d), queryVec(s, d), 20), "id")
+      TextOps.rrfFuse(Seq(lex, sem), kConst = 60)
+    }),
 
     // CCNet-style LM quality scores: unigram LM trained on the corpus
     // itself here (self-scoring ranks fluency within the corpus); the
@@ -3381,6 +3397,55 @@ object SparkEntry {
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 10""".stripMargin,
+
+    // RRF replay: the t_bm25 scoring chain and the v_ann_topk cosine
+    // chain, each row_number'ed on its ROUNDED score (the engine's
+    // rank convention), unioned and folded into sum(1/(60+rank))
+    "v_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+        |corpus AS (
+        |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, count(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        |  WHERE token IN ('spark', 'vector', 'stream')
+        |  GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token, ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1) AS idf
+        |  FROM (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+        |        FROM tf GROUP BY token) d, corpus c),
+        |lexs AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(idf.idf * tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))), 6) AS score
+        |  FROM tf
+        |  JOIN idf USING (token)
+        |  JOIN dl USING (doc_id), corpus c
+        |  GROUP BY tf.doc_id
+        |  ORDER BY score DESC, doc_id ASC
+        |  LIMIT 20),
+        |lex AS (SELECT doc_id, row_number() OVER (
+        |  ORDER BY score DESC, doc_id ASC) AS rank FROM lexs),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qv AS (SELECT v AS q FROM ev WHERE vec_id = 0),
+        |sems AS (
+        |  SELECT ev.vec_id AS doc_id,
+        |    round(list_cosine_similarity(ev.v, qv.q), 4) AS score
+        |  FROM ev, qv
+        |  ORDER BY score DESC, doc_id ASC
+        |  LIMIT 20),
+        |sem AS (SELECT doc_id, row_number() OVER (
+        |  ORDER BY score DESC, doc_id ASC) AS rank FROM sems),
+        |u AS (SELECT doc_id, rank FROM lex
+        |  UNION ALL SELECT doc_id, rank FROM sem)
+        |SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf,
+        |  count(*) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf DESC, doc_id ASC""".stripMargin,
 
     // DSIR replay: hashed unigram+bigram buckets (same first-8-hex md5
     // convention), add-one smoothing over the bucket range on both the

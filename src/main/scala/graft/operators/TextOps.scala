@@ -1005,6 +1005,35 @@ object TextOps {
       .limit(k)
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner (Elasticsearch/OpenSearch ship
+    * it verbatim): fused(d) = Σ_r 1/(kConst + rank_r(d)) over every
+    * ranking that retrieved d. Rank-based, so a lexical BM25 list and
+    * a cosine ANN list fuse WITHOUT score calibration — the property
+    * that makes RRF the default when the rankers' score scales are
+    * incomparable (log-ish BM25 vs bounded cosine).
+    *
+    * Inputs are (doc_id, rank) frames — each bounded by its
+    * retriever's top-k, so the union+groupBy here shuffles
+    * Σ k_r rows TOTAL regardless of corpus size; the heavy lifting
+    * stays inside the retrievers (which have their own scale paths).
+    * Output: (doc_id, rrf round-6, n_lists), (rrf DESC, doc_id ASC).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kConst >= 1, s"kConst must be >= 1; got $kConst")
+    rankings
+      .map(_.select(
+        F.col("doc_id").cast("long"), F.col("rank").cast("long")))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(kConst) + F.col("rank"))), 6)
+          .as("rrf"),
+        F.count(F.lit(1)).as("n_lists"))
+      .orderBy(F.col("rrf").desc, F.col("doc_id").asc)
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
     * filters, reconstructed from the published heuristics): duplicate
     * line fraction, duplicate token fraction, and the occurrence share

@@ -489,4 +489,28 @@ class TextPipelineSpec extends SparkSpec {
     val plan = TextOps.c4Clean(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
+
+  test("rrfFuse: overlap wins, rank decay, no score calibration needed") {
+    val s = spark
+    import s.implicits._
+    // lexical list ranks 1,2,3; semantic list ranks 3,4 — doc 3 is
+    // the only doc BOTH retrievers found and must fuse to the top even
+    // though it is rank 3 and rank 1 respectively
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((3L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val out = TextOps.rrfFuse(Seq(lex, sem), kConst = 60).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.head._1 == 3L && out.head._3 == 2L,
+      s"the doubly-retrieved doc must rank first: ${out.toSeq}")
+    val expect3 = BigDecimal(1.0 / 63 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.head._2 - expect3) < 1e-9)
+    // single-list docs order by their rank (1/(60+r) decays in r);
+    // docs 2 and 4 tie at rank 2 in their lists — doc_id breaks it
+    val singles = out.filter(_._3 == 1L).map(_._1).toSeq
+    assert(singles == Seq(1L, 2L, 4L),
+      s"rank-1 beats the rank-2 tie (id order): $singles")
+    intercept[IllegalArgumentException](TextOps.rrfFuse(Nil))
+    intercept[IllegalArgumentException](TextOps.rrfFuse(Seq(lex), kConst = 0))
+  }
 }
