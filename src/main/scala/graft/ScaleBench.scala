@@ -210,6 +210,70 @@ object ScaleBench {
       TextOps.bpeApply(docs, bpeMerges).count()
     }
 
+    // ---- r7-continuation additions: PQ codecs, bloom join, heavy
+    // hitters, persisted dedup index, leak-free split, profile, MAD,
+    // k-core — the operators whose 100 TB story landed this round
+    val pqQ = emb.where(F.col("id") === 11).select("vec")
+      .head.getSeq[Double](0).toArray
+    val pq = {
+      val t0 = System.nanoTime()
+      val index = Similarity.pqBuild(emb.select("id", "vec"), m = 8, ksub = 64)
+      rows("v_pq_build") = ((System.nanoTime() - t0) / 1e9, nVecs)
+      println(f"[scale] v_pq_build               ${rows("v_pq_build")._1}%8.2f s  rows=$nVecs")
+      index
+    }
+    bench("v_pq_topk") {
+      Similarity.pqTopK(pq, emb, pqQ, k = 20, rerank = 200).count()
+    }
+    val ivf3 = Similarity.ivfBuild(emb.select("id", "vec"), nLists = 64)
+    ivf3.assigned.count()
+    bench("v_ivf_pq_topk") {
+      Similarity.ivfPqTopK(ivf3, pq, emb, pqQ, k = 20, nprobe = 8,
+        rerank = 200).count()
+    }
+    Similarity.ivfRelease(ivf3)
+    Similarity.pqRelease(pq)
+    bench("q_bloom_semi") {
+      val small = docs.where(F.col("doc_id") % 100 === 0).select("doc_id")
+      graft.operators.BloomJoin.semiJoin(docs, small, "doc_id").count()
+    }
+    bench("t_heavy_tokens") {
+      TextOps.heavyTokens(docs, phi = 0.001).count()
+    }
+    bench("d_dedup_against_index") {
+      // the incremental-drop shape: index the established corpus once,
+      // dedup the new drop against it
+      val idx = Dedup.minhashIndexBuild(docs.where(F.col("source") =!= "srcnear"))
+      val n = Dedup.dedupAgainstIndex(
+        docs.where(F.col("source") === "srcnear"), idx).count()
+      Dedup.minhashIndexRelease(idx); n
+    }
+    bench("d_split_leakfree") {
+      val pairs = Dedup.minhashNearDupPairs(docs, estFloor = 0.6)
+        .where(F.col("jaccard") >= 0.8)
+      TrainPrep.leakFreeSplit(docs, pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count()
+    }
+    bench("q_data_profile") {
+      graft.operators.Profile.profile(
+        docs, Seq("doc_id", "text", "source")).count()
+    }
+    bench("t_mad_outliers") {
+      TextOps.madOutliers(
+        docs.withColumn("n_chars", F.length(F.col("text")))).count()
+    }
+    bench("g_kcore") {
+      // synthetic near-random graph, avg degree ~16 after
+      // symmetrization: k=12 peeling does several real rounds
+      val e = spark.range(nVecs * 8).select(
+        F.pmod(F.col("id"), F.lit(nVecs)).as("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("dst")), F.lit(nVecs)).as("dst"))
+        .where(F.col("src") =!= F.col("dst"))
+      val symg = e.unionByName(
+        e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
+      graft.graph.GraphAnalytics.kCore(symg, k = 12, maxRounds = 20).count()
+    }
+
     // ---- synthetic events: ~10 events per user across nVecs/4 users,
     // hash-jittered timestamps over a day — the time-join block
     val nEvents = nVecs * 10
@@ -241,6 +305,18 @@ object ScaleBench {
         .withColumn("reading", F.col("user_id").cast("double"))
       graft.operators.AsOfJoin.asofJoin(
         events, readings, "user_id", "ts", "ts", Seq("reading")).count()
+    }
+    bench("q_skew_report") {
+      graft.scale.Skew.report(events, "user_id").count()
+    }
+    bench("q_zorder_write") {
+      val dir = java.nio.file.Files.createTempDirectory("zscale").toString
+      graft.operators.Layout.zorderWrite(
+        events.select(
+          F.col("user_id").cast("double").as("uid"),
+          F.col("ts").cast("double").as("tsd")),
+        dir, "uid", "tsd", bits = 12, nFiles = 32)
+      spark.read.parquet(dir).count()
     }
     events.unpersist(blocking = false)
 

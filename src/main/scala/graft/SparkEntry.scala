@@ -154,7 +154,7 @@ object SparkEntry {
     "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
     "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
     "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve",
-    "d_split_leakfree", "v_rrf_fusion")
+    "d_split_leakfree", "v_rrf_fusion", "d_containment")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -744,6 +744,11 @@ object SparkEntry {
           docs(s, d), F.col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "source", "split").orderBy("doc_id")),
+
+    // asymmetric containment: quote/subset detection symmetric Jaccard
+    // misses — >= 80% of a doc's distinct 6-grams inside another doc
+    "d_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), n = 6, minContainment = 0.8)),
 
     // leakage-free split: near-dup clusters share one split key, so a
     // pair can never straddle train/test; singletons split exactly as
@@ -3535,6 +3540,37 @@ object SparkEntry {
         |  END AS split
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // containment replay: distinct 6-grams (whole-text fallback under
+    // 6 tokens), df <= 100 prune, gram self-join pair counts,
+    // kept-gram denominator, threshold on the rounded ratio
+    "d_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 6 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |        t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])
+        |    END AS gs
+        |  FROM toks),
+        |g2 AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+        |dfok AS (SELECT g FROM (
+        |  SELECT g, count(*) AS df FROM g2 GROUP BY g) WHERE df <= 100),
+        |kept AS (SELECT g2.doc_id, g2.g FROM g2 JOIN dfok USING (g)),
+        |sz AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id),
+        |sh AS (
+        |  SELECT a.doc_id, b.doc_id AS container_id, count(*) AS shared
+        |  FROM kept a JOIN kept b
+        |  ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT s.doc_id, s.container_id, s.shared, z.n_grams,
+        |  round(s.shared::DOUBLE / z.n_grams, 4) AS containment
+        |FROM sh s JOIN sz z ON z.doc_id = s.doc_id
+        |WHERE round(s.shared::DOUBLE / z.n_grams, 4) >= 0.8
+        |ORDER BY containment DESC, s.doc_id, s.container_id""".stripMargin,
 
     // leak-free replay: exact >= 0.8 Jaccard pairs -> recursive
     // min-label closure -> coalesce(keeper, doc_id) as the split key

@@ -584,6 +584,60 @@ object Dedup {
     corpus.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Asymmetric containment detection — the near-dup class SYMMETRIC
+    * Jaccard is blind to: a short document quoted inside a long one
+    * has |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but containment |A∩B|/|A| ≈ 1.
+    * Quote farms, scraped snippets, and doc-inside-boilerplate all
+    * live here, and a MinHash pipeline tuned for Jaccard ≥ 0.8 keeps
+    * every one of them. Finds (doc, container) pairs where ≥
+    * `minContainment` of doc's distinct n-grams appear in container.
+    *
+    * Shape: distinct n-grams per doc (one explode), document-
+    * frequency prune at `maxDf` (grams in more docs carry no
+    * discriminative signal and quadratic join cost — per-gram pair
+    * fan-out is bounded by maxDf², the knob that keeps the self-join
+    * linear-ish on boilerplate-heavy corpora), one gram equi-join,
+    * one pair-count aggregate. CONTRACT: the containment denominator
+    * is the doc's KEPT (post-prune) gram count — both sides of every
+    * pair see the same prune, and a doc made entirely of >maxDf
+    * boilerplate grams has no discriminative content to match on
+    * (it drops out with n_grams = 0 rather than fabricating
+    * containment from stop-phrases).
+    *
+    * Output: (doc_id, container_id, shared, n_grams, containment
+    * round-4) — both orientations when two docs contain each other;
+    * (containment DESC, doc_id, container_id) ordered.
+    */
+  def containmentPairs(
+      docs: DataFrame, n: Int = 6, minContainment: Double = 0.8,
+      maxDf: Int = 100): DataFrame = {
+    require(n >= 1, s"n must be >= 1; got $n")
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1]; got $minContainment")
+    require(maxDf >= 2, s"maxDf must be >= 2 (a df-1 gram can never be shared); got $maxDf")
+    val grams = explodedGrams(docs, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfOk = grams.groupBy("g")
+      .agg(F.count(F.lit(1)).as("df"))
+      .where(F.col("df") <= maxDf)
+      .select("g")
+    val kept = grams.join(dfOk, "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_grams"))
+    val shared = kept.select(F.col("doc_id"), F.col("g"))
+      .join(kept.select(F.col("doc_id").as("container_id"), F.col("g")), "g")
+      .where(F.col("doc_id") =!= F.col("container_id"))
+      .groupBy("doc_id", "container_id")
+      .agg(F.count(F.lit(1)).as("shared"))
+    val out = shared.join(sizes, "doc_id")
+      .withColumn("containment",
+        F.round(F.col("shared").cast("double") / F.col("n_grams"), 4))
+      .where(F.col("containment") >= minContainment)
+      .select("doc_id", "container_id", "shared", "n_grams", "containment")
+      .orderBy(F.col("containment").desc, F.col("doc_id"), F.col("container_id"))
+    materializeAndRelease(out, grams, kept)
+  }
+
   /** Transitive near-duplicate clusters: connected components over the
     * near-dup pair graph. Pairwise "drop doc_b" dedup is not transitive
     * (A~B and B~C does not imply A~C — dropping per pair can drop a

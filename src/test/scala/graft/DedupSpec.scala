@@ -155,6 +155,47 @@ class DedupSpec extends SparkSpec {
       "saved band rows must be partitioned by band")
   }
 
+  test("containmentPairs: quotes invisible to Jaccard; df prune; denominator") {
+    val s = spark
+    import s.implicits._
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")   // 12 tokens
+    val filler = (1 to 80).map(i => s"f$i").mkString(" ")  // 80 tokens
+    val boiler = (1 to 10).map(_ => "same old boilerplate line here now").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                       // the short doc
+      (2L, s"$filler $quote"),           // the long doc quoting it
+      (3L, (1 to 70).map(i => s"z$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .containmentPairs(docs, n = 6, minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // doc 1 is fully contained in doc 2 (every 6-gram of the quote
+    // appears verbatim) …
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"containment missed the quote: ${pairs.toSeq}")
+    // … but NOT vice versa, and the unrelated doc matches nothing
+    assert(!pairs.exists(p => p._1 == 2L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // the symmetric measure on the same pair is tiny — the class of
+    // duplication this operator exists for
+    val jac = {
+      val sh = (t: String) => t.split(" ").sliding(6).map(_.mkString(" ")).toSet
+      val a = sh(quote); val b = sh(s"$filler $quote")
+      (a & b).size.toDouble / (a | b).size
+    }
+    assert(jac < 0.2, s"fixture broken: Jaccard $jac should be small")
+    // df prune: a corpus of identical boilerplate docs exceeds maxDf —
+    // every gram is pruned, docs drop out instead of fabricating
+    // containment from stop-phrases
+    val boilers = (10L to 20L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val pruned = graft.operators.Dedup
+      .containmentPairs(boilers, n = 6, minContainment = 0.5, maxDf = 5)
+      .count()
+    assert(pruned == 0L, "boilerplate grams past maxDf must not match")
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.containmentPairs(docs, minContainment = 0.0))
+  }
+
   test("simhash near-dup pairs include exact duplicates at hamming 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, maxDist = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
