@@ -154,7 +154,8 @@ object SparkEntry {
     "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
     "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
     "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve",
-    "d_split_leakfree", "v_rrf_fusion", "d_containment")
+    "d_split_leakfree", "v_rrf_fusion", "d_containment", "q_drift_psi",
+    "t_lang_mix")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -590,6 +591,12 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // segment-level language mixture: per-line langId cascade, modal
+    // language, distinct non-unk count, mixed flag — the doc-level
+    // classifier's blind spot in multilingual curation
+    "t_lang_mix" -> ((s, d) =>
+      TextOps.langMix(docs(s, d))),
+
     // robust per-source outlier trim: modified z-score on exact
     // medians (Iglewicz-Hoaglin 0.6745·(v−med)/MAD, cut 3.5) — the
     // heavy-tail-immune length cut; swap approx_percentile at 100 TB
@@ -602,6 +609,17 @@ object SparkEntry {
     "q_data_profile" -> ((s, d) =>
       graft.operators.Profile.profile(
         docs(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))),
+
+    // PSI drift monitor: reference-decile buckets (round-6 edges so
+    // both engines bucket identically), per-bucket (p−q)·ln(p/q)
+    // terms — sum is the published 0.1/0.25 drift index
+    "q_drift_psi" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      graft.operators.Profile.psiBuckets(
+        o.where(F.col("o_orderdate") < F.lit("1996-01-01")),
+        o.where(F.col("o_orderdate") >= F.lit("1996-01-01")),
+        "o_totalprice")
+    }),
 
     "t_corpus_report" -> ((s, d) =>
       // one-row corpus health report — the observability aggregate a
@@ -2127,6 +2145,41 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // line-level cascade replay: newline split, blank lines dropped,
+    // the t_lang_id CASE per line, modal language via row_number
+    "t_lang_mix" ->
+      """WITH lines AS (
+        |  SELECT doc_id, l FROM (
+        |    SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE trim(l) <> ''),
+        |ll AS (SELECT doc_id,
+        |  CASE
+        |    WHEN list_contains(string_split_regex(trim(l), '\s+'), 'the')
+        |      OR list_contains(string_split_regex(trim(l), '\s+'), 'and') THEN 'en'
+        |    WHEN list_contains(string_split_regex(trim(l), '\s+'), 'der')
+        |      OR list_contains(string_split_regex(trim(l), '\s+'), 'und') THEN 'de'
+        |    WHEN list_contains(string_split_regex(trim(l), '\s+'), 'le')
+        |      OR list_contains(string_split_regex(trim(l), '\s+'), 'et') THEN 'fr'
+        |    WHEN list_contains(string_split_regex(trim(l), '\s+'), 'el')
+        |      OR list_contains(string_split_regex(trim(l), '\s+'), 'y') THEN 'es'
+        |    WHEN list_contains(string_split_regex(trim(l), '\s+'), '的') THEN 'zh'
+        |    ELSE 'unk'
+        |  END AS lang FROM lines),
+        |counts AS (SELECT doc_id, lang, count(*) AS cnt
+        |  FROM ll GROUP BY doc_id, lang),
+        |prim AS (SELECT doc_id, lang AS primary_lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY cnt DESC, lang ASC) AS rn
+        |  FROM counts) WHERE rn = 1),
+        |agg AS (SELECT doc_id, count(*) AS n_lines,
+        |  count(DISTINCT CASE WHEN lang <> 'unk' THEN lang END) AS n_langs
+        |  FROM ll GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_lines, p.primary_lang, a.n_langs,
+        |  (a.n_langs >= 2)::INT AS mixed
+        |FROM agg a JOIN prim p USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+
     "t_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
@@ -3245,6 +3298,41 @@ object SparkEntry {
         |  round(sum(n) OVER (ORDER BY rank) / tot.t, 4) AS cum_share
         |FROM top CROSS JOIN tot
         |ORDER BY rank""".stripMargin,
+
+    // PSI replay: round-6 reference deciles, the same CASE bucketing,
+    // eps-floored natural-log terms
+    "q_drift_psi" -> {
+      val edList = (1 to 9)
+        .map(i => s"round(quantile_cont(v, 0.$i), 6)").mkString(", ")
+      val caseB = (1 to 9).map(i => s"WHEN v <= ed[$i] THEN ${i - 1}")
+        .mkString(" ")
+      s"""WITH ref AS (SELECT o_totalprice AS v FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+         |cur AS (SELECT o_totalprice AS v FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+         |e AS (SELECT [$edList] AS ed FROM ref),
+         |rc AS (SELECT bucket, count(*) AS n_ref FROM (
+         |  SELECT CASE $caseB ELSE 9 END AS bucket
+         |  FROM ref CROSS JOIN e) GROUP BY bucket),
+         |cc AS (SELECT bucket, count(*) AS n_cur FROM (
+         |  SELECT CASE $caseB ELSE 9 END AS bucket
+         |  FROM cur CROSS JOIN e) GROUP BY bucket),
+         |b AS (SELECT range::INT AS bucket FROM range(10)),
+         |j AS (SELECT b.bucket, coalesce(rc.n_ref, 0) AS n_ref,
+         |  coalesce(cc.n_cur, 0) AS n_cur
+         |  FROM b LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)),
+         |t AS (SELECT sum(n_ref)::DOUBLE AS tr, sum(n_cur)::DOUBLE AS tc
+         |  FROM j)
+         |SELECT j.bucket,
+         |  CASE WHEN j.bucket >= 1 THEN ed[j.bucket] END AS lo,
+         |  CASE WHEN j.bucket <= 8 THEN ed[j.bucket + 1] END AS hi,
+         |  j.n_ref, j.n_cur,
+         |  round((j.n_ref / t.tr - j.n_cur / t.tc) *
+         |    ln(greatest(j.n_ref / t.tr, 0.000001) /
+         |      greatest(j.n_cur / t.tc, 0.000001)), 6) AS psi_term
+         |FROM j CROSS JOIN t CROSS JOIN e
+         |ORDER BY j.bucket""".stripMargin
+    },
 
     // modified-z replay: exact interpolated medians (quantile_cont =
     // Spark's percentile), outlier flag computed on the ROUNDED mz —

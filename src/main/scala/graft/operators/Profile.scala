@@ -57,6 +57,87 @@ object Profile {
       .orderBy("column")
   }
 
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the standard drift monitor a pipeline runs between a
+    * reference corpus drop and the current one (PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted, the published banking-industry
+    * rule of thumb). Buckets are REFERENCE deciles (exact interpolated
+    * percentiles, rounded to 6 decimals so both engines bucket
+    * identically), so the reference distributes ~uniformly and the
+    * index measures how far the current snapshot departs from that.
+    *
+    * PSI = Σ_i (p_i − q_i) · ln(p_i / q_i), fractions floored at 1e-6
+    * inside the log so empty buckets contribute a large-but-finite
+    * term instead of ±∞.
+    *
+    * Shape: one exact-percentile aggregate over the reference (swap
+    * `approx_percentile` at 100 TB — same plan), then ONE partial-agg
+    * bucket count per side; the per-bucket frame is `buckets` rows.
+    * Output: (bucket, lo, hi, n_ref, n_cur, psi_term round-6) ordered
+    * by bucket — sum psi_term for the index, or eyeball which buckets
+    * moved.
+    */
+  def psiBuckets(
+      ref: DataFrame, cur: DataFrame, col: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in 2..1000; got $buckets")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val edges = ref
+      .agg(F.expr(
+        s"percentile($col, array(${ps.mkString(",")}))").as("e"))
+      .head.getSeq[Double](0)
+      .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+      .toArray
+    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      edges.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, (e, i)) =>
+          Some(acc match {
+            case None    => F.when(c <= e, i)
+            case Some(w) => w.when(c <= e, i)
+          })
+      }.get.otherwise(buckets - 1)
+    def side(df: DataFrame, name: String): DataFrame = df
+      .select(F.col(col).cast("double").as("v")).na.drop()
+      .select(bucketOf(F.col("v")).as("bucket"))
+      .groupBy("bucket").agg(F.count(F.lit(1)).as(name))
+    val all = ref.sparkSession.range(buckets)
+      .select(F.col("id").cast("int").as("bucket"))
+    val eps = 1e-6
+    val joined = all
+      .join(side(ref, "n_ref"), Seq("bucket"), "left")
+      .join(side(cur, "n_cur"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tRef = F.sum("n_ref").over()
+    val tCur = F.sum("n_cur").over()
+    val pRef = F.col("n_ref") / tRef
+    val pCur = F.col("n_cur") / tCur
+    joined
+      .withColumn("psi_term", F.round(
+        (pRef - pCur) *
+          F.log(F.greatest(pRef, F.lit(eps)) / F.greatest(pCur, F.lit(eps))),
+        6))
+      .withColumn("lo",
+        edges.zipWithIndex.foldLeft(F.lit(null).cast("double")) {
+          case (acc, (e, i)) =>
+            F.when(F.col("bucket") === i + 1, F.lit(edges(i))).otherwise(acc)
+        })
+      .withColumn("hi",
+        edges.zipWithIndex.foldLeft(F.lit(null).cast("double")) {
+          case (acc, (e, i)) =>
+            F.when(F.col("bucket") === i, F.lit(e)).otherwise(acc)
+        })
+      .select("bucket", "lo", "hi", "n_ref", "n_cur", "psi_term")
+      .orderBy("bucket")
+  }
+
+  /** The scalar index: Σ psi_term of [[psiBuckets]]. */
+  def psi(ref: DataFrame, cur: DataFrame, col: String,
+      buckets: Int = 10): Double =
+    psiBuckets(ref, cur, col, buckets)
+      .agg(F.sum("psi_term")).head.getDouble(0)
+
   /** Declarative constraint checks over a profile — the assertion face
     * of [[profile]]: each check is (name, passed 0/1, observed,
     * detail). Runs on the SAME single-aggregate profile frame.

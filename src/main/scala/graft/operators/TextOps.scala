@@ -1236,6 +1236,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document language-mixture report — the segment-level
+    * complement of [[langId]]: a document whose LINES disagree about
+    * language (boilerplate chrome around translated content, code
+    * docs with prose islands, scraped parallel pages) is exactly what
+    * a doc-level classifier mislabels, and mixed docs are the
+    * standard exclusion (or split-then-keep) case in multilingual
+    * corpus curation (CCNet processes at paragraph granularity for
+    * this reason).
+    *
+    * Per non-blank line: the [[langId]] marker cascade; per doc:
+    * line count, the modal language (ties → lexicographic), distinct
+    * NON-unk language count, and a mixed flag at ≥ 2. One explode +
+    * two partial-agg shuffles keyed by doc_id — no corpus-wide state.
+    *
+    * Output: (doc_id, n_lines, primary_lang, n_langs, mixed 0/1),
+    * ordered by doc_id.
+    */
+  def langMix(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .where(F.col("text").isNotNull)
+      .select(F.col("doc_id"),
+        F.explode(F.split(F.col("text"), "\n")).as("line"))
+      .where(F.trim(F.col("line")) =!= "")
+    val ll = lines.select(
+      F.col("doc_id"), langId(F.col("line")).as("lang"))
+    val counts = ll.groupBy("doc_id", "lang")
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val prim = counts
+      .withColumn("rn", F.row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(F.col("cnt").desc, F.col("lang").asc)))
+      .where(F.col("rn") === 1)
+      .select(F.col("doc_id"), F.col("lang").as("primary_lang"))
+    val agg = ll.groupBy("doc_id").agg(
+      F.count(F.lit(1)).as("n_lines"),
+      F.count_distinct(
+        F.when(F.col("lang") =!= "unk", F.col("lang"))).as("n_langs"))
+    agg.join(prim, "doc_id")
+      .withColumn("mixed", (F.col("n_langs") >= 2).cast("int"))
+      .select("doc_id", "n_lines", "primary_lang", "n_langs", "mixed")
+      .orderBy("doc_id")
+  }
+
   /** Marker-token language ID (deterministic cascade, n-gram-free
     * heuristic): first matching stopword wins, else "unk".
     */

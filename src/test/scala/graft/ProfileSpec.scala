@@ -64,6 +64,34 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.profile(frame, Nil))
   }
 
+  test("psiBuckets: zero on self, trips on a planted shift, finite on empty buckets") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(19)
+    val ref = (0 until 5000).map(_ => rng.nextGaussian() * 10 + 100)
+      .toDF("x")
+    // self-drift is identically zero: p_i == q_i for every bucket
+    assert(graft.operators.Profile.psi(ref, ref, "x") == 0.0)
+    // reference deciles spread the reference ~uniformly
+    val selfB = graft.operators.Profile.psiBuckets(ref, ref, "x").collect()
+    assert(selfB.length == 10)
+    assert(selfB.forall(r => math.abs(r.getLong(3) - 500L) <= 1),
+      s"deciles should hold ~N/10 each: ${selfB.map(_.getLong(3)).toSeq}")
+    // a mean shift of one sigma is far past the 0.25 "shifted" line
+    val shifted = (0 until 5000).map(_ => rng.nextGaussian() * 10 + 110)
+      .toDF("x")
+    val p = graft.operators.Profile.psi(ref, shifted, "x")
+    assert(p > 0.25, s"one-sigma shift should trip the index: $p")
+    // a disjoint current snapshot empties reference buckets — the eps
+    // floor keeps every term finite
+    val disjoint = (0 until 100).map(_ => 1e6 + rng.nextDouble()).toDF("x")
+    val terms = graft.operators.Profile.psiBuckets(ref, disjoint, "x")
+      .collect().map(_.getDouble(5))
+    assert(terms.forall(t => !t.isNaN && !t.isInfinite), terms.toSeq.toString)
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.psiBuckets(ref, ref, "x", buckets = 1))
+  }
+
   test("madOutliers: injected extreme flagged per stratum; MAD=0 stratum inert") {
     val s = spark
     import s.implicits._

@@ -490,6 +490,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  test("langMix: mixed doc flagged, modal tie broken, blanks and unk handled") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // 2 en lines + 1 de line: mixed, primary en
+      (1L, "the cat and dog\nthe other line and more\nder hund und katze"),
+      // pure en with blank lines: not mixed
+      (2L, "the a b\n\n  \nand c d"),
+      // one en + one de line: modal TIE -> lexicographic 'de' wins
+      (3L, "the cat and dog\nder hund und katze"),
+      // marker-free: unk primary, zero recognized langs, not mixed
+      (4L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.langMix(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out(1L) == ((3L, "en", 2L, 1)))
+    assert(out(2L) == ((2L, "en", 1L, 0)))
+    assert(out(3L) == ((2L, "de", 2L, 1)), s"tie must break to 'de': ${out(3L)}")
+    assert(out(4L) == ((1L, "unk", 0L, 0)))
+  }
+
   test("rrfFuse: overlap wins, rank decay, no score calibration needed") {
     val s = spark
     import s.implicits._
