@@ -155,7 +155,7 @@ object SparkEntry {
     "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
     "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve",
     "d_split_leakfree", "v_rrf_fusion", "d_containment", "q_drift_psi",
-    "t_lang_mix")
+    "t_lang_mix", "d_corpus_diff")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1349,6 +1349,21 @@ object SparkEntry {
           keys = Seq("o_orderkey"))
         .orderBy("o_orderkey")),
 
+    // corpus snapshot diff: deterministic "next drop" derived from the
+    // corpus (drop %7, edit %5, add shifted ids), statuses by
+    // normalized-content fingerprint over one full-outer join
+    "d_corpus_diff" -> ((s, d) => {
+      val all = docs(s, d).select("doc_id", "text")
+      val k = F.col("doc_id")
+      val newDocs = all.where(k % 7 =!= 0)
+        .withColumn("text",
+          F.when(k % 5 === 0, F.concat(F.col("text"), F.lit(" revised")))
+            .otherwise(F.col("text")))
+        .unionByName(all.where(k % 11 === 3)
+          .select((k + 1000000L).as("doc_id"), F.col("text")))
+      graft.operators.Cdc.corpusDiff(all, newDocs)
+    }),
+
     // the same changelog as an SCD2 history table: per-key version
     // intervals in seq coordinates, deletes close without emitting
     "q_scd2_history" -> ((s, d) =>
@@ -2500,6 +2515,32 @@ object SparkEntry {
         |FROM documents
         |GROUP BY fp
         |ORDER BY fp""".stripMargin,
+
+    // snapshot-diff replay: same derived "next drop", same normalized
+    // fingerprint as d_exact_groups, statuses off one full-outer join
+    "d_corpus_diff" ->
+      """WITH oldd AS (SELECT doc_id, text FROM documents),
+        |newd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' revised'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 11 = 3),
+        |fo AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM oldd),
+        |fn AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM newd)
+        |SELECT coalesce(fo.doc_id, fn.doc_id) AS doc_id,
+        |  CASE WHEN fo.doc_id IS NULL THEN 'added'
+        |       WHEN fn.doc_id IS NULL THEN 'removed'
+        |       WHEN fo.fp <> fn.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "d_ngram_jaccard" ->
       """WITH base AS (

@@ -102,4 +102,36 @@ object Cdc {
         F.col("valid_to_seq"),
         F.col("valid_to_seq").isNull.as("is_current")): _*)
   }
+
+  /** Corpus snapshot diff — the "what changed since the last drop"
+    * report an ingestion pipeline runs before reprocessing anything:
+    * per doc_id, `added` (new only), `removed` (old only), `changed`
+    * (both, content fingerprints differ), `unchanged`. Content
+    * identity is [[graft.operators.TextOps.fingerprint]]
+    * (whitespace/case-normalized md5), so cosmetic edits do not count
+    * as changes — the same normalization the exact-dedup path uses,
+    * shared code, can't drift.
+    *
+    * ONE full-outer join keyed by doc_id over two slim (doc_id, fp)
+    * projections — at 100 TB this is the minimal movement for a diff
+    * (both sides hash-partition on the key once; with both snapshots
+    * bucketed by doc_id on disk it is Exchange-free). Downstream:
+    * `changed`+`added` ids drive incremental re-embedding /
+    * re-indexing ([[graft.operators.Dedup.minhashIndexAppend]],
+    * `ivfAppend`) instead of a full rebuild.
+    *
+    * Output: (doc_id, status), ordered by doc_id.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fp(df: DataFrame, name: String) = df.select(
+      F.col("doc_id"),
+      graft.operators.TextOps.fingerprint(F.col("text")).as(name))
+    fp(oldDocs, "fp_old").join(fp(newDocs, "fp_new"), Seq("doc_id"), "full_outer")
+      .select(F.col("doc_id"),
+        F.when(F.col("fp_old").isNull, "added")
+          .when(F.col("fp_new").isNull, "removed")
+          .when(F.col("fp_old") =!= F.col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
 }

@@ -108,4 +108,28 @@ class CdcSpec extends SparkSpec {
       .toSet
     assert(merged == current, s"merged=$merged current=$current")
   }
+
+  test("corpusDiff: added/removed/changed/unchanged; cosmetic edits don't count") {
+    val s = spark
+    import s.implicits._
+    val old = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon"),
+      (3L, "zeta eta theta"),
+      (4L, "iota kappa")
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "alpha beta gamma"),        // unchanged
+      (2L, "delta epsilon REVISED"),   // changed
+      // 3 removed
+      (4L, "  iota   KAPPA "),         // cosmetic only: normalization
+                                       // (trim/case/whitespace) → unchanged
+      (5L, "brand new doc")            // added
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Cdc.corpusDiff(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"), out.toString)
+  }
 }
