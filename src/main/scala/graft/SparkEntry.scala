@@ -155,7 +155,7 @@ object SparkEntry {
     "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
     "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve",
     "d_split_leakfree", "v_rrf_fusion", "d_containment", "q_drift_psi",
-    "t_lang_mix", "d_corpus_diff")
+    "t_lang_mix", "d_corpus_diff", "v_ann_topk_pq_batch")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1115,6 +1115,20 @@ object SparkEntry {
       val out = Similarity.pqTopK(index, e, queryVec(s, d), 20, rerank = 100)
         .localCheckpoint()
       Similarity.pqRelease(index)
+      out
+    }),
+
+    // batch face of the PQ index: per-query ADC lookup tables built on
+    // the executors, ONE codes scan for all queries, salted per-query
+    // cut, one rerank join
+    "v_ann_topk_pq_batch" -> ((s, d) => {
+      val e = emb(s, d)
+      val pq = Similarity.pqBuild(e, m = 4, ksub = 8, iters = 10)
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val out = Similarity.pqTopKBatch(pq, e, qs, k = 10, rerank = 100)
+        .localCheckpoint()
+      Similarity.pqRelease(pq)
       out
     }),
 
@@ -2910,6 +2924,55 @@ object SparkEntry {
           |  GROUP BY a.id)
           |SELECT id, round(cos, 4) AS score FROM scored
           |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // PQ-batch replay: the v_ann_topk_pq recon chain, per-query approx
+    // ranked on the rounded score (batch parity convention), cut at
+    // 100, exact rescore, per-qid top-10
+    "v_ann_topk_pq_batch" ->
+      (s"""WITH pqsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |p0src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 1 AND 16),
+          |p1src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 17 AND 32),
+          |p2src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 33 AND 48),
+          |p3src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 49 AND 64),
+          |${kmeansCtes("p0src", 8, 10, "p0")},
+          |${kmeansCtes("p1src", 8, 10, "p1")},
+          |${kmeansCtes("p2src", 8, 10, "p2")},
+          |${kmeansCtes("p3src", 8, 10, "p3")},
+          |recon AS (
+          |  SELECT fin.id, k.f, k.cx
+          |  FROM p0fin fin JOIN p0kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p1fin fin JOIN p1kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p2fin fin JOIN p2kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p3fin fin JOIN p3kc10 k ON k.c = fin.c),
+          |qs AS (SELECT id AS qid, f, x FROM pqsrc WHERE id <= 4),
+          |qn AS (SELECT qid, sqrt(sum(x * x)) AS v FROM qs GROUP BY qid),
+          |ap AS (SELECT q.qid, r.id,
+          |  round(sum(q.x * r.cx) / (qn.v * sqrt(sum(r.cx * r.cx))), 4)
+          |    AS approx
+          |  FROM recon r JOIN qs q ON q.f = r.f
+          |  JOIN qn ON qn.qid = q.qid
+          |  GROUP BY q.qid, r.id, qn.v),
+          |cand AS (SELECT qid, id FROM (
+          |  SELECT qid, id, row_number() OVER (
+          |    PARTITION BY qid ORDER BY approx DESC, id ASC) AS rn
+          |  FROM ap) WHERE rn <= 100),
+          |scored AS (SELECT c.qid, a.id,
+          |  round(sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)), 4)
+          |    AS score
+          |  FROM pqsrc a JOIN cand c ON c.id = a.id
+          |  JOIN qs q ON q.qid = c.qid AND q.f = a.f
+          |  GROUP BY c.qid, a.id)
+          |SELECT qid, id, score FROM (
+          |  SELECT qid, id, score, row_number() OVER (
+          |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+          |  FROM scored) WHERE rn <= 10
+          |ORDER BY qid, score DESC, id ASC""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
 
     // IVF+PQ replay: the v_ivf_topk probe chain (k=16 lists, 15 Lloyd

@@ -514,6 +514,82 @@ object Similarity {
     PqIndex(spark.read.parquet(s"$path/codes"), books)
   }
 
+  /** MANY queries against one PQ index — completing the batch matrix
+    * (exact `searchBatch`, IVF `ivfTopKBatch`, SQ8 `sq8TopKBatch`, PQ
+    * here). The ADC win in batch shape: per query the m·ksub
+    * dot/norm² lookup tables are built ONCE — on the EXECUTORS via a
+    * map over the query frame (never a driver loop over Q), 2·m·ksub
+    * doubles per query (~8 KB at m=8/ksub=64) — then ONE scan of the
+    * m-byte codes scores every (row, query) pair at m table reads
+    * each, the queries riding as a broadcast. Salted per-query cut on
+    * round-4 approx (id tie-break), one exact rerank join for all
+    * queries' survivors: each qid's rows equal the single-query
+    * [[pqTopK]] at the same rerank (spec-pinned). Queries need
+    * (qid, qvec); output (qid, id, score) — exact round-4 cosines,
+    * (score DESC, id ASC) per qid.
+    */
+  def pqTopKBatch(
+      index: PqIndex, emb: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val m = index.m
+    val ksub = index.ksub
+    val dsub = index.dsub
+    val bcBooks = spark.sparkContext.broadcast(index.books)
+    val luts = queries
+      .select(F.col("qid").cast("long"),
+        F.col("qvec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (qid, q) =>
+        require(q.length == m * dsub,
+          s"query $qid has ${q.length} dims but index was encoded for ${m * dsub}")
+        val books = bcBooks.value
+        val lutDot = new Array[Double](m * ksub)
+        val lutN2 = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          var j = 0
+          while (j < ksub) {
+            val c = books(s)(j)
+            var d = 0.0
+            var n2 = 0.0
+            var f = 0
+            while (f < dsub) {
+              d += q(s * dsub + f) * c(f)
+              n2 += c(f) * c(f)
+              f += 1
+            }
+            lutDot(s * ksub + j) = d
+            lutN2(s * ksub + j) = n2
+            j += 1
+          }
+          s += 1
+        }
+        (qid, q, lutDot, lutN2, math.sqrt(q.map(x => x * x).sum))
+      }
+      .toDF("qid", "qvec", "lutd", "lutn", "qnorm")
+    val approx = index.codes
+      .crossJoin(F.broadcast(luts.select("qid", "lutd", "lutn", "qnorm")))
+      .select(F.col("qid"), F.col("id"),
+        F.round(graft.functions.VectorFunctions.pqAdcCosine(
+          F.col("codes"), F.col("lutd"), F.col("lutn"),
+          F.col("qnorm")), 4).as("approx"))
+    val cand = graft.scale.Skew.saltedTopKPerKey(
+        approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
+      .select("qid", "id")
+    val rescored = cand
+      .join(emb.select(F.col("id"), F.col("vec")), "id")
+      .join(F.broadcast(luts.select("qid", "qvec")), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.saltedTopKPerKey(
+        rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
   /** IVF+PQ — the composed scale shape (faiss IndexIVFPQ): the
     * inverted lists prune WHICH rows are scanned (`nprobe` of `k`
     * lists — the ivfTopK pruning, partition-prunable when the lists

@@ -115,6 +115,28 @@ class PqSpec extends SparkSpec {
     } finally Similarity.pqRelease(index)
   }
 
+  test("pqTopKBatch: each qid equals the single-query path at the same rerank") {
+    val s = spark
+    import s.implicits._
+    val index = Similarity.pqBuild(emb, m = 8, ksub = 64)
+    try {
+      val qids = Seq(3L, 77L, 240L, 591L)
+      val qs = emb.where(F.col("id").isin(qids: _*))
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val batch = Similarity.pqTopKBatch(index, emb, qs, k = 10, rerank = 50)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      for (qid <- qids) {
+        val q = emb.where(F.col("id") === qid).select("vec")
+          .head.getSeq[Double](0).toArray
+        val single = Similarity.pqTopK(index, emb, q, 10, rerank = 50)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single, s"qid=$qid diverged from single-query")
+      }
+    } finally Similarity.pqRelease(index)
+  }
+
   test("IVF+PQ: full probes degenerate to pqTopK; pruning only restricts") {
     val ivf = Similarity.ivfBuild(emb, nLists = 8)
     val pq = Similarity.pqBuild(emb, m = 8, ksub = 64)
