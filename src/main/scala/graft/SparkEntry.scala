@@ -155,7 +155,8 @@ object SparkEntry {
     "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
     "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve",
     "d_split_leakfree", "v_rrf_fusion", "d_containment", "q_drift_psi",
-    "t_lang_mix", "d_corpus_diff", "v_ann_topk_pq_batch")
+    "t_lang_mix", "d_corpus_diff", "v_ann_topk_pq_batch",
+    "d_weighted_sample")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -767,6 +768,14 @@ object SparkEntry {
     // misses — >= 80% of a doc's distinct 6-grams inside another doc
     "d_containment" -> ((s, d) =>
       Dedup.containmentPairs(docs(s, d), n = 6, minContainment = 0.8)),
+
+    // weighted k-per-stratum sample (A-ES, derandomized): selection
+    // tilted toward longer docs, membership a pure function of the
+    // data — the quality-weighted curation sampler
+    "d_weighted_sample" -> ((s, d) =>
+      TrainPrep.weightedSamplePerStratum(
+        docs(s, d), F.col("doc_id"), F.col("source"),
+        F.col("n_chars").cast("double"), k = 20)),
 
     // leakage-free split: near-dup clusters share one split key, so a
     // pair can never straddle train/test; singletons split exactly as
@@ -3763,6 +3772,22 @@ object SparkEntry {
         |FROM sh s JOIN sz z ON z.doc_id = s.doc_id
         |WHERE round(s.shared::DOUBLE / z.n_grams, 4) >= 0.8
         |ORDER BY containment DESC, s.doc_id, s.container_id""".stripMargin,
+
+    // A-ES replay: the same md5-first-8-hex uniform (+1 so ln never
+    // sees zero), ln(u)/w keys, per-stratum max-k on the RAW key with
+    // the row-key tiebreak, round-6 output
+    "d_weighted_sample" ->
+      """WITH base AS (SELECT doc_id AS key, source AS stratum,
+        |  CAST(n_chars AS DOUBLE) AS w FROM documents),
+        |a AS (SELECT key, stratum, w,
+        |  ln((('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |    / 4294967296.0) / w AS akey
+        |  FROM base),
+        |r AS (SELECT key, stratum, w, akey, row_number() OVER (
+        |  PARTITION BY stratum ORDER BY akey DESC, key ASC) AS rn FROM a)
+        |SELECT key, stratum, w, round(akey, 6) AS akey FROM r
+        |WHERE rn <= 20
+        |ORDER BY stratum, akey DESC, key""".stripMargin,
 
     // leak-free replay: exact >= 0.8 Jaccard pairs -> recursive
     // min-label closure -> coalesce(keeper, doc_id) as the split key

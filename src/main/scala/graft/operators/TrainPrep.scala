@@ -632,6 +632,49 @@ object TrainPrep {
       .select("key", "stratum", "hkey")
   }
 
+  /** WEIGHTED k-per-stratum sample without replacement — the
+    * Efraimidis–Spirakis A-ES scheme (2006), derandomized: each row's
+    * selection key is ln(u)/w where u is the md5-hash uniform of the
+    * row key (so membership is a pure function of the data, like
+    * every sampler here — any engine/layout/cluster reproduces it)
+    * and w its weight; the k LARGEST keys per stratum are exactly a
+    * weight-proportional sample without replacement (u^(1/w) max-k is
+    * the paper's scheme; ln is monotone and sign-stable since
+    * u ∈ (0,1)). The use case [[sampleKPerStratum]] can't serve:
+    * quality-weighted curation — sample k docs per source with
+    * probability tilted toward high quality scores, reproducibly.
+    *
+    * Weights must be > 0 — the first nonpositive weight fails the job
+    * (same fail-fast contract as [[stratumWeightQuota]]); selection
+    * runs through the salted two-phase rank, so a dominant stratum
+    * still bounds every task. Output: (key, stratum, w, akey round-6),
+    * (stratum, akey DESC, key) ordered.
+    */
+  def weightedSamplePerStratum(
+      df: DataFrame, key: Column, stratum: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = weight.cast("double")
+    val typed = df.select(
+      key.cast("long").as("key"),
+      stratum.cast("string").as("stratum"),
+      F.when(w.isNull || w <= 0.0,
+        F.raise_error(F.concat(
+          F.lit("weightedSamplePerStratum: nonpositive weight "),
+          w.cast("string"),
+          F.lit(" — A-ES needs w > 0"))).cast("double"))
+        .otherwise(w).as("w"))
+    val u = (F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 8),
+      16, 10).cast("long") + 1L) / F.lit(4294967296.0)
+    val keyed = typed.withColumn("akey", F.log(u) / F.col("w"))
+    graft.scale.Skew
+      .saltedTopKPerKey(
+        keyed, "stratum", Seq(F.col("akey").desc, F.col("key").asc), k)
+      .select(F.col("key"), F.col("stratum"), F.col("w"),
+        F.round(F.col("akey"), 6).as("akey"))
+      .orderBy(F.col("stratum"), F.col("akey").desc, F.col("key"))
+  }
+
   /** Length-bucketed batch assignment — the padding-minimizing batch
     * layout for sequence training: docs are bucketed by token count
     * (`bucket = n_tokens div width`) and numbered within their bucket

@@ -582,6 +582,41 @@ class TrainPrepSpec extends SparkSpec {
       TrainPrep.splitAssign(df, F.col("doc_id"), Seq("a" -> 0.5, "a" -> 0.5)))
   }
 
+  test("weightedSamplePerStratum: weight tilt, layout invariance, fail-fast") {
+    val s = spark
+    import s.implicits._
+    // 1000 items per stratum: even keys weight 10, odd keys weight 1 —
+    // the heavy class must dominate the sample (A-ES inclusion is
+    // weight-monotone; at a 10:1 tilt the heavy share is >> half)
+    val df = (0L until 2000L).map(i =>
+      (i, if (i < 1000) "a" else "b", if (i % 2 == 0) 10.0 else 1.0))
+      .toDF("doc_id", "src", "wt")
+    def run(d: org.apache.spark.sql.DataFrame) = TrainPrep
+      .weightedSamplePerStratum(
+        d, F.col("doc_id"), F.col("src"), F.col("wt"), k = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val out = run(df)
+    assert(out.size == 200 && out.count(_._2 == "a") == 100)
+    val heavy = out.count(_._1 % 2 == 0)
+    assert(heavy >= 160,
+      s"10x weights should dominate the sample: $heavy/200 heavy picks")
+    // membership is a pure function of the data
+    assert(run(df.repartition(17)).toSet == out.toSet)
+    // uniform weights degenerate to A-ES over plain hash uniforms:
+    // still exactly k per stratum, deterministic
+    val unif = TrainPrep.weightedSamplePerStratum(
+      df, F.col("doc_id"), F.col("src"), F.lit(1.0), k = 5)
+      .collect()
+    assert(unif.length == 10)
+    // nonpositive weight fails the job with the operator named
+    val e = intercept[Exception](
+      TrainPrep.weightedSamplePerStratum(
+        df.withColumn("wt", F.when(F.col("doc_id") === 7, -1.0)
+          .otherwise(F.col("wt"))),
+        F.col("doc_id"), F.col("src"), F.col("wt"), k = 5).count())
+    assert(e.getMessage.contains("weightedSamplePerStratum"))
+  }
+
   test("leakFreeSplit: dup clusters share one split; singletons match splitAssign") {
     val s = spark
     import s.implicits._
