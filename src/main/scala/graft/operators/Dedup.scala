@@ -508,6 +508,31 @@ object Dedup {
     MinhashIndex(rows, sh, index.numHashes, index.bands, index.shingleLen)
   }
 
+  /** Exact removal — the other half of incremental maintenance (an
+    * index that can only grow accumulates ghosts of deleted/changed
+    * docs and dedups new data against content that no longer exists):
+    * one anti join per stored frame keyed by doc_id. Per-document
+    * state makes this EXACT too, so the full maintenance law holds —
+    *
+    *   build(C') ≡ append(remove(build(C), changed ∪ removed),
+    *                      changed' ∪ added)
+    *
+    * for any snapshot transition C → C' (spec-pinned, driven by
+    * [[graft.operators.Cdc.corpusDiff]]'s statuses). IVF cannot offer
+    * the same law: its centroids were FIT on the removed docs, so
+    * removal leaves a quantizer the remaining data never chose.
+    */
+  def minhashIndexRemove(index: MinhashIndex, ids: DataFrame): MinhashIndex = {
+    val key = ids.select(F.col("doc_id").cast("long"))
+    val rows = index.bandRows.join(key, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = index.refShingles.join(key, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count(); sh.count()
+    minhashIndexRelease(index)
+    MinhashIndex(rows, sh, index.numHashes, index.bands, index.shingleLen)
+  }
+
   /** Persist: band rows PARTITIONED BY band (a probe for one band
     * prunes to its partition on the saved layout) + shingles + a meta
     * sidecar. */

@@ -196,6 +196,51 @@ class DedupSpec extends SparkSpec {
       graft.operators.Dedup.containmentPairs(docs, minContainment = 0.0))
   }
 
+  test("minhash index maintenance law: remove+append tracks any snapshot diff") {
+    val s = spark
+    import s.implicits._
+    val old = docs.where(F.col("doc_id") < 60)
+    // snapshot transition: drop %7, edit %5 (token appended), add 3 new
+    val k = F.col("doc_id")
+    val neu = old.where(k % 7 =!= 0)
+      .withColumn("text",
+        F.when(k % 5 === 0, F.concat(F.col("text"), F.lit(" edited")))
+          .otherwise(F.col("text")))
+      .unionByName(Seq(
+        (900L, "fresh addition one entirely new"),
+        (901L, "fresh addition two entirely new"),
+        (902L, "fresh addition three entirely new")).toDF("doc_id", "text"))
+    val diff = graft.operators.Cdc.corpusDiff(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gone = diff.filter(p => p._2 == "removed" || p._2 == "changed")
+      .keys.toSeq
+    val incoming = diff.filter(p => p._2 == "added" || p._2 == "changed")
+      .keys.toSeq
+    // incremental: remove ghosts, append the new versions
+    val maintained = Dedup.minhashIndexAppend(
+      Dedup.minhashIndexRemove(
+        Dedup.minhashIndexBuild(old),
+        gone.toDF("doc_id")),
+      neu.where(F.col("doc_id").isin(incoming: _*)))
+    val rebuilt = Dedup.minhashIndexBuild(neu)
+    try {
+      // the law: maintained index == rebuilt index, probe for probe
+      val corpus = docs.where(F.col("doc_id") >= 100)
+      def pairs(idx: Dedup.MinhashIndex) =
+        Dedup.minhashNearDupAgainstIndex(corpus, idx).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      val a = pairs(maintained)
+      val b = pairs(rebuilt)
+      assert(a == b, s"maintained != rebuilt: ${(a diff b) ++ (b diff a)}")
+      // and the stored state itself matches row-for-row
+      assert(maintained.bandRows.select("band", "bh", "doc_id").collect().toSet ==
+        rebuilt.bandRows.select("band", "bh", "doc_id").collect().toSet)
+    } finally {
+      Dedup.minhashIndexRelease(maintained)
+      Dedup.minhashIndexRelease(rebuilt)
+    }
+  }
+
   test("simhash near-dup pairs include exact duplicates at hamming 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, maxDist = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -149,4 +149,47 @@ class KernelPropertiesSpec extends AnyFunSuite {
         s"fused=$fused two-step=$reference")
     }
   }
+
+  test("pq codec: codes bounded by ksub, argmin optimal, ADC equals recon cosine") {
+    import graft.functions.PqKernels
+    (1 to 200).foreach { _ =>
+      val m = 1 + rng.nextInt(4)
+      val ksub = 2 + rng.nextInt(15)
+      val dsub = 1 + rng.nextInt(6)
+      val books = Array.fill(m, ksub, dsub)(rng.nextDouble() * 4 - 2)
+      val flat = books.flatten.flatten
+      val x = Array.fill(m * dsub)(rng.nextDouble() * 4 - 2)
+      val codes = PqKernels.encode(x, flat, m, ksub)
+      assert(codes.length == m)
+      for (s <- 0 until m) {
+        val j = codes(s) & 0xFF
+        assert(j < ksub, s"code $j out of range ksub=$ksub")
+        // argmin optimality: no codebook entry is strictly closer
+        def d2(c: Array[Double]): Double =
+          (0 until dsub).map(f => { val t = x(s * dsub + f) - c(f); t * t }).sum
+        val chosen = d2(books(s)(j))
+        (0 until ksub).foreach(o =>
+          assert(chosen <= d2(books(s)(o)) + 1e-12,
+            s"entry $o beats chosen $j in subspace $s"))
+      }
+      // ADC via lookup tables == cosine(query, reconstruction)
+      val q = Array.fill(m * dsub)(rng.nextDouble() * 4 - 2)
+      val lutDot = new Array[Double](m * ksub)
+      val lutN2 = new Array[Double](m * ksub)
+      for (s <- 0 until m; j <- 0 until ksub) {
+        lutDot(s * ksub + j) =
+          (0 until dsub).map(f => q(s * dsub + f) * books(s)(j)(f)).sum
+        lutN2(s * ksub + j) = books(s)(j).map(v => v * v).sum
+      }
+      val qn = math.sqrt(q.map(v => v * v).sum)
+      val adc = PqKernels.adcCosine(codes, lutDot, lutN2, qn)
+      val recon = Array.tabulate(m * dsub)(i =>
+        books(i / dsub)(codes(i / dsub) & 0xFF)(i % dsub))
+      val want = VectorKernels.cosine(q, recon)
+      assert(math.abs(adc - want) < 1e-9, s"adc=$adc recon-cos=$want")
+      assert(adc >= -1.0 - 1e-9 && adc <= 1.0 + 1e-9)
+      // encode is deterministic (pure function of inputs)
+      assert(PqKernels.encode(x, flat, m, ksub).toSeq == codes.toSeq)
+    }
+  }
 }

@@ -87,4 +87,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
       plan.take(1000))
   }
+
+  test("heavyTokens: exact count aggregates ONLY the semi-joined candidates") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"tok$i the a b c"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.TextOps.heavyTokens(docs, phi = 0.01)
+      .queryExecution.executedPlan.toString
+    // the candidate filter must be a broadcast semi join sitting below
+    // the count aggregate — the whole scale claim of the operator
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    val semiAt = plan.indexOf("LeftSemi")
+    val aggAt = plan.indexOf("HashAggregate")
+    assert(aggAt >= 0 && aggAt < semiAt,
+      "semi join should be under the aggregate (printed after it)")
+  }
+
 }
