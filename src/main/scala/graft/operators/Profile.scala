@@ -90,17 +90,9 @@ object Profile {
       .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
       .toArray
-    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      edges.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-        case (acc, (e, i)) =>
-          Some(acc match {
-            case None    => F.when(c <= e, i)
-            case Some(w) => w.when(c <= e, i)
-          })
-      }.get.otherwise(buckets - 1)
     def side(df: DataFrame, name: String): DataFrame = df
       .select(F.col(col).cast("double").as("v")).na.drop()
-      .select(bucketOf(F.col("v")).as("bucket"))
+      .select(bucketExpr(edges, buckets, F.col("v")).as("bucket"))
       .groupBy("bucket").agg(F.count(F.lit(1)).as(name))
     val all = ref.sparkSession.range(buckets)
       .select(F.col("id").cast("int").as("bucket"))
@@ -131,6 +123,48 @@ object Profile {
       .select("bucket", "lo", "hi", "n_ref", "n_cur", "psi_term")
       .orderBy("bucket")
   }
+
+  /** Reference side of a drift monitor, precomputed once: the round-6
+    * decile edges and the reference's per-bucket fractions — the
+    * driver-sized state (2·buckets doubles) a STREAMING monitor
+    * carries as literals ([[graft.streaming.StreamingOps.psiStream]]).
+    */
+  def psiReference(
+      ref: DataFrame, col: String,
+      buckets: Int = 10): (Array[Double], Array[Double]) = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in 2..1000; got $buckets")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val edges = ref
+      .agg(F.expr(
+        s"percentile($col, array(${ps.mkString(",")}))").as("e"))
+      .head.getSeq[Double](0)
+      .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+      .toArray
+    val counts = ref
+      .select(F.col(col).cast("double").as("v")).na.drop()
+      .select(bucketExpr(edges, buckets, F.col("v")).as("bucket"))
+      .groupBy("bucket").agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    require(total > 0, "psiReference: empty reference")
+    (edges, Array.tabulate(buckets)(i => counts.getOrElse(i, 0L) / total))
+  }
+
+  /** Shared CASE-chain bucketing against round-6 edges — one code path
+    * for the batch monitor, the reference builder, and the streaming
+    * face, so the three cannot drift. */
+  private[graft] def bucketExpr(
+      edges: Array[Double], buckets: Int,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    edges.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, (e, i)) =>
+        Some(acc match {
+          case None    => F.when(c <= e, i)
+          case Some(w) => w.when(c <= e, i)
+        })
+    }.get.otherwise(buckets - 1)
 
   /** The scalar index: Σ psi_term of [[psiBuckets]]. */
   def psi(ref: DataFrame, cur: DataFrame, col: String,

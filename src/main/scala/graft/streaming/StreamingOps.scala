@@ -175,6 +175,54 @@ object StreamingOps {
       .toDF("id", "lambda", "score")
   }
 
+  /** Windowed drift monitor — the streaming face of
+    * [[graft.operators.Profile.psiBuckets]]: per event-time window,
+    * the PSI of the arriving values against a STATIC reference
+    * distribution captured once by
+    * [[graft.operators.Profile.psiReference]] (round-6 decile edges +
+    * reference fractions — 2·buckets doubles riding as literals, no
+    * stream-static join at all). Bucketing is the shared
+    * `Profile.bucketExpr` CASE chain — batch monitor, reference
+    * builder, and stream cannot drift — and the whole window's PSI
+    * folds into ONE streaming aggregate: per-bucket conditional
+    * counts, then the Σ(p−q)·ln(p/q) algebra over those counts in the
+    * same select. Append-mode-capable: the watermark closes windows,
+    * each emits exactly one (window_start, n_events, psi) row — the
+    * alerting stream a 100 TB ingest pipeline tails to catch a source
+    * going sideways BEFORE the corrupted drop reaches training.
+    */
+  def psiStream(
+      values: DataFrame,
+      refEdges: Array[Double],
+      refFracs: Array[Double],
+      valueCol: String = "value",
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(refEdges.length + 1 == refFracs.length,
+      s"need |edges| + 1 == |fracs|; got ${refEdges.length}/${refFracs.length}")
+    val buckets = refFracs.length
+    val eps = 1e-6
+    val b = graft.operators.Profile.bucketExpr(
+      refEdges, buckets, F.col(valueCol).cast("double"))
+    val counts = (0 until buckets).map(i =>
+      F.sum(F.when(F.col("__bucket") === i, 1L).otherwise(0L)).as(s"__n$i"))
+    val total = (0 until buckets).map(i => F.col(s"__n$i")).reduce(_ + _)
+    val psi = (0 until buckets).map { i =>
+      val q = F.col(s"__n$i") / total.cast("double")
+      val p = F.lit(refFracs(i))
+      (p - q) * F.log(F.greatest(p, F.lit(eps)) / F.greatest(q, F.lit(eps)))
+    }.reduce(_ + _)
+    values
+      .withWatermark("ts", watermark)
+      .withColumn("__bucket", b)
+      .groupBy(F.window(F.col("ts"), window))
+      .agg(counts.head, counts.tail: _*)
+      .select(
+        F.col("window.start").as("window_start"),
+        total.as("n_events"),
+        F.round(psi, 6).as("psi"))
+  }
+
   /** Streaming exact dedup: drop documents whose normalized-text
     * fingerprint was already seen (state = one fingerprint per kept
     * doc; bound it with a watermark on `ts` when the input has event

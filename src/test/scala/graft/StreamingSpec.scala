@@ -254,4 +254,39 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(2L, 3L), kept.mkString(","))
   }
+
+  test("psiStream: per-window drift vs static reference matches the batch monitor") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rng = new scala.util.Random(23)
+    // static reference: N(100, 10); stream window 1 ~ same dist
+    // (PSI near 0), window 2 shifted by +2 sigma (PSI large)
+    val ref = (0 until 4000).map(_ => rng.nextGaussian() * 10 + 100).toDF("x")
+    val (edges, fracs) = graft.operators.Profile.psiReference(ref, "x")
+    val in = MemoryStream[(Timestamp, Double)]
+    val df = in.toDF().toDF("ts", "value")
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val w1 = (0 until 500).map(i =>
+      (ts(10, i % 50), rng.nextGaussian() * 10 + 100))
+    val w2 = (0 until 500).map(i =>
+      (ts(11, i % 50), rng.nextGaussian() * 10 + 120))
+    in.addData(w1 ++ w2: _*)
+    StreamingOps.runToMemory(
+      StreamingOps.psiStream(df, edges, fracs),
+      "psis", OutputMode.Complete())
+    val rows = s.sql("SELECT * FROM psis ORDER BY window_start").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 2, rows.toSeq.toString)
+    assert(rows(0)._2 == 500L && rows(1)._2 == 500L)
+    assert(rows(0)._3 < 0.1, s"same-distribution window should be stable: ${rows(0)}")
+    assert(rows(1)._3 > 0.25, s"2-sigma shift should trip the index: ${rows(1)}")
+    // parity law: the streaming fold equals the batch monitor on the
+    // same window's rows (same bucketing code path, same algebra)
+    val batch = graft.operators.Profile.psiBuckets(
+        ref, w2.map(_._2).toDF("x"), "x")
+      .agg(org.apache.spark.sql.functions.sum("psi_term")).head.getDouble(0)
+    assert(math.abs(rows(1)._3 - batch) < 1e-4,
+      s"stream ${rows(1)._3} vs batch $batch")
+  }
 }
