@@ -156,7 +156,7 @@ object SparkEntry {
     "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve",
     "d_split_leakfree", "v_rrf_fusion", "d_containment", "q_drift_psi",
     "t_lang_mix", "d_corpus_diff", "v_ann_topk_pq_batch",
-    "d_weighted_sample")
+    "d_weighted_sample", "t_bigram_lm")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -703,6 +703,15 @@ object SparkEntry {
     // time so the operator's raw double stays reusable.
     "t_unigram_lm" -> ((s, d) =>
       TextOps.unigramLogProb(docs(s, d), docs(s, d))
+        .select(F.col("doc_id"), F.col("n_tokens"),
+          F.round(F.col("bits_per_token"), 6).as("bits_per_token"))
+        .orderBy("doc_id")),
+
+    // interpolated bigram LM (Jelinek-Mercer λ=0.7): the next rung of
+    // the cheap fluency ladder — ML bigram backed off into the add-one
+    // unigram, first token unigram-only, self-scored like t_unigram_lm
+    "t_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLogProb(docs(s, d), docs(s, d), lambda = 0.7)
         .select(F.col("doc_id"), F.col("n_tokens"),
           F.round(F.col("bits_per_token"), 6).as("bits_per_token"))
         .orderBy("doc_id")),
@@ -3707,6 +3716,42 @@ object SparkEntry {
         |  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
         |  round(coalesce(s.bits, 0), 6) AS bits_per_token
         |FROM documents d LEFT JOIN sc s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // bigram-LM replay: positions via generate_subscripts, pair
+    // counts from a self-join on (doc, i+1), lag() for the left word,
+    // the same λ·p2 + (1−λ)·p1 arithmetic with (1 - 0.7) computed in
+    // SQL so both engines share the identical double
+    "t_bigram_lm" ->
+      """WITH tl AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(t, 1) AS i,
+        |  unnest(t) AS token FROM tl),
+        |cnt AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY token),
+        |tot AS (SELECT sum(c) + count(*) + 1 AS denom FROM cnt),
+        |bg AS (SELECT a.token AS pw, b.token AS w, count(*)::DOUBLE AS c
+        |  FROM tok a JOIN tok b
+        |  ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  GROUP BY a.token, b.token),
+        |sc AS (SELECT t.doc_id, t.i, t.token,
+        |  lag(t.token) OVER (PARTITION BY t.doc_id ORDER BY t.i) AS pw
+        |  FROM tok t),
+        |p AS (SELECT s.doc_id,
+        |  CASE WHEN s.pw IS NULL THEN (cu.c + 1) / tot.denom
+        |    ELSE 0.7 * coalesce(bg.c, 0) / cp.c
+        |      + (1 - 0.7) * (cu.c + 1) / tot.denom
+        |  END AS prob
+        |  FROM sc s
+        |  JOIN cnt cu ON cu.token = s.token
+        |  LEFT JOIN cnt cp ON cp.token = s.pw
+        |  LEFT JOIN bg ON bg.pw = s.pw AND bg.w = s.token
+        |  CROSS JOIN tot),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  avg(-log2(prob)) AS bits FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  round(coalesce(a.bits, 0), 6) AS bits_per_token
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // quota replay: inclusive per-source cumsum window, truncate at

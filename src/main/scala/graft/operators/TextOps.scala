@@ -583,6 +583,98 @@ object TextOps {
       .toDF("doc_id", "n_tokens", "bits_per_token")
   }
 
+  /** Jelinek–Mercer interpolated bigram LM scoring — one order up
+    * from [[unigramLogProb]] (the classic cheap fluency ladder:
+    * unigram → interpolated bigram → KenLM): per token,
+    *
+    *   p(wᵢ) = λ·c(wᵢ₋₁,wᵢ)/c(wᵢ₋₁) + (1−λ)·(c(wᵢ)+1)/(N+V+1)
+    *
+    * — the ML bigram backed off into the add-one unigram, so unseen
+    * bigrams degrade to unigram fluency instead of zeroing the doc. A
+    * doc's FIRST token scores on the unigram alone (no synthetic BOS
+    * markers); the bigram denominator is the unigram count of the
+    * left word (the standard shortcut — off by one for doc-final
+    * tokens, consistently on both engines). Unseen left words
+    * contribute a zero bigram term (guarded division).
+    *
+    * Distributed shape: two count shuffles over the LM corpus (one
+    * per order; the BIGRAM table is bounded by observed pairs, not
+    * V²), one driver-sized collect gated at `maxModelRows` with an
+    * actionable message, then a map-only compiled scoring pass over
+    * the broadcast tables sharing [[tokensOf]] with every other
+    * compiled tokenizer. Output: (doc_id, n_tokens, bits_per_token
+    * UNROUNDED — round at presentation like [[unigramLogProb]]).
+    */
+  def bigramLogProb(
+      docs: DataFrame, lmCorpus: DataFrame, lambda: Double = 0.7,
+      maxModelRows: Long = 50000000L): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1]; got $lambda")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val uni = lmCorpus
+      .select(F.explode(tokens(F.col("text"))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("c"))
+      .as[(String, Long)]
+    val toksCol = tokens(F.col("text"))
+    val bi = lmCorpus
+      .select(F.col("text"))
+      .where(F.col("text").isNotNull)
+      .select(toksCol.as("t"))
+      // guard: Spark's sequence(2, 1) runs DESCENDING — a 1-token doc
+      // would fabricate a junk pair instead of none
+      .where(F.size(F.col("t")) >= 2)
+      .select(F.explode(F.expr(
+        "transform(sequence(2, size(t)), i -> struct(t[i-2] AS pw, t[i-1] AS w))"))
+        .as("p"))
+      .select(F.concat(F.col("p.pw"), F.lit(" "), F.col("p.w")).as("pair"))
+      .groupBy("pair").agg(F.count(F.lit(1)).as("c"))
+      .as[(String, Long)]
+    val probeN = (math.min(maxModelRows, Int.MaxValue - 1L) + 1L).toInt
+    val uc = uni.take(probeN)
+    val bc = bi.take(probeN)
+    require(uc.length + bc.length <= maxModelRows,
+      s"bigramLogProb model exceeds maxModelRows=$maxModelRows rows — an " +
+        "n-gram LM is driver-sized by construction; this looks like an " +
+        "unaggregated corpus. Raise maxModelRows explicitly if intended.")
+    val uMap = uc.toMap
+    val bMap = bc.toMap
+    val n = uc.iterator.map(_._2).sum.toDouble
+    val v = uMap.size.toDouble
+    val denom = n + v + 1.0
+    val ln2 = math.log(2.0)
+    val bcU = spark.sparkContext.broadcast(uMap)
+    val bcB = spark.sparkContext.broadcast(bMap)
+    docs
+      .select(F.col("doc_id").cast("long"), F.col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        if (text == null) (docId, 0L, 0.0)
+        else {
+          val ts = tokensOf(text)
+          var bits = 0.0
+          var i = 0
+          while (i < ts.length) {
+            val p1 = (bcU.value.getOrElse(ts(i), 0L) + 1.0) / denom
+            val p =
+              if (i == 0) p1
+              else {
+                val cPrev = bcU.value.getOrElse(ts(i - 1), 0L)
+                val p2 =
+                  if (cPrev == 0L) 0.0
+                  else bcB.value.getOrElse(
+                    ts(i - 1) + " " + ts(i), 0L).toDouble / cPrev
+                lambda * p2 + (1.0 - lambda) * p1
+              }
+            bits -= math.log(p) / ln2
+            i += 1
+          }
+          (docId, ts.length.toLong, bits / ts.length)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bits_per_token")
+  }
+
   /** Hashed unigram+bigram features of one document, in token order —
     * the DSIR feature map. Shared by training and scoring so the two
     * compiled paths cannot drift; bigrams join with a single space,

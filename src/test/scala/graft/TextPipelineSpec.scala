@@ -490,6 +490,40 @@ class TextPipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  test("bigramLogProb: lambda=0 degenerates to unigram; word order carries signal") {
+    val s = spark
+    import s.implicits._
+    val lm = (0 until 60).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran to the cat"))
+      .toDF("doc_id", "text")
+    // in-order vs scrambled: same unigrams, so the unigram model can't
+    // tell them apart — the bigram model must
+    val probe = Seq(
+      (1000L, "the cat sat on the mat"),
+      (1001L, "mat the on sat cat the"),
+      (1002L, "x"), (1003L, "")
+    ).toDF("doc_id", "text")
+    def bits(df: org.apache.spark.sql.DataFrame, lam: Double) =
+      graft.operators.TextOps.bigramLogProb(df, lm, lambda = lam)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = bits(probe, 0.7)
+    assert(b(1000L) < b(1001L) - 0.5,
+      s"in-order text must score fewer bits: ${b(1000L)} vs ${b(1001L)}")
+    // unigram model: identical scores for the anagram pair
+    val uni = graft.operators.TextOps.unigramLogProb(probe, lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uni(1000L) - uni(1001L)) < 1e-9)
+    // lambda = 0 kills the bigram term entirely -> exactly unigram
+    val b0 = bits(probe, 0.0)
+    for (id <- Seq(1000L, 1001L))
+      assert(math.abs(b0(id) - uni(id)) < 1e-9, s"λ=0 must equal unigram at $id")
+    // degenerate docs survive: single token scores unigram-only, empty
+    // text tokenizes to one "" token (house convention) — finite both
+    assert(!b(1002L).isNaN && !b(1003L).isNaN)
+    intercept[IllegalArgumentException](
+      graft.operators.TextOps.bigramLogProb(probe, lm, lambda = 1.5))
+  }
+
   test("langMix: mixed doc flagged, modal tie broken, blanks and unk handled") {
     val s = spark
     import s.implicits._

@@ -671,8 +671,11 @@ class TrainPrepSpec extends SparkSpec {
     // the registry must return to its starting size each iteration —
     // r6's bench regression was exactly this class of accumulation
     TrainPrep.releasePinnedCaches()
-    val base = sc.getPersistentRDDs.size
     (1 to 4).foreach { i =>
+      // re-sample the baseline each iteration: zombie entries from
+      // other suites' async unpersist can vanish at any time, and a
+      // stale baseline would mis-blame this pipeline for the delta
+      val iterBase = sc.getPersistentRDDs.size
       // the frames are held in scope across the release so the weak
       // pins are deterministically alive (dropping them earlier lets
       // an interim GC collect a pin before release counts it — the
@@ -685,12 +688,16 @@ class TrainPrepSpec extends SparkSpec {
         budgets = Map.empty, defaultBudget = 40L * i)
       assert(f1.collect().nonEmpty && f2.collect().nonEmpty &&
         f3.collect().nonEmpty)
-      assert(sc.getPersistentRDDs.size > base,
+      assert(sc.getPersistentRDDs.size > iterBase,
         "packers must pin their range-shuffled layout until release")
       val released = TrainPrep.releasePinnedCaches()
       assert(released >= 3, s"expected >= 3 pins released, got $released")
       assert(Seq(f1, f2, f3).forall(_ != null)) // keep frames live past release
-      assert(sc.getPersistentRDDs.size == base,
+      // one-sided on purpose: GROWTH is the accumulation bug this
+      // guards; an exact == races with async unpersist(blocking=false)
+      // cleanup from earlier suites, whose zombie registry entries can
+      // vanish between the baseline sample and this check
+      assert(sc.getPersistentRDDs.size <= iterBase,
         s"pinned caches accumulated after iteration $i")
       // GC pressure between batches: the weak-ref queue must tolerate
       // collected refs (a dead ref is skipped, not an error)
