@@ -156,7 +156,8 @@ object SparkEntry {
     "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve",
     "d_split_leakfree", "v_rrf_fusion", "d_containment", "q_drift_psi",
     "t_lang_mix", "d_corpus_diff", "v_ann_topk_pq_batch",
-    "d_weighted_sample", "t_bigram_lm")
+    "d_weighted_sample", "t_bigram_lm", "q_pivot_events",
+    "q_grouping_sets")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1254,6 +1255,33 @@ object SparkEntry {
         .groupBy("k")
         .agg(F.count(F.lit(1)).as("n"))
         .orderBy("k")),
+
+    // relational surface: PIVOT with an explicit value list (explicit
+    // so the plan is one partial-agg pass, no distinct-values job)
+    "q_pivot_events" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0L)
+        .where(F.col("user_id") < 50)
+        .orderBy("user_id")),
+
+    // relational surface: GROUPING SETS with grouping_id — the
+    // arbitrary-set sibling of q_rollup/q_cube
+    "q_grouping_sets" -> ((s, d) => {
+      tbl(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS (
+          |  (o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority))
+          |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+    }),
 
     "v_ivf_topk" -> ((s, d) => {
       // nprobe=12 is the measured recall@20 >= 0.9 operating point on
@@ -3368,6 +3396,33 @@ object SparkEntry {
         |FROM tok GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
         |LIMIT 50""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |    AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+        |    AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |    AS purchase
+        |FROM events
+        |GROUP BY user_id
+        |HAVING user_id < 50
+        |ORDER BY user_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue,
+        |  (CASE WHEN GROUPING(o_orderstatus) THEN 1 ELSE 0 END)::INT
+        |    AS g_status,
+        |  (CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END)::INT
+        |    AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS (
+        |  (o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     // heavy-hitter replay: the OUTPUT contract is partitioning-free
     // (exactly the tokens with count >= ceil(φN), exact counts), so
