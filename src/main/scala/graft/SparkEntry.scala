@@ -157,7 +157,7 @@ object SparkEntry {
     "d_split_leakfree", "v_rrf_fusion", "d_containment", "q_drift_psi",
     "t_lang_mix", "d_corpus_diff", "v_ann_topk_pq_batch",
     "d_weighted_sample", "t_bigram_lm", "q_pivot_events",
-    "q_grouping_sets")
+    "q_grouping_sets", "v_ivf_pq_topk_batch")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1160,6 +1160,23 @@ object SparkEntry {
       val pq = Similarity.pqBuild(e, m = 4, ksub = 8, iters = 10)
       val out = Similarity.ivfPqTopK(
         ivf, pq, e, queryVec(s, d), k = 20, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.pqRelease(pq)
+      out
+    }),
+
+    // the full IndexIVFPQ serving shape, batched: executor probe
+    // selection + cluster-keyed candidate join + ADC over codes with
+    // broadcast per-query tables + exact rerank
+    "v_ivf_pq_topk_batch" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val pq = Similarity.pqBuild(e, m = 4, ksub = 8, iters = 10)
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val out = Similarity.ivfPqTopKBatch(
+        ivf, pq, e, qs, k = 10, nprobe = 12, rerank = 60)
         .localCheckpoint()
       Similarity.ivfRelease(ivf)
       Similarity.pqRelease(pq)
@@ -3008,6 +3025,65 @@ object SparkEntry {
           |  SELECT qid, id, row_number() OVER (
           |    PARTITION BY qid ORDER BY approx DESC, id ASC) AS rn
           |  FROM ap) WHERE rn <= 100),
+          |scored AS (SELECT c.qid, a.id,
+          |  round(sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)), 4)
+          |    AS score
+          |  FROM pqsrc a JOIN cand c ON c.id = a.id
+          |  JOIN qs q ON q.qid = c.qid AND q.f = a.f
+          |  GROUP BY c.qid, a.id)
+          |SELECT qid, id, score FROM (
+          |  SELECT qid, id, score, row_number() OVER (
+          |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+          |  FROM scored) WHERE rn <= 10
+          |ORDER BY qid, score DESC, id ASC""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // IVF+PQ batch replay: per-query probe ranking over the iv chain,
+    // probe-bounded candidates intersected with the PQ recon approx,
+    // batch rank convention, exact rescore per qid
+    "v_ivf_pq_topk_batch" ->
+      (s"""WITH pqsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("pqsrc", 16, 15, "iv")},
+          |p0src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 1 AND 16),
+          |p1src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 17 AND 32),
+          |p2src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 33 AND 48),
+          |p3src AS (SELECT id, f, x FROM pqsrc WHERE f BETWEEN 49 AND 64),
+          |${kmeansCtes("p0src", 8, 10, "p0")},
+          |${kmeansCtes("p1src", 8, 10, "p1")},
+          |${kmeansCtes("p2src", 8, 10, "p2")},
+          |${kmeansCtes("p3src", 8, 10, "p3")},
+          |recon AS (
+          |  SELECT fin.id, k.f, k.cx
+          |  FROM p0fin fin JOIN p0kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p1fin fin JOIN p1kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p2fin fin JOIN p2kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p3fin fin JOIN p3kc10 k ON k.c = fin.c),
+          |qs AS (SELECT id AS qid, f, x FROM pqsrc WHERE id <= 4),
+          |cq AS (SELECT q.qid, k.c,
+          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+          |  FROM ivkc15 k JOIN qs q ON q.f = k.f GROUP BY q.qid, k.c),
+          |probes AS (SELECT qid, c FROM (
+          |  SELECT qid, c, row_number() OVER (
+          |    PARTITION BY qid ORDER BY d, c) AS rn FROM cq) WHERE rn <= 12),
+          |sel AS (SELECT p.qid, fin.id
+          |  FROM ivfin fin JOIN probes p ON p.c = fin.c),
+          |qn AS (SELECT qid, sqrt(sum(x * x)) AS v FROM qs GROUP BY qid),
+          |ap AS (SELECT s.qid, r.id,
+          |  round(sum(q.x * r.cx) / (qn.v * sqrt(sum(r.cx * r.cx))), 4)
+          |    AS approx
+          |  FROM recon r JOIN sel s ON s.id = r.id
+          |  JOIN qs q ON q.qid = s.qid AND q.f = r.f
+          |  JOIN qn ON qn.qid = s.qid
+          |  GROUP BY s.qid, r.id, qn.v),
+          |cand AS (SELECT qid, id FROM (
+          |  SELECT qid, id, row_number() OVER (
+          |    PARTITION BY qid ORDER BY approx DESC, id ASC) AS rn
+          |  FROM ap) WHERE rn <= 60),
           |scored AS (SELECT c.qid, a.id,
           |  round(sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)), 4)
           |    AS score

@@ -633,6 +633,94 @@ object Similarity {
       .limit(k)
   }
 
+  /** MANY queries against the composed IVF+PQ index — the last cell
+    * of the batch matrix and the full IndexIVFPQ serving shape: probe
+    * selection on the EXECUTORS (shared [[ivfProbes]] selection code
+    * via the broadcast centroids — can't drift from the single-query
+    * path), ONE cluster-keyed join bounds WHICH rows each query
+    * scores, the m-byte codes join bounds WHAT the scan reads, and
+    * per-query ADC lookup tables ride in by a broadcast qid join.
+    * Salted per-query cut on round-4 approx, one exact rerank join
+    * for all survivors. Each qid's rows equal the single-query
+    * [[ivfPqTopK]] at the same parameters (spec-pinned).
+    *
+    * Queries need (qid, qvec); output (qid, id, score) — exact
+    * round-4 cosines, (score DESC, id ASC) per qid.
+    */
+  def ivfPqTopKBatch(
+      ivf: IvfIndex, pq: PqIndex, emb: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nprobe > 0 && nprobe <= ivf.k,
+      s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=${ivf.k}")
+    val spark = pq.codes.sparkSession
+    import spark.implicits._
+    val m = pq.m
+    val ksub = pq.ksub
+    val dsub = pq.dsub
+    val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    val bcBooks = spark.sparkContext.broadcast(pq.books)
+    val qTyped = queries
+      .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val probed = qTyped
+      .flatMap { case (qid, qv) =>
+        probesFor(bcC.value, qv, nprobe).map(c => (qid, c))
+      }
+      .toDF("qid", "cluster")
+    val luts = qTyped
+      .map { case (qid, q) =>
+        require(q.length == m * dsub,
+          s"query $qid has ${q.length} dims but index was encoded for ${m * dsub}")
+        val books = bcBooks.value
+        val lutDot = new Array[Double](m * ksub)
+        val lutN2 = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          var j = 0
+          while (j < ksub) {
+            val c = books(s)(j)
+            var d = 0.0
+            var n2 = 0.0
+            var f = 0
+            while (f < dsub) {
+              d += q(s * dsub + f) * c(f)
+              n2 += c(f) * c(f)
+              f += 1
+            }
+            lutDot(s * ksub + j) = d
+            lutN2(s * ksub + j) = n2
+            j += 1
+          }
+          s += 1
+        }
+        (qid, q, lutDot, lutN2, math.sqrt(q.map(x => x * x).sum))
+      }
+      .toDF("qid", "qvec", "lutd", "lutn", "qnorm")
+    val sel = ivf.assigned.select("id", "cluster")
+      .join(probed, "cluster")
+      .select("qid", "id")
+    val approx = sel
+      .join(pq.codes, "id")
+      .join(F.broadcast(luts.select("qid", "lutd", "lutn", "qnorm")), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(graft.functions.VectorFunctions.pqAdcCosine(
+          F.col("codes"), F.col("lutd"), F.col("lutn"),
+          F.col("qnorm")), 4).as("approx"))
+    val cand = graft.scale.Skew.saltedTopKPerKey(
+        approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
+      .select("qid", "id")
+    val rescored = cand
+      .join(emb.select(F.col("id"), F.col("vec")), "id")
+      .join(F.broadcast(luts.select("qid", "qvec")), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.saltedTopKPerKey(
+        rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
   def annTopKHamming(
       emb: DataFrame,
       query: Array[Double],

@@ -169,6 +169,39 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopKBatch: per-qid parity with single-query; full probes = pqTopKBatch") {
+    val ivf = Similarity.ivfBuild(emb, nLists = 8)
+    val pq = Similarity.pqBuild(emb, m = 8, ksub = 64)
+    try {
+      val qids = Seq(5L, 123L, 456L)
+      val qs = emb.where(F.col("id").isin(qids: _*))
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val batch = Similarity
+        .ivfPqTopKBatch(ivf, pq, emb, qs, k = 10, nprobe = 3, rerank = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      for (qid <- qids) {
+        val q = emb.where(F.col("id") === qid).select("vec")
+          .head.getSeq[Double](0).toArray
+        val single = Similarity
+          .ivfPqTopK(ivf, pq, emb, q, k = 10, nprobe = 3, rerank = 50)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single, s"qid=$qid diverged from single-query")
+      }
+      // all lists probed = no pruning: identical to the plain PQ batch
+      val all = Similarity
+        .ivfPqTopKBatch(ivf, pq, emb, qs, k = 10, nprobe = 8, rerank = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val plain = Similarity
+        .pqTopKBatch(pq, emb, qs, k = 10, rerank = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(all == plain)
+    } finally {
+      Similarity.ivfRelease(ivf)
+      Similarity.pqRelease(pq)
+    }
+  }
+
   test("validation: dims must split, ksub fits a byte, rerank >= k") {
     val e1 = intercept[IllegalArgumentException](
       Similarity.pqBuild(emb, m = 5, ksub = 8))
