@@ -157,7 +157,7 @@ object SparkEntry {
     "d_split_leakfree", "v_rrf_fusion", "d_containment", "q_drift_psi",
     "t_lang_mix", "d_corpus_diff", "v_ann_topk_pq_batch",
     "d_weighted_sample", "t_bigram_lm", "q_pivot_events",
-    "q_grouping_sets", "v_ivf_pq_topk_batch")
+    "q_grouping_sets", "v_ivf_pq_topk_batch", "q_interval_overlap")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1604,6 +1604,33 @@ object SparkEntry {
         .groupBy("event_id", "user_id")
         .agg(F.count(F.lit(1)).as("n_near_clicks"))
         .orderBy("event_id")
+    }),
+
+    "q_interval_overlap" -> ((s, d) => {
+      // interval-overlap join (engine addition): each event is held
+      // open for 1-5 minutes (deterministic in event_id); count
+      // concurrent-activity pairs per user and the longest overlap.
+      // Naive SQL is an inequality self-join (nested-loop); the
+      // operator buckets both interval sets so candidates meet in one
+      // equi-join shuffle.
+      val iv = eventsUs(s, d).select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").as("s"),
+        F.timestamp_micros(
+          F.unix_micros(F.col("ts")) +
+            (F.lit(1L) + F.col("event_id") % 5L) * 60000000L).as("e"))
+      graft.operators.RangeJoin
+        .intervalOverlapJoin(
+          iv, iv, "user_id", "s", "e", "s", "e",
+          Seq("event_id", "s", "e"), bucketWidthSec = 600L)
+        .where(F.col("event_id") < F.col("r_event_id"))
+        .groupBy("user_id")
+        .agg(
+          F.count(F.lit(1)).as("n_overlap_pairs"),
+          F.max(F.floor(
+            (F.unix_micros(F.least(F.col("e"), F.col("r_e"))) -
+              F.unix_micros(F.greatest(F.col("s"), F.col("r_s")))) / 1000000L))
+            .as("max_overlap_sec"))
+        .orderBy("user_id")
     }),
 
     "m_rank_corr" -> ((s, d) => {
@@ -3462,6 +3489,20 @@ object SparkEntry {
         | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 300000000
         |GROUP BY l.event_id, l.user_id
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + (1 + event_id % 5) * 60000000 AS e
+        |  FROM events)
+        |SELECT a.user_id, count(*) AS n_overlap_pairs,
+        |  max((least(a.e, b.e) - greatest(a.s, b.s)) // 1000000)
+        |    AS max_overlap_sec
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""".stripMargin,
 
     "t_vocab" ->
       """WITH tok AS (

@@ -627,7 +627,7 @@ object TextOps {
       .select(F.explode(F.expr(
         "transform(sequence(2, size(t)), i -> struct(t[i-2] AS pw, t[i-1] AS w))"))
         .as("p"))
-      .select(F.concat(F.col("p.pw"), F.lit(" "), F.col("p.w")).as("pair"))
+      .select(F.concat(F.col("p.pw"), F.lit("\u0000"), F.col("p.w")).as("pair"))
       .groupBy("pair").agg(F.count(F.lit(1)).as("c"))
       .as[(String, Long)]
     val probeN = (math.min(maxModelRows, Int.MaxValue - 1L) + 1L).toInt
@@ -663,7 +663,7 @@ object TextOps {
                 val p2 =
                   if (cPrev == 0L) 0.0
                   else bcB.value.getOrElse(
-                    ts(i - 1) + " " + ts(i), 0L).toDouble / cPrev
+                    ts(i - 1) + "\u0000" + ts(i), 0L).toDouble / cPrev
                 lambda * p2 + (1.0 - lambda) * p1
               }
             bits -= math.log(p) / ln2
