@@ -157,7 +157,8 @@ object SparkEntry {
     "d_split_leakfree", "v_rrf_fusion", "d_containment", "q_drift_psi",
     "t_lang_mix", "d_corpus_diff", "v_ann_topk_pq_batch",
     "d_weighted_sample", "t_bigram_lm", "q_pivot_events",
-    "q_grouping_sets", "v_ivf_pq_topk_batch", "q_interval_overlap")
+    "q_grouping_sets", "v_ivf_pq_topk_batch", "q_interval_overlap",
+    "q_anomaly_events")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1631,6 +1632,24 @@ object SparkEntry {
               F.unix_micros(F.greatest(F.col("s"), F.col("r_s")))) / 1000000L))
             .as("max_overlap_sec"))
         .orderBy("user_id")
+    }),
+
+    "q_anomaly_events" -> ((s, d) => {
+      // trailing z-score anomaly hours (engine addition): hourly event
+      // counts per type densified by resampleGapFill (quiet hours are
+      // real zeros, not missing baseline rows), each hour scored
+      // against the previous 24 hours, |z| >= 2 flagged.
+      val hourly = graft.operators.TimeSeries
+        .resampleGapFill(eventsUs(s, d), "event_type", "ts", "value", "hour")
+      graft.operators.TimeSeries
+        .anomalyZScore(hourly, "event_type", "bucket_ts", "n_events",
+          trailing = 24, minPoints = 8, zThreshold = 2.0)
+        .where(F.col("is_anomaly"))
+        .select(
+          F.col("event_type"),
+          F.date_format(F.col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          F.col("n_events"), F.col("z"))
+        .orderBy("event_type", "hour")
     }),
 
     "m_rank_corr" -> ((s, d) => {
@@ -3503,6 +3522,34 @@ object SparkEntry {
         | AND a.s <= b.e AND b.s <= a.e
         |GROUP BY a.user_id
         |ORDER BY a.user_id""".stripMargin,
+
+    "q_anomaly_events" ->
+      """WITH agg AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, min(b) AS lo, max(b) AS hi
+        |  FROM agg GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+        |  FROM span),
+        |j AS (
+        |  SELECT g.event_type, g.b, coalesce(a.n, 0)::BIGINT AS n
+        |  FROM grid g LEFT JOIN agg a USING (event_type, b)),
+        |sc AS (
+        |  SELECT event_type, b, n,
+        |    count(n) OVER w AS nb, avg(n) OVER w AS m,
+        |    stddev_samp(n) OVER w AS sd
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY b
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  n AS n_events, round((n - m) / sd, 4) AS z
+        |FROM sc
+        |WHERE nb >= 8 AND sd > 0
+        |  AND abs(round((n - m) / sd, 4)) >= 2.0
+        |ORDER BY event_type, hour""".stripMargin,
 
     "t_vocab" ->
       """WITH tok AS (

@@ -63,6 +63,52 @@ object TimeSeries {
         F.col("n_events").isNull.as("is_gap"))
   }
 
+  /** Trailing-window z-score anomaly scoring over a regular per-key
+    * series (compose with [[resampleGapFill]] to densify an event
+    * stream first — on a gappy series "previous `trailing` rows" are
+    * not contiguous hours and the baseline silently skips quiet
+    * periods). Each row is scored against the mean/stddev of the
+    * `trailing` rows strictly BEFORE it (the row itself excluded, so a
+    * spike cannot dilute its own baseline); rows with fewer than
+    * `minPoints` predecessors or a zero-variance baseline get a null
+    * z (cold start / constant series are "no evidence", not "normal").
+    *
+    * 100 TB shape: one per-key ordered window — the irreducible
+    * contract of a trailing statistic; partitions are per-key series
+    * (bounded by key span, never the corpus), and stddev_samp/avg are
+    * streaming single-pass inside the frame. No self-join, no second
+    * scan: mean and variance come from the same window frame.
+    *
+    * Output: input columns + (n_baseline, baseline_mean, z,
+    * is_anomaly); z rounded to 4dp so the score replays bit-stably.
+    */
+  def anomalyZScore(
+      series: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      trailing: Int = 24,
+      minPoints: Int = 8,
+      zThreshold: Double = 2.0): DataFrame = {
+    require(trailing > 0, s"trailing window must be positive, got $trailing")
+    require(minPoints > 0 && minPoints <= trailing,
+      s"minPoints must be in 1..trailing, got $minPoints")
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+      .rowsBetween(-trailing, -1)
+    val n = F.count(F.col(valueCol)).over(w)
+    val mean = F.avg(F.col(valueCol)).over(w)
+    val std = F.stddev_samp(F.col(valueCol)).over(w)
+    val z = F.when(
+      n >= minPoints && std > 0,
+      F.round((F.col(valueCol) - mean) / std, 4))
+    series
+      .withColumn("n_baseline", n)
+      .withColumn("baseline_mean", F.round(mean, 4))
+      .withColumn("z", z)
+      .withColumn("is_anomaly", F.coalesce(F.abs(F.col("z")) >= zThreshold, F.lit(false)))
+  }
+
   /** Ordered conversion funnel: for each key, the earliest time it
     * completed stage 1, then stage 2 STRICTLY AFTER stage 1, and so on
     * — the "view → click → purchase" question, with the standard

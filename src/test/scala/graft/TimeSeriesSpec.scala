@@ -75,4 +75,55 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.funnelStages(ev, "k", "t", "typ", Seq("view", "view")))
   }
+
+  test("anomalyZScore: spike scored against trailing baseline that excludes it") {
+    val s = spark
+    import s.implicits._
+    // 8 steady hours at 10, then a 100-spike: baseline of the spike
+    // row is the 8 steady values only (self excluded)
+    val series = ((0 until 8).map(h => ("a", ts(h), 10.0)) :+ ("a", ts(8), 100.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.anomalyZScore(series, "k", "t", "v",
+      trailing = 24, minPoints = 8, zThreshold = 2.0)
+      .orderBy("t").collect()
+    // steady prefix: fewer than minPoints predecessors OR zero
+    // variance -> null z, never flagged
+    assert(out.take(8).forall(r => r.isNullAt(r.fieldIndex("z")) &&
+      !r.getBoolean(r.fieldIndex("is_anomaly"))))
+    val spike = out.last
+    // baseline is constant 10 -> sd = 0 -> no evidence, null z... but
+    // with 8 identical predecessors stddev_samp = 0, so z stays null:
+    assert(spike.isNullAt(spike.fieldIndex("z")),
+      "zero-variance baseline must yield null z, not infinity")
+  }
+
+  test("anomalyZScore: z matches the closed form and flags only the spike") {
+    val s = spark
+    import s.implicits._
+    // alternating 9/11 baseline (mean 10, sd_samp = sqrt(8/7*1)) then
+    // a spike at 20 and a normal 10
+    val vals = (0 until 8).map(h => if (h % 2 == 0) 9.0 else 11.0)
+    val series = (vals.zipWithIndex.map { case (v, h) => ("a", ts(h), v) } ++
+      Seq(("a", ts(8), 20.0), ("a", ts(9), 10.0))).toDF("k", "t", "v")
+    val out = TimeSeries.anomalyZScore(series, "k", "t", "v",
+      trailing = 24, minPoints = 8, zThreshold = 2.0)
+      .orderBy("t").collect()
+    val spike = out(8)
+    val sd = math.sqrt(8.0 / 7.0)  // samp variance of 4x9, 4x11
+    val expected = BigDecimal((20.0 - 10.0) / sd)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(spike.getDouble(spike.fieldIndex("z")) == expected &&
+      spike.getBoolean(spike.fieldIndex("is_anomaly")),
+      s"spike z=${spike.getDouble(spike.fieldIndex("z"))} want $expected")
+    // the row after the spike: baseline now contains the spike (rows
+    // -24..-1), sd inflated, 10 is not anomalous
+    val after = out(9)
+    assert(!after.getBoolean(after.fieldIndex("is_anomaly")))
+    // per-key isolation: an unrelated key's rows never enter the frame
+    val twoKeys = series.union(Seq(("b", ts(8), 1e6)).toDF("k", "t", "v"))
+    val a8 = TimeSeries.anomalyZScore(twoKeys, "k", "t", "v",
+      trailing = 24, minPoints = 8, zThreshold = 2.0)
+      .where(F.col("k") === "a" && F.col("t") === ts(8)).head
+    assert(a8.getDouble(a8.fieldIndex("z")) == expected)
+  }
 }
