@@ -158,7 +158,7 @@ object SparkEntry {
     "t_lang_mix", "d_corpus_diff", "v_ann_topk_pq_batch",
     "d_weighted_sample", "t_bigram_lm", "q_pivot_events",
     "q_grouping_sets", "v_ivf_pq_topk_batch", "q_interval_overlap",
-    "q_anomaly_events")
+    "q_anomaly_events", "v_pca_summary")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1194,6 +1194,30 @@ object SparkEntry {
     "v_emb_norms" -> ((s, d) =>
       Similarity.norms(emb(s, d)).orderBy("id")),
 
+    "v_pca_summary" -> ((s, d) => {
+      // distributed PCA (engine addition): one treeAggregate moment
+      // pass, deterministic power-iteration factorization, map-only
+      // codegen projection. Output cross-checks the driver-side
+      // eigenvalue against the cluster-side projection variance —
+      // two independent computations of the same quantity.
+      import s.implicits._
+      val e = emb(s, d)
+      val nF = e.select(F.size(F.col("vec"))).head.getInt(0)
+      val m = graft.scale.Pca.fit(e, "vec", nF, k = 3, iters = 60)
+      val proj = graft.scale.Pca.project(e, m, "vec")
+      val vr = proj.agg(
+        (F.avg(F.col("pc1") * F.col("pc1")) - F.avg("pc1") * F.avg("pc1")).as("v1"),
+        (F.avg(F.col("pc2") * F.col("pc2")) - F.avg("pc2") * F.avg("pc2")).as("v2"),
+        (F.avg(F.col("pc3") * F.col("pc3")) - F.avg("pc3") * F.avg("pc3")).as("v3")).head
+      (0 until 3).map(j => (j + 1, m.eigenvalues(j), vr.getDouble(j)))
+        .toDF("component", "eigenvalue", "var_proj")
+        .select(
+          F.col("component"),
+          F.round(F.col("eigenvalue"), 6).as("eigenvalue"),
+          F.round(F.col("var_proj"), 6).as("var_proj"))
+        .orderBy("component")
+    }),
+
     // contrastive hard negatives: nearest neighbors with a DIFFERENT
     // class label, per query — theta-join rewritten as an equi-join
     // on exploded negative-label keys (see Similarity.hardNegatives)
@@ -1872,7 +1896,64 @@ object SparkEntry {
       |  FROM cand JOIN ssh x ON x.doc_id = cand.doc_a
       |            JOIN ssh y ON y.doc_id = cand.doc_b)""".stripMargin
 
+  /** Replay of Pca.fit/project as generated DuckDB SQL: the covariance
+    * from an unnested self-join, then the SAME fixed-start power
+    * iteration with Hotelling deflation, unrolled one CTE per
+    * iteration (the per-iteration normalize uses a whole-partition
+    * window so every CTE references its predecessor exactly once —
+    * linear, not exponential, under CTE inlining; the shared
+    * covariance CTEs are MATERIALIZED because c_k is probed by all
+    * `iters` matvecs). Power iteration is self-correcting, so the
+    * engine and oracle trajectories agree to ~1e-12 long before
+    * either has converged — round(…, 6) on both sides absorbs it.
+    */
+  private def pcaOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings),
+      |n AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+      |m AS MATERIALIZED (
+      |  SELECT i, sum(x) / (SELECT n FROM n) AS mu FROM e GROUP BY i),
+      |c0 AS MATERIALIZED (
+      |  SELECT g.i, g.j, g.s / (SELECT n FROM n) - ma.mu * mb.mu AS v
+      |  FROM (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+      |        FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2) g
+      |  JOIN m ma ON ma.i = g.i JOIN m mb ON mb.i = g.j),
+      |v0 AS (SELECT i, 1.0 / sqrt((SELECT count(*) FROM m)) AS val FROM m)""".stripMargin
+    for (c <- 1 to k) {
+      val cov = s"c${c - 1}"
+      for (t <- 1 to iters) {
+        val prev = if (t == 1) "v0" else s"v${c}_${t - 1}"
+        // MATERIALIZED: DuckDB 1.0 inlines single-reference CTEs, and a
+        // 60-deep inlined chain made optimization time EXPONENTIAL in
+        // iteration count (measured: 8 iters 0.16 s, 12 iters 0.8 s);
+        // materializing each 64-row iterate keeps it linear (60 iters 0.35 s)
+        sb ++= s",\nv${c}_$t AS MATERIALIZED (SELECT i, s / sqrt(sum(s * s) OVER ()) AS val FROM " +
+          s"(SELECT c.i AS i, sum(c.v * p.val) AS s FROM $cov c JOIN $prev p ON c.j = p.i GROUP BY c.i))"
+      }
+      val vl = s"v${c}_$iters"
+      sb ++= s",\nl$c AS (SELECT sum(a.val * c.v * b.val) AS l FROM $cov c " +
+        s"JOIN $vl a ON c.i = a.i JOIN $vl b ON c.j = b.i)"
+      if (c < k)
+        sb ++= s",\nc$c AS MATERIALIZED (SELECT c.i, c.j, c.v - (SELECT l FROM l$c) * a.val * b.val AS v " +
+          s"FROM $cov c JOIN $vl a ON c.i = a.i JOIN $vl b ON c.j = b.i)"
+      sb ++= s",\nmd$c AS (SELECT sum(m.mu * v.val) AS md FROM m JOIN $vl v ON m.i = v.i)"
+      sb ++= s",\np$c AS (SELECT e.vec_id, sum(e.x * v.val) - (SELECT md FROM md$c) AS p " +
+        s"FROM e JOIN $vl v ON e.i = v.i GROUP BY e.vec_id)"
+      sb ++= s",\ns$c AS (SELECT $c AS component, round((SELECT l FROM l$c), 6) AS eigenvalue, " +
+        s"round(sum(p * p) / (SELECT n FROM n) - (sum(p) / (SELECT n FROM n)) * (sum(p) / (SELECT n FROM n)), 6) " +
+        s"AS var_proj FROM p$c)"
+    }
+    sb ++= "\n" + (1 to k).map(c => s"SELECT * FROM s$c").mkString(" UNION ALL ")
+    sb ++= "\nORDER BY component"
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "v_pca_summary" -> pcaOracleSql(3, 60),
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,98 @@
+package graft
+
+import graft.scale.Pca
+import org.apache.spark.sql.{functions => F}
+
+class PcaSpec extends SparkSpec {
+
+  /** Seeded anisotropic cloud: strong axis u1 (sd 3), weak axis u2
+    * (sd 1), faint isotropic noise, shifted off the origin so the
+    * centering path is actually exercised.
+    */
+  private def cloud(n: Int, nF: Int, seed: Int): Seq[(Long, Array[Double])] = {
+    val rng = new scala.util.Random(seed)
+    val u1 = Array.tabulate(nF)(i => if (i == 0) 0.6 else if (i == 1) 0.8 else 0.0)
+    val u2 = Array.tabulate(nF)(i => if (i == 0) -0.8 else if (i == 1) 0.6 else 0.0)
+    (0 until n).map { i =>
+      val a = rng.nextGaussian() * 3.0
+      val b = rng.nextGaussian() * 1.0
+      val v = Array.tabulate(nF)(f =>
+        5.0 + a * u1(f) + b * u2(f) + rng.nextGaussian() * 0.01)
+      (i.toLong, v)
+    }
+  }
+
+  test("recovers the known dominant direction of a planar cloud") {
+    val s = spark
+    import s.implicits._
+    val df = cloud(400, 6, seed = 11).toDF("id", "vec")
+    val m = Pca.fit(df, "vec", nFeatures = 6, k = 2, iters = 80)
+    val v1 = m.components(0)
+    // sign-free alignment with (0.6, 0.8, 0, ...)
+    val align = math.abs(v1(0) * 0.6 + v1(1) * 0.8)
+    assert(align > 0.999, s"dominant component misaligned: ${v1.toSeq}")
+    assert(m.eigenvalues(0) > 7.0 && m.eigenvalues(0) < 11.0,
+      s"eigenvalue should be near 9 (sd 3 axis): ${m.eigenvalues.toSeq}")
+    assert(m.eigenvalues(1) > 0.7 && m.eigenvalues(1) < 1.4,
+      s"second eigenvalue should be near 1: ${m.eigenvalues.toSeq}")
+  }
+
+  test("components are unit-norm, mutually orthogonal, eigenvalues descending") {
+    val s = spark
+    import s.implicits._
+    val df = cloud(300, 8, seed = 23).toDF("id", "vec")
+    val m = Pca.fit(df, "vec", nFeatures = 8, k = 3, iters = 80)
+    for (c <- m.components)
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    for (i <- 0 until 3; j <- (i + 1) until 3) {
+      val d = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d) < 1e-6, s"components $i,$j not orthogonal: $d")
+    }
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+      s"eigenvalues not descending: ${m.eigenvalues.toSeq}")
+  }
+
+  test("projection variance matches the eigenvalue; projections are centered") {
+    val s = spark
+    import s.implicits._
+    val df = cloud(500, 6, seed = 37).toDF("id", "vec")
+    val m = Pca.fit(df, "vec", nFeatures = 6, k = 2, iters = 80)
+    val p = Pca.project(df, m, "vec")
+      .agg(
+        F.avg("pc1").as("m1"),
+        (F.avg(F.col("pc1") * F.col("pc1")) -
+          F.avg("pc1") * F.avg("pc1")).as("v1"),
+        (F.avg(F.col("pc2") * F.col("pc2")) -
+          F.avg("pc2") * F.avg("pc2")).as("v2"))
+      .head
+    assert(math.abs(p.getDouble(0)) < 1e-9, s"pc1 not centered: ${p.getDouble(0)}")
+    assert(math.abs(p.getDouble(1) - m.eigenvalues(0)) < 1e-6 * math.max(1.0, m.eigenvalues(0)),
+      s"var(pc1)=${p.getDouble(1)} vs eig=${m.eigenvalues(0)}")
+    assert(math.abs(p.getDouble(2) - m.eigenvalues(1)) < 1e-4 * math.max(1.0, m.eigenvalues(1)),
+      s"var(pc2)=${p.getDouble(2)} vs eig=${m.eigenvalues(1)}")
+  }
+
+  test("fit is deterministic bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val df = cloud(200, 5, seed = 41).toDF("id", "vec").repartition(7)
+    val a = Pca.fit(df, "vec", 5, 2, iters = 50)
+    val b = Pca.fit(df, "vec", 5, 2, iters = 50)
+    assert(a.mean.toSeq == b.mean.toSeq)
+    assert(a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq)
+    assert(a.eigenvalues.toSeq == b.eigenvalues.toSeq)
+  }
+
+  test("guards: bad vector length, bad k, empty input") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "vec")
+    val e = intercept[Exception](Pca.fit(df, "vec", 3, 1))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("expected 3")))
+    intercept[IllegalArgumentException](Pca.fit(df, "vec", 2, 3))
+    intercept[IllegalArgumentException](
+      Pca.fit(df.where(F.lit(false)), "vec", 2, 1))
+  }
+}
