@@ -56,17 +56,31 @@ object Bench {
     /** Between-queries hygiene, OUTSIDE any timed row: release the
       * packer/ranker pinned caches (their results are materialized by
       * the count() above — ADVICE r6 flagged d_source_quota's pin as
-      * living for the rest of the run) and, at query-block boundaries,
-      * a driver GC so the ContextCleaner promptly reclaims
-      * localCheckpoint blocks whose frames are now unreachable
-      * (Dedup.materializeAndRelease checkpoints every d_* result; the
-      * blocks are dead after count() but stay in storage memory until
-      * a GC enqueues their references — exactly the accumulation that
-      * inflated the late g_* block at r6).
+      * living for the rest of the run), then unpersist every
+      * locally-checkpointed RDD the previous query left behind.
+      * Rationale: Dedup.materializeAndRelease (and several a_ and m_
+      * paths) localCheckpoint their results; after count() the blocks
+      * are dead but survive until a driver GC lets the ContextCleaner
+      * find them. r6's block-boundary GC was not enough INSIDE a
+      * block — the 26-query d_* block accumulated checkpoint blocks
+      * into a 12× in-run inflation (d_dedup_against 66.1 s in-run vs
+      * 5.60 s isolated, VERDICT r7 #2). Per-query DETERMINISTIC
+      * unpersist (not GC-dependent) of non-build checkpoints closes
+      * that; build-owned frames (captured in `buildOwned` right after
+      * the build loop) are never touched, so the a_, g_ and m_ queries
+      * keep their shared index. A GC still runs at block boundaries to
+      * return the freed storage before the next block's first row.
       */
     var lastBlock = ""
+    var buildOwned = Set.empty[Int]
     def hygiene(name: String): Unit = {
       graft.operators.TrainPrep.releasePinnedCaches()
+      // isCheckpointed is true only for materialized (here: local)
+      // checkpoints — plain persisted caches stay untouched
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!buildOwned.contains(id) && rdd.isCheckpointed)
+          rdd.unpersist(blocking = false)
+      }
       val block = name.takeWhile(_ != '_')
       if (block != lastBlock) {
         if (lastBlock.nonEmpty) System.gc()
@@ -97,6 +111,9 @@ object Bench {
         row.foreach { case (n, _) => storage(n) = cachedMb() }
         row
       }
+    // everything persistent after the builds belongs to the shared
+    // indexes — hygiene must never unpersist it
+    buildOwned = sc.getPersistentRDDs.keySet.toSet
     // EVERY query is timed (deterministic name order, so timing stays
     // comparable across rounds) and lands in the file artifact below;
     // benchExclude only trims the one-line stdout JSON so it stays
@@ -131,7 +148,7 @@ object Bench {
     // FULL artifact → file (committed per round): all rows + per-row
     // cached storage MB. The slim stdout line keeps the r5/r6 row set
     // so the driver's round-over-round totals compare like for like.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r07.json")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r08.json")
     val full =
       s"""{"metric":"total","value":${fmt(totalOf(results))},"unit":"sec",""" +
         s""""failed":$nFailed,"sf":"$sfName","queries":${toJson(results)},""" +

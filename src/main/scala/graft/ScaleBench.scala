@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
   * expressions (no driver loops, no RNG: content is a pure function of
   * (id, position) via xxhash64, so runs are byte-identical) and times
   * the headline dedup / ANN / packing operators at it. Results go to
-  * `SCALE_BENCH_r07.json` (override: SPARK_GRAFT_SCALE_OUT), one row
+  * `SCALE_BENCH_r08.json` (override: SPARK_GRAFT_SCALE_OUT), one row
   * per operator plus the corpus shape, so the measured scaling of the
   * banded joins, IVF probe pruning, SQ8 scan, and prefix-sum packers
   * is a committed artifact instead of an asymptotic argument.
@@ -80,6 +80,10 @@ object ScaleBench {
     println(s"[scale] docs=${docs.count()} vecs=${emb.count()} dims=$dims")
 
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    // byte metrics live in their OWN map and JSON field: r7 stuffed
+    // them into the seconds column and the headline total summed
+    // 47,489,724 "seconds" of parquet bytes (VERDICT r7 #1)
+    val bytesRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def bench(name: String)(body: => Long): Unit = {
       graft.operators.TrainPrep.releasePinnedCaches()
       val t0 = System.nanoTime()
@@ -158,8 +162,8 @@ object ScaleBench {
       def bytes(p: String): Long = new java.io.File(p)
         .listFiles.filter(_.isFile).map(_.length).sum
       val cb = bytes(s"$dir/codes"); val vb = bytes(s"$dir/vecraw")
-      rows("sq8_codes_bytes") = (cb.toDouble, nVecs)
-      rows("sq8_vectors_bytes") = (vb.toDouble, nVecs)
+      bytesRows("sq8_codes_bytes") = cb
+      bytesRows("sq8_vectors_bytes") = vb
       println(f"[scale] sq8 on-disk: codes=$cb%d B vs vectors=$vb%d B (${vb.toDouble / cb}%.1fx)")
     }
     Similarity.sq8Release(sq8)
@@ -262,6 +266,50 @@ object ScaleBench {
       TextOps.madOutliers(
         docs.withColumn("n_chars", F.length(F.col("text")))).count()
     }
+    // ---- r8 additions (VERDICT r7 #6): the operators whose sf0.1
+    // costs surprised at r7 get measured 40× points of their own
+    bench("d_dedup_against") {
+      // the two-frame continual-pretraining shape: new drop (srcnear)
+      // deduped against the established corpus — index-free sibling of
+      // d_dedup_against_index on the same split
+      Dedup.dedupAgainst(
+        docs.where(F.col("source") === "srcnear"),
+        docs.where(F.col("source") =!= "srcnear")).count()
+    }
+    bench("d_containment") {
+      Dedup.containmentPairs(docs, n = 6, minContainment = 0.8,
+        maxDf = 100).count()
+    }
+    bench("v_bitext_mine_approx") {
+      // IVF-candidate mining across the even/odd halves — the approx
+      // path that replaces the gated |a|*|b| exact operator at scale
+      Similarity.bitextMineApprox(
+        emb.where(F.col("id") % 2 === 0).select("id", "vec"),
+        emb.where(F.col("id") % 2 =!= 0).select("id", "vec"),
+        k = 4, threshold = 1.0, nLists = 64, nprobe = 8).count()
+    }
+    bench("q_entity_resolve") {
+      // synthetic customer records: pairs share a base name (id/2),
+      // 20% carry a one-char corruption so the deletion-neighborhood
+      // blocking does real fuzzy work; fields agree within a pair
+      val recs = spark.range(nDocs / 2).select(
+        F.col("id"),
+        F.when(F.pmod(F.xxhash64(F.col("id"), F.lit("typo")), F.lit(5)) === 0,
+            F.concat(F.lit("nm"), (F.col("id") / 2).cast("long").cast("string"),
+              F.lit("x")))
+          .otherwise(
+            F.concat(F.lit("nm"), (F.col("id") / 2).cast("long").cast("string")))
+          .as("name"),
+        F.pmod(F.col("id") / 2, F.lit(25)).cast("string").as("nation"),
+        F.pmod(F.col("id") / 2, F.lit(5)).cast("string").as("segment"))
+      graft.operators.EntityResolution.resolve(
+        recs, "id", "name",
+        graft.operators.EntityResolution.FieldWeight("name", 0.95, 0.001),
+        Seq(
+          graft.operators.EntityResolution.FieldWeight("nation", 0.9, 0.04),
+          graft.operators.EntityResolution.FieldWeight("segment", 0.9, 0.2)),
+        threshold = 5.0, maxDist = 1).count()
+    }
     bench("g_kcore") {
       // synthetic near-random graph, avg degree ~16 after
       // symmetrization: k=12 peeling does several real rounds
@@ -321,13 +369,16 @@ object ScaleBench {
     events.unpersist(blocking = false)
 
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r07.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r08.json")
+    // scale_total sums TIMINGS only; byte metrics are their own field
     val json =
       s"""{"metric":"scale_total","value":${fmt(rows.values.map(_._1).sum)},""" +
         s""""unit":"sec","scale":$scale,"n_docs":${docs.count()},""" +
         s""""n_vecs":$nVecs,"dims":$dims,"queries":{""" +
         rows.map { case (k, (s, n)) =>
           s""""$k":{"sec":${fmt(s)},"rows":$n}""" }.mkString(",") +
+        s"""},"bytes":{""" +
+        bytesRows.map { case (k, b) => s""""$k":$b""" }.mkString(",") +
         "}}\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(json)

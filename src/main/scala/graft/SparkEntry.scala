@@ -152,13 +152,19 @@ object SparkEntry {
     "q_resample_gapfill", "q_scd2_history", "q_event_funnel",
     "v_ivf_append", "v_ann_topk_pq", "v_ivf_pq_topk",
     "q_bloom_semi", "q_bloom_anti", "t_mad_outliers", "q_data_profile",
-    "v_bitext_mine", "d_dedup_against_index", "t_heavy_tokens",
+    "v_bitext_mine", "v_bitext_mine_approx", "t_heavy_tokens",
     "q_skew_report", "g_kcore", "q_zorder_values", "q_entity_resolve",
     "d_split_leakfree", "v_rrf_fusion", "d_containment", "q_drift_psi",
     "t_lang_mix", "d_corpus_diff", "v_ann_topk_pq_batch",
     "d_weighted_sample", "t_bigram_lm", "q_pivot_events",
-    "q_grouping_sets", "v_ivf_pq_topk_batch", "q_interval_overlap",
-    "q_anomaly_events", "v_pca_summary")
+    "q_grouping_sets", "q_interval_overlap",
+    // near-zero rows rotated OUT of the slim stdout line in r8 to make
+    // room for the two PQ-family flagships above (v_ivf_pq_topk_batch,
+    // d_dedup_against_index) the 100 TB story leans on; their perf is
+    // covered by t_text_stats / q1 / t_lang_dist and they stay in the
+    // full file artifact
+    "q_anomaly_events", "v_pca_summary",
+    "t_fingerprint", "q_distinct_part_stats", "t_lang_id")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -540,16 +546,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // BPE merge training: iterative pairwise merging is not reasonably
-    // SQL-expressible, so this is a rows-level check (no oracleSql
-    // entry — the driver contract's weaker mode); the exact merge
-    // sequence is spec-pinned on the Sennrich reference corpus
+    // BPE merge training — fully oracled in r8 (previously the one
+    // rows-only query pair): the DuckDB side re-derives the 30 merges
+    // from the corpus via unrolled pair-count/argmax/merge rounds
+    // (bpeTrainCtes); the exact merge sequence is ALSO spec-pinned on
+    // the Sennrich reference corpus
     "t_bpe_merges" -> ((s, d) =>
       TextOps.bpeTrain(docs(s, d), numMerges = 30).orderBy("rank")),
 
-    // the encode pass over the learned merges (rows-level check, like
-    // t_bpe_merges — the greedy per-word loop is not SQL-expressible;
-    // the exact pieces are spec-pinned on the Sennrich corpus)
+    // the encode pass over the learned merges; the oracle replays the
+    // greedy lowest-rank loop per distinct word with a recursive CTE
+    // over the same re-derived merge table
     "t_bpe_encode" -> ((s, d) => {
       val all = docs(s, d)
       TextOps.bpeApply(all, TextOps.bpeTrain(all, numMerges = 30))
@@ -1257,6 +1264,21 @@ object SparkEntry {
       Similarity.bitextMine(
         e.where(F.col("id") % 2 === 0),
         e.where(F.col("id") % 2 =!= 0), k = 4, threshold = 1.0)
+    }),
+
+    // the IVF-candidate scale path of bitext mining (new r8 — the
+    // recipe bitextMine's gate error names, as a first-class
+    // operator). Oracled at the FULL-probe operating point, where the
+    // candidate lists are exact per-side top-k and the whole margin /
+    // union / argmax machinery is SQL-replayable; the probe PRUNING
+    // inside ivfTopKBatch carries its own oracle (v_ivf_topk_batch)
+    // and the pruned-path recall is spec-pinned (SimilaritySpec).
+    "v_bitext_mine_approx" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bitextMineApprox(
+        e.where(F.col("id") % 2 === 0),
+        e.where(F.col("id") % 2 =!= 0), k = 4, threshold = 1.0,
+        nLists = 8, nprobe = 8)
     }),
 
     "v_sql_surface" -> ((s, d) => {
@@ -3396,6 +3418,43 @@ object SparkEntry {
         |ORDER BY id_a""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
 
+    // approx-path replay at full probes: the candidate lists are exact
+    // per-side top-4 on the ROUNDED cosine (ivfTopKBatch's round-4
+    // ranking convention), denominators average those rounded values,
+    // candidates = forward ∪ backward, argmax per id_a on the RAW
+    // margin (id_b tiebreak), threshold on the ROUNDED margin
+    "v_bitext_mine_approx" ->
+      ("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |sa AS (SELECT id, v FROM e WHERE id % 2 = 0),
+        |sb AS (SELECT id, v FROM e WHERE id % 2 <> 0),
+        |ap AS (SELECT a.id AS id_a, b.id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |  FROM sa a CROSS JOIN sb b),
+        |fwd AS (SELECT id_a, id_b, cos FROM (
+        |  SELECT id_a, id_b, cos, row_number() OVER (
+        |    PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn FROM ap)
+        |  WHERE rn <= 4),
+        |bwd AS (SELECT id_a, id_b, cos FROM (
+        |  SELECT id_a, id_b, cos, row_number() OVER (
+        |    PARTITION BY id_b ORDER BY cos DESC, id_a ASC) AS rn FROM ap)
+        |  WHERE rn <= 4),
+        |da AS (SELECT id_a, avg(cos) AS den_a FROM fwd GROUP BY id_a),
+        |db AS (SELECT id_b, avg(cos) AS den_b FROM bwd GROUP BY id_b),
+        |cand AS (SELECT DISTINCT id_a, id_b, cos FROM (
+        |  SELECT * FROM fwd UNION ALL SELECT * FROM bwd)),
+        |m AS (SELECT c.id_a, c.id_b, c.cos,
+        |  c.cos / ((da.den_a + db.den_b) / 2) AS mraw
+        |  FROM cand c JOIN da USING (id_a) JOIN db USING (id_b)),
+        |best AS (SELECT id_a, id_b, round(cos, 4) AS cos,
+        |  round(mraw, 4) AS margin, row_number() OVER (
+        |    PARTITION BY id_a ORDER BY mraw DESC, id_b ASC) AS rn
+        |  FROM m)
+        |SELECT id_a, id_b, cos, margin FROM best
+        |WHERE rn = 1 AND margin > 1.0
+        |ORDER BY id_a""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
     "d_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)
@@ -3641,6 +3700,67 @@ object SparkEntry {
         |FROM tok GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
         |LIMIT 50""".stripMargin,
+
+    // full independent replay of BPE merge training (r8 — these two
+    // were the only queries outside the oracle harness): DuckDB
+    // re-derives the 30 merges from the parquet corpus itself via the
+    // unrolled pair-count/argmax/merge rounds in bpeTrainCtes. NOTE:
+    // no blanket AS MATERIALIZED rewrite here — the generated CTEs
+    // carry their own MATERIALIZED, and the encode oracle's recursive
+    // member must stay plain.
+    "t_bpe_merges" ->
+      (s"""WITH ${bpeTrainCtes(30)}
+          |SELECT rank, l AS "left", r AS "right", merged,
+          |  c AS pair_count
+          |FROM mg ORDER BY rank""".stripMargin),
+
+    // greedy encode replay: per distinct word, a recursive CTE applies
+    // the LOWEST-rank merge present in the state (one doubled-separator
+    // replace = one engine merge pass — see bpeSymState) until none
+    // applies; terminal states join back to the docs' word sequence
+    "t_bpe_encode" ->
+      (s"""WITH RECURSIVE ${bpeTrainCtes(30)},
+          |init AS MATERIALIZED (SELECT word,
+          |  ${bpeSymState("word")} AS state FROM words),
+          |enc AS (
+          |  SELECT word, state FROM init
+          |  UNION ALL
+          |  SELECT x.word, replace(x.state,
+          |    '|' || mm.l || '||' || mm.r || '|',
+          |    '|' || mm.l || mm.r || '|')
+          |  FROM (
+          |    SELECT e.word, e.state,
+          |      (SELECT min(m.rank) FROM mg m
+          |       WHERE position('|' || m.l || '||' || m.r || '|' IN e.state) > 0)
+          |        AS br
+          |    FROM enc e) x
+          |  JOIN mg mm ON mm.rank = x.br
+          |),
+          |term AS MATERIALIZED (
+          |  SELECT word,
+          |    list_filter(string_split(state, '|'), x -> x <> '') AS syms
+          |  FROM enc e
+          |  WHERE NOT EXISTS (SELECT 1 FROM mg m
+          |    WHERE position('|' || m.l || '||' || m.r || '|' IN e.state) > 0)),
+          |wp AS MATERIALIZED (SELECT word, array_to_string(syms, ' ') AS piece,
+          |  CAST(len(syms) AS BIGINT) AS np FROM term),
+          |docw AS MATERIALIZED (
+          |  SELECT doc_id, t.i AS pos, t.w AS word FROM (
+          |    SELECT doc_id,
+          |      unnest([{'i': j, 'w': s[j]} for j in range(1, len(s)+1)]) AS t
+          |    FROM (SELECT doc_id, list_filter(
+          |      string_split(trim(text, ' '), ' '), x -> x <> '') AS s
+          |      FROM documents WHERE text IS NOT NULL))),
+          |agg AS MATERIALIZED (
+          |  SELECT d.doc_id, string_agg(w.piece, ' ' ORDER BY d.pos) AS pieces,
+          |    CAST(sum(w.np) AS BIGINT) AS n_pieces,
+          |    CAST(count(*) AS BIGINT) AS n_words
+          |  FROM docw d JOIN wp w USING (word) GROUP BY d.doc_id)
+          |SELECT doc.doc_id, coalesce(a.pieces, '') AS pieces,
+          |  coalesce(a.n_pieces, 0) AS n_pieces,
+          |  coalesce(a.n_words, 0) AS n_words
+          |FROM documents doc LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc.doc_id""".stripMargin),
 
     "q_pivot_events" ->
       """SELECT user_id,
@@ -4999,6 +5119,59 @@ object SparkEntry {
     s"""WITH $GraphBaseCte,
        |${pprRoundsCte(15)}
        |SELECT id, round(r, 6) AS ppr FROM r15 ORDER BY id""".stripMargin
+
+  /** A word's BPE symbol state as a SEPARATOR STRING: every symbol
+    * wrapped in double '|' boundaries ('ab' → '||a||b||</w>||'). With
+    * doubled separators, ONE SQL `replace(state, '|l||r|', '|lr|')` is
+    * bit-exactly the engine's single left-to-right merge pass: each
+    * match consumes one '|' from each flanking boundary, so the
+    * replacement's trailing '|' plus the leftover '|' restore the
+    * double boundary and an immediately-adjacent occurrence still
+    * matches as the scan resumes — the single-separator encoding
+    * instead eats the next occurrence's left boundary and merges pairs
+    * the engine's pass order would not (verified against an
+    * independent replay on sf0.01: single-'|' diverges, double-'|'
+    * matches every doc). '|' cannot collide: corpus text is tokenized
+    * on whitespace and merged symbols concatenate token chars +
+    * '</w>', none of which is '|'.
+    */
+  private def bpeSymState(col: String): String =
+    s"'||' || array_to_string(string_split($col, ''), '||') || '||</w>||'"
+
+  /** Unrolled BPE merge training for the DuckDB oracle (VERDICT r7 #4
+    * closed: the two t_bpe_* rows were the only queries outside the
+    * oracle harness). Each round is pair-counting over the
+    * list-split states, argmax by (count DESC, left ASC, right ASC) —
+    * the engine's deterministic tie order — and the doubled-separator
+    * replace above as the merge pass. Every CTE is MATERIALIZED:
+    * w`i` is referenced by both p`i+1` and w`i+1`, so inlining would
+    * re-derive the chain exponentially. Ends in
+    * mg(rank, l, r, merged, c).
+    */
+  private def bpeTrainCtes(numMerges: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += ("words AS MATERIALIZED (SELECT t AS word, " +
+      "CAST(count(*) AS BIGINT) AS n FROM (" +
+      "SELECT unnest(list_filter(string_split(trim(text, ' '), ' '), " +
+      "x -> x <> '')) AS t FROM documents WHERE text IS NOT NULL) GROUP BY 1)")
+    parts += s"w0 AS MATERIALIZED (SELECT n, ${bpeSymState("word")} AS state FROM words)"
+    (0 until numMerges).foreach { i =>
+      parts += (s"p$i AS MATERIALIZED (SELECT p.l AS l, p.r AS r, " +
+        "CAST(sum(n) AS BIGINT) AS c FROM (" +
+        "SELECT n, unnest([{'l': s[j], 'r': s[j+1]} for j in range(1, len(s))]) AS p FROM (" +
+        s"SELECT n, list_filter(string_split(state, '|'), x -> x <> '') AS s FROM w$i)" +
+        ") GROUP BY 1, 2)")
+      parts += s"b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1)"
+      parts += (s"w${i + 1} AS MATERIALIZED (SELECT n, replace(state, " +
+        "'|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS state " +
+        s"FROM w$i, b$i b)")
+    }
+    val mg = (0 until numMerges)
+      .map(i => s"SELECT $i AS rank, l, r, l || r AS merged, c FROM b$i")
+      .mkString(" UNION ALL ")
+    parts += s"mg AS MATERIALIZED ($mg)"
+    parts.result().mkString(",\n")
+  }
 
   /** Shared DuckDB CTE: the taumode spectral pipeline from the raw
     * embeddings table, mirroring FeatureLaplacian.build +

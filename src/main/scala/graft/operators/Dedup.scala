@@ -939,48 +939,72 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidate pairs within Hamming distance
-    * `maxDist`, blocked on `maxDist + 1` bit-chunks: if two 60-bit
-    * hashes differ in ≤ maxDist bits then by pigeonhole at least one
-    * of the maxDist+1 chunks is bit-identical, so the equi-join on
-    * (chunk index, chunk value) is COMPLETE — no near-dup pair is
-    * missed — and never a cross join. Chunk widths are
-    * ⌊60/(maxDist+1)⌋ or ⌈60/(maxDist+1)⌉.
+    * `maxDist`, blocked Manku-style (Manku, Jain & Das Sarma 2007,
+    * "Detecting near-duplicates for web crawling" §3): the 60 bits
+    * split into `nBlocks` chunks, and a candidate key is the
+    * CONCATENATION of a (nBlocks − maxDist)-subset of chunk values.
+    * Completeness is the same pigeonhole as the classic maxDist+1
+    * scheme — ≤ maxDist differing bits touch ≤ maxDist blocks, so at
+    * least nBlocks − maxDist blocks are bit-identical and in
+    * particular SOME emitted subset is — but the key is now
+    * `(nBlocks − maxDist) · 60/nBlocks` bits wide instead of
+    * `60/(maxDist+1)`: at the r7 default (7 chunks of ~8.5 bits) a
+    * 212k-doc corpus put ~500 docs in every bucket and the candidate
+    * join exploded superlinearly (106.8 s at the 40× scale bench,
+    * VERDICT r7 #5); the default here (nBlocks = maxDist + 3 → 3-chunk
+    * ~20-bit keys, C(9,3)=84 keys/doc at maxDist=6) trades an 84×
+    * slim-row key fan-out — a fixed constant, shuffle-friendly — for
+    * buckets ~4000× more selective, which is the right side of the
+    * trade whenever candidate verification dominates (it does: the
+    * verify carries the full simhash per row).
+    *
+    * `nBlocks` ≤ 0 means the default maxDist + 3 (capped at
+    * SimhashBits); nBlocks = maxDist + 1 recovers the classic
+    * single-chunk scheme exactly. Output is blocking-independent:
+    * (doc_a, doc_b, hamming), hamming ≤ maxDist, deduped, ordered.
     */
-  def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 6): DataFrame = {
+  def simhashNearDupPairs(
+      docs: DataFrame, maxDist: Int = 6, nBlocks: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist < SimhashBits,
       s"maxDist must be in [0, $SimhashBits), got $maxDist")
-    val nChunks = maxDist + 1
-    val base = SimhashBits / nChunks
-    val rem = SimhashBits % nChunks
-    val chunkStructs = (0 until nChunks).map { i =>
+    val b0 = if (nBlocks <= 0) math.min(SimhashBits, maxDist + 3) else nBlocks
+    require(b0 > maxDist && b0 <= SimhashBits,
+      s"nBlocks must be in (maxDist, $SimhashBits], got $b0 for maxDist=$maxDist")
+    val base = SimhashBits / b0
+    val rem = SimhashBits % b0
+    def blockVal(i: Int): Column = {
       val start = i * base + math.min(i, rem)
       val len = base + (if (i < rem) 1 else 0)
       val mask = if (len >= 64) -1L else (1L << len) - 1L
-      F.struct(
-        F.lit(i).as("chunk"),
-        F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(F.lit(mask)).as("cv"))
+      F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(F.lit(mask))
     }
+    val keyStructs = (0 until b0).combinations(b0 - maxDist).toSeq
+      .zipWithIndex.map { case (subset, si) =>
+        F.struct(
+          F.lit(si).as("ss"),
+          F.array(subset.map(blockVal): _*).as("kv"))
+      }
     // persist the signatures: both sides of the self-join read the
     // cached frame instead of re-evaluating the per-row 64-lane
     // aggregate (higher-order functions are interpreted, not codegen'd)
     val sh = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunked = sh
+    val keyed = sh
       .select(
         F.col("doc_id"), F.col("simhash"),
-        F.explode(F.array(chunkStructs: _*)).as("ck"))
+        F.explode(F.array(keyStructs: _*)).as("bk"))
       .select(
         F.col("doc_id"), F.col("simhash"),
-        F.col("ck.chunk").as("chunk"), F.col("ck.cv").as("cv"))
-    val a = chunked.select(F.col("chunk"), F.col("cv"),
+        F.col("bk.ss").as("ss"), F.col("bk.kv").as("kv"))
+    val a = keyed.select(F.col("ss"), F.col("kv"),
       F.col("doc_id").as("doc_a"), F.col("simhash").as("ha"))
-    val b = chunked.select(F.col("chunk"), F.col("cv"),
+    val b = keyed.select(F.col("ss"), F.col("kv"),
       F.col("doc_id").as("doc_b"), F.col("simhash").as("hb"))
     // Hamming-filter BEFORE deduplicating: the filter is a cheap
     // map-side bit_count on the joined row, while dropDuplicates is a
-    // shuffle — narrower chunks (small maxDist+1 widths) can collide
-    // heavily, so the shuffle must only see surviving pairs.
-    val pairs = a.join(b, Seq("chunk", "cv"))
+    // shuffle — the shuffle must only see surviving pairs (near-equal
+    // docs match on MANY subsets, so duplicates scale with dup mass).
+    val pairs = a.join(b, Seq("ss", "kv"))
       .where(F.col("doc_a") < F.col("doc_b"))
       .withColumn("hamming", hammingDist(F.col("ha"), F.col("hb")))
       .where(F.col("hamming") <= maxDist)

@@ -60,7 +60,20 @@ object Layout {
     */
   def zorderWrite(
       df: DataFrame, path: String, c1: String, c2: String,
-      bits: Int = 16, nFiles: Int = 8): Unit = {
+      bits: Int = 16, nFiles: Int = 8): Unit =
+    zorderFrame(df, c1, c2, bits, nFiles)
+      .drop("__zv")
+      .write.mode("overwrite").parquet(path)
+
+  /** The frame [[zorderWrite]] writes, still carrying the `__zv` key:
+    * range-partitioned into `nFiles` and sorted within partitions by
+    * the Morton value. Factored out so PlanShapeSpec can pin the plan
+    * (one range Exchange on __zv + a NON-global sort — a global sort
+    * here would be a second exchange for nothing).
+    */
+  private[graft] def zorderFrame(
+      df: DataFrame, c1: String, c2: String,
+      bits: Int, nFiles: Int): DataFrame = {
     require(nFiles >= 1, s"nFiles must be >= 1; got $nFiles")
     val stats = df.agg(
       F.min(F.col(c1).cast("double")), F.max(F.col(c1).cast("double")),
@@ -73,8 +86,6 @@ object Layout {
     df.withColumn("__zv", zv)
       .repartitionByRange(nFiles, F.col("__zv"))
       .sortWithinPartitions("__zv")
-      .drop("__zv")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Rewrite a parquet directory into ≈`targetFileMB` files: measures

@@ -69,6 +69,15 @@ object RangeJoin {
     * `maxBucketsPerRow` buckets fail loudly (executor-side
     * raise_error, no extra job) rather than silently exploding a task.
     *
+    * INVALID intervals (start > end) are EXCLUDED on both sides before
+    * bucketing — note this is stricter than the naive predicate
+    * `s1 ≤ e2 AND s2 ≤ e1` alone, which can still match an inverted
+    * interval (e.g. [200, 100] against [50, 250]): an inverted
+    * interval denotes no time span, so it pairs with nothing here.
+    * Callers that consider inverted intervals a data bug should assert
+    * `start ≤ end` upstream (profile/checks), since this join drops
+    * them silently by design.
+    *
     * Output: left columns + `payload` right columns as `r_<name>`.
     * Interval columns must be TIMESTAMP; microsecond precision
     * end-to-end (same rationale as [[rangeJoin]]).

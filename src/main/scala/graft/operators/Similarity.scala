@@ -1332,4 +1332,75 @@ object Similarity {
       best
     } finally pairs.unpersist(blocking = false)
   }
+
+  /** Approximate bitext mining — the scale path [[bitextMine]]'s gate
+    * error names, now a first-class operator: candidate pairs come
+    * from IVF top-k lists instead of the |a|·|b| cross join, so the
+    * cost is two coarse-quantizer builds plus two probe-pruned batch
+    * retrievals (each `rows × nprobe/nLists` of a scan), never an
+    * all-pairs product. The margin contract is CCMatrix's
+    * (Schwenk et al. 2021): forward lists (each a queried against
+    * index(b)) and backward lists (each b against index(a)), kNN-avg
+    * denominators per side from those lists, candidates = forward ∪
+    * backward pairs, ratio margin on round-4 cosines, argmax per id_a
+    * (raw-margin ties → smaller id_b), keep ROUNDED margin >
+    * `threshold`.
+    *
+    * Divergence from [[bitextMine]] is bounded and explicit: the
+    * argmax searches the union candidate list, not all pairs, and the
+    * denominators average IVF top-k (missed true neighbors raise the
+    * margin slightly). A pair needs BOTH denominators — an id with an
+    * empty probe result contributes no pairs. At nprobe = nLists the
+    * lists are exact top-k, which is the oracle operating point
+    * (v_bitext_mine_approx) — the pruning itself is measured at the
+    * 40× scale bench and recall-pinned in SimilaritySpec.
+    *
+    * Output: (id_a, id_b, cos, margin) like the exact operator.
+    */
+  def bitextMineApprox(
+      a: DataFrame, b: DataFrame, k: Int = 4, threshold: Double = 1.0,
+      nLists: Int = 16, nprobe: Int = 12): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    val sa = a.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
+    val sb = b.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
+    val idxB = ivfBuild(sb, nLists)
+    val idxA = ivfBuild(sa, nLists)
+    try {
+      val qa = sa.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val qb = sb.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      // bounded by construction: ≤ |a|·k and ≤ |b|·k rows
+      val fwd = ivfTopKBatch(idxB, qa, k, nprobe)
+        .select(F.col("qid").as("id_a"), F.col("id").as("id_b"),
+          F.col("score").as("cos"))
+        .localCheckpoint()
+      val bwd = ivfTopKBatch(idxA, qb, k, nprobe)
+        .select(F.col("id").as("id_a"), F.col("qid").as("id_b"),
+          F.col("score").as("cos"))
+        .localCheckpoint()
+      val denA = fwd.groupBy("id_a").agg(F.avg("cos").as("den_a"))
+      val denB = bwd.groupBy("id_b").agg(F.avg("cos").as("den_b"))
+      val cand = fwd.unionByName(bwd).dropDuplicates("id_a", "id_b")
+      // NO broadcast hint: the denominator frames are corpus-sized
+      // (one row per a / per b) — exactly the unbounded-broadcast
+      // anti-pattern VERDICT r7 #3 flagged in kCore. AQE picks.
+      val margins = cand
+        .join(denA, "id_a")
+        .join(denB, "id_b")
+        .withColumn("margin",
+          F.col("cos") / ((F.col("den_a") + F.col("den_b")) / 2))
+      graft.scale.Skew.saltedTopKPerKey(
+          margins, "id_a", Seq(F.col("margin").desc, F.col("id_b").asc), 1)
+        .select(F.col("id_a"), F.col("id_b"),
+          F.round(F.col("cos"), 4).as("cos"),
+          F.round(F.col("margin"), 4).as("margin"))
+        .where(F.col("margin") > threshold)
+        .orderBy("id_a")
+        .localCheckpoint()
+    } finally {
+      ivfRelease(idxA)
+      ivfRelease(idxB)
+    }
+  }
 }

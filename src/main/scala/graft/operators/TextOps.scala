@@ -122,10 +122,12 @@ object TextOps {
     *
     * Output: (rank, left, right, merged, pair_count), rank ascending
     * from 0 — the merge table a tokenizer consumes, driver-sized
-    * (`numMerges` rows). Iterative pairwise merging is not reasonably
-    * SQL-expressible, so this operator carries a rows-level check plus
-    * an exact-sequence spec (the Sennrich reference corpus) instead of
-    * a DuckDB oracle.
+    * (`numMerges` rows). Oracled end to end since r8: the DuckDB side
+    * re-derives the merge sequence with unrolled pair-count/argmax
+    * rounds (SparkEntry.bpeTrainCtes — merge application is a
+    * doubled-separator string replace that replays the left-to-right
+    * pass exactly), alongside the exact-sequence spec on the Sennrich
+    * reference corpus.
     */
   def bpeTrain(
       docs: DataFrame, numMerges: Int,

@@ -94,6 +94,15 @@ object TimeSeries {
     require(minPoints > 0 && minPoints <= trailing,
       s"minPoints must be in 1..trailing, got $minPoints")
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    // loud failure on output-name collisions: withColumn would silently
+    // OVERWRITE same-named input columns (the one quiet data-loss path
+    // in this file — every other guard here raises)
+    val outCols = Seq("n_baseline", "baseline_mean", "z", "is_anomaly")
+    val clash = outCols.filter(series.columns.contains)
+    require(clash.isEmpty,
+      s"anomalyZScore output column(s) ${clash.mkString(", ")} already " +
+        "exist on the input series and would be overwritten; rename or " +
+        "drop them first")
     val w = Window.partitionBy(keyCol).orderBy(tsCol)
       .rowsBetween(-trailing, -1)
     val n = F.count(F.col(valueCol)).over(w)

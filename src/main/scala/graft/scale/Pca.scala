@@ -27,8 +27,12 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   * drift apart), but near-equal eigenvalues converge slowly —
   * `iters` trades convergence for oracle SQL length. Components are
   * exact eigenvectors only at convergence; they are always unit-norm
-  * and deterministic, which is the contract the oracle and the specs
-  * pin.
+  * and deterministic UP TO ROUNDING: the moment pass's treeAggregate
+  * merges partials in task-completion order, which off local mode is
+  * not a fixed order, so FP non-associativity can move the low bits
+  * between runs. The contract the oracle and specs pin is therefore
+  * tolerance equality (the 6dp oracle comparison absorbs it), never
+  * bitwise equality.
   */
 object Pca {
 

@@ -72,15 +72,22 @@ class PcaSpec extends SparkSpec {
       s"var(pc2)=${p.getDouble(2)} vs eig=${m.eigenvalues(1)}")
   }
 
-  test("fit is deterministic bit-for-bit") {
+  test("fit is deterministic up to merge-order rounding") {
+    // NOT bitwise: treeAggregate's combOp merge order follows task
+    // completion, which off local mode is randomized, so FP
+    // non-associativity may move the low bits between runs. The
+    // contract (docstring, oracle) is tolerance equality at well
+    // under the 6dp oracle comparison.
     val s = spark
     import s.implicits._
     val df = cloud(200, 5, seed = 41).toDF("id", "vec").repartition(7)
     val a = Pca.fit(df, "vec", 5, 2, iters = 50)
     val b = Pca.fit(df, "vec", 5, 2, iters = 50)
-    assert(a.mean.toSeq == b.mean.toSeq)
-    assert(a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq)
-    assert(a.eigenvalues.toSeq == b.eigenvalues.toSeq)
+    def close(x: Array[Double], y: Array[Double]): Boolean =
+      x.length == y.length && x.zip(y).forall { case (p, q) => math.abs(p - q) < 1e-12 }
+    assert(close(a.mean, b.mean))
+    assert(a.components.zip(b.components).forall { case (p, q) => close(p, q) })
+    assert(close(a.eigenvalues, b.eigenvalues))
   }
 
   test("guards: bad vector length, bad k, empty input") {

@@ -88,6 +88,79 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(1000))
   }
 
+  test("kCore peel round is hint-free: no forced broadcast on either side") {
+    val s = spark
+    import s.implicits._
+    // r7 forced F.broadcast on the survivor set — in round 1 that is
+    // the FULL node set, a driver/executor OOM at 100x graph scale
+    // (VERDICT r7 #3). The peel round must leave the strategy to AQE.
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val peeled = graft.graph.GraphAnalytics.peelOnce(edges, k = 2)
+    val hints = peeled.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"peelOnce must not force a join strategy: $hints")
+    // and the drop joins must stay anti joins (row-pruning, not outer)
+    val plan = peeled.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1200))
+  }
+
+  test("ivfPqTopK: ADC scoring sits above the probed-list id join, never the full codes scan") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val emb = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(f => math.sin((i % 4) * 0.9 + f * 0.4) +
+        rng.nextGaussian() * 0.1))
+    }.toDF("id", "vec")
+    val ivf = graft.operators.Similarity.ivfBuild(emb, nLists = 4)
+    val pq = graft.operators.Similarity.pqBuild(emb, m = 4, ksub = 16)
+    try {
+      val q = Array.tabulate(16)(f => math.sin(0.9 + f * 0.4))
+      val out = graft.operators.Similarity.ivfPqTopK(
+        ivf, pq, emb, q, k = 5, nprobe = 2, rerank = 20)
+      val plan = out.queryExecution.executedPlan.toString
+      // WHICH rows: the cluster membership filter must exist below the
+      // codes join — the scan-fraction half of the IVF+PQ claim
+      assert(plan.contains("cluster#") &&
+        (plan.contains(" INSET ") || plan.contains(" IN (")),
+        plan.take(2000))
+      // WHAT is read: the ADC expression must be printed ABOVE (before,
+      // in top-down tree print) the INNERMOST join — the id join that
+      // bounds its input. The outer rerank join prints first, so
+      // compare against the LAST join occurrence; ADC over the
+      // unjoined full codes scan would score every row.
+      val adcAt = plan.indexOf("graft_pq_adc_cosine")
+      val lastJoin = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        .map(plan.lastIndexOf).filter(_ >= 0)
+      assert(adcAt >= 0, plan.take(2000))
+      assert(lastJoin.nonEmpty && adcAt < lastJoin.max,
+        s"ADC at $adcAt must sit above the innermost bounding join (joins at $lastJoin)")
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    } finally {
+      graft.operators.Similarity.ivfRelease(ivf)
+      graft.operators.Similarity.pqRelease(pq)
+    }
+  }
+
+  test("zorderFrame: one range exchange on the Morton key, sort stays partition-local") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 256).map(i => (i.toDouble, ((i * 37) % 256).toDouble))
+      .toDF("x", "y")
+    val frame = graft.operators.Layout.zorderFrame(df, "x", "y", bits = 8, nFiles = 4)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(__zv"), plan.take(1500))
+    // the within-partition sort must NOT be global — a global sort here
+    // would add a second exchange for nothing
+    val sortLine = plan.split("\n").find(_.contains("Sort [__zv"))
+    assert(sortLine.exists(_.contains("false")),
+      s"expected partition-local sort: $sortLine")
+    // exactly one exchange: quantization domains are literals from the
+    // pre-pass, so nothing else in the frame shuffles
+    assert(plan.split("Exchange").length - 1 == 1, plan.take(1500))
+  }
+
   test("heavyTokens: exact count aggregates ONLY the semi-joined candidates") {
     val s = spark
     import s.implicits._

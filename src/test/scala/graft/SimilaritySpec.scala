@@ -483,4 +483,55 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("bitextMine") &&
       e.getMessage.contains("ivfTopKBatch"))
   }
+
+  test("bitextMineApprox: full probes replay the CCMatrix contract; pruning keeps planted pairs") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(59)
+    def v(i: Int): Array[Double] =
+      Array.tabulate(24)(f => math.sin(i * 1.7 + f * 0.61))
+    val aRows = (0 until 40).map(i => (i.toLong, v(i)))
+    val bRows = (0 until 40).map(i =>
+      (i + 1000L, v(i).map(_ + rng.nextGaussian() * 0.05)))
+    val a = aRows.toDF("id", "vec")
+    val b = bRows.toDF("id", "vec")
+    // independent driver-side replay of the documented contract:
+    // round-4 cosines, per-side top-4 lists (rounded-score rank, id
+    // tiebreak), kNN-avg denominators, union candidates, raw-margin
+    // argmax with id_b tiebreak, rounded-margin threshold
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cos = (for ((ia, va) <- aRows; (ib, vb) <- bRows)
+      yield ((ia, ib), r4(graft.functions.VectorKernels.cosine(va, vb)))).toMap
+    def topk(keys: Seq[Long], of: Long => Seq[(Long, Double)]): Map[Long, Seq[(Long, Double)]] =
+      keys.map(k => k -> of(k).sortBy { case (o, c) => (-c, o) }.take(4)).toMap
+    val fwd = topk(aRows.map(_._1), ia => bRows.map(b => (b._1, cos((ia, b._1)))))
+    val bwd = topk(bRows.map(_._1), ib => aRows.map(a => (a._1, cos((a._1, ib)))))
+    val denA = fwd.map { case (k, l) => k -> l.map(_._2).sum / l.size }
+    val denB = bwd.map { case (k, l) => k -> l.map(_._2).sum / l.size }
+    val cand = (fwd.toSeq.flatMap { case (ia, l) => l.map(p => (ia, p._1)) } ++
+      bwd.toSeq.flatMap { case (ib, l) => l.map(p => (p._1, ib)) }).distinct
+    val expected = cand
+      .map { case (ia, ib) =>
+        (ia, ib, cos((ia, ib)), cos((ia, ib)) / ((denA(ia) + denB(ib)) / 2)) }
+      .groupBy(_._1).flatMap { case (_, ps) =>
+        val best = ps.minBy(p => (-p._4, p._2))
+        if (r4(best._4) > 1.0) Some((best._1, best._2, best._3, r4(best._4)))
+        else None
+      }.toSet
+    val full = Similarity
+      .bitextMineApprox(a, b, k = 4, threshold = 1.0, nLists = 4, nprobe = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(full == expected,
+      s"full-probe approx diverged from the contract replay; " +
+        s"missing=${(expected diff full).take(3)} extra=${(full diff expected).take(3)}")
+    // pruned probes on this clustered corpus must keep the planted
+    // translations: recall of (i -> i+1000) stays high
+    val pruned = Similarity
+      .bitextMineApprox(a, b, k = 4, threshold = 0.0, nLists = 4, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = pruned.count { case (ia, ib) => ib == ia + 1000L }
+    assert(planted >= 30, s"pruned approx lost the planted pairs: $planted/40")
+  }
 }

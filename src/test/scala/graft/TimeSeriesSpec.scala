@@ -126,4 +126,17 @@ class TimeSeriesSpec extends SparkSpec {
       .where(F.col("k") === "a" && F.col("t") === ts(8)).head
     assert(a8.getDouble(a8.fieldIndex("z")) == expected)
   }
+
+  test("anomalyZScore: rejects input columns that collide with its output") {
+    val s = spark
+    import s.implicits._
+    // withColumn would silently overwrite a same-named input column —
+    // the guard must raise instead
+    val series = Seq(("a", ts(0), 1.0, 9.9))
+      .toDF("k", "t", "v", "z")
+    val e = intercept[IllegalArgumentException](
+      TimeSeries.anomalyZScore(series, "k", "t", "v"))
+    assert(e.getMessage.contains("z"), e.getMessage)
+    assert(e.getMessage.contains("overwritten"), e.getMessage)
+  }
 }
