@@ -73,6 +73,7 @@ object Bench {
       */
     var lastBlock = ""
     var buildOwned = Set.empty[Int]
+    var sinceGc = 0
     def hygiene(name: String): Unit = {
       graft.operators.TrainPrep.releasePinnedCaches()
       // isCheckpointed is true only for materialized (here: local)
@@ -81,11 +82,23 @@ object Bench {
         if (!buildOwned.contains(id) && rdd.isCheckpointed)
           rdd.unpersist(blocking = false)
       }
+      // GC cadence: block boundaries AND every 8th query. The storage
+      // column proved the r8 checkpoint unpersist works (flat 2.8 MB
+      // through the d_* block), yet d_curate_corpus still read 39 s
+      // in-run vs 4.2 s isolated — the remaining accumulation is
+      // non-RDD garbage (dead broadcast blocks from hundreds of AQE
+      // broadcast joins, codegen classes), which the ContextCleaner
+      // also only reclaims after a driver GC enqueues the references.
+      // Bounding the garbage window to 8 queries costs ~15 untimed
+      // GCs per run.
+      sinceGc += 1
       val block = name.takeWhile(_ != '_')
-      if (block != lastBlock) {
-        if (lastBlock.nonEmpty) System.gc()
-        lastBlock = block
+      val boundary = block != lastBlock && lastBlock.nonEmpty
+      if (boundary || sinceGc >= 8) {
+        System.gc()
+        sinceGc = 0
       }
+      lastBlock = block
     }
     // one-time index builds run FIRST as their own named rows, so the
     // per-query rows below measure query cost — without this, whichever
@@ -146,8 +159,10 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     val sfName = new java.io.File(sfDir).getName
     // FULL artifact → file (committed per round): all rows + per-row
-    // cached storage MB. The slim stdout line keeps the r5/r6 row set
-    // so the driver's round-over-round totals compare like for like.
+    // cached storage MB. The slim stdout line's row set is MOSTLY the
+    // r5/r6 one, but r8 rotated two PQ-family flagships in and three
+    // near-zero rows out (see benchExclude) — round-over-round compare
+    // the per-query rows, not the slim total, across that boundary.
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r08.json")
     val full =
       s"""{"metric":"total","value":${fmt(totalOf(results))},"unit":"sec",""" +

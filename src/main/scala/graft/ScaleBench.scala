@@ -300,8 +300,11 @@ object ScaleBench {
           .otherwise(
             F.concat(F.lit("nm"), (F.col("id") / 2).cast("long").cast("string")))
           .as("name"),
-        F.pmod(F.col("id") / 2, F.lit(25)).cast("string").as("nation"),
-        F.pmod(F.col("id") / 2, F.lit(5)).cast("string").as("segment"))
+        // (id / 2) must be cast long BEFORE pmod: Divide yields DOUBLE,
+        // and pmod("2.0") vs pmod("2.5") would make paired records
+        // DISAGREE on every field — resolve() would link nothing
+        F.pmod((F.col("id") / 2).cast("long"), F.lit(25)).cast("string").as("nation"),
+        F.pmod((F.col("id") / 2).cast("long"), F.lit(5)).cast("string").as("segment"))
       graft.operators.EntityResolution.resolve(
         recs, "id", "name",
         graft.operators.EntityResolution.FieldWeight("name", 0.95, 0.001),

@@ -3749,7 +3749,7 @@ object SparkEntry {
           |    SELECT doc_id,
           |      unnest([{'i': j, 'w': s[j]} for j in range(1, len(s)+1)]) AS t
           |    FROM (SELECT doc_id, list_filter(
-          |      string_split(trim(text, ' '), ' '), x -> x <> '') AS s
+          |      string_split_regex(trim(text), '\\s+'), x -> x <> '') AS s
           |      FROM documents WHERE text IS NOT NULL))),
           |agg AS MATERIALIZED (
           |  SELECT d.doc_id, string_agg(w.piece, ' ' ORDER BY d.pos) AS pieces,
@@ -5150,9 +5150,12 @@ object SparkEntry {
     */
   private def bpeTrainCtes(numMerges: Int): String = {
     val parts = Seq.newBuilder[String]
+    // string_split_regex(trim(text), '\s+') mirrors the engine's
+    // split(trim(text), "\\s+") exactly (single-space split would
+    // silently diverge on any tab/newline in document text)
     parts += ("words AS MATERIALIZED (SELECT t AS word, " +
       "CAST(count(*) AS BIGINT) AS n FROM (" +
-      "SELECT unnest(list_filter(string_split(trim(text, ' '), ' '), " +
+      "SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), " +
       "x -> x <> '')) AS t FROM documents WHERE text IS NOT NULL) GROUP BY 1)")
     parts += s"w0 AS MATERIALIZED (SELECT n, ${bpeSymState("word")} AS state FROM words)"
     (0 until numMerges).foreach { i =>

@@ -491,15 +491,37 @@ object GraphAnalytics {
     require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
     val sym = edges.select(
       F.col("src").cast("long").as("src"), F.col("dst").cast("long").as("dst"))
-    var es = sym.localCheckpoint()
+    val sc = edges.sparkSession.sparkContext
+    // Track each round's checkpoint blocks by persistent-RDD-id diff
+    // and release the SUPERSEDED round once its successor is
+    // materialized: without this, a slow peel pins rounds × O(E) of
+    // dead checkpoint blocks — the storage-accumulation failure mode
+    // the de-broadcast rewrite was meant to avoid. The diff is
+    // restricted to RDDs that are actually checkpointed, so a
+    // concurrently-persisted cache in the snapshot window is never
+    // touched. The FINAL round's blocks stay live — they back the
+    // returned frame.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      val ids = (sc.getPersistentRDDs.keySet.toSet -- before)
+        .filter(id => sc.getPersistentRDDs.get(id).exists(_.isCheckpointed))
+      (out, ids)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (es, esIds) = checkpointTracked(sym)
     var nEdges = es.count()
     var round = 0
     var stable = nEdges == 0
     while (!stable && round < maxRounds) {
-      val next = peelOnce(es, k).localCheckpoint()
+      val (next, nextIds) = checkpointTracked(peelOnce(es, k))
       val m = next.count()
       stable = m == nEdges // monotone removal: equal count == equal set
+      release(esIds)
       es = next
+      esIds = nextIds
       nEdges = m
       round += 1
     }

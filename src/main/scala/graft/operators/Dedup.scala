@@ -967,9 +967,33 @@ object Dedup {
       docs: DataFrame, maxDist: Int = 6, nBlocks: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist < SimhashBits,
       s"maxDist must be in [0, $SimhashBits), got $maxDist")
-    val b0 = if (nBlocks <= 0) math.min(SimhashBits, maxDist + 3) else nBlocks
+    // C(n, k) without overflow drama: acc stays a binomial at each step
+    def nChooseK(n: Int, k: Int): Long =
+      (0 until k).foldLeft(1L)((acc, i) => acc * (n - i) / (i + 1))
+    // the key fan-out is C(nBlocks, nBlocks − maxDist) structs PER ROW,
+    // enumerated driver-side into the expression tree — unbounded it is
+    // a driver OOM for legal-looking arguments (maxDist=57, default
+    // blocks → C(60,3) = 34,220 expressions; explicit nBlocks=60 with
+    // maxDist=6 → C(60,54) ≈ 5e10 Scala-side before Spark is even
+    // involved). 1024 keys/row is ~12× the default's cost; the DEFAULT
+    // therefore degrades to the classic maxDist+1 single-chunk scheme
+    // (always maxDist+1 keys/row) when the 3-subset count would blow
+    // the cap, and an EXPLICIT nBlocks beyond the cap fails loudly.
+    val MaxSubsets = 1024L
+    val b0 =
+      if (nBlocks > 0) nBlocks
+      else {
+        val wide = math.min(SimhashBits, maxDist + 3)
+        if (nChooseK(wide, wide - maxDist) <= MaxSubsets) wide
+        else math.min(SimhashBits, maxDist + 1)
+      }
     require(b0 > maxDist && b0 <= SimhashBits,
       s"nBlocks must be in (maxDist, $SimhashBits], got $b0 for maxDist=$maxDist")
+    val nSubsets = nChooseK(b0, b0 - maxDist)
+    require(nSubsets <= MaxSubsets,
+      s"simhashNearDupPairs: C($b0, ${b0 - maxDist}) = $nSubsets blocking keys " +
+        "per row would be enumerated into the plan (driver-side). Lower " +
+        "nBlocks toward maxDist+1 (wider subsets, fewer keys per row).")
     val base = SimhashBits / b0
     val rem = SimhashBits % b0
     def blockVal(i: Int): Column = {

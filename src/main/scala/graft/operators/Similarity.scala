@@ -1367,18 +1367,23 @@ object Similarity {
       F.col("vec").cast("array<double>").as("vec"))
     val idxB = ivfBuild(sb, nLists)
     val idxA = ivfBuild(sa, nLists)
+    val qa = sa.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+    val qb = sb.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+    // persist (NOT localCheckpoint): each list feeds both a denominator
+    // aggregate and the candidate union, but persist is releasable in
+    // the finally below — a checkpoint here would pin |a|·k + |b|·k
+    // rows of dead blocks for the rest of the session (the
+    // accumulation failure VERDICT r7 #2 diagnosed). Bounded by
+    // construction: ≤ |a|·k and ≤ |b|·k rows.
+    val fwd = ivfTopKBatch(idxB, qa, k, nprobe)
+      .select(F.col("qid").as("id_a"), F.col("id").as("id_b"),
+        F.col("score").as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bwd = ivfTopKBatch(idxA, qb, k, nprobe)
+      .select(F.col("id").as("id_a"), F.col("qid").as("id_b"),
+        F.col("score").as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val qa = sa.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
-      val qb = sb.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
-      // bounded by construction: ≤ |a|·k and ≤ |b|·k rows
-      val fwd = ivfTopKBatch(idxB, qa, k, nprobe)
-        .select(F.col("qid").as("id_a"), F.col("id").as("id_b"),
-          F.col("score").as("cos"))
-        .localCheckpoint()
-      val bwd = ivfTopKBatch(idxA, qb, k, nprobe)
-        .select(F.col("id").as("id_a"), F.col("qid").as("id_b"),
-          F.col("score").as("cos"))
-        .localCheckpoint()
       val denA = fwd.groupBy("id_a").agg(F.avg("cos").as("den_a"))
       val denB = bwd.groupBy("id_b").agg(F.avg("cos").as("den_b"))
       val cand = fwd.unionByName(bwd).dropDuplicates("id_a", "id_b")
@@ -1390,6 +1395,8 @@ object Similarity {
         .join(denB, "id_b")
         .withColumn("margin",
           F.col("cos") / ((F.col("den_a") + F.col("den_b")) / 2))
+      // the eager localCheckpoint materializes the RESULT before the
+      // finally releases the lists it was derived from
       graft.scale.Skew.saltedTopKPerKey(
           margins, "id_a", Seq(F.col("margin").desc, F.col("id_b").asc), 1)
         .select(F.col("id_a"), F.col("id_b"),
@@ -1399,6 +1406,8 @@ object Similarity {
         .orderBy("id_a")
         .localCheckpoint()
     } finally {
+      fwd.unpersist(blocking = false)
+      bwd.unpersist(blocking = false)
       ivfRelease(idxA)
       ivfRelease(idxB)
     }

@@ -96,9 +96,13 @@ object TimeSeries {
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
     // loud failure on output-name collisions: withColumn would silently
     // OVERWRITE same-named input columns (the one quiet data-loss path
-    // in this file — every other guard here raises)
+    // in this file — every other guard here raises). Case-INSENSITIVE,
+    // because withColumn resolves case-insensitively under the default
+    // spark.sql.caseSensitive=false — a column named "Z" would be
+    // replaced just the same.
     val outCols = Seq("n_baseline", "baseline_mean", "z", "is_anomaly")
-    val clash = outCols.filter(series.columns.contains)
+    val lower = series.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val clash = outCols.filter(lower.contains)
     require(clash.isEmpty,
       s"anomalyZScore output column(s) ${clash.mkString(", ")} already " +
         "exist on the input series and would be overwritten; rename or " +

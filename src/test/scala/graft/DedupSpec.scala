@@ -290,6 +290,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash blocking caps the key fan-out; default degrades instead of exploding") {
+    // explicit nBlocks beyond the cap must fail loudly BEFORE the plan
+    // is built — C(60,54) subsets would OOM the driver
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, maxDist = 6, nBlocks = 60))
+    assert(e.getMessage.contains("blocking keys"), e.getMessage)
+    // a large maxDist with the DEFAULT blocking must degrade to the
+    // classic maxDist+1 scheme (linear keys), not raise: completeness
+    // vs brute force at an operating point where maxDist+3 choose 3
+    // would blow the cap
+    val s = spark
+    import s.implicits._
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect()
+    val maxDist = 20 // C(23,3) = 1771 > 1024 -> fallback path
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= maxDist
+    } yield (a, b)).toSet
+    val blocked = Dedup.simhashNearDupPairs(docs, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"fallback blocking incomplete: missing=${(brute -- blocked).take(5)}")
+  }
+
   test("simhash values stay below bit 60 (no sign-bit divergence possible)") {
     val s = spark
     import s.implicits._

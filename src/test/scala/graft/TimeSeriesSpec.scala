@@ -138,5 +138,10 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.anomalyZScore(series, "k", "t", "v"))
     assert(e.getMessage.contains("z"), e.getMessage)
     assert(e.getMessage.contains("overwritten"), e.getMessage)
+    // case-INSENSITIVE: withColumn resolves case-insensitively under
+    // the default spark.sql.caseSensitive=false, so "Z" collides too
+    val upper = Seq(("a", ts(0), 1.0, 9.9)).toDF("k", "t", "v", "Z")
+    intercept[IllegalArgumentException](
+      TimeSeries.anomalyZScore(upper, "k", "t", "v"))
   }
 }
