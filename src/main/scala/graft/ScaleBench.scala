@@ -288,6 +288,19 @@ object ScaleBench {
         emb.where(F.col("id") % 2 =!= 0).select("id", "vec"),
         k = 4, threshold = 1.0, nLists = 64, nprobe = 8).count()
     }
+    locally {
+      // the amortized shape: quantizer fits paid once, each re-mine
+      // pays only probe + score (continuous mining over stable corpora)
+      val sa = emb.where(F.col("id") % 2 === 0).select("id", "vec")
+      val sb = emb.where(F.col("id") % 2 =!= 0).select("id", "vec")
+      val ia = Similarity.ivfBuild(sa, nLists = 64); ia.assigned.count()
+      val ib = Similarity.ivfBuild(sb, nLists = 64); ib.assigned.count()
+      bench("v_bitext_mine_idx") {
+        Similarity.bitextMineApprox(
+          ia, ib, sa, sb, k = 4, threshold = 1.0, nprobe = 8).count()
+      }
+      Similarity.ivfRelease(ia); Similarity.ivfRelease(ib)
+    }
     bench("q_entity_resolve") {
       // synthetic customer records: pairs share a base name (id/2),
       // 20% carry a one-char corruption so the deletion-neighborhood

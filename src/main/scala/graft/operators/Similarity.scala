@@ -1360,13 +1360,36 @@ object Similarity {
   def bitextMineApprox(
       a: DataFrame, b: DataFrame, k: Int = 4, threshold: Double = 1.0,
       nLists: Int = 16, nprobe: Int = 12): DataFrame = {
-    require(k > 0, s"k must be positive; got $k")
     val sa = a.select(F.col("id").cast("long").as("id"),
       F.col("vec").cast("array<double>").as("vec"))
     val sb = b.select(F.col("id").cast("long").as("id"),
       F.col("vec").cast("array<double>").as("vec"))
     val idxB = ivfBuild(sb, nLists)
     val idxA = ivfBuild(sa, nLists)
+    try bitextMineApprox(idxA, idxB, sa, sb, k, threshold, nprobe)
+    finally {
+      ivfRelease(idxA)
+      ivfRelease(idxB)
+    }
+  }
+
+  /** Prebuilt-index overload — the amortized continuous-mining shape
+    * (same pattern as [[hardNegativesApprox]]'s index overload): the
+    * two quantizer fits dominate the one-shot at scale (measured at
+    * the 40× bench) and a mining pipeline re-mines per drop against
+    * stable corpora, so fit once with [[ivfBuild]] / [[ivfSave]] and
+    * pay only probe + score per batch. `idxA` indexes side `a` (the
+    * backward-direction index), `idxB` side `b` (forward). Same
+    * output and contract as the one-shot; parity spec-pinned.
+    */
+  def bitextMineApprox(
+      idxA: IvfIndex, idxB: IvfIndex, a: DataFrame, b: DataFrame,
+      k: Int, threshold: Double, nprobe: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    val sa = a.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
+    val sb = b.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
     val qa = sa.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
     val qb = sb.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
     // persist (NOT localCheckpoint): each list feeds both a denominator
@@ -1406,10 +1429,10 @@ object Similarity {
         .orderBy("id_a")
         .localCheckpoint()
     } finally {
+      // the candidate lists are ours; the indexes are the CALLER's
+      // (the one-shot overload releases the ones it built)
       fwd.unpersist(blocking = false)
       bwd.unpersist(blocking = false)
-      ivfRelease(idxA)
-      ivfRelease(idxB)
     }
   }
 }

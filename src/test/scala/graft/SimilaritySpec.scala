@@ -533,5 +533,18 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val planted = pruned.count { case (ia, ib) => ib == ia + 1000L }
     assert(planted >= 30, s"pruned approx lost the planted pairs: $planted/40")
+    // prebuilt-index overload (the amortized continuous-mining shape):
+    // the same quantizer fit on the same vectors must reproduce the
+    // one-shot pair for pair — and must NOT release the caller's index
+    val idxA = Similarity.ivfBuild(a, nLists = 4)
+    val idxB = Similarity.ivfBuild(b, nLists = 4)
+    val viaIdx = Similarity
+      .bitextMineApprox(idxA, idxB, a, b, k = 4, threshold = 0.0, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaIdx == pruned, "index-reuse overload diverged from one-shot")
+    // index still queryable after the call (not released by the overload)
+    assert(idxB.assigned.count() == 40L)
+    Similarity.ivfRelease(idxA)
+    Similarity.ivfRelease(idxB)
   }
 }

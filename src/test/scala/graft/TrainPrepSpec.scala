@@ -696,7 +696,13 @@ class TrainPrepSpec extends SparkSpec {
       // one-sided on purpose: GROWTH is the accumulation bug this
       // guards; an exact == races with async unpersist(blocking=false)
       // cleanup from earlier suites, whose zombie registry entries can
-      // vanish between the baseline sample and this check
+      // vanish between the baseline sample and this check. The release
+      // above is itself async, so poll briefly before declaring
+      // accumulation — real accumulation never shrinks, a lagging
+      // unpersist does.
+      val deadline = System.nanoTime() + 2000000000L
+      while (sc.getPersistentRDDs.size > iterBase &&
+        System.nanoTime() < deadline) Thread.sleep(50)
       assert(sc.getPersistentRDDs.size <= iterBase,
         s"pinned caches accumulated after iteration $i")
       // GC pressure between batches: the weak-ref queue must tolerate
