@@ -84,8 +84,25 @@ object ScaleBench {
     // them into the seconds column and the headline total summed
     // 47,489,724 "seconds" of parquet bytes (VERDICT r7 #1)
     val bytesRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // same pre-row hygiene as Bench (r8): the dedup/bitext/kcore rows
+    // localCheckpoint their results, and dead checkpoint blocks
+    // otherwise accumulate across the run until a driver GC — the
+    // in-run inflation VERDICT r7 #2 measured at 12× in Bench would
+    // silently inflate the later rows of THIS artifact too. Nothing
+    // long-lived here is checkpoint-backed (the corpus frames and
+    // index caches are persists, released via their own release
+    // calls), so the sweep is unconditional; GC every 8 rows bounds
+    // non-RDD garbage (dead broadcasts, codegen classes). All outside
+    // the timed body.
+    val sc = spark.sparkContext
+    var sinceGc = 0
     def bench(name: String)(body: => Long): Unit = {
       graft.operators.TrainPrep.releasePinnedCaches()
+      sc.getPersistentRDDs.values.foreach { rdd =>
+        if (rdd.isCheckpointed) rdd.unpersist(blocking = false)
+      }
+      sinceGc += 1
+      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
       val t0 = System.nanoTime()
       val n = body
       val sec = (System.nanoTime() - t0) / 1e9

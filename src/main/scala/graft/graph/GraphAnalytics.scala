@@ -489,39 +489,40 @@ object GraphAnalytics {
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
+    // drop null endpoints (unparseable ids after the cast) up front:
+    // anti-join keys never match null, so a null-endpoint edge would
+    // survive every peel round and emit a spurious (null, deg) core
+    // row — r7's semi-join formulation dropped them implicitly
     val sym = edges.select(
-      F.col("src").cast("long").as("src"), F.col("dst").cast("long").as("dst"))
-    val sc = edges.sparkSession.sparkContext
-    // Track each round's checkpoint blocks by persistent-RDD-id diff
-    // and release the SUPERSEDED round once its successor is
-    // materialized: without this, a slow peel pins rounds × O(E) of
-    // dead checkpoint blocks — the storage-accumulation failure mode
-    // the de-broadcast rewrite was meant to avoid. The diff is
-    // restricted to RDDs that are actually checkpointed, so a
-    // concurrently-persisted cache in the snapshot window is never
-    // touched. The FINAL round's blocks stay live — they back the
-    // returned frame.
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      val ids = (sc.getPersistentRDDs.keySet.toSet -- before)
-        .filter(id => sc.getPersistentRDDs.get(id).exists(_.isCheckpointed))
-      (out, ids)
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    var (es, esIds) = checkpointTracked(sym)
+        F.col("src").cast("long").as("src"), F.col("dst").cast("long").as("dst"))
+      .where(F.col("src").isNotNull && F.col("dst").isNotNull)
+    // Release each SUPERSEDED round's checkpoint blocks once its
+    // successor is materialized: without this, a slow peel pins
+    // rounds × O(E) of dead checkpoint blocks — the
+    // storage-accumulation failure mode the de-broadcast rewrite was
+    // meant to avoid. The backing RDD is taken straight from the
+    // checkpointed frame's LogicalRDD leaf (no persistent-registry
+    // snapshot diff, so a concurrent job's checkpoint materializing
+    // in the same window can never be mis-released). The FINAL
+    // round's blocks stay live — they back the returned frame.
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectLeaves().collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    def release(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdd.foreach(_.unpersist(blocking = false))
+    var es = sym.localCheckpoint()
+    var esRdd = checkpointRdd(es)
     var nEdges = es.count()
     var round = 0
     var stable = nEdges == 0
     while (!stable && round < maxRounds) {
-      val (next, nextIds) = checkpointTracked(peelOnce(es, k))
+      val next = peelOnce(es, k).localCheckpoint()
       val m = next.count()
       stable = m == nEdges // monotone removal: equal count == equal set
-      release(esIds)
+      release(esRdd)
       es = next
-      esIds = nextIds
+      esRdd = checkpointRdd(next)
       nEdges = m
       round += 1
     }

@@ -974,19 +974,20 @@ object Dedup {
     // enumerated driver-side into the expression tree — unbounded it is
     // a driver OOM for legal-looking arguments (maxDist=57, default
     // blocks → C(60,3) = 34,220 expressions; explicit nBlocks=60 with
-    // maxDist=6 → C(60,54) ≈ 5e10 Scala-side before Spark is even
-    // involved). 1024 keys/row is ~12× the default's cost; the DEFAULT
-    // therefore degrades to the classic maxDist+1 single-chunk scheme
-    // (always maxDist+1 keys/row) when the 3-subset count would blow
-    // the cap, and an EXPLICIT nBlocks beyond the cap fails loudly.
+    // maxDist=6 → C(60,54) ≈ 5.0e7 Scala-side before Spark is even
+    // involved). 1024 keys/row is ~12× the default's cost; an EXPLICIT
+    // nBlocks beyond the cap fails loudly. The DEFAULT uses the wide
+    // 3-subset scheme only while it stays a good TRADE, not merely a
+    // legal one: past maxDist=8 the subsets get numerous AND the keys
+    // narrow (maxDist=16 → 969 keys of ~9.5 bits — 57× the classic
+    // scheme's join input with most of the selectivity gone), so
+    // larger radii degrade to the classic maxDist+1 single-chunk
+    // scheme (always maxDist+1 keys/row).
     val MaxSubsets = 1024L
     val b0 =
       if (nBlocks > 0) nBlocks
-      else {
-        val wide = math.min(SimhashBits, maxDist + 3)
-        if (nChooseK(wide, wide - maxDist) <= MaxSubsets) wide
-        else math.min(SimhashBits, maxDist + 1)
-      }
+      else if (maxDist <= 8) math.min(SimhashBits, maxDist + 3)
+      else math.min(SimhashBits, maxDist + 1)
     require(b0 > maxDist && b0 <= SimhashBits,
       s"nBlocks must be in (maxDist, $SimhashBits], got $b0 for maxDist=$maxDist")
     val nSubsets = nChooseK(b0, b0 - maxDist)

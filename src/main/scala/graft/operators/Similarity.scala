@@ -1355,7 +1355,14 @@ object Similarity {
     * (v_bitext_mine_approx) — the pruning itself is measured at the
     * 40× scale bench and recall-pinned in SimilaritySpec.
     *
-    * Output: (id_a, id_b, cos, margin) like the exact operator.
+    * Output: (id_a, id_b, cos, margin) like the exact operator. The
+    * result is MATERIALIZED (localCheckpoint, bounded by the mined
+    * pair count) — the repo-wide materialized-result convention (cf.
+    * Dedup.materializeAndRelease): its blocks live until a driver GC
+    * or a harness checkpoint sweep reclaims them, so a long-lived
+    * loop re-mining hundreds of drops should let each result go out
+    * of scope (GC reclaims via ContextCleaner) rather than hold all
+    * of them.
     */
   def bitextMineApprox(
       a: DataFrame, b: DataFrame, k: Int = 4, threshold: Double = 1.0,

@@ -102,6 +102,48 @@ object TextOps {
     * cross word boundaries and detokenization stays invertible). */
   val BpeEndOfWord = "</w>"
 
+  /** A word's initial BPE symbols: one symbol per Unicode CODE POINT
+    * plus [[BpeEndOfWord]] — shared by training and encode so the two
+    * paths cannot drift. Per-code-point (not per UTF-16 char, which
+    * would split a supplementary-plane character into two unpaired
+    * surrogate half-symbols) because that is also what the DuckDB
+    * oracle's `string_split(w, '')` produces; identical for BMP text.
+    */
+  private[operators] def bpeSyms(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += BpeEndOfWord
+    out.toArray
+  }
+
+  /** Code-point lexicographic comparison == binary UTF-8 order — the
+    * collation the DuckDB oracle's ORDER BY applies to the merge
+    * tie-break. Java's UTF-16 `compareTo` diverges exactly when a
+    * supplementary-plane symbol (surrogates 0xD800–0xDFFF) ties
+    * against an upper-BMP symbol ≥ U+E000; identical for BMP-only
+    * text (every corpus the specs and oracles pin).
+    */
+  private[operators] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private[operators] val CodePointOrdering: Ordering[String] =
+    (a: String, b: String) => codePointCompare(a, b)
+
   /** Classic BPE merge training (Sennrich et al. 2016) — the
     * tokenizer-training step between [[vocab]] (word counts) and
     * [[encodeTokens]] (id encoding). The DISTRIBUTED work is exactly
@@ -147,7 +189,7 @@ object TextOps {
         "(TrainPrep.stratifiedHashSample); merge ranks are stable under " +
         "sampling.")
     var syms: Array[(Array[String], Long)] = rows.map { r =>
-      (r.getString(0).map(_.toString).toArray :+ BpeEndOfWord, r.getLong(1))
+      (bpeSyms(r.getString(0)), r.getLong(1))
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
@@ -164,7 +206,10 @@ object TextOps {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        // tie-break in CODE-POINT order (== the oracle's binary UTF-8
+        // ORDER BY), not Java's UTF-16 compareTo — see CodePointOrdering
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }(
+          Ordering.Tuple3(Ordering.Long, CodePointOrdering, CodePointOrdering))
         val merged = l + r
         merges += ((rank, l, r, merged, c))
         syms = syms.map { case (s, n) =>
@@ -228,7 +273,7 @@ object TextOps {
           val hit = memo.get(w)
           if (hit != null) hit
           else {
-            var syms = (w.map(_.toString) :+ BpeEndOfWord).toArray
+            var syms = bpeSyms(w)
             var done = false
             while (!done && syms.length > 1) {
               var best = Int.MaxValue

@@ -131,5 +131,17 @@ class GraphAnalyticsSpec extends SparkSpec {
     for (id <- adj.keySet if !members.contains(id))
       assert(adj(id).count(members.contains) < k,
         s"removed node $id would qualify for the core — not maximal")
+    // null endpoints must be DROPPED, not peeled forever: anti-join
+    // keys never match null, so without the up-front filter a
+    // null-endpoint edge survives every round and emits a spurious
+    // (null, deg) core row
+    val dirty = Seq(
+      (Option(0L), Option(1L)), (Option(1L), Option(0L)),
+      (Option.empty[Long], Option(0L)), (Option(0L), Option.empty[Long]))
+      .toDF("src", "dst")
+    val dr = graft.graph.GraphAnalytics.kCore(dirty, k = 1)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(!dr.contains(None), s"null id row in core: ${dr.toSeq}")
+    assert(dr.flatten.toSet == Set(0L, 1L), dr.toSeq.toString)
   }
 }

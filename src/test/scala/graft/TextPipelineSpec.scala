@@ -386,6 +386,42 @@ class TextPipelineSpec extends SparkSpec {
     assert(TextOps.bpeTrain(nulls, numMerges = 3).count() == 0L)
   }
 
+  test("bpeTrain: non-BMP symbols are whole code points; ties break in UTF-8 order") {
+    val s = spark
+    import s.implicits._
+    // "😀a" ×2 and "\uE000a" ×2: after (a,</w>) wins round 0 with
+    // count 4, round 1 ties at count 2 between (😀, a</w>) and
+    // (U+E000, a</w>). Code-point order (== the DuckDB oracle's binary
+    // UTF-8 ORDER BY) puts U+E000 < U+1F600, so the U+E000 pair must win —
+    // Java's UTF-16 compareTo would pick 😀 (its high surrogate
+    // 0xD83D < 0xE000), the exact divergence this pins. And 😀 must
+    // symbolize as ONE code point, never two half-surrogates.
+    val docs = Seq.fill(2)("😀a").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+      .++(Seq.fill(2)("\uE000a").zipWithIndex
+        .map { case (w, i) => (i + 10L, w) })
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq((0, "a", "</w>"), (1, "\uE000", "a</w>")),
+      merges.toString)
+    // no unpaired surrogate ever appears as a symbol
+    val all = TextOps.bpeTrain(docs, numMerges = 4).collect()
+      .flatMap(r => Seq(r.getString(1), r.getString(2), r.getString(3)))
+    all.foreach { sym =>
+      val hasLone = sym.exists(c => Character.isSurrogate(c)) &&
+        sym.codePoints().toArray.exists(cp =>
+          cp >= 0xD800 && cp <= 0xDFFF)
+      assert(!hasLone, s"unpaired surrogate in symbol '$sym'")
+    }
+    // encode agrees: 😀a encodes over whole code points
+    val enc = TextOps.bpeApply(
+        Seq((0L, "😀a")).toDF("doc_id", "text"),
+        TextOps.bpeTrain(docs, numMerges = 2))
+      .select("pieces").head.getString(0)
+    assert(enc == "😀 a</w>", s"pieces '$enc'")
+  }
+
   test("bpeApply: greedy encode with the learned merges, hand-checked pieces") {
     val s = spark
     import s.implicits._
