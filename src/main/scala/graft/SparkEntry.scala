@@ -3827,6 +3827,9 @@ object SparkEntry {
          |ORDER BY event_id""".stripMargin
     },
 
+    // shares replayed with the engine's EXACT integer half-up at 4dp
+    // (see Skew.report): round() on a double diverged at a .5 ulp
+    // boundary (0.00465 -> 0.0047 Spark vs 0.0046 DuckDB at sf0.1)
     "q_skew_report" ->
       """WITH c AS (
         |  SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') AS key,
@@ -3836,8 +3839,11 @@ object SparkEntry {
         |top AS (SELECT key, n,
         |  row_number() OVER (ORDER BY n DESC, key ASC) AS rank
         |  FROM c ORDER BY n DESC, key ASC LIMIT 20)
-        |SELECT rank, key, n, round(n / tot.t, 4) AS share,
-        |  round(sum(n) OVER (ORDER BY rank) / tot.t, 4) AS cum_share
+        |SELECT rank, key, n,
+        |  CAST((n * 20000 + tot.t) // (2 * tot.t) AS DOUBLE) / 10000.0
+        |    AS share,
+        |  CAST((sum(n) OVER (ORDER BY rank) * 20000 + tot.t)
+        |    // (2 * tot.t) AS DOUBLE) / 10000.0 AS cum_share
         |FROM top CROSS JOIN tot
         |ORDER BY rank""".stripMargin,
 

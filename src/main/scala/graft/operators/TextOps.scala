@@ -128,7 +128,7 @@ object TextOps {
     * against an upper-BMP symbol ≥ U+E000; identical for BMP-only
     * text (every corpus the specs and oracles pin).
     */
-  private[operators] def codePointCompare(a: String, b: String): Int = {
+  private[graft] def codePointCompare(a: String, b: String): Int = {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {
@@ -141,7 +141,7 @@ object TextOps {
     Integer.compare(a.length - i, b.length - j)
   }
 
-  private[operators] val CodePointOrdering: Ordering[String] =
+  private[graft] val CodePointOrdering: Ordering[String] =
     (a: String, b: String) => codePointCompare(a, b)
 
   /** Classic BPE merge training (Sennrich et al. 2016) — the

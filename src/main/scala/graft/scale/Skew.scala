@@ -63,13 +63,22 @@ object Skew {
       .orderBy(F.col("n").desc, F.col("key").asc)
       .limit(topN)
     val w = Window.orderBy(F.col("n").desc, F.col("key").asc)
+    // shares via EXACT integer half-up at 4dp — round(x/t, 4) on a
+    // DOUBLE diverges from the oracle at .5 ulp boundaries (Spark's
+    // round goes through BigDecimal.valueOf = shortest decimal repr,
+    // DuckDB rounds the raw binary double; a cum/total landing on
+    // 0.00465 produced 0.0047 vs 0.0046 at sf0.1). Integer DIV is
+    // bit-identical in both engines; overflow-safe to total ~4.6e14
+    // rows (count*20000 < 2^63).
+    def share4(numerCol: String): org.apache.spark.sql.Column =
+      F.expr(s"CAST(($numerCol * 20000 + $total) DIV ${2L * total} " +
+        "AS DOUBLE) / 10000.0")
     counts
       .withColumn("rank", F.row_number().over(w))
-      .withColumn("share", F.round(F.col("n") / F.lit(total.toDouble), 4))
-      .withColumn("cum_share",
-        F.round(F.sum("n").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          / F.lit(total.toDouble), 4))
+      .withColumn("cum_n", F.sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("share", share4("n"))
+      .withColumn("cum_share", share4("cum_n"))
       .select("rank", "key", "n", "share", "cum_share")
       .orderBy("rank")
   }

@@ -256,7 +256,9 @@ class DedupSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect()
-    for (maxDist <- Seq(3, 6, 10)) {
+    // 3/6/8 exercise the wide Manku path (default maxDist <= 8), 10
+    // the classic maxDist+1 fallback
+    for (maxDist <- Seq(3, 6, 8, 10)) {
       val brute = (for {
         (a, ha) <- sh; (b, hb) <- sh if a < b
         if java.lang.Long.bitCount(ha ^ hb) <= maxDist

@@ -422,6 +422,43 @@ class TextPipelineSpec extends SparkSpec {
     assert(enc == "😀 a</w>", s"pieces '$enc'")
   }
 
+  test("codePointCompare: sign agrees with code-point-array order on random unicode") {
+    // property check against an independent formulation: compare the
+    // decoded code-point sequences lexicographically. Seeded random
+    // strings mix ASCII, upper-BMP (>= U+E000), and supplementary
+    // plane chars — the exact ranges where UTF-16 order diverges.
+    val rng = new scala.util.Random(97)
+    def randStr(): String = {
+      val sb = new StringBuilder
+      (0 until rng.nextInt(6)).foreach { _ =>
+        rng.nextInt(4) match {
+          case 0 => sb.append(('a' + rng.nextInt(26)).toChar)
+          case 1 => sb.append((0xE000 + rng.nextInt(100)).toChar)
+          case 2 => sb.appendAll(Character.toChars(0x1F600 + rng.nextInt(80)))
+          case _ => sb.append(('0' + rng.nextInt(10)).toChar)
+        }
+      }
+      sb.toString
+    }
+    def refCompare(a: String, b: String): Int = {
+      val ca = a.codePoints().toArray
+      val cb = b.codePoints().toArray
+      val n = math.min(ca.length, cb.length)
+      var i = 0
+      while (i < n) {
+        if (ca(i) != cb(i)) return Integer.compare(ca(i), cb(i))
+        i += 1
+      }
+      Integer.compare(ca.length, cb.length)
+    }
+    (0 until 2000).foreach { _ =>
+      val a = randStr(); val b = randStr()
+      assert(Integer.signum(TextOps.codePointCompare(a, b)) ==
+        Integer.signum(refCompare(a, b)),
+        s"codePointCompare('$a', '$b') disagrees with the code-point array order")
+    }
+  }
+
   test("bpeApply: greedy encode with the learned merges, hand-checked pieces") {
     val s = spark
     import s.implicits._
