@@ -672,10 +672,14 @@ class TrainPrepSpec extends SparkSpec {
     // r6's bench regression was exactly this class of accumulation
     TrainPrep.releasePinnedCaches()
     (1 to 4).foreach { i =>
-      // re-sample the baseline each iteration: zombie entries from
-      // other suites' async unpersist can vanish at any time, and a
-      // stale baseline would mis-blame this pipeline for the delta
-      val iterBase = sc.getPersistentRDDs.size
+      // track OUR pins by RDD id, not by registry SIZE: zombie entries
+      // from other suites' async unpersist can vanish at any time, so
+      // a size delta both under- and over-counts (a vanishing zombie
+      // once cancelled out this iteration's 3 new pins and the "must
+      // pin" assert read 11 > 11). Ids created between the snapshots
+      // are exactly this pipeline's — the test body is the only code
+      // running in the session here.
+      val baseIds = sc.getPersistentRDDs.keySet.toSet
       // the frames are held in scope across the release so the weak
       // pins are deterministically alive (dropping them earlier lets
       // an interim GC collect a pin before release counts it — the
@@ -688,23 +692,19 @@ class TrainPrepSpec extends SparkSpec {
         budgets = Map.empty, defaultBudget = 40L * i)
       assert(f1.collect().nonEmpty && f2.collect().nonEmpty &&
         f3.collect().nonEmpty)
-      assert(sc.getPersistentRDDs.size > iterBase,
+      def ours(): Set[Int] = sc.getPersistentRDDs.keySet.toSet -- baseIds
+      assert(ours().size >= 3,
         "packers must pin their range-shuffled layout until release")
       val released = TrainPrep.releasePinnedCaches()
       assert(released >= 3, s"expected >= 3 pins released, got $released")
       assert(Seq(f1, f2, f3).forall(_ != null)) // keep frames live past release
-      // one-sided on purpose: GROWTH is the accumulation bug this
-      // guards; an exact == races with async unpersist(blocking=false)
-      // cleanup from earlier suites, whose zombie registry entries can
-      // vanish between the baseline sample and this check. The release
-      // above is itself async, so poll briefly before declaring
-      // accumulation — real accumulation never shrinks, a lagging
-      // unpersist does.
+      // every pin WE created must drain after release; unpersist is
+      // async, so poll briefly — real accumulation never drains
       val deadline = System.nanoTime() + 2000000000L
-      while (sc.getPersistentRDDs.size > iterBase &&
-        System.nanoTime() < deadline) Thread.sleep(50)
-      assert(sc.getPersistentRDDs.size <= iterBase,
-        s"pinned caches accumulated after iteration $i")
+      while (ours().nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(ours().isEmpty,
+        s"pinned caches accumulated after iteration $i: ${ours()}")
       // GC pressure between batches: the weak-ref queue must tolerate
       // collected refs (a dead ref is skipped, not an error)
       System.gc()
