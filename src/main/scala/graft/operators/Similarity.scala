@@ -633,6 +633,108 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF+SQ8 — the composed scale shape faiss calls IndexIVFScalarQuantizer:
+    * the inverted lists prune WHICH rows are scanned (`nprobe` of the
+    * `nLists` lists, partition-prunable on the saved layout) and the
+    * SQ8 codes bound WHAT the scan reads (d bytes/row through the
+    * codegen dequantized-cosine expression instead of d·8 float64
+    * bytes). The middle point of the composed-codec family: better
+    * recall than IVF+PQ at 8× (not 64×) scan density. Closes the
+    * board's one large unpruned scan (`v_sq8_topk_batch` reads ALL
+    * codes for every query batch — VERDICT r8 #5): here the codes scan
+    * is bounded by the probed lists.
+    *
+    * Candidates are the probed lists ∩ codes, cut to `rerank` on the
+    * round-4 SQ8 approx score with id tie-break (the engine's
+    * stable-candidate convention, same as [[sq8TopK]]), then re-scored
+    * against the EXACT vectors via a broadcast candidate join. At
+    * nprobe = nLists this degenerates to [[sq8TopK]] exactly
+    * (spec-pinned). Output: (id, score) — exact round-4 cosines,
+    * (score DESC, id ASC).
+    */
+  def ivfSq8TopK(
+      ivf: IvfIndex, sq8: Sq8Index, emb: DataFrame, query: Array[Double],
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(query.length == sq8.mins.length,
+      s"query has ${query.length} dims but index was encoded for " +
+        s"${sq8.mins.length}")
+    val probes = ivfProbes(ivf, query, nprobe)
+    val q = F.typedLit(query)
+    val sel = ivf.assigned
+      .where(F.col("cluster").isin(probes.toSeq: _*))
+      .select("id")
+    val cand = sq8.codes
+      .join(sel, "id") // slim (id, codes) ⋈ (id) — bounds WHAT the scan reads
+      .select(F.col("id"),
+        F.round(graft.functions.VectorFunctions.sq8Cosine(
+          F.col("codes"), q, F.typedLit(sq8.mins),
+          F.typedLit(sq8.maxs)), 4).as("approx"))
+      .orderBy(F.col("approx").desc, F.col("id").asc)
+      .limit(rerank)
+      .select("id")
+    emb.join(F.broadcast(cand), "id")
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
+  /** MANY queries against the composed IVF+SQ8 index — the batch cell
+    * that bounds the `sq8TopKBatch` all-codes scan: probe selection on
+    * the EXECUTORS (shared [[probesFor]], broadcast centroids), ONE
+    * cluster-keyed join decides WHICH rows each query scores, the
+    * d-byte codes join bounds WHAT the scan reads, query vectors ride
+    * in by a broadcast qid join (no per-query LUT needed — the SQ8
+    * dequant is fused into the cosine kernel). Salted per-query cut on
+    * round-4 approx, one exact rerank join for all survivors. Each
+    * qid's rows equal the single-query [[ivfSq8TopK]] at the same
+    * parameters (spec-pinned).
+    *
+    * Queries need (qid, qvec); output (qid, id, score) — exact round-4
+    * cosines, (score DESC, id ASC) per qid.
+    */
+  def ivfSq8TopKBatch(
+      ivf: IvfIndex, sq8: Sq8Index, emb: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nprobe > 0 && nprobe <= ivf.k,
+      s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=${ivf.k}")
+    val spark = sq8.codes.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    val qs = queries
+      .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+    val probed = qs
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        probesFor(bcC.value, qv, nprobe).map(c => (qid, c))
+      }
+      .toDF("qid", "cluster")
+    val sel = ivf.assigned.select("id", "cluster")
+      .join(probed, "cluster")
+      .select("qid", "id")
+    val approx = sel
+      .join(sq8.codes, "id")
+      .join(F.broadcast(qs), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(graft.functions.VectorFunctions.sq8Cosine(
+          F.col("codes"), F.col("qvec"), F.typedLit(sq8.mins),
+          F.typedLit(sq8.maxs)), 4).as("approx"))
+    val cand = graft.scale.Skew.saltedTopKPerKey(
+        approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
+      .select("qid", "id")
+    val rescored = cand
+      .join(emb.select(F.col("id"), F.col("vec")), "id")
+      .join(F.broadcast(qs), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.saltedTopKPerKey(
+        rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
   /** MANY queries against the composed IVF+PQ index — the last cell
     * of the batch matrix and the full IndexIVFPQ serving shape: probe
     * selection on the EXECUTORS (shared [[ivfProbes]] selection code
@@ -1413,31 +1515,119 @@ object Similarity {
       .select(F.col("id").as("id_a"), F.col("qid").as("id_b"),
         F.col("score").as("cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val denA = fwd.groupBy("id_a").agg(F.avg("cos").as("den_a"))
-      val denB = bwd.groupBy("id_b").agg(F.avg("cos").as("den_b"))
-      val cand = fwd.unionByName(bwd).dropDuplicates("id_a", "id_b")
-      // NO broadcast hint: the denominator frames are corpus-sized
-      // (one row per a / per b) — exactly the unbounded-broadcast
-      // anti-pattern VERDICT r7 #3 flagged in kCore. AQE picks.
-      val margins = cand
-        .join(denA, "id_a")
-        .join(denB, "id_b")
-        .withColumn("margin",
-          F.col("cos") / ((F.col("den_a") + F.col("den_b")) / 2))
-      // the eager localCheckpoint materializes the RESULT before the
-      // finally releases the lists it was derived from
-      graft.scale.Skew.saltedTopKPerKey(
-          margins, "id_a", Seq(F.col("margin").desc, F.col("id_b").asc), 1)
-        .select(F.col("id_a"), F.col("id_b"),
-          F.round(F.col("cos"), 4).as("cos"),
-          F.round(F.col("margin"), 4).as("margin"))
-        .where(F.col("margin") > threshold)
-        .orderBy("id_a")
-        .localCheckpoint()
-    } finally {
+    try marginFromLists(fwd, bwd, threshold)
+    finally {
       // the candidate lists are ours; the indexes are the CALLER's
       // (the one-shot overload releases the ones it built)
+      fwd.unpersist(blocking = false)
+      bwd.unpersist(blocking = false)
+    }
+  }
+
+  /** Shared CCMatrix margin/argmax stage of [[bitextMineApprox]] and
+    * [[bitextMinePq]]: kNN-average denominators per side from the
+    * persisted forward/backward lists, candidates = forward ∪ backward,
+    * ratio margin, argmax per id_a (raw-margin ties → smaller id_b),
+    * keep ROUNDED margin > threshold. One code path so the retrieval
+    * backends cannot drift in margin semantics. The eager
+    * localCheckpoint materializes the RESULT before callers release
+    * the lists it was derived from.
+    */
+  private def marginFromLists(
+      fwd: DataFrame, bwd: DataFrame, threshold: Double): DataFrame = {
+    val denA = fwd.groupBy("id_a").agg(F.avg("cos").as("den_a"))
+    val denB = bwd.groupBy("id_b").agg(F.avg("cos").as("den_b"))
+    val cand = fwd.unionByName(bwd).dropDuplicates("id_a", "id_b")
+    // NO broadcast hint: the denominator frames are corpus-sized
+    // (one row per a / per b) — exactly the unbounded-broadcast
+    // anti-pattern VERDICT r7 #3 flagged in kCore. AQE picks.
+    val margins = cand
+      .join(denA, "id_a")
+      .join(denB, "id_b")
+      .withColumn("margin",
+        F.col("cos") / ((F.col("den_a") + F.col("den_b")) / 2))
+    graft.scale.Skew.saltedTopKPerKey(
+        margins, "id_a", Seq(F.col("margin").desc, F.col("id_b").asc), 1)
+      .select(F.col("id_a"), F.col("id_b"),
+        F.round(F.col("cos"), 4).as("cos"),
+        F.round(F.col("margin"), 4).as("margin"))
+      .where(F.col("margin") > threshold)
+      .orderBy("id_a")
+      .localCheckpoint()
+  }
+
+  /** Code-pruned bitext mining — [[bitextMineApprox]] with the two
+    * probed-list retrievals composed with PQ codes ([[ivfPqTopKBatch]]
+    * instead of [[ivfTopKBatch]]): the probed lists still decide WHICH
+    * rows each query scores, but the scan now reads m-byte ADC codes
+    * instead of d·8-byte float64 vectors, and the full-precision side
+    * is touched only by the bounded per-query rerank. This is the
+    * constant-factor fix for the measured scale profile of the mining
+    * re-runs (VERDICT r8: the two retrievals scanning exact float64
+    * vectors in probed lists dominate the re-mine cost — the codes
+    * machinery bounds exactly that term).
+    *
+    * Margin semantics are IDENTICAL to [[bitextMineApprox]] (shared
+    * [[marginFromLists]]); the only new divergence source is the
+    * retrieval lists themselves: each list is the exact-cosine top-k of
+    * the `rerank` best ADC candidates within the probed lists, so at
+    * nprobe = nLists and rerank ≥ side size the lists are exact top-k
+    * and the operator degenerates to [[bitextMineApprox]] at full
+    * probes — the oracle operating point (v_bitext_mine_pq); the
+    * production point's recall is spec-pinned. Output: (id_a, id_b,
+    * cos, margin), materialized (localCheckpoint), like the siblings.
+    */
+  def bitextMinePq(
+      a: DataFrame, b: DataFrame, k: Int = 4, threshold: Double = 1.0,
+      nLists: Int = 16, nprobe: Int = 12, m: Int = 8, ksub: Int = 64,
+      rerank: Int = 64): DataFrame = {
+    val sa = a.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
+    val sb = b.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
+    val idxB = ivfBuild(sb, nLists)
+    val idxA = ivfBuild(sa, nLists)
+    val pqB = pqBuild(sb, m, ksub)
+    val pqA = pqBuild(sa, m, ksub)
+    try bitextMinePq(idxA, idxB, pqA, pqB, sa, sb, k, threshold, nprobe, rerank)
+    finally {
+      ivfRelease(idxA); ivfRelease(idxB)
+      pqRelease(pqA); pqRelease(pqB)
+    }
+  }
+
+  /** Prebuilt-index overload of [[bitextMinePq]] — the amortized
+    * continuous-mining shape: the two quantizer fits AND the two PQ
+    * codebook fits are paid once ([[ivfBuild]]/[[pqBuild]] or their
+    * save/load forms); each re-mine pays only probe + m-byte ADC scan
+    * + bounded rerank. `idxA`/`pqA` index side `a` (the backward
+    * direction), `idxB`/`pqB` side `b` (forward).
+    */
+  def bitextMinePq(
+      idxA: IvfIndex, idxB: IvfIndex, pqA: PqIndex, pqB: PqIndex,
+      a: DataFrame, b: DataFrame, k: Int, threshold: Double, nprobe: Int,
+      rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val sa = a.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
+    val sb = b.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
+    val qa = sa.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+    val qb = sb.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+    // persist (NOT localCheckpoint) — same rationale as
+    // bitextMineApprox: each list feeds a denominator aggregate and
+    // the candidate union, and persist is releasable in the finally
+    val fwd = ivfPqTopKBatch(idxB, pqB, sb, qa, k, nprobe, rerank)
+      .select(F.col("qid").as("id_a"), F.col("id").as("id_b"),
+        F.col("score").as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bwd = ivfPqTopKBatch(idxA, pqA, sa, qb, k, nprobe, rerank)
+      .select(F.col("id").as("id_a"), F.col("qid").as("id_b"),
+        F.col("score").as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try marginFromLists(fwd, bwd, threshold)
+    finally {
       fwd.unpersist(blocking = false)
       bwd.unpersist(blocking = false)
     }

@@ -466,4 +466,86 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.prototypePrune(emb, nClusters = 0))
   }
+
+  test("substringDedupSpans: maximal spans of the arbitrary-length covered union") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val corpus = Seq(
+      // docs 0/1 share an 8-token passage at different offsets: the
+      // fixed-5 windows must merge into ONE maximal 8-token span each
+      (0L, s"u1 u2 $shared u3 u4"),
+      (1L, s"w1 $shared"),
+      // doc 2 repeats its own 6-token phrase: within-doc repeats count
+      // (Lee et al.), and since every position is part of some repeat
+      // the whole doc collapses to ONE span — including the bridge
+      // positions covered only via island adjacency
+      (2L, "p q r s t v p q r s t v"),
+      // doc 3 shares only a 4-token run with doc 0 — below minLen,
+      // must emit nothing
+      (3L, "x1 alpha beta gamma delta x2 x3 x4")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDedupSpans(corpus, minLen = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (0L, 3L, 10L, 8L),
+      (1L, 2L, 9L, 8L),
+      (2L, 1L, 12L, 12L)), spans.toString)
+    // raising minLen above the repeat width finds nothing
+    assert(Dedup.substringDedupSpans(corpus, minLen = 9).count() == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.substringDedupSpans(corpus, minLen = 1))
+    intercept[IllegalArgumentException](
+      Dedup.substringDedupSpans(corpus, minCount = 1))
+  }
+
+  test("simhash candidate-mass gate trips on dense buckets, naming the d=3 point") {
+    val s = spark
+    import s.implicits._
+    // 200 identical docs: every blocking bucket holds all 200, so the
+    // pre-join mass probe sees ~C(200,2) pairs per subset key
+    val dense = (0 until 200)
+      .map(i => (i.toLong, "same tokens in every single document here"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(dense, maxCandidatePairs = 1000L))
+    assert(e.getMessage.contains("maxDist=3") &&
+      e.getMessage.contains("maxCandidatePairs"),
+      s"gate must name the published operating point: ${e.getMessage}")
+    // disabling the probe runs the join; identical docs are complete
+    // at hamming 0 — all C(200,2) pairs emitted
+    assert(Dedup.simhashNearDupPairs(
+      dense, maxCandidatePairs = Long.MaxValue).count() == 19900L)
+    // the default bound admits normal corpora (the other simhash specs
+    // run with the gate active)
+    assert(Dedup.simhashNearDupPairs(docs).count() >= 5L)
+  }
+
+  test("bucket occupancy diagnostics: exact pair mass, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e f"), (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "g h i j k l"), (4L, "g h i j k l"),
+      (5L, "m n o p q r")).toDF("doc_id", "text")
+    // gram occupancy: one 3-doc bucket (3 pairs), one 2-doc bucket
+    // (1 pair); the singleton gram never appears
+    val occ = Dedup.gramOccupancy(corpus, n = 6, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(occ == Seq(
+      (1L, 3L, 3L, 3L, 4L, 2L),
+      (2L, 2L, 1L, 4L, 4L, 2L)), occ.toString)
+    // minhash band occupancy: identical docs share every band bucket;
+    // output is independent of the input partitioning
+    val p1 = Dedup.minhashBandOccupancy(corpus.repartition(1), topN = 5)
+      .collect().map(_.toSeq).toSeq
+    val p7 = Dedup.minhashBandOccupancy(corpus.repartition(7), topN = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(p1 == p7, "band occupancy must not depend on partitioning")
+    assert(p1.nonEmpty && p1.head(1) == 3L,
+      s"the identical triple must dominate the hottest bucket: ${p1.head}")
+  }
 }

@@ -143,6 +143,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ivfSq8TopK: SQ8 scoring sits above the probed-list id join, never the full codes scan") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(19)
+    val emb = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(f => math.sin((i % 4) * 0.9 + f * 0.4) +
+        rng.nextGaussian() * 0.1))
+    }.toDF("id", "vec")
+    val ivf = graft.operators.Similarity.ivfBuild(emb, nLists = 4)
+    val sq8 = graft.operators.Similarity.sq8Encode(emb)
+    try {
+      val q = Array.tabulate(16)(f => math.sin(0.9 + f * 0.4))
+      val out = graft.operators.Similarity.ivfSq8TopK(
+        ivf, sq8, emb, q, k = 5, nprobe = 2, rerank = 20)
+      val plan = out.queryExecution.executedPlan.toString
+      // WHICH rows: the cluster membership filter must exist below the
+      // codes join — the scan-fraction half of the composition
+      assert(plan.contains("cluster#") &&
+        (plan.contains(" INSET ") || plan.contains(" IN (")),
+        plan.take(2000))
+      // WHAT is read: the dequantized-cosine expression must sit ABOVE
+      // the innermost bounding join (same reading as the ivfPqTopK
+      // spec: the outer rerank join prints first, so compare against
+      // the LAST join occurrence)
+      val sqAt = plan.indexOf("graft_sq8_cosine")
+      val lastJoin = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        .map(plan.lastIndexOf).filter(_ >= 0)
+      assert(sqAt >= 0, plan.take(2000))
+      assert(lastJoin.nonEmpty && sqAt < lastJoin.max,
+        s"SQ8 scoring at $sqAt must sit above the innermost bounding join (joins at $lastJoin)")
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    } finally {
+      graft.operators.Similarity.ivfRelease(ivf)
+      graft.operators.Similarity.sq8Release(sq8)
+    }
+  }
+
   test("zorderFrame: one range exchange on the Morton key, sort stays partition-local") {
     val s = spark
     import s.implicits._

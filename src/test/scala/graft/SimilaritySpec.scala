@@ -547,4 +547,98 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfRelease(idxA)
     Similarity.ivfRelease(idxB)
   }
+
+  test("IVF+SQ8: full probes degenerate to sq8TopK; batch equals single-query; pruned recall") {
+    val s = spark
+    import s.implicits._
+    val index = Similarity.ivfBuild(emb, nLists = 8)
+    val sq8 = Similarity.sq8Encode(emb)
+    try {
+      // nprobe = nLists probes every list — the composition must then
+      // reproduce the plain SQ8 path bit for bit at the same rerank
+      val full = Similarity
+        .ivfSq8TopK(index, sq8, emb, query, k = 10, nprobe = 8, rerank = 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val plain = Similarity.sq8TopK(sq8, emb, query, 10, 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full == plain, s"full-probe IVF+SQ8 != sq8TopK: $full vs $plain")
+      // pruned probes on this 8-mode corpus: the scan shrinks but the
+      // answer keeps the exact top-10 (probe-miss is the only loss)
+      val exact = Similarity.annTopK(emb, query, 10)
+        .collect().map(_.getLong(0)).toSet
+      val pruned = Similarity
+        .ivfSq8TopK(index, sq8, emb, query, k = 10, nprobe = 3, rerank = 60)
+        .collect().map(_.getLong(0)).toSet
+      assert((exact intersect pruned).size >= 9,
+        s"pruned IVF+SQ8 recall collapsed: ${(exact intersect pruned).size}/10")
+      // batch face equals the single-query path per qid
+      val qids = Seq(3L, 11L, 200L)
+      val qs = emb.where(F.col("id").isin(qids: _*))
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val batch = Similarity
+        .ivfSq8TopKBatch(index, sq8, emb, qs, k = 5, nprobe = 3, rerank = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      for (qid <- qids) {
+        val qv = emb.where(F.col("id") === qid)
+          .select("vec").head.getSeq[Double](0).toArray
+        val single = Similarity
+          .ivfSq8TopK(index, sq8, emb, qv, k = 5, nprobe = 3, rerank = 40)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch.filter(_._1 == qid).toSeq == single,
+          s"batch/single divergence for qid=$qid")
+      }
+      intercept[IllegalArgumentException](
+        Similarity.ivfSq8TopK(index, sq8, emb, query, k = 10, nprobe = 3,
+          rerank = 5))
+    } finally {
+      Similarity.ivfRelease(index)
+      Similarity.sq8Release(sq8)
+    }
+  }
+
+  test("bitextMinePq: degenerate point equals bitextMineApprox; pruned path keeps planted pairs") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(61)
+    def v(i: Int): Array[Double] =
+      Array.tabulate(24)(f => math.sin(i * 1.7 + f * 0.61))
+    val aRows = (0 until 40).map(i => (i.toLong, v(i)))
+    val bRows = (0 until 40).map(i =>
+      (i + 1000L, v(i).map(_ + rng.nextGaussian() * 0.05)))
+    val a = aRows.toDF("id", "vec")
+    val b = bRows.toDF("id", "vec")
+    // full probes AND rerank >= side size: the ADC cut keeps every
+    // probed row, the exact rerank rescores them all, and the
+    // code-pruned operator must equal the float-scanning approx path
+    // pair for pair — the oracle operating point of v_bitext_mine_pq
+    val viaFloat = Similarity
+      .bitextMineApprox(a, b, k = 4, threshold = 1.0, nLists = 4, nprobe = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val viaCodes = Similarity
+      .bitextMinePq(a, b, k = 4, threshold = 1.0, nLists = 4, nprobe = 4,
+        m = 4, ksub = 8, rerank = 40)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(viaCodes == viaFloat,
+      s"degenerate PQ bitext diverged; missing=${(viaFloat diff viaCodes).take(3)} " +
+        s"extra=${(viaCodes diff viaFloat).take(3)}")
+    // PRODUCTION point — pruned probes AND a bounded rerank (the scan
+    // reads m-byte codes, full vectors only for rerank rows): the
+    // planted translations must survive
+    val idxA = Similarity.ivfBuild(a, nLists = 4)
+    val idxB = Similarity.ivfBuild(b, nLists = 4)
+    val pqA = Similarity.pqBuild(a, m = 4, ksub = 8)
+    val pqB = Similarity.pqBuild(b, m = 4, ksub = 8)
+    val pruned = Similarity
+      .bitextMinePq(idxA, idxB, pqA, pqB, a, b, k = 4, threshold = 0.0,
+        nprobe = 2, rerank = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = pruned.count { case (ia, ib) => ib == ia + 1000L }
+    assert(planted >= 30, s"code-pruned mining lost the planted pairs: $planted/40")
+    // prebuilt indexes belong to the caller — still queryable after
+    assert(idxB.assigned.count() == 40L && pqB.codes.count() == 40L)
+    Similarity.ivfRelease(idxA); Similarity.ivfRelease(idxB)
+    Similarity.pqRelease(pqA); Similarity.pqRelease(pqB)
+  }
 }
