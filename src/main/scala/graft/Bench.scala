@@ -125,7 +125,17 @@ object Bench {
         row
       }
     // everything persistent after the builds belongs to the shared
-    // indexes — hygiene must never unpersist it
+    // indexes — hygiene must never unpersist it. Before the snapshot,
+    // let the ContextCleaner reclaim DEAD build-step leftovers (blocks
+    // whose frames went out of scope during the builds — ADVICE r8:
+    // snapshotting them here exempted them from every later sweep);
+    // LIVE index caches are still referenced by the model caches and
+    // survive the GC, so only garbage leaves the snapshot. The cleaner
+    // is async — the short sleep gives it a window; a straggler that
+    // slips in is reclaimed by the next boundary GC as before.
+    graft.operators.TrainPrep.releasePinnedCaches()
+    System.gc()
+    Thread.sleep(300)
     buildOwned = sc.getPersistentRDDs.keySet.toSet
     // EVERY query is timed (deterministic name order, so timing stays
     // comparable across rounds) and lands in the file artifact below;
@@ -163,7 +173,7 @@ object Bench {
     // r5/r6 one, but r8 rotated two PQ-family flagships in and three
     // near-zero rows out (see benchExclude) — round-over-round compare
     // the per-query rows, not the slim total, across that boundary.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r08.json")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r09.json")
     val full =
       s"""{"metric":"total","value":${fmt(totalOf(results))},"unit":"sec",""" +
         s""""failed":$nFailed,"sf":"$sfName","queries":${toJson(results)},""" +

@@ -29,7 +29,11 @@ object ScaleBench {
     import graft.operators.{Dedup, Similarity, TrainPrep, TextOps}
 
     val nDocs = 5000L * scale
-    val nVecs = 2000L * scale.min(50)
+    // cap raised 50 → 100 (VERDICT r8 #4): the 80× point previously
+    // meant only 100k vecs (1.25× over 40×), making every v_* "curve"
+    // nearly flat by construction; now 80× is a true 2× vector point
+    // (160k) and the ANN/batch/bitext ratios are informative
+    val nVecs = 2000L * scale.min(100)
     val dims = 64
 
     // ---- synthetic documents: ~45 tokens from a 6k vocab with a
@@ -96,11 +100,27 @@ object ScaleBench {
     // the timed body.
     val sc = spark.sparkContext
     var sinceGc = 0
+    // owned-checkpoint exemption (ADVICE r8): the sweep used to
+    // unpersist EVERY checkpointed RDD, resting on the comment-level
+    // invariant that no long-lived index here is checkpoint-backed.
+    // Mirror Bench's buildOwned instead: a cross-row index built via a
+    // localCheckpoint path registers itself through adoptCheckpoints()
+    // (sweep first, so dead blocks from earlier rows are never
+    // adopted) and the per-row sweep skips it.
+    var ownedCk = Set.empty[Int]
+    def sweepCheckpoints(): Unit =
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!ownedCk.contains(id) && rdd.isCheckpointed)
+          rdd.unpersist(blocking = false)
+      }
+    def adoptCheckpoints(): Unit = {
+      sweepCheckpoints()
+      ownedCk = sc.getPersistentRDDs
+        .filter { case (_, rdd) => rdd.isCheckpointed }.keySet.toSet
+    }
     def bench(name: String)(body: => Long): Unit = {
       graft.operators.TrainPrep.releasePinnedCaches()
-      sc.getPersistentRDDs.values.foreach { rdd =>
-        if (rdd.isCheckpointed) rdd.unpersist(blocking = false)
-      }
+      sweepCheckpoints()
       sinceGc += 1
       if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
       val t0 = System.nanoTime()
@@ -119,6 +139,13 @@ object ScaleBench {
     }
     bench("d_simhash_neardup") {
       Dedup.simhashNearDupPairs(docs).count()
+    }
+    bench("d_simhash_neardup_d3") {
+      // the published production operating point (Manku et al. run
+      // d = 3 at 8B docs) — the row that shows the default-radius
+      // superlinearity is an operating-point choice, not a candidate
+      // blow-up: at d=3 both buckets and output stay near-linear
+      Dedup.simhashNearDupPairs(docs, maxDist = 3).count()
     }
     bench("d_decontaminate") {
       val eval = docs.where(F.col("doc_id") % 50 === 0)
@@ -168,6 +195,20 @@ object ScaleBench {
     bench("v_sq8_topk_batch") {
       Similarity.sq8TopKBatch(
         sq8, emb, queries.select("qid", "qvec"), k = 10, rerank = 100).count()
+    }
+    // the pruned sibling (VERDICT r8 #5): same 1000-query batch, but
+    // the codes scan is bounded by the probed lists — compare directly
+    // against the all-codes v_sq8_topk_batch row above
+    locally {
+      val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = 64)
+      iv.assigned.count()
+      adoptCheckpoints()
+      bench("v_ivf_sq8_topk_batch") {
+        Similarity.ivfSq8TopKBatch(
+          iv, sq8, emb, queries.select("qid", "qvec"),
+          k = 10, nprobe = 8, rerank = 100).count()
+      }
+      Similarity.ivfRelease(iv)
     }
     // on-disk density: the codes column vs the float64 vectors it
     // indexes, measured (parquet framing/compression included) — the
@@ -297,6 +338,32 @@ object ScaleBench {
       Dedup.containmentPairs(docs, n = 6, minContainment = 0.8,
         maxDf = 100).count()
     }
+    // bucket-occupancy diagnostics (VERDICT r8 #6): the measured
+    // second-order term behind the minhash/containment curves — the
+    // committed numbers SCALE.md's extrapolation leans on. The summary
+    // line prints the hottest bucket and the TOTAL candidate-pair mass
+    // so scale points can be compared pair-mass to pair-mass.
+    def occLine(tag: String, occ: Array[org.apache.spark.sql.Row]): Long = {
+      if (occ.nonEmpty) {
+        val h = occ.head; val t = occ.last
+        println(s"[scale]   $tag occupancy: top_n_docs=${h.getLong(1)} " +
+          s"top_pairs=${h.getLong(2)} top${occ.length}_cum=${t.getLong(3)} " +
+          s"total_pairs=${t.getLong(4)} hot_buckets=${t.getLong(5)}")
+      }
+      occ.length.toLong
+    }
+    bench("d_minhash_occupancy") {
+      occLine("band", Dedup.minhashBandOccupancy(docs, topN = 20).collect())
+    }
+    bench("d_gram_occupancy") {
+      occLine("gram", Dedup.gramOccupancy(docs, n = 6, topN = 20).collect())
+    }
+    bench("d_substring_dedup") {
+      // arbitrary-length exact substring dedup over the full corpus:
+      // 8-token minimum span (the planted dups repeat whole ~45-token
+      // docs, so real spans exist at every width)
+      Dedup.substringDedupSpans(docs, minLen = 8).count()
+    }
     bench("v_bitext_mine_approx") {
       // IVF-candidate mining across the even/odd halves — the approx
       // path that replaces the gated |a|*|b| exact operator at scale
@@ -316,7 +383,21 @@ object ScaleBench {
         Similarity.bitextMineApprox(
           ia, ib, sa, sb, k = 4, threshold = 1.0, nprobe = 8).count()
       }
+      // code-pruned re-mine (VERDICT r8 #2): identical probe pruning,
+      // but the probed-list scans read 8-byte PQ codes instead of
+      // 512-byte float64 vectors, with a 64-deep exact rerank per
+      // query — compare against v_bitext_mine_idx directly (same
+      // prebuilt IVF indexes, same corpus split)
+      val pa = Similarity.pqBuild(sa, m = 8, ksub = 64); pa.codes.count()
+      val pb = Similarity.pqBuild(sb, m = 8, ksub = 64); pb.codes.count()
+      adoptCheckpoints()
+      bench("v_bitext_mine_pq_idx") {
+        Similarity.bitextMinePq(
+          ia, ib, pa, pb, sa, sb, k = 4, threshold = 1.0, nprobe = 8,
+          rerank = 64).count()
+      }
       Similarity.ivfRelease(ia); Similarity.ivfRelease(ib)
+      Similarity.pqRelease(pa); Similarity.pqRelease(pb)
     }
     bench("q_entity_resolve") {
       // synthetic customer records: pairs share a base name (id/2),
@@ -399,10 +480,70 @@ object ScaleBench {
         dir, "uid", "tsd", bits = 12, nFiles = 32)
       spark.read.parquet(dir).count()
     }
+    // ---- streaming throughput (VERDICT r8 #7): the stateful
+    // operators' parity laws prove correctness; these rows measure
+    // RATE. The full event volume rides through a MemoryStream in 8
+    // event-time-ordered chunks (so the watermark never drops rows —
+    // chunk k+1's min ts >= chunk k's max ts), each processed as its
+    // own micro-batch; events/sec prints beside the row.
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ordered = events
+        .select(F.col("user_id"), F.col("ts"))
+        .orderBy("ts")
+        .as[(Long, java.sql.Timestamp)]
+        .collect()
+      val chunks = ordered.grouped(math.max(1, ordered.length / 8)).toSeq
+      bench("s_sessionize_stream") {
+        val in = MemoryStream[(Long, java.sql.Timestamp)]
+        val q = graft.streaming.StreamingOps
+          .sessionizeStream(in.toDF().toDF("user_id", "ts"),
+            gapSeconds = 1800L, watermarkDelay = "1 hour")
+          .writeStream.format("memory").queryName("scale_sess")
+          .outputMode(OutputMode.Append()).start()
+        chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+        q.stop()
+        val n = spark.sql("SELECT count(*) FROM scale_sess").head.getLong(0)
+        println(f"[scale]   sessionizeStream: ${ordered.length} events -> " +
+          s"$n closed sessions")
+        n
+      }
+      println(f"[scale]   sessionizeStream rate: " +
+        f"${ordered.length / rows("s_sessionize_stream")._1}%.0f events/sec")
+      // PSI drift monitor at the same volume: value = a deterministic
+      // per-event double; reference captured from the same distribution
+      val valued = events.select(
+        F.col("ts"),
+        (F.pmod(F.xxhash64(F.col("user_id"), F.col("ts")), F.lit(1000L))
+          .cast("double") / 10.0).as("value"))
+      val (edges, fracs) = graft.operators.Profile.psiReference(valued, "value")
+      val vOrdered = valued.orderBy("ts")
+        .as[(java.sql.Timestamp, Double)].collect()
+      val vChunks = vOrdered.grouped(math.max(1, vOrdered.length / 8)).toSeq
+      bench("s_psi_stream") {
+        val in = MemoryStream[(java.sql.Timestamp, Double)]
+        val q = graft.streaming.StreamingOps
+          .psiStream(in.toDF().toDF("ts", "value"), edges, fracs,
+            window = "1 hour", watermark = "2 hours")
+          .writeStream.format("memory").queryName("scale_psi")
+          .outputMode(OutputMode.Complete()).start()
+        vChunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+        q.stop()
+        val n = spark.sql("SELECT count(*) FROM scale_psi").head.getLong(0)
+        println(s"[scale]   psiStream: ${vOrdered.length} events -> " +
+          s"$n windows")
+        n
+      }
+      println(f"[scale]   psiStream rate: " +
+        f"${vOrdered.length / rows("s_psi_stream")._1}%.0f events/sec")
+    }
     events.unpersist(blocking = false)
 
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r08.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r09.json")
     // scale_total sums TIMINGS only; byte metrics are their own field
     val json =
       s"""{"metric":"scale_total","value":${fmt(rows.values.map(_._1).sum)},""" +
