@@ -682,13 +682,14 @@ object Similarity {
 
   /** MANY queries against the composed IVF+SQ8 index — the batch cell
     * that bounds the `sq8TopKBatch` all-codes scan: probe selection on
-    * the EXECUTORS (shared [[probesFor]], broadcast centroids), ONE
-    * cluster-keyed join decides WHICH rows each query scores, the
-    * d-byte codes join bounds WHAT the scan reads, query vectors ride
-    * in by a broadcast qid join (no per-query LUT needed — the SQ8
-    * dequant is fused into the cosine kernel). Salted per-query cut on
-    * round-4 approx, one exact rerank join for all survivors. Each
-    * qid's rows equal the single-query [[ivfSq8TopK]] at the same
+    * the EXECUTORS (shared [[probesFor]], broadcast centroids), codes
+    * attached to the lists by a corpus-sized id join, then ONE
+    * cluster-keyed fan-out join that both decides WHICH rows each
+    * query scores and computes the d-byte dequantized cosine in its
+    * own projection — query vectors ride through the probe rows
+    * (row-local access, the [[ivfTopKBatch]] shape). Salted per-query
+    * cut on round-4 approx, one exact rerank join for all survivors.
+    * Each qid's rows equal the single-query [[ivfSq8TopK]] at the same
     * parameters (spec-pinned).
     *
     * Queries need (qid, qvec); output (qid, id, score) — exact round-4
@@ -706,18 +707,27 @@ object Similarity {
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
     val qs = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+    // SAME physical shape as the proven ivfTopKBatch: the query vector
+    // rides THROUGH the probe rows (row-local access in the fan-out
+    // join's projection), and codes attach to the lists corpus-side —
+    // a corpus-sized id equi-join — BEFORE the one probe fan-out join,
+    // which scores in its own projection. The first cut instead joined
+    // (probed × lists) first, shuffled the Q×candidates rows by id to
+    // fetch codes, and read qvec from a broadcast hash relation per
+    // candidate row; measured at the 40× bench that made the "pruned"
+    // path 2× SLOWER than the all-codes scan it exists to beat.
+    // Candidates now never shuffle: born in the cluster join, cut by
+    // the salted partial top-k below it.
     val probed = qs
       .as[(Long, Array[Double])]
       .flatMap { case (qid, qv) =>
-        probesFor(bcC.value, qv, nprobe).map(c => (qid, c))
+        probesFor(bcC.value, qv, nprobe).map(c => (qid, c, qv))
       }
-      .toDF("qid", "cluster")
-    val sel = ivf.assigned.select("id", "cluster")
-      .join(probed, "cluster")
-      .select("qid", "id")
-    val approx = sel
+      .toDF("qid", "cluster", "qvec")
+    val withCodes = ivf.assigned.select("id", "cluster")
       .join(sq8.codes, "id")
-      .join(F.broadcast(qs), "qid")
+    val approx = probed
+      .join(withCodes, "cluster")
       .select(F.col("qid"), F.col("id"),
         F.round(graft.functions.VectorFunctions.sq8Cosine(
           F.col("codes"), F.col("qvec"), F.typedLit(sq8.mins),
@@ -737,14 +747,16 @@ object Similarity {
 
   /** MANY queries against the composed IVF+PQ index — the last cell
     * of the batch matrix and the full IndexIVFPQ serving shape: probe
-    * selection on the EXECUTORS (shared [[ivfProbes]] selection code
-    * via the broadcast centroids — can't drift from the single-query
-    * path), ONE cluster-keyed join bounds WHICH rows each query
-    * scores, the m-byte codes join bounds WHAT the scan reads, and
-    * per-query ADC lookup tables ride in by a broadcast qid join.
-    * Salted per-query cut on round-4 approx, one exact rerank join
-    * for all survivors. Each qid's rows equal the single-query
-    * [[ivfPqTopK]] at the same parameters (spec-pinned).
+    * selection AND per-query ADC lookup-table construction on the
+    * EXECUTORS (shared [[ivfProbes]] selection code via the broadcast
+    * centroids — can't drift from the single-query path), codes
+    * attached to the lists by a corpus-sized id join, then ONE
+    * cluster-keyed fan-out join that bounds WHICH rows each query
+    * scores and computes the m-byte ADC score in its own projection —
+    * the LUTs ride through the probe rows, row-local. Salted
+    * per-query cut on round-4 approx, one exact rerank join for all
+    * survivors. Each qid's rows equal the single-query [[ivfPqTopK]]
+    * at the same parameters (spec-pinned).
     *
     * Queries need (qid, qvec); output (qid, id, score) — exact
     * round-4 cosines, (score DESC, id ASC) per qid.
@@ -763,16 +775,24 @@ object Similarity {
     val dsub = pq.dsub
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
     val bcBooks = spark.sparkContext.broadcast(pq.books)
-    val qTyped = queries
+    val qs = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+    // SAME physical shape as the proven ivfTopKBatch: the per-query
+    // ADC lookup tables are built IN the probe flatMap (executors, no
+    // driver loop) and ride THROUGH the probe rows — row-local access
+    // in the fan-out join's projection, 2·m·ksub doubles × nprobe rows
+    // per query of shuffle, paid once. Codes attach to the lists
+    // corpus-side (a corpus-sized id equi-join) BEFORE the one probe
+    // fan-out join, which scores ADC in its own projection. The first
+    // cut instead shuffled the Q×candidates rows by id to fetch codes
+    // and probed a several-hundred-MB broadcast LUT relation per
+    // candidate row — measured at the 40× bitext bench that cost ~10×
+    // the float-scanning path it exists to beat. Candidates now never
+    // shuffle: born in the cluster join, cut by the salted partial
+    // top-k below it.
+    val probed = qs
       .as[(Long, Array[Double])]
-    val probed = qTyped
-      .flatMap { case (qid, qv) =>
-        probesFor(bcC.value, qv, nprobe).map(c => (qid, c))
-      }
-      .toDF("qid", "cluster")
-    val luts = qTyped
-      .map { case (qid, q) =>
+      .flatMap { case (qid, q) =>
         require(q.length == m * dsub,
           s"query $qid has ${q.length} dims but index was encoded for ${m * dsub}")
         val books = bcBooks.value
@@ -797,15 +817,15 @@ object Similarity {
           }
           s += 1
         }
-        (qid, q, lutDot, lutN2, math.sqrt(q.map(x => x * x).sum))
+        val qnorm = math.sqrt(q.map(x => x * x).sum)
+        probesFor(bcC.value, q, nprobe).map(c =>
+          (qid, c, lutDot, lutN2, qnorm))
       }
-      .toDF("qid", "qvec", "lutd", "lutn", "qnorm")
-    val sel = ivf.assigned.select("id", "cluster")
-      .join(probed, "cluster")
-      .select("qid", "id")
-    val approx = sel
+      .toDF("qid", "cluster", "lutd", "lutn", "qnorm")
+    val withCodes = ivf.assigned.select("id", "cluster")
       .join(pq.codes, "id")
-      .join(F.broadcast(luts.select("qid", "lutd", "lutn", "qnorm")), "qid")
+    val approx = probed
+      .join(withCodes, "cluster")
       .select(F.col("qid"), F.col("id"),
         F.round(graft.functions.VectorFunctions.pqAdcCosine(
           F.col("codes"), F.col("lutd"), F.col("lutn"),
@@ -815,7 +835,7 @@ object Similarity {
       .select("qid", "id")
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
-      .join(F.broadcast(luts.select("qid", "qvec")), "qid")
+      .join(F.broadcast(qs), "qid")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
     graft.scale.Skew.saltedTopKPerKey(
