@@ -118,7 +118,14 @@ object ScaleBench {
       ownedCk = sc.getPersistentRDDs
         .filter { case (_, rdd) => rdd.isCheckpointed }.keySet.toSet
     }
+    // optional comma-separated row subset for local iteration (the
+    // driver never sets it): un-selected rows are skipped, index
+    // builds outside bench() still run — a selected row never pays a
+    // missing dependency
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def bench(name: String)(body: => Long): Unit = {
+      if (!only.forall(_.contains(name))) return
       graft.operators.TrainPrep.releasePinnedCaches()
       sweepCheckpoints()
       sinceGc += 1
@@ -491,11 +498,14 @@ object ScaleBench {
       import org.apache.spark.sql.streaming.OutputMode
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import spark.implicits._
-      val ordered = events
-        .select(F.col("user_id"), F.col("ts"))
-        .orderBy("ts")
-        .as[(Long, java.sql.Timestamp)]
-        .collect()
+      val ordered =
+        if (!only.forall(_.contains("s_sessionize_stream")))
+          Array.empty[(Long, java.sql.Timestamp)]
+        else events
+          .select(F.col("user_id"), F.col("ts"))
+          .orderBy("ts")
+          .as[(Long, java.sql.Timestamp)]
+          .collect()
       val chunks = ordered.grouped(math.max(1, ordered.length / 8)).toSeq
       bench("s_sessionize_stream") {
         val in = MemoryStream[(Long, java.sql.Timestamp)]
@@ -511,17 +521,23 @@ object ScaleBench {
           s"$n closed sessions")
         n
       }
-      println(f"[scale]   sessionizeStream rate: " +
-        f"${ordered.length / rows("s_sessionize_stream")._1}%.0f events/sec")
+      rows.get("s_sessionize_stream").foreach { case (sec, _) =>
+        println(f"[scale]   sessionizeStream rate: " +
+          f"${ordered.length / sec}%.0f events/sec")
+      }
       // PSI drift monitor at the same volume: value = a deterministic
       // per-event double; reference captured from the same distribution
       val valued = events.select(
         F.col("ts"),
         (F.pmod(F.xxhash64(F.col("user_id"), F.col("ts")), F.lit(1000L))
           .cast("double") / 10.0).as("value"))
-      val (edges, fracs) = graft.operators.Profile.psiReference(valued, "value")
-      val vOrdered = valued.orderBy("ts")
-        .as[(java.sql.Timestamp, Double)].collect()
+      val runPsi = only.forall(_.contains("s_psi_stream"))
+      val (edges, fracs) =
+        if (!runPsi) (Array.empty[Double], Array.empty[Double])
+        else graft.operators.Profile.psiReference(valued, "value")
+      val vOrdered =
+        if (!runPsi) Array.empty[(java.sql.Timestamp, Double)]
+        else valued.orderBy("ts").as[(java.sql.Timestamp, Double)].collect()
       val vChunks = vOrdered.grouped(math.max(1, vOrdered.length / 8)).toSeq
       bench("s_psi_stream") {
         val in = MemoryStream[(java.sql.Timestamp, Double)]
@@ -537,8 +553,10 @@ object ScaleBench {
           s"$n windows")
         n
       }
-      println(f"[scale]   psiStream rate: " +
-        f"${vOrdered.length / rows("s_psi_stream")._1}%.0f events/sec")
+      rows.get("s_psi_stream").foreach { case (sec, _) =>
+        println(f"[scale]   psiStream rate: " +
+          f"${vOrdered.length / sec}%.0f events/sec")
+      }
     }
     events.unpersist(blocking = false)
 

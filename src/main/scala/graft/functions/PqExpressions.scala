@@ -68,25 +68,45 @@ object PqKernels {
     * lutN2[s·ksub+j] = Σ_f c² — ksub is derived as
     * lutDot.length / codes.length so the expression stays 4-ary.
     * Accumulation order is ascending subspace, matching the oracle's
-    * reconstruction sum closely enough for the round-4 contract. */
+    * reconstruction sum closely enough for the round-4 contract.
+    *
+    * ArrayData-direct: the LUTs are read IN PLACE by offset — the
+    * whole point of ADC is m byte-indexed reads per row, and the
+    * previous form copied both m·ksub-double LUTs into fresh arrays
+    * EVERY ROW (~8 KB/row at m=8/ksub=64), which is why the "cheap"
+    * ADC scan measured slower than the full float cosine at the 40×
+    * bitext bench. Zero per-row allocation now.
+    */
   def adcCosine(
-      codes: Array[Byte], lutDot: Array[Double], lutN2: Array[Double],
+      codes: Array[Byte], lutDot: ArrayData, lutN2: ArrayData,
       qnorm: Double): Double = {
     val m = codes.length
-    if (m == 0 || lutDot.length % m != 0) return 0.0
-    val ksub = lutDot.length / m
+    if (m == 0 || lutDot.numElements() % m != 0) return 0.0
+    val ksub = lutDot.numElements() / m
     var dot = 0.0
     var n2 = 0.0
     var s = 0
     while (s < m) {
       val j = codes(s) & 0xFF
       val idx = s * ksub + j
-      dot += lutDot(idx)
-      n2 += lutN2(idx)
+      dot += lutDot.getDouble(idx)
+      n2 += lutN2.getDouble(idx)
       s += 1
     }
     if (qnorm == 0.0 || n2 == 0.0) 0.0 else dot / (qnorm * math.sqrt(n2))
   }
+
+  /** Primitive-array convenience overload (specs and driver-side
+    * callers); delegates to the ArrayData form so the two cannot
+    * drift. */
+  def adcCosine(
+      codes: Array[Byte], lutDot: Array[Double], lutN2: Array[Double],
+      qnorm: Double): Double =
+    adcCosine(
+      codes,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(lutDot),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(lutN2),
+      qnorm)
 }
 
 case class PqEncodeVec(
@@ -153,14 +173,15 @@ case class PqAdcCosine(
   override protected def nullSafeEval(c: Any, ld: Any, ln: Any, qn: Any): Any =
     PqKernels.adcCosine(
       c.asInstanceOf[Array[Byte]],
-      ld.asInstanceOf[ArrayData].toDoubleArray(),
-      ln.asInstanceOf[ArrayData].toDoubleArray(),
+      ld.asInstanceOf[ArrayData],
+      ln.asInstanceOf[ArrayData],
       qn.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, ld, ln, qn) => {
       val k = PqKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"${ev.value} = $k.adcCosine($c, $ld.toDoubleArray(), $ln.toDoubleArray(), $qn);"
+      // ArrayData-direct kernel call: no per-row LUT copies
+      s"${ev.value} = $k.adcCosine($c, $ld, $ln, $qn);"
     })
 
   override protected def withNewChildrenInternal(

@@ -56,22 +56,44 @@ object Sq8Kernels {
     * constant dimension dequantizes to the constant) and accumulate
     * against the full-precision query in one loop. Same accumulation
     * order as [[VectorKernels.cosine]], so scores match the one-shot
-    * path's `cosine(dq, q)` exactly. */
+    * path's `cosine(dq, q)` exactly.
+    *
+    * ArrayData-direct: q/mins/maxs are read IN PLACE by offset —
+    * ZERO per-row allocation. The previous form copied all three into
+    * fresh primitive arrays every row (~1.5 KB/row); on a probed scan
+    * scoring hundreds of millions of candidate rows that allocation
+    * churn, not the arithmetic, dominated the 40× bench profile.
+    * Callers must null-scan `q` first (the expression's genNullScan
+    * does); a null slot would read as 0 here.
+    */
   def cosineDeq(
-      codes: Array[Byte], q: Array[Double],
-      mins: Array[Double], maxs: Array[Double]): Double = {
-    val n = math.min(codes.length, q.length)
+      codes: Array[Byte], q: ArrayData,
+      mins: ArrayData, maxs: ArrayData): Double = {
+    val n = math.min(codes.length, q.numElements())
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val s = maxs(i) - mins(i)
-      val x = if (s == 0.0) mins(i) else mins(i) + (codes(i) & 0xFF) * s / 255.0
-      val y = q(i)
+      val mn = mins.getDouble(i)
+      val s = maxs.getDouble(i) - mn
+      val x = if (s == 0.0) mn else mn + (codes(i) & 0xFF) * s / 255.0
+      val y = q.getDouble(i)
       d += x * y; na += x * x; nb += y * y
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
   }
+
+  /** Primitive-array convenience overload (specs and driver-side
+    * callers); delegates to the ArrayData form so the two cannot
+    * drift. */
+  def cosineDeq(
+      codes: Array[Byte], q: Array[Double],
+      mins: Array[Double], maxs: Array[Double]): Double =
+    cosineDeq(
+      codes,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(maxs))
 }
 
 case class Sq8EncodeVec(first: Expression, second: Expression, third: Expression)
@@ -123,28 +145,24 @@ case class Sq8CosineDeq(
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(c: Any, q: Any, mn: Any, mx: Any): Any = {
-    val qs =
-      if (VectorKernels.slotsNullable(second)) VectorKernels.doublesOrNull(q.asInstanceOf[ArrayData])
-      else q.asInstanceOf[ArrayData].toDoubleArray()
-    if (qs == null) null
+    val qa = q.asInstanceOf[ArrayData]
+    if (VectorKernels.slotsNullable(second) && VectorKernels.hasNullSlot(qa)) null
     else Sq8Kernels.cosineDeq(
-      c.asInstanceOf[Array[Byte]], qs,
-      mn.asInstanceOf[ArrayData].toDoubleArray(),
-      mx.asInstanceOf[ArrayData].toDoubleArray())
+      c.asInstanceOf[Array[Byte]], qa,
+      mn.asInstanceOf[ArrayData], mx.asInstanceOf[ArrayData])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, q, mn, mx) => {
-      val qs = ctx.freshName("qs")
       val nullQ = ctx.freshName("nullQ")
       val k = Sq8Kernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      // ArrayData-direct kernel call: no per-row toDoubleArray copies
       s"""
          |${VectorKernels.genNullScan(ctx, q, nullQ, VectorKernels.slotsNullable(second))}
          |if ($nullQ) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double[] $qs = $q.toDoubleArray();
-         |  ${ev.value} = $k.cosineDeq($c, $qs, $mn.toDoubleArray(), $mx.toDoubleArray());
+         |  ${ev.value} = $k.cosineDeq($c, $q, $mn, $mx);
          |}
        """.stripMargin
     })

@@ -66,6 +66,19 @@ object VectorKernels {
     a.toDoubleArray()
   }
 
+  /** Null-slot scan WITHOUT the copy — for kernels that read the
+    * ArrayData in place (offset reads) instead of materializing a
+    * fresh primitive array per row. */
+  private[functions] def hasNullSlot(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Codegen counterpart of [[doublesOrNull]]'s null scan. When the
     * child's schema proves containsNull = false the scan compiles to a
     * constant — the guard costs nothing on tight schemas. */
