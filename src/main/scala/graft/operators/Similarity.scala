@@ -458,6 +458,33 @@ object Similarity {
     (lutDot, lutN2)
   }
 
+  /** Query-independent half of the ADC tables: lutN2[s·ksub+j] =
+    * ‖c_sj‖² — a pure codebook property, computed once driver-side and
+    * shipped as ONE literal (m·ksub doubles) the kernel reads in
+    * place. The batch paths carry only the per-query dot LUT through
+    * their probe/broadcast rows — half the payload of shipping both
+    * tables per query. */
+  private def codebookNorms(index: PqIndex): Array[Double] = {
+    val m = index.m
+    val ksub = index.ksub
+    val dsub = index.dsub
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
+        val c = index.books(s)(j)
+        var n2 = 0.0
+        var f = 0
+        while (f < dsub) { n2 += c(f) * c(f); f += 1 }
+        out(s * ksub + j) = n2
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
   def pqTopK(
       index: PqIndex, emb: DataFrame, query: Array[Double], k: Int,
       rerank: Int): DataFrame = {
@@ -548,34 +575,32 @@ object Similarity {
           s"query $qid has ${q.length} dims but index was encoded for ${m * dsub}")
         val books = bcBooks.value
         val lutDot = new Array[Double](m * ksub)
-        val lutN2 = new Array[Double](m * ksub)
         var s = 0
         while (s < m) {
           var j = 0
           while (j < ksub) {
             val c = books(s)(j)
             var d = 0.0
-            var n2 = 0.0
             var f = 0
             while (f < dsub) {
               d += q(s * dsub + f) * c(f)
-              n2 += c(f) * c(f)
               f += 1
             }
             lutDot(s * ksub + j) = d
-            lutN2(s * ksub + j) = n2
             j += 1
           }
           s += 1
         }
-        (qid, q, lutDot, lutN2, math.sqrt(q.map(x => x * x).sum))
+        (qid, q, lutDot, math.sqrt(q.map(x => x * x).sum))
       }
-      .toDF("qid", "qvec", "lutd", "lutn", "qnorm")
+      .toDF("qid", "qvec", "lutd", "qnorm")
+    // lutN2 is query-independent ([[codebookNorms]]) — one literal,
+    // not a per-query broadcast column
     val approx = index.codes
-      .crossJoin(F.broadcast(luts.select("qid", "lutd", "lutn", "qnorm")))
+      .crossJoin(F.broadcast(luts.select("qid", "lutd", "qnorm")))
       .select(F.col("qid"), F.col("id"),
         F.round(graft.functions.VectorFunctions.pqAdcCosine(
-          F.col("codes"), F.col("lutd"), F.col("lutn"),
+          F.col("codes"), F.col("lutd"), F.typedLit(codebookNorms(index)),
           F.col("qnorm")), 4).as("approx"))
     val cand = graft.scale.Skew.saltedTopKPerKey(
         approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
@@ -790,6 +815,10 @@ object Similarity {
     // the float-scanning path it exists to beat. Candidates now never
     // shuffle: born in the cluster join, cut by the salted partial
     // top-k below it.
+    // lutN2 is QUERY-INDEPENDENT (‖c_sj‖² is a codebook property), so
+    // it rides as one typedLit read in place by the kernel — only the
+    // per-query dot LUT (m·ksub doubles) is carried through the probe
+    // rows, halving the widest shuffled payload
     val probed = qs
       .as[(Long, Array[Double])]
       .flatMap { case (qid, q) =>
@@ -797,38 +826,33 @@ object Similarity {
           s"query $qid has ${q.length} dims but index was encoded for ${m * dsub}")
         val books = bcBooks.value
         val lutDot = new Array[Double](m * ksub)
-        val lutN2 = new Array[Double](m * ksub)
         var s = 0
         while (s < m) {
           var j = 0
           while (j < ksub) {
             val c = books(s)(j)
             var d = 0.0
-            var n2 = 0.0
             var f = 0
             while (f < dsub) {
               d += q(s * dsub + f) * c(f)
-              n2 += c(f) * c(f)
               f += 1
             }
             lutDot(s * ksub + j) = d
-            lutN2(s * ksub + j) = n2
             j += 1
           }
           s += 1
         }
         val qnorm = math.sqrt(q.map(x => x * x).sum)
-        probesFor(bcC.value, q, nprobe).map(c =>
-          (qid, c, lutDot, lutN2, qnorm))
+        probesFor(bcC.value, q, nprobe).map(c => (qid, c, lutDot, qnorm))
       }
-      .toDF("qid", "cluster", "lutd", "lutn", "qnorm")
+      .toDF("qid", "cluster", "lutd", "qnorm")
     val withCodes = ivf.assigned.select("id", "cluster")
       .join(pq.codes, "id")
     val approx = probed
       .join(withCodes, "cluster")
       .select(F.col("qid"), F.col("id"),
         F.round(graft.functions.VectorFunctions.pqAdcCosine(
-          F.col("codes"), F.col("lutd"), F.col("lutn"),
+          F.col("codes"), F.col("lutd"), F.typedLit(codebookNorms(pq)),
           F.col("qnorm")), 4).as("approx"))
     val cand = graft.scale.Skew.saltedTopKPerKey(
         approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
