@@ -169,7 +169,8 @@ object SparkEntry {
     // line is at its ~1900-char budget; their scale story is measured
     // in SCALE_BENCH_r09 (ivfSq8/bitextPq/substring/occupancy rows)
     "v_ivf_sq8_topk", "v_ivf_sq8_topk_batch", "v_bitext_mine_pq",
-    "d_substring_dedup", "d_gram_occupancy")
+    "d_substring_dedup", "d_gram_occupancy",
+    "v_ivf_pqr_topk", "v_ivf_pqr_topk_batch")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1209,6 +1210,42 @@ object SparkEntry {
         .localCheckpoint()
       Similarity.ivfRelease(ivf)
       Similarity.pqRelease(pq)
+      out
+    }),
+
+    // Residual IVF+PQ (IVFADC — Jégou et al. TPAMI'11, the faiss
+    // IndexIVFPQ default): codebooks trained on r = x − c(list), so
+    // codec capacity models the within-list spread. Query-time scan
+    // cost equals v_ivf_pq_topk's (m bytes + one divide — the
+    // reconstruction norm ‖x̂‖² is folded into a stored n2hat column
+    // at build); recall at fixed (nprobe, rerank) is spec-measured ≥
+    // the raw codec's on clustered data
+    "v_ivf_pqr_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val pqr = Similarity.pqResidualBuild(ivf, m = 4, ksub = 8, iters = 10)
+      val out = Similarity.ivfPqrTopK(
+        ivf, pqr, e, queryVec(s, d), k = 20, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.pqResidualRelease(pqr)
+      out
+    }),
+
+    // batch face of the residual composition: probe rows carry the
+    // per-query dot LUT plus ONE extra scalar (⟨q,c⟩); same fan-out
+    // join shape as v_ivf_pq_topk_batch
+    "v_ivf_pqr_topk_batch" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val pqr = Similarity.pqResidualBuild(ivf, m = 4, ksub = 8, iters = 10)
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val out = Similarity.ivfPqrTopKBatch(
+        ivf, pqr, e, qs, k = 10, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.pqResidualRelease(pqr)
       out
     }),
 
@@ -3436,6 +3473,127 @@ object SparkEntry {
           |  GROUP BY a.id)
           |SELECT id, round(cos, 4) AS score FROM scored
           |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // Residual IVF+PQ replay: the v_ivf_pq_topk chain with ONE change
+    // of training input — the per-subspace kmeans chains run over
+    // rsrc (x − assigned iv centroid) instead of pqsrc, and the
+    // reconstruction adds the centroid back (recon = reconr + ivkc15).
+    // The engine's stored-norm quotient equals cosine(q, recon)
+    // exactly, so the oracle scores the reconstruction directly
+    "v_ivf_pqr_topk" ->
+      (s"""WITH pqsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("pqsrc", 16, 15, "iv")},
+          |rsrc AS (SELECT s.id, s.f, s.x - k.cx AS x
+          |  FROM pqsrc s JOIN ivfin fin ON fin.id = s.id
+          |  JOIN ivkc15 k ON k.c = fin.c AND k.f = s.f),
+          |p0src AS (SELECT id, f, x FROM rsrc WHERE f BETWEEN 1 AND 16),
+          |p1src AS (SELECT id, f, x FROM rsrc WHERE f BETWEEN 17 AND 32),
+          |p2src AS (SELECT id, f, x FROM rsrc WHERE f BETWEEN 33 AND 48),
+          |p3src AS (SELECT id, f, x FROM rsrc WHERE f BETWEEN 49 AND 64),
+          |${kmeansCtes("p0src", 8, 10, "p0")},
+          |${kmeansCtes("p1src", 8, 10, "p1")},
+          |${kmeansCtes("p2src", 8, 10, "p2")},
+          |${kmeansCtes("p3src", 8, 10, "p3")},
+          |reconr AS (
+          |  SELECT fin.id, k.f, k.cx
+          |  FROM p0fin fin JOIN p0kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p1fin fin JOIN p1kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p2fin fin JOIN p2kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p3fin fin JOIN p3kc10 k ON k.c = fin.c),
+          |recon AS (SELECT r.id, r.f, r.cx + k.cx AS cx
+          |  FROM reconr r JOIN ivfin fin ON fin.id = r.id
+          |  JOIN ivkc15 k ON k.c = fin.c AND k.f = r.f),
+          |q AS (SELECT f, x FROM pqsrc WHERE id = 0),
+          |cq AS (SELECT k.c,
+          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+          |  FROM ivkc15 k JOIN q ON q.f = k.f GROUP BY k.c),
+          |probes AS (SELECT c FROM cq ORDER BY d, c LIMIT 12),
+          |sel AS (SELECT fin.id FROM ivfin fin JOIN probes p ON p.c = fin.c),
+          |qn AS (SELECT sqrt(sum(x * x)) AS v FROM q),
+          |ap AS (SELECT r.id,
+          |  round(sum(q.x * r.cx) / (qn.v * sqrt(sum(r.cx * r.cx))), 4)
+          |    AS approx
+          |  FROM recon r JOIN sel s ON s.id = r.id
+          |  JOIN q ON q.f = r.f CROSS JOIN qn
+          |  GROUP BY r.id, qn.v),
+          |cand AS (SELECT id FROM ap ORDER BY approx DESC, id ASC LIMIT 60),
+          |scored AS (SELECT a.id,
+          |  sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)) AS cos
+          |  FROM pqsrc a JOIN q ON q.f = a.f JOIN cand c ON c.id = a.id
+          |  GROUP BY a.id)
+          |SELECT id, round(cos, 4) AS score FROM scored
+          |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // batch face of the residual replay: same residual recon chain,
+    // per-qid probe ranking / candidate window / exact rerank as the
+    // v_ivf_pq_topk_batch convention
+    "v_ivf_pqr_topk_batch" ->
+      (s"""WITH pqsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("pqsrc", 16, 15, "iv")},
+          |rsrc AS (SELECT s.id, s.f, s.x - k.cx AS x
+          |  FROM pqsrc s JOIN ivfin fin ON fin.id = s.id
+          |  JOIN ivkc15 k ON k.c = fin.c AND k.f = s.f),
+          |p0src AS (SELECT id, f, x FROM rsrc WHERE f BETWEEN 1 AND 16),
+          |p1src AS (SELECT id, f, x FROM rsrc WHERE f BETWEEN 17 AND 32),
+          |p2src AS (SELECT id, f, x FROM rsrc WHERE f BETWEEN 33 AND 48),
+          |p3src AS (SELECT id, f, x FROM rsrc WHERE f BETWEEN 49 AND 64),
+          |${kmeansCtes("p0src", 8, 10, "p0")},
+          |${kmeansCtes("p1src", 8, 10, "p1")},
+          |${kmeansCtes("p2src", 8, 10, "p2")},
+          |${kmeansCtes("p3src", 8, 10, "p3")},
+          |reconr AS (
+          |  SELECT fin.id, k.f, k.cx
+          |  FROM p0fin fin JOIN p0kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p1fin fin JOIN p1kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p2fin fin JOIN p2kc10 k ON k.c = fin.c
+          |  UNION ALL SELECT fin.id, k.f, k.cx
+          |  FROM p3fin fin JOIN p3kc10 k ON k.c = fin.c),
+          |recon AS (SELECT r.id, r.f, r.cx + k.cx AS cx
+          |  FROM reconr r JOIN ivfin fin ON fin.id = r.id
+          |  JOIN ivkc15 k ON k.c = fin.c AND k.f = r.f),
+          |qs AS (SELECT id AS qid, f, x FROM pqsrc WHERE id <= 4),
+          |cq AS (SELECT q.qid, k.c,
+          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+          |  FROM ivkc15 k JOIN qs q ON q.f = k.f GROUP BY q.qid, k.c),
+          |probes AS (SELECT qid, c FROM (
+          |  SELECT qid, c, row_number() OVER (
+          |    PARTITION BY qid ORDER BY d, c) AS rn FROM cq) WHERE rn <= 12),
+          |sel AS (SELECT p.qid, fin.id
+          |  FROM ivfin fin JOIN probes p ON p.c = fin.c),
+          |qn AS (SELECT qid, sqrt(sum(x * x)) AS v FROM qs GROUP BY qid),
+          |ap AS (SELECT s.qid, r.id,
+          |  round(sum(q.x * r.cx) / (qn.v * sqrt(sum(r.cx * r.cx))), 4)
+          |    AS approx
+          |  FROM recon r JOIN sel s ON s.id = r.id
+          |  JOIN qs q ON q.qid = s.qid AND q.f = r.f
+          |  JOIN qn ON qn.qid = s.qid
+          |  GROUP BY s.qid, r.id, qn.v),
+          |cand AS (SELECT qid, id FROM (
+          |  SELECT qid, id, row_number() OVER (
+          |    PARTITION BY qid ORDER BY approx DESC, id ASC) AS rn
+          |  FROM ap) WHERE rn <= 60),
+          |scored AS (SELECT c.qid, a.id,
+          |  round(sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)), 4)
+          |    AS score
+          |  FROM pqsrc a JOIN cand c ON c.id = a.id
+          |  JOIN qs q ON q.qid = c.qid AND q.f = a.f
+          |  GROUP BY c.qid, a.id)
+          |SELECT qid, id, score FROM (
+          |  SELECT qid, id, score, row_number() OVER (
+          |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+          |  FROM scored) WHERE rn <= 10
+          |ORDER BY qid, score DESC, id ASC""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
 
     // batch generalization of the v_ann_topk_sq8 replay: per-qid

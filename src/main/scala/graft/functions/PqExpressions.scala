@@ -107,6 +107,27 @@ object PqKernels {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(lutDot),
       new org.apache.spark.sql.catalyst.util.GenericArrayData(lutN2),
       qnorm)
+
+  /** Σ_s lut[s·ksub + code_s] — the raw ADC table-sum primitive the
+    * RESIDUAL codec composes its score from (the fused [[adcCosine]]
+    * bakes the ‖x̂‖ = ‖dequant‖ assumption in, which is false once the
+    * reconstruction is centroid + dequant). Same zero-copy contract:
+    * the LUT is read in place by offset, no per-row allocation. */
+  def adcSum(codes: Array[Byte], lut: ArrayData): Double = {
+    val m = codes.length
+    if (m == 0 || lut.numElements() % m != 0) return 0.0
+    val ksub = lut.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getDouble(s * ksub + (codes(s) & 0xFF))
+      s += 1
+    }
+    acc
+  }
+
+  def adcSum(codes: Array[Byte], lut: Array[Double]): Double =
+    adcSum(codes, new org.apache.spark.sql.catalyst.util.GenericArrayData(lut))
 }
 
 case class PqEncodeVec(
@@ -154,6 +175,36 @@ case class PqEncodeVec(
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): PqEncodeVec =
     copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** BINARY codes × ARRAY<DOUBLE> LUT → Σ_s lut[s·ksub+code_s]. The
+  * residual-IVF+PQ scoring primitive: per-query dot LUTs and the
+  * build-time norm/cross tables all reduce through this one sum, and
+  * the quotient is composed in plain Column arithmetic so every term
+  * stays inside whole-stage codegen. */
+case class PqAdcSum(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_sum"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary, array<double>)")
+  }
+
+  override protected def nullSafeEval(c: Any, lut: Any): Any =
+    PqKernels.adcSum(c.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, lut) => {
+      val k = PqKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $k.adcSum($c, $lut);"
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcSum = copy(left = l, right = r)
 }
 
 case class PqAdcCosine(

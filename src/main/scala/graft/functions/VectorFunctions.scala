@@ -86,6 +86,12 @@ object VectorFunctions {
       Shim.expression(codes), asDoubles(lutDot), asDoubles(lutN2),
       Shim.expression(qnorm.cast("double"))))
 
+  /** Raw ADC table sum over PQ codes: Σ_s lut[s·ksub+code_s]. The
+    * residual codec's scoring primitive — dot, cross, and norm² terms
+    * all reduce through it and compose in plain Column arithmetic. */
+  def pqAdcSum(codes: Column, lut: Column): Column =
+    Shim.column(PqAdcSum(Shim.expression(codes), asDoubles(lut)))
+
   /** Register the native kernels for SQL use (`graft_cosine(a,b)` etc.). */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
@@ -104,5 +110,7 @@ object VectorFunctions {
     Shim.registerFunction(spark, "graft_pq_adc_cosine",
       es => PqAdcCosine(es(0), d(es(1)), d(es(2)),
         Cast(es(3), DoubleType)))
+    Shim.registerFunction(spark, "graft_pq_adc_sum",
+      es => PqAdcSum(es(0), d(es(1))))
   }
 }

@@ -428,10 +428,15 @@ object Similarity {
     * lutN2[s·ksub+j] = ‖c_sj‖² — m·ksub doubles, computed once per
     * query on the driver. */
   private def pqLuts(
-      index: PqIndex, query: Array[Double]): (Array[Double], Array[Double]) = {
-    val m = index.m
-    val ksub = index.ksub
-    val dsub = index.dsub
+      index: PqIndex, query: Array[Double]): (Array[Double], Array[Double]) =
+    pqLutsOf(index.books, query)
+
+  private def pqLutsOf(
+      books: Array[Array[Array[Double]]],
+      query: Array[Double]): (Array[Double], Array[Double]) = {
+    val m = books.length
+    val ksub = books.headOption.map(_.length).getOrElse(0)
+    val dsub = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
     require(query.length == m * dsub,
       s"query has ${query.length} dims but index was encoded for ${m * dsub}")
     val lutDot = new Array[Double](m * ksub)
@@ -440,7 +445,7 @@ object Similarity {
     while (s < m) {
       var j = 0
       while (j < ksub) {
-        val c = index.books(s)(j)
+        val c = books(s)(j)
         var d = 0.0
         var n2 = 0.0
         var f = 0
@@ -464,16 +469,20 @@ object Similarity {
     * place. The batch paths carry only the per-query dot LUT through
     * their probe/broadcast rows — half the payload of shipping both
     * tables per query. */
-  private def codebookNorms(index: PqIndex): Array[Double] = {
-    val m = index.m
-    val ksub = index.ksub
-    val dsub = index.dsub
+  private def codebookNorms(index: PqIndex): Array[Double] =
+    codebookNormsOf(index.books)
+
+  private def codebookNormsOf(
+      books: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = books.length
+    val ksub = books.headOption.map(_.length).getOrElse(0)
+    val dsub = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
     val out = new Array[Double](m * ksub)
     var s = 0
     while (s < m) {
       var j = 0
       while (j < ksub) {
-        val c = index.books(s)(j)
+        val c = books(s)(j)
         var n2 = 0.0
         var f = 0
         while (f < dsub) { n2 += c(f) * c(f); f += 1 }
@@ -865,6 +874,292 @@ object Similarity {
     graft.scale.Skew.saltedTopKPerKey(
         rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
+  /** Residual-encoded IVF+PQ — the published IVFADC composition
+    * (Jégou et al., "Product quantization for nearest neighbor
+    * search", TPAMI 2011 §IV; the faiss IndexIVFPQ default): the PQ
+    * codebooks are trained on r = x − c(list) instead of on x, so
+    * their ksub^m capacity describes the WITHIN-list spread rather
+    * than re-describing the coarse structure the IVF centroids
+    * already captured. At the same (m, ksub) the quantization error
+    * drops and recall at fixed (nprobe, rerank) rises — the recall
+    * ordering vs the raw-vector codec is spec-measured on the
+    * clustered corpus, and at full probes + full rerank the
+    * composition degenerates to the exact top-k (the oracle point).
+    *
+    * Scoring stays ONE table-sum per row. With x̂ = c + dequant(codes):
+    *
+    *   cos(q, x̂) = (⟨q,c⟩ + Σ_s lutDot[s,code_s]) / (‖q‖·‖x̂‖)
+    *
+    * where ⟨q,c⟩ is one scalar per probed list and ‖x̂‖² =
+    * ‖c‖² + 2·Σ_s⟨c[s], b_s,code⟩ + Σ_s‖b_s,code‖² is QUERY-
+    * INDEPENDENT — evaluated once at build time through the same
+    * [[graft.functions.PqKernels.adcSum]] kernel and stored as one
+    * double beside the codes (`n2hat`). Query-time cost is therefore
+    * exactly the raw codec's (m byte-indexed reads + one divide), and
+    * no per-cluster table ships with queries at all — the classic
+    * IVFADC per-probe LUT rebuild is precomputed away.
+    */
+  final case class PqResidualIndex(
+      codes: DataFrame, // (id, codes BINARY(m), n2hat DOUBLE)
+      books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def ksub: Int = books.headOption.map(_.length).getOrElse(0)
+    def dsub: Int =
+      books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    private[operators] def flat: Array[Double] = books.flatten.flatten
+  }
+
+  /** Train residual codebooks against `ivf`'s lists and encode the
+    * corpus: residuals materialize through ONE broadcast centroid join
+    * (zip_with subtraction — no shuffle), `m` DeterministicKMeans fits
+    * over the residual slices, then one map-only encode scan that also
+    * folds the query-independent reconstruction norm ‖x̂‖² into the
+    * `n2hat` column via two [[graft.functions.PqKernels.adcSum]] reads
+    * against the per-cluster cross tables (nLists·m·ksub doubles,
+    * driver-built, broadcast once — build-time only). Same
+    * normalization contract as [[ivfBuild]].
+    */
+  def pqResidualBuild(
+      ivf: IvfIndex, m: Int, ksub: Int, iters: Int = 10,
+      persist: Boolean = true): PqResidualIndex = {
+    require(m > 0, s"m must be positive; got $m")
+    require(ksub > 0 && ksub <= 256, s"ksub must be in 1..256; got $ksub")
+    val centsByC = ivf.centroids.sortBy(_._1).map(_._2)
+    require(centsByC.nonEmpty, "pqResidualBuild: IVF index has no centroids")
+    val dims = centsByC.head.length
+    require(dims % m == 0,
+      s"pqResidualBuild: $dims dims do not split into $m equal subspaces")
+    val dsub = dims / m
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val centDf = centsByC.zipWithIndex
+      .map { case (cv, c) => (c, cv) }.toSeq.toDF("cluster", "cvec")
+    val resid = ivf.assigned
+      .select(F.col("id"), F.col("cluster"),
+        F.col("vec").cast("array<double>").as("vec"))
+      .join(F.broadcast(centDf), "cluster")
+      .select(F.col("id"), F.col("cluster"),
+        F.zip_with(F.col("vec"), F.col("cvec"), (a, b) => a - b).as("rvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = Array.tabulate(m) { s =>
+        val sub = resid.select(
+          F.col("id"), F.slice(F.col("rvec"), s * dsub + 1, dsub).as("x"))
+        graft.scale.DeterministicKMeans.fit(sub, ksub, maxIter = iters).centers
+      }
+      val idx = PqResidualIndex(null, books)
+      val lutN2 = codebookNormsOf(books)
+      // per-cluster query-independent tables: cross[s·ksub+j] =
+      // ⟨c[s·dsub..], b_sj⟩ and ‖c‖² — nLists·(m·ksub+1) doubles total
+      val clusterDf = centsByC.zipWithIndex.map { case (cv, c) =>
+        val cross = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          var j = 0
+          while (j < ksub) {
+            val b = books(s)(j)
+            var d = 0.0
+            var f = 0
+            while (f < dsub) { d += cv(s * dsub + f) * b(f); f += 1 }
+            cross(s * ksub + j) = d
+            j += 1
+          }
+          s += 1
+        }
+        var cn2 = 0.0
+        var f = 0
+        while (f < dims) { cn2 += cv(f) * cv(f); f += 1 }
+        (c, cross, cn2)
+      }.toSeq.toDF("cluster", "cross", "cn2")
+      val codes = resid
+        .select(F.col("id"), F.col("cluster"),
+          graft.functions.VectorFunctions.pqEncode(
+            F.col("rvec"), F.typedLit(idx.flat), m, ksub).as("codes"))
+        .join(F.broadcast(clusterDf), "cluster")
+        .select(F.col("id"), F.col("codes"),
+          (F.col("cn2")
+            + F.lit(2.0) * graft.functions.VectorFunctions.pqAdcSum(
+              F.col("codes"), F.col("cross"))
+            + graft.functions.VectorFunctions.pqAdcSum(
+              F.col("codes"), F.typedLit(lutN2))).as("n2hat"))
+      val out =
+        if (persist) {
+          val p = codes.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count() // materialize so `resid` can be dropped on exit
+          p
+        } else codes.localCheckpoint() // sever lineage from the dropped cache
+      idx.copy(codes = out)
+    } finally resid.unpersist(blocking = false)
+  }
+
+  def pqResidualRelease(index: PqResidualIndex): Unit =
+    index.codes.unpersist(blocking = false)
+
+  /** ⟨q, c⟩ for every list as one small literal (ivf.k doubles) —
+    * probed entries are read by `element_at(…, cluster+1)`, the rest
+    * ride dead. */
+  private def queryCentroidDots(
+      ivf: IvfIndex, query: Array[Double]): Array[Double] = {
+    val out = new Array[Double](ivf.k)
+    ivf.centroids.foreach { case (c, cv) =>
+      var d = 0.0
+      var f = 0
+      val lim = math.min(query.length, cv.length)
+      while (f < lim) { d += query(f) * cv(f); f += 1 }
+      out(c) = d
+    }
+    out
+  }
+
+  /** Residual IVF+PQ top-k: probed lists bound WHICH rows scan, m-byte
+    * residual codes bound WHAT the scan reads, and the score is the
+    * stored-norm quotient above — candidates cut to `rerank` on the
+    * round-4 approx (id tie-break, the engine's stable-candidate
+    * convention), then re-scored against the EXACT vectors. At
+    * nprobe = nLists and rerank ≥ corpus size this equals the exact
+    * top-k (spec-pinned — and the oracle's operating point). Output:
+    * (id, score) — exact round-4 cosines, (score DESC, id ASC).
+    */
+  def ivfPqrTopK(
+      ivf: IvfIndex, pqr: PqResidualIndex, emb: DataFrame,
+      query: Array[Double], k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val probes = ivfProbes(ivf, query, nprobe)
+    val (lutDot, _) = pqLutsOf(pqr.books, query)
+    val qnorm = math.sqrt(query.map(x => x * x).sum)
+    val qdotc = queryCentroidDots(ivf, query)
+    val q = F.typedLit(query)
+    val sel = ivf.assigned
+      .where(F.col("cluster").isin(probes.toSeq: _*))
+      .select("id", "cluster")
+    val approxCol =
+      if (qnorm == 0.0) F.lit(0.0)
+      else F.when(F.col("n2hat") <= 0.0, F.lit(0.0)).otherwise(
+        (F.element_at(F.typedLit(qdotc), F.col("cluster") + 1)
+          + graft.functions.VectorFunctions.pqAdcSum(
+            F.col("codes"), F.typedLit(lutDot)))
+          / (F.lit(qnorm) * F.sqrt(F.col("n2hat"))))
+    val cand = pqr.codes
+      .join(sel, "id") // slim (id, codes, n2hat) ⋈ (id, cluster)
+      .select(F.col("id"), F.round(approxCol, 4).as("approx"))
+      .orderBy(F.col("approx").desc, F.col("id").asc)
+      .limit(rerank)
+      .select("id")
+    emb.join(F.broadcast(cand), "id")
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
+  /** MANY queries against the residual IVF+PQ index — the
+    * [[ivfPqTopKBatch]] physical shape (probe selection + per-query
+    * dot LUTs built in the probe flatMap on the EXECUTORS, codes
+    * attached to the lists corpus-side, one cluster-keyed fan-out
+    * join scoring in its own projection, salted cuts), with ⟨q,c⟩
+    * riding each probe row as ONE scalar — the only per-probe state
+    * the residual score needs beyond the raw codec's. Each qid's rows
+    * equal the single-query [[ivfPqrTopK]] at the same parameters
+    * (spec-pinned). Queries need (qid, qvec); output (qid, id, score)
+    * — exact round-4 cosines, (score DESC, id ASC) per qid.
+    */
+  def ivfPqrTopKBatch(
+      ivf: IvfIndex, pqr: PqResidualIndex, emb: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nprobe > 0 && nprobe <= ivf.k,
+      s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=${ivf.k}")
+    val spark = pqr.codes.sparkSession
+    import spark.implicits._
+    val m = pqr.m
+    val ksub = pqr.ksub
+    val dsub = pqr.dsub
+    val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    val bcBooks = spark.sparkContext.broadcast(pqr.books)
+    val qs = queries
+      .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+    val probed = qs
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        require(qv.length == m * dsub,
+          s"query $qid has ${qv.length} dims but index was encoded for ${m * dsub}")
+        val books = bcBooks.value
+        val lutDot = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          var j = 0
+          while (j < ksub) {
+            val c = books(s)(j)
+            var d = 0.0
+            var f = 0
+            while (f < dsub) { d += qv(s * dsub + f) * c(f); f += 1 }
+            lutDot(s * ksub + j) = d
+            j += 1
+          }
+          s += 1
+        }
+        val qnorm = math.sqrt(qv.map(x => x * x).sum)
+        val cents = bcC.value
+        probesFor(cents, qv, nprobe).map { c =>
+          // centroids are index-ordered by construction (ivfBuild /
+          // ivfLoad both emit (0..k-1)); fall back to a scan if a
+          // future construction breaks that
+          val cv =
+            if (c < cents.length && cents(c)._1 == c) cents(c)._2
+            else cents.find(_._1 == c).get._2
+          var d = 0.0
+          var f = 0
+          val lim = math.min(qv.length, cv.length)
+          while (f < lim) { d += qv(f) * cv(f); f += 1 }
+          (qid, c, lutDot, d, qnorm)
+        }
+      }
+      .toDF("qid", "cluster", "lutd", "qdotc", "qnorm")
+    val withCodes = ivf.assigned.select("id", "cluster")
+      .join(pqr.codes, "id")
+    val approx = probed
+      .join(withCodes, "cluster")
+      .select(F.col("qid"), F.col("id"),
+        F.round(
+          F.when(F.col("qnorm") === 0.0 || F.col("n2hat") <= 0.0, F.lit(0.0))
+            .otherwise(
+              (F.col("qdotc") + graft.functions.VectorFunctions.pqAdcSum(
+                F.col("codes"), F.col("lutd")))
+                / (F.col("qnorm") * F.sqrt(F.col("n2hat")))), 4).as("approx"))
+    val cand = graft.scale.Skew.saltedTopKPerKey(
+        approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
+      .select("qid", "id")
+    val rescored = cand
+      .join(emb.select(F.col("id"), F.col("vec")), "id")
+      .join(F.broadcast(qs), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.saltedTopKPerKey(
+        rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
+  /** Persist a residual index: (id, codes, n2hat) Parquet + the
+    * codebook sidecar in [[pqSave]]'s format. The IVF index saves
+    * separately ([[ivfSave]]) — the pair reload independently. */
+  def pqResidualSave(index: PqResidualIndex, path: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val books = index.books.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    graft.api.ArrowSpaceModel.writeSidecar(
+      index.codes.sparkSession, s"$path/books.json",
+      s"""{"m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},""" +
+        s""""books":$books}""")
+  }
+
+  def pqResidualLoad(
+      spark: org.apache.spark.sql.SparkSession, path: String): PqResidualIndex = {
+    val raw = pqLoad(spark, path)
+    PqResidualIndex(raw.codes, raw.books)
   }
 
   def annTopKHamming(

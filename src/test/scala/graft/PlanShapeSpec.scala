@@ -180,6 +180,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqrTopK: residual ADC sum sits above the probed-list id join, never the full codes scan") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    val emb = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(f => math.sin((i % 4) * 0.9 + f * 0.4) +
+        rng.nextGaussian() * 0.1))
+    }.toDF("id", "vec")
+    val ivf = graft.operators.Similarity.ivfBuild(emb, nLists = 4)
+    val pqr = graft.operators.Similarity.pqResidualBuild(ivf, m = 4, ksub = 16)
+    try {
+      val q = Array.tabulate(16)(f => math.sin(0.9 + f * 0.4))
+      val out = graft.operators.Similarity.ivfPqrTopK(
+        ivf, pqr, emb, q, k = 5, nprobe = 2, rerank = 20)
+      val plan = out.queryExecution.executedPlan.toString
+      // WHICH rows: the cluster membership filter must exist below the
+      // codes join — same scan-fraction contract as the raw composition
+      assert(plan.contains("cluster#") &&
+        (plan.contains(" INSET ") || plan.contains(" IN (")),
+        plan.take(2000))
+      // WHAT is read: the residual table-sum must sit ABOVE the
+      // innermost bounding join (outer rerank join prints first, so
+      // compare against the LAST join occurrence), not over the full
+      // codes scan
+      val adcAt = plan.indexOf("graft_pq_adc_sum")
+      val lastJoin = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        .map(plan.lastIndexOf).filter(_ >= 0)
+      assert(adcAt >= 0, plan.take(2000))
+      assert(lastJoin.nonEmpty && adcAt < lastJoin.max,
+        s"residual ADC at $adcAt must sit above the innermost bounding join (joins at $lastJoin)")
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    } finally {
+      graft.operators.Similarity.ivfRelease(ivf)
+      graft.operators.Similarity.pqResidualRelease(pqr)
+    }
+  }
+
   test("zorderFrame: one range exchange on the Morton key, sort stays partition-local") {
     val s = spark
     import s.implicits._

