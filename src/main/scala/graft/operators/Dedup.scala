@@ -166,28 +166,53 @@ object Dedup {
   private val BroadcastMaxCandidates = 2_000_000L
 
   /** Shared candidate stage of [[minhashNearDupPairs]] and
-    * [[minhashNearDupAgainst]]: banded equi-join of two slim
-    * (band, bh, id, sig_a/sig_b) frames, optional pair predicate
-    * (`doc_a < doc_b` for the self-join; none for the cross join),
-    * signature-agreement estimate computed MAP-SIDE and floor-pruned
-    * before the pair-dedup shuffle, then localCheckpoint'ed — the
-    * candidate set feeds three consumers (the id semi-joins and the
-    * verify join), so it materializes once instead of re-running the
-    * band shuffle per consumer. Output: (idA, idB, est_jaccard).
+    * [[minhashNearDupAgainst]]: banded equi-join of two SLIM
+    * (band, bh, id) frames, optional pair predicate (`doc_a < doc_b`
+    * for the self-join; none for the cross join), pair-dedup of the
+    * 16-byte collision rows, then ONE signature join per side to
+    * compute the agreement estimate and apply the floor;
+    * localCheckpoint'ed — the candidate set feeds three consumers
+    * (the id semi-joins and the verify join), so it materializes once
+    * instead of re-running the band shuffle per consumer. Output:
+    * (idA, idB, est_jaccard).
+    *
+    * Why the signatures do NOT ride the band join (changed r9 after a
+    * measured spill cliff): the earlier form carried both 64-long sig
+    * arrays through the ×bands explosion so the estimate could be
+    * computed map-side before the pair dedup — that is
+    * corpus × bands × ~520 B of shuffle per side (~7.5 GB/side at the
+    * 160× bench), and the moment it stops fitting execution memory
+    * the join goes sort-merge-with-spill: the candidates stage
+    * measured 13.3 s → 150.6 s at 2× docs WITH exactly-linear
+    * collision mass (742k pairs, `minhashBandOccupancy`). The slim
+    * form shuffles corpus × bands × 24 B band rows plus the
+    * collision PAIRS (16 B each — the occupancy-measured linear
+    * term), and the sig frames join once per side at corpus size,
+    * never ×bands. The trade: low-similarity collisions are now
+    * exchanged before the floor prunes them — bounded by the same
+    * Σ C(n_bucket, 2) the occupancy diagnostic measures, which is
+    * the quantity a sane banding keeps near-linear by construction.
+    * The floor-passing output is IDENTICAL (est is a pure pair
+    * function, applied per deduped pair).
     */
   private def bandedCandidates(
       a: DataFrame, b: DataFrame, idA: String, idB: String,
-      pairFilter: Column, numHashes: Int, estFloor: Double,
+      pairFilter: Column, sigsA: DataFrame, sigsB: DataFrame,
+      numHashes: Int, estFloor: Double,
       label: String): DataFrame =
     graft.core.Debug.timed(label)(
-      a.join(b, Seq("band", "bh"))
+      a.select("band", "bh", idA)
+        .join(b.select("band", "bh", idB), Seq("band", "bh"))
         .where(pairFilter)
+        .select(idA, idB)
+        .dropDuplicates(idA, idB)
+        .join(sigsA.select(F.col("doc_id").as(idA), F.col("sig").as("sig_a")), idA)
+        .join(sigsB.select(F.col("doc_id").as(idB), F.col("sig").as("sig_b")), idB)
         .withColumn(
           "est_jaccard",
           sigAgreement(F.col("sig_a"), F.col("sig_b"), numHashes))
         .where(F.col("est_jaccard") >= estFloor)
         .select(idA, idB, "est_jaccard")
-        .dropDuplicates(idA, idB)
         .localCheckpoint())
 
   /** Shingle only the docs whose ids appear in `ids` (semi-join,
@@ -292,15 +317,15 @@ object Dedup {
       bands: Int = 16,
       estFloor: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // The banded join carries ONLY (doc_id, sig): the fat shingle
-    // arrays never ride through the ×bands explosion, the bucket join,
-    // or the pair dedup — they are re-joined per side afterwards, once
-    // per surviving candidate. The signature-agreement estimate runs
-    // map-side BEFORE the dedup shuffle so low-similarity collisions
-    // are dropped without ever being exchanged. Only the slim
-    // (doc_id, 64 longs) signature frame is persisted (both join sides
-    // read it); the shingle sets are recomputed for the final verify
-    // join rather than cached — tokenization is cheap, the cache is not.
+    // The banded join carries ONLY (band, bh, doc_id): neither the
+    // fat shingle arrays NOR the 64-long signatures ride the ×bands
+    // explosion (sigs through the band join measured as a spill
+    // cliff at the 160× bench — see bandedCandidates). Signatures
+    // join back once per side at corpus size for the agreement
+    // estimate; shingle sets are recomputed for the final verify
+    // join rather than cached — tokenization is cheap, the cache is
+    // not. Only the slim (doc_id, 64 longs) signature frame is
+    // persisted (the band explosion and both est joins read it).
     val sigs = minhashSignatures(docs, shingleLen, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fill the cache with ONE pass before the self-join: both band-join
@@ -311,15 +336,13 @@ object Dedup {
 
     val banded = bandKeys(sigs, numHashes, bands)
     val a = banded.select(
-      F.col("band"), F.col("bh"), F.col("doc_id").as("doc_a"),
-      F.col("sig").as("sig_a"))
+      F.col("band"), F.col("bh"), F.col("doc_id").as("doc_a"))
     val b = banded.select(
-      F.col("band"), F.col("bh"), F.col("doc_id").as("doc_b"),
-      F.col("sig").as("sig_b"))
+      F.col("band"), F.col("bh"), F.col("doc_id").as("doc_b"))
 
     val candidates = bandedCandidates(
       a, b, "doc_a", "doc_b", F.col("doc_a") < F.col("doc_b"),
-      numHashes, estFloor, "minhash candidates")
+      sigs, sigs, numHashes, estFloor, "minhash candidates")
     val candIds = candidates.select(F.col("doc_a").as("doc_id"))
       .unionByName(candidates.select(F.col("doc_b").as("doc_id")))
       .distinct()
@@ -407,13 +430,12 @@ object Dedup {
       sigsC.count(); sigsR.count()
     }
     val a = bandKeys(sigsC, numHashes, bands).select(
-      F.col("band"), F.col("bh"), F.col("doc_id"), F.col("sig").as("sig_a"))
+      F.col("band"), F.col("bh"), F.col("doc_id"))
     val b = bandKeys(sigsR, numHashes, bands).select(
-      F.col("band"), F.col("bh"), F.col("doc_id").as("ref_id"),
-      F.col("sig").as("sig_b"))
+      F.col("band"), F.col("bh"), F.col("doc_id").as("ref_id"))
     val candidates = bandedCandidates(
       a, b, "doc_id", "ref_id", F.lit(true),
-      numHashes, estFloor, "cross-minhash candidates")
+      sigsC, sigsR, numHashes, estFloor, "cross-minhash candidates")
     // same measured broadcast gate as the self-join: candidates are
     // checkpointed, so the count is cheap, and a tiny candidate set
     // must not force a full shuffle of a multi-TB reference table
@@ -577,13 +599,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Debug.timed("index-minhash signatures")(sigsC.count())
     val a = bandKeys(sigsC, index.numHashes, index.bands).select(
-      F.col("band"), F.col("bh"), F.col("doc_id"), F.col("sig").as("sig_a"))
+      F.col("band"), F.col("bh"), F.col("doc_id"))
     val b = index.bandRows.select(
-      F.col("band"), F.col("bh"), F.col("doc_id").as("ref_id"),
-      F.col("sig").as("sig_b"))
+      F.col("band"), F.col("bh"), F.col("doc_id").as("ref_id"))
+    // the stored band rows carry sig redundantly (×bands); band 0
+    // holds every reference doc exactly once, so this filter IS the
+    // slim (doc_id, sig) side — on the saved PARTITIONED BY band
+    // layout it prunes to one partition, no dedup shuffle
+    val sigsR = index.bandRows.where(F.col("band") === 0)
+      .select("doc_id", "sig")
     val candidates = bandedCandidates(
       a, b, "doc_id", "ref_id", F.lit(true),
-      index.numHashes, estFloor, "index-minhash candidates")
+      sigsC, sigsR, index.numHashes, estFloor, "index-minhash candidates")
     val small = candidates.count() <= BroadcastMaxCandidates
     val shC = shinglesFor(
       corpus, candidates.select("doc_id").distinct(), small,
