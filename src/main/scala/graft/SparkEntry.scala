@@ -170,7 +170,7 @@ object SparkEntry {
     // in SCALE_BENCH_r09 (ivfSq8/bitextPq/substring/occupancy rows)
     "v_ivf_sq8_topk", "v_ivf_sq8_topk_batch", "v_bitext_mine_pq",
     "d_substring_dedup", "d_gram_occupancy",
-    "v_ivf_pqr_topk", "v_ivf_pqr_topk_batch")
+    "v_ivf_pqr_topk", "v_ivf_pqr_topk_batch", "v_ivf_spherical_topk")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1210,6 +1210,23 @@ object SparkEntry {
         .localCheckpoint()
       Similarity.ivfRelease(ivf)
       Similarity.pqRelease(pq)
+      out
+    }),
+
+    // Spherical-quantizer IVF on a deliberately UN-normalized corpus
+    // (each vector scaled by 1 + id%5): fitSpherical's unit centroids
+    // make assignment argmax-cosine for any input norm, so probe
+    // ranking and assignment agree where the Euclidean quantizer's
+    // geometry breaks — the documented IVF normalization contract,
+    // lifted (SCALE.md "Known limits")
+    "v_ivf_spherical_topk" -> ((s, d) => {
+      val e = emb(s, d).select(F.col("id"),
+        F.transform(F.col("vec"),
+          x => x * (F.col("id") % 5 + 1).cast("double")).as("vec"))
+      val ivf = Similarity.ivfBuildSpherical(e, nLists = 16)
+      val out = Similarity.ivfTopK(ivf, queryVec(s, d), k = 20, nprobe = 12)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
       out
     }),
 
@@ -3475,6 +3492,35 @@ object SparkEntry {
           |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
 
+    // Spherical-quantizer replay on the scaled (un-normalized) corpus:
+    // seeding + Lloyd over the unit-normalized rows with per-round
+    // center renorm (kmeansSphericalCtes), final assignment over the
+    // RAW scaled rows — unit centers make it argmax-cosine; probe
+    // ranking, probed scan, exact round-4 cosines as v_ivf_topk
+    "v_ivf_spherical_topk" ->
+      (s"""WITH ssrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) * (1 + vec_id % 5) AS x
+          |  FROM embeddings),
+          |snrm AS (SELECT id, sqrt(sum(x * x)) AS nm FROM ssrc GROUP BY id),
+          |nsrc AS (SELECT s.id, s.f,
+          |  CASE WHEN n.nm = 0 THEN s.x ELSE s.x / n.nm END AS x
+          |  FROM ssrc s JOIN snrm n ON n.id = s.id),
+          |${kmeansSphericalCtes("nsrc", "ssrc", 16, 15, "sv")},
+          |q AS (SELECT f, x FROM ssrc WHERE id = 0),
+          |cq AS (SELECT k.c,
+          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+          |  FROM svkc15 k JOIN q ON q.f = k.f GROUP BY k.c),
+          |probes AS (SELECT c FROM cq ORDER BY d, c LIMIT 12),
+          |sel AS (SELECT fin.id FROM svfin fin JOIN probes p ON p.c = fin.c),
+          |scored AS (SELECT a.id,
+          |  sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)) AS cos
+          |  FROM ssrc a JOIN q ON q.f = a.f JOIN sel s ON s.id = a.id
+          |  GROUP BY a.id)
+          |SELECT id, round(cos, 4) AS score FROM scored
+          |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
     // Residual IVF+PQ replay: the v_ivf_pq_topk chain with ONE change
     // of training input — the per-subspace kmeans chains run over
     // rsrc (x − assigned iv centroid) instead of pqsrc, and the
@@ -5723,6 +5769,78 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY t.id
          |      ORDER BY sum((t.x - k2.cx) * (t.x - k2.cx)) ASC, k2.c ASC) AS rn
          |  FROM $src t JOIN ${p}kc$iters k2 ON k2.f = t.f
+         |  GROUP BY t.id, k2.c) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
+  /** [[graft.scale.DeterministicKMeans.fitSpherical]]'s recurrence as
+    * a CTE chain: the [[kmeansCtes]] seeding verbatim over the
+    * (pre-normalized) `src`, then `iters` Lloyd rounds where each
+    * updated mean is re-normalized to the sphere (kept centers of
+    * empty clusters stay untouched — matching the engine's
+    * `case _ => cs(c)` exactly, which is why the normalization is
+    * conditional on a mean existing rather than applied to every row).
+    * The final assignment ${p}fin runs over `asgSrc` — the RAW rows,
+    * because with unit centers argmin-squared-Euclid is argmax-cosine
+    * for any input norm, which is the contract under test. Emits
+    * ${p}kc`iters` (c, f, cx) and ${p}fin(id, c).
+    */
+  private def kmeansSphericalCtes(
+      src: String, asgSrc: String, k: Int, iters: Int, p: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""
+         |${p}sp0 AS (SELECT min(id) AS id FROM $src),
+         |${p}cent0 AS (SELECT 0 AS c, t.f, t.x AS cx
+         |  FROM $src t JOIN ${p}sp0 s ON t.id = s.id),
+         |${p}md0 AS (SELECT t.id, sum((t.x - c0.cx) * (t.x - c0.cx)) AS md
+         |  FROM $src t JOIN ${p}cent0 c0 ON c0.f = t.f GROUP BY t.id)""".stripMargin)
+    for (i <- 1 until k) {
+      sb.append(
+        s""",
+           |${p}pick$i AS (SELECT id FROM ${p}md${i - 1} ORDER BY md DESC, id ASC LIMIT 1),
+           |${p}cent$i AS (SELECT $i AS c, t.f, t.x AS cx
+           |  FROM $src t JOIN ${p}pick$i pk ON t.id = pk.id)""".stripMargin)
+      if (i < k - 1) sb.append(
+        s""",
+           |${p}md$i AS (SELECT m.id, least(m.md, d.nd) AS md FROM ${p}md${i - 1} m JOIN (
+           |    SELECT t.id, sum((t.x - ci.cx) * (t.x - ci.cx)) AS nd
+           |    FROM $src t JOIN ${p}cent$i ci ON ci.f = t.f GROUP BY t.id) d
+           |  ON d.id = m.id)""".stripMargin)
+    }
+    sb.append(
+      (0 until k).map(i => s"SELECT * FROM ${p}cent$i")
+        .mkString(s",\n${p}kc0 AS (", " UNION ALL ", ")"))
+    for (j <- 1 to iters) sb.append(
+      s""",
+         |${p}km$j AS (
+         |  SELECT asg.c, t.f, avg(t.x) AS mx
+         |  FROM (
+         |    SELECT id, c FROM (
+         |      SELECT t.id, k2.c,
+         |        row_number() OVER (PARTITION BY t.id
+         |          ORDER BY sum((t.x - k2.cx) * (t.x - k2.cx)) ASC, k2.c ASC) AS rn
+         |      FROM $src t JOIN ${p}kc${j - 1} k2 ON k2.f = t.f
+         |      GROUP BY t.id, k2.c)
+         |    WHERE rn = 1) asg
+         |  JOIN $src t ON t.id = asg.id
+         |  GROUP BY asg.c, t.f),
+         |${p}kn$j AS (SELECT c, sqrt(sum(mx * mx)) AS nm FROM ${p}km$j GROUP BY c),
+         |${p}kc$j AS (
+         |  SELECT k.c, k.f,
+         |    CASE WHEN m.mx IS NOT NULL THEN
+         |      CASE WHEN n.nm = 0 THEN m.mx ELSE m.mx / n.nm END
+         |    ELSE k.cx END AS cx
+         |  FROM ${p}kc${j - 1} k
+         |  LEFT JOIN ${p}km$j m ON m.c = k.c AND m.f = k.f
+         |  LEFT JOIN ${p}kn$j n ON n.c = k.c)""".stripMargin)
+    sb.append(
+      s""",
+         |${p}fin AS (SELECT id, c FROM (
+         |  SELECT t.id, k2.c,
+         |    row_number() OVER (PARTITION BY t.id
+         |      ORDER BY sum((t.x - k2.cx) * (t.x - k2.cx)) ASC, k2.c ASC) AS rn
+         |  FROM $asgSrc t JOIN ${p}kc$iters k2 ON k2.f = t.f
          |  GROUP BY t.id, k2.c) WHERE rn = 1)""".stripMargin)
     sb.toString
   }

@@ -1343,6 +1343,30 @@ object Similarity {
     IvfIndex(assigned, model.centers.zipWithIndex.map(_.swap), nLists)
   }
 
+  /** IVF with a SPHERICAL coarse quantizer — lifts [[ivfBuild]]'s
+    * L2-normalization contract (the one documented "Known limits" item
+    * of the IVF family): [[graft.scale.DeterministicKMeans
+    * .fitSpherical]] trains on unit directions and re-normalizes each
+    * Lloyd mean, so every centroid is a UNIT vector. With unit
+    * centroids, assignment by squared Euclid is argmax-cosine for any
+    * input norm (‖x−c‖² = ‖x‖² + 1 − 2⟨x,c⟩), and the probe ranking
+    * ([[ivfProbes]], cosine) agrees with assignment by construction —
+    * on raw, norm-varied corpora the Euclidean quantizer's
+    * probe/assignment disagreement collapses recall (spec-measured),
+    * while this index keeps it. The returned index is a plain
+    * [[IvfIndex]]: every downstream composition (ivfTopK/Batch,
+    * IVF+SQ8, IVF+PQ, residual) works unchanged.
+    */
+  def ivfBuildSpherical(emb: DataFrame, nLists: Int): IvfIndex = {
+    val model = graft.scale.DeterministicKMeans.fitSpherical(
+      emb, nLists, maxIter = 15, idCol = "id", vecCol = "vec")
+    val assigned = graft.scale.DeterministicKMeans.assign(
+        emb, model, idCol = "id", vecCol = "vec")
+      .select("id", "vec", "cluster")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(assigned, model.centers.zipWithIndex.map(_.swap), nLists)
+  }
+
   /** Release an in-memory index's cached assignment (no-op for a
     * loaded one — parquet-backed frames have no cache entry). */
   def ivfRelease(index: IvfIndex): Unit =

@@ -52,6 +52,18 @@ object DeterministicKMeans {
     d
   }
 
+  /** x/‖x‖ with ascending-f accumulation (zero vector is identity) —
+    * the normalization both the spherical input pass and the
+    * per-round center renorm share, and the order the SQL oracle's
+    * sqrt(sum(x·x)) replays. */
+  private def unit(x: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    val nm = math.sqrt(s)
+    if (nm == 0.0) x else x.map(_ / nm)
+  }
+
   /** items: (id: Long, x: Array[Double]) under the given column names.
     * Returns the fitted model; get assignments with [[assign]].
     */
@@ -61,13 +73,46 @@ object DeterministicKMeans {
       maxIter: Int,
       idCol: String = "id",
       vecCol: String = "x",
-      localThreshold: Long = 4000000L): Model = {
+      localThreshold: Long = 4000000L): Model =
+    fitImpl(items, k, maxIter, idCol, vecCol, localThreshold,
+      spherical = false)
+
+  /** Spherical k-means (Dhillon & Modha 2001): the SAME deterministic
+    * recurrence run on unit-normalized inputs, with each Lloyd mean
+    * re-normalized to the sphere after its update. With unit centers,
+    * argmin-squared-Euclid ≡ argmax-cosine FOR ANY INPUT NORM
+    * (‖x−c‖² = ‖x‖² + 1 − 2⟨x,c⟩ — the ‖x‖² term is constant across
+    * centers), so [[Model.predict]] and [[assign]] cluster by cosine
+    * direction without requiring callers to normalize first — the
+    * quantizer [[graft.operators.Similarity.ivfBuildSpherical]] uses
+    * to lift IVF's L2-normalization contract.
+    */
+  def fitSpherical(
+      items: DataFrame,
+      k: Int,
+      maxIter: Int,
+      idCol: String = "id",
+      vecCol: String = "x",
+      localThreshold: Long = 4000000L): Model =
+    fitImpl(items, k, maxIter, idCol, vecCol, localThreshold,
+      spherical = true)
+
+  private def fitImpl(
+      items: DataFrame,
+      k: Int,
+      maxIter: Int,
+      idCol: String,
+      vecCol: String,
+      localThreshold: Long,
+      spherical: Boolean): Model = {
     val spark = items.sparkSession
     import spark.implicits._
-    val raw = items
+    val raw0 = items
       .select(F.col(idCol).cast("long"), F.col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .rdd
+    val raw =
+      if (spherical) raw0.map { case (id, x) => (id, unit(x)) } else raw0
     val base = raw.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val sc = spark.sparkContext
@@ -84,7 +129,7 @@ object DeterministicKMeans {
       // id-ordered accumulation, so the result is deterministic under
       // any partition layout.
       if (nRows * math.max(1, nFProbe) <= localThreshold)
-        return fitLocal(base.collect().sortBy(_._1), kEff, maxIter)
+        return fitLocal(base.collect().sortBy(_._1), kEff, maxIter, spherical)
 
       // ---- farthest-first seeding: c0 = smallest id; c_{i+1} = the
       // point with the largest running min-distance (ties → smaller id).
@@ -202,7 +247,9 @@ object DeterministicKMeans {
           .toMap
         cs = Array.tabulate(cs.length) { c =>
           sums.get(c) match {
-            case Some((s, n)) if n > 0 => s.map(_ / n)
+            case Some((s, n)) if n > 0 =>
+              val mean = s.map(_ / n)
+              if (spherical) unit(mean) else mean
             case _ => cs(c)
           }
         }
@@ -220,7 +267,8 @@ object DeterministicKMeans {
     * path's id-ordered scan on a single partition.
     */
   private def fitLocal(
-      data: Array[(Long, Array[Double])], kEff: Int, maxIter: Int): Model = {
+      data: Array[(Long, Array[Double])], kEff: Int, maxIter: Int,
+      spherical: Boolean = false): Model = {
     require(data.nonEmpty, "items must be non-empty")
     val nF = data(0)._2.length
     val c0 = data.minBy(_._1)._2
@@ -268,7 +316,10 @@ object DeterministicKMeans {
         j += 1
       }
       cs = Array.tabulate(cs.length) { c =>
-        if (counts(c) > 0) sums(c).map(_ / counts(c)) else cs(c)
+        if (counts(c) > 0) {
+          val mean = sums(c).map(_ / counts(c))
+          if (spherical) unit(mean) else mean
+        } else cs(c)
       }
       iter += 1
     }

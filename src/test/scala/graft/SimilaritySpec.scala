@@ -727,6 +727,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("spherical IVF: unit centroids, norm-invariant assignment, recall survives un-normalized input") {
+    // norm-varied corpus: the same 8 cosine modes, each vector scaled
+    // by 1 + id%5 — the input class ivfBuild's documented contract
+    // excludes and ivfBuildSpherical exists to serve
+    val scaled = emb.select(F.col("id"),
+      F.transform(F.col("vec"),
+        x => x * (F.col("id") % 5 + 1).cast("double")).as("vec"))
+    val sph = Similarity.ivfBuildSpherical(scaled, nLists = 8)
+    try {
+      // every centroid sits on the unit sphere — the property that
+      // makes squared-Euclid assignment argmax-cosine for any norm
+      sph.centroids.foreach { case (c, cv) =>
+        val nm = math.sqrt(cv.map(x => x * x).sum)
+        assert(math.abs(nm - 1.0) < 1e-9, s"center $c has norm $nm")
+      }
+      // assignment is norm-invariant: x and 3x land in the same list
+      val model = graft.scale.DeterministicKMeans.Model(
+        sph.centroids.sortBy(_._1).map(_._2))
+      val v = emb.where(F.col("id") === 5)
+        .select("vec").head.getSeq[Double](0).toArray
+      assert(model.predict(v) == model.predict(v.map(_ * 3.0)),
+        "scaling a vector moved it to a different list")
+      // pruned-probe recall on the norm-varied corpus: cosine truth is
+      // norm-invariant, and the spherical lists must recover it
+      val exact = Similarity.annTopK(scaled, query, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Similarity.ivfTopK(sph, query, 10, nprobe = 2)
+        .collect().map(_.getLong(0)).toSet
+      assert((exact & got).size >= 8,
+        s"spherical recall collapsed on norm-varied input: $got vs $exact")
+      // the Euclidean quantizer on the SAME corpus assigns by norm
+      // bands while probing by cosine — spherical must match or beat it
+      val euc = Similarity.ivfBuild(scaled, nLists = 8)
+      val gotE = Similarity.ivfTopK(euc, query, 10, nprobe = 2)
+        .collect().map(_.getLong(0)).toSet
+      assert((exact & got).size >= (exact & gotE).size,
+        s"spherical (${(exact & got).size}/10) below Euclidean " +
+          s"(${(exact & gotE).size}/10) on norm-varied input")
+      Similarity.ivfRelease(euc)
+    } finally Similarity.ivfRelease(sph)
+  }
+
   test("residual index save/load round-trips codes, n2hat and books") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pqr").toString
     val ivf = Similarity.ivfBuild(emb, nLists = 8)
