@@ -18,6 +18,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("SPARK_GRAFT_DEBUG").exists(_ == "1"))
+      graft.core.Debug.setDebug(true)
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "40").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -302,6 +304,31 @@ object ScaleBench {
     }
     Similarity.ivfRelease(ivf3)
     Similarity.pqRelease(pq)
+    // residual codec (IVFADC): same m/ksub/probes as the raw-codebook
+    // v_ivf_pq_topk row above — the build pays the extra centroid join
+    // + n2hat fold, the queries must cost the same (the quotient is
+    // still m table reads + one divide)
+    locally {
+      val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = 64)
+      iv.assigned.count()
+      val t0 = System.nanoTime()
+      val pqr = Similarity.pqResidualBuild(iv, m = 8, ksub = 64)
+      pqr.codes.count()
+      rows("v_pqr_build") = ((System.nanoTime() - t0) / 1e9, nVecs)
+      println(f"[scale] v_pqr_build              ${rows("v_pqr_build")._1}%8.2f s  rows=$nVecs")
+      adoptCheckpoints()
+      bench("v_ivf_pqr_topk") {
+        Similarity.ivfPqrTopK(iv, pqr, emb, pqQ, k = 20, nprobe = 8,
+          rerank = 200).count()
+      }
+      bench("v_ivf_pqr_topk_batch") {
+        Similarity.ivfPqrTopKBatch(
+          iv, pqr, emb, queries.select("qid", "qvec"),
+          k = 10, nprobe = 8, rerank = 100).count()
+      }
+      Similarity.ivfRelease(iv)
+      Similarity.pqResidualRelease(pqr)
+    }
     bench("q_bloom_semi") {
       val small = docs.where(F.col("doc_id") % 100 === 0).select("doc_id")
       graft.operators.BloomJoin.semiJoin(docs, small, "doc_id").count()
