@@ -176,9 +176,19 @@ object ScaleBench {
         budgets = Map.empty, defaultBudget = 200000L).count()
       TrainPrep.releasePinnedCaches(); n
     }
+    // corpus-proportional list counts (suggestLists): constant target
+    // list size keeps per-query probed-scan cost flat across scale
+    // points — fixed 64 lists made the bitext rows ~3.6x at 2x
+    // vectors (2x list length x 2x queries). Targets chosen so the
+    // 40x point reproduces the historical 64-list rows exactly:
+    // full corpus 1250/list (80k -> 64), bitext halves 625/list
+    // (40k -> 64); both double lists when the corpus doubles.
+    val lists = Similarity.suggestLists(nVecs)
+    val halfLists = Similarity.suggestLists(nVecs / 2, targetListSize = 625)
+    println(s"[scale] lists=$lists halfLists=$halfLists")
     val ivf = {
       val t0 = System.nanoTime()
-      val index = Similarity.ivfBuild(emb.select("id", "vec"), nLists = 64)
+      val index = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
       index.assigned.count() // materialize the lists into the build row
       rows("v_ivf_build") = ((System.nanoTime() - t0) / 1e9, nVecs)
       println(f"[scale] v_ivf_build              ${rows("v_ivf_build")._1}%8.2f s  rows=$nVecs")
@@ -209,7 +219,7 @@ object ScaleBench {
     // the codes scan is bounded by the probed lists — compare directly
     // against the all-codes v_sq8_topk_batch row above
     locally {
-      val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = 64)
+      val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
       iv.assigned.count()
       adoptCheckpoints()
       bench("v_ivf_sq8_topk_batch") {
@@ -236,11 +246,11 @@ object ScaleBench {
     Similarity.sq8Release(sq8)
     bench("v_hard_negatives_approx") {
       Similarity.hardNegativesApprox(
-        emb, queries, k = 10, nLists = 64, nprobe = 8).count()
+        emb, queries, k = 10, nLists = lists, nprobe = 8).count()
     }
     // the amortized mining shape: quantizer fit paid once (the
     // v_ivf_build row), every batch pays only probe + score
-    val ivf2 = Similarity.ivfBuild(emb.select("id", "vec"), nLists = 64)
+    val ivf2 = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
     ivf2.assigned.count()
     bench("v_hard_negatives_idx") {
       Similarity.hardNegativesApprox(
@@ -296,7 +306,7 @@ object ScaleBench {
     bench("v_pq_topk") {
       Similarity.pqTopK(pq, emb, pqQ, k = 20, rerank = 200).count()
     }
-    val ivf3 = Similarity.ivfBuild(emb.select("id", "vec"), nLists = 64)
+    val ivf3 = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
     ivf3.assigned.count()
     bench("v_ivf_pq_topk") {
       Similarity.ivfPqTopK(ivf3, pq, emb, pqQ, k = 20, nprobe = 8,
@@ -309,7 +319,7 @@ object ScaleBench {
     // + n2hat fold, the queries must cost the same (the quotient is
     // still m table reads + one divide)
     locally {
-      val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = 64)
+      val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
       iv.assigned.count()
       val t0 = System.nanoTime()
       val pqr = Similarity.pqResidualBuild(iv, m = 8, ksub = 64)
@@ -404,15 +414,15 @@ object ScaleBench {
       Similarity.bitextMineApprox(
         emb.where(F.col("id") % 2 === 0).select("id", "vec"),
         emb.where(F.col("id") % 2 =!= 0).select("id", "vec"),
-        k = 4, threshold = 1.0, nLists = 64, nprobe = 8).count()
+        k = 4, threshold = 1.0, nLists = halfLists, nprobe = 8).count()
     }
     locally {
       // the amortized shape: quantizer fits paid once, each re-mine
       // pays only probe + score (continuous mining over stable corpora)
       val sa = emb.where(F.col("id") % 2 === 0).select("id", "vec")
       val sb = emb.where(F.col("id") % 2 =!= 0).select("id", "vec")
-      val ia = Similarity.ivfBuild(sa, nLists = 64); ia.assigned.count()
-      val ib = Similarity.ivfBuild(sb, nLists = 64); ib.assigned.count()
+      val ia = Similarity.ivfBuild(sa, nLists = halfLists); ia.assigned.count()
+      val ib = Similarity.ivfBuild(sb, nLists = halfLists); ib.assigned.count()
       bench("v_bitext_mine_idx") {
         Similarity.bitextMineApprox(
           ia, ib, sa, sb, k = 4, threshold = 1.0, nprobe = 8).count()

@@ -372,7 +372,7 @@ object Similarity {
     */
   def pqBuild(
       emb: DataFrame, m: Int, ksub: Int, iters: Int = 10,
-      persist: Boolean = true): PqIndex = {
+      persist: Boolean = true, trainPerCode: Int = 256): PqIndex = {
     require(m > 0, s"m must be positive; got $m")
     require(ksub > 0 && ksub <= 256, s"ksub must be in 1..256; got $ksub")
     val first = emb.select(F.col("vec")).limit(1).collect()
@@ -385,8 +385,14 @@ object Similarity {
       .select(F.col("id"), F.col("vec").cast("array<double>").as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // one deterministic sample shared by all m subspace fits — the
+      // codebooks must come from the SAME rows or the quantizer loses
+      // its per-row product structure over the training set; the
+      // filter rides the persisted base scan (trainSample contract:
+      // inert at oracle scale, fit-linearizing at corpus scale)
+      val fitBase = trainSample(base, trainPerCode.toLong * ksub)
       val books = Array.tabulate(m) { s =>
-        val sub = base.select(
+        val sub = fitBase.select(
           F.col("id"), F.slice(F.col("vec"), s * dsub + 1, dsub).as("x"))
         graft.scale.DeterministicKMeans.fit(sub, ksub, maxIter = iters).centers
       }
@@ -923,7 +929,7 @@ object Similarity {
     */
   def pqResidualBuild(
       ivf: IvfIndex, m: Int, ksub: Int, iters: Int = 10,
-      persist: Boolean = true): PqResidualIndex = {
+      persist: Boolean = true, trainPerCode: Int = 256): PqResidualIndex = {
     require(m > 0, s"m must be positive; got $m")
     require(ksub > 0 && ksub <= 256, s"ksub must be in 1..256; got $ksub")
     val centsByC = ivf.centroids.sortBy(_._1).map(_._2)
@@ -944,8 +950,10 @@ object Similarity {
         F.zip_with(F.col("vec"), F.col("cvec"), (a, b) => a - b).as("rvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // same shared-sample contract as pqBuild, over the residuals
+      val fitResid = trainSample(resid, trainPerCode.toLong * ksub)
       val books = Array.tabulate(m) { s =>
-        val sub = resid.select(
+        val sub = fitResid.select(
           F.col("id"), F.slice(F.col("rvec"), s * dsub + 1, dsub).as("x"))
         graft.scale.DeterministicKMeans.fit(sub, ksub, maxIter = iters).centers
       }
@@ -1314,11 +1322,64 @@ object Similarity {
       centroids: Array[(Int, Array[Double])],
       k: Int)
 
+  /** Corpus-proportional list count: constant target list size, so
+    * per-query probed-scan cost (≈ nprobe · targetListSize rows) stays
+    * FLAT as the corpus grows. With a fixed nLists every list grows
+    * with N and a batch workload pays 2× list length × 2× queries = 4×
+    * at 2× rows — exactly what the 160k-vector scale point measured on
+    * the bitext rows before this rule (~3.6× at 2× vectors with 64
+    * fixed lists; SCALE.md round-9 addendum). Lists
+    * sized by this rule keep retrieval linear in rows; the quantizer
+    * fit stays linear in nLists via the training-sample cap (the
+    * [[ivfBuild]] `trainPerList` contract). The default target (1250)
+    * reproduces the engine's long-measured 64-list point at 80k
+    * vectors, so historical ScaleBench rows stay comparable. Bounded
+    * to [16, 65536]: below 16 lists pruning is pointless, and beyond
+    * 64k centroids brute-force assignment (N·nLists·F) is the next
+    * wall — at that scale assign through a centroid-level ANN instead.
+    */
+  def suggestLists(n: Long, targetListSize: Int = 1250): Int = {
+    require(targetListSize > 0,
+      s"targetListSize must be positive; got $targetListSize")
+    val raw = (n + targetListSize - 1) / targetListSize
+    math.max(16L, math.min(65536L, raw)).toInt
+  }
+
+  /** Deterministic, layout-invariant training subsample for quantizer
+    * fits: keeps ~`cap` rows via a pure row-value predicate
+    * (xxhash64(id) mod d = 0 — the same corpus yields the same sample
+    * under any partitioning), or the input unchanged when it already
+    * fits. Rationale (the faiss training convention, ~256 points per
+    * centroid): a k-means fit over all N rows costs N·k·F·iters flops,
+    * and with lists sized to the corpus (k ∝ N, [[suggestLists]]) that
+    * term goes QUADRATIC in N — the fit was already the dominant build
+    * cost at the 80k-vector scale point (hardNegativesApprox: ~22 s of
+    * 24 s). A bounded sample keeps the fit O(cap·k·F) while assignment
+    * and encoding still scan the full corpus. Never active at oracle
+    * scale: every oracled call site's cap (≥ 256·8 = 2048) exceeds the
+    * largest oracle corpus (2000 vectors at sf0.1), so SQL replays of
+    * the k-means recurrence over the full table stay byte-identical.
+    */
+  private def trainSample(emb: DataFrame, cap: Long): DataFrame = {
+    if (cap <= 0) return emb
+    val n = emb.count()
+    if (n <= cap) emb
+    else {
+      val d = math.max(2L, (n + cap - 1) / cap)
+      emb.where(F.pmod(F.xxhash64(F.col("id")), F.lit(d)) === 0)
+    }
+  }
+
   /** The coarse quantizer is [[graft.scale.DeterministicKMeans]]
     * (farthest-first seeding + 15 fixed Lloyd rounds): the same corpus
     * always yields the same lists, so probe results are reproducible
     * and oracle-checkable. `seed` is kept for API compatibility and
     * ignored — there is no randomness left to seed.
+    *
+    * `trainPerList` caps the FIT input at trainPerList·nLists rows
+    * ([[trainSample]]); assignment always scans the full corpus. At
+    * nprobe = nLists the probe degenerates to an exact scan whatever
+    * the sample produced — the invariant the sampled-path spec pins.
     *
     * CONTRACT: `emb` must carry L2-NORMALIZED vectors (every cosine
     * pipeline in this engine does; the testdata is unit-norm). The
@@ -1328,9 +1389,12 @@ object Similarity {
     * the best cosine match can rank last by assignment and recall
     * collapses. Normalize first for raw corpora.
     */
-  def ivfBuild(emb: DataFrame, nLists: Int, seed: Long = 42L): IvfIndex = {
+  def ivfBuild(
+      emb: DataFrame, nLists: Int, seed: Long = 42L,
+      trainPerList: Int = 256): IvfIndex = {
     val model = graft.scale.DeterministicKMeans.fit(
-      emb, nLists, maxIter = 15, idCol = "id", vecCol = "vec")
+      trainSample(emb, trainPerList.toLong * nLists), nLists,
+      maxIter = 15, idCol = "id", vecCol = "vec")
     val assigned = graft.scale.DeterministicKMeans.assign(
         emb, model, idCol = "id", vecCol = "vec")
       .select("id", "vec", "cluster")
@@ -1357,9 +1421,11 @@ object Similarity {
     * [[IvfIndex]]: every downstream composition (ivfTopK/Batch,
     * IVF+SQ8, IVF+PQ, residual) works unchanged.
     */
-  def ivfBuildSpherical(emb: DataFrame, nLists: Int): IvfIndex = {
+  def ivfBuildSpherical(
+      emb: DataFrame, nLists: Int, trainPerList: Int = 256): IvfIndex = {
     val model = graft.scale.DeterministicKMeans.fitSpherical(
-      emb, nLists, maxIter = 15, idCol = "id", vecCol = "vec")
+      trainSample(emb, trainPerList.toLong * nLists), nLists,
+      maxIter = 15, idCol = "id", vecCol = "vec")
     val assigned = graft.scale.DeterministicKMeans.assign(
         emb, model, idCol = "id", vecCol = "vec")
       .select("id", "vec", "cluster")
@@ -1653,16 +1719,22 @@ object Similarity {
     */
   def hardNegativesApprox(
       emb: DataFrame, queries: DataFrame, k: Int,
-      nLists: Int = 16, nprobe: Int = 8): DataFrame = {
-    require(nLists > 0, s"nLists must be positive; got $nLists")
+      nLists: Int = 0, nprobe: Int = 8): DataFrame = {
+    require(nLists >= 0,
+      s"nLists must be positive, or 0 for corpus-proportional auto-sizing; got $nLists")
     val spark = emb.sparkSession
     import spark.implicits._
     val items = emb.select(
       F.col("id").cast("long"),
       F.col("vec").cast("array<double>"),
       F.col("label").cast("string"))
+    // same auto-sizing contract as [[bitextMineApprox]]: the floor
+    // (16) reproduces the old fixed default at spec/oracle scale
+    val lists =
+      if (nLists > 0) nLists else suggestLists(items.count(), 625)
     val model = graft.scale.DeterministicKMeans.fit(
-      items, nLists, maxIter = 15, idCol = "id", vecCol = "vec")
+      trainSample(items.select("id", "vec"), 256L * lists), lists,
+      maxIter = 15, idCol = "id", vecCol = "vec")
     val bcM = spark.sparkContext.broadcast(model)
     val assigned = items
       .as[(Long, Array[Double], String)]
@@ -1831,13 +1903,23 @@ object Similarity {
     */
   def bitextMineApprox(
       a: DataFrame, b: DataFrame, k: Int = 4, threshold: Double = 1.0,
-      nLists: Int = 16, nprobe: Int = 12): DataFrame = {
+      nLists: Int = 0, nprobe: Int = 12): DataFrame = {
+    require(nLists >= 0,
+      s"nLists must be positive, or 0 for corpus-proportional auto-sizing; got $nLists")
     val sa = a.select(F.col("id").cast("long").as("id"),
       F.col("vec").cast("array<double>").as("vec"))
     val sb = b.select(F.col("id").cast("long").as("id"),
       F.col("vec").cast("array<double>").as("vec"))
-    val idxB = ivfBuild(sb, nLists)
-    val idxA = ivfBuild(sa, nLists)
+    // nLists = 0 (the default) sizes each side's lists to ITS corpus
+    // (constant ~625-row lists, [[suggestLists]]): a fixed default
+    // means every list grows with N and an N-query mining pass goes
+    // quadratic — the sizing floor (16) reproduces the old fixed
+    // default at spec/oracle scale, so small-corpus behavior is
+    // unchanged while an un-tuned large-corpus call stays linear
+    val idxB = ivfBuild(sb,
+      if (nLists > 0) nLists else suggestLists(sb.count(), 625))
+    val idxA = ivfBuild(sa,
+      if (nLists > 0) nLists else suggestLists(sa.count(), 625))
     try bitextMineApprox(idxA, idxB, sa, sb, k, threshold, nprobe)
     finally {
       ivfRelease(idxA)

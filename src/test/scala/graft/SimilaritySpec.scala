@@ -769,6 +769,63 @@ class SimilaritySpec extends SparkSpec {
     } finally Similarity.ivfRelease(sph)
   }
 
+  test("suggestLists: constant target list size, bounded, history-compatible") {
+    // the 40x ScaleBench points reproduce exactly (the comparability
+    // contract): full corpus 80k @ 1250/list and bitext half 40k @
+    // 625/list both land on the historical 64
+    assert(Similarity.suggestLists(80000) == 64)
+    assert(Similarity.suggestLists(40000, targetListSize = 625) == 64)
+    // doubling the corpus doubles the lists — per-query probed-scan
+    // rows (nprobe x target) stay flat, the 100 TB law
+    assert(Similarity.suggestLists(160000) == 128)
+    assert(Similarity.suggestLists(80000, targetListSize = 625) == 128)
+    // floors and ceilings
+    assert(Similarity.suggestLists(10) == 16)
+    assert(Similarity.suggestLists(1L << 40) == 65536)
+    intercept[IllegalArgumentException](Similarity.suggestLists(100, 0))
+  }
+
+  test("sampled quantizer training: deterministic, full-coverage, exact at full probes") {
+    // trainPerList = 16 forces the sampling path on the 600-row corpus
+    // (cap = 64 < 600) — the configuration a corpus-proportional
+    // nLists hits at scale, where fitting on all N rows would make
+    // the build quadratic
+    val a = Similarity.ivfBuild(emb, nLists = 4, trainPerList = 16)
+    val b = Similarity.ivfBuild(emb, nLists = 4, trainPerList = 16)
+    try {
+      // the hash-sample is a pure row-value predicate: two builds over
+      // the same corpus yield byte-identical centroids
+      assert(a.centroids.map(_._2.toSeq).toSeq == b.centroids.map(_._2.toSeq).toSeq)
+      // assignment always covers the FULL corpus, sampled fit or not
+      assert(a.assigned.count() == 600L)
+      assert(a.assigned.select("id").distinct().count() == 600L)
+      // at nprobe = nLists the probe scans every list — results equal
+      // the exact operator REGARDLESS of what the sample produced: the
+      // invariant that makes sampled training safe to compose
+      val exact = Similarity.annTopK(emb, query, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val full = Similarity.ivfTopK(a, query, 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full == exact)
+    } finally { Similarity.ivfRelease(a); Similarity.ivfRelease(b) }
+  }
+
+  test("sampled PQ codebook training: full corpus encoded, exact under full rerank") {
+    // trainPerCode = 4 forces sampling (cap = 32 < 600); codebooks
+    // train on the sample, every row still gets codes
+    val pq = Similarity.pqBuild(emb, m = 4, ksub = 8, trainPerCode = 4)
+    try {
+      assert(pq.codes.count() == 600L)
+      // rerank >= corpus: the exact pass decides the final order, so
+      // sampled codebooks must return the exact top-k
+      val exact = Similarity.annTopK(emb, query, 5)
+        .collect().map(_.getLong(0)).toSeq
+      val got = Similarity.pqTopK(pq, emb, query, k = 5, rerank = 600)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == exact)
+    } finally Similarity.pqRelease(pq)
+  }
+
   test("residual index save/load round-trips codes, n2hat and books") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pqr").toString
     val ivf = Similarity.ivfBuild(emb, nLists = 8)
