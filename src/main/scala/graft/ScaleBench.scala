@@ -34,8 +34,12 @@ object ScaleBench {
     // cap raised 50 → 100 (VERDICT r8 #4): the 80× point previously
     // meant only 100k vecs (1.25× over 40×), making every v_* "curve"
     // nearly flat by construction; now 80× is a true 2× vector point
-    // (160k) and the ANN/batch/bitext ratios are informative
-    val nVecs = 2000L * scale.min(100)
+    // (160k) and the ANN/batch/bitext ratios are informative. Raised
+    // again 100 → 160 for the r9 third vector point (160× = 320k
+    // vecs): with corpus-proportional lists the claim is per-query
+    // cost stays flat PER DOUBLING — two doublings test the law, one
+    // tests the fix
+    val nVecs = 2000L * scale.min(160)
     val dims = 64
 
     // ---- synthetic documents: ~45 tokens from a 6k vocab with a
@@ -198,6 +202,28 @@ object ScaleBench {
       Similarity.ivfTopKBatch(ivf, queries, k = 10, nprobe = 8).count()
     }
     Similarity.ivfRelease(ivf)
+    // ---- two-level quantizer at HIGH resolution: ~40 rows/list
+    // (2000 lists at 80k vecs, doubling with the corpus) — a
+    // resolution where the flat build is already a wall (sampled fit
+    // 256·k²·F·iters, assignment N·k·F) while the hierarchical build
+    // stays linear. The batch row probes 250 lists ≈ 10k rows/query —
+    // the same candidate budget as the 8-probe/1250-row rows above,
+    // so its times are directly comparable across resolutions.
+    if (only.forall(s => s.contains("v_ivf_2level_build") ||
+        s.contains("v_ivf_2level_topk_batch"))) {
+      val hiLists = Similarity.suggestLists(nVecs, targetListSize = 40)
+      val t0 = System.nanoTime()
+      val tl = Similarity.ivfBuildTwoLevel(
+        emb.select("id", "vec"), nLists = hiLists)
+      tl.assigned.count()
+      rows("v_ivf_2level_build") = ((System.nanoTime() - t0) / 1e9, nVecs)
+      println(f"[scale] v_ivf_2level_build       ${rows("v_ivf_2level_build")._1}%8.2f s  rows=$nVecs  lists=${tl.k}")
+      adoptCheckpoints()
+      bench("v_ivf_2level_topk_batch") {
+        Similarity.ivfTopKBatch(tl, queries, k = 10, nprobe = 250).count()
+      }
+      Similarity.ivfRelease(tl)
+    }
     val sq8 = {
       val t0 = System.nanoTime()
       val index = Similarity.sq8Encode(emb)
@@ -245,8 +271,11 @@ object ScaleBench {
     }
     Similarity.sq8Release(sq8)
     bench("v_hard_negatives_approx") {
+      // the UN-TUNED one-shot shape: auto-sized lists (625/row
+      // target), size-routed build (two-level past 128 lists) — this
+      // row measures the shipped default, cliff-free by construction
       Similarity.hardNegativesApprox(
-        emb, queries, k = 10, nLists = lists, nprobe = 8).count()
+        emb, queries, k = 10, nprobe = 8).count()
     }
     // the amortized mining shape: quantizer fit paid once (the
     // v_ivf_build row), every batch pays only probe + score
@@ -411,18 +440,21 @@ object ScaleBench {
     bench("v_bitext_mine_approx") {
       // IVF-candidate mining across the even/odd halves — the approx
       // path that replaces the gated |a|*|b| exact operator at scale
+      // auto-sized (identical list counts to the explicit halfLists —
+      // suggestLists(side, 625) IS the operator's internal rule — but
+      // size-routed: two-level fits past 128 lists/side)
       Similarity.bitextMineApprox(
         emb.where(F.col("id") % 2 === 0).select("id", "vec"),
         emb.where(F.col("id") % 2 =!= 0).select("id", "vec"),
-        k = 4, threshold = 1.0, nLists = halfLists, nprobe = 8).count()
+        k = 4, threshold = 1.0, nprobe = 8).count()
     }
     locally {
       // the amortized shape: quantizer fits paid once, each re-mine
       // pays only probe + score (continuous mining over stable corpora)
       val sa = emb.where(F.col("id") % 2 === 0).select("id", "vec")
       val sb = emb.where(F.col("id") % 2 =!= 0).select("id", "vec")
-      val ia = Similarity.ivfBuild(sa, nLists = halfLists); ia.assigned.count()
-      val ib = Similarity.ivfBuild(sb, nLists = halfLists); ib.assigned.count()
+      val ia = Similarity.ivfBuildAuto(sa, halfLists); ia.assigned.count()
+      val ib = Similarity.ivfBuildAuto(sb, halfLists); ib.assigned.count()
       bench("v_bitext_mine_idx") {
         Similarity.bitextMineApprox(
           ia, ib, sa, sb, k = 4, threshold = 1.0, nprobe = 8).count()

@@ -170,7 +170,8 @@ object SparkEntry {
     // in SCALE_BENCH_r09 (ivfSq8/bitextPq/substring/occupancy rows)
     "v_ivf_sq8_topk", "v_ivf_sq8_topk_batch", "v_bitext_mine_pq",
     "d_substring_dedup", "d_gram_occupancy",
-    "v_ivf_pqr_topk", "v_ivf_pqr_topk_batch", "v_ivf_spherical_topk")
+    "v_ivf_pqr_topk", "v_ivf_pqr_topk_batch", "v_ivf_spherical_topk",
+    "v_ivf_2level_topk")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1226,6 +1227,23 @@ object SparkEntry {
       val ivf = Similarity.ivfBuildSpherical(e, nLists = 16)
       val out = Similarity.ivfTopK(ivf, queryVec(s, d), k = 20, nprobe = 12)
         .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      out
+    }),
+
+    // Two-level (hierarchical) coarse quantizer — the build path past
+    // suggestLists' 64k-list wall: √k coarse cells, per-cell
+    // sub-quantizers fit in parallel inside tasks, assignment scans
+    // √k + p·√k centers per row instead of k. Oracled at the
+    // DEGENERATE point (nprobe = index.k: the probe scans every list,
+    // so output == exact brute-force top-k whatever the hierarchical
+    // fit produced — same pattern as v_bitext_mine_pq); the production
+    // pruning's determinism, coverage and recall are spec-pinned
+    // (SimilaritySpec "two-level IVF").
+    "v_ivf_2level_topk" -> ((s, d) => {
+      val ivf = Similarity.ivfBuildTwoLevel(emb(s, d), nLists = 16)
+      val out = Similarity.ivfTopK(ivf, queryVec(s, d), k = 20,
+        nprobe = ivf.k).localCheckpoint()
       Similarity.ivfRelease(ivf)
       out
     }),
@@ -3520,6 +3538,21 @@ object SparkEntry {
           |SELECT id, round(cos, 4) AS score FROM scored
           |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
+
+    // Two-level IVF at the degenerate point: nprobe = index.k keeps
+    // every probed list, so the output is the exact brute-force top-k
+    // and the oracle is v_ann_topk's scan — the hierarchical fit
+    // (coarse cells + per-cell sub-quantizers) affects WHICH lists
+    // exist, not what a full-probe scan returns
+    "v_ivf_2level_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e, q
+        |ORDER BY score DESC, id ASC
+        |LIMIT 20""".stripMargin,
 
     // Residual IVF+PQ replay: the v_ivf_pq_topk chain with ONE change
     // of training input — the per-subspace kmeans chains run over

@@ -1336,7 +1336,8 @@ object Similarity {
     * vectors, so historical ScaleBench rows stay comparable. Bounded
     * to [16, 65536]: below 16 lists pruning is pointless, and beyond
     * 64k centroids brute-force assignment (N·nLists·F) is the next
-    * wall — at that scale assign through a centroid-level ANN instead.
+    * wall — at that scale build through [[ivfBuildTwoLevel]], whose
+    * hierarchical assignment costs N·(√k + p·√k)·F instead.
     */
   def suggestLists(n: Long, targetListSize: Int = 1250): Int = {
     require(targetListSize > 0,
@@ -1431,6 +1432,120 @@ object Similarity {
       .select("id", "vec", "cluster")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(assigned, model.centers.zipWithIndex.map(_.swap), nLists)
+  }
+
+  /** Two-level coarse quantizer — the IVF build path past
+    * [[suggestLists]]' documented wall. Flat [[ivfBuild]] pays
+    * N·nLists·F flops to assign (every row scans every centroid) and,
+    * with lists ∝ N, the sampled FIT still scans its 256·k-row sample
+    * against k centers (256·k²·F·iters) plus k sequential
+    * farthest-first driver jobs — at nLists ≈ 64k both are walls. This
+    * build is hierarchical, the standard large-k IVF shape: k₁ ≈ √k
+    * coarse cells (fit on a 256·k₁-row sample — driver-local sized by
+    * construction, zero sequential seeding jobs), then one
+    * sub-quantizer of k₂ = ⌈k/k₁⌉ centers per cell, all cells fit in
+    * parallel inside executor tasks
+    * ([[graft.scale.DeterministicKMeans.fitPerGroup]], fit cost
+    * 256·k²/k₁·F·iters — √k-fold cheaper). Assignment ranks the k₁
+    * cells, then scans only the `coarseProbes` nearest non-empty
+    * cells' sub-centers: N·(k₁ + p·k₂)·F flops — at k = 65536, p = 4
+    * that is ~51× fewer than flat, and the gap grows as √k.
+    *
+    * The returned index is a plain [[IvfIndex]] over the FLATTENED
+    * centroid set (dense global ids, cell-major), so every probe and
+    * composition (ivfTopK/Batch, IVF+SQ8, IVF+PQ, residual, append,
+    * save/load) works unchanged; `index.k` is the realized list count
+    * (empty sample cells own no lists, so it can be slightly under
+    * `nLists`). Probe-side ranking still scores ALL centroids per
+    * query ([[ivfProbes]] — k·F per query is fine, queries ≪ N).
+    * Semantics: the centroid SET differs from the flat fit's (both are
+    * just deterministic k-means solutions — IVF makes no optimality
+    * claim about lists), assignment is argmin over the probed cells'
+    * subs (ties → smaller global id), and at nprobe = index.k the
+    * probe scans every list, so results equal the exact operator
+    * whatever the quantizer produced — the same degenerate-point
+    * invariant the sampled-training spec pins. Deterministic
+    * end-to-end: hash-sample + deterministic fits + pure assignment.
+    * Same L2-normalized contract as [[ivfBuild]].
+    */
+  def ivfBuildTwoLevel(
+      emb: DataFrame, nLists: Int, trainPerList: Int = 256,
+      coarseProbes: Int = 4): IvfIndex = {
+    require(nLists > 0, s"nLists must be positive; got $nLists")
+    require(coarseProbes > 0, s"coarseProbes must be positive; got $coarseProbes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
+    val k1 = math.max(1, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(nLists.toDouble / k1).toInt)
+    val sample = trainSample(base, trainPerList.toLong * nLists)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val coarse = graft.scale.DeterministicKMeans.fit(
+        trainSample(sample, trainPerList.toLong * k1), k1,
+        maxIter = 15, idCol = "id", vecCol = "vec")
+      val cellAssigned = graft.scale.DeterministicKMeans.assign(
+        sample, coarse, idCol = "id", vecCol = "vec", clusterCol = "cell")
+      val subs = graft.scale.DeterministicKMeans.fitPerGroup(
+        cellAssigned, k2, maxIter = 15, idCol = "id", vecCol = "vec",
+        groupCol = "cell")
+      // flatten: dense global ids, cell-major / fit-order-minor — the
+      // numbering every probe and the assignment tie-break share
+      val subsByCell = new Array[Array[(Int, Array[Double])]](k1)
+      var gid = 0
+      var cell = 0
+      while (cell < k1) {
+        subsByCell(cell) = subs.get(cell) match {
+          case Some(cs) => cs.map { c => val g = gid; gid += 1; (g, c) }
+          case None => Array.empty[(Int, Array[Double])]
+        }
+        cell += 1
+      }
+      val flat = subsByCell.flatten
+      val bcCoarse = spark.sparkContext.broadcast(coarse.centers)
+      val bcSubs = spark.sparkContext.broadcast(subsByCell)
+      val p = math.min(coarseProbes, k1)
+      val assigned = base
+        .as[(Long, Array[Double])]
+        .map { case (id, x) =>
+          val cc = bcCoarse.value
+          val ss = bcSubs.value
+          // rank the k1 cells by squared distance (ties → smaller cell)
+          val order = Array.range(0, cc.length)
+            .map { c =>
+              var d = 0.0; var f = 0; val cv = cc(c)
+              val n = math.min(x.length, cv.length)
+              while (f < n) { val t = x(f) - cv(f); d += t * t; f += 1 }
+              (d, c)
+            }
+            .sortBy(identity)
+          var bestG = -1
+          var bestD = Double.MaxValue
+          var used = 0
+          var i = 0
+          while (i < order.length && used < p) {
+            val cs = ss(order(i)._2)
+            if (cs.nonEmpty) {
+              used += 1
+              var j = 0
+              while (j < cs.length) {
+                val (g, cv) = cs(j)
+                var d = 0.0; var f = 0
+                val n = math.min(x.length, cv.length)
+                while (f < n) { val t = x(f) - cv(f); d += t * t; f += 1 }
+                if (d < bestD || (d == bestD && g < bestG)) { bestD = d; bestG = g }
+                j += 1
+              }
+            }
+            i += 1
+          }
+          (id, x, bestG)
+        }
+        .toDF("id", "vec", "cluster")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      IvfIndex(assigned, flat, flat.length)
+    } finally sample.unpersist(blocking = false)
   }
 
   /** Release an in-memory index's cached assignment (no-op for a
@@ -1732,19 +1847,44 @@ object Similarity {
     // (16) reproduces the old fixed default at spec/oracle scale
     val lists =
       if (nLists > 0) nLists else suggestLists(items.count(), 625)
-    val model = graft.scale.DeterministicKMeans.fit(
-      trainSample(items.select("id", "vec"), 256L * lists), lists,
-      maxIter = 15, idCol = "id", vecCol = "vec")
-    val bcM = spark.sparkContext.broadcast(model)
-    val assigned = items
-      .as[(Long, Array[Double], String)]
-      .map { case (id, x, l) => (id, x, l, bcM.value.predict(x)) }
-      .toDF("id", "vec", "label", "cluster")
+    // auto-sized builds route through the quantizer that survives
+    // their k ([[autoBuild]]); an EXPLICIT nLists keeps the flat fit —
+    // the caller chose the structure, and the oracled configuration
+    // (nLists = 16) must keep its exact centroid recurrence
+    val index = autoBuild(items.select("id", "vec"), lists,
+      twoLevel = nLists == 0)
+    val assigned = index.assigned
+      .join(items.select(F.col("id"), F.col("label")), "id")
+      .select("id", "vec", "label", "cluster")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = model.centers.zipWithIndex.map(_.swap)
-    hardNegativesProbed(assigned, centroids, queries, k, nprobe,
+    assigned.count() // materialize before releasing the bare index
+    ivfRelease(index)
+    hardNegativesProbed(assigned, index.centroids, queries, k, nprobe,
       release = Seq(assigned))
   }
+
+  /** Size-routed IVF build: flat [[ivfBuild]] up to 128 lists,
+    * [[ivfBuildTwoLevel]] past it. The cutoff is the measured cliff,
+    * not a guess: at k = 256 (dims 64) the sampled flat fit (256·k
+    * rows) crosses DeterministicKMeans' driver-local threshold into
+    * the distributed path's k sequential seeding jobs — v_ivf_build
+    * measured 38.7–46.6 s at 320k×64 vs 8.1 s for the two-level build
+    * of 8010 lists on the SAME corpus (SCALE_BENCH_r09_s160v) — and
+    * wherever the flat fit runs its 256·k²·F·iters flops grow
+    * quadratically in k, so routing just under the cliff keeps both
+    * regimes comfortably linear. Every auto-sized path
+    * ([[suggestLists]]-driven mining defaults) builds through this;
+    * an EXPLICIT nLists in those operators keeps the flat fit the
+    * caller chose.
+    */
+  def ivfBuildAuto(emb: DataFrame, nLists: Int): IvfIndex =
+    if (nLists > 128) ivfBuildTwoLevel(emb, nLists)
+    else ivfBuild(emb, nLists)
+
+  private def autoBuild(
+      emb: DataFrame, lists: Int, twoLevel: Boolean): IvfIndex =
+    if (twoLevel) ivfBuildAuto(emb, lists)
+    else ivfBuild(emb, lists)
 
   /** [[hardNegativesApprox]] against a PREBUILT [[IvfIndex]]: the
     * coarse-quantizer fit dominates the one-shot variant at scale
@@ -1915,11 +2055,16 @@ object Similarity {
     // means every list grows with N and an N-query mining pass goes
     // quadratic — the sizing floor (16) reproduces the old fixed
     // default at spec/oracle scale, so small-corpus behavior is
-    // unchanged while an un-tuned large-corpus call stays linear
-    val idxB = ivfBuild(sb,
-      if (nLists > 0) nLists else suggestLists(sb.count(), 625))
-    val idxA = ivfBuild(sa,
-      if (nLists > 0) nLists else suggestLists(sa.count(), 625))
+    // unchanged while an un-tuned large-corpus call stays linear.
+    // Auto-sized builds route through [[autoBuild]] (two-level past
+    // the measured 256-list flat-fit cliff); explicit nLists keeps
+    // the flat fit the caller chose.
+    val idxB = autoBuild(sb,
+      if (nLists > 0) nLists else suggestLists(sb.count(), 625),
+      twoLevel = nLists == 0)
+    val idxA = autoBuild(sa,
+      if (nLists > 0) nLists else suggestLists(sa.count(), 625),
+      twoLevel = nLists == 0)
     try bitextMineApprox(idxA, idxB, sa, sb, k, threshold, nprobe)
     finally {
       ivfRelease(idxA)

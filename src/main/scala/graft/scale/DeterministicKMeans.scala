@@ -326,6 +326,46 @@ object DeterministicKMeans {
     Model(cs)
   }
 
+  /** Per-group k-means: the [[fitLocal]] recurrence run once per group
+    * INSIDE executor tasks (groupByKey → buffer + id-sort → fit), with
+    * only the fitted centers (Σ_g k_g × F doubles ≈ the size of ONE
+    * flat model) returning to the driver. This is the sub-quantizer
+    * stage of a two-level coarse quantizer
+    * ([[graft.operators.Similarity.ivfBuildTwoLevel]]): groups are
+    * coarse cells, each cell's sample is bounded (~trainPerList·k_sub
+    * rows), and all cells fit in PARALLEL — one shuffle total, zero
+    * per-center driver jobs, where the flat distributed fit pays k
+    * sequential seeding jobs and one row shuffle per Lloyd round.
+    * Deterministic and layout-invariant: rows are id-sorted inside
+    * each group before the fit, so any partitioning of `items` yields
+    * byte-identical centers (spec-pinned). Groups larger than task
+    * memory are the CALLER's contract to pre-sample — the intended
+    * inputs are training samples, not corpora.
+    */
+  def fitPerGroup(
+      items: DataFrame,
+      k: Int,
+      maxIter: Int,
+      idCol: String = "id",
+      vecCol: String = "x",
+      groupCol: String = "group",
+      spherical: Boolean = false): Map[Int, Array[Array[Double]]] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .select(F.col(groupCol).cast("int"), F.col(idCol).cast("long"),
+        F.col(vecCol).cast("array<double>"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val data = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val kEff = math.max(1, math.min(k, data.length))
+        (g, fitLocal(data, kEff, maxIter, spherical).centers)
+      }
+      .collect()
+      .toMap
+  }
+
   /** Assignment frame (idCol, vecCol, clusterCol) for a fitted model —
     * broadcast centers, one narrow pass, no shuffle. */
   def assign(

@@ -826,6 +826,69 @@ class SimilaritySpec extends SparkSpec {
     } finally Similarity.pqRelease(pq)
   }
 
+  test("two-level IVF: deterministic, full coverage, exact at full probes, composes") {
+    // nLists=16 -> k1=4 coarse cells, k2=4 subs/cell; trainPerList=16
+    // forces the sampled-fit path (cap 256 < 600) — the configuration
+    // the operator exists for at scale
+    val a = Similarity.ivfBuildTwoLevel(emb, nLists = 16, trainPerList = 16)
+    val b = Similarity.ivfBuildTwoLevel(emb, nLists = 16, trainPerList = 16)
+    try {
+      // hash sample + deterministic fits + pure assignment: two builds
+      // over the same corpus are byte-identical
+      assert(a.centroids.map { case (g, c) => (g, c.toSeq) }.toSeq ==
+        b.centroids.map { case (g, c) => (g, c.toSeq) }.toSeq)
+      // dense global ids 0..k-1, realized count <= requested
+      assert(a.k == a.centroids.length && a.k <= 16)
+      assert(a.centroids.map(_._1).toSeq == (0 until a.k))
+      // every corpus row lands in exactly one real list
+      assert(a.assigned.count() == 600L)
+      assert(a.assigned.select("id").distinct().count() == 600L)
+      val cl = a.assigned.select("cluster").distinct()
+        .collect().map(_.getInt(0))
+      assert(cl.forall(c => c >= 0 && c < a.k))
+      // degenerate-point invariant: at nprobe = k the probe scans every
+      // list, so results equal the exact operator whatever the
+      // hierarchical quantizer produced
+      val exact = Similarity.annTopK(emb, query, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val full = Similarity.ivfTopK(a, query, 10, nprobe = a.k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full == exact)
+      // production pruning keeps recall on clustered data (8 modes in
+      // <=16 lists; nprobe=4 scans ~a quarter of the lists)
+      val pruned = Similarity.ivfTopK(a, query, 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(pruned.intersect(exact.map(_._1).toSet).size >= 7,
+        s"two-level recall@10 too low: $pruned")
+      // plain IvfIndex: the IVF+PQ composition works unchanged, and at
+      // full probes + full rerank it is exact end-to-end
+      val pq = Similarity.pqBuild(emb, m = 4, ksub = 8)
+      try {
+        val got = Similarity.ivfPqTopK(a, pq, emb, query, k = 5,
+          nprobe = a.k, rerank = 600).collect().map(_.getLong(0)).toSeq
+        assert(got == exact.take(5).map(_._1))
+      } finally Similarity.pqRelease(pq)
+    } finally { Similarity.ivfRelease(a); Similarity.ivfRelease(b) }
+  }
+
+  test("fitPerGroup: layout-invariant per-cell centers") {
+    val s = spark
+    import s.implicits._
+    val grouped = emb.withColumn("cell",
+      (F.col("id") % 3).cast("int"))
+    val m1 = graft.scale.DeterministicKMeans.fitPerGroup(
+      grouped, k = 4, maxIter = 10, vecCol = "vec", groupCol = "cell")
+    val m2 = graft.scale.DeterministicKMeans.fitPerGroup(
+      grouped.repartition(7), k = 4, maxIter = 10, vecCol = "vec",
+      groupCol = "cell")
+    assert(m1.keySet == Set(0, 1, 2))
+    for (g <- m1.keySet) {
+      assert(m1(g).length == 4)
+      assert(m1(g).map(_.toSeq).toSeq == m2(g).map(_.toSeq).toSeq,
+        s"cell $g centers depend on partition layout")
+    }
+  }
+
   test("residual index save/load round-trips codes, n2hat and books") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pqr").toString
     val ivf = Similarity.ivfBuild(emb, nLists = 8)
