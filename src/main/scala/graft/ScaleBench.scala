@@ -190,18 +190,21 @@ object ScaleBench {
     val lists = Similarity.suggestLists(nVecs)
     val halfLists = Similarity.suggestLists(nVecs / 2, targetListSize = 625)
     println(s"[scale] lists=$lists halfLists=$halfLists")
-    val ivf = {
-      val t0 = System.nanoTime()
-      val index = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
-      index.assigned.count() // materialize the lists into the build row
-      rows("v_ivf_build") = ((System.nanoTime() - t0) / 1e9, nVecs)
-      println(f"[scale] v_ivf_build              ${rows("v_ivf_build")._1}%8.2f s  rows=$nVecs")
-      index
+    if (only.forall(s => s.contains("v_ivf_build") ||
+        s.contains("v_ivf_topk_batch"))) {
+      val ivf = {
+        val t0 = System.nanoTime()
+        val index = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
+        index.assigned.count() // materialize the lists into the build row
+        rows("v_ivf_build") = ((System.nanoTime() - t0) / 1e9, nVecs)
+        println(f"[scale] v_ivf_build              ${rows("v_ivf_build")._1}%8.2f s  rows=$nVecs")
+        index
+      }
+      bench("v_ivf_topk_batch") {
+        Similarity.ivfTopKBatch(ivf, queries, k = 10, nprobe = 8).count()
+      }
+      Similarity.ivfRelease(ivf)
     }
-    bench("v_ivf_topk_batch") {
-      Similarity.ivfTopKBatch(ivf, queries, k = 10, nprobe = 8).count()
-    }
-    Similarity.ivfRelease(ivf)
     // ---- two-level quantizer at HIGH resolution: ~40 rows/list
     // (2000 lists at 80k vecs, doubling with the corpus) — a
     // resolution where the flat build is already a wall (sampled fit
@@ -453,27 +456,50 @@ object ScaleBench {
       // pays only probe + score (continuous mining over stable corpora)
       val sa = emb.where(F.col("id") % 2 === 0).select("id", "vec")
       val sb = emb.where(F.col("id") % 2 =!= 0).select("id", "vec")
-      val ia = Similarity.ivfBuildAuto(sa, halfLists); ia.assigned.count()
-      val ib = Similarity.ivfBuildAuto(sb, halfLists); ib.assigned.count()
-      bench("v_bitext_mine_idx") {
-        Similarity.bitextMineApprox(
-          ia, ib, sa, sb, k = 4, threshold = 1.0, nprobe = 8).count()
+      if (only.forall(s => s.contains("v_bitext_mine_idx") ||
+          s.contains("v_bitext_mine_pq_idx"))) {
+        val ia = Similarity.ivfBuildAuto(sa, halfLists); ia.assigned.count()
+        val ib = Similarity.ivfBuildAuto(sb, halfLists); ib.assigned.count()
+        bench("v_bitext_mine_idx") {
+          Similarity.bitextMineApprox(
+            ia, ib, sa, sb, k = 4, threshold = 1.0, nprobe = 8).count()
+        }
+        // code-pruned re-mine (VERDICT r8 #2): identical probe pruning,
+        // but the probed-list scans read 8-byte PQ codes instead of
+        // 512-byte float64 vectors, with a 64-deep exact rerank per
+        // query — compare against v_bitext_mine_idx directly (same
+        // prebuilt IVF indexes, same corpus split)
+        val pa = Similarity.pqBuild(sa, m = 8, ksub = 64); pa.codes.count()
+        val pb = Similarity.pqBuild(sb, m = 8, ksub = 64); pb.codes.count()
+        adoptCheckpoints()
+        bench("v_bitext_mine_pq_idx") {
+          Similarity.bitextMinePq(
+            ia, ib, pa, pb, sa, sb, k = 4, threshold = 1.0, nprobe = 8,
+            rerank = 64).count()
+        }
+        Similarity.ivfRelease(ia); Similarity.ivfRelease(ib)
+        Similarity.pqRelease(pa); Similarity.pqRelease(pb)
       }
-      // code-pruned re-mine (VERDICT r8 #2): identical probe pruning,
-      // but the probed-list scans read 8-byte PQ codes instead of
-      // 512-byte float64 vectors, with a 64-deep exact rerank per
-      // query — compare against v_bitext_mine_idx directly (same
-      // prebuilt IVF indexes, same corpus split)
-      val pa = Similarity.pqBuild(sa, m = 8, ksub = 64); pa.codes.count()
-      val pb = Similarity.pqBuild(sb, m = 8, ksub = 64); pb.codes.count()
-      adoptCheckpoints()
-      bench("v_bitext_mine_pq_idx") {
-        Similarity.bitextMinePq(
-          ia, ib, pa, pb, sa, sb, k = 4, threshold = 1.0, nprobe = 8,
-          rerank = 64).count()
+      // fine-list re-mine: two-level indexes at ~40-row lists run the
+      // SAME margin semantics on an ~8x smaller probed budget (16
+      // lists x ~40 rows = 640 scored rows/query vs 8 x 625 = 5000 on
+      // the flat index). Scored-pair volume is the measured cost
+      // driver of the re-mine rows (per-pair cost is flat across scale
+      // points), so shrinking the budget — not the per-pair constant —
+      // is the remaining lever on the board's heaviest row; the output
+      // rows count doubles as the recall proxy vs v_bitext_mine_idx
+      // (same corpus split, same threshold).
+      if (only.forall(_.contains("v_bitext_mine_2level_idx"))) {
+        val fineLists = Similarity.suggestLists(nVecs / 2, targetListSize = 40)
+        val fa = Similarity.ivfBuildTwoLevel(sa, fineLists); fa.assigned.count()
+        val fb = Similarity.ivfBuildTwoLevel(sb, fineLists); fb.assigned.count()
+        adoptCheckpoints()
+        bench("v_bitext_mine_2level_idx") {
+          Similarity.bitextMineApprox(
+            fa, fb, sa, sb, k = 4, threshold = 1.0, nprobe = 16).count()
+        }
+        Similarity.ivfRelease(fa); Similarity.ivfRelease(fb)
       }
-      Similarity.ivfRelease(ia); Similarity.ivfRelease(ib)
-      Similarity.pqRelease(pa); Similarity.pqRelease(pb)
     }
     bench("q_entity_resolve") {
       // synthetic customer records: pairs share a base name (id/2),

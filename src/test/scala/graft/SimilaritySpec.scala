@@ -548,6 +548,48 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfRelease(idxB)
   }
 
+  test("bitextMineApprox over two-level fine-list indexes: full probes match flat; pruning keeps planted pairs") {
+    // the v_bitext_mine_2level_idx operating point: a high-resolution
+    // two-level quantizer shrinks the probed budget per query; at
+    // nprobe = index.k every list is probed, so the mined pairs must
+    // equal the flat quantizer's full-probe result (the margin
+    // contract is quantizer-independent at the degenerate point), and
+    // under real pruning the planted translations must survive
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(59)
+    def v(i: Int): Array[Double] =
+      Array.tabulate(24)(f => math.sin(i * 1.7 + f * 0.61))
+    val a = (0 until 40).map(i => (i.toLong, v(i))).toDF("id", "vec")
+    val b = (0 until 40).map(i =>
+      (i + 1000L, v(i).map(_ + rng.nextGaussian() * 0.05))).toDF("id", "vec")
+    val flatFull = Similarity
+      .bitextMineApprox(a, b, k = 4, threshold = 1.0, nLists = 4, nprobe = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val fa = Similarity.ivfBuildTwoLevel(a, nLists = 8)
+    val fb = Similarity.ivfBuildTwoLevel(b, nLists = 8)
+    try {
+      val fineFull = Similarity
+        .bitextMineApprox(fa, fb, a, b, k = 4, threshold = 1.0,
+          nprobe = math.max(fa.k, fb.k))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(fineFull == flatFull,
+        s"two-level full-probe mining diverged from the flat contract; " +
+          s"missing=${(flatFull diff fineFull).take(3)} " +
+          s"extra=${(fineFull diff flatFull).take(3)}")
+      val pruned = Similarity
+        .bitextMineApprox(fa, fb, a, b, k = 4, threshold = 0.0, nprobe = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val planted = pruned.count { case (ia, ib) => ib == ia + 1000L }
+      assert(planted >= 30, s"fine-list pruning lost the planted pairs: $planted/40")
+    } finally {
+      Similarity.ivfRelease(fa)
+      Similarity.ivfRelease(fb)
+    }
+  }
+
   test("IVF+SQ8: full probes degenerate to sq8TopK; batch equals single-query; pruned recall") {
     val s = spark
     import s.implicits._
