@@ -213,7 +213,8 @@ object ScaleBench {
     // the same candidate budget as the 8-probe/1250-row rows above,
     // so its times are directly comparable across resolutions.
     if (only.forall(s => s.contains("v_ivf_2level_build") ||
-        s.contains("v_ivf_2level_topk_batch"))) {
+        s.contains("v_ivf_2level_topk_batch") ||
+        s.contains("v_ivf_2level_hier_topk_batch"))) {
       val hiLists = Similarity.suggestLists(nVecs, targetListSize = 40)
       val t0 = System.nanoTime()
       val tl = Similarity.ivfBuildTwoLevel(
@@ -224,6 +225,15 @@ object ScaleBench {
       adoptCheckpoints()
       bench("v_ivf_2level_topk_batch") {
         Similarity.ivfTopKBatch(tl, queries, k = 10, nprobe = 250).count()
+      }
+      // same probed budget, HIERARCHICAL probe selection: per-query
+      // list choice costs (√k + p·k/√k)·F instead of k·F — the term
+      // that grows with corpus-proportional list counts. The delta vs
+      // the row above isolates probe-selection cost at this k.
+      bench("v_ivf_2level_hier_topk_batch") {
+        Similarity.ivfTopKBatchHier(
+          tl, queries, k = 10, nprobe = 250,
+          coarseCells = 16).count()
       }
       Similarity.ivfRelease(tl)
     }
@@ -489,7 +499,8 @@ object ScaleBench {
       // is the remaining lever on the board's heaviest row; the output
       // rows count doubles as the recall proxy vs v_bitext_mine_idx
       // (same corpus split, same threshold).
-      if (only.forall(_.contains("v_bitext_mine_2level_idx"))) {
+      if (only.forall(s => s.contains("v_bitext_mine_2level_idx") ||
+          s.contains("v_bitext_mine_hier_idx"))) {
         val fineLists = Similarity.suggestLists(nVecs / 2, targetListSize = 40)
         val fa = Similarity.ivfBuildTwoLevel(sa, fineLists); fa.assigned.count()
         val fb = Similarity.ivfBuildTwoLevel(sb, fineLists); fb.assigned.count()
@@ -497,6 +508,17 @@ object ScaleBench {
         bench("v_bitext_mine_2level_idx") {
           Similarity.bitextMineApprox(
             fa, fb, sa, sb, k = 4, threshold = 1.0, nprobe = 16).count()
+        }
+        // same fine-list re-mine with HIERARCHICAL probe selection:
+        // each side's per-query probe choice drops from k sub-center
+        // cosines (k doubles with the corpus) to √k-cell ranking plus
+        // the probed cells' sub-centers — the one term of the re-mine
+        // that still grew superlinearly at 2× vectors. coarseCells=8
+        // pools ~8·√k lists for the 16 probes.
+        bench("v_bitext_mine_hier_idx") {
+          Similarity.bitextMineApproxHier(
+            fa, fb, sa, sb, k = 4, threshold = 1.0, nprobe = 16,
+            coarseCells = 8).count()
         }
         Similarity.ivfRelease(fa); Similarity.ivfRelease(fb)
       }

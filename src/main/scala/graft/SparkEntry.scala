@@ -171,7 +171,7 @@ object SparkEntry {
     "v_ivf_sq8_topk", "v_ivf_sq8_topk_batch", "v_bitext_mine_pq",
     "d_substring_dedup", "d_gram_occupancy",
     "v_ivf_pqr_topk", "v_ivf_pqr_topk_batch", "v_ivf_spherical_topk",
-    "v_ivf_2level_topk")
+    "v_ivf_2level_topk", "v_ivf_2level_hier_topk")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1244,6 +1244,22 @@ object SparkEntry {
       val ivf = Similarity.ivfBuildTwoLevel(emb(s, d), nLists = 16)
       val out = Similarity.ivfTopK(ivf, queryVec(s, d), k = 20,
         nprobe = ivf.k).localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      out
+    }),
+
+    // hierarchical probe selection over the two-level index: probes
+    // chosen by ranking √k coarse cells then only the probed cells'
+    // sub-centers — the query-side mirror of the build-side cliff
+    // ivfBuildTwoLevel fixes. Oracled at the degenerate point
+    // (coarseCells = all cells, nprobe = k ⇒ probes equal the flat
+    // path's, scan covers every list ⇒ exact top-k); the pruned
+    // point's probe equality and recall are spec-pinned
+    "v_ivf_2level_hier_topk" -> ((s, d) => {
+      val ivf = Similarity.ivfBuildTwoLevel(emb(s, d), nLists = 16)
+      val out = Similarity.ivfTopKHier(ivf, queryVec(s, d), k = 20,
+        nprobe = ivf.k, coarseCells = ivf.hier.get.coarse.length)
+        .localCheckpoint()
       Similarity.ivfRelease(ivf)
       out
     }),
@@ -3545,6 +3561,19 @@ object SparkEntry {
     // (coarse cells + per-cell sub-quantizers) affects WHICH lists
     // exist, not what a full-probe scan returns
     "v_ivf_2level_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e, q
+        |ORDER BY score DESC, id ASC
+        |LIMIT 20""".stripMargin,
+
+    // hierarchical probes at the degenerate point (all coarse cells,
+    // nprobe = k): every list is probed whatever the hierarchy chose,
+    // so the answer is the exact top-20 — same brute-force replay
+    "v_ivf_2level_hier_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -1320,7 +1320,25 @@ object Similarity {
   final case class IvfIndex(
       assigned: DataFrame, // (id, vec, cluster)
       centroids: Array[(Int, Array[Double])],
-      k: Int)
+      k: Int,
+      hier: Option[TwoLevelHier] = None)
+
+  /** Hierarchical probe metadata retained by [[ivfBuildTwoLevel]]:
+    * the coarse cell centers plus each cell's global list ids. With
+    * it, QUERY-side probe selection ranks √k coarse cells and scans
+    * only the probed cells' sub-centers — (√k + p·k/√k)·F flops per
+    * query instead of the flat scan's k·F. That matters for the same
+    * reason the two-level BUILD exists: with corpus-proportional
+    * lists ([[suggestLists]]) k grows with N, so a flat per-query
+    * centroid scan is a hidden O(N) term in every batch retrieval —
+    * at 1M lists (≈1.3B vectors at 1250/list) it is 64M flops/query
+    * vs ~0.4M hierarchical. The field is optional so every existing
+    * composition (IVF+SQ8/PQ/residual, save/load, append) treats a
+    * two-level index as the plain [[IvfIndex]] it also is.
+    */
+  final case class TwoLevelHier(
+      coarse: Array[Array[Double]], // k1 cell centers
+      cellLists: Array[Array[Int]]) // global list ids per cell
 
   /** Corpus-proportional list count: constant target list size, so
     * per-query probed-scan cost (≈ nprobe · targetListSize rows) stays
@@ -1544,7 +1562,8 @@ object Similarity {
         }
         .toDF("id", "vec", "cluster")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      IvfIndex(assigned, flat, flat.length)
+      IvfIndex(assigned, flat, flat.length,
+        Some(TwoLevelHier(coarse.centers, subsByCell.map(_.map(_._1)))))
     } finally sample.unpersist(blocking = false)
   }
 
@@ -1581,7 +1600,9 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     widened.count() // materialize before dropping the predecessor
     ivfRelease(index)
-    IvfIndex(widened, index.centroids, index.k)
+    // centroids (and so the cell → list map) are unchanged by append —
+    // the hierarchy stays valid and rides along
+    IvfIndex(widened, index.centroids, index.k, index.hier)
   }
 
   /** The nprobe nearest inverted lists for a query — public so recall
@@ -1601,6 +1622,122 @@ object Similarity {
       .sortBy { case (c, d) => (d, c) }
       .take(nprobe)
       .map(_._1)
+
+  /** Hierarchical probe selection against a [[TwoLevelHier]]-carrying
+    * index: rank the √k coarse cells by cosine distance (ties →
+    * smaller cell), scan sub-centers of the best `coarseCells`
+    * NON-EMPTY cells only (mirroring the build-side assignment's
+    * probe semantics), and pick the `nprobe` best lists among them
+    * with [[probesFor]]'s exact scoring and (distance, id) tie-break.
+    * Degenerate contract: at coarseCells ≥ the number of non-empty
+    * cells every sub-center is scanned, so the returned probes equal
+    * the flat [[probesFor]] array element-for-element (spec-pinned) —
+    * pruning only ever removes cells, never reorders lists.
+    */
+  private def hierProbesFor(
+      centroids: Array[(Int, Array[Double])], hier: TwoLevelHier,
+      query: Array[Double], nprobe: Int, coarseCells: Int): Array[Int] = {
+    val cellOrder = Array.range(0, hier.coarse.length)
+      .map { cell =>
+        (1.0 - graft.functions.VectorKernels.cosine(query, hier.coarse(cell)),
+          cell)
+      }
+      .sortBy(identity)
+    val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+    var used = 0
+    var i = 0
+    while (i < cellOrder.length && used < coarseCells) {
+      val lists = hier.cellLists(cellOrder(i)._2)
+      if (lists.nonEmpty) {
+        used += 1
+        var j = 0
+        while (j < lists.length) {
+          val g = lists(j)
+          // centroids are index-ordered by construction (dense global
+          // ids); fall back to a scan if a future construction breaks
+          // that — same defensive lookup as the ADC probe paths
+          val cv =
+            if (g < centroids.length && centroids(g)._1 == g) centroids(g)._2
+            else centroids.find(_._1 == g).get._2
+          cand += ((1.0 - graft.functions.VectorKernels.cosine(query, cv), g))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    cand.sortBy(identity).take(nprobe).map(_._2).toArray
+  }
+
+  private def requireHier(index: IvfIndex, op: String): TwoLevelHier =
+    index.hier.getOrElse(throw new IllegalArgumentException(
+      s"$op needs a two-level index (build with ivfBuildTwoLevel, or " +
+        "load one saved from it); this index has no hierarchy — use the " +
+        "flat probe path (ivfTopK/ivfTopKBatch) instead"))
+
+  /** The probe set [[ivfTopKHier]] uses — public for the same reason
+    * as [[ivfProbes]]: recall and scanned-fraction claims must be
+    * measurable against the exact list selection.
+    */
+  def ivfProbesHier(
+      index: IvfIndex, query: Array[Double], nprobe: Int,
+      coarseCells: Int): Array[Int] =
+    hierProbesFor(index.centroids, requireHier(index, "ivfProbesHier"),
+      query, nprobe, coarseCells)
+
+  /** [[ivfTopK]] with hierarchical probe selection — identical scan,
+    * scoring, rounding and tie rules once the probes are chosen; only
+    * WHICH lists are probed can differ (and cannot, at coarseCells ≥
+    * non-empty cells — the degenerate contract on [[hierProbesFor]]).
+    */
+  def ivfTopKHier(
+      index: IvfIndex, query: Array[Double], k: Int, nprobe: Int,
+      coarseCells: Int = 4): DataFrame = {
+    val probes = ivfProbesHier(index, query, nprobe, coarseCells)
+    val q = F.typedLit(query)
+    index.assigned
+      .where(F.col("cluster").isin(probes.toSeq: _*))
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
+  /** [[ivfTopKBatch]] with hierarchical probe selection on the
+    * executors: same broadcast-flatMap-join-saltedTopK shape, but the
+    * per-query probe choice costs (√k + p·k/√k)·F flops instead of
+    * k·F. With corpus-proportional lists k grows with N, so the flat
+    * batch path's probe selection is a hidden O(N)-per-query term —
+    * this is the query-side mirror of the build-side cliff
+    * [[ivfBuildTwoLevel]] exists for, and the path the fine-list
+    * mining rows run on. The broadcast still ships all k sub-centers
+    * (same bytes as the flat path — no regression); sharding
+    * sub-centers into the probed lists' Parquet is the documented
+    * follow-on once k·F itself outgrows a broadcast (~512 MB at 1M
+    * lists × 64 dims).
+    */
+  def ivfTopKBatchHier(
+      index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      coarseCells: Int = 4): DataFrame = {
+    val hier = requireHier(index, "ivfTopKBatchHier")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(index.centroids)
+    val bcH = spark.sparkContext.broadcast(hier)
+    val probed = queries
+      .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        hierProbesFor(bcC.value, bcH.value, qv, nprobe, coarseCells)
+          .map(c => (qid, c, qv))
+      }
+      .toDF("qid", "cluster", "qvec")
+    val scored = probed
+      .join(index.assigned, "cluster")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.saltedTopKPerKey(
+        scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
 
   def ivfTopK(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
     val probes = ivfProbes(index, query, nprobe)
@@ -1670,22 +1807,54 @@ object Similarity {
     graft.api.ArrowSpaceModel.writeSidecar(
       index.assigned.sparkSession, s"$path/centroids.json",
       s"""{"k":${index.k},"centroids":$cent}""")
+    // the hierarchy persists as its OWN sidecar (same (id,[values])
+    // entry shape as the centroid file, so one parser serves both);
+    // absence = a flat index — old saves load unchanged
+    index.hier.foreach { h =>
+      val coarse = h.coarse.zipWithIndex
+        .map { case (v, c) => s"""[$c,[${v.mkString(",")}]]""" }
+        .mkString("[", ",", "]")
+      val cells = h.cellLists.zipWithIndex
+        .map { case (g, c) => s"""[$c,[${g.mkString(",")}]]""" }
+        .mkString("[", ",", "]")
+      graft.api.ArrowSpaceModel.writeSidecar(
+        index.assigned.sparkSession, s"$path/twolevel.json",
+        s"""{"coarse":$coarse,"cells":$cells}""")
+    }
   }
 
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val assigned = spark.read.parquet(s"$path/lists")
-    val txt = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def entries(txt: String): Array[(Int, Array[Double])] =
+      "\\[(\\d+),\\[([^\\]]*)\\]\\]".r.findAllMatchIn(txt).map { m =>
+        (m.group(1).toInt,
+          if (m.group(2).isEmpty) Array.empty[Double]
+          else m.group(2).split(",").map(_.toDouble))
+      }.toArray
+    val txt = readSidecar(spark, s"$path/centroids.json").get
+    val k = "\"k\":(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
+    val cent = entries(txt)
+    // optional hierarchy sidecar (two-level saves only)
+    val hier = readSidecar(spark, s"$path/twolevel.json").map { h =>
+      val Array(coarseTxt, cellsTxt) = h.split("\"cells\":", 2)
+      TwoLevelHier(
+        entries(coarseTxt).sortBy(_._1).map(_._2),
+        entries(cellsTxt).sortBy(_._1).map(_._2.map(_.toInt)))
+    }
+    IvfIndex(assigned, cent, k, hier)
+  }
+
+  private def readSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
       val in = fs.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
       finally in.close()
     }
-    val k = "\"k\":(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
-    val cent = "\\[(\\d+),\\[([^\\]]*)\\]\\]".r.findAllMatchIn(txt).map { m =>
-      (m.group(1).toInt, m.group(2).split(",").map(_.toDouble))
-    }.toArray
-    IvfIndex(assigned, cent, k)
   }
 
   /** Per-embedding L2 norms: (id, norm). */
@@ -2109,6 +2278,46 @@ object Similarity {
     finally {
       // the candidate lists are ours; the indexes are the CALLER's
       // (the one-shot overload releases the ones it built)
+      fwd.unpersist(blocking = false)
+      bwd.unpersist(blocking = false)
+    }
+  }
+
+  /** [[bitextMineApprox]]'s prebuilt-index overload with HIERARCHICAL
+    * probe selection ([[ivfTopKBatchHier]]) — the fine-list re-mine
+    * shape: both indexes are [[ivfBuildTwoLevel]] products at small
+    * target lists, so each of the two retrievals picks probes in
+    * (√k + p·k/√k)·F per query instead of scanning all k sub-centers.
+    * Margin semantics are IDENTICAL (shared [[marginFromLists]]); the
+    * only divergence source is list selection, and at coarseCells ≥
+    * non-empty cells that too is the flat path's exactly
+    * ([[hierProbesFor]]'s degenerate contract) — parity spec-pinned.
+    */
+  def bitextMineApproxHier(
+      idxA: IvfIndex, idxB: IvfIndex, a: DataFrame, b: DataFrame,
+      k: Int, threshold: Double, nprobe: Int,
+      coarseCells: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    requireHier(idxA, "bitextMineApproxHier")
+    requireHier(idxB, "bitextMineApproxHier")
+    val sa = a.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
+    val sb = b.select(F.col("id").cast("long").as("id"),
+      F.col("vec").cast("array<double>").as("vec"))
+    val qa = sa.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+    val qb = sb.select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+    // persist (NOT localCheckpoint) — same rationale as the flat
+    // prebuilt overload: bounded lists, releasable in the finally
+    val fwd = ivfTopKBatchHier(idxB, qa, k, nprobe, coarseCells)
+      .select(F.col("qid").as("id_a"), F.col("id").as("id_b"),
+        F.col("score").as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bwd = ivfTopKBatchHier(idxA, qb, k, nprobe, coarseCells)
+      .select(F.col("id").as("id_a"), F.col("qid").as("id_b"),
+        F.col("score").as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try marginFromLists(fwd, bwd, threshold)
+    finally {
       fwd.unpersist(blocking = false)
       bwd.unpersist(blocking = false)
     }

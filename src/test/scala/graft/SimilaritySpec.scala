@@ -913,6 +913,123 @@ class SimilaritySpec extends SparkSpec {
     } finally { Similarity.ivfRelease(a); Similarity.ivfRelease(b) }
   }
 
+  test("hierarchical probes: degenerate equality, pruned recall, batch face, save/load") {
+    val s = spark
+    import s.implicits._
+    val tl = Similarity.ivfBuildTwoLevel(emb, nLists = 16, trainPerList = 16)
+    try {
+      val h = tl.hier.get
+      val cells = h.coarse.length
+      // the cell → list map is a partition of the dense global ids
+      assert(h.cellLists.flatten.sorted.toSeq == (0 until tl.k))
+      // degenerate contract: scanning ALL coarse cells must reproduce
+      // the flat probe array element-for-element (same scoring, same
+      // tie-break) — pruning can only remove cells, never reorder
+      for (qid <- Seq(0L, 7L, 123L, 500L)) {
+        val qv = emb.where(F.col("id") === qid)
+          .select("vec").head.getSeq[Double](0).toArray
+        assert(Similarity.ivfProbesHier(tl, qv, 6, cells).toSeq ==
+          Similarity.ivfProbes(tl, qv, 6).toSeq,
+          s"degenerate hier probes diverged from flat for query $qid")
+      }
+      // full-probe hier answer is exact, like every degenerate point
+      val exact = Similarity.annTopK(emb, query, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val full = Similarity
+        .ivfTopKHier(tl, query, 10, nprobe = tl.k, coarseCells = cells)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full == exact)
+      // production pruning: half the coarse cells, 4 lists — the
+      // 8-mode corpus keeps recall
+      val pruned = Similarity
+        .ivfTopKHier(tl, query, 10, nprobe = 4,
+          coarseCells = math.max(1, cells / 2))
+        .collect().map(_.getLong(0)).toSet
+      assert(pruned.intersect(exact.map(_._1).toSet).size >= 7,
+        s"pruned hierarchical recall@10 too low: $pruned")
+      // batch face equals the single-query path per qid
+      val qids = Seq(3L, 11L, 200L)
+      val qs = emb.where(F.col("id").isin(qids: _*))
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val batch = Similarity
+        .ivfTopKBatchHier(tl, qs, k = 5, nprobe = 4, coarseCells = 2)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+        .toMap
+      for (qid <- qids) {
+        val qv = emb.where(F.col("id") === qid)
+          .select("vec").head.getSeq[Double](0).toArray
+        val single = Similarity
+          .ivfTopKHier(tl, qv, 5, nprobe = 4, coarseCells = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single, s"batch face diverged for qid $qid")
+      }
+      // a flat index refuses with an actionable message
+      val flat = Similarity.ivfBuild(emb, nLists = 8)
+      try {
+        val e = intercept[IllegalArgumentException](
+          Similarity.ivfTopKBatchHier(flat, qs, 5, 4))
+        assert(e.getMessage.contains("ivfBuildTwoLevel"))
+      } finally Similarity.ivfRelease(flat)
+      // save/load round-trips the hierarchy (own sidecar; a flat save
+      // has none and loads hier-free)
+      val dir = java.nio.file.Files.createTempDirectory("graft-hier").toString
+      Similarity.ivfSave(tl, dir)
+      val loaded = Similarity.ivfLoad(s, dir)
+      val lh = loaded.hier.getOrElse(fail("two-level save lost its hierarchy"))
+      assert(lh.coarse.map(_.toSeq).toSeq == h.coarse.map(_.toSeq).toSeq)
+      assert(lh.cellLists.map(_.toSeq).toSeq == h.cellLists.map(_.toSeq).toSeq)
+      assert(Similarity.ivfProbesHier(loaded, query, 6, 2).toSeq ==
+        Similarity.ivfProbesHier(tl, query, 6, 2).toSeq)
+    } finally Similarity.ivfRelease(tl)
+  }
+
+  test("bitextMineApproxHier: full probes match the flat contract; pruning keeps planted pairs") {
+    // the fine-list re-mine path with hierarchical probe selection:
+    // at coarseCells = all cells AND nprobe = k the probes equal the
+    // flat path's and every list is scanned, so the mined pairs must
+    // equal the flat quantizer's full-probe result; under real
+    // two-axis pruning (cells AND lists) the planted translations
+    // must survive
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(59)
+    def v(i: Int): Array[Double] =
+      Array.tabulate(24)(f => math.sin(i * 1.7 + f * 0.61))
+    val a = (0 until 40).map(i => (i.toLong, v(i))).toDF("id", "vec")
+    val b = (0 until 40).map(i =>
+      (i + 1000L, v(i).map(_ + rng.nextGaussian() * 0.05))).toDF("id", "vec")
+    val flatFull = Similarity
+      .bitextMineApprox(a, b, k = 4, threshold = 1.0, nLists = 4, nprobe = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val fa = Similarity.ivfBuildTwoLevel(a, nLists = 8)
+    val fb = Similarity.ivfBuildTwoLevel(b, nLists = 8)
+    try {
+      val allCells = math.max(
+        fa.hier.get.coarse.length, fb.hier.get.coarse.length)
+      val hierFull = Similarity
+        .bitextMineApproxHier(fa, fb, a, b, k = 4, threshold = 1.0,
+          nprobe = math.max(fa.k, fb.k), coarseCells = allCells)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(hierFull == flatFull,
+        s"hier full-probe mining diverged from the flat contract; " +
+          s"missing=${(flatFull diff hierFull).take(3)} " +
+          s"extra=${(hierFull diff flatFull).take(3)}")
+      val pruned = Similarity
+        .bitextMineApproxHier(fa, fb, a, b, k = 4, threshold = 0.0,
+          nprobe = 3, coarseCells = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val planted = pruned.count { case (ia, ib) => ib == ia + 1000L }
+      assert(planted >= 30,
+        s"hierarchical pruning lost the planted pairs: $planted/40")
+    } finally {
+      Similarity.ivfRelease(fa)
+      Similarity.ivfRelease(fb)
+    }
+  }
+
   test("fitPerGroup: layout-invariant per-cell centers") {
     val s = spark
     import s.implicits._
