@@ -122,17 +122,48 @@ object GraphAnalytics {
       * executes, so results are replayable by the same unrolled-CTE
       * oracle. Anchor batches are chunked at `maxBatch` slots so the
       * N×maxBatch state stays within executor memory however many
-      * anchors are submitted; chunks run sequentially, each a single
-      * recurrence. Output: (source, id, ppr).
+      * anchors are submitted; up to `maxConcurrent` chunks run as
+      * CONCURRENT Spark jobs (driver-thread submission — the supported
+      * multi-job pattern), so thousands of anchors overlap their
+      * 15-stage chains instead of serializing them: a chunk waiting on
+      * its shuffle leaves executors free for another chunk's map work,
+      * which is exactly the idle time sequential submission burns on a
+      * large cluster. Each concurrent chunk holds its own N×maxBatch
+      * checkpoint, so peak executor storage scales with maxConcurrent
+      * — lower it (or 1 for the old strictly-sequential behavior) when
+      * N×maxBatch×maxConcurrent presses on memory. Per-chunk results
+      * are deterministic and chunk order is preserved, so the output
+      * is byte-identical to sequential submission. Output:
+      * (source, id, ppr).
       */
-    def runMany(sources: Seq[Long], maxBatch: Int = 256): DataFrame = {
+    def runMany(
+        sources: Seq[Long], maxBatch: Int = 256,
+        maxConcurrent: Int = 4): DataFrame = {
       require(maxBatch > 0, "maxBatch must be positive")
+      require(maxConcurrent > 0, "maxConcurrent must be positive")
       require(sources.nonEmpty, "runMany needs at least one source")
-      val distinctSorted = sources.distinct.sorted
-      distinctSorted
-        .grouped(maxBatch)
-        .map(chunk => runBatch(chunk.toArray))
-        .reduce(_ unionByName _)
+      val chunks = sources.distinct.sorted.grouped(maxBatch).toSeq
+      if (chunks.length == 1 || maxConcurrent == 1)
+        chunks.map(chunk => runBatch(chunk.toArray)).reduce(_ unionByName _)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxConcurrent, chunks.length),
+          (r: Runnable) => {
+            val t = new Thread(r, "ppr-run-many")
+            t.setDaemon(true)
+            t
+          })
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val futs = chunks.map(chunk =>
+            scala.concurrent.Future(runBatch(chunk.toArray)))
+          scala.concurrent.Await
+            .result(scala.concurrent.Future.sequence(futs),
+              scala.concurrent.duration.Duration.Inf)
+            .reduce(_ unionByName _)
+        } finally pool.shutdown()
+      }
     }
 
     private def runBatch(srcs: Array[Long]): DataFrame = {

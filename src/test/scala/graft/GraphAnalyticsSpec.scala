@@ -80,6 +80,34 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("runMany: concurrent chunks equal one batch and the per-source runs") {
+    val eng = new PprEngine(edges, numIter = 15)
+    try {
+      val anchors = Seq(0L, 1L, 3L, 4L, 5L)
+      // one slot-array recurrence for all anchors: the reference
+      val one = eng.runMany(anchors, maxBatch = 256)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      // maxBatch=2 forces 3 chunks; maxConcurrent=3 submits them as
+      // concurrent Spark jobs — results must be byte-identical (each
+      // chunk's arithmetic is independent of the others)
+      val par = eng.runMany(anchors, maxBatch = 2, maxConcurrent = 3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      assert(par == one,
+        s"concurrent chunked runMany diverged from the single batch")
+      // and both match the single-source operator per anchor
+      for (a <- anchors) {
+        val single = personalizedPageRank(edges, a)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+        single.foreach { case (id, v) =>
+          assert(math.abs(one((a, id)) - v) < 1e-12,
+            s"anchor $a node $id: batch ${one((a, id))} vs single $v")
+        }
+      }
+    } finally eng.release()
+  }
+
   test("label propagation assigns every node a community") {
     val lp = labelPropagation(edges)
     assert(lp.count() == 6L)
