@@ -559,6 +559,29 @@ object ScaleBench {
         e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
       graft.graph.GraphAnalytics.kCore(symg, k = 12, maxRounds = 20).count()
     }
+    // ---- many-anchor PPR: 1024 anchors = 4 chunks of 256 slots; the
+    // pair measures concurrent chunk submission (runMany's default)
+    // against the old strictly-sequential chains on the same engine —
+    // results are byte-identical (spec-pinned), only scheduling
+    // overlap differs
+    if (only.forall(s => s.contains("g_ppr_many_seq") ||
+        s.contains("g_ppr_many_conc"))) {
+      val e = spark.range(nVecs * 4).select(
+        F.pmod(F.col("id"), F.lit(nVecs)).as("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("pprdst")), F.lit(nVecs)).as("dst"))
+        .where(F.col("src") =!= F.col("dst"))
+      val symg = e.unionByName(
+        e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
+      val eng = new graft.graph.GraphAnalytics.PprEngine(symg, numIter = 15)
+      val anchors = (0L until 1024L).map(_ * (nVecs / 1024)).toSeq
+      bench("g_ppr_many_seq") {
+        eng.runMany(anchors, maxBatch = 256, maxConcurrent = 1).count()
+      }
+      bench("g_ppr_many_conc") {
+        eng.runMany(anchors, maxBatch = 256, maxConcurrent = 4).count()
+      }
+      eng.release()
+    }
 
     // ---- synthetic events: ~10 events per user across nVecs/4 users,
     // hash-jittered timestamps over a day — the time-join block
