@@ -171,7 +171,8 @@ object SparkEntry {
     "v_ivf_sq8_topk", "v_ivf_sq8_topk_batch", "v_bitext_mine_pq",
     "d_substring_dedup", "d_gram_occupancy",
     "v_ivf_pqr_topk", "v_ivf_pqr_topk_batch", "v_ivf_spherical_topk",
-    "v_ivf_2level_topk", "v_ivf_2level_hier_topk")
+    "v_ivf_2level_topk", "v_ivf_2level_hier_topk",
+    "v_ivf_2level_sharded_topk")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1258,6 +1259,26 @@ object SparkEntry {
     "v_ivf_2level_hier_topk" -> ((s, d) => {
       val ivf = Similarity.ivfBuildTwoLevel(emb(s, d), nLists = 16)
       val out = Similarity.ivfTopKHier(ivf, queryVec(s, d), k = 20,
+        nprobe = ivf.k, coarseCells = ivf.hier.get.coarse.length)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      out
+    }),
+
+    // SHARDED hierarchical probe selection: probes chosen by a join
+    // against the sub-center TABLE (cell-partitioned at rest) instead
+    // of a broadcast of all k sub-centers — the batch-retrieval form
+    // once k·F outgrows a broadcast (~512 MB at 1M corpus-proportional
+    // lists). Oracled at the degenerate point (all coarse cells,
+    // nprobe = k ⇒ every list probed ⇒ exact per-query top-k); exact
+    // row-for-row parity with the broadcast path at a PRUNED point is
+    // spec-pinned (SimilaritySpec "sharded hierarchical probes")
+    "v_ivf_2level_sharded_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuildTwoLevel(e, nLists = 16)
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val out = Similarity.ivfTopKBatchHierSharded(ivf, qs, k = 10,
         nprobe = ivf.k, coarseCells = ivf.hier.get.coarse.length)
         .localCheckpoint()
       Similarity.ivfRelease(ivf)
@@ -3582,6 +3603,24 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    // sharded hier probes at the degenerate point: every list probed
+    // for every query, so each query's answer is the exact brute-force
+    // top-10 — per-query replay of the single-query oracle
+    "v_ivf_2level_sharded_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 4),
+        |scored AS (SELECT qs.qid, e.vec_id AS id,
+        |    round(list_cosine_similarity(e.v, qs.qv), 4) AS score
+        |  FROM e, qs),
+        |ranked AS (SELECT qid, id, score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, id, score FROM ranked
+        |WHERE rn <= 10
+        |ORDER BY qid, score DESC, id ASC""".stripMargin,
 
     // Residual IVF+PQ replay: the v_ivf_pq_topk chain with ONE change
     // of training input — the per-subspace kmeans chains run over

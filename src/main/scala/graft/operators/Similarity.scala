@@ -1790,6 +1790,103 @@ object Similarity {
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
+  /** The sub-center table of a two-level index: one row per inverted
+    * list, keyed by its coarse cell — (cell INT, list INT, cvec
+    * ARRAY<DOUBLE>). This is the TABLE form of what [[hierProbesFor]]
+    * reads from the broadcast hierarchy, and the input
+    * [[ivfTopKBatchHierSharded]] joins instead of shipping all k
+    * sub-centers to every executor. At rest it should live next to the
+    * lists as `partitionBy("cell")` Parquet (it is derived data —
+    * rebuildable from the centroid + hierarchy sidecars, which is what
+    * this function does), so probe selection prunes to the probed
+    * cells' files exactly as the list scan prunes to the probed lists'.
+    */
+  def ivfSubCenters(index: IvfIndex): DataFrame = {
+    val hier = requireHier(index, "ivfSubCenters")
+    val spark = index.assigned.sparkSession
+    val byId = index.centroids.toMap
+    val rows = hier.cellLists.zipWithIndex.flatMap { case (lists, cell) =>
+      lists.map(g => (cell, g, byId(g)))
+    }
+    spark.createDataFrame(rows.toSeq).toDF("cell", "list", "cvec")
+  }
+
+  /** [[ivfTopKBatchHier]] with probe selection as a JOIN against the
+    * sub-center TABLE instead of a broadcast of all k sub-centers —
+    * the scale form once k·F outgrows a broadcast (~512 MB at 1M lists
+    * × 64 dims; k grows with the corpus under [[suggestLists]]).
+    * Nothing query-sized or k-sized is ever resident in one place:
+    *   1. broadcast ONLY the √k coarse centers (+ a per-cell emptiness
+    *      mask) — ~512 KB at 1M lists — and fan each query out to its
+    *      `coarseCells` best non-empty cells (exact [[hierProbesFor]]
+    *      cell ranking: cosine distance, ties → smaller cell);
+    *   2. equi-join those (qid, cell, qvec) rows with the sub-center
+    *      table on cell — each query scores only the probed cells'
+    *      ~p·k/√k sub-centers, and the fat (qvec × cvec) rows exist
+    *      only INSIDE the join tasks: what shuffles out is the slim
+    *      (qid, dist, list) projection;
+    *   3. exact per-query top-nprobe lists via [[graft.scale.Skew
+    *      .saltedTopKPerKey]] on (dist asc, list asc) — the same
+    *      (distance, id) tie-break as [[hierProbesFor]], and the
+    *      distances are the same JVM doubles (shared kernel), so the
+    *      probe SET is identical to the broadcast path's (spec-pinned
+    *      by exact output equality at a pruned operating point);
+    *   4. rejoin the chosen (qid, list) rows to the queries on qid and
+    *      scan exactly as [[ivfTopKBatch]] stage 2–3.
+    * Pass `subCenters` to score against a persisted table (e.g. the
+    * cell-partitioned Parquet written at index-build time) instead of
+    * re-deriving it from the driver-resident hierarchy.
+    */
+  def ivfTopKBatchHierSharded(
+      index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      coarseCells: Int = 4, subCenters: Option[DataFrame] = None): DataFrame = {
+    val hier = requireHier(index, "ivfTopKBatchHierSharded")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcCoarse = spark.sparkContext.broadcast(hier.coarse)
+    val bcNonEmpty = spark.sparkContext.broadcast(
+      hier.cellLists.map(_.nonEmpty))
+    val q = queries
+      .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+    // stage 1: per-query coarse cells — hierProbesFor's cell ranking
+    val probedCells = q
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        val coarse = bcCoarse.value
+        val nonEmpty = bcNonEmpty.value
+        Array.range(0, coarse.length)
+          .map { cell =>
+            (1.0 - graft.functions.VectorKernels.cosine(qv, coarse(cell)),
+              cell)
+          }
+          .sorted
+          .iterator
+          .filter { case (_, cell) => nonEmpty(cell) }
+          .take(coarseCells)
+          .map { case (_, cell) => (qid, cell, qv) }
+      }
+      .toDF("qid", "cell", "qvec")
+    // stage 2+3: sub-center scoring join (fat rows die inside the
+    // join projection) → slim exact top-nprobe lists per query
+    val subs = subCenters.getOrElse(ivfSubCenters(index))
+    val listDist = probedCells
+      .join(subs, "cell")
+      .select(F.col("qid"), F.col("list"),
+        (F.lit(1.0) - cosine(F.col("qvec"), F.col("cvec"))).as("dist"))
+    val chosen = graft.scale.Skew.saltedTopKPerKey(
+        listDist, "qid", Seq(F.col("dist").asc, F.col("list").asc), nprobe)
+      .select(F.col("qid"), F.col("list").as("cluster"))
+    // stage 4: reattach qvec, then the standard probed scan
+    val scored = chosen
+      .join(q, "qid")
+      .join(index.assigned, "cluster")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.saltedTopKPerKey(
+        scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
   /** Persist an IVF index as cluster-partitioned Parquet plus a
     * centroid sidecar. A probe against the loaded index scans ONLY the
     * nprobe partitions (PartitionFilters prune the rest — asserted in

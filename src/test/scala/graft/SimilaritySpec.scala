@@ -984,6 +984,55 @@ class SimilaritySpec extends SparkSpec {
     } finally Similarity.ivfRelease(tl)
   }
 
+  test("sharded hierarchical probes: exact parity with the broadcast path; table-backed sub-centers") {
+    val s = spark
+    import s.implicits._
+    val tl = Similarity.ivfBuildTwoLevel(emb, nLists = 16, trainPerList = 16)
+    try {
+      val h = tl.hier.get
+      // the sub-center table IS the hierarchy: one row per list, keyed
+      // by its coarse cell, carrying that list's centroid
+      val subs = Similarity.ivfSubCenters(tl)
+      assert(subs.count() == tl.k.toLong)
+      val byList = subs.collect()
+        .map(r => (r.getInt(1), (r.getInt(0), r.getSeq[Double](2).toSeq)))
+        .toMap
+      for ((lists, cell) <- h.cellLists.zipWithIndex; g <- lists)
+        assert(byList(g) == ((cell, tl.centroids(g)._2.toSeq)),
+          s"sub-center row for list $g diverged from the hierarchy")
+      // pruned operating point: the sharded join path must return the
+      // broadcast path's output ROW FOR ROW — the probe-selection
+      // distances are the same JVM doubles (shared cosine kernel), so
+      // the chosen probe sets are identical, not merely equivalent
+      val qids = Seq(3L, 11L, 200L, 417L)
+      val qs = emb.where(F.col("id").isin(qids: _*))
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val bcast = rows(Similarity
+        .ivfTopKBatchHier(tl, qs, k = 5, nprobe = 4, coarseCells = 2))
+      val shard = rows(Similarity
+        .ivfTopKBatchHierSharded(tl, qs, k = 5, nprobe = 4, coarseCells = 2))
+      assert(shard == bcast, "sharded probe selection diverged from broadcast")
+      // the scale form: sub-centers from cell-partitioned Parquet (what
+      // a 1M-list index stores next to its lists) serve the same answers
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-subcenters").toString
+      subs.write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val fromDisk = s.read.parquet(dir).select("cell", "list", "cvec")
+      val shard2 = rows(Similarity.ivfTopKBatchHierSharded(
+        tl, qs, k = 5, nprobe = 4, coarseCells = 2, Some(fromDisk)))
+      assert(shard2 == bcast, "parquet-backed sub-centers diverged")
+      // a flat index refuses with the actionable message
+      val flat = Similarity.ivfBuild(emb, nLists = 8)
+      try {
+        val e = intercept[IllegalArgumentException](
+          Similarity.ivfTopKBatchHierSharded(flat, qs, 5, 4))
+        assert(e.getMessage.contains("ivfBuildTwoLevel"))
+      } finally Similarity.ivfRelease(flat)
+    } finally Similarity.ivfRelease(tl)
+  }
+
   test("bitextMineApproxHier: full probes match the flat contract; pruning keeps planted pairs") {
     // the fine-list re-mine path with hierarchical probe selection:
     // at coarseCells = all cells AND nprobe = k the probes equal the
