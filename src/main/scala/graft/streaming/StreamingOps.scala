@@ -420,6 +420,60 @@ object StreamingOps {
       .start()
   }
 
+  /** Incremental ANN-index maintenance: append a stream of (id, vec)
+    * to a PERSISTED IVF index ([[graft.operators.Similarity.ivfSave]]
+    * layout). The quantizer is frozen between rebuilds — exactly
+    * [[graft.operators.Similarity.ivfAppend]]'s contract, lifted to
+    * continuous ingest: each micro-batch assigns its vectors against
+    * the broadcast centroids (the SAME
+    * [[graft.scale.DeterministicKMeans.assign]] recurrence as the
+    * batch append, so stream and batch agree row-for-row — the parity
+    * law StreamingSpec pins) and lands them as new files INSIDE the
+    * cluster-partitioned lists Parquet, so the next [[graft.operators
+    * .Similarity.ivfLoad]] serves old + streamed vectors through every
+    * probe path unchanged, still partition-pruned to the probed lists.
+    *
+    * Stateless map per batch — input-rate throughput, no shuffle (the
+    * partitioned write's file-per-cluster fan-out is the only I/O
+    * amplification; at high rates widen the trigger interval so each
+    * micro-batch writes fewer, larger files, and compact small files
+    * with [[graft.operators.Layout.compact]] on the usual cadence).
+    * foreachBatch + batch append keeps the lists dir readable by BATCH
+    * loads (a direct parquet sink's _spark_metadata would hide the
+    * original index files from `ivfLoad`); exactly-once degrades to
+    * at-least-once on retry — ids are upsert keys for the next rebuild,
+    * same as [[appendToIndex]]. Centroid drift (enough appended mass to
+    * warrant re-fitting the quantizer) is a REBUILD, by the same
+    * batch-built contract as the reference's index.
+    *
+    * Returns the started query; callers own its lifecycle.
+    */
+  def ivfAppendStream(
+      vectors: DataFrame,
+      indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // sidecar read only — the lists scan is lazy and never triggered
+    val index = graft.operators.Similarity.ivfLoad(spark, indexPath)
+    val model = graft.scale.DeterministicKMeans.Model(
+      index.centroids.sortBy(_._1).map(_._2))
+    vectors
+      .select($"id".cast("long").as("id"),
+        $"vec".cast("array<double>").as("vec"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.scale.DeterministicKMeans
+          .assign(batch, model, idCol = "id", vecCol = "vec")
+          .select("id", "vec", "cluster")
+          .write.mode("append").partitionBy("cluster")
+          .parquet(s"$indexPath/lists")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Convenience: run a streaming DataFrame to a memory sink and block
     * until all available input is processed (test/driver helper).
     */

@@ -289,4 +289,59 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(rows(1)._3 - batch) < 1e-4,
       s"stream ${rows(1)._3} vs batch $batch")
   }
+
+  test("streaming IVF append matches the batch append row-for-row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Similarity
+    val F = org.apache.spark.sql.functions
+    def vec(i: Int) = Array.tabulate(8)(f =>
+      math.sin((i % 5) * 0.9 + f * 0.7) + (if (f == i % 8) 1.5 else 0.0))
+    val base = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val built = Similarity.ivfBuild(base, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    Similarity.ivfSave(built, dir)
+
+    // stream three arrivals in TWO micro-batches into the saved lists
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = StreamingOps.ivfAppendStream(
+      in.toDF().toDF("id", "vec"), dir, dir + "/ckpt")
+    in.addData((100L, vec(3)), (101L, vec(7)))
+    q.processAllAvailable()
+    in.addData((102L, vec(11)))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch path over the same arrivals: ivfBuild is deterministic, so
+    // a fresh build of the same base gives the frozen quantizer the
+    // stream appended against
+    val arrivals =
+      Seq((100L, vec(3)), (101L, vec(7)), (102L, vec(11))).toDF("id", "vec")
+    val batchIdx = Similarity.ivfAppend(Similarity.ivfBuild(base, nLists = 4),
+      arrivals)
+    try {
+      val streamed = Similarity.ivfLoad(s, dir)
+      assert(streamed.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq ==
+        batchIdx.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq)
+      // the parity law: every vector (old + streamed) sits in the SAME
+      // list the batch append put it in
+      def rows(ix: Similarity.IvfIndex) = ix.assigned
+        .select(F.col("id").cast("long"), F.col("cluster").cast("int"),
+          F.col("vec").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .toSet
+      assert(rows(streamed) == rows(batchIdx),
+        "streamed lists diverged from the batch append")
+      // and every probe path serves old + streamed rows unchanged
+      val got = Similarity.ivfTopK(streamed, vec(11), k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = Similarity.ivfTopK(batchIdx, vec(11), k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want)
+      assert(got.map(_._1).contains(102L),
+        s"streamed arrival should be its own nearest neighbor: $got")
+    } finally Similarity.ivfRelease(batchIdx)
+  }
 }
