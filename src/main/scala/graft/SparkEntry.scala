@@ -2001,6 +2001,18 @@ object SparkEntry {
       val (_, edges) = model(s, d)
       graft.graph.GraphAnalytics.labelPropagation(edges).orderBy("id")
     }),
+    // unweighted shortest-path hops from the smallest node over the
+    // undirected kNN graph — frontier-bounded multi-source BFS; the
+    // oracle replays it as a round-capped recursive CTE with the same
+    // truncation (min hops within 20 rounds, unreachable rows absent)
+    "g_shortest_paths" -> ((s, d) => {
+      val (_, edges) = model(s, d)
+      val src = edges
+        .select(F.explode(F.array(F.col("src"), F.col("dst"))).as("n"))
+        .agg(F.min("n")).head.getLong(0)
+      graft.graph.GraphAnalytics.hopDistances(edges, Seq(src), maxHops = 20)
+        .orderBy("id")
+    }),
     "g_topology_factor" -> ((s, d) => {
       val (_, edges) = model(s, d)
       val src = edges.agg(F.min("src")).head.getLong(0)
@@ -5290,6 +5302,35 @@ object SparkEntry {
         |  SELECT s.dst, r.lab FROM r JOIN sym s ON s.src = r.id
         |  WHERE r.lab < s.dst)
         |SELECT id, min(lab) AS component FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    // BFS hop distances, replayed as a round-capped recursive CTE over
+    // the same symmetrized kNN graph: states are (id, hops<=20) pairs,
+    // so the recursion terminates, and min(hops) per id is the BFS
+    // distance; rows never reached within the cap are absent on both
+    // sides (identical truncation by construction)
+    "g_shortest_paths" ->
+      """WITH RECURSIVE e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cos_pairs AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    1.0 - greatest(0.0, list_cosine_similarity(a.v, b.v)) AS d
+        |  FROM e a JOIN e b ON a.id <> b.id),
+        |knn AS (
+        |  SELECT src, dst, d FROM (
+        |    SELECT src, dst, d,
+        |      row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+        |    FROM cos_pairs WHERE d <= 1.0)
+        |  WHERE rn <= 10),
+        |sym AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM knn
+        |    UNION SELECT dst AS src, src AS dst FROM knn)),
+        |r(id, hops) AS (
+        |  SELECT min(src), 0 FROM sym
+        |  UNION
+        |  SELECT sy.dst, r.hops + 1 FROM r JOIN sym sy ON sy.src = r.id
+        |  WHERE r.hops < 20)
+        |SELECT id, min(hops) AS hops FROM r GROUP BY id ORDER BY id""".stripMargin,
 
     "g_ppr" -> PprOracleSql,
 

@@ -562,6 +562,82 @@ object GraphAnalytics {
       .orderBy("id")
   }
 
+  /** Unweighted shortest-path hop distances from a set of source
+    * nodes — multi-source BFS over the UNDIRECTED view of the edge
+    * list (edges are symmetrized internally, like
+    * [[connectedComponents]]' semantics). Output: (id, hops) with
+    * hops = min over sources of the hop count, for every node REACHED
+    * within `maxHops` rounds; unreachable nodes are absent (the same
+    * truncation the round-bounded relational oracle applies, so
+    * engine and oracle agree at any cap). One source gives classic
+    * SSSP hops; a landmark SET gives distance-to-nearest-landmark —
+    * the distance feature a curation pipeline wants against a seed
+    * set of trusted/flagged documents.
+    *
+    * Shape at scale: each round is one equi-join of the FRONTIER
+    * (only the nodes first reached last round — never the full
+    * distance table) against the edge list, a distinct, and an
+    * anti-join against the settled set — all frontier-bounded, the
+    * Pregel BFS shape without a full-vertex superstep. Hint-free by
+    * the [[kCore]] contract: frontier size is runtime data, so join
+    * strategy is AQE's call. Rounds ≤ maxHops, each checkpointed with
+    * superseded generations released the way [[kCore]] releases its
+    * peel rounds (the frame's own LogicalRDD leaf, race-free).
+    */
+  def hopDistances(
+      edges: DataFrame, sources: Seq[Long], maxHops: Int = 20): DataFrame = {
+    require(sources.nonEmpty, "hopDistances needs at least one source")
+    require(maxHops >= 0, s"maxHops must be >= 0; got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val dir = edges.select(
+        F.col("src").cast("long").as("src"), F.col("dst").cast("long").as("dst"))
+      .where(F.col("src").isNotNull && F.col("dst").isNotNull)
+    val sym = dir.unionByName(
+        dir.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .localCheckpoint()
+    val symRdd = checkpointRdd(sym)
+    def releaseOpt(r: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+      r.foreach(_.unpersist(blocking = false))
+    var dist = sources.distinct.sorted.map((_, 0)).toDF("id", "hops")
+      .localCheckpoint()
+    var distRdd = checkpointRdd(dist)
+    var frontier = dist.select("id")
+    var frontierRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    var round = 0
+    var done = false
+    while (!done && round < maxHops) {
+      round += 1
+      val next = frontier
+        .join(sym, frontier("id") === sym("src"))
+        .select(sym("dst").as("id"))
+        .distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hops", F.lit(round))
+        .localCheckpoint()
+      val grew = next.count() > 0
+      releaseOpt(frontierRdd) // previous frontier: fully expanded
+      if (!grew) done = true
+      else {
+        val widened = dist.unionByName(next).localCheckpoint()
+        widened.count() // materialize before dropping the predecessor
+        releaseOpt(distRdd)
+        dist = widened
+        distRdd = checkpointRdd(widened)
+        frontier = next.select("id")
+        frontierRdd = checkpointRdd(next)
+      }
+    }
+    releaseOpt(frontierRdd)
+    releaseOpt(symRdd)
+    dist
+  }
+
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   /** One k-core peeling round over an edge list: drop every edge with
     * an endpoint of degree < k. Hint-free by contract — the removed
     * set's size is runtime data (full-node-set large in round 1,

@@ -108,6 +108,32 @@ class GraphAnalyticsSpec extends SparkSpec {
     } finally eng.release()
   }
 
+  test("hop distances: golden BFS, landmark set, cap truncation, directed input") {
+    val s = spark
+    import s.implicits._
+    def hops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // two triangles bridged at 2—3: distances from node 0
+    assert(hops(hopDistances(edges, Seq(0L))) ==
+      Seq((0L, 0), (1L, 1), (2L, 1), (3L, 2), (4L, 3), (5L, 3)))
+    // landmark SET: min hops over sources {0, 5}
+    assert(hops(hopDistances(edges, Seq(0L, 5L))) ==
+      Seq((0L, 0), (1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 0)))
+    // a cap truncates the reachable set rather than mis-measuring it
+    assert(hops(hopDistances(edges, Seq(0L), maxHops = 2)) ==
+      Seq((0L, 0), (1L, 1), (2L, 1), (3L, 2)))
+    // directed input is symmetrized: a one-way chain walks both ways
+    val chain = Seq((10L, 11L), (11L, 12L))
+      .map { case (a, b) => (a, b, 0.0, 1.0) }
+      .toDF("src", "dst", "dist", "weight")
+    assert(hops(hopDistances(chain, Seq(12L))) ==
+      Seq((10L, 2), (11L, 1), (12L, 0)))
+    // disconnected nodes are absent, not infinite
+    val two = Seq((0L, 1L, 0.0, 1.0), (5L, 6L, 0.0, 1.0))
+      .toDF("src", "dst", "dist", "weight")
+    assert(hops(hopDistances(two, Seq(0L))) == Seq((0L, 0), (1L, 1)))
+  }
+
   test("label propagation assigns every node a community") {
     val lp = labelPropagation(edges)
     assert(lp.count() == 6L)
