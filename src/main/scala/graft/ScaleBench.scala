@@ -214,7 +214,8 @@ object ScaleBench {
     // so its times are directly comparable across resolutions.
     if (only.forall(s => s.contains("v_ivf_2level_build") ||
         s.contains("v_ivf_2level_topk_batch") ||
-        s.contains("v_ivf_2level_hier_topk_batch"))) {
+        s.contains("v_ivf_2level_hier_topk_batch") ||
+        s.contains("v_ivf_2level_sharded_topk_batch"))) {
       val hiLists = Similarity.suggestLists(nVecs, targetListSize = 40)
       val t0 = System.nanoTime()
       val tl = Similarity.ivfBuildTwoLevel(
@@ -234,6 +235,21 @@ object ScaleBench {
         Similarity.ivfTopKBatchHier(
           tl, queries, k = 10, nprobe = 250,
           coarseCells = 16).count()
+      }
+      // same budget, probe selection as a JOIN against the persisted
+      // sub-center table (no k·F broadcast) — the form that survives
+      // 1M lists. The untimed write mirrors build-time persistence.
+      locally {
+        val dir = java.nio.file.Files
+          .createTempDirectory("subcscale").toString
+        Similarity.ivfSubCenters(tl).write.mode("overwrite")
+          .partitionBy("cell").parquet(dir)
+        val subs = spark.read.parquet(dir).select("cell", "list", "cvec")
+        bench("v_ivf_2level_sharded_topk_batch") {
+          Similarity.ivfTopKBatchHierSharded(
+            tl, queries, k = 10, nprobe = 250,
+            coarseCells = 16, Some(subs)).count()
+        }
       }
       Similarity.ivfRelease(tl)
     }
@@ -559,6 +575,17 @@ object ScaleBench {
         e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
       graft.graph.GraphAnalytics.kCore(symg, k = 12, maxRounds = 20).count()
     }
+    bench("g_hop_distances") {
+      // BFS hops from one source over the k-core row's graph shape
+      // (near-random, avg degree ~16 — full reach in a few rounds, so
+      // the row measures the frontier join at whole-graph width)
+      val e = spark.range(nVecs * 8).select(
+        F.pmod(F.col("id"), F.lit(nVecs)).as("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("dst")), F.lit(nVecs)).as("dst"))
+        .where(F.col("src") =!= F.col("dst"))
+      graft.graph.GraphAnalytics.hopDistances(e, Seq(0L), maxHops = 20)
+        .count()
+    }
     // ---- many-anchor PPR: 1024 anchors = 4 chunks of 256 slots; the
     // pair measures concurrent chunk submission (runMany's default)
     // against the old strictly-sequential chains on the same engine —
@@ -696,6 +723,34 @@ object ScaleBench {
       rows.get("s_psi_stream").foreach { case (sec, _) =>
         println(f"[scale]   psiStream rate: " +
           f"${vOrdered.length / sec}%.0f events/sec")
+      }
+      // ---- streaming ANN-index ingest at a quarter of the corpus
+      // volume: frozen-quantizer assignment + the cluster-partitioned
+      // lists write, in 8 micro-batches against a SAVED index —
+      // vectors/sec prints beside the row. Build + save are untimed
+      // (index maintenance measures ingest, not construction).
+      if (only.forall(_.contains("s_ivf_append_stream"))) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("ivfappendscale").toString
+        val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
+        Similarity.ivfSave(iv, dir)
+        Similarity.ivfRelease(iv)
+        val newVecs = emb.where(F.col("id") % 4 === 0)
+          .select((F.col("id") + F.lit(10000000L)).as("id"), F.col("vec"))
+          .as[(Long, Array[Double])]
+          .collect()
+        val vecChunks = newVecs.grouped(math.max(1, newVecs.length / 8)).toSeq
+        bench("s_ivf_append_stream") {
+          val in = MemoryStream[(Long, Array[Double])]
+          val q = graft.streaming.StreamingOps.ivfAppendStream(
+            in.toDF().toDF("id", "vec"), dir, dir + "/ckpt")
+          vecChunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+          q.stop()
+          newVecs.length.toLong
+        }
+        rows.get("s_ivf_append_stream").foreach { case (sec, n) =>
+          println(f"[scale]   ivfAppendStream rate: ${n / sec}%.0f vectors/sec")
+        }
       }
     }
     events.unpersist(blocking = false)

@@ -172,7 +172,8 @@ object SparkEntry {
     "d_substring_dedup", "d_gram_occupancy",
     "v_ivf_pqr_topk", "v_ivf_pqr_topk_batch", "v_ivf_spherical_topk",
     "v_ivf_2level_topk", "v_ivf_2level_hier_topk",
-    "v_ivf_2level_sharded_topk")
+    "v_ivf_2level_sharded_topk", "g_shortest_paths", "g_hop_landmarks",
+    "v_ivf_topk_filtered")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1536,6 +1537,23 @@ object SparkEntry {
       Similarity.ivfTopK(index, queryVec(s, d), k = 20, nprobe = 12)
     }),
 
+    // FILTERED ANN (the faiss/vector-DB IDSelector face): the top-k
+    // among rows matching a metadata predicate, the filter applied
+    // INSIDE the probed scan — not a post-filter of an unfiltered
+    // top-k (which under-returns whenever winners don't match).
+    // Oracled at the degenerate point (nprobe = k ⇒ the filtered exact
+    // top-20 among label=1 rows); pruned recall + the batch face's
+    // parity are spec-pinned (SimilaritySpec "filtered ANN")
+    "v_ivf_topk_filtered" -> ((s, d) => {
+      val meta = s.read.parquet(s"$d/embeddings.parquet")
+        .select(F.col("vec_id").as("id"), F.col("label"))
+      val ivf = Similarity.ivfBuild(emb(s, d), nLists = 16)
+      val out = Similarity.ivfTopKWhere(ivf, meta, F.col("label") === 1,
+        queryVec(s, d), k = 20, nprobe = ivf.k).localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      out
+    }),
+
     // incremental index maintenance: fit the coarse quantizer on the
     // even half, append the odd half against the FROZEN centroids —
     // output is every row's list assignment in the widened index
@@ -2011,6 +2029,18 @@ object SparkEntry {
         .select(F.explode(F.array(F.col("src"), F.col("dst"))).as("n"))
         .agg(F.min("n")).head.getLong(0)
       graft.graph.GraphAnalytics.hopDistances(edges, Seq(src), maxHops = 20)
+        .orderBy("id")
+    }),
+    // the landmark-SET face: hops = distance to the NEAREST of two
+    // landmarks (min and max node id) — the seed-set distance feature;
+    // same recursive replay, seeded with both rows
+    "g_hop_landmarks" -> ((s, d) => {
+      val (_, edges) = model(s, d)
+      val mm = edges
+        .select(F.explode(F.array(F.col("src"), F.col("dst"))).as("n"))
+        .agg(F.min("n"), F.max("n")).head
+      graft.graph.GraphAnalytics.hopDistances(
+          edges, Seq(mm.getLong(0), mm.getLong(1)), maxHops = 20)
         .orderBy("id")
     }),
     "g_topology_factor" -> ((s, d) => {
@@ -4139,6 +4169,19 @@ object SparkEntry {
           |ORDER BY score DESC, id ASC LIMIT 20""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
 
+    // filtered ANN at the degenerate point: every list probed, so the
+    // answer is the exact top-20 among label=1 rows
+    "v_ivf_topk_filtered" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e, q
+        |WHERE e.label = 1
+        |ORDER BY score DESC, id ASC
+        |LIMIT 20""".stripMargin,
+
     // batch generalization of the v_ivf_topk replay: per-query probe
     // ranking, probe-bounded candidate join, rank on the ROUNDED score
     // (the engine's batch parity convention — see v_batch_topk)
@@ -5327,6 +5370,34 @@ object SparkEntry {
         |    UNION SELECT dst AS src, src AS dst FROM knn)),
         |r(id, hops) AS (
         |  SELECT min(src), 0 FROM sym
+        |  UNION
+        |  SELECT sy.dst, r.hops + 1 FROM r JOIN sym sy ON sy.src = r.id
+        |  WHERE r.hops < 20)
+        |SELECT id, min(hops) AS hops FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    // landmark set {min, max node id}: the recursion seeds with BOTH
+    // rows, so min(hops) per id is the distance to the nearest landmark
+    "g_hop_landmarks" ->
+      """WITH RECURSIVE e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cos_pairs AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    1.0 - greatest(0.0, list_cosine_similarity(a.v, b.v)) AS d
+        |  FROM e a JOIN e b ON a.id <> b.id),
+        |knn AS (
+        |  SELECT src, dst, d FROM (
+        |    SELECT src, dst, d,
+        |      row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+        |    FROM cos_pairs WHERE d <= 1.0)
+        |  WHERE rn <= 10),
+        |sym AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM knn
+        |    UNION SELECT dst AS src, src AS dst FROM knn)),
+        |r(id, hops) AS (
+        |  SELECT s, 0 FROM (
+        |    SELECT min(src) AS s FROM sym
+        |    UNION SELECT max(src) FROM sym)
         |  UNION
         |  SELECT sy.dst, r.hops + 1 FROM r JOIN sym sy ON sy.src = r.id
         |  WHERE r.hops < 20)

@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.VectorFunctions._
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Similarity-search operators over an embedding column
   * (SURVEY.md §7.2 step 11): brute-force cosine top-k as the exact
@@ -1747,6 +1747,61 @@ object Similarity {
       .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
       .orderBy(F.col("score").desc, F.col("id").asc)
       .limit(k)
+  }
+
+  /** FILTERED ANN: [[ivfTopK]] with a metadata predicate applied
+    * INSIDE the probed scan (pre-filtering, the faiss/vector-DB
+    * `IDSelector` face) — the top-k among rows matching `pred`, not a
+    * post-filter of an unfiltered top-k (which under-returns whenever
+    * fewer than k of the unfiltered winners match). `pred` references
+    * columns of `meta`, a (id, ...attributes) frame equi-joined to the
+    * probed rows by id BEFORE scoring, so at scale the filter prunes
+    * the scan rather than the result: with `meta` bucketed or riding
+    * as extra columns of the lists Parquet the join is co-located, and
+    * a selective predicate cuts the cosine work by its selectivity.
+    * Selectivity caveat (documented, not silently absorbed): a highly
+    * selective filter empties the probed lists — raise nprobe with
+    * 1/selectivity, the standard filtered-IVF operating rule.
+    */
+  def ivfTopKWhere(
+      index: IvfIndex, meta: DataFrame, pred: Column,
+      query: Array[Double], k: Int, nprobe: Int): DataFrame = {
+    val probes = ivfProbes(index, query, nprobe)
+    val q = F.typedLit(query)
+    index.assigned
+      .where(F.col("cluster").isin(probes.toSeq: _*))
+      .join(meta.where(pred).select("id"), Seq("id"))
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
+  /** Batch face of [[ivfTopKWhere]]: the [[ivfTopKBatch]] probe
+    * fan-out join with the predicate-filtered id set applied to the
+    * probed rows before scoring — one filter join for ALL queries,
+    * salted exact per-query top-k after.
+    */
+  def ivfTopKBatchWhere(
+      index: IvfIndex, meta: DataFrame, pred: Column,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val probed = queries
+      .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        probesFor(bc.value, qv, nprobe).map(c => (qid, c, qv))
+      }
+      .toDF("qid", "cluster", "qvec")
+    val kept = index.assigned.join(meta.where(pred).select("id"), Seq("id"))
+    val scored = probed
+      .join(kept, "cluster")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.saltedTopKPerKey(
+        scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
   /** MANY queries against the IVF index at once — the batch-retrieval

@@ -984,6 +984,50 @@ class SimilaritySpec extends SparkSpec {
     } finally Similarity.ivfRelease(tl)
   }
 
+  test("filtered ANN: predicate inside the probed scan, not a post-filter; batch parity") {
+    val s = spark
+    import s.implicits._
+    val meta = emb.select(F.col("id"),
+      F.pmod(F.col("id"), F.lit(3)).cast("int").as("label"))
+    val pred = F.col("label") === 1
+    val ivf = Similarity.ivfBuild(emb, nLists = 8)
+    try {
+      // degenerate point: filtered exact top-k among matching rows
+      val exactFiltered = Similarity
+        .annTopK(emb.join(meta.where(pred).select("id"), Seq("id")), query, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val full = Similarity
+        .ivfTopKWhere(ivf, meta, pred, query, k = 10, nprobe = ivf.k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full == exactFiltered)
+      // every returned id matches the predicate, and the operator
+      // returns k rows where a post-filter of the unfiltered top-k
+      // would under-return (only ~1/3 of unfiltered winners match)
+      assert(full.size == 10 && full.forall(_._1 % 3 == 1))
+      val postFiltered = Similarity.ivfTopK(ivf, query, 10, nprobe = ivf.k)
+        .collect().map(_.getLong(0)).count(_ % 3 == 1)
+      assert(postFiltered < 10,
+        s"fixture too easy: post-filter already keeps $postFiltered of 10")
+      // batch face equals the single-query path per qid at a pruned point
+      val qids = Seq(3L, 11L, 200L)
+      val qs = emb.where(F.col("id").isin(qids: _*))
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val batch = Similarity
+        .ivfTopKBatchWhere(ivf, meta, pred, qs, k = 5, nprobe = 4)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+        .toMap
+      for (qid <- qids) {
+        val qv = emb.where(F.col("id") === qid)
+          .select("vec").head.getSeq[Double](0).toArray
+        val single = Similarity
+          .ivfTopKWhere(ivf, meta, pred, qv, 5, nprobe = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single, s"filtered batch diverged for qid $qid")
+      }
+    } finally Similarity.ivfRelease(ivf)
+  }
+
   test("sharded hierarchical probes: exact parity with the broadcast path; table-backed sub-centers") {
     val s = spark
     import s.implicits._
