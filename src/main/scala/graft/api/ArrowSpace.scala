@@ -180,11 +180,12 @@ final case class ArrowSpaceModel private[api] (
         F.lit(tau) * cosine(F.col("vec"), F.col("qvec")) +
           F.lit(1.0 - tau) * lambdaProximity(F.col("lambda"), F.col("qlambda")))
       .select("query_id", "id", "score")
-    // Salted two-phase exact top-k: all N item scores for one query
-    // would otherwise land in a single window task (the hub-key
-    // failure Skew.saltedTopKPerKey exists for).
-    val top = graft.scale.Skew.saltedTopKPerKey(
-      scored, "query_id", Seq(F.col("score").desc, F.col("id").asc), k)
+    // Bounded-heap exact top-k: all N item scores for one query heap
+    // down to k inside every map task (the hub-key failure
+    // Skew.saltedTopKPerKey exists for, with the shuffle shrunk to
+    // |queries| × partitions × k pairs).
+    val top = graft.scale.Skew.heapTopKPerKey(
+      scored, "query_id", "score", "id", k)
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("score").desc, F.col("id").asc)
     top.withColumn("rank", F.row_number().over(w))

@@ -92,10 +92,11 @@ object KnnGraph {
     val capped =
       if (useBrute) directed
       else
-        // salted two-phase cap: a hub node's candidate list never
-        // lands in a single task (SURVEY.md §7.4 skew register)
-        graft.scale.Skew.saltedTopKPerKey(
-          directed, "src", Seq(F.col("dist").asc, F.col("dst").asc), params.k)
+        // bounded-heap cap: a hub node's candidate list heaps down to
+        // k inside every map task (SURVEY.md §7.4 skew register) and
+        // only |nodes| × partitions × k pairs shuffle
+        graft.scale.Skew.heapTopKPerKey(
+          directed, "src", "dist", "dst", params.k, desc = false)
     val sym = capped
       .unionByName(capped.select(
         F.col("dst").as("src"), F.col("src").as("dst"), F.col("dist")))

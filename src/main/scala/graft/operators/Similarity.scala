@@ -303,16 +303,15 @@ object Similarity {
         F.round(graft.functions.VectorFunctions.sq8Cosine(
           F.col("codes"), F.col("qvec"), F.typedLit(index.mins),
           F.typedLit(index.maxs)), 4).as("approx"))
-    val cand = graft.scale.Skew.saltedTopKPerKey(
-        approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
+    val cand = graft.scale.Skew
+      .heapTopKPerKey(approx, "qid", "approx", "id", rerank)
       .select("qid", "id")
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
       .join(F.broadcast(qs), "qid")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
-    graft.scale.Skew.saltedTopKPerKey(
-        rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+    graft.scale.Skew.heapTopKPerKey(rescored, "qid", "score", "id", k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
@@ -617,16 +616,15 @@ object Similarity {
         F.round(graft.functions.VectorFunctions.pqAdcCosine(
           F.col("codes"), F.col("lutd"), F.typedLit(codebookNorms(index)),
           F.col("qnorm")), 4).as("approx"))
-    val cand = graft.scale.Skew.saltedTopKPerKey(
-        approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
+    val cand = graft.scale.Skew
+      .heapTopKPerKey(approx, "qid", "approx", "id", rerank)
       .select("qid", "id")
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
       .join(F.broadcast(luts.select("qid", "qvec")), "qid")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
-    graft.scale.Skew.saltedTopKPerKey(
-        rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+    graft.scale.Skew.heapTopKPerKey(rescored, "qid", "score", "id", k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
@@ -772,16 +770,15 @@ object Similarity {
         F.round(graft.functions.VectorFunctions.sq8Cosine(
           F.col("codes"), F.col("qvec"), F.typedLit(sq8.mins),
           F.typedLit(sq8.maxs)), 4).as("approx"))
-    val cand = graft.scale.Skew.saltedTopKPerKey(
-        approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
+    val cand = graft.scale.Skew
+      .heapTopKPerKey(approx, "qid", "approx", "id", rerank)
       .select("qid", "id")
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
       .join(F.broadcast(qs), "qid")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
-    graft.scale.Skew.saltedTopKPerKey(
-        rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+    graft.scale.Skew.heapTopKPerKey(rescored, "qid", "score", "id", k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
@@ -869,16 +866,15 @@ object Similarity {
         F.round(graft.functions.VectorFunctions.pqAdcCosine(
           F.col("codes"), F.col("lutd"), F.typedLit(codebookNorms(pq)),
           F.col("qnorm")), 4).as("approx"))
-    val cand = graft.scale.Skew.saltedTopKPerKey(
-        approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
+    val cand = graft.scale.Skew
+      .heapTopKPerKey(approx, "qid", "approx", "id", rerank)
       .select("qid", "id")
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
       .join(F.broadcast(qs), "qid")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
-    graft.scale.Skew.saltedTopKPerKey(
-        rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+    graft.scale.Skew.heapTopKPerKey(rescored, "qid", "score", "id", k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
@@ -1138,16 +1134,15 @@ object Similarity {
               (F.col("qdotc") + graft.functions.VectorFunctions.pqAdcSum(
                 F.col("codes"), F.col("lutd")))
                 / (F.col("qnorm") * F.sqrt(F.col("n2hat")))), 4).as("approx"))
-    val cand = graft.scale.Skew.saltedTopKPerKey(
-        approx, "qid", Seq(F.col("approx").desc, F.col("id").asc), rerank)
+    val cand = graft.scale.Skew
+      .heapTopKPerKey(approx, "qid", "approx", "id", rerank)
       .select("qid", "id")
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
       .join(F.broadcast(qs), "qid")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
-    graft.scale.Skew.saltedTopKPerKey(
-        rescored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+    graft.scale.Skew.heapTopKPerKey(rescored, "qid", "score", "id", k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
@@ -1734,8 +1729,7 @@ object Similarity {
       .join(index.assigned, "cluster")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
-    graft.scale.Skew.saltedTopKPerKey(
-        scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+    graft.scale.Skew.heapTopKPerKey(scored, "qid", "score", "id", k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
@@ -1799,8 +1793,7 @@ object Similarity {
       .join(kept, "cluster")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
-    graft.scale.Skew.saltedTopKPerKey(
-        scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+    graft.scale.Skew.heapTopKPerKey(scored, "qid", "score", "id", k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
@@ -1816,8 +1809,10 @@ object Similarity {
     *      key is the cluster id, so co-grouping is by list exactly as
     *      the partitioned layout prunes on disk;
     *   3. exact per-query top-k through [[graft.scale.Skew
-    *      .saltedTopKPerKey]], so a query whose probes cover a huge
-    *      list still bounds every task.
+    *      .heapTopKPerKey]] — ONE bounded-heap aggregation whose
+    *      map-side partials cut the shuffle to |queries| × partitions
+    *      × k pairs, so a query whose probes cover a huge list still
+    *      bounds every task.
     * No per-query driver work, no window over all candidates in one
     * task. Queries need columns (qid, qvec); output (qid, id, score),
     * rank on the rounded score with id tiebreak (the engine's batch
@@ -1840,8 +1835,7 @@ object Similarity {
       .join(index.assigned, "cluster")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
-    graft.scale.Skew.saltedTopKPerKey(
-        scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+    graft.scale.Skew.heapTopKPerKey(scored, "qid", "score", "id", k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
@@ -1881,7 +1875,7 @@ object Similarity {
     *      only INSIDE the join tasks: what shuffles out is the slim
     *      (qid, dist, list) projection;
     *   3. exact per-query top-nprobe lists via [[graft.scale.Skew
-    *      .saltedTopKPerKey]] on (dist asc, list asc) — the same
+    *      .heapTopKPerKey]] on (dist asc, list asc) — the same
     *      (distance, id) tie-break as [[hierProbesFor]], and the
     *      distances are the same JVM doubles (shared kernel), so the
     *      probe SET is identical to the broadcast path's (spec-pinned
@@ -1928,8 +1922,8 @@ object Similarity {
       .join(subs, "cell")
       .select(F.col("qid"), F.col("list"),
         (F.lit(1.0) - cosine(F.col("qvec"), F.col("cvec"))).as("dist"))
-    val chosen = graft.scale.Skew.saltedTopKPerKey(
-        listDist, "qid", Seq(F.col("dist").asc, F.col("list").asc), nprobe)
+    val chosen = graft.scale.Skew
+      .heapTopKPerKey(listDist, "qid", "dist", "list", nprobe, desc = false)
       .select(F.col("qid"), F.col("list").as("cluster"))
     // stage 4: reattach qvec, then the standard probed scan
     val scored = chosen
@@ -1937,8 +1931,7 @@ object Similarity {
       .join(index.assigned, "cluster")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
-    graft.scale.Skew.saltedTopKPerKey(
-        scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
+    graft.scale.Skew.heapTopKPerKey(scored, "qid", "score", "id", k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
@@ -2123,6 +2116,8 @@ object Similarity {
       .join(expanded, "label")
       .select(F.col("qid"), F.col("id"), F.col("label").as("neg_label"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    // neg_label rides through selection — the payload case the window
+    // form exists for (heapTopKPerKey carries only key/tie/score)
     graft.scale.Skew.saltedTopKPerKey(
         scored, "qid", Seq(F.col("score").desc, F.col("id").asc), k)
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
@@ -2308,11 +2303,11 @@ object Similarity {
         cosine(F.col("va"), F.col("vb")).as("cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val fwd = graft.scale.Skew.saltedTopKPerKey(
-          pairs, "id_a", Seq(F.col("cos").desc, F.col("id_b").asc), k)
+      val fwd = graft.scale.Skew
+        .heapTopKPerKey(pairs, "id_a", "cos", "id_b", k)
         .groupBy("id_a").agg(F.avg("cos").as("den_a"))
-      val bwd = graft.scale.Skew.saltedTopKPerKey(
-          pairs, "id_b", Seq(F.col("cos").desc, F.col("id_a").asc), k)
+      val bwd = graft.scale.Skew
+        .heapTopKPerKey(pairs, "id_b", "cos", "id_a", k)
         .groupBy("id_b").agg(F.avg("cos").as("den_b"))
       val margins = pairs
         .join(F.broadcast(fwd), "id_a")

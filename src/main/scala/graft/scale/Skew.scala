@@ -10,6 +10,82 @@ import org.apache.spark.sql.expressions.Window
   */
 object Skew {
 
+  /** Exact per-key top-k with an EXPLICIT map-side combine, for the
+    * dominant call shape: integral key + ONE double ordering column +
+    * ONE long tiebreak (ascending). Phase 1 is a mapPartitions pass
+    * holding one bounded [[TopKHeap]] per key seen in the partition —
+    * each (key, map partition) reduces to ≤ k pairs BEFORE any
+    * exchange, so the shuffle carries |keys| × partitions × k rows
+    * instead of the whole candidate mass (the same reduction map-side
+    * combine gives a count, applied to top-k). Phase 2 is one window
+    * over those survivors only. Skew needs no salting: a hot key's
+    * candidates heap down inside every map task.
+    *
+    * Deliberately NOT a [[org.apache.spark.sql.catalyst.expressions
+    * .aggregate.TypedImperativeAggregate]]: past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * distinct keys per task (default 128 — every batch-retrieval
+    * workload exceeds it) ObjectHashAggregate abandons the hash map
+    * and SORTS the remaining input, which measured slower and far
+    * noisier than the window form it was meant to beat. The explicit
+    * heap map owns its memory instead: #distinct keys per partition ×
+    * k × 16 B (+64 B/entry overhead) — bound it by sizing partitions,
+    * or fall back to [[saltedTopKPerKey]] for unbounded keyspaces.
+    *
+    * Kept rows are bit-identical to [[saltedTopKPerKey]] with order
+    * (score desc|asc, tie asc) — (score, tie) is unique per key at
+    * every call site (tie is a row id), so the orders agree on one
+    * set (parity spec-pinned). Output columns: (key, tie, score).
+    * Rows with a null key, tie or score are dropped (the hot-path
+    * frames never produce them — scores are rounded cosines over
+    * non-null vectors).
+    *
+    * Use [[saltedTopKPerKey]] when rows carry payload columns that
+    * must ride through selection, when keys are non-integral or
+    * nullable, when the primary sort column is a LONG whose magnitude
+    * exceeds a double's 53-bit mantissa (hash sort keys), or when the
+    * ordering has more than two columns.
+    */
+  def heapTopKPerKey(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      tieCol: String,
+      k: Int,
+      desc: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partials = df
+      .select(F.col(keyCol).cast("long"), F.col(tieCol).cast("long"),
+        F.col(scoreCol).cast("double"))
+      .where(F.col(keyCol).isNotNull && F.col(tieCol).isNotNull &&
+        F.col(scoreCol).isNotNull)
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = new java.util.HashMap[Long, TopKHeap]()
+        it.foreach { case (key, tie, score) =>
+          var h = heaps.get(key)
+          if (h == null) { h = new TopKHeap(k, desc); heaps.put(key, h) }
+          h.add(score, tie)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        heaps.forEach { (key, h) =>
+          var i = 0
+          while (i < h.n) { out += ((key, h.ties(i), h.scores(i))); i += 1 }
+        }
+        out.iterator
+      }
+      .toDF(keyCol, tieCol, scoreCol)
+    val order =
+      if (desc) Seq(F.col(scoreCol).desc, F.col(tieCol).asc)
+      else Seq(F.col(scoreCol).asc, F.col(tieCol).asc)
+    val w = Window.partitionBy(F.col(keyCol)).orderBy(order: _*)
+    partials
+      .withColumn("__rn", F.row_number().over(w))
+      .where(F.col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Two-phase top-k per key, salted. Phase 1 computes top-k inside
     * (key, salt) sub-groups — bounded task size no matter how hot a
     * key is; phase 2 reduces the ≤ salt·k survivors per key to the

@@ -24,6 +24,45 @@ class SkewAndExtensionsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("heap top-k per key: bit-identical to the salted window form; ObjectHashAggregate plan") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(41)
+    // duplicate scores across ties + a hot key exercise the tiebreak
+    // and the bounded-heap admission on every path
+    val df = (1 to 8000).map { i =>
+      val key = if (i % 3 == 0) 0L else i % 11L
+      (key, math.round(rng.nextDouble() * 50) / 50.0, i.toLong)
+    }.toDF("qid", "score", "id").repartition(16)
+    for (desc <- Seq(true, false); k <- Seq(1, 7, 100000)) {
+      val order =
+        if (desc) Seq(F.col("score").desc, F.col("id").asc)
+        else Seq(F.col("score").asc, F.col("id").asc)
+      val want = Skew.saltedTopKPerKey(df, "qid", order, k)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val got = Skew.heapTopKPerKey(df, "qid", "score", "id", k, desc)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"heap top-k diverged at desc=$desc k=$k")
+    }
+    // best-first output order within each key (the window convention)
+    val rows = Skew.heapTopKPerKey(df, "qid", "score", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.toSeq == g.toSeq.sortBy(t => (-t._3, t._2)),
+        s"within-key order not best-first: ${g.toSeq}")
+    }
+    // the point of the operator: per-partition heaps reduce the map
+    // output BEFORE any exchange, and only ONE window (over the ≤
+    // keys × partitions × k survivors) remains — vs the salted form's
+    // two windows over the full candidate mass
+    val plan = Skew.heapTopKPerKey(df, "qid", "score", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      s"expected the heap mapPartitions stage in:\n$plan")
+    assert("[+:]- Window \\[".r.findAllIn(plan).size == 1,
+      s"expected exactly one Window node in:\n$plan")
+  }
+
   test("GraftExtensions applies cleanly; registerAll covers the live-session path") {
     // Extensions bind at session construction (verified end-to-end via
     // spark-shell --conf spark.sql.extensions=graft.GraftExtensions);
