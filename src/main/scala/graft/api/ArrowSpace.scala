@@ -183,9 +183,24 @@ final case class ArrowSpaceModel private[api] (
     // Bounded-heap exact top-k: all N item scores for one query heap
     // down to k inside every map task (the hub-key failure
     // Skew.saltedTopKPerKey exists for, with the shuffle shrunk to
-    // |queries| × partitions × k pairs).
-    val top = graft.scale.Skew.heapTopKPerKey(
-      scored, "query_id", "score", "id", k)
+    // |queries| × partitions × k pairs). The heap form requires an
+    // integral key (it casts query_id to LONG — a string id would
+    // silently null out, a fractional double would merge two queries
+    // into one group), so non-integral query_id columns take the
+    // any-key window form instead.
+    val integralKey = qck.schema("query_id").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val top =
+      if (integralKey)
+        graft.scale.Skew.heapTopKPerKey(scored, "query_id", "score", "id", k)
+      else
+        graft.scale.Skew.saltedTopKPerKey(
+          scored, "query_id", Seq(F.col("score").desc, F.col("id").asc), k)
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("score").desc, F.col("id").asc)
     top.withColumn("rank", F.row_number().over(w))

@@ -536,10 +536,8 @@ object GraphAnalytics {
     // snapshot diff, so a concurrent job's checkpoint materializing
     // in the same window can never be mis-released). The FINAL
     // round's blocks stay live — they back the returned frame.
-    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectLeaves().collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }
+    // (checkpointRdd is the shared object-level helper — one copy of
+    // the LogicalRDD-leaf extraction serves kCore and hopDistances.)
     def release(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
       rdd.foreach(_.unpersist(blocking = false))
     var es = sym.localCheckpoint()
@@ -614,13 +612,20 @@ object GraphAnalytics {
         .distinct()
         .join(dist, Seq("id"), "left_anti")
         .withColumn("hops", F.lit(round))
-        .localCheckpoint()
+        .localCheckpoint() // eager — materialized here
       val grew = next.count() > 0
       releaseOpt(frontierRdd) // previous frontier: fully expanded
-      if (!grew) done = true
-      else {
+      if (!grew) {
+        done = true
+        // the converged round's (empty) checkpoint would otherwise
+        // stay registered forever — the accumulation kCore's release
+        // protocol exists to avoid
+        releaseOpt(checkpointRdd(next))
+      } else {
+        // localCheckpoint is EAGER: widened is materialized in its own
+        // blocks by the time this line returns, so the superseded
+        // generation can drop immediately (no extra count() pass)
         val widened = dist.unionByName(next).localCheckpoint()
-        widened.count() // materialize before dropping the predecessor
         releaseOpt(distRdd)
         dist = widened
         distRdd = checkpointRdd(widened)
@@ -633,6 +638,11 @@ object GraphAnalytics {
     dist
   }
 
+  /** The checkpoint blocks BACKING a frame, read from its own
+    * LogicalRDD leaf — the race-free release handle kCore and
+    * hopDistances share (a registry diff could mis-release a
+    * concurrent job's checkpoint; the leaf cannot).
+    */
   private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectLeaves().collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

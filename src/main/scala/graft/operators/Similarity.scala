@@ -1762,9 +1762,13 @@ object Similarity {
       query: Array[Double], k: Int, nprobe: Int): DataFrame = {
     val probes = ivfProbes(index, query, nprobe)
     val q = F.typedLit(query)
+    // distinct: multi-valued metadata (several rows per id, e.g. one
+    // per tag) must not duplicate a candidate — a duplicated (id,
+    // score) pair would burn top-k slots and under-return distinct
+    // neighbors
     index.assigned
       .where(F.col("cluster").isin(probes.toSeq: _*))
-      .join(meta.where(pred).select("id"), Seq("id"))
+      .join(meta.where(pred).select("id").distinct(), Seq("id"))
       .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
       .orderBy(F.col("score").desc, F.col("id").asc)
       .limit(k)
@@ -1788,7 +1792,10 @@ object Similarity {
         probesFor(bc.value, qv, nprobe).map(c => (qid, c, qv))
       }
       .toDF("qid", "cluster", "qvec")
-    val kept = index.assigned.join(meta.where(pred).select("id"), Seq("id"))
+    // distinct for the same reason as [[ivfTopKWhere]]: multi-valued
+    // metadata must not duplicate probed candidates
+    val kept = index.assigned
+      .join(meta.where(pred).select("id").distinct(), Seq("id"))
     val scored = probed
       .join(kept, "cluster")
       .select(F.col("qid"), F.col("id"),

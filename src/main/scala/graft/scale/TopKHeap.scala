@@ -12,9 +12,22 @@ final class TopKHeap(val k: Int, val desc: Boolean) {
   val scores: Array[Double] = new Array[Double](math.max(1, k))
   val ties: Array[Long] = new Array[Long](math.max(1, k))
 
+  /** Spark SQL's double comparison (SQLOrderingUtil semantics): the
+    * `==` fast path makes -0.0 equal 0.0; Double.compare puts NaN
+    * above every other value — so a window's (score desc|asc, tie
+    * asc) ranking and this heap keep the SAME rows even on corpora
+    * that produce NaN scores (a plain `<`/`>` comparator would treat
+    * NaN as never-worse and let one NaN row permanently displace a
+    * real candidate per partition).
+    */
+  @inline private def cmpScore(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
   /** Strict "a is worse than b" under (score desc|asc, tie asc). */
-  @inline private def worse(sa: Double, ta: Long, sb: Double, tb: Long): Boolean =
-    if (sa != sb) { if (desc) sa < sb else sa > sb } else ta > tb
+  @inline private def worse(sa: Double, ta: Long, sb: Double, tb: Long): Boolean = {
+    val c = cmpScore(sa, sb)
+    if (c != 0) { if (desc) c < 0 else c > 0 } else ta > tb
+  }
 
   private def siftDown(i0: Int): Unit = {
     var i = i0

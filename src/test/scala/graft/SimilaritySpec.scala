@@ -1008,6 +1008,14 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(_.getLong(0)).count(_ % 3 == 1)
       assert(postFiltered < 10,
         s"fixture too easy: post-filter already keeps $postFiltered of 10")
+      // multi-valued metadata (several rows per id) must not duplicate
+      // candidates or burn top-k slots
+      val multiMeta = meta.unionByName(meta).unionByName(meta)
+      val viaMulti = Similarity
+        .ivfTopKWhere(ivf, multiMeta, pred, query, k = 10, nprobe = ivf.k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaMulti == exactFiltered,
+        "duplicate meta rows changed the filtered top-k")
       // batch face equals the single-query path per qid at a pruned point
       val qids = Seq(3L, 11L, 200L)
       val qs = emb.where(F.col("id").isin(qids: _*))

@@ -30,9 +30,15 @@ class SkewAndExtensionsSpec extends SparkSpec {
     val rng = new scala.util.Random(41)
     // duplicate scores across ties + a hot key exercise the tiebreak
     // and the bounded-heap admission on every path
+    // duplicate scores, a hot key, AND NaN scores: the heap comparator
+    // must match Spark's double ordering (NaN above everything, -0.0 ==
+    // 0.0) or a NaN row could permanently displace a real candidate
     val df = (1 to 8000).map { i =>
       val key = if (i % 3 == 0) 0L else i % 11L
-      (key, math.round(rng.nextDouble() * 50) / 50.0, i.toLong)
+      val score =
+        if (i % 500 == 0) Double.NaN
+        else math.round(rng.nextDouble() * 50) / 50.0
+      (key, score, i.toLong)
     }.toDF("qid", "score", "id").repartition(16)
     for (desc <- Seq(true, false); k <- Seq(1, 7, 100000)) {
       val order =
@@ -47,8 +53,14 @@ class SkewAndExtensionsSpec extends SparkSpec {
     // best-first output order within each key (the window convention)
     val rows = Skew.heapTopKPerKey(df, "qid", "score", "id", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // best-first under SPARK's double order (NaN above everything —
+    // scala's TotalOrdering would sort it last and disagree)
+    def sparkBetter(a: (Long, Long, Double), b: (Long, Long, Double)): Boolean = {
+      val c = if (a._3 == b._3) 0 else java.lang.Double.compare(a._3, b._3)
+      if (c != 0) c > 0 else a._2 < b._2
+    }
     rows.groupBy(_._1).values.foreach { g =>
-      assert(g.toSeq == g.toSeq.sortBy(t => (-t._3, t._2)),
+      assert(g.toSeq == g.toSeq.sortWith(sparkBetter),
         s"within-key order not best-first: ${g.toSeq}")
     }
     // the point of the operator: per-partition heaps reduce the map
