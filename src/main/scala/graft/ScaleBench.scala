@@ -284,6 +284,22 @@ object ScaleBench {
       }
       Similarity.ivfRelease(iv)
     }
+    // the 1-bit codec: 64 dims pack into ONE long per row, so the
+    // candidate scan reads 8 B/row (vs 64 B sq8, 512 B float64) and
+    // scores by xor+popcount — the cheapest first-stage filter
+    locally {
+      val t0 = System.nanoTime()
+      val bin = Similarity.binaryEncode(emb.select("id", "vec"))
+      bin.codes.count()
+      rows("v_binary_encode") = ((System.nanoTime() - t0) / 1e9, nVecs)
+      println(f"[scale] v_binary_encode          ${rows("v_binary_encode")._1}%8.2f s  rows=$nVecs")
+      bench("v_binary_topk_batch") {
+        Similarity.binaryTopKBatch(
+          bin, emb, queries.select("qid", "qvec"), k = 10, rerank = 100)
+          .count()
+      }
+      Similarity.binaryRelease(bin)
+    }
     // on-disk density: the codes column vs the float64 vectors it
     // indexes, measured (parquet framing/compression included) — the
     // artifact form of the "8x smaller" claim

@@ -173,7 +173,7 @@ object SparkEntry {
     "v_ivf_pqr_topk", "v_ivf_pqr_topk_batch", "v_ivf_spherical_topk",
     "v_ivf_2level_topk", "v_ivf_2level_hier_topk",
     "v_ivf_2level_sharded_topk", "g_shortest_paths", "g_hop_landmarks",
-    "v_ivf_topk_filtered")
+    "v_ivf_topk_filtered", "v_ann_topk_binary", "v_ann_topk_binary_batch")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1144,6 +1144,30 @@ object SparkEntry {
       val e = emb(s, d)
       Similarity.sq8TopK(
         Similarity.sq8Encode(e), e, queryVec(s, d), 20, rerank = 100)
+    }),
+
+    // 1-bit binary quantization (sign bits packed 64 dims/long, 64×
+    // smaller than the float64 vectors): Hamming-distance candidate
+    // cut — an INTEGER, so the production operating point replays
+    // exactly in SQL (no degenerate-point oracle needed) — then exact
+    // cosine rerank like every codec
+    "v_ann_topk_binary" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.binaryTopK(
+        Similarity.binaryEncode(e, persist = false), e, queryVec(s, d),
+        k = 20, rerank = 60)
+    }),
+
+    // batch face: one scan of the packed bits scores all queries
+    // (xor+popcount per row), bounded-heap per-query candidate cut,
+    // one exact-rerank join for every query's survivors
+    "v_ann_topk_binary_batch" -> ((s, d) => {
+      val e = emb(s, d)
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      Similarity.binaryTopKBatch(
+        Similarity.binaryEncode(e, persist = false), e, qs,
+        k = 10, rerank = 60)
     }),
 
     // batch face of the SQ8 index: one codes scan scores all queries
@@ -3390,6 +3414,53 @@ object SparkEntry {
         |FROM e JOIN cand USING (vec_id), q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    // binary replay at the PRODUCTION operating point: hamming =
+    // count of per-dimension sign disagreements (x > 0, NULL-false
+    // like the engine's packer), integer-exact candidate cut, then
+    // the exact cosine rerank
+    "v_ann_topk_binary" ->
+      """WITH src AS (SELECT vec_id AS id,
+        |    generate_subscripts(embedding, 1) AS f,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |q AS (SELECT f, x FROM src WHERE id = 0),
+        |ham AS (SELECT s.id,
+        |    sum(CASE WHEN (s.x > 0) <> (q.x > 0) THEN 1 ELSE 0 END) AS h
+        |  FROM src s JOIN q ON q.f = s.f GROUP BY s.id),
+        |cand AS (SELECT id FROM ham ORDER BY h ASC, id ASC LIMIT 60),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.v, qv.qv), 4) AS score
+        |FROM e JOIN cand ON cand.id = e.vec_id, qv
+        |ORDER BY score DESC, id ASC
+        |LIMIT 20""".stripMargin,
+
+    // per-query generalization of the binary replay (qids 0..4)
+    "v_ann_topk_binary_batch" ->
+      """WITH src AS (SELECT vec_id AS id,
+        |    generate_subscripts(embedding, 1) AS f,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |qs AS (SELECT id AS qid, f, x FROM src WHERE id <= 4),
+        |ham AS (SELECT q.qid, s.id,
+        |    sum(CASE WHEN (s.x > 0) <> (q.x > 0) THEN 1 ELSE 0 END) AS h
+        |  FROM src s JOIN qs q ON q.f = s.f GROUP BY q.qid, s.id),
+        |cand AS (SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY h ASC, id ASC) AS rn FROM ham) WHERE rn <= 60),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 4),
+        |scored AS (SELECT c.qid, e.vec_id AS id,
+        |    round(list_cosine_similarity(e.v, qv.qv), 4) AS score
+        |  FROM cand c JOIN e ON e.vec_id = c.id
+        |  JOIN qv ON qv.qid = c.qid),
+        |ranked AS (SELECT qid, id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, id, score FROM ranked WHERE rn <= 10
+        |ORDER BY qid, score DESC, id ASC""".stripMargin,
 
     // PQ replay: 4 per-subspace DeterministicKMeans recurrences (8
     // codebook entries, 10 Lloyd rounds over 16-dim slices; same CTE

@@ -315,6 +315,158 @@ object Similarity {
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
+  // ------------------------------------------------------- binary codec
+
+  /** 1-bit binary quantization index: one SIGN bit per dimension,
+    * packed 64 dims/long — the smallest codec of the public ANN
+    * family (64× smaller than the float64 vectors; "binary hashing" /
+    * sign-random-projection with the identity projection, the
+    * standard first-stage filter in binary-quantization retrieval).
+    * codes: (id, bits ARRAY<LONG>), word w bit i = vec(64w+i) > 0.
+    */
+  final case class BinaryIndex(codes: DataFrame, dims: Int)
+
+  /** Sign-bit packing as a pure-builtin Column (element_at + when +
+    * bitwise OR — stays in whole-stage codegen; encode is a one-time
+    * map-only pass so expression size, 1 term/dim, is fine). A null
+    * element packs as 0 (non-positive), matching the SQL replay's
+    * `x > 0` which is false for NULL.
+    */
+  private def signBitsCol(vec: Column, dims: Int): Column = {
+    val words = (dims + 63) / 64
+    F.array((0 until words).map { w =>
+      val lo = w * 64
+      (0 until math.min(64, dims - lo)).map { i =>
+        F.when(F.element_at(vec, lo + i + 1) > 0.0, F.lit(1L << i))
+          .otherwise(F.lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Driver-side packer — the same sign predicate as [[signBitsCol]],
+    * for query vectors. */
+  private[graft] def packSignBits(v: Array[Double]): Array[Long] = {
+    val out = new Array[Long]((v.length + 63) / 64)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0.0) out(i / 64) |= 1L << (i % 64)
+      i += 1
+    }
+    out
+  }
+
+  /** Hamming distance between two packed bit arrays — builtins only
+    * (zip_with + xor + bit_count + aggregate), codegen'd end to end. */
+  private def hammingCol(bits: Column, qbits: Column): Column =
+    F.aggregate(
+      F.zip_with(bits, qbits,
+        (a, b) => F.bit_count(a.bitwiseXOR(b)).cast("long")),
+      F.lit(0L), (acc, x) => acc + x)
+
+  def binaryEncode(emb: DataFrame, persist: Boolean = true): BinaryIndex = {
+    val first = emb.select(F.col("vec")).limit(1).collect()
+    require(first.nonEmpty, "binaryEncode: empty corpus — nothing to quantize")
+    val dims = first(0).getSeq[Any](0).length
+    val codes = emb.select(
+      F.col("id"),
+      signBitsCol(F.col("vec").cast("array<double>"), dims).as("bits"))
+    val out =
+      if (persist)
+        codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else codes
+    BinaryIndex(out, dims)
+  }
+
+  def binaryRelease(index: BinaryIndex): Unit =
+    index.codes.unpersist(blocking = false)
+
+  /** Binary-quantized top-k: candidates ranked by HAMMING distance on
+    * the packed sign bits — the scan reads dims/8 bytes per row (ONE
+    * long at 64 dims) and the distance is xor+popcount, the cheapest
+    * candidate filter of the codec family — cut to `rerank` by
+    * TakeOrderedAndProject on (hamming ASC, id ASC), then re-scored
+    * against the exact vectors like every other codec here. Hamming
+    * is an INTEGER, so unlike the rounded-cosine codecs the candidate
+    * cut is exactly replayable at ANY operating point — the oracle
+    * runs the production (rerank, k), not a degenerate one.
+    * Output: (id, score) — exact round-4 cosines.
+    */
+  def binaryTopK(
+      index: BinaryIndex, emb: DataFrame, query: Array[Double], k: Int,
+      rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(query.length == index.dims,
+      s"query has ${query.length} dims but index was encoded for ${index.dims}")
+    val q = F.typedLit(query)
+    val cand = index.codes
+      .select(F.col("id"),
+        hammingCol(F.col("bits"), F.typedLit(packSignBits(query))).as("ham"))
+      .orderBy(F.col("ham").asc, F.col("id").asc)
+      .limit(rerank)
+      .select("id")
+    emb.join(F.broadcast(cand), "id")
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
+  /** Batch face of [[binaryTopK]]: ONE scan of the bits column scores
+    * every (code row × query) pair against a BROADCAST query side,
+    * per-query candidate cut through the bounded-heap top-k
+    * ((hamming ASC, id ASC) — exact integer order), one exact-rerank
+    * join for all survivors. Queries need (qid, qvec); output
+    * (qid, id, score), (score DESC, id ASC) per qid — each qid equals
+    * the single-query [[binaryTopK]] at the same rerank (spec-pinned).
+    */
+  def binaryTopKBatch(
+      index: BinaryIndex, emb: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.select(
+      F.col("qid").cast("long"),
+      F.col("qvec").cast("array<double>"))
+    val withBits = qs
+      .as[(Long, Array[Double])]
+      .map { case (qid, qv) => (qid, qv, packSignBits(qv)) }
+      .toDF("qid", "qvec", "qbits")
+    val ham = index.codes
+      .crossJoin(F.broadcast(withBits.select("qid", "qbits")))
+      .select(F.col("qid"), F.col("id"),
+        hammingCol(F.col("bits"), F.col("qbits")).as("ham"))
+    val cand = graft.scale.Skew
+      .heapTopKPerKey(ham, "qid", "ham", "id", rerank, desc = false)
+      .select("qid", "id")
+    val rescored = cand
+      .join(emb.select(F.col("id"), F.col("vec")), "id")
+      .join(F.broadcast(withBits.select("qid", "qvec")), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.heapTopKPerKey(rescored, "qid", "score", "id", k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
+  /** Persist / load a binary index: codes Parquet + a dims sidecar
+    * (same filesystem rules as [[sq8Save]]). */
+  def binarySave(index: BinaryIndex, path: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    graft.api.ArrowSpaceModel.writeSidecar(
+      index.codes.sparkSession, s"$path/stats.json",
+      s"""{"dims":${index.dims}}""")
+  }
+
+  def binaryLoad(
+      spark: org.apache.spark.sql.SparkSession, path: String): BinaryIndex = {
+    val txt = readSidecar(spark, s"$path/stats.json").getOrElse(
+      throw new IllegalArgumentException(
+        s"no stats.json sidecar under $path — not a binarySave layout"))
+    val dims = "\"dims\":(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
+    BinaryIndex(spark.read.parquet(s"$path/codes"), dims)
+  }
+
   /** One-shot SQ8 cosine top-k — the memory-bound ANN scale path (the
     * standard "SQ8" codec of the public ANN literature, e.g. faiss's
     * ScalarQuantizer: per-dimension min/max, 8-bit codes, asymmetric

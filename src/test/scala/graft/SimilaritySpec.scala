@@ -984,6 +984,65 @@ class SimilaritySpec extends SparkSpec {
     } finally Similarity.ivfRelease(tl)
   }
 
+  test("binary quantization: packing goldens, degenerate exactness, batch parity, save/load") {
+    val s = spark
+    import s.implicits._
+    // packing golden: 70 dims exercises the multi-word path; bit i of
+    // word w set iff vec(64w+i) > 0 (zero and negative pack as 0)
+    val v70 = Array.tabulate(70)(i =>
+      if (i % 3 == 0) 1.0 else if (i % 3 == 1) -1.0 else 0.0)
+    val packed = Similarity.packSignBits(v70)
+    assert(packed.length == 2)
+    var expect0 = 0L; var expect1 = 0L
+    for (i <- 0 until 70 if i % 3 == 0) {
+      if (i < 64) expect0 |= 1L << i else expect1 |= 1L << (i - 64)
+    }
+    assert(packed(0) == expect0 && packed(1) == expect1)
+    // the column packer agrees with the driver packer
+    val one = Seq((1L, v70)).toDF("id", "vec")
+    val colBits = Similarity.binaryEncode(one, persist = false)
+      .codes.head.getSeq[Long](1).toSeq
+    assert(colBits == packed.toSeq)
+    // degenerate law: rerank >= corpus means every row is rescored
+    // exactly, whatever hamming said
+    val idx = Similarity.binaryEncode(emb, persist = false)
+    val exact = Similarity.annTopK(emb, query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.binaryTopK(idx, emb, query, 10, rerank = 600)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+    // production pruning keeps recall on the clustered fixture
+    val pruned = Similarity.binaryTopK(idx, emb, query, 10, rerank = 60)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.intersect(exact.map(_._1).toSet).size >= 7,
+      s"binary recall@10 too low: $pruned")
+    // batch face equals the single-query path per qid
+    val qids = Seq(3L, 11L, 200L)
+    val qs = emb.where(F.col("id").isin(qids: _*))
+      .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+    val batch = Similarity.binaryTopKBatch(idx, emb, qs, k = 5, rerank = 60)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+      .toMap
+    for (qid <- qids) {
+      val qv = emb.where(F.col("id") === qid)
+        .select("vec").head.getSeq[Double](0).toArray
+      val single = Similarity.binaryTopK(idx, emb, qv, 5, rerank = 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"binary batch diverged for qid $qid")
+    }
+    // save/load round-trips codes + dims
+    val dir = java.nio.file.Files.createTempDirectory("graft-binary").toString
+    Similarity.binarySave(idx, dir)
+    val loaded = Similarity.binaryLoad(s, dir)
+    assert(loaded.dims == idx.dims)
+    val viaLoaded = Similarity.binaryTopK(loaded, emb, query, 10, rerank = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Similarity.binaryTopK(idx, emb, query, 10, rerank = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaLoaded == direct)
+  }
+
   test("filtered ANN: predicate inside the probed scan, not a post-filter; batch parity") {
     val s = spark
     import s.implicits._
