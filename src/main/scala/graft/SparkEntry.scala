@@ -173,7 +173,8 @@ object SparkEntry {
     "v_ivf_pqr_topk", "v_ivf_pqr_topk_batch", "v_ivf_spherical_topk",
     "v_ivf_2level_topk", "v_ivf_2level_hier_topk",
     "v_ivf_2level_sharded_topk", "g_shortest_paths", "g_hop_landmarks",
-    "v_ivf_topk_filtered", "v_ann_topk_binary", "v_ann_topk_binary_batch")
+    "v_ivf_topk_filtered", "v_ann_topk_binary", "v_ann_topk_binary_batch",
+    "v_ivf_binary_topk")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1360,6 +1361,22 @@ object SparkEntry {
         .localCheckpoint()
       Similarity.ivfRelease(ivf)
       Similarity.sq8Release(sq8)
+      out
+    }),
+
+    // IVF + binary: probed lists bound WHICH rows scan, 1-bit codes
+    // bound WHAT the scan reads (8 B/row at 64 dims). Oracled at the
+    // PRODUCTION pruning (nprobe=12, rerank=60) — the probe chain is
+    // the replayable kmeans recurrence and the hamming cut is integer
+    "v_ivf_binary_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val bin = Similarity.binaryEncode(e)
+      val out = Similarity.ivfBinaryTopK(
+        ivf, bin, e, queryVec(s, d), k = 20, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.binaryRelease(bin)
       out
     }),
 
@@ -3935,6 +3952,35 @@ object SparkEntry {
           |SELECT e.vec_id AS id,
           |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
           |FROM e JOIN cand USING (vec_id), q
+          |ORDER BY score DESC, id ASC
+          |LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // IVF+binary replay: the iv probe chain bounds the candidate set,
+    // then the integer hamming cut and the exact rerank — all at the
+    // production operating point
+    "v_ivf_binary_topk" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |ivsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("ivsrc", 16, 15, "iv")},
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          |qx AS (SELECT f, x FROM ivsrc WHERE id = 0),
+          |cq AS (SELECT k.c,
+          |  1.0 - sum(k.cx * qx.x) / sqrt(sum(k.cx * k.cx) * sum(qx.x * qx.x)) AS d
+          |  FROM ivkc15 k JOIN qx ON qx.f = k.f GROUP BY k.c),
+          |probes AS (SELECT c FROM cq ORDER BY d, c LIMIT 12),
+          |sel AS (SELECT fin.id FROM ivfin fin JOIN probes p ON p.c = fin.c),
+          |ham AS (SELECT s.id,
+          |    sum(CASE WHEN (s.x > 0) <> (qx.x > 0) THEN 1 ELSE 0 END) AS h
+          |  FROM ivsrc s JOIN sel ON sel.id = s.id
+          |  JOIN qx ON qx.f = s.f GROUP BY s.id),
+          |cand AS (SELECT id FROM ham ORDER BY h ASC, id ASC LIMIT 60)
+          |SELECT e.vec_id AS id,
+          |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+          |FROM e JOIN cand ON cand.id = e.vec_id, q
           |ORDER BY score DESC, id ASC
           |LIMIT 20""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),

@@ -467,6 +467,84 @@ object Similarity {
     BinaryIndex(spark.read.parquet(s"$path/codes"), dims)
   }
 
+  /** Composed IVF + binary: the probed lists bound WHICH rows scan,
+    * the 1-bit codes bound WHAT the scan reads (dims/8 bytes/row) —
+    * the same composition contract as [[ivfSq8TopK]] with the
+    * cheapest codec. Candidates cut on (hamming ASC, id ASC) — exact
+    * integer order, so the operator oracles at its PRODUCTION
+    * pruning, then the usual exact rerank.
+    */
+  def ivfBinaryTopK(
+      ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame,
+      query: Array[Double], k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(query.length == bin.dims,
+      s"query has ${query.length} dims but index was encoded for ${bin.dims}")
+    val probes = ivfProbes(ivf, query, nprobe)
+    val q = F.typedLit(query)
+    val sel = ivf.assigned
+      .where(F.col("cluster").isin(probes.toSeq: _*))
+      .select("id")
+    val cand = bin.codes
+      .join(sel, "id") // slim (id, bits) ⋈ (id) — bounds WHAT the scan reads
+      .select(F.col("id"),
+        hammingCol(F.col("bits"), F.typedLit(packSignBits(query))).as("ham"))
+      .orderBy(F.col("ham").asc, F.col("id").asc)
+      .limit(rerank)
+      .select("id")
+    emb.join(F.broadcast(cand), "id")
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
+  /** Batch face of [[ivfBinaryTopK]] — the [[ivfSq8TopKBatch]] shape
+    * with bit codes: probe selection on the executors, bits attached
+    * to the lists by a corpus-sized id join BEFORE the one probe
+    * fan-out join (whose projection computes xor+popcount row-locally
+    * against the query bits riding the probe rows), bounded-heap
+    * per-query cut on (hamming ASC, id ASC), one exact rerank join.
+    * Each qid equals the single-query [[ivfBinaryTopK]] at the same
+    * parameters (spec-pinned).
+    */
+  def ivfBinaryTopKBatch(
+      ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nprobe > 0 && nprobe <= ivf.k,
+      s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=${ivf.k}")
+    val spark = bin.codes.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    val qs = queries
+      .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+    val probed = qs
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        val qbits = packSignBits(qv)
+        probesFor(bcC.value, qv, nprobe).map(c => (qid, c, qbits))
+      }
+      .toDF("qid", "cluster", "qbits")
+    val withBits = ivf.assigned.select("id", "cluster")
+      .join(bin.codes, "id")
+    val ham = probed
+      .join(withBits, "cluster")
+      .select(F.col("qid"), F.col("id"),
+        hammingCol(F.col("bits"), F.col("qbits")).as("ham"))
+    val cand = graft.scale.Skew
+      .heapTopKPerKey(ham, "qid", "ham", "id", rerank, desc = false)
+      .select("qid", "id")
+    val rescored = cand
+      .join(emb.select(F.col("id"), F.col("vec")), "id")
+      .join(F.broadcast(qs), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.heapTopKPerKey(rescored, "qid", "score", "id", k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
   /** One-shot SQ8 cosine top-k — the memory-bound ANN scale path (the
     * standard "SQ8" codec of the public ANN literature, e.g. faiss's
     * ScalarQuantizer: per-dimension min/max, 8-bit codes, asymmetric

@@ -1043,6 +1043,48 @@ class SimilaritySpec extends SparkSpec {
     assert(viaLoaded == direct)
   }
 
+  test("IVF+binary composition: degeneracy law, pruned recall, batch parity") {
+    val s = spark
+    import s.implicits._
+    val ivf = Similarity.ivfBuild(emb, nLists = 8)
+    val bin = Similarity.binaryEncode(emb, persist = false)
+    try {
+      // degeneracy: nprobe = nLists scans every list, so the composed
+      // operator equals the plain binary codec at the same rerank
+      val plain = Similarity.binaryTopK(bin, emb, query, 10, rerank = 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val composed = Similarity.ivfBinaryTopK(
+          ivf, bin, emb, query, 10, nprobe = ivf.k, rerank = 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(composed == plain)
+      // production pruning keeps recall on the clustered fixture
+      val exact = Similarity.annTopK(emb, query, 10)
+        .collect().map(_.getLong(0)).toSet
+      val pruned = Similarity.ivfBinaryTopK(
+          ivf, bin, emb, query, 10, nprobe = 3, rerank = 60)
+        .collect().map(_.getLong(0)).toSet
+      assert(pruned.intersect(exact).size >= 7,
+        s"ivf+binary recall@10 too low: $pruned")
+      // batch face equals the single-query path per qid
+      val qids = Seq(3L, 11L, 200L)
+      val qs = emb.where(F.col("id").isin(qids: _*))
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val batch = Similarity.ivfBinaryTopKBatch(
+          ivf, bin, emb, qs, k = 5, nprobe = 3, rerank = 60)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+        .toMap
+      for (qid <- qids) {
+        val qv = emb.where(F.col("id") === qid)
+          .select("vec").head.getSeq[Double](0).toArray
+        val single = Similarity.ivfBinaryTopK(
+            ivf, bin, emb, qv, 5, nprobe = 3, rerank = 60)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single, s"ivf+binary batch diverged for qid $qid")
+      }
+    } finally Similarity.ivfRelease(ivf)
+  }
+
   test("filtered ANN: predicate inside the probed scan, not a post-filter; batch parity") {
     val s = spark
     import s.implicits._
