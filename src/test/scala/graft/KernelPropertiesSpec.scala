@@ -192,4 +192,39 @@ class KernelPropertiesSpec extends AnyFunSuite {
       assert(PqKernels.encode(x, flat, m, ksub).toSeq == codes.toSeq)
     }
   }
+
+  test("TopKHeap keeps exactly the sort's top-k under Spark's double order") {
+    // Spark's double total order: == fast path (-0.0 == 0.0), then
+    // Double.compare (NaN above everything). The heap's kept SET must
+    // equal take(k) of a full sort under that order — including NaN,
+    // ±0.0 and duplicate scores with tie ids.
+    def sparkLt(desc: Boolean)(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = if (a._1 == b._1) 0 else java.lang.Double.compare(a._1, b._1)
+      if (c != 0) { if (desc) c > 0 else c < 0 } else a._2 < b._2
+    }
+    val specials = Array(Double.NaN, 0.0, -0.0,
+      Double.PositiveInfinity, Double.NegativeInfinity)
+    (1 to 300).foreach { trial =>
+      val n = 1 + rng.nextInt(200)
+      val k = 1 + rng.nextInt(20)
+      val desc = rng.nextBoolean()
+      val pairs = Array.tabulate(n) { i =>
+        val s =
+          if (rng.nextInt(10) == 0) specials(rng.nextInt(specials.length))
+          else math.round(rng.nextDouble() * 20) / 20.0 // force duplicates
+        (s, i.toLong)
+      }
+      val heap = new graft.scale.TopKHeap(k, desc)
+      pairs.foreach { case (s, t) => heap.add(s, t) }
+      val kept = (0 until heap.n).map(i => (heap.scores(i), heap.ties(i)))
+        .sortWith(sparkLt(desc))
+        // NaN != NaN breaks tuple equality — compare on bit patterns
+        .map { case (s, t) => (java.lang.Double.doubleToLongBits(
+          if (s == 0.0) 0.0 else s), t) }
+      val want = pairs.sortWith(sparkLt(desc)).take(k)
+        .map { case (s, t) => (java.lang.Double.doubleToLongBits(
+          if (s == 0.0) 0.0 else s), t) }.toSeq
+      assert(kept == want, s"trial $trial (n=$n k=$k desc=$desc)")
+    }
+  }
 }
