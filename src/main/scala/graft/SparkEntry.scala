@@ -174,7 +174,7 @@ object SparkEntry {
     "v_ivf_2level_topk", "v_ivf_2level_hier_topk",
     "v_ivf_2level_sharded_topk", "g_shortest_paths", "g_hop_landmarks",
     "v_ivf_topk_filtered", "v_ann_topk_binary", "v_ann_topk_binary_batch",
-    "v_ivf_binary_topk")
+    "v_ivf_binary_topk", "g_harmonic")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -2081,6 +2081,19 @@ object SparkEntry {
         .select(F.explode(F.array(F.col("src"), F.col("dst"))).as("n"))
         .agg(F.min("n"), F.max("n")).head
       graft.graph.GraphAnalytics.hopDistances(
+          edges, Seq(mm.getLong(0), mm.getLong(1)), maxHops = 20)
+        .orderBy("id")
+    }),
+    // harmonic centrality against the {min, max} landmark pair:
+    // Σ 1/d(l, v) over landmarks reached — TWO terms, so the floating
+    // sum is one commutative addition and round-4 is bit-stable
+    // against the SQL replay's order
+    "g_harmonic" -> ((s, d) => {
+      val (_, edges) = model(s, d)
+      val mm = edges
+        .select(F.explode(F.array(F.col("src"), F.col("dst"))).as("n"))
+        .agg(F.min("n"), F.max("n")).head
+      graft.graph.GraphAnalytics.harmonicCentrality(
           edges, Seq(mm.getLong(0), mm.getLong(1)), maxHops = 20)
         .orderBy("id")
     }),
@@ -5519,6 +5532,36 @@ object SparkEntry {
         |  SELECT sy.dst, r.hops + 1 FROM r JOIN sym sy ON sy.src = r.id
         |  WHERE r.hops < 20)
         |SELECT id, min(hops) AS hops FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    // harmonic centrality: the per-source recursion (src rides the
+    // rows), min hops per (src, id), then Σ 1/h over the two landmarks
+    "g_harmonic" ->
+      """WITH RECURSIVE e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cos_pairs AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    1.0 - greatest(0.0, list_cosine_similarity(a.v, b.v)) AS d
+        |  FROM e a JOIN e b ON a.id <> b.id),
+        |knn AS (
+        |  SELECT src, dst, d FROM (
+        |    SELECT src, dst, d,
+        |      row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+        |    FROM cos_pairs WHERE d <= 1.0)
+        |  WHERE rn <= 10),
+        |sym AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst FROM knn
+        |    UNION SELECT dst AS src, src AS dst FROM knn)),
+        |r(l, id, hops) AS (
+        |  SELECT s, s, 0 FROM (
+        |    SELECT min(src) AS s FROM sym
+        |    UNION SELECT max(src) FROM sym)
+        |  UNION
+        |  SELECT r.l, sy.dst, r.hops + 1 FROM r JOIN sym sy ON sy.src = r.id
+        |  WHERE r.hops < 20),
+        |d AS (SELECT l, id, min(hops) AS h FROM r GROUP BY l, id)
+        |SELECT id, round(sum(1.0 / h), 4) AS harmonic
+        |FROM d WHERE h > 0 GROUP BY id ORDER BY id""".stripMargin,
 
     "g_ppr" -> PprOracleSql,
 

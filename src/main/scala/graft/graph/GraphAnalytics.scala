@@ -585,9 +585,57 @@ object GraphAnalytics {
   def hopDistances(
       edges: DataFrame, sources: Seq[Long], maxHops: Int = 20): DataFrame = {
     require(sources.nonEmpty, "hopDistances needs at least one source")
-    require(maxHops >= 0, s"maxHops must be >= 0; got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
+    // merged-frontier form: one constant group, every source seeded in
+    // it — the loop's per-(grp, id) settled set makes hops the MIN
+    // over sources for free
+    val seed = sources.distinct.sorted.map((0L, _, 0)).toDF("grp", "id", "hops")
+    bfsLoop(edges, seed, maxHops).select("id", "hops")
+  }
+
+  /** [[hopDistances]] with PER-SOURCE distances: (src, id, hops) for
+    * every (source, node) pair reached within `maxHops` — the hop
+    * matrix landmark-based centrality estimators consume (each
+    * source's BFS runs in the same keyed loop, one frontier frame for
+    * all of them — rounds shared, work ∝ Σ frontier sizes).
+    */
+  def hopDistancesBySource(
+      edges: DataFrame, sources: Seq[Long], maxHops: Int = 20): DataFrame = {
+    require(sources.nonEmpty, "hopDistancesBySource needs at least one source")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val seed = sources.distinct.sorted.map(s => (s, s, 0)).toDF("grp", "id", "hops")
+    bfsLoop(edges, seed, maxHops).select(
+      F.col("grp").as("src"), F.col("id"), F.col("hops"))
+  }
+
+  /** Harmonic centrality against a LANDMARK set (the Eppstein–Wang
+    * pivot estimator's raw sum): harmonic(v) = Σ over landmarks l ≠ v
+    * reached within `maxHops` of 1/d(l, v), round-4. Nodes reached by
+    * no landmark (other than themselves) are absent — the same
+    * truncation as [[hopDistances]], so a round-capped relational
+    * replay matches exactly. With TWO landmarks the floating sum is a
+    * single commutative addition, so the round-4 value is bit-stable
+    * against any replay order (the convention the oracle row uses).
+    */
+  def harmonicCentrality(
+      edges: DataFrame, landmarks: Seq[Long], maxHops: Int = 20): DataFrame =
+    hopDistancesBySource(edges, landmarks, maxHops)
+      .where(F.col("hops") > 0)
+      .groupBy("id")
+      .agg(F.round(F.sum(F.lit(1.0) / F.col("hops")), 4).as("harmonic"))
+
+  /** The shared frontier-bounded BFS: seed rows are (grp, id, hops=0);
+    * each round expands every group's frontier through the symmetrized
+    * edge list in ONE join, settles new (grp, id) pairs, and stops
+    * when no group grew or `maxHops` rounds ran. Checkpoint hygiene
+    * matches [[kCore]]: superseded generations release via their own
+    * LogicalRDD leaf; the returned frame's blocks stay live.
+    */
+  private def bfsLoop(
+      edges: DataFrame, seed: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0; got $maxHops")
     val dir = edges.select(
         F.col("src").cast("long").as("src"), F.col("dst").cast("long").as("dst"))
       .where(F.col("src").isNotNull && F.col("dst").isNotNull)
@@ -597,10 +645,9 @@ object GraphAnalytics {
     val symRdd = checkpointRdd(sym)
     def releaseOpt(r: Option[org.apache.spark.rdd.RDD[_]]): Unit =
       r.foreach(_.unpersist(blocking = false))
-    var dist = sources.distinct.sorted.map((_, 0)).toDF("id", "hops")
-      .localCheckpoint()
+    var dist = seed.localCheckpoint()
     var distRdd = checkpointRdd(dist)
-    var frontier = dist.select("id")
+    var frontier = dist.select("grp", "id")
     var frontierRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var round = 0
     var done = false
@@ -608,9 +655,9 @@ object GraphAnalytics {
       round += 1
       val next = frontier
         .join(sym, frontier("id") === sym("src"))
-        .select(sym("dst").as("id"))
+        .select(frontier("grp"), sym("dst").as("id"))
         .distinct()
-        .join(dist, Seq("id"), "left_anti")
+        .join(dist, Seq("grp", "id"), "left_anti")
         .withColumn("hops", F.lit(round))
         .localCheckpoint() // eager — materialized here
       val grew = next.count() > 0
@@ -629,7 +676,7 @@ object GraphAnalytics {
         releaseOpt(distRdd)
         dist = widened
         distRdd = checkpointRdd(widened)
-        frontier = next.select("id")
+        frontier = next.select("grp", "id")
         frontierRdd = checkpointRdd(next)
       }
     }

@@ -132,6 +132,31 @@ class GraphAnalyticsSpec extends SparkSpec {
     val two = Seq((0L, 1L, 0.0, 1.0), (5L, 6L, 0.0, 1.0))
       .toDF("src", "dst", "dist", "weight")
     assert(hops(hopDistances(two, Seq(0L))) == Seq((0L, 0), (1L, 1)))
+    // per-source face: the full hop matrix for each landmark (the
+    // merged face is its per-id MIN — law checked directly)
+    val by = hopDistancesBySource(edges, Seq(0L, 5L))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(by((0L, 3L)) == 2 && by((5L, 3L)) == 1 && by((0L, 0L)) == 0)
+    val merged = hops(hopDistances(edges, Seq(0L, 5L))).toMap
+    for (id <- 0L to 5L)
+      assert(merged(id) ==
+        math.min(by((0L, id)), by((5L, id))),
+        s"merged hops != min over sources for node $id")
+    // harmonic: node 3 sees landmark 0 at hops 2 and landmark 5 at
+    // hops 1 -> 1/2 + 1 = 1.5; every node checked against the matrix
+    val harm = harmonicCentrality(edges, Seq(0L, 5L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(harm(3L) == 1.5)
+    for (id <- 0L to 5L) {
+      val want = Seq(0L, 5L)
+        .map(l => by((l, id)))
+        .filter(_ > 0)
+        .map(1.0 / _)
+        .sum
+      assert(harm(id) == math.rint(want * 10000) / 10000 ||
+        math.abs(harm(id) - want) < 5e-5,
+        s"harmonic($id) = ${harm(id)} want ~$want")
+    }
   }
 
   test("label propagation assigns every node a community") {
