@@ -3455,7 +3455,8 @@ object SparkEntry {
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
         |q AS (SELECT f, x FROM src WHERE id = 0),
         |ham AS (SELECT s.id,
-        |    sum(CASE WHEN (s.x > 0) <> (q.x > 0) THEN 1 ELSE 0 END) AS h
+        |    sum(CASE WHEN COALESCE(s.x > 0, FALSE)
+        |      <> COALESCE(q.x > 0, FALSE) THEN 1 ELSE 0 END) AS h
         |  FROM src s JOIN q ON q.f = s.f GROUP BY s.id),
         |cand AS (SELECT id FROM ham ORDER BY h ASC, id ASC LIMIT 60),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -3474,7 +3475,8 @@ object SparkEntry {
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
         |qs AS (SELECT id AS qid, f, x FROM src WHERE id <= 4),
         |ham AS (SELECT q.qid, s.id,
-        |    sum(CASE WHEN (s.x > 0) <> (q.x > 0) THEN 1 ELSE 0 END) AS h
+        |    sum(CASE WHEN COALESCE(s.x > 0, FALSE)
+        |      <> COALESCE(q.x > 0, FALSE) THEN 1 ELSE 0 END) AS h
         |  FROM src s JOIN qs q ON q.f = s.f GROUP BY q.qid, s.id),
         |cand AS (SELECT qid, id FROM (
         |    SELECT qid, id, row_number() OVER (PARTITION BY qid
@@ -3987,7 +3989,8 @@ object SparkEntry {
           |probes AS (SELECT c FROM cq ORDER BY d, c LIMIT 12),
           |sel AS (SELECT fin.id FROM ivfin fin JOIN probes p ON p.c = fin.c),
           |ham AS (SELECT s.id,
-          |    sum(CASE WHEN (s.x > 0) <> (qx.x > 0) THEN 1 ELSE 0 END) AS h
+          |    sum(CASE WHEN COALESCE(s.x > 0, FALSE)
+          |      <> COALESCE(qx.x > 0, FALSE) THEN 1 ELSE 0 END) AS h
           |  FROM ivsrc s JOIN sel ON sel.id = s.id
           |  JOIN qx ON qx.f = s.f GROUP BY s.id),
           |cand AS (SELECT id FROM ham ORDER BY h ASC, id ASC LIMIT 60)

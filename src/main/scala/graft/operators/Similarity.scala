@@ -328,9 +328,12 @@ object Similarity {
 
   /** Sign-bit packing as a pure-builtin Column (element_at + when +
     * bitwise OR — stays in whole-stage codegen; encode is a one-time
-    * map-only pass so expression size, 1 term/dim, is fine). A null
-    * element packs as 0 (non-positive), matching the SQL replay's
-    * `x > 0` which is false for NULL.
+    * map-only pass so expression size, 1 term/dim, is fine). The bit
+    * predicate is `x > 0` under SQL ordering semantics, which all
+    * three packers share exactly: NULL packs as 0 (the `when` falls
+    * through), and NaN packs as 1 — both Spark SQL and DuckDB order
+    * NaN above every numeric, so `NaN > 0` is TRUE in both (Java's
+    * `>` disagrees; [[packSignBits]] compensates explicitly).
     */
   private def signBitsCol(vec: Column, dims: Int): Column = {
     val words = (dims + 63) / 64
@@ -343,13 +346,18 @@ object Similarity {
     }: _*)
   }
 
-  /** Driver-side packer — the same sign predicate as [[signBitsCol]],
-    * for query vectors. */
+  /** Driver-side packer — the same SQL-semantics sign predicate as
+    * [[signBitsCol]]: Java's `NaN > 0.0` is false, so the NaN case is
+    * raised explicitly to match Spark SQL / DuckDB's NaN-above-all
+    * ordering (a silent Java-semantics packer would give the query
+    * side different bits than the corpus side packed for the same
+    * vector).
+    */
   private[graft] def packSignBits(v: Array[Double]): Array[Long] = {
     val out = new Array[Long]((v.length + 63) / 64)
     var i = 0
     while (i < v.length) {
-      if (v(i) > 0.0) out(i / 64) |= 1L << (i % 64)
+      if (v(i) > 0.0 || v(i).isNaN) out(i / 64) |= 1L << (i % 64)
       i += 1
     }
     out
@@ -429,12 +437,21 @@ object Similarity {
     val qs = queries.select(
       F.col("qid").cast("long"),
       F.col("qvec").cast("array<double>"))
-    val withBits = qs
+    val dims = index.dims
+    val qbits = qs
       .as[(Long, Array[Double])]
-      .map { case (qid, qv) => (qid, qv, packSignBits(qv)) }
-      .toDF("qid", "qvec", "qbits")
+      .map { case (qid, qv) =>
+        // fail like the single-query face — a dims mismatch must not
+        // silently drop the qid from the output (zip_with would pad
+        // with NULL and the null hamming rows would just vanish)
+        require(qv.length == dims,
+          s"query $qid has ${qv.length} dims but index was encoded " +
+            s"for $dims")
+        (qid, packSignBits(qv))
+      }
+      .toDF("qid", "qbits")
     val ham = index.codes
-      .crossJoin(F.broadcast(withBits.select("qid", "qbits")))
+      .crossJoin(F.broadcast(qbits))
       .select(F.col("qid"), F.col("id"),
         hammingCol(F.col("bits"), F.col("qbits")).as("ham"))
     val cand = graft.scale.Skew
@@ -442,7 +459,7 @@ object Similarity {
       .select("qid", "id")
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
-      .join(F.broadcast(withBits.select("qid", "qvec")), "qid")
+      .join(F.broadcast(qs), "qid")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
     graft.scale.Skew.heapTopKPerKey(rescored, "qid", "score", "id", k)
@@ -520,9 +537,14 @@ object Similarity {
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
     val qs = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+    val dims = bin.dims
     val probed = qs
       .as[(Long, Array[Double])]
       .flatMap { case (qid, qv) =>
+        // fail like the single-query face, not a silent qid drop
+        require(qv.length == dims,
+          s"query $qid has ${qv.length} dims but index was encoded " +
+            s"for $dims")
         val qbits = packSignBits(qv)
         probesFor(bcC.value, qv, nprobe).map(c => (qid, c, qbits))
       }
