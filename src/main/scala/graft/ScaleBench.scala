@@ -602,6 +602,17 @@ object ScaleBench {
       graft.graph.GraphAnalytics.hopDistances(e, Seq(0L), maxHops = 20)
         .count()
     }
+    bench("g_harmonic") {
+      // landmark harmonic centrality = the per-source hop matrix (two
+      // landmarks ride one keyed BFS) + a groupBy — ~2× the single-
+      // source row by construction
+      val e = spark.range(nVecs * 8).select(
+        F.pmod(F.col("id"), F.lit(nVecs)).as("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("dst")), F.lit(nVecs)).as("dst"))
+        .where(F.col("src") =!= F.col("dst"))
+      graft.graph.GraphAnalytics.harmonicCentrality(
+        e, Seq(0L, nVecs / 2), maxHops = 20).count()
+    }
     // ---- many-anchor PPR: 1024 anchors = 4 chunks of 256 slots; the
     // pair measures concurrent chunk submission (runMany's default)
     // against the old strictly-sequential chains on the same engine —
