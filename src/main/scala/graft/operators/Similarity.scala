@@ -2224,8 +2224,21 @@ object Similarity {
       graft.api.ArrowSpaceModel.writeSidecar(
         index.assigned.sparkSession, s"$path/twolevel.json",
         s"""{"coarse":$coarse,"cells":$cells}""")
+      // the sub-center TABLE (cell-partitioned) — what
+      // [[ivfTopKBatchHierSharded]] joins at scale, written at save
+      // time so probe selection reads Parquet instead of re-deriving
+      // from the driver-resident hierarchy ([[ivfSubCentersAt]])
+      ivfSubCenters(index).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$path/subcenters")
     }
   }
+
+  /** The sub-center table a two-level [[ivfSave]] wrote — feed it to
+    * [[ivfTopKBatchHierSharded]] for broadcast-free probe selection
+    * against the persisted layout. */
+  def ivfSubCentersAt(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/subcenters").select("cell", "list", "cvec")
 
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val assigned = spark.read.parquet(s"$path/lists")

@@ -1167,12 +1167,13 @@ class SimilaritySpec extends SparkSpec {
       val shard = rows(Similarity
         .ivfTopKBatchHierSharded(tl, qs, k = 5, nprobe = 4, coarseCells = 2))
       assert(shard == bcast, "sharded probe selection diverged from broadcast")
-      // the scale form: sub-centers from cell-partitioned Parquet (what
-      // a 1M-list index stores next to its lists) serve the same answers
+      // the scale form: a two-level ivfSave writes the sub-center
+      // table next to the lists, and the saved table serves the same
+      // answers through the sharded path
       val dir = java.nio.file.Files
         .createTempDirectory("graft-subcenters").toString
-      subs.write.mode("overwrite").partitionBy("cell").parquet(dir)
-      val fromDisk = s.read.parquet(dir).select("cell", "list", "cvec")
+      Similarity.ivfSave(tl, dir)
+      val fromDisk = Similarity.ivfSubCentersAt(s, dir)
       val shard2 = rows(Similarity.ivfTopKBatchHierSharded(
         tl, qs, k = 5, nprobe = 4, coarseCells = 2, Some(fromDisk)))
       assert(shard2 == bcast, "parquet-backed sub-centers diverged")
