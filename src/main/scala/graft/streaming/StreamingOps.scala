@@ -474,6 +474,47 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming QUERY face of the ANN index — the serving mirror of
+    * [[ivfAppendStream]]'s ingest face: queries arrive as a stream of
+    * (qid, qvec) and each micro-batch runs the batch retrieval
+    * ([[graft.operators.Similarity.ivfTopKBatch]] — executor probe
+    * selection, one cluster-keyed join, bounded-heap per-query top-k)
+    * against the FROZEN index, appending (qid, id, score) to `outPath`
+    * Parquet. Per-batch results equal the batch operator on the same
+    * queries exactly (the parity law StreamingSpec pins), so a stream
+    * consumer and a batch consumer of the same query log read the
+    * same answers. The index is frozen between rebuilds — combine
+    * with [[ivfAppendStream]] on the same saved layout for
+    * continuous ingest + serve (reload to pick up appended vectors).
+    *
+    * Exactly-once degrades to at-least-once on retry (duplicate
+    * (qid, id) rows, dedupable by key); Append mode, stateless —
+    * input-rate throughput.
+    *
+    * Returns the started query; callers own its lifecycle.
+    */
+  def ivfQueryStream(
+      queries: DataFrame,
+      index: graft.operators.Similarity.IvfIndex,
+      k: Int,
+      nprobe: Int,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .select($"qid".cast("long").as("qid"),
+        $"qvec".cast("array<double>").as("qvec"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.ivfTopKBatch(index, batch, k, nprobe)
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Convenience: run a streaming DataFrame to a memory sink and block
     * until all available input is processed (test/driver helper).
     */

@@ -75,6 +75,32 @@ class SkewAndExtensionsSpec extends SparkSpec {
       s"expected exactly one Window node in:\n$plan")
   }
 
+  test("heap top-k fuzz: random frames, partitionings, k and direction agree with the window form") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(97)
+    for (trial <- 1 to 5) {
+      val n = 500 + rng.nextInt(4000)
+      val nKeys = 1 + rng.nextInt(40)
+      val k = 1 + rng.nextInt(12)
+      val desc = rng.nextBoolean()
+      val parts = 1 + rng.nextInt(24)
+      val df = (1 to n).map { i =>
+        (rng.nextInt(nKeys).toLong,
+          math.round(rng.nextDouble() * 30) / 30.0, i.toLong)
+      }.toDF("key", "score", "tie").repartition(parts)
+      val order =
+        if (desc) Seq(F.col("score").desc, F.col("tie").asc)
+        else Seq(F.col("score").asc, F.col("tie").asc)
+      val want = Skew.saltedTopKPerKey(df, "key", order, k)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val got = Skew.heapTopKPerKey(df, "key", "score", "tie", k, desc)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"trial $trial: n=$n keys=$nKeys k=$k desc=$desc parts=$parts")
+    }
+  }
+
   test("GraftExtensions applies cleanly; registerAll covers the live-session path") {
     // Extensions bind at session construction (verified end-to-end via
     // spark-shell --conf spark.sql.extensions=graft.GraftExtensions);

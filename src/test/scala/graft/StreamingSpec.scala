@@ -344,4 +344,40 @@ class StreamingSpec extends SparkSpec {
         s"streamed arrival should be its own nearest neighbor: $got")
     } finally Similarity.ivfRelease(batchIdx)
   }
+
+  test("streaming ANN queries match the batch retrieval row-for-row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Similarity
+    val F = org.apache.spark.sql.functions
+    def vec(i: Int) = Array.tabulate(8)(f =>
+      math.sin((i % 5) * 0.9 + f * 0.7) + (if (f == i % 8) 1.5 else 0.0))
+    val base = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val idx = Similarity.ivfBuild(base, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-qstream").toString
+    try {
+      // two micro-batches of queries against the frozen index
+      val in = MemoryStream[(Long, Array[Double])]
+      val q = StreamingOps.ivfQueryStream(
+        in.toDF().toDF("qid", "qvec"), idx, k = 3, nprobe = 4,
+        dir + "/out", dir + "/ckpt")
+      in.addData((900L, vec(3)), (901L, vec(7)))
+      q.processAllAvailable()
+      in.addData((902L, vec(11)))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = s.read.parquet(dir + "/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      // parity law: the batch operator on the union of all arrivals
+      val allQ = Seq((900L, vec(3)), (901L, vec(7)), (902L, vec(11)))
+        .toDF("qid", "qvec")
+      val want = Similarity.ivfTopKBatch(idx, allQ, k = 3, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      assert(streamed == want, "streamed ANN answers diverged from batch")
+      assert(streamed.size == 9)
+    } finally Similarity.ivfRelease(idx)
+  }
 }
