@@ -779,6 +779,34 @@ object ScaleBench {
           println(f"[scale]   ivfAppendStream rate: ${n / sec}%.0f vectors/sec")
         }
       }
+      // ---- streaming ANN serving rate: the query face of the same
+      // saved-layout loop — 1000 queries in 8 micro-batches against
+      // the frozen corpus-proportional index; queries/sec prints
+      // beside the row (per-batch cost = one batch retrieval + the
+      // results append)
+      if (only.forall(_.contains("s_ivf_query_stream"))) {
+        val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
+        iv.assigned.count()
+        val qArr = queries.select("qid", "qvec")
+          .as[(Long, Array[Double])]
+          .collect()
+        val qChunks = qArr.grouped(math.max(1, qArr.length / 8)).toSeq
+        val outDir = java.nio.file.Files
+          .createTempDirectory("ivfqscale").toString
+        bench("s_ivf_query_stream") {
+          val in = MemoryStream[(Long, Array[Double])]
+          val q = graft.streaming.StreamingOps.ivfQueryStream(
+            in.toDF().toDF("qid", "qvec"), iv, k = 10, nprobe = 8,
+            outDir + "/out", outDir + "/ckpt")
+          qChunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+          q.stop()
+          qArr.length.toLong
+        }
+        rows.get("s_ivf_query_stream").foreach { case (sec, n) =>
+          println(f"[scale]   ivfQueryStream rate: ${n / sec}%.0f queries/sec")
+        }
+        Similarity.ivfRelease(iv)
+      }
     }
     events.unpersist(blocking = false)
 
