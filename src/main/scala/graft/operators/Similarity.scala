@@ -2080,22 +2080,39 @@ object Similarity {
     */
   def ivfTopKBatch(
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(index.centroids)
+    ivfTopKBatchImpl(index, bc, queries, k, nprobe, sorted = true)
+  }
+
+  /** [[ivfTopKBatch]] against a CALLER-OWNED centroid broadcast — for
+    * repeated-batch callers (the streaming serve loop) that would
+    * otherwise re-ship the centroid table every micro-batch and
+    * accumulate dead broadcasts until a driver GC. `sorted = false`
+    * additionally skips the trailing global orderBy (a range-sampling
+    * pass + full sort shuffle) when the consumer doesn't need it —
+    * e.g. a Parquet append, whose multi-file order readers never see.
+    */
+  private[graft] def ivfTopKBatchImpl(
+      index: IvfIndex,
+      bcCentroids: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]],
+      queries: DataFrame, k: Int, nprobe: Int, sorted: Boolean): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(index.centroids)
     val probed = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
       .as[(Long, Array[Double])]
       .flatMap { case (qid, qv) =>
-        probesFor(bc.value, qv, nprobe).map(c => (qid, c, qv))
+        probesFor(bcCentroids.value, qv, nprobe).map(c => (qid, c, qv))
       }
       .toDF("qid", "cluster", "qvec")
     val scored = probed
       .join(index.assigned, "cluster")
       .select(F.col("qid"), F.col("id"),
         F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
-    graft.scale.Skew.heapTopKPerKey(scored, "qid", "score", "id", k)
-      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+    val top = graft.scale.Skew.heapTopKPerKey(scored, "qid", "score", "id", k)
+    if (sorted)
+      top.orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+    else top
   }
 
   /** The sub-center table of a two-level index: one row per inverted
@@ -2231,14 +2248,36 @@ object Similarity {
       ivfSubCenters(index).write.mode("overwrite")
         .partitionBy("cell").parquet(s"$path/subcenters")
     }
+    // a FLAT save over a path that previously held a two-level index
+    // must remove the hierarchy artifacts: a stale twolevel.json /
+    // subcenters/ would reference the OLD index's list ids, and loads
+    // would silently serve wrong hierarchical probes over the new lists
+    if (index.hier.isEmpty) {
+      val spark = index.assigned.sparkSession
+      val conf = spark.sessionState.newHadoopConf()
+      Seq(s"$path/twolevel.json", s"$path/subcenters").foreach { stale =>
+        val p = new org.apache.hadoop.fs.Path(stale)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
   }
 
   /** The sub-center table a two-level [[ivfSave]] wrote — feed it to
     * [[ivfTopKBatchHierSharded]] for broadcast-free probe selection
-    * against the persisted layout. */
+    * against the persisted layout. Fails actionably when the save was
+    * flat (or predates the subcenters layout — re-save to produce it).
+    */
   def ivfSubCentersAt(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/subcenters")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"no subcenters table under $path — the index there was saved flat " +
+        "(or by a pre-subcenters version); build with ivfBuildTwoLevel and " +
+        "ivfSave again, or derive the table in-memory with ivfSubCenters")
     spark.read.parquet(s"$path/subcenters").select("cell", "list", "cvec")
+  }
 
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val assigned = spark.read.parquet(s"$path/lists")

@@ -487,9 +487,17 @@ object StreamingOps {
     * with [[ivfAppendStream]] on the same saved layout for
     * continuous ingest + serve (reload to pick up appended vectors).
     *
-    * Exactly-once degrades to at-least-once on retry (duplicate
-    * (qid, id) rows, dedupable by key); Append mode, stateless —
-    * input-rate throughput.
+    * foreachBatch is REQUIRED here, not a choice: the retrieval runs
+    * joins and a per-key top-k (mapPartitions + window) that
+    * structured streaming cannot express on an unbounded frame — each
+    * micro-batch must be a bounded DataFrame. The cost is that
+    * exactly-once degrades to at-least-once on retry (duplicate
+    * (qid, id) rows, dedupable by key). The centroid broadcast is
+    * created ONCE and reused by every micro-batch (a per-batch
+    * broadcast would re-ship the centroid table each trigger and
+    * accumulate dead broadcasts until a driver GC), and the per-batch
+    * result skips the batch operator's trailing global sort — a
+    * multi-file Parquet append has no row order for readers anyway.
     *
     * Returns the started query; callers own its lifecycle.
     */
@@ -502,12 +510,16 @@ object StreamingOps {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val bcCentroids =
+      spark.sparkContext.broadcast(index.centroids)
     queries
       .select($"qid".cast("long").as("qid"),
         $"qvec".cast("array<double>").as("qvec"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.ivfTopKBatch(index, batch, k, nprobe)
+        graft.operators.Similarity
+          .ivfTopKBatchImpl(index, bcCentroids, batch, k, nprobe,
+            sorted = false)
           .write.mode("append").parquet(outPath)
       }
       .option("checkpointLocation", checkpoint)

@@ -1183,6 +1183,15 @@ class SimilaritySpec extends SparkSpec {
         val e = intercept[IllegalArgumentException](
           Similarity.ivfTopKBatchHierSharded(flat, qs, 5, 4))
         assert(e.getMessage.contains("ivfBuildTwoLevel"))
+        // a FLAT re-save over the two-level path removes the hierarchy
+        // artifacts — a stale twolevel.json/subcenters would reference
+        // the OLD list ids against the NEW lists
+        Similarity.ivfSave(flat, dir)
+        assert(Similarity.ivfLoad(s, dir).hier.isEmpty,
+          "stale hierarchy survived a flat re-save")
+        val e2 = intercept[IllegalArgumentException](
+          Similarity.ivfSubCentersAt(s, dir))
+        assert(e2.getMessage.contains("saved flat"))
       } finally Similarity.ivfRelease(flat)
     } finally Similarity.ivfRelease(tl)
   }
