@@ -28,7 +28,47 @@ object Bench {
       r.groupBy("k").sum("v").count()
       r.orderBy("v").limit(5).count()
     }
-    def timeRow(name: String)(body: => Unit): (String, Double) = {
+    // ---- stall-robust timing (VERDICT r9 #1) -------------------------
+    // BENCH_r09 read 206 s vs r8's 63 s with ~119 s of that in two rows
+    // the judge re-measured at 10.2/3.6 s isolated: the sandbox host
+    // pauses a warm JVM for 30-90 s at a time, and one wall-clock
+    // sample per row cannot tell "code got slower" from "hypervisor
+    // paused us". Defense, per row: (a) record process-CPU seconds
+    // next to wall seconds — a paused process accrues no CPU, so a
+    // stall shows as wall >> cpu; (b) when a row looks stalled (low
+    // cpu/wall on a heavy row, or wall > 3x the committed reference
+    // artifact's value for the same row), re-run it ONCE and keep the
+    // min — BOTH samples land in the file artifact ("retried" map
+    // holds the discarded wall) so the signal is auditable, never
+    // silently cleaned.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def procCpuSec(): Double = osBean.getProcessCpuTime / 1e9
+    // reference walls from the previously committed full artifact (same
+    // host class, final round-9 code). Rows absent from it — new
+    // operators — fall back to the cpu/wall rule alone.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL_r09_final.json")
+    val refWalls: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(refPath)), java.nio.charset.StandardCharsets.UTF_8)
+        val qIdx = txt.indexOf("\"queries\":{")
+        // reference walls only compare like-for-like: a run at a
+        // different scale factor than the artifact's gets the cpu/wall
+        // rule alone (an sf0.01 iteration run can never trip an sf0.1
+        // threshold, and vice versa a 10x-smaller ref would retry every
+        // legitimate row)
+        val sameSf = txt.contains(s""""sf":"${new java.io.File(sfDir).getName}"""")
+        if (qIdx < 0 || !sameSf) Map.empty
+        else {
+          val sub = txt.substring(qIdx + 11, txt.indexOf('}', qIdx))
+          "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(sub)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    case class Sample(wall: Double, cpu: Double, ok: Boolean)
+    def sampleOf(name: String)(body: => Unit): Sample = {
+      val c0 = procCpuSec()
       val t0 = System.nanoTime()
       val ok =
         try { body; true }
@@ -39,9 +79,34 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
+      Sample((System.nanoTime() - t0) / 1e9, procCpuSec() - c0, ok)
+    }
+    /** Stall heuristic. cpu < 0.45*wall on a >=3 s row: normal rows on
+      * local[32] burn >= ~1 core-second per wall second (parallel rows
+      * far more; even driver-serial phases ~1.0); a hypervisor pause
+      * accrues zero. The 3x-reference rule catches partial stalls
+      * inside highly-parallel rows where the active portion keeps the
+      * cpu ratio up.
+      */
+    def looksStalled(name: String, s: Sample): Boolean =
+      s.ok && s.wall >= 3.0 &&
+        (s.cpu < 0.45 * s.wall ||
+          refWalls.get(name).exists(r => r > 0 && s.wall > 3.0 * r))
+    val cpuSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timeRow(name: String)(body: => Unit): (String, Double) = {
+      val s1 = sampleOf(name)(body)
+      val s =
+        if (looksStalled(name, s1)) {
+          val s2 = sampleOf(name)(body)
+          val kept = if (s2.ok && s2.wall < s1.wall) s2 else s1
+          val drop = if (kept eq s1) s2 else s1
+          retried(name) = drop.wall
+          kept
+        } else s1
+      cpuSecs(name) = s.cpu
       // failures are reported as negative time so they can't pass as fast
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -sec)
+      name -> (if (s.ok) s.wall else -s.wall)
     }
     /** Total bytes currently cached in the block manager — the storage
       * footprint a query inherits from everything before it. Recorded
@@ -173,17 +238,22 @@ object Bench {
     // r5/r6 one, but r8 rotated two PQ-family flagships in and three
     // near-zero rows out (see benchExclude) — round-over-round compare
     // the per-query rows, not the slim total, across that boundary.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r09.json")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r10.json")
     val full =
       s"""{"metric":"total","value":${fmt(totalOf(results))},"unit":"sec",""" +
         s""""failed":$nFailed,"sf":"$sfName","queries":${toJson(results)},""" +
+        s""""cpu_sec":${toJson(cpuSecs.toSeq)},""" +
+        s""""retried":${toJson(retried.toSeq)},"ref":"$refPath",""" +
         s""""cached_mb_after":${toJson(storage.toSeq)}}""" + "\n"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), full)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}") }
     val slim = results.filter { case (name, _) =>
       only.isDefined || !SparkEntry.benchExclude(name) }
-    println(s"""{"metric":"total","value":${fmt(totalOf(slim))},"unit":"sec","failed":$nFailed,"queries":${toJson(slim)},"sf":"$sfName"}""")
+    // "retried": how many rows tripped the stall detector (their kept
+    // values are already the min-of-2) — a nonzero count on a noisy
+    // host is expected; the discarded samples live in the file artifact
+    println(s"""{"metric":"total","value":${fmt(totalOf(slim))},"unit":"sec","failed":$nFailed,"retried":${retried.size},"queries":${toJson(slim)},"sf":"$sfName"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }
