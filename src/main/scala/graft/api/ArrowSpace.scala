@@ -196,9 +196,17 @@ final case class ArrowSpaceModel private[api] (
       case _ => false
     }
     val top =
-      if (integralKey)
+      if (integralKey) {
+        // the heap form computes on LONG keys; cast back so both
+        // branches return the caller's input dtypes (ADVICE r9: an
+        // Int-keyed caller must not see LongType query_id/id only when
+        // the heap branch happened to run)
+        val qidT = qck.schema("query_id").dataType
+        val idT = scored.schema("id").dataType
         graft.scale.Skew.heapTopKPerKey(scored, "query_id", "score", "id", k)
-      else
+          .withColumn("query_id", F.col("query_id").cast(qidT))
+          .withColumn("id", F.col("id").cast(idT))
+      } else
         graft.scale.Skew.saltedTopKPerKey(
           scored, "query_id", Seq(F.col("score").desc, F.col("id").asc), k)
     val w = Window.partitionBy("query_id")

@@ -372,12 +372,28 @@ object Similarity {
       F.lit(0L), (acc, x) => acc + x)
 
   def binaryEncode(emb: DataFrame, persist: Boolean = true): BinaryIndex = {
-    val first = emb.select(F.col("vec")).limit(1).collect()
+    // dims from the SMALLEST id (TakeOrderedAndProject, one cheap
+    // job) — a bare limit(1) reads whichever partition answers first,
+    // so on a ragged corpus the probed width itself was nondeterministic
+    val first = emb.select(F.col("id"), F.col("vec"))
+      .orderBy(F.col("id").asc).limit(1).collect()
     require(first.nonEmpty, "binaryEncode: empty corpus — nothing to quantize")
-    val dims = first(0).getSeq[Any](0).length
+    val dims = first(0).getSeq[Any](1).length
+    val vecd = F.col("vec").cast("array<double>")
+    // per-row width check INSIDE the encode (ADVICE r9): element_at
+    // past the end yields NULL, which the sign predicate would pack as
+    // 0 — a ragged corpus produced silently corrupt codes where the
+    // query faces fail loudly. raise_error keeps the check codegen'd
+    // and names the offending row.
     val codes = emb.select(
       F.col("id"),
-      signBitsCol(F.col("vec").cast("array<double>"), dims).as("bits"))
+      F.when(F.size(vecd) === dims, signBitsCol(vecd, dims))
+        .otherwise(F.raise_error(F.concat(
+          F.lit("binaryEncode: vector for id "),
+          F.col("id").cast("string"),
+          F.lit(" has "), F.size(vecd).cast("string"),
+          F.lit(s" dims but the corpus is encoded at $dims"))))
+        .as("bits"))
     val out =
       if (persist)
         codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -535,6 +551,7 @@ object Similarity {
     val spark = bin.codes.sparkSession
     import spark.implicits._
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    val bcH = spark.sparkContext.broadcast(ivf.hier)
     val qs = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
     val dims = bin.dims
@@ -546,7 +563,8 @@ object Similarity {
           s"query $qid has ${qv.length} dims but index was encoded " +
             s"for $dims")
         val qbits = packSignBits(qv)
-        probesFor(bcC.value, qv, nprobe).map(c => (qid, c, qbits))
+        autoProbesFor(bcC.value, bcH.value, qv, nprobe)
+          .map(c => (qid, c, qbits))
       }
       .toDF("qid", "cluster", "qbits")
     val withBits = ivf.assigned.select("id", "cluster")
@@ -995,6 +1013,7 @@ object Similarity {
     val spark = sq8.codes.sparkSession
     import spark.implicits._
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    val bcH = spark.sparkContext.broadcast(ivf.hier)
     val qs = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
     // SAME physical shape as the proven ivfTopKBatch: the query vector
@@ -1011,7 +1030,8 @@ object Similarity {
     val probed = qs
       .as[(Long, Array[Double])]
       .flatMap { case (qid, qv) =>
-        probesFor(bcC.value, qv, nprobe).map(c => (qid, c, qv))
+        autoProbesFor(bcC.value, bcH.value, qv, nprobe)
+          .map(c => (qid, c, qv))
       }
       .toDF("qid", "cluster", "qvec")
     val withCodes = ivf.assigned.select("id", "cluster")
@@ -1063,6 +1083,7 @@ object Similarity {
     val ksub = pq.ksub
     val dsub = pq.dsub
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    val bcH = spark.sparkContext.broadcast(ivf.hier)
     val bcBooks = spark.sparkContext.broadcast(pq.books)
     val qs = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
@@ -1107,7 +1128,8 @@ object Similarity {
           s += 1
         }
         val qnorm = math.sqrt(q.map(x => x * x).sum)
-        probesFor(bcC.value, q, nprobe).map(c => (qid, c, lutDot, qnorm))
+        autoProbesFor(bcC.value, bcH.value, q, nprobe)
+          .map(c => (qid, c, lutDot, qnorm))
       }
       .toDF("qid", "cluster", "lutd", "qnorm")
     val withCodes = ivf.assigned.select("id", "cluster")
@@ -1335,6 +1357,7 @@ object Similarity {
     val ksub = pqr.ksub
     val dsub = pqr.dsub
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    val bcH = spark.sparkContext.broadcast(ivf.hier)
     val bcBooks = spark.sparkContext.broadcast(pqr.books)
     val qs = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
@@ -1360,7 +1383,7 @@ object Similarity {
         }
         val qnorm = math.sqrt(qv.map(x => x * x).sum)
         val cents = bcC.value
-        probesFor(cents, qv, nprobe).map { c =>
+        autoProbesFor(cents, bcH.value, qv, nprobe).map { c =>
           // centroids are index-ordered by construction (ivfBuild /
           // ivfLoad both emit (0..k-1)); fall back to a scan if a
           // future construction breaks that
@@ -1870,6 +1893,36 @@ object Similarity {
       .take(nprobe)
       .map(_._1)
 
+  /** Default coarse-cell budget for AUTO-routed hierarchical probe
+    * selection (mirrors [[ivfTopKBatchHier]]'s default). At ≤ 4
+    * non-empty cells this is the degenerate point — probes equal the
+    * flat array element-for-element — so every oracled/spec'd
+    * configuration built at ≤ 16 lists (≤ 4 coarse cells) is
+    * byte-unchanged by the routing.
+    */
+  private val DefaultCoarseCells = 4
+
+  /** Probe selection for every batch face (VERDICT r9 #2): when the
+    * index carries a [[TwoLevelHier]], pick probes hierarchically —
+    * (√k + p·k/√k)·F flops per query instead of k·F — otherwise flat.
+    * With corpus-proportional lists k grows with N, so the flat
+    * selection is a hidden O(N)-per-query term; routing here makes the
+    * DEFAULT batch/mining paths take the scale-safe plan whenever the
+    * build side produced a hierarchy (which [[ivfBuildAuto]] does past
+    * the measured 128-list flat-fit cliff), instead of leaving the
+    * fast path as an opt-in sibling the un-tuned caller never finds.
+    * Callers that need an explicit coarse-cell budget keep the *Hier
+    * faces.
+    */
+  private def autoProbesFor(
+      centroids: Array[(Int, Array[Double])], hier: Option[TwoLevelHier],
+      query: Array[Double], nprobe: Int): Array[Int] =
+    hier match {
+      case Some(h) =>
+        hierProbesFor(centroids, h, query, nprobe, DefaultCoarseCells)
+      case None => probesFor(centroids, query, nprobe)
+    }
+
   /** Hierarchical probe selection against a [[TwoLevelHier]]-carrying
     * index: rank the √k coarse cells by cosine distance (ties →
     * smaller cell), scan sub-centers of the best `coarseCells`
@@ -2037,11 +2090,13 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(index.centroids)
+    val bcH = spark.sparkContext.broadcast(index.hier)
     val probed = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
       .as[(Long, Array[Double])]
       .flatMap { case (qid, qv) =>
-        probesFor(bc.value, qv, nprobe).map(c => (qid, c, qv))
+        autoProbesFor(bc.value, bcH.value, qv, nprobe)
+          .map(c => (qid, c, qv))
       }
       .toDF("qid", "cluster", "qvec")
     // distinct for the same reason as [[ivfTopKWhere]]: multi-valued
@@ -2077,24 +2132,36 @@ object Similarity {
     * rank on the rounded score with id tiebreak (the engine's batch
     * parity convention). Query vectors ride through the join once each
     * — fine for probe-bounded fan-out (nprobe rows per query).
+    *
+    * Probe selection AUTO-ROUTES (r10, VERDICT r9 #2): an index
+    * carrying a [[TwoLevelHier]] (any [[ivfBuildTwoLevel]] /
+    * size-routed [[ivfBuildAuto]] product, or a two-level save
+    * reloaded) picks probes hierarchically at [[DefaultCoarseCells]]
+    * — identical to flat at ≤ 4 non-empty cells, the scale-safe
+    * (√k + p·k/√k)·F selection beyond. [[ivfTopKBatchHier]] remains
+    * for an explicit coarse-cell budget; a flat index is unchanged.
     */
   def ivfTopKBatch(
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(index.centroids)
-    ivfTopKBatchImpl(index, bc, queries, k, nprobe, sorted = true)
+    val sc = queries.sparkSession.sparkContext
+    ivfTopKBatchImpl(index, sc.broadcast(index.centroids),
+      sc.broadcast(index.hier), queries, k, nprobe, sorted = true)
   }
 
-  /** [[ivfTopKBatch]] against a CALLER-OWNED centroid broadcast — for
-    * repeated-batch callers (the streaming serve loop) that would
-    * otherwise re-ship the centroid table every micro-batch and
-    * accumulate dead broadcasts until a driver GC. `sorted = false`
-    * additionally skips the trailing global orderBy (a range-sampling
-    * pass + full sort shuffle) when the consumer doesn't need it —
-    * e.g. a Parquet append, whose multi-file order readers never see.
+  /** [[ivfTopKBatch]] against CALLER-OWNED centroid/hierarchy
+    * broadcasts — for repeated-batch callers (the streaming serve
+    * loop) that would otherwise re-ship the centroid table every
+    * micro-batch and accumulate dead broadcasts until a driver GC.
+    * `sorted = false` additionally skips the trailing global orderBy
+    * (a range-sampling pass + full sort shuffle) when the consumer
+    * doesn't need it — e.g. a Parquet append, whose multi-file order
+    * readers never see. Probe selection auto-routes hierarchically
+    * when the index carries a hierarchy ([[autoProbesFor]]).
     */
   private[graft] def ivfTopKBatchImpl(
       index: IvfIndex,
       bcCentroids: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]],
+      bcHier: org.apache.spark.broadcast.Broadcast[Option[TwoLevelHier]],
       queries: DataFrame, k: Int, nprobe: Int, sorted: Boolean): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -2102,7 +2169,8 @@ object Similarity {
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
       .as[(Long, Array[Double])]
       .flatMap { case (qid, qv) =>
-        probesFor(bcCentroids.value, qv, nprobe).map(c => (qid, c, qv))
+        autoProbesFor(bcCentroids.value, bcHier.value, qv, nprobe)
+          .map(c => (qid, c, qv))
       }
       .toDF("qid", "cluster", "qvec")
     val scored = probed
@@ -2219,6 +2287,15 @@ object Similarity {
   def ivfSave(index: IvfIndex, path: String): Unit = {
     index.assigned.write.mode("overwrite")
       .partitionBy("cluster").parquet(s"$path/lists")
+    // a re-save defines a NEW index: streamed appends under the old
+    // quantizer would load as rows assigned by centroids that no
+    // longer exist — remove them with the other stale artifacts
+    locally {
+      val spark = index.assigned.sparkSession
+      val p = new org.apache.hadoop.fs.Path(s"$path/applists")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val cent = index.centroids
       .map { case (c, v) => s"""[$c,[${v.mkString(",")}]]""" }
       .mkString("[", ",", "]")
@@ -2280,7 +2357,22 @@ object Similarity {
   }
 
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val assigned = spark.read.parquet(s"$path/lists")
+    val base = spark.read.parquet(s"$path/lists")
+      .select("id", "vec", "cluster")
+    // streamed appends live in their own root (`applists`, partitioned
+    // by (seg, cluster) — seg is the writing micro-batch's id, which
+    // makes a replayed batch an idempotent overwrite instead of a
+    // duplicate, ADVICE r9). Partition pruning on `cluster` applies to
+    // BOTH scans, so a probe still reads only its nprobe lists from
+    // each root; absence = no appends, the plain save layout.
+    val ap = new org.apache.hadoop.fs.Path(s"$path/applists")
+    val hasAppends = ap.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(ap)
+    val assigned =
+      if (hasAppends)
+        base.unionByName(
+          spark.read.parquet(s"$path/applists").select("id", "vec", "cluster"))
+      else base
     def entries(txt: String): Array[(Int, Array[Double])] =
       "\\[(\\d+),\\[([^\\]]*)\\]\\]".r.findAllMatchIn(txt).map { m =>
         (m.group(1).toInt,
@@ -2298,6 +2390,54 @@ object Similarity {
         entries(cellsTxt).sortBy(_._1).map(_._2.map(_.toInt)))
     }
     IvfIndex(assigned, cent, k, hier)
+  }
+
+  /** Fold the streamed append segments of a saved layout into ONE
+    * segment (VERDICT r9 #5a): a long-running [[graft.streaming
+    * .StreamingOps.ivfAppendStream]] accumulates a file per (batch ×
+    * touched list) — thousands of tiny files whose open/footer cost
+    * eventually dominates the probed scans. This reads `applists`
+    * (all segments), rewrites it as a single segment with
+    * `maxRecordsPerFile`-bounded files, and swaps the directory in;
+    * the BASE corpus under `lists` is never rewritten — at 100 TB the
+    * base dwarfs the appends and recompacting it from an ingest hook
+    * would be the real scale bug. The merged segment takes seg = -1 -
+    * (previous most-negative), so it can never collide with a future
+    * micro-batch id (those are >= 0 and monotone under one
+    * checkpoint). Readers racing the swap see either the old segments
+    * or the merged one — the brief applists-absent window between
+    * delete and rename can drop appends from a CONCURRENT ivfLoad;
+    * run compaction from the ingest hook (sequential with writes) and
+    * let the serve loop's periodic reload pick up the result.
+    * Returns the number of files after compaction (0 = no appends).
+    */
+  def ivfCompactAppends(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileRows: Int = 4000000): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val ap = new org.apache.hadoop.fs.Path(s"$path/applists")
+    val fs = ap.getFileSystem(conf)
+    if (!fs.exists(ap) || fs.listStatus(ap).isEmpty) return 0
+    val cur = spark.read.parquet(s"$path/applists")
+    val minSegRow = cur.agg(F.min(F.col("seg").cast("long"))).head
+    if (minSegRow.isNullAt(0)) return 0 // segments exist but hold no rows
+    val mergedSeg = math.min(-1L, minSegRow.getLong(0) - 1L)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/applists_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // cluster-aligned shuffle so each list leaf gets ONE file (bounded
+    // by maxRecordsPerFile) — without it every input segment task
+    // re-emits a file per touched cluster and the "compaction" can
+    // leave the file count unchanged
+    cur.select("id", "vec", "cluster")
+      .repartition(F.col("cluster"))
+      .withColumn("seg", F.lit(mergedSeg))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetFileRows.toLong)
+      .partitionBy("seg", "cluster")
+      .parquet(tmp.toString)
+    fs.delete(ap, true)
+    fs.rename(tmp, ap)
+    spark.read.parquet(s"$path/applists").inputFiles.length
   }
 
   private def readSidecar(
@@ -2486,8 +2626,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count() // materialize before releasing the bare index
     ivfRelease(index)
-    hardNegativesProbed(assigned, index.centroids, queries, k, nprobe,
-      release = Seq(assigned))
+    hardNegativesProbed(assigned, index.centroids, index.hier,
+      queries, k, nprobe, release = Seq(assigned))
   }
 
   /** Size-routed IVF build: flat [[ivfBuild]] up to 128 lists,
@@ -2529,8 +2669,8 @@ object Similarity {
       F.col("id").cast("long"), F.col("label").cast("string"))
     val assigned = index.assigned.join(lab, "id")
       .select("id", "vec", "label", "cluster")
-    hardNegativesProbed(assigned, index.centroids, queries, k, nprobe,
-      release = Seq.empty)
+    hardNegativesProbed(assigned, index.centroids, index.hier,
+      queries, k, nprobe, release = Seq.empty)
   }
 
   /** Shared probe→filter→score→top-k core of both
@@ -2541,6 +2681,7 @@ object Similarity {
     */
   private def hardNegativesProbed(
       assigned: DataFrame, centroids: Array[(Int, Array[Double])],
+      hier: Option[TwoLevelHier],
       queries: DataFrame, k: Int, nprobe: Int,
       release: Seq[DataFrame]): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
@@ -2550,12 +2691,14 @@ object Similarity {
     val spark = assigned.sparkSession
     import spark.implicits._
     val bcC = spark.sparkContext.broadcast(centroids)
+    val bcH = spark.sparkContext.broadcast(hier)
     val probed = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"),
         F.col("qlabel").cast("string"))
       .as[(Long, Array[Double], String)]
       .flatMap { case (qid, qv, ql) =>
-        probesFor(bcC.value, qv, nprobe).map(c => (qid, c, qv, ql))
+        autoProbesFor(bcC.value, bcH.value, qv, nprobe)
+          .map(c => (qid, c, qv, ql))
       }
       .toDF("qid", "cluster", "qvec", "qlabel")
     val scored = probed
@@ -2670,29 +2813,43 @@ object Similarity {
     */
   def bitextMineApprox(
       a: DataFrame, b: DataFrame, k: Int = 4, threshold: Double = 1.0,
-      nLists: Int = 0, nprobe: Int = 12): DataFrame = {
+      nLists: Int = 0, nprobe: Int = 0): DataFrame = {
     require(nLists >= 0,
       s"nLists must be positive, or 0 for corpus-proportional auto-sizing; got $nLists")
+    require(nprobe >= 0,
+      s"nprobe must be positive, or 0 for the sizing-matched default; got $nprobe")
+    // nprobe's meaning depends on list granularity (it buys listSize
+    // candidate rows per probe), so the default follows the sizing:
+    // 16 probes over auto-sized ~40-row lists (the committed fine-list
+    // operating point — ~640 scored rows/query) vs the historical 12
+    // over an explicit flat index whose list size the caller chose.
+    val np = if (nprobe > 0) nprobe else if (nLists > 0) 12 else 16
     val sa = a.select(F.col("id").cast("long").as("id"),
       F.col("vec").cast("array<double>").as("vec"))
     val sb = b.select(F.col("id").cast("long").as("id"),
       F.col("vec").cast("array<double>").as("vec"))
     // nLists = 0 (the default) sizes each side's lists to ITS corpus
-    // (constant ~625-row lists, [[suggestLists]]): a fixed default
-    // means every list grows with N and an N-query mining pass goes
-    // quadratic — the sizing floor (16) reproduces the old fixed
-    // default at spec/oracle scale, so small-corpus behavior is
-    // unchanged while an un-tuned large-corpus call stays linear.
-    // Auto-sized builds route through [[autoBuild]] (two-level past
-    // the measured 256-list flat-fit cliff); explicit nLists keeps
-    // the flat fit the caller chose.
+    // at FINE granularity (~40-row lists, [[suggestLists]]): scored
+    // candidate volume is the measured cost driver of the mining rows
+    // (per-pair cost is flat across scale points), and 40-row lists at
+    // the default nprobe budget score ~an order of magnitude fewer
+    // rows per query than the 625-row sizing this default shipped with
+    // through r9 — the committed fine-list rows ran 21-48 s where the
+    // 625-list defaults ran 122-322 s at the same points (VERDICT r9
+    // #2). Fine sizing crosses ivfBuildAuto's 128-list threshold at
+    // ~5k rows/side, so the build is two-level and the batch
+    // retrievals inside route hierarchically ([[autoProbesFor]]) —
+    // the un-tuned call takes the scale-safe plan end to end. The
+    // sizing floor (16) keeps spec/oracle-scale corpora on the flat
+    // fit, byte-unchanged. Explicit nLists keeps the flat fit the
+    // caller chose.
     val idxB = autoBuild(sb,
-      if (nLists > 0) nLists else suggestLists(sb.count(), 625),
+      if (nLists > 0) nLists else suggestLists(sb.count(), 40),
       twoLevel = nLists == 0)
     val idxA = autoBuild(sa,
-      if (nLists > 0) nLists else suggestLists(sa.count(), 625),
+      if (nLists > 0) nLists else suggestLists(sa.count(), 40),
       twoLevel = nLists == 0)
-    try bitextMineApprox(idxA, idxB, sa, sb, k, threshold, nprobe)
+    try bitextMineApprox(idxA, idxB, sa, sb, k, threshold, np)
     finally {
       ivfRelease(idxA)
       ivfRelease(idxB)

@@ -380,4 +380,118 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.size == 9)
     } finally Similarity.ivfRelease(idx)
   }
+
+  test("ivfAppendSegment replay is idempotent; compaction preserves rows; drift is measured") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Similarity
+    val F = org.apache.spark.sql.functions
+    def vec(i: Int) = Array.tabulate(8)(f =>
+      math.sin((i % 5) * 0.9 + f * 0.7) + (if (f == i % 8) 1.5 else 0.0))
+    val base = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val built = Similarity.ivfBuild(base, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-replay").toString
+    Similarity.ivfSave(built, dir)
+    val model = graft.scale.DeterministicKMeans.Model(
+      built.centroids.sortBy(_._1).map(_._2))
+    def assigned(rows: Seq[(Long, Array[Double])]) =
+      graft.scale.DeterministicKMeans.assign(
+        rows.toDF("id", "vec"), model, idCol = "id", vecCol = "vec")
+        .select("id", "vec", "cluster")
+    // the replay law (ADVICE r9): writing the SAME micro-batch segment
+    // twice — a foreachBatch retry — must not duplicate served rows
+    val seg0 = Seq((100L, vec(3)), (101L, vec(7)))
+    StreamingOps.ivfAppendSegment(assigned(seg0), dir, seg = 0L)
+    StreamingOps.ivfAppendSegment(assigned(seg0), dir, seg = 0L)
+    assert(Similarity.ivfLoad(s, dir).assigned.count() == 42L,
+      "replayed segment duplicated rows")
+    // more segments, then compaction: row set identical, fewer files
+    for (seg <- 1L to 4L)
+      StreamingOps.ivfAppendSegment(
+        assigned(Seq((200L + seg, vec(seg.toInt)))), dir, seg)
+    def loadedRows() = Similarity.ivfLoad(s, dir).assigned
+      .select(F.col("id").cast("long"), F.col("cluster").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = loadedRows()
+    val filesBefore = s.read.parquet(s"$dir/applists").inputFiles.length
+    val filesAfter = Similarity.ivfCompactAppends(s, dir)
+    assert(filesAfter > 0 && filesAfter < filesBefore,
+      s"compaction did not shrink the segment files: $filesBefore -> $filesAfter")
+    assert(loadedRows() == before, "compaction changed the served rows")
+    // appends AFTER a compaction coexist with the merged segment
+    StreamingOps.ivfAppendSegment(assigned(Seq((300L, vec(2)))), dir, 5L)
+    assert(loadedRows() == before + ((300L,
+      Similarity.ivfLoad(s, dir).assigned.where(F.col("id") === 300L)
+        .select(F.col("cluster").cast("long")).head.getLong(0))))
+    // drift metric: uniform ingest stays near 1/lists-touched spread;
+    // collapsing everything onto one centroid's list reads ~1.0
+    val uniform = new StreamingOps.IvfIngestMonitor
+    uniform.recordBatch(Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
+    assert(uniform.topDecileShare <= 0.30,
+      s"uniform ingest misread as drift: ${uniform.topDecileShare}")
+    val drifted = new StreamingOps.IvfIngestMonitor
+    drifted.recordBatch(Seq((0L, 970L), (1L, 10L), (2L, 10L), (3L, 10L)))
+    assert(drifted.driftExceeds(0.5),
+      s"collapsed ingest not flagged: ${drifted.topDecileShare}")
+    // the stream face wires both hooks: run two batches with
+    // compactEverySegs = 1 and a monitor — every batch compacts, the
+    // monitor sees the mass
+    val mon = new StreamingOps.IvfIngestMonitor
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = StreamingOps.ivfAppendStream(
+      in.toDF().toDF("id", "vec"), dir, dir + "/ckpt2",
+      compactEverySegs = 1, monitor = Some(mon))
+    in.addData((400L, vec(1)), (401L, vec(2)))
+    q.processAllAvailable()
+    in.addData((402L, vec(3)))
+    q.processAllAvailable()
+    q.stop()
+    assert(mon.batchesSeen == 2 && mon.rowsAppended == 3,
+      s"monitor saw ${mon.batchesSeen} batches / ${mon.rowsAppended} rows")
+    assert(mon.compactionsRun >= 1, "compaction hook never fired")
+    assert(Similarity.ivfLoad(s, dir).assigned
+      .where(F.col("id") >= 400L).count() == 3L)
+    Similarity.ivfRelease(built)
+  }
+
+  test("reloading query face serves appended vectors without a restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Similarity
+    val F = org.apache.spark.sql.functions
+    def vec(i: Int) = Array.tabulate(8)(f =>
+      math.sin((i % 5) * 0.9 + f * 0.7) + (if (f == i % 8) 1.5 else 0.0))
+    val base = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val built = Similarity.ivfBuild(base, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-reload").toString
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = StreamingOps.ivfQueryStream(
+      in.toDF().toDF("qid", "qvec"), dir, k = 3, nprobe = 4,
+      dir + "/out", dir + "/ckpt", reloadEveryBatches = 1)
+    // batch 1: probe for a vector that is NOT yet in the index
+    in.addData((900L, vec(77)))
+    q.processAllAvailable()
+    // append id 777 = exactly vec(77), then query again — the reload
+    // (every batch) must make it visible to batch 2 without a restart
+    val model = graft.scale.DeterministicKMeans.Model(
+      Similarity.ivfLoad(s, dir).centroids.sortBy(_._1).map(_._2))
+    StreamingOps.ivfAppendSegment(
+      graft.scale.DeterministicKMeans.assign(
+        Seq((777L, vec(77))).toDF("id", "vec"), model,
+        idCol = "id", vecCol = "vec").select("id", "vec", "cluster"),
+      dir, seg = 0L)
+    in.addData((901L, vec(77)))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.read.parquet(dir + "/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!out.contains((900L, 777L)),
+      "batch 1 saw a vector appended after it ran")
+    assert(out.contains((901L, 777L)),
+      s"reload did not surface the appended vector: $out")
+  }
 }
