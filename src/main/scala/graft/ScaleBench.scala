@@ -151,6 +151,12 @@ object ScaleBench {
         .where(F.col("jaccard") >= 0.8).count()
     }
     bench("d_simhash_neardup") {
+      // the SHIPPED default — density-aware since r10: the pre-join
+      // mass probe picks d=6 while linear, d=3 once dense. On this
+      // synthetic corpus (planted dup mass) the probe falls over to
+      // d=3, so this row should track d_simhash_neardup_d3 below plus
+      // one probe aggregation — compare the two directly; rounds
+      // before r10 measured the fixed d=6 radius here (45-143 s)
       Dedup.simhashNearDupPairs(docs).count()
     }
     bench("d_simhash_neardup_d3") {

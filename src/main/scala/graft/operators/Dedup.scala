@@ -991,10 +991,31 @@ object Dedup {
     * (doc_a, doc_b, hamming), hamming ≤ maxDist, deduped, ordered.
     */
   def simhashNearDupPairs(
-      docs: DataFrame, maxDist: Int = 6, nBlocks: Int = 0,
-      maxCandidatePairs: Long = 2000000000L): DataFrame = {
-    require(maxDist >= 0 && maxDist < SimhashBits,
-      s"maxDist must be in [0, $SimhashBits), got $maxDist")
+      docs: DataFrame, maxDist: Int = -1, nBlocks: Int = 0,
+      maxCandidatePairs: Long = 2000000000L,
+      autoPairsPerDoc: Int = 32): DataFrame = {
+    require(maxDist == -1 || (maxDist >= 0 && maxDist < SimhashBits),
+      s"maxDist must be in [0, $SimhashBits), or -1 for the " +
+        s"density-aware default, got $maxDist")
+    require(autoPairsPerDoc > 0,
+      s"autoPairsPerDoc must be positive; got $autoPairsPerDoc")
+    // DENSITY-AWARE DEFAULT (VERDICT r9 #4): maxDist = -1 measures the
+    // candidate mass the gate already computes — the operator has the
+    // number in hand BEFORE it chooses to explode — and picks the
+    // radius from it: the comfortable d = 6 while the mass stays
+    // linear in the corpus (≤ autoPairsPerDoc emitted candidates per
+    // doc), falling over to the published billion-doc operating point
+    // d = 3 (Manku et al. 2007 run d = 3 on 8B docs) once d = 6's
+    // buckets go dense. Measured (SCALE_BENCH_r09): d = 6 walls
+    // output-superlinearly on dense corpora (45→143 s at 2× docs)
+    // while d = 3 tracks 1.94× at 3× output — the default a naive
+    // user gets should be the radius that survives their corpus, with
+    // the explicit override untouched. The extra cost of the probe is
+    // one aggregation over the persisted signatures per considered
+    // radius (no join, no pair emission).
+    val auto = maxDist < 0
+    require(!auto || nBlocks == 0,
+      "nBlocks tunes one radius's blocking — pass an explicit maxDist with it")
     // C(n, k) without overflow drama: acc stays a binomial at each step
     def nChooseK(n: Int, k: Int): Long =
       (0 until k).foldLeft(1L)((acc, i) => acc * (n - i) / (i + 1))
@@ -1012,75 +1033,94 @@ object Dedup {
     // larger radii degrade to the classic maxDist+1 single-chunk
     // scheme (always maxDist+1 keys/row).
     val MaxSubsets = 1024L
-    val b0 =
-      if (nBlocks > 0) nBlocks
-      else if (maxDist <= 8) math.min(SimhashBits, maxDist + 3)
-      else math.min(SimhashBits, maxDist + 1)
-    require(b0 > maxDist && b0 <= SimhashBits,
-      s"nBlocks must be in (maxDist, $SimhashBits], got $b0 for maxDist=$maxDist")
-    val nSubsets = nChooseK(b0, b0 - maxDist)
-    require(nSubsets <= MaxSubsets,
-      s"simhashNearDupPairs: C($b0, ${b0 - maxDist}) = $nSubsets blocking keys " +
-        "per row would be enumerated into the plan (driver-side). Lower " +
-        "nBlocks toward maxDist+1 (wider subsets, fewer keys per row).")
-    val base = SimhashBits / b0
-    val rem = SimhashBits % b0
-    def blockVal(i: Int): Column = {
-      val start = i * base + math.min(i, rem)
-      val len = base + (if (i < rem) 1 else 0)
-      val mask = if (len >= 64) -1L else (1L << len) - 1L
-      F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(F.lit(mask))
-    }
-    val keyStructs = (0 until b0).combinations(b0 - maxDist).toSeq
-      .zipWithIndex.map { case (subset, si) =>
-        F.struct(
-          F.lit(si).as("ss"),
-          F.array(subset.map(blockVal): _*).as("kv"))
-      }
     // persist the signatures: both sides of the self-join read the
     // cached frame instead of re-evaluating the per-row 64-lane
     // aggregate (higher-order functions are interpreted, not codegen'd)
     val sh = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keyed = sh
-      .select(
-        F.col("doc_id"), F.col("simhash"),
-        F.explode(F.array(keyStructs: _*)).as("bk"))
-      .select(
-        F.col("doc_id"), F.col("simhash"),
-        F.col("bk.ss").as("ss"), F.col("bk.kv").as("kv"))
+    /** Blocking-key rows for one radius: (doc_id, simhash, ss, kv). */
+    def keyedAt(d: Int): DataFrame = {
+      val b0 =
+        if (nBlocks > 0) nBlocks
+        else if (d <= 8) math.min(SimhashBits, d + 3)
+        else math.min(SimhashBits, d + 1)
+      require(b0 > d && b0 <= SimhashBits,
+        s"nBlocks must be in ($d, $SimhashBits], got $b0 for maxDist=$d")
+      val nSubsets = nChooseK(b0, b0 - d)
+      require(nSubsets <= MaxSubsets,
+        s"simhashNearDupPairs: C($b0, ${b0 - d}) = $nSubsets blocking keys " +
+          "per row would be enumerated into the plan (driver-side). Lower " +
+          "nBlocks toward maxDist+1 (wider subsets, fewer keys per row).")
+      val base = SimhashBits / b0
+      val rem = SimhashBits % b0
+      def blockVal(i: Int): Column = {
+        val start = i * base + math.min(i, rem)
+        val len = base + (if (i < rem) 1 else 0)
+        val mask = if (len >= 64) -1L else (1L << len) - 1L
+        F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(F.lit(mask))
+      }
+      val keyStructs = (0 until b0).combinations(b0 - d).toSeq
+        .zipWithIndex.map { case (subset, si) =>
+          F.struct(
+            F.lit(si).as("ss"),
+            F.array(subset.map(blockVal): _*).as("kv"))
+        }
+      sh.select(
+          F.col("doc_id"), F.col("simhash"),
+          F.explode(F.array(keyStructs: _*)).as("bk"))
+        .select(
+          F.col("doc_id"), F.col("simhash"),
+          F.col("bk.ss").as("ss"), F.col("bk.kv").as("kv"))
+    }
+    /** The pre-join bucket pair mass Σ C(n_bucket, 2) — an upper bound
+      * on scored candidates (duplicate subset collisions count once
+      * per subset — conservative by design). ONE aggregation over the
+      * persisted signatures; no join, no pair emission.
+      */
+    def massOf(keyed: DataFrame): Long = keyed.groupBy("ss", "kv")
+      .agg(F.count(F.lit(1)).as("n"))
+      .where(F.col("n") > 1)
+      .agg(F.coalesce(F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0L)))
+      .head.getLong(0)
+    // pick the radius; remember its mass so the gate below never pays
+    // the probe twice for the same blocking
+    var knownMass = Option.empty[Long]
+    val chosenDist =
+      if (!auto) maxDist
+      else {
+        val m6 = massOf(keyedAt(6))
+        val budget = autoPairsPerDoc.toLong * math.max(1L, sh.count())
+        if (m6 <= budget) { knownMass = Some(m6); 6 }
+        else {
+          graft.core.Debug.log(
+            s"simhash auto: d=6 candidate mass $m6 > $budget " +
+              s"(${autoPairsPerDoc}/doc) — falling over to d=3")
+          3
+        }
+      }
+    val keyed = keyedAt(chosenDist)
     // CANDIDATE-MASS GATE (VERDICT r8 #1): the operator's cost — and,
     // on dense corpora, its OUTPUT — is bounded below by the bucket
-    // pair mass Σ C(n_bucket, 2), which grows quadratically in bucket
-    // occupancy while the corpus only grows linearly (measured: 4.07×
-    // pairs at 2× docs at the 80× scale bench, default maxDist = 6).
-    // Rather than wall silently at scale, measure the mass BEFORE the
-    // join with ONE cheap aggregation over the already-persisted
-    // signatures (no join, no pair emission) and fail actionably: the
-    // published production operating point for SimHash dedup at the
-    // multi-billion-doc scale is maxDist = 3 (Manku et al. 2007 run
-    // d = 3 on 8B docs), and tightening the radius is the fix that
-    // shrinks both the buckets and the emitted pair set. The mass is
-    // an upper bound on scored candidates (duplicate subset collisions
-    // count once per subset — conservative by design); Long.MaxValue
-    // disables the probe.
+    // pair mass, which grows quadratically in bucket occupancy while
+    // the corpus only grows linearly (measured: 4.07× pairs at 2× docs
+    // at the 80× scale bench, maxDist = 6). Rather than wall silently
+    // at scale, measure the mass BEFORE the join and fail actionably.
+    // Long.MaxValue disables the gate (auto mode still measures — the
+    // probe is its decision input, the gate is a separate contract).
     if (maxCandidatePairs < Long.MaxValue) {
-      val mass = keyed.groupBy("ss", "kv")
-        .agg(F.count(F.lit(1)).as("n"))
-        .where(F.col("n") > 1)
-        .agg(F.coalesce(F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0L)))
-        .head.getLong(0)
+      val mass = knownMass.getOrElse(massOf(keyed))
       if (mass > maxCandidatePairs) {
         sh.unpersist(blocking = false)
         throw new IllegalArgumentException(
           s"simhashNearDupPairs: blocking buckets hold ~$mass candidate " +
             s"pairs (> maxCandidatePairs=$maxCandidatePairs) at " +
-            s"maxDist=$maxDist — on a corpus this dense the pair emission " +
-            "itself is the bottleneck (output grows superlinearly in doc " +
-            "count). Tighten the radius toward the published " +
-            "billion-doc operating point maxDist=3 (Manku et al. 2007), " +
-            "raise maxCandidatePairs explicitly if the cost is truly " +
-            "acceptable, or pass Long.MaxValue to disable the probe.")
+            s"maxDist=$chosenDist — on a corpus this dense the pair " +
+            "emission itself is the bottleneck (output grows " +
+            "superlinearly in doc count). Tighten the radius toward the " +
+            "published billion-doc operating point maxDist=3 (Manku et " +
+            "al. 2007), raise maxCandidatePairs explicitly if the cost " +
+            "is truly acceptable, or pass Long.MaxValue to disable the " +
+            "probe.")
       }
     }
     val a = keyed.select(F.col("ss"), F.col("kv"),
@@ -1094,7 +1134,7 @@ object Dedup {
     val pairs = a.join(b, Seq("ss", "kv"))
       .where(F.col("doc_a") < F.col("doc_b"))
       .withColumn("hamming", hammingDist(F.col("ha"), F.col("hb")))
-      .where(F.col("hamming") <= maxDist)
+      .where(F.col("hamming") <= chosenDist)
       .select("doc_a", "doc_b", "hamming")
       .dropDuplicates("doc_a", "doc_b")
       .orderBy(F.col("hamming").asc, F.col("doc_a").asc, F.col("doc_b").asc)
