@@ -605,7 +605,13 @@ object ScaleBench {
         .where(F.col("src") =!= F.col("dst"))
       val symg = e.unionByName(
         e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
-      graft.graph.GraphAnalytics.kCore(symg, k = 12, maxRounds = 20).count()
+      // rounds land in the artifact next to the seconds (VERDICT r9
+      // #6): a wall swing on this row is attributable to round count
+      // vs stragglers only when both are recorded
+      val (core, rounds) = graft.graph.GraphAnalytics
+        .kCoreWithRounds(symg, k = 12, maxRounds = 20)
+      bytesRows("g_kcore_rounds") = rounds.toLong
+      core.count()
     }
     bench("g_hop_distances") {
       // BFS hops from one source over the k-core row's graph shape

@@ -517,47 +517,77 @@ object GraphAnalytics {
     * the engine's kNN graphs are). Output: (id, deg) for core
     * members, deg = degree WITHIN the core, ordered by id.
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame =
+    kCoreWithRounds(edges, k, maxRounds)._1
+
+  /** [[kCore]] exposing the peel-round count — the data-dependent term
+    * that owns a 30-round job's wall time; the scale artifacts record
+    * it next to the seconds so a 2× wall swing can be attributed to
+    * rounds vs stragglers (VERDICT r9 #6 asked for exactly this
+    * column).
+    *
+    * DELTA PEELING (r10 rewrite): the r9 form rewrote and
+    * localCheckpointed the FULL edge list every round — three E-row
+    * shuffles (degree agg + two anti-joins) plus an E-row checkpoint
+    * write per round, ~30 times; its 80× wall varied 3.3–4.9×
+    * same-code because every round's fixed cost scaled with E, and
+    * peeling needs E-row work only for edges INCIDENT TO REMOVED
+    * nodes. Here the edge table is persisted ONCE and never rewritten;
+    * the loop maintains an N-row degree table incrementally:
+    *
+    *   removedΔ  = alive nodes whose degree fell below k last round
+    *   hits      = edges ⋈ removedΔ (on dst) → per-src removal counts
+    *               (AQE broadcasts the Δ side when small — hint-free)
+    *   degs'     = (degs ∖ removedΔ)  with  deg −= hits
+    *
+    * Identical output by induction: each round removes exactly the
+    * below-k set of the current graph, the same cascade the
+    * recomputation form peels (spec-pinned on the known-core fixture,
+    * including the capped mid-cascade exit). Per-round checkpoint
+    * state shrinks from O(E) to O(N) rows (the graphs here have
+    * E ≈ 16·N), and total join work across ALL rounds is bounded by
+    * edges incident to removed nodes — ≤ E, not rounds × E. Superseded
+    * checkpoint generations are released exactly as before
+    * (checkpointRdd — the frame's own LogicalRDD leaf, race-free).
+    */
+  def kCoreWithRounds(
+      edges: DataFrame, k: Int, maxRounds: Int = 20): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1; got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
     // drop null endpoints (unparseable ids after the cast) up front:
-    // anti-join keys never match null, so a null-endpoint edge would
-    // survive every peel round and emit a spurious (null, deg) core
-    // row — r7's semi-join formulation dropped them implicitly
+    // join keys never match null, so a null-endpoint edge would
+    // corrupt degree maintenance and emit a spurious (null, deg) row
     val sym = edges.select(
         F.col("src").cast("long").as("src"), F.col("dst").cast("long").as("dst"))
       .where(F.col("src").isNotNull && F.col("dst").isNotNull)
-    // Release each SUPERSEDED round's checkpoint blocks once its
-    // successor is materialized: without this, a slow peel pins
-    // rounds × O(E) of dead checkpoint blocks — the
-    // storage-accumulation failure mode the de-broadcast rewrite was
-    // meant to avoid. The backing RDD is taken straight from the
-    // checkpointed frame's LogicalRDD leaf (no persistent-registry
-    // snapshot diff, so a concurrent job's checkpoint materializing
-    // in the same window can never be mis-released). The FINAL
-    // round's blocks stay live — they back the returned frame.
-    // (checkpointRdd is the shared object-level helper — one copy of
-    // the LogicalRDD-leaf extraction serves kCore and hopDistances.)
+    val es = sym.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def release(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
       rdd.foreach(_.unpersist(blocking = false))
-    var es = sym.localCheckpoint()
-    var esRdd = checkpointRdd(es)
-    var nEdges = es.count()
-    var round = 0
-    var stable = nEdges == 0
-    while (!stable && round < maxRounds) {
-      val next = peelOnce(es, k).localCheckpoint()
-      val m = next.count()
-      stable = m == nEdges // monotone removal: equal count == equal set
-      release(esRdd)
-      es = next
-      esRdd = checkpointRdd(next)
-      nEdges = m
-      round += 1
-    }
-    es.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+    var degs = es.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
       .select(F.col("src").as("id"), F.col("deg"))
-      .orderBy("id")
+      .localCheckpoint()
+    var degsRdd = checkpointRdd(degs)
+    var removed = degs.where(F.col("deg") < k).select("id").localCheckpoint()
+    var removedRdd = checkpointRdd(removed)
+    var nRemoved = removed.count()
+    var round = 0
+    while (nRemoved > 0 && round < maxRounds) {
+      round += 1
+      val next = peelDeltaOnce(es, degs, removed).localCheckpoint()
+      val nextRemoved = next.where(F.col("deg") < k).select("id")
+        .localCheckpoint()
+      nRemoved = nextRemoved.count()
+      release(degsRdd); release(removedRdd)
+      degs = next; degsRdd = checkpointRdd(next)
+      removed = nextRemoved; removedRdd = checkpointRdd(nextRemoved)
+    }
+    es.unpersist(blocking = false)
+    // capped exits return the mid-cascade alive set (below-k nodes
+    // whose removal round never ran stay in, exactly like the r9
+    // form). deg > 0 matches the edge-derived output exactly: a node
+    // whose neighbors all died had no surviving edge rows there — at
+    // a converged fixpoint the filter is inert (every deg >= k >= 1).
+    (degs.where(F.col("deg") > 0).orderBy("id"), round)
   }
 
   /** Unweighted shortest-path hop distances from a set of source
@@ -701,12 +731,21 @@ object GraphAnalytics {
     * frontier-small after), so the join strategy is AQE's call, never
     * a forced broadcast. Factored out so the plan shape is testable.
     */
-  private[graft] def peelOnce(es: DataFrame, k: Int): DataFrame = {
-    val low = es.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
-      .where(F.col("deg") < k)
-      .select("src")
-    es.join(low, Seq("src"), "left_anti")
-      .join(low.select(F.col("src").as("dst")), Seq("dst"), "left_anti")
-      .select("src", "dst")
+  /** One delta-peel round of [[kCoreWithRounds]]: apply `removed`
+    * (this round's below-k set) to the alive degree table. Hint-free —
+    * the Δ side's size is runtime data, so broadcast vs shuffle is
+    * AQE's call (the r7 lesson; PlanShapeSpec pins it).
+    */
+  private[graft] def peelDeltaOnce(
+      es: DataFrame, degs: DataFrame, removed: DataFrame): DataFrame = {
+    val hits = es
+      .join(removed.select(F.col("id").as("dst")), "dst")
+      .groupBy("src").agg(F.count(F.lit(1)).as("hit"))
+      .select(F.col("src").as("id"), F.col("hit"))
+    degs
+      .join(removed, Seq("id"), "left_anti")
+      .join(hits, Seq("id"), "left")
+      .select(F.col("id"),
+        (F.col("deg") - F.coalesce(F.col("hit"), F.lit(0L))).as("deg"))
   }
 }

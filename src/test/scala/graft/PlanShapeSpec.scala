@@ -93,14 +93,17 @@ class PlanShapeSpec extends SparkSpec {
     import s.implicits._
     // r7 forced F.broadcast on the survivor set — in round 1 that is
     // the FULL node set, a driver/executor OOM at 100x graph scale
-    // (VERDICT r7 #3). The peel round must leave the strategy to AQE.
+    // (VERDICT r7 #3). The delta-peel round (r10) must likewise leave
+    // the strategy to AQE: the removed-Δ side is runtime data.
     val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
-    val peeled = graft.graph.GraphAnalytics.peelOnce(edges, k = 2)
+    val degs = Seq((0L, 1L), (1L, 2L), (2L, 1L)).toDF("id", "deg")
+    val removed = Seq(Tuple1(2L)).toDF("id")
+    val peeled = graft.graph.GraphAnalytics.peelDeltaOnce(edges, degs, removed)
     val hints = peeled.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
-    assert(hints.isEmpty, s"peelOnce must not force a join strategy: $hints")
-    // and the drop joins must stay anti joins (row-pruning, not outer)
+    assert(hints.isEmpty, s"peelDeltaOnce must not force a join strategy: $hints")
+    // the Δ application must stay an anti join (row-pruning, not outer)
     val plan = peeled.queryExecution.optimizedPlan.toString
     assert(plan.contains("LeftAnti"), plan.take(1200))
   }
