@@ -658,6 +658,30 @@ object ScaleBench {
       }
       eng.release()
     }
+    // maxConcurrent SENSITIVITY (VERDICT r9 #8): the same engine at
+    // 2 and 8 concurrent chunks, so the default (4) is pinned by a
+    // measured curve instead of one point. Selected rows only — the
+    // full-board run pays the seq/conc pair above, not the sweep.
+    if (only.exists(s => s.contains("g_ppr_many_c2") ||
+        s.contains("g_ppr_many_c8"))) {
+      val e = spark.range(nVecs * 4).select(
+        F.pmod(F.col("id"), F.lit(nVecs)).as("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("pprdst")), F.lit(nVecs)).as("dst"))
+        .where(F.col("src") =!= F.col("dst"))
+      val symg = e.unionByName(
+        e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
+      val eng = new graft.graph.GraphAnalytics.PprEngine(symg, numIter = 15)
+      val anchors = (0L until 1024L).map(_ * (nVecs / 1024)).toSeq
+      if (only.exists(_.contains("g_ppr_many_c2")))
+        bench("g_ppr_many_c2") {
+          eng.runMany(anchors, maxBatch = 256, maxConcurrent = 2).count()
+        }
+      if (only.exists(_.contains("g_ppr_many_c8")))
+        bench("g_ppr_many_c8") {
+          eng.runMany(anchors, maxBatch = 256, maxConcurrent = 8).count()
+        }
+      eng.release()
+    }
 
     // ---- synthetic events: ~10 events per user across nVecs/4 users,
     // hash-jittered timestamps over a day — the time-join block
@@ -829,11 +853,80 @@ object ScaleBench {
         }
         Similarity.ivfRelease(iv)
       }
+      // ---- the combined ingest + serve LOOP (VERDICT r9 #7): both
+      // faces run CONCURRENTLY on one saved layout — the append stream
+      // lands idempotent segments (auto-compacting, drift-monitored)
+      // while the query face reloads every micro-batch, so appended
+      // vectors become visible without a restart. The row reports the
+      // serve throughput under concurrent ingest; freshness lag
+      // (sentinel append → first query answer containing it) and the
+      // compaction count land in the bytes map. A reload racing a
+      // segment commit can briefly see a partial batch (committed
+      // files only — the ANN-serving freshness contract, not a
+      // correctness one).
+      if (only.forall(_.contains("s_ivf_serve_loop"))) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("ivfservescale").toString
+        val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
+        Similarity.ivfSave(iv, dir)
+        Similarity.ivfRelease(iv)
+        val newVecs = emb.where(F.col("id") % 4 === 1)
+          .select((F.col("id") + F.lit(20000000L)).as("id"), F.col("vec"))
+          .as[(Long, Array[Double])].collect()
+        val qArr = queries.select("qid", "qvec")
+          .as[(Long, Array[Double])].collect()
+        val vecChunks = newVecs.grouped(math.max(1, newVecs.length / 8)).toSeq
+        val qChunks = qArr.grouped(math.max(1, qArr.length / 8)).toSeq
+        val mon = new graft.streaming.StreamingOps.IvfIngestMonitor
+        bench("s_ivf_serve_loop") {
+          val ain = MemoryStream[(Long, Array[Double])]
+          val qin = MemoryStream[(Long, Array[Double])]
+          val aq = graft.streaming.StreamingOps.ivfAppendStream(
+            ain.toDF().toDF("id", "vec"), dir, dir + "/ckptA",
+            compactEverySegs = 6, monitor = Some(mon))
+          val sq = graft.streaming.StreamingOps.ivfQueryStream(
+            qin.toDF().toDF("qid", "qvec"), dir, k = 10, nprobe = 8,
+            dir + "/out", dir + "/ckptQ", reloadEveryBatches = 1)
+          val appender = new Thread(() => vecChunks.foreach { c =>
+            ain.addData(c.toSeq); aq.processAllAvailable() })
+          appender.setDaemon(true)
+          appender.start()
+          qChunks.foreach { c => qin.addData(c.toSeq); sq.processAllAvailable() }
+          appender.join()
+          // freshness lag: a sentinel vector appended NOW — how long
+          // until a query answer contains it (append commit + reload
+          // + one serve batch)
+          val sentinel = qArr.head._2.map(_ + 1e-3)
+          val t0 = System.nanoTime()
+          ain.addData((99999999L, sentinel))
+          aq.processAllAvailable()
+          var lagMs = -1L
+          var probe = 0
+          while (lagMs < 0 && probe < 50) {
+            qin.addData((5000000L + probe, sentinel))
+            sq.processAllAvailable()
+            val seen = spark.read.parquet(dir + "/out")
+              .where(F.col("id") === 99999999L).limit(1).count() > 0
+            if (seen) lagMs = (System.nanoTime() - t0) / 1000000L
+            probe += 1
+          }
+          aq.stop(); sq.stop()
+          bytesRows("s_ivf_serve_freshness_ms") = lagMs
+          bytesRows("s_ivf_serve_compactions") = mon.compactionsRun
+          qArr.length.toLong
+        }
+        rows.get("s_ivf_serve_loop").foreach { case (sec, n) =>
+          println(f"[scale]   serve loop: ${n / sec}%.0f queries/sec under " +
+            f"concurrent ingest; freshness ${bytesRows("s_ivf_serve_freshness_ms")}%d ms; " +
+            f"compactions ${bytesRows("s_ivf_serve_compactions")}%d; " +
+            f"drift ${mon.topDecileShare}%.3f")
+        }
+      }
     }
     events.unpersist(blocking = false)
 
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r09.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r10.json")
     // scale_total sums TIMINGS only; byte metrics are their own field
     val json =
       s"""{"metric":"scale_total","value":${fmt(rows.values.map(_._1).sum)},""" +
