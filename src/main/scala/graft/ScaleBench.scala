@@ -130,16 +130,44 @@ object ScaleBench {
     // missing dependency
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // stall defense, same shape as Bench r10 (VERDICT r9 #1): the
+    // sandbox host pauses a warm JVM for 30-90 s at a time, and one
+    // wall sample per row can't tell a regression from a pause.
+    // Process-CPU seconds ride next to the wall; a heavy row whose
+    // cpu/wall ratio collapsed re-runs ONCE keeping the min, with the
+    // discarded wall recorded in its own map. Streaming rows idle
+    // legitimately (trigger waits), so their retry threshold is only
+    // tripped by a near-total stall.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def procCpuSec(): Double = osBean.getProcessCpuTime / 1e9
+    val cpuRows = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retriedRows = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def bench(name: String)(body: => Long): Unit = {
       if (!only.forall(_.contains(name))) return
-      graft.operators.TrainPrep.releasePinnedCaches()
-      sweepCheckpoints()
-      sinceGc += 1
-      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
-      val t0 = System.nanoTime()
-      val n = body
-      val sec = (System.nanoTime() - t0) / 1e9
+      def sample(): (Double, Double, Long) = {
+        graft.operators.TrainPrep.releasePinnedCaches()
+        sweepCheckpoints()
+        sinceGc += 1
+        if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
+        val c0 = procCpuSec()
+        val t0 = System.nanoTime()
+        val n = body
+        ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0, n)
+      }
+      val (w1, c1, n1) = sample()
+      // s_* rows are NOT retried: their bodies own streaming
+      // checkpoints/sink dirs (a second run against the same
+      // checkpoint is a different contract), and their trigger waits
+      // make the cpu ratio an unreliable stall signal anyway
+      val (sec, cpu, n) =
+        if (!name.startsWith("s_") && w1 >= 5.0 && c1 < 0.45 * w1) {
+          val (w2, c2, n2) = sample()
+          retriedRows(name) = math.max(w1, w2)
+          if (w2 < w1) (w2, c2, n2) else (w1, c1, n1)
+        } else (w1, c1, n1)
       rows(name) = (sec, n)
+      cpuRows(name) = cpu
       println(f"[scale] $name%-28s ${sec}%8.2f s  rows=$n")
     }
 
@@ -934,6 +962,10 @@ object ScaleBench {
         s""""n_vecs":$nVecs,"dims":$dims,"queries":{""" +
         rows.map { case (k, (s, n)) =>
           s""""$k":{"sec":${fmt(s)},"rows":$n}""" }.mkString(",") +
+        s"""},"cpu_sec":{""" +
+        cpuRows.map { case (k, c) => s""""$k":${fmt(c)}""" }.mkString(",") +
+        s"""},"retried":{""" +
+        retriedRows.map { case (k, w) => s""""$k":${fmt(w)}""" }.mkString(",") +
         s"""},"bytes":{""" +
         bytesRows.map { case (k, b) => s""""$k":$b""" }.mkString(",") +
         "}}\n"

@@ -563,23 +563,27 @@ object GraphAnalytics {
     val es = sym.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def release(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
       rdd.foreach(_.unpersist(blocking = false))
+    // ONE driver job per round: the degree table takes a LAZY local
+    // checkpoint and the Δ count's job materializes it — an eager
+    // checkpoint plus a separate count would double the per-round
+    // fixed cost, which at N-row state IS the round cost. The Δ frame
+    // itself is never checkpointed: it re-derives from the cached
+    // degree blocks with one filter.
     var degs = es.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
       .select(F.col("src").as("id"), F.col("deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var degsRdd = checkpointRdd(degs)
-    var removed = degs.where(F.col("deg") < k).select("id").localCheckpoint()
-    var removedRdd = checkpointRdd(removed)
+    var removed = degs.where(F.col("deg") < k).select("id")
     var nRemoved = removed.count()
     var round = 0
     while (nRemoved > 0 && round < maxRounds) {
       round += 1
-      val next = peelDeltaOnce(es, degs, removed).localCheckpoint()
+      val next = peelDeltaOnce(es, degs, removed).localCheckpoint(false)
       val nextRemoved = next.where(F.col("deg") < k).select("id")
-        .localCheckpoint()
       nRemoved = nextRemoved.count()
-      release(degsRdd); release(removedRdd)
+      release(degsRdd)
       degs = next; degsRdd = checkpointRdd(next)
-      removed = nextRemoved; removedRdd = checkpointRdd(nextRemoved)
+      removed = nextRemoved
     }
     es.unpersist(blocking = false)
     // capped exits return the mid-cascade alive set (below-k nodes
