@@ -915,33 +915,38 @@ object ScaleBench {
           val sq = graft.streaming.StreamingOps.ivfQueryStream(
             qin.toDF().toDF("qid", "qvec"), dir, k = 10, nprobe = 8,
             dir + "/out", dir + "/ckptQ", reloadEveryBatches = 1)
-          val appender = new Thread(() => vecChunks.foreach { c =>
-            ain.addData(c.toSeq); aq.processAllAvailable() })
-          appender.setDaemon(true)
-          appender.start()
-          qChunks.foreach { c => qin.addData(c.toSeq); sq.processAllAvailable() }
-          appender.join()
-          // freshness lag: a sentinel vector appended NOW — how long
-          // until a query answer contains it (append commit + reload
-          // + one serve batch)
-          val sentinel = qArr.head._2.map(_ + 1e-3)
-          val t0 = System.nanoTime()
-          ain.addData((99999999L, sentinel))
-          aq.processAllAvailable()
-          var lagMs = -1L
-          var probe = 0
-          while (lagMs < 0 && probe < 50) {
-            qin.addData((5000000L + probe, sentinel))
-            sq.processAllAvailable()
-            val seen = spark.read.parquet(dir + "/out")
-              .where(F.col("id") === 99999999L).limit(1).count() > 0
-            if (seen) lagMs = (System.nanoTime() - t0) / 1000000L
-            probe += 1
+          try {
+            val appender = new Thread(() => vecChunks.foreach { c =>
+              ain.addData(c.toSeq); aq.processAllAvailable() })
+            appender.setDaemon(true)
+            appender.start()
+            qChunks.foreach { c => qin.addData(c.toSeq); sq.processAllAvailable() }
+            appender.join()
+            // freshness lag: a sentinel vector appended NOW — how long
+            // until a query answer contains it (append commit + reload
+            // + one serve batch)
+            val sentinel = qArr.head._2.map(_ + 1e-3)
+            val t0 = System.nanoTime()
+            ain.addData((99999999L, sentinel))
+            aq.processAllAvailable()
+            var lagMs = -1L
+            var probe = 0
+            while (lagMs < 0 && probe < 50) {
+              qin.addData((5000000L + probe, sentinel))
+              sq.processAllAvailable()
+              val seen = spark.read.parquet(dir + "/out")
+                .where(F.col("id") === 99999999L).limit(1).count() > 0
+              if (seen) lagMs = (System.nanoTime() - t0) / 1000000L
+              probe += 1
+            }
+            bytesRows("s_ivf_serve_freshness_ms") = lagMs
+            bytesRows("s_ivf_serve_compactions") = mon.compactionsRun
+            qArr.length.toLong
+          } finally {
+            // a failed loop must not leak running streams into (and
+            // kill) the rest of the artifact run
+            aq.stop(); sq.stop()
           }
-          aq.stop(); sq.stop()
-          bytesRows("s_ivf_serve_freshness_ms") = lagMs
-          bytesRows("s_ivf_serve_compactions") = mon.compactionsRun
-          qArr.length.toLong
         }
         rows.get("s_ivf_serve_loop").foreach { case (sec, n) =>
           println(f"[scale]   serve loop: ${n / sec}%.0f queries/sec under " +

@@ -2435,8 +2435,16 @@ object Similarity {
       .option("maxRecordsPerFile", targetFileRows.toLong)
       .partitionBy("seg", "cluster")
       .parquet(tmp.toString)
-    fs.delete(ap, true)
+    // rename-based swap: two metadata renames instead of a recursive
+    // delete in the readers' path — the applists-absent window shrinks
+    // to the instant between them (an ivfLoad in that instant serves
+    // base-only; an in-flight scan over the OLD files still fails and
+    // must retry, which the reloading serve face does)
+    val old = new org.apache.hadoop.fs.Path(s"$path/applists_compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(ap, old)
     fs.rename(tmp, ap)
+    fs.delete(old, true)
     spark.read.parquet(s"$path/applists").inputFiles.length
   }
 

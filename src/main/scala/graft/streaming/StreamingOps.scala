@@ -659,24 +659,41 @@ object StreamingOps {
     var bcCentroids = sc.broadcast(index.centroids)
     var bcHier = sc.broadcast(index.hier)
     var sinceReload = 0
+    def reload(): Unit = {
+      index = graft.operators.Similarity.ivfLoad(spark, indexPath)
+      val oldC = bcCentroids; val oldH = bcHier
+      bcCentroids = sc.broadcast(index.centroids)
+      bcHier = sc.broadcast(index.hier)
+      oldC.destroy(); oldH.destroy()
+      sinceReload = 0
+    }
     queries
       .select($"qid".cast("long").as("qid"),
         $"qvec".cast("array<double>").as("qvec"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (sinceReload >= reloadEveryBatches) {
-          index = graft.operators.Similarity.ivfLoad(spark, indexPath)
-          val oldC = bcCentroids; val oldH = bcHier
-          bcCentroids = sc.broadcast(index.centroids)
-          bcHier = sc.broadcast(index.hier)
-          oldC.destroy(); oldH.destroy()
-          sinceReload = 0
+        def attempt(): Unit = {
+          if (sinceReload >= reloadEveryBatches) reload()
+          sinceReload += 1
+          graft.operators.Similarity
+            .ivfTopKBatchImpl(index, bcCentroids, bcHier, batch, k, nprobe,
+              sorted = false)
+            .write.mode("append").parquet(outPath)
         }
-        sinceReload += 1
-        graft.operators.Similarity
-          .ivfTopKBatchImpl(index, bcCentroids, bcHier, batch, k, nprobe,
-            sorted = false)
-          .write.mode("append").parquet(outPath)
+        try attempt()
+        catch {
+          // a concurrent compaction swap invalidates append files
+          // between their listing and their scan — measured at the 40×
+          // serve-loop row both inside the reload's file listing and
+          // inside the probed scan itself. One fresh reload sees the
+          // post-swap layout; a second failure is a real bug and
+          // propagates. Output stays duplicate-free: the failed job
+          // committed nothing (v1 file committer publishes files only
+          // at job commit).
+          case scala.util.control.NonFatal(_) =>
+            sinceReload = reloadEveryBatches // force the fresh reload
+            attempt()
+        }
       }
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
