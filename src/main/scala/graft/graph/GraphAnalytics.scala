@@ -135,6 +135,16 @@ object GraphAnalytics {
       * are deterministic and chunk order is preserved, so the output
       * is byte-identical to sequential submission. Output:
       * (source, id, ppr).
+      *
+      * Sensitivity guidance (measured, r10): concurrency wins only
+      * while one chunk UNDERFILLS the machine — 71 → 37 s at the 40×
+      * bench (80k nodes, local[32] half-idle per chunk) — and costs
+      * 10–25% once a single chunk already saturates it (189 → 156 s
+      * narrowing at the r9 80× point; 645 → 794 s on the contended r10
+      * host). The default 4 is the CLUSTER-regime setting, where a
+      * 256-slot 15-stage chain can never saturate hundreds of
+      * executors alone; pass 1 on a saturated or contended single
+      * node.
       */
     def runMany(
         sources: Seq[Long], maxBatch: Int = 256,
