@@ -136,19 +136,24 @@ object GraphAnalytics {
       * is byte-identical to sequential submission. Output:
       * (source, id, ppr).
       *
-      * Sensitivity guidance (measured, r10): concurrency wins only
-      * while one chunk UNDERFILLS the machine — 71 → 37 s at the 40×
-      * bench (80k nodes, local[32] half-idle per chunk) — and costs
-      * 10–25% once a single chunk already saturates it (189 → 156 s
-      * narrowing at the r9 80× point; 645 → 794 s on the contended r10
-      * host). The default 4 is the CLUSTER-regime setting, where a
-      * 256-slot 15-stage chain can never saturate hundreds of
-      * executors alone; pass 1 on a saturated or contended single
-      * node.
+      * Sensitivity guidance (measured, r10 — the default CHANGED on
+      * this evidence): the r9 win (71 → 37 s at 40× with 4 concurrent
+      * chunks) measured a machine with idle capacity per chunk; the
+      * r10 within-one-run sweep at the same scale read c1 = 66 s,
+      * c2 = 139, c4 = 206, c8 = 139 — concurrent chunks THRASH a
+      * contended single JVM (each holds its own N×maxBatch slot
+      * state; GC and memory bandwidth multiply with concurrency), so
+      * the sign of the effect depends on machine state the operator
+      * cannot observe. Sequential is never the bad side by more than
+      * its own idle time; concurrency can lose 3×. Default is
+      * therefore 1 (sequential); raise it explicitly in the regime it
+      * exists for — a large cluster a 256-slot 15-stage chain cannot
+      * saturate alone, with storage headroom for
+      * N×maxBatch×maxConcurrent doubles.
       */
     def runMany(
         sources: Seq[Long], maxBatch: Int = 256,
-        maxConcurrent: Int = 4): DataFrame = {
+        maxConcurrent: Int = 1): DataFrame = {
       require(maxBatch > 0, "maxBatch must be positive")
       require(maxConcurrent > 0, "maxConcurrent must be positive")
       require(sources.nonEmpty, "runMany needs at least one source")
