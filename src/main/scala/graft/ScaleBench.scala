@@ -17,7 +17,100 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
   * Scale knob: SPARK_GRAFT_SCALE (default 40 = 200k docs; 1 ≈ sf0.1).
   */
 object ScaleBench {
+
+  /** Committed-artifact governance for scheduler-sensitive rows
+    * (VERDICT r10 #3): `--merge a.json b.json out.json` folds two
+    * same-code runs' artifacts keeping the per-row MIN wall (with that
+    * run's rows/cpu), and records BOTH samples under `"samples"` so
+    * the discarded one stays auditable. Rationale: this host's
+    * contention mode inflates cpu WITH wall (the in-run retry cannot
+    * catch it — only min-over-runs can), and r10 committed a 296 s PPR
+    * sample the same code runs in 66 s. SCALE.md's methodology note
+    * already names min-over-≥2-runs as the rule for PPR/k-core/
+    * streaming rows; this makes the committed JSON follow it
+    * mechanically. Byte metrics follow the run that won their
+    * longest-prefix row (e.g. g_kcore_rounds follows g_kcore).
+    */
+  private[graft] def mergeArtifacts(a: String, b: String): String = {
+    val rowRe = """"([a-z0-9_]+)":\{"sec":([0-9.]+),"rows":(\d+)\}""".r
+    val numRe = """"([a-z0-9_]+)":(-?[0-9.]+)""".r
+    def rowsOf(j: String): Seq[(String, Double, Long)] = {
+      val qpart = j.substring(j.indexOf("\"queries\":{"))
+      rowRe.findAllMatchIn(qpart)
+        .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toLong)).toSeq
+    }
+    def mapOf(j: String, field: String): Seq[(String, String)] = {
+      val i = j.indexOf(s""""$field":{""")
+      if (i < 0) Seq.empty
+      else {
+        val start = i + field.length + 4
+        val end = j.indexOf("}", start)
+        numRe.findAllMatchIn(j.substring(start, end))
+          .map(m => (m.group(1), m.group(2))).toSeq
+      }
+    }
+    def header(j: String, key: String): String =
+      s""""$key":(-?[0-9.]+)""".r.findFirstMatchIn(j).map(_.group(1))
+        .getOrElse("0")
+    val (ra, rb) = (rowsOf(a), rowsOf(b))
+    val bMap = rb.map(r => r._1 -> r).toMap
+    val aMap = ra.map(r => r._1 -> r).toMap
+    val names = (ra.map(_._1) ++ rb.map(_._1).filterNot(aMap.contains))
+    // winner per row: min wall; remember which run it came from
+    val winner = names.map { n =>
+      (aMap.get(n), bMap.get(n)) match {
+        case (Some(x), Some(y)) => if (y._2 < x._2) (n, y, 'b') else (n, x, 'a')
+        case (Some(x), None) => (n, x, 'a')
+        case (None, Some(y)) => (n, y, 'b')
+        case _ => sys.error(s"row $n in neither artifact")
+      }
+    }
+    val cpuA = mapOf(a, "cpu_sec").toMap; val cpuB = mapOf(b, "cpu_sec").toMap
+    val bytesA = mapOf(a, "bytes").toMap; val bytesB = mapOf(b, "bytes").toMap
+    val winOf = winner.map { case (n, _, w) => n -> w }.toMap
+    // a bytes key follows the run that won its longest-prefix row
+    def bytesFor(k: String): Option[String] = {
+      val owner = winOf.keys.filter(k.startsWith).toSeq.sortBy(-_.length)
+        .headOption
+      owner.flatMap(o => if (winOf(o) == 'b') bytesB.get(k).orElse(bytesA.get(k))
+        else bytesA.get(k).orElse(bytesB.get(k)))
+        .orElse(bytesA.get(k)).orElse(bytesB.get(k))
+    }
+    val bytesKeys = (bytesA.keys ++ bytesB.keys).toSeq.distinct
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    s"""{"metric":"scale_total","value":${fmt(winner.map(_._2._2).sum)},""" +
+      s""""unit":"sec","scale":${header(a, "scale")},""" +
+      s""""n_docs":${header(a, "n_docs")},"n_vecs":${header(a, "n_vecs")},""" +
+      s""""dims":${header(a, "dims")},"merged_runs":2,"queries":{""" +
+      winner.map { case (n, (_, s, r), _) =>
+        s""""$n":{"sec":${fmt(s)},"rows":$r}""" }.mkString(",") +
+      s"""},"cpu_sec":{""" +
+      winner.flatMap { case (n, _, w) =>
+        (if (w == 'b') cpuB.get(n).orElse(cpuA.get(n))
+         else cpuA.get(n).orElse(cpuB.get(n))).map(c => s""""$n":$c""")
+      }.mkString(",") +
+      s"""},"samples":{""" +
+      winner.flatMap { case (n, _, _) =>
+        (aMap.get(n), bMap.get(n)) match {
+          case (Some(x), Some(y)) =>
+            Some(s""""$n":[${fmt(x._2)},${fmt(y._2)}]""")
+          case _ => None
+        }
+      }.mkString(",") +
+      s"""},"bytes":{""" +
+      bytesKeys.flatMap(k => bytesFor(k).map(v => s""""$k":$v""")).mkString(",") +
+      "}}\n"
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length == 4 && args(0) == "--merge") {
+      val merged = mergeArtifacts(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(args(1))),
+        java.nio.file.Files.readString(java.nio.file.Paths.get(args(2))))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(args(3)), merged)
+      println(merged)
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_DEBUG").exists(_ == "1"))
       graft.core.Debug.setDebug(true)
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "40").toInt
@@ -536,7 +629,9 @@ object ScaleBench {
       val sa = emb.where(F.col("id") % 2 === 0).select("id", "vec")
       val sb = emb.where(F.col("id") % 2 =!= 0).select("id", "vec")
       if (only.forall(s => s.contains("v_bitext_mine_idx") ||
-          s.contains("v_bitext_mine_pq_idx"))) {
+          s.contains("v_bitext_mine_pq_idx") ||
+          s.contains("v_bitext_mine_idx_resized") ||
+          s.contains("v_ivf_resize_lists"))) {
         val ia = Similarity.ivfBuildAuto(sa, halfLists); ia.assigned.count()
         val ib = Similarity.ivfBuildAuto(sb, halfLists); ib.assigned.count()
         bench("v_bitext_mine_idx") {
@@ -556,8 +651,35 @@ object ScaleBench {
             ia, ib, pa, pb, sa, sb, k = 4, threshold = 1.0, nprobe = 8,
             rerank = 64).count()
         }
-        Similarity.ivfRelease(ia); Similarity.ivfRelease(ib)
         Similarity.pqRelease(pa); Similarity.pqRelease(pb)
+        // the user-reachable FIX for the coarse-list amortized-mine
+        // trap (VERDICT r10 #5): a caller holding the coarse prebuilt
+        // indexes above resizes them once (its own row — one fit,
+        // amortized exactly like the original build) and every re-mine
+        // after runs at the fine-list scored-pair budget with
+        // hierarchical routing. Done-criterion: the resized re-mine
+        // within ~1.5× of v_bitext_mine_hier_idx without hand-sizing.
+        var ra: Similarity.IvfIndex = null
+        var rb: Similarity.IvfIndex = null
+        bench("v_ivf_resize_lists") {
+          ra = Similarity.ivfResizeLists(ia); ra.assigned.count()
+          rb = Similarity.ivfResizeLists(ib); rb.assigned.count()
+          nVecs
+        }
+        // ONLY-mode dependency: a selected resized-mine row never pays
+        // a missing resize (built untimed, same rule as the ivf builds)
+        if (ra == null && only.exists(_.contains("v_bitext_mine_idx_resized"))) {
+          ra = Similarity.ivfResizeLists(ia); ra.assigned.count()
+          rb = Similarity.ivfResizeLists(ib); rb.assigned.count()
+        }
+        Similarity.ivfRelease(ia); Similarity.ivfRelease(ib)
+        if (ra != null) {
+          bench("v_bitext_mine_idx_resized") {
+            Similarity.bitextMineApprox(
+              ra, rb, sa, sb, k = 4, threshold = 1.0, nprobe = 16).count()
+          }
+          Similarity.ivfRelease(ra); Similarity.ivfRelease(rb)
+        }
       }
       // fine-list re-mine: two-level indexes at ~40-row lists run the
       // SAME margin semantics on an ~8x smaller probed budget (16
@@ -635,10 +757,31 @@ object ScaleBench {
         e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
       // rounds land in the artifact next to the seconds (VERDICT r9
       // #6): a wall swing on this row is attributable to round count
-      // vs stragglers only when both are recorded
+      // vs stragglers only when both are recorded. `converged` makes
+      // the capped-exit explicit (VERDICT r10 #6): rounds == the cap
+      // means the row measured "20 peel rounds", not the operator's
+      // fixpoint — the g_kcore_full row below measures THAT
       val (core, rounds) = graft.graph.GraphAnalytics
         .kCoreWithRounds(symg, k = 12, maxRounds = 20)
       bytesRows("g_kcore_rounds") = rounds.toLong
+      bytesRows("g_kcore_converged") = if (rounds < 20) 1L else 0L
+      core.count()
+    }
+    bench("g_kcore_full") {
+      // the CONVERGED core (VERDICT r10 #6): same graph, cap high
+      // enough that peeling reaches its fixpoint — this row measures
+      // the operator's contract; g_kcore above is the same-work
+      // cross-scale comparison row (both points capped identically)
+      val e = spark.range(nVecs * 8).select(
+        F.pmod(F.col("id"), F.lit(nVecs)).as("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("dst")), F.lit(nVecs)).as("dst"))
+        .where(F.col("src") =!= F.col("dst"))
+      val symg = e.unionByName(
+        e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
+      val (core, rounds) = graft.graph.GraphAnalytics
+        .kCoreWithRounds(symg, k = 12, maxRounds = 1000)
+      bytesRows("g_kcore_full_rounds") = rounds.toLong
+      bytesRows("g_kcore_full_converged") = if (rounds < 1000) 1L else 0L
       core.count()
     }
     bench("g_hop_distances") {
@@ -955,11 +1098,96 @@ object ScaleBench {
             f"drift ${mon.topDecileShare}%.3f")
         }
       }
+      // ---- the serve loop SPANNING A DRIFT-TRIGGERED REBUILD
+      // (VERDICT r10 #2 done-criterion): ingest whose first micro-batch
+      // concentrates on a NEW mode (70% of it collapses onto the stale
+      // quantizer's nearest lists, 30% stays spread so the minLists
+      // gate is honestly cleared) fires ivfRebuild mid-stream, the
+      // append model re-targets the fresh centroids, and the query
+      // face keeps serving through the whole-directory swap via its
+      // reload retry. Row = serve throughput across the rebuild;
+      // rebuild count + post-rebuild freshness land in the bytes map.
+      // The index dir holds ONLY the layout — checkpoints/out live
+      // beside it, the documented rebuild contract.
+      if (only.forall(_.contains("s_ivf_serve_rebuild"))) {
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("ivfrebuildscale").toString + "/index"
+        val auxDir = java.nio.file.Files
+          .createTempDirectory("ivfrebuildaux").toString
+        val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
+        Similarity.ivfSave(iv, idxDir)
+        Similarity.ivfRelease(iv)
+        def l2(a: Array[Double]): Array[Double] = {
+          val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+        }
+        // a 33rd mode the base quantizer never fit — deterministic
+        // per-(id, dim) jitter, same shape as the corpus generator
+        def hotVec(id: Long): Array[Double] = l2(Array.tabulate(dims)(f =>
+          math.sin(35 * 0.7 + f * 0.37) +
+            (((id * 31 + f * 7) % 1000) / 1000.0 - 0.5) * 0.3))
+        val spreadVecs = emb.where(F.col("id") % 4 === 2)
+          .select((F.col("id") + F.lit(30000000L)).as("id"), F.col("vec"))
+          .as[(Long, Array[Double])].collect()
+        val rChunks = spreadVecs.grouped(
+          math.max(1, spreadVecs.length / 8)).toSeq
+        val driftChunks = rChunks.head.zipWithIndex.map { case ((id, v), i) =>
+          if (i % 10 < 3) (id, v) else (id, hotVec(id))
+        } +: rChunks.tail
+        val qArr2 = queries.select("qid", "qvec")
+          .as[(Long, Array[Double])].collect()
+        val qChunks2 = qArr2.grouped(math.max(1, qArr2.length / 8)).toSeq
+        val mon2 = new graft.streaming.StreamingOps.IvfIngestMonitor
+        bench("s_ivf_serve_rebuild") {
+          val ain = MemoryStream[(Long, Array[Double])]
+          val qin = MemoryStream[(Long, Array[Double])]
+          val aq = graft.streaming.StreamingOps.ivfAppendStream(
+            ain.toDF().toDF("id", "vec"), idxDir, auxDir + "/ckptA",
+            monitor = Some(mon2), rebuildDriftThreshold = 0.5,
+            rebuildTargetListSize = 1250)
+          val sq = graft.streaming.StreamingOps.ivfQueryStream(
+            qin.toDF().toDF("qid", "qvec"), idxDir, k = 10, nprobe = 8,
+            auxDir + "/out", auxDir + "/ckptQ", reloadEveryBatches = 1)
+          try {
+            val appender = new Thread(() => driftChunks.foreach { c =>
+              ain.addData(c.toSeq); aq.processAllAvailable() })
+            appender.setDaemon(true)
+            appender.start()
+            qChunks2.foreach { c => qin.addData(c.toSeq); sq.processAllAvailable() }
+            appender.join()
+            // post-rebuild freshness: sentinel append → first answer
+            val sentinel = qArr2.head._2.map(_ + 1e-3)
+            val t0 = System.nanoTime()
+            ain.addData((99999998L, sentinel))
+            aq.processAllAvailable()
+            var lagMs = -1L
+            var probe = 0
+            while (lagMs < 0 && probe < 50) {
+              qin.addData((6000000L + probe, sentinel))
+              sq.processAllAvailable()
+              val seen = spark.read.parquet(auxDir + "/out")
+                .where(F.col("id") === 99999998L).limit(1).count() > 0
+              if (seen) lagMs = (System.nanoTime() - t0) / 1000000L
+              probe += 1
+            }
+            bytesRows("s_ivf_serve_rebuild_count") = mon2.rebuildsRun
+            bytesRows("s_ivf_serve_rebuild_freshness_ms") = lagMs
+            qArr2.length.toLong
+          } finally {
+            aq.stop(); sq.stop()
+          }
+        }
+        rows.get("s_ivf_serve_rebuild").foreach { case (sec, n) =>
+          println(f"[scale]   serve+rebuild: ${n / sec}%.0f queries/sec; " +
+            f"rebuilds ${bytesRows("s_ivf_serve_rebuild_count")}%d; " +
+            f"post-rebuild freshness " +
+            f"${bytesRows("s_ivf_serve_rebuild_freshness_ms")}%d ms")
+        }
+      }
     }
     events.unpersist(blocking = false)
 
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r10.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r11.json")
     // scale_total sums TIMINGS only; byte metrics are their own field
     val json =
       s"""{"metric":"scale_total","value":${fmt(rows.values.map(_._1).sum)},""" +

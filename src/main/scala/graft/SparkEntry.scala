@@ -174,7 +174,11 @@ object SparkEntry {
     "v_ivf_2level_topk", "v_ivf_2level_hier_topk",
     "v_ivf_2level_sharded_topk", "g_shortest_paths", "g_hop_landmarks",
     "v_ivf_topk_filtered", "v_ann_topk_binary", "v_ann_topk_binary_batch",
-    "v_ivf_binary_topk", "g_harmonic")
+    "v_ivf_binary_topk", "g_harmonic",
+    // r11 additions: filtered codec ANN + the streamed serve row — the
+    // slim line stays at budget; their scale story is in SCALE_BENCH_r11
+    "v_ivf_sq8_topk_filtered", "v_ivf_binary_topk_filtered",
+    "s_ivf_query_stream")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1595,6 +1599,80 @@ object SparkEntry {
       out
     }),
 
+    // FILTERED codec ANN (VERDICT r10 #1): the metadata predicate
+    // applied INSIDE the code-pruned probed scan — oracled at the
+    // PRODUCTION operating point (nprobe=12, rerank=60): the SQL
+    // replays probe chain + label-filtered candidate set + dequant
+    // chain + exact rerank
+    "v_ivf_sq8_topk_filtered" -> ((s, d) => {
+      val e = emb(s, d)
+      val meta = s.read.parquet(s"$d/embeddings.parquet")
+        .select(F.col("vec_id").as("id"), F.col("label"))
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val sq8 = Similarity.sq8Encode(e)
+      val out = Similarity.ivfSq8TopKWhere(
+        ivf, sq8, e, meta, F.col("label") === 1,
+        queryVec(s, d), k = 20, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.sq8Release(sq8)
+      out
+    }),
+
+    // FILTERED IVF+binary — same composition with the 1-bit codec;
+    // the integer hamming cut keeps it oracle-replayable at the
+    // production pruning
+    "v_ivf_binary_topk_filtered" -> ((s, d) => {
+      val e = emb(s, d)
+      val meta = s.read.parquet(s"$d/embeddings.parquet")
+        .select(F.col("vec_id").as("id"), F.col("label"))
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val bin = Similarity.binaryEncode(e)
+      val out = Similarity.ivfBinaryTopKWhere(
+        ivf, bin, e, meta, F.col("label") === 1,
+        queryVec(s, d), k = 20, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.binaryRelease(bin)
+      out
+    }),
+
+    // STREAMING row in the correctness gate (VERDICT r10 #7): the ANN
+    // serve face run as a REAL stream — two MemoryStream micro-batches
+    // through ivfQueryStream's foreachBatch into parquet, read back.
+    // Per-batch results equal the batch operator and each qid lands in
+    // exactly one batch, so the union is oracled by the SAME replay SQL
+    // as v_ivf_topk_batch (the checker sorts rows — append order is
+    // irrelevant by design: a multi-file parquet sink has no order).
+    "s_ivf_query_stream" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val index = Similarity.ivfBuild(e, nLists = 16)
+      val qrows = e.where(F.col("id") <= 4)
+        .select(F.col("id"), F.col("vec"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_sivf_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sivf_ckpt").toString
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Double])](s)
+      val q = graft.streaming.StreamingOps.ivfQueryStream(
+        ms.toDF.toDF("qid", "qvec"), index, k = 10, nprobe = 12,
+        outPath = out, checkpoint = ckpt)
+      try {
+        ms.addData(qrows.take(3).toSeq)
+        q.processAllAvailable()
+        ms.addData(qrows.drop(3).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      Similarity.ivfRelease(index)
+      s.read.parquet(out)
+        .select(F.col("qid"), F.col("id"), F.col("score"))
+        .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+        .localCheckpoint()
+    }),
+
     // incremental index maintenance: fit the coarse quantizer on the
     // even half, append the odd half against the FROZEN centroids —
     // output is every row's list assignment in the widened index
@@ -2247,6 +2325,38 @@ object SparkEntry {
     sb ++= "\nORDER BY component"
     sb.toString
   }
+
+  /** The IVF batch-retrieval replay (kmeans recurrence → per-qid probe
+    * ranking → probe-bounded scoring → per-qid top-10) — shared verbatim
+    * by `v_ivf_topk_batch` and the streamed `s_ivf_query_stream`, whose
+    * union-of-micro-batches equals the batch operator row-for-row.
+    */
+  private lazy val ivfTopKBatchReplaySql: String =
+    (s"""WITH ivsrc AS (SELECT vec_id AS id,
+        |  generate_subscripts(embedding, 1) AS f,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |${kmeansCtes("ivsrc", 16, 15, "iv")},
+        |qs AS (SELECT id AS qid, f, x FROM ivsrc WHERE id <= 4),
+        |cq AS (SELECT q.qid, k.c,
+        |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+        |  FROM ivkc15 k JOIN qs q ON q.f = k.f GROUP BY q.qid, k.c),
+        |probes AS (SELECT qid, c FROM (
+        |  SELECT qid, c, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d, c) AS rn FROM cq) WHERE rn <= 12),
+        |sel AS (SELECT p.qid, fin.id
+        |  FROM ivfin fin JOIN probes p ON p.c = fin.c),
+        |scored AS (SELECT s.qid, a.id,
+        |  round(sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)), 4)
+        |    AS score
+        |  FROM ivsrc a JOIN sel s ON s.id = a.id
+        |  JOIN qs q ON q.qid = s.qid AND q.f = a.f
+        |  GROUP BY s.qid, a.id)
+        |SELECT qid, id, score FROM (
+        |  SELECT qid, id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+        |  FROM scored) WHERE rn <= 10
+        |ORDER BY qid, score DESC, id ASC""".stripMargin
+      .replace(" AS (", " AS MATERIALIZED ("))
 
   def oracleSql: Map[String, String] = Map(
     "v_pca_summary" -> pcaOracleSql(3, 60),
@@ -4315,35 +4425,94 @@ object SparkEntry {
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
 
-    // batch generalization of the v_ivf_topk replay: per-query probe
-    // ranking, probe-bounded candidate join, rank on the ROUNDED score
-    // (the engine's batch parity convention — see v_batch_topk)
-    "v_ivf_topk_batch" ->
-      (s"""WITH ivsrc AS (SELECT vec_id AS id,
+    // filtered IVF+SQ8 at the PRODUCTION pruning: the v_ivf_sq8_topk
+    // replay with the label predicate intersecting the probed candidate
+    // set BEFORE the dequant cut — exactly where ivfSq8TopKWhere
+    // applies it
+    "v_ivf_sq8_topk_filtered" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |ivsrc AS (SELECT vec_id AS id,
           |  generate_subscripts(embedding, 1) AS f,
           |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
           |${kmeansCtes("ivsrc", 16, 15, "iv")},
-          |qs AS (SELECT id AS qid, f, x FROM ivsrc WHERE id <= 4),
-          |cq AS (SELECT q.qid, k.c,
-          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
-          |  FROM ivkc15 k JOIN qs q ON q.f = k.f GROUP BY q.qid, k.c),
-          |probes AS (SELECT qid, c FROM (
-          |  SELECT qid, c, row_number() OVER (
-          |    PARTITION BY qid ORDER BY d, c) AS rn FROM cq) WHERE rn <= 12),
-          |sel AS (SELECT p.qid, fin.id
-          |  FROM ivfin fin JOIN probes p ON p.c = fin.c),
-          |scored AS (SELECT s.qid, a.id,
-          |  round(sum(a.x * q.x) / sqrt(sum(a.x * a.x) * sum(q.x * q.x)), 4)
-          |    AS score
-          |  FROM ivsrc a JOIN sel s ON s.id = a.id
-          |  JOIN qs q ON q.qid = s.qid AND q.f = a.f
-          |  GROUP BY s.qid, a.id)
-          |SELECT qid, id, score FROM (
-          |  SELECT qid, id, score, row_number() OVER (
-          |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
-          |  FROM scored) WHERE rn <= 10
-          |ORDER BY qid, score DESC, id ASC""".stripMargin
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          |qx AS (SELECT f, x FROM ivsrc WHERE id = 0),
+          |cq AS (SELECT k.c,
+          |  1.0 - sum(k.cx * qx.x) / sqrt(sum(k.cx * k.cx) * sum(qx.x * qx.x)) AS d
+          |  FROM ivkc15 k JOIN qx ON qx.f = k.f GROUP BY k.c),
+          |probes AS (SELECT c FROM cq ORDER BY d, c LIMIT 12),
+          |sel AS (SELECT fin.id FROM ivfin fin
+          |  JOIN probes p ON p.c = fin.c
+          |  JOIN embeddings mm ON mm.vec_id = fin.id AND mm.label = 1),
+          |idx AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS j
+          |  FROM e),
+          |dims AS (SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+          |  FROM idx GROUP BY j),
+          |stats AS (SELECT list(mn ORDER BY j) AS mns,
+          |    list(mx ORDER BY j) AS mxs FROM dims),
+          |dq AS (SELECT e.vec_id,
+          |    list_transform(range(1, len(e.v) + 1), j ->
+          |      CASE WHEN s.mxs[j] = s.mns[j] THEN s.mns[j]
+          |        ELSE s.mns[j]
+          |          + round((e.v[j] - s.mns[j]) / (s.mxs[j] - s.mns[j]) * 255.0)
+          |            * (s.mxs[j] - s.mns[j]) / 255.0
+          |      END) AS dv
+          |  FROM e JOIN sel ON sel.id = e.vec_id, stats s),
+          |ap AS (SELECT d.vec_id,
+          |    round(list_cosine_similarity(d.dv, q.qv), 4) AS approx
+          |  FROM dq d, q),
+          |cand AS (SELECT vec_id FROM ap
+          |  ORDER BY approx DESC, vec_id ASC LIMIT 60)
+          |SELECT e.vec_id AS id,
+          |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+          |FROM e JOIN cand USING (vec_id), q
+          |ORDER BY score DESC, id ASC
+          |LIMIT 20""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
+
+    // filtered IVF+binary at the production pruning: the
+    // v_ivf_binary_topk replay with the label predicate intersecting
+    // the probed candidates before the integer hamming cut
+    "v_ivf_binary_topk_filtered" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |ivsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("ivsrc", 16, 15, "iv")},
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          |qx AS (SELECT f, x FROM ivsrc WHERE id = 0),
+          |cq AS (SELECT k.c,
+          |  1.0 - sum(k.cx * qx.x) / sqrt(sum(k.cx * k.cx) * sum(qx.x * qx.x)) AS d
+          |  FROM ivkc15 k JOIN qx ON qx.f = k.f GROUP BY k.c),
+          |probes AS (SELECT c FROM cq ORDER BY d, c LIMIT 12),
+          |sel AS (SELECT fin.id FROM ivfin fin
+          |  JOIN probes p ON p.c = fin.c
+          |  JOIN embeddings mm ON mm.vec_id = fin.id AND mm.label = 1),
+          |ham AS (SELECT s.id,
+          |    sum(CASE WHEN COALESCE(s.x > 0, FALSE)
+          |      <> COALESCE(qx.x > 0, FALSE) THEN 1 ELSE 0 END) AS h
+          |  FROM ivsrc s JOIN sel ON sel.id = s.id
+          |  JOIN qx ON qx.f = s.f GROUP BY s.id),
+          |cand AS (SELECT id FROM ham ORDER BY h ASC, id ASC LIMIT 60)
+          |SELECT e.vec_id AS id,
+          |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+          |FROM e JOIN cand ON cand.id = e.vec_id, q
+          |ORDER BY score DESC, id ASC
+          |LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // batch generalization of the v_ivf_topk replay: per-query probe
+    // ranking, probe-bounded candidate join, rank on the ROUNDED score
+    // (the engine's batch parity convention — see v_batch_topk)
+    "v_ivf_topk_batch" -> ivfTopKBatchReplaySql,
+
+    // the streamed serve face unions its micro-batches' results, each
+    // of which equals the batch operator, and every qid lands in
+    // exactly one micro-batch — so the SAME batch replay oracles it
+    // (the checker sorts rows; parquet append order is meaningless)
+    "s_ivf_query_stream" -> ivfTopKBatchReplaySql,
 
     "v_sql_surface" ->
       """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v

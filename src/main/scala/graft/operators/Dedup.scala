@@ -987,7 +987,11 @@ object Dedup {
     *
     * `nBlocks` ≤ 0 means the default maxDist + 3 (capped at
     * SimhashBits); nBlocks = maxDist + 1 recovers the classic
-    * single-chunk scheme exactly. Output is blocking-independent:
+    * single-chunk scheme exactly. maxDist = -1 (the default) picks the
+    * radius density-aware — UNLESS nBlocks is given, which pins the
+    * radius to the long-standing default 6 that the caller's blocking
+    * was tuned against (an nBlocks-only call keeps its pre-auto
+    * meaning). Output is blocking-independent:
     * (doc_a, doc_b, hamming), hamming ≤ maxDist, deduped, ordered.
     */
   def simhashNearDupPairs(
@@ -1013,9 +1017,13 @@ object Dedup {
     // the explicit override untouched. The extra cost of the probe is
     // one aggregation over the persisted signatures per considered
     // radius (no join, no pair emission).
-    val auto = maxDist < 0
-    require(!auto || nBlocks == 0,
-      "nBlocks tunes one radius's blocking — pass an explicit maxDist with it")
+    // nBlocks tunes ONE radius's blocking, so it pins the radius: a
+    // caller passing only nBlocks was tuning against the long-standing
+    // default maxDist = 6, and that call keeps meaning exactly that
+    // (ADVICE r10 — the r10 auto default must not turn a previously
+    // valid call into a throw). The density-aware auto applies only
+    // when the radius is genuinely unconstrained.
+    val auto = maxDist < 0 && nBlocks == 0
     // C(n, k) without overflow drama: acc stays a binomial at each step
     def nChooseK(n: Int, k: Int): Long =
       (0 until k).foldLeft(1L)((acc, i) => acc * (n - i) / (i + 1))
@@ -1086,7 +1094,7 @@ object Dedup {
     // the probe twice for the same blocking
     var knownMass = Option.empty[Long]
     val chosenDist =
-      if (!auto) maxDist
+      if (!auto) { if (maxDist < 0) 6 else maxDist } // nBlocks-only ⇒ the radius it was tuned for
       else {
         val m6 = massOf(keyedAt(6))
         val budget = autoPairsPerDoc.toLong * math.max(1L, sh.count())

@@ -436,6 +436,7 @@ object StreamingOps {
     private var nBatches = 0L
     private var nRows = 0L
     private var nCompactions = 0L
+    private var nRebuilds = 0L
     private[graft] def recordBatch(perCluster: Seq[(Long, Long)]): Unit =
       synchronized {
         nBatches += 1
@@ -446,9 +447,18 @@ object StreamingOps {
       }
     private[graft] def recordCompaction(): Unit =
       synchronized { nCompactions += 1 }
+    private[graft] def recordRebuild(): Unit =
+      synchronized { nRebuilds += 1 }
+    /** Drift state restarts after a quantizer rebuild: the metric
+      * measures concentration RELATIVE to the fitted centroids, and a
+      * rebuild re-fits them — carrying the old mass over would re-fire
+      * the trigger on the first post-rebuild batch forever. */
+    private[graft] def resetDrift(): Unit =
+      synchronized { mass.clear() }
     def batchesSeen: Long = synchronized(nBatches)
     def rowsAppended: Long = synchronized(nRows)
     def compactionsRun: Long = synchronized(nCompactions)
+    def rebuildsRun: Long = synchronized(nRebuilds)
     def listsTouched: Int = synchronized(mass.size)
     def topDecileShare: Double = synchronized {
       if (mass.isEmpty) 0.0
@@ -463,9 +473,17 @@ object StreamingOps {
       * in a tenth of the touched lists). Probe cost on the hot lists
       * grows with their length, so a drifted index serves
       * progressively slower until the quantizer is re-fit
-      * ([[graft.operators.Similarity.ivfBuildAuto]] + ivfSave).
+      * ([[graft.operators.Similarity.ivfRebuild]], which the ingest
+      * hook runs when wired with a threshold).
+      *
+      * Gated on `minLists` touched lists (ADVICE r10): with fewer than
+      * ~10 touched lists the "top decile" is ONE list by ceil rounding,
+      * so perfectly uniform ingest into 1-2 lists reads 0.5-1.0 and an
+      * ungated trigger would demand a rebuild of a small or
+      * narrowly-touched index that has not drifted at all.
       */
-    def driftExceeds(threshold: Double): Boolean = topDecileShare > threshold
+    def driftExceeds(threshold: Double, minLists: Int = 10): Boolean =
+      listsTouched >= minLists && topDecileShare > threshold
   }
 
   /** One micro-batch's landing as an IDEMPOTENT segment write (ADVICE
@@ -513,7 +531,18 @@ object StreamingOps {
     * that decides when frozen centroids have gone stale. Centroid
     * drift (enough appended mass to warrant re-fitting the quantizer)
     * remains a REBUILD, by the same batch-built contract as the
-    * reference's index — the monitor tells you WHEN.
+    * reference's index — the monitor tells you WHEN, and as of r11 the
+    * hook can also DO it: `rebuildDriftThreshold` > 0 runs
+    * [[graft.operators.Similarity.ivfRebuild]] (requantize base +
+    * committed appends at [[graft.operators.Similarity.suggestLists]]
+    * sizing, rename-swap) the moment
+    * `driftExceeds(threshold, rebuildMinLists)` fires; the in-flight
+    * segment is excluded and re-assigned (replay-safe), the assignment
+    * model refreshes to the new centroids, and the monitor's drift
+    * state resets. A concurrent [[ivfQueryStream]] reload picks the
+    * new layout up through its existing swap retry. With rebuild
+    * enabled the CHECKPOINT must live outside `indexPath` (the swap
+    * renames the whole directory — enforced).
     *
     * Returns the started query; callers own its lifecycle.
     */
@@ -522,14 +551,31 @@ object StreamingOps {
       indexPath: String,
       checkpoint: String,
       compactEverySegs: Int = 0,
-      monitor: Option[IvfIngestMonitor] = None)
+      monitor: Option[IvfIngestMonitor] = None,
+      rebuildDriftThreshold: Double = 0.0,
+      rebuildTargetListSize: Int = 1250,
+      rebuildMinLists: Int = 10)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rebuildDriftThreshold == 0.0 || monitor.nonEmpty,
+      "rebuildDriftThreshold needs an IvfIngestMonitor to measure drift — " +
+        "pass monitor = Some(new IvfIngestMonitor)")
+    require(rebuildDriftThreshold == 0.0 ||
+        !new java.io.File(checkpoint).getAbsolutePath.startsWith(
+          new java.io.File(indexPath).getAbsolutePath),
+      "with drift-triggered rebuild enabled the streaming checkpoint must " +
+        "NOT live under indexPath — ivfRebuild swaps the whole index " +
+        "directory, which would destroy the checkpoint mid-stream")
     val spark = vectors.sparkSession
     import spark.implicits._
-    // sidecar read only — the lists scan is lazy and never triggered
-    val index = graft.operators.Similarity.ivfLoad(spark, indexPath)
-    val model = graft.scale.DeterministicKMeans.Model(
-      index.centroids.sortBy(_._1).map(_._2))
+    // sidecar read only — the lists scan is lazy and never triggered.
+    // `model` is a VAR: a drift-triggered rebuild re-fits the quantizer
+    // mid-stream, and subsequent micro-batches must assign against the
+    // NEW centroids (foreachBatch is sequential, so the swap is safe).
+    var model = {
+      val index = graft.operators.Similarity.ivfLoad(spark, indexPath)
+      graft.scale.DeterministicKMeans.Model(
+        index.centroids.sortBy(_._1).map(_._2))
+    }
     vectors
       .select($"id".cast("long").as("id"),
         $"vec".cast("array<double>").as("vec"))
@@ -550,7 +596,31 @@ object StreamingOps {
               r.getLong(1))).toSeq
           m.recordBatch(per)
         }
-        if (compactEverySegs > 0) {
+        // DRIFT-TRIGGERED REBUILD (VERDICT r10 #2): once the monitor's
+        // top-decile share crosses the threshold, requantize base +
+        // committed appends into a fresh layout and swap it in
+        // ([[graft.operators.Similarity.ivfRebuild]]). seg >= batchId
+        // is excluded from the fold and re-assigned as its own segment
+        // in the new layout, so a replayed batch still overlays its own
+        // leaves; the serve loop's reload/retry picks the new layout up.
+        // Checked BEFORE compaction — a rebuild folds the appends
+        // anyway, and compacting first would be wasted I/O.
+        val rebuilt = rebuildDriftThreshold > 0.0 && monitor.exists { m =>
+          if (m.driftExceeds(rebuildDriftThreshold, rebuildMinLists)) {
+            graft.operators.Similarity.ivfRebuild(
+              spark, indexPath, rebuildTargetListSize,
+              maxSegExclusive = batchId)
+            model = {
+              val idx = graft.operators.Similarity.ivfLoad(spark, indexPath)
+              graft.scale.DeterministicKMeans.Model(
+                idx.centroids.sortBy(_._1).map(_._2))
+            }
+            m.resetDrift()
+            m.recordRebuild()
+            true
+          } else false
+        }
+        if (!rebuilt && compactEverySegs > 0) {
           val ap = new org.apache.hadoop.fs.Path(s"$indexPath/applists")
           val fs = ap.getFileSystem(spark.sessionState.newHadoopConf())
           val segs =
@@ -558,7 +628,12 @@ object StreamingOps {
               fs.listStatus(ap).count(_.getPath.getName.startsWith("seg="))
             else 0
           if (segs >= compactEverySegs) {
-            graft.operators.Similarity.ivfCompactAppends(spark, indexPath)
+            // fold only segments BELOW the current batch id (ADVICE
+            // r10): the in-flight batch's segment stays its own
+            // directory, so a replay after a post-compaction crash
+            // overlays it instead of duplicating rows already merged
+            graft.operators.Similarity.ivfCompactAppends(
+              spark, indexPath, maxSegExclusive = batchId)
             monitor.foreach(_.recordCompaction())
           }
         }

@@ -561,6 +561,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == b6)
   }
 
+  test("nBlocks-only calls keep their pre-auto meaning: the radius pins to 6 (ADVICE r10)") {
+    // before the r10 auto default, a caller tuning only nBlocks was
+    // tuning against maxDist = 6; that call must neither throw nor
+    // silently change radius under the new default
+    val viaDefault = Dedup.simhashNearDupPairs(docs, nBlocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Dedup.simhashNearDupPairs(docs, maxDist = 6, nBlocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDefault == explicit,
+      "nBlocks-only call diverged from the explicit maxDist=6 it was tuned for")
+  }
+
   test("bucket occupancy diagnostics: exact pair mass, partitioning-invariant") {
     val s = spark
     import s.implicits._

@@ -432,8 +432,18 @@ class StreamingSpec extends SparkSpec {
       s"uniform ingest misread as drift: ${uniform.topDecileShare}")
     val drifted = new StreamingOps.IvfIngestMonitor
     drifted.recordBatch(Seq((0L, 970L), (1L, 10L), (2L, 10L), (3L, 10L)))
-    assert(drifted.driftExceeds(0.5),
+    assert(drifted.driftExceeds(0.5, minLists = 4),
       s"collapsed ingest not flagged: ${drifted.topDecileShare}")
+    // the minLists gate (ADVICE r10): with < minLists touched lists the
+    // "top decile" is ONE list by ceil rounding, so even perfectly
+    // uniform narrow ingest reads high — the default gate must hold it
+    assert(!drifted.driftExceeds(0.5),
+      "4-list ingest fired the default (minLists=10) trigger")
+    val narrow = new StreamingOps.IvfIngestMonitor
+    narrow.recordBatch(Seq((0L, 10L), (1L, 10L))) // uniform, 2 lists
+    assert(narrow.topDecileShare >= 0.5, "ceil decile of 2 lists is 1 list")
+    assert(!narrow.driftExceeds(0.5),
+      "uniform 2-list ingest misread as drift by the gated trigger")
     // the stream face wires both hooks: run two batches with
     // compactEverySegs = 1 and a monitor — every batch compacts, the
     // monitor sees the mass
@@ -493,5 +503,205 @@ class StreamingSpec extends SparkSpec {
       "batch 1 saw a vector appended after it ran")
     assert(out.contains((901L, 777L)),
       s"reload did not surface the appended vector: $out")
+  }
+
+  test("compaction excludes the in-flight segment, so a post-compaction replay cannot duplicate") {
+    // the ADVICE r10 medium finding: ivfCompactAppends folding the
+    // CURRENT batch's segment breaks the replay law — if the driver
+    // dies after the fold but before the streaming checkpoint commits,
+    // the replayed batch rewrites seg=<id> while its rows also live in
+    // the merged segment. With maxSegExclusive = batchId the in-flight
+    // segment survives as its own directory and the replay overlays it.
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val F = org.apache.spark.sql.functions
+    def vec(i: Int) = Array.tabulate(8)(f =>
+      math.sin((i % 5) * 0.9 + f * 0.7) + (if (f == i % 8) 1.5 else 0.0))
+    val base = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val built = Similarity.ivfBuild(base, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-excl").toString
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    val model = graft.scale.DeterministicKMeans.Model(
+      Similarity.ivfLoad(s, dir).centroids.sortBy(_._1).map(_._2))
+    def assigned(rows: Seq[(Long, Array[Double])]) =
+      graft.scale.DeterministicKMeans.assign(
+        rows.toDF("id", "vec"), model, idCol = "id", vecCol = "vec")
+        .select("id", "vec", "cluster")
+    StreamingOps.ivfAppendSegment(assigned(Seq((100L, vec(1)))), dir, 0L)
+    StreamingOps.ivfAppendSegment(assigned(Seq((101L, vec(2)))), dir, 1L)
+    val seg2 = Seq((102L, vec(3)), (103L, vec(4)))
+    StreamingOps.ivfAppendSegment(assigned(seg2), dir, 2L)
+    // the crash scenario: compaction runs inside batch 2's foreachBatch
+    Similarity.ivfCompactAppends(s, dir, maxSegExclusive = 2L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/applists/seg=2")),
+      "the in-flight segment was folded despite maxSegExclusive")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/applists/seg=0")),
+      "committed segments were not folded")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/applists_swap_marker")),
+      "the swap marker survived a completed compaction")
+    def loadedRows() = Similarity.ivfLoad(s, dir).assigned
+      .select(F.col("id").cast("long")).collect().map(_.getLong(0)).sorted.toSeq
+    val afterCompact = loadedRows()
+    assert(afterCompact.count(_ == 102L) == 1 && afterCompact.length == 44,
+      s"row set wrong after exclusive compaction: ${afterCompact.length}")
+    // ... then the checkpoint never commits and batch 2 REPLAYS
+    StreamingOps.ivfAppendSegment(assigned(seg2), dir, 2L)
+    assert(loadedRows() == afterCompact,
+      "replaying the in-flight batch after compaction duplicated rows")
+  }
+
+  test("ivfRebuild equals a cold build over the same rows and swaps under the serve layout") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val F = org.apache.spark.sql.functions
+    def vec(i: Int) = Array.tabulate(8)(f =>
+      math.sin((i % 5) * 0.9 + f * 0.7) + (if (f == i % 8) 1.5 else 0.0))
+    val base = (0L until 30L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val built = Similarity.ivfBuild(base, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rebuild").toString
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    val model = graft.scale.DeterministicKMeans.Model(
+      Similarity.ivfLoad(s, dir).centroids.sortBy(_._1).map(_._2))
+    def assigned(rows: Seq[(Long, Array[Double])]) =
+      graft.scale.DeterministicKMeans.assign(
+        rows.toDF("id", "vec"), model, idCol = "id", vecCol = "vec")
+        .select("id", "vec", "cluster")
+    val appended = (100L until 110L).map(i => (i, vec(i.toInt)))
+    StreamingOps.ivfAppendSegment(assigned(appended.take(5)), dir, 0L)
+    StreamingOps.ivfAppendSegment(assigned(appended.drop(5)), dir, 1L)
+    val newK = Similarity.ivfRebuild(s, dir, targetListSize = 5)
+    // the rebuild law (VERDICT r10 #2): the swapped layout equals a
+    // COLD ivfBuildAuto + ivfSave over the same rows — deterministic
+    // fit, so list assignment and every query agree exactly
+    val allRows = (0L until 30L).map(i => (i, vec(i.toInt))) ++ appended
+    val cold = Similarity.ivfBuildAuto(
+      allRows.toDF("id", "vec"),
+      Similarity.suggestLists(allRows.size.toLong, 5))
+    try {
+      val reb = Similarity.ivfLoad(s, dir)
+      assert(reb.k == newK && newK == cold.k,
+        s"list counts diverged: rebuilt=$newK cold=${cold.k}")
+      assert(reb.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq ==
+        cold.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq,
+        "rebuilt centroids diverged from the cold fit")
+      def rows(ix: Similarity.IvfIndex) = ix.assigned
+        .select(F.col("id").cast("long"), F.col("cluster").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(rows(reb) == rows(cold), "rebuilt lists diverged from cold build")
+      val got = Similarity.ivfTopK(reb, vec(105), k = 5, nprobe = reb.k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = Similarity.ivfTopK(cold, vec(105), k = 5, nprobe = cold.k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, "rebuilt index answers diverged from cold build")
+      // appends were folded into the fresh base
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/applists")),
+        "rebuild left unfolded append segments")
+    } finally Similarity.ivfRelease(cold)
+  }
+
+  test("ivfRebuild with maxSegExclusive re-assigns the in-flight segment instead of folding it") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val F = org.apache.spark.sql.functions
+    def vec(i: Int) = Array.tabulate(8)(f =>
+      math.sin((i % 5) * 0.9 + f * 0.7) + (if (f == i % 8) 1.5 else 0.0))
+    val base = (0L until 30L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val built = Similarity.ivfBuild(base, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rebexcl").toString
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    val model = graft.scale.DeterministicKMeans.Model(
+      Similarity.ivfLoad(s, dir).centroids.sortBy(_._1).map(_._2))
+    def assigned(rows: Seq[(Long, Array[Double])]) =
+      graft.scale.DeterministicKMeans.assign(
+        rows.toDF("id", "vec"), model, idCol = "id", vecCol = "vec")
+        .select("id", "vec", "cluster")
+    StreamingOps.ivfAppendSegment(assigned(Seq((100L, vec(1)))), dir, 0L)
+    val seg1 = Seq((101L, vec(2)), (102L, vec(3)))
+    StreamingOps.ivfAppendSegment(assigned(seg1), dir, 1L)
+    Similarity.ivfRebuild(s, dir, targetListSize = 5, maxSegExclusive = 1L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/applists/seg=1")),
+      "the in-flight segment did not survive the rebuild")
+    def loadedIds() = Similarity.ivfLoad(s, dir).assigned
+      .select(F.col("id").cast("long")).collect().map(_.getLong(0)).sorted.toSeq
+    val after = loadedIds()
+    assert(after.length == 33 && after.distinct.length == 33,
+      s"rebuild with exclusion lost or duplicated rows: ${after.length}")
+    // the replay: batch 1 re-runs against the NEW centroids (the
+    // stream face reloads its model after a rebuild) and overlays its
+    // own segment — still no duplicates
+    val model2 = graft.scale.DeterministicKMeans.Model(
+      Similarity.ivfLoad(s, dir).centroids.sortBy(_._1).map(_._2))
+    StreamingOps.ivfAppendSegment(
+      graft.scale.DeterministicKMeans.assign(
+        seg1.toDF("id", "vec"), model2, idCol = "id", vecCol = "vec")
+        .select("id", "vec", "cluster"), dir, 1L)
+    assert(loadedIds() == after,
+      "replaying the in-flight batch after a rebuild duplicated rows")
+  }
+
+  test("drift-triggered rebuild fires under the ingest stream and the serve loop keeps answering") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Similarity
+    val F = org.apache.spark.sql.functions
+    def vec(i: Int) = Array.tabulate(8)(f =>
+      math.sin((i % 5) * 0.9 + f * 0.7) + (if (f == i % 8) 1.5 else 0.0))
+    val base = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val built = Similarity.ivfBuild(base, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    // the checkpoint must NOT live under the index path: a rebuild
+    // swaps the whole directory (the documented contract)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-drift-ck").toString
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    val mon = new StreamingOps.IvfIngestMonitor
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = StreamingOps.ivfAppendStream(
+      in.toDF().toDF("id", "vec"), dir, ckpt,
+      monitor = Some(mon), rebuildDriftThreshold = 0.4,
+      rebuildTargetListSize = 10, rebuildMinLists = 1)
+    // every appended vector is (near) vec(3) — they all collapse onto
+    // one list, so topDecileShare reads ~1.0 and the trigger fires
+    val drift = (200L until 212L).map(i => (i, vec(3)))
+    in.addData(drift.take(6))
+    q.processAllAvailable()
+    val rebuildsAfterB1 = mon.rebuildsRun
+    in.addData(drift.drop(6))
+    q.processAllAvailable()
+    q.stop()
+    assert(mon.rebuildsRun >= 1, "drift never triggered a rebuild")
+    // post-rebuild batches were assigned against the FRESH quantizer:
+    // the layout loads, serves every row exactly once, and its
+    // centroid count reflects the rebuild sizing (not the original 4)
+    val reb = Similarity.ivfLoad(s, dir)
+    val ids = reb.assigned.select(F.col("id").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.length == 52 && ids.distinct.length == 52,
+      s"rebuild under ingest lost or duplicated rows: ${ids.length}")
+    if (rebuildsAfterB1 >= 1) {
+      // batch 2 landed on the rebuilt layout — its segment must load
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/applists")),
+        "post-rebuild appends missing from the layout")
+    }
+    // the serve face answers correctly against the rebuilt layout
+    val got = Similarity.ivfTopK(reb, vec(3), k = 3, nprobe = reb.k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty && got.forall(id => ids.contains(id)))
   }
 }
