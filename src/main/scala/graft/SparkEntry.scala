@@ -178,7 +178,7 @@ object SparkEntry {
     // r11 additions: filtered codec ANN + the streamed serve row — the
     // slim line stays at budget; their scale story is in SCALE_BENCH_r11
     "v_ivf_sq8_topk_filtered", "v_ivf_binary_topk_filtered",
-    "s_ivf_query_stream")
+    "s_ivf_query_stream", "s_dedup_gate_stream")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1670,6 +1670,46 @@ object SparkEntry {
       s.read.parquet(out)
         .select(F.col("qid"), F.col("id"), F.col("score"))
         .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+        .localCheckpoint()
+    }),
+
+    // the SELF-GROWING streaming dedup gate as a REAL stream (the
+    // second streaming row in the correctness gate): base index
+    // persisted from the %10==0 docs, two MemoryStream micro-batches
+    // through minhashGateStream's foreachBatch — each batch collapsed
+    // within itself (dedupCorpus), deduped against base ∪ earlier
+    // survivors (dedupAgainstIndex over loadWithAppends), survivors'
+    // band rows appended as idempotent seg=batchId partitions.
+    // Oracled by the sequential exact-Jaccard replay in DuckDB.
+    "s_dedup_gate_stream" -> ((s, d) => {
+      import s.implicits._
+      val all = docs(s, d).select("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sgate_idx").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_sgate_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sgate_ckpt").toString
+      val built = Dedup.minhashIndexBuild(
+        all.where(F.col("doc_id") % 10 === 0))
+      Dedup.minhashIndexSave(built, dir)
+      Dedup.minhashIndexRelease(built)
+      val b1 = all.where(F.col("doc_id") % 10 >= 1 && F.col("doc_id") % 10 <= 4)
+        .as[(Long, String)].collect().sortBy(_._1)
+      val b2 = all.where(F.col("doc_id") % 10 >= 5)
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = graft.streaming.StreamingOps.minhashGateStream(
+        ms.toDF.toDF("doc_id", "text"), dir, out, ckpt,
+        jaccardThreshold = 0.8)
+      try {
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()
+        ms.addData(b2.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out).select("doc_id").orderBy("doc_id")
         .localCheckpoint()
     }),
 
@@ -3295,6 +3335,55 @@ object SparkEntry {
         |  SELECT doc_a FROM jpairs WHERE jaccard >= 0.8 AND doc_b % 10 = 0
         |  UNION
         |  SELECT doc_b FROM jpairs WHERE jaccard >= 0.8 AND doc_a % 10 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the streaming gate replayed SEQUENTIALLY in exact SQL: batch 1's
+    // within-batch collapse (exact-fingerprint keepers, then near-dup
+    // doc_b drop over pairs inside the kept set) and index check
+    // against the base (%10=0); batch 2's the same, but against
+    // base ∪ batch-1 survivors — the self-growing state, in SQL.
+    // Candidate scheme and verify are shared code with d_dedup_corpus /
+    // d_dedup_against_index, so exact jpairs is the same contract.
+    "s_dedup_gate_stream" ->
+      s"""WITH $JaccardPairsCte,
+        |fpk AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |b1k AS (
+        |  SELECT min(doc_id) AS doc_id FROM fpk
+        |  WHERE doc_id % 10 BETWEEN 1 AND 4 GROUP BY fp),
+        |s1w AS (
+        |  SELECT doc_id FROM b1k WHERE doc_id NOT IN (
+        |    SELECT j.doc_b FROM jpairs j
+        |    JOIN b1k ka ON ka.doc_id = j.doc_a
+        |    JOIN b1k kb ON kb.doc_id = j.doc_b
+        |    WHERE j.jaccard >= 0.8)),
+        |s1 AS (
+        |  SELECT doc_id FROM s1w WHERE doc_id NOT IN (
+        |    SELECT doc_a FROM jpairs WHERE jaccard >= 0.8 AND doc_b % 10 = 0
+        |    UNION
+        |    SELECT doc_b FROM jpairs WHERE jaccard >= 0.8 AND doc_a % 10 = 0)),
+        |b2k AS (
+        |  SELECT min(doc_id) AS doc_id FROM fpk
+        |  WHERE doc_id % 10 >= 5 GROUP BY fp),
+        |s2w AS (
+        |  SELECT doc_id FROM b2k WHERE doc_id NOT IN (
+        |    SELECT j.doc_b FROM jpairs j
+        |    JOIN b2k ka ON ka.doc_id = j.doc_a
+        |    JOIN b2k kb ON kb.doc_id = j.doc_b
+        |    WHERE j.jaccard >= 0.8)),
+        |ref AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+        |  UNION SELECT doc_id FROM s1),
+        |s2 AS (
+        |  SELECT doc_id FROM s2w WHERE doc_id NOT IN (
+        |    SELECT j.doc_a FROM jpairs j
+        |      JOIN ref r ON r.doc_id = j.doc_b WHERE j.jaccard >= 0.8
+        |    UNION
+        |    SELECT j.doc_b FROM jpairs j
+        |      JOIN ref r ON r.doc_id = j.doc_a WHERE j.jaccard >= 0.8))
+        |SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
         |ORDER BY doc_id""".stripMargin,
 
     // transitive closure of the exact >= 0.8 Jaccard pair graph via

@@ -585,6 +585,161 @@ object Dedup {
       intOf("numHashes"), intOf("bands"), intOf("shingleLen"))
   }
 
+  // ---- streamed append segments: the growing-gate state ------------
+  //
+  // A continuously-ingesting dedup gate must dedup each arrival against
+  // EVERYTHING admitted so far — the base corpus AND earlier stream
+  // survivors. The saved layout grows the same way the IVF one does
+  // ([[graft.streaming.StreamingOps.ivfAppendStream]]): each micro-batch
+  // lands its survivors' band rows + shingles as a `seg=<batchId>`
+  // partition beside the base `bands`/`shingles` dirs, written with
+  // dynamic partition overwrite so a REPLAYED batch rewrites its own
+  // leaves instead of duplicating them. Unlike IVF there is no frozen
+  // model to drift: band rows are per-document, so the appended state
+  // is EXACT at any size and a rebuild is never semantically required —
+  // compaction ([[minhashCompactAppends]]) is purely a small-files fold.
+
+  private[graft] def gateSwapMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/bands_swap_marker")
+
+  /** Write `survivors`' band rows + shingles as append segment `seg`
+    * beside a saved [[minhashIndexSave]] layout. Idempotent under
+    * replay: dynamic partition overwrite replaces exactly the leaves a
+    * previous attempt of the SAME batch wrote (the computation is
+    * deterministic, so the rewritten leaves carry identical rows).
+    */
+  private[graft] def minhashAppendSegment(
+      survivors: DataFrame, path: String, seg: Long,
+      shingleLen: Int, numHashes: Int, bands: Int): Unit = {
+    val add = minhashIndexBuild(
+      survivors, shingleLen, numHashes, bands, persist = false)
+    add.bandRows
+      .withColumn("seg", F.lit(seg))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg", "band")
+      .parquet(s"$path/bands_appends")
+    add.refShingles
+      .withColumn("seg", F.lit(seg))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg")
+      .parquet(s"$path/shingles_appends")
+  }
+
+  /** [[minhashIndexLoad]] plus the streamed append segments: the
+    * returned index's band rows / shingles are base ∪ appends with
+    * `seg < maxSegExclusive` — called from the gate's foreachBatch with
+    * the CURRENT batch id so a replayed batch never dedups against its
+    * own partial first-attempt write. Honors the compaction swap
+    * marker the same way [[graft.operators.Similarity.ivfLoad]] does:
+    * an absent appends dir with the marker present means a fold is
+    * mid-swap — wait for it rather than silently serve base-only.
+    */
+  def minhashIndexLoadWithAppends(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxSegExclusive: Long = Long.MaxValue): MinhashIndex = {
+    val base = minhashIndexLoad(spark, path)
+    val bp = new org.apache.hadoop.fs.Path(s"$path/bands_appends")
+    val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
+    var hasAppends = fs.exists(bp)
+    if (!hasAppends && fs.exists(gateSwapMarkerPath(path))) {
+      var waited = 0
+      while (!hasAppends && fs.exists(gateSwapMarkerPath(path)) &&
+          waited < 10000) {
+        Thread.sleep(200); waited += 200
+        hasAppends = fs.exists(bp)
+      }
+      if (!hasAppends && fs.exists(gateSwapMarkerPath(path)))
+        throw new IllegalStateException(
+          s"minhashIndexLoadWithAppends($path): bands_appends is absent " +
+            "but a compaction swap marker is present and did not clear " +
+            "within 10 s — a compaction likely crashed between its swap " +
+            "renames. The pre-swap segments are under " +
+            "bands_appends_old / shingles_appends_old; restore them or " +
+            "finish the compaction, then delete bands_swap_marker.")
+    }
+    if (!hasAppends || fs.listStatus(bp).isEmpty) base
+    else {
+      val keep = (df: DataFrame) =>
+        df.where(F.col("seg").cast("long") < maxSegExclusive)
+      val ab = keep(spark.read.parquet(s"$path/bands_appends"))
+        .select("band", "bh", "doc_id", "sig")
+      val ash = keep(spark.read.parquet(s"$path/shingles_appends"))
+        .select("doc_id", "sh")
+      MinhashIndex(
+        base.bandRows.select("band", "bh", "doc_id", "sig").unionByName(ab),
+        base.refShingles.select("doc_id", "sh").unionByName(ash),
+        base.numHashes, base.bands, base.shingleLen)
+    }
+  }
+
+  /** Fold the gate's append segments below `maxSegExclusive` into one
+    * merged segment — a small-files compaction, semantics-free (band
+    * rows are per-document; queries before and after read the same
+    * set). Mirrors [[graft.operators.Similarity.ivfCompactAppends]]'s
+    * replay safety and swap protocol: the in-flight batch's segment is
+    * never folded (a replayed batch overlays its own leaves instead of
+    * duplicating rows already merged), the merged segment takes a
+    * NEGATIVE id no real batch can rewrite, and both directory swaps
+    * happen inside one marker bracket that
+    * [[minhashIndexLoadWithAppends]] waits on. Returns the merged
+    * band-file count (0 = nothing eligible).
+    */
+  def minhashCompactAppends(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxSegExclusive: Long = Long.MaxValue): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(s"$path/bands_appends")
+    val sp = new org.apache.hadoop.fs.Path(s"$path/shingles_appends")
+    val fs = bp.getFileSystem(conf)
+    if (!fs.exists(bp) || fs.listStatus(bp).isEmpty) return 0
+    val curB = spark.read.parquet(bp.toString)
+      .where(F.col("seg").cast("long") < maxSegExclusive)
+    val minSegRow = curB.agg(F.min(F.col("seg").cast("long"))).head
+    if (minSegRow.isNullAt(0)) return 0
+    val mergedSeg = math.min(-1L, minSegRow.getLong(0) - 1L)
+    val curS = spark.read.parquet(sp.toString)
+      .where(F.col("seg").cast("long") < maxSegExclusive)
+    val tmpB = new org.apache.hadoop.fs.Path(s"$path/bands_appends_tmp")
+    val tmpS = new org.apache.hadoop.fs.Path(s"$path/shingles_appends_tmp")
+    Seq(tmpB, tmpS).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    // band-aligned shuffle so each band leaf gets one file — the same
+    // reasoning as the IVF fold's cluster repartition
+    curB.select("band", "bh", "doc_id", "sig")
+      .repartition(F.col("band"))
+      .withColumn("seg", F.lit(mergedSeg))
+      .write.mode("overwrite").partitionBy("seg", "band")
+      .parquet(tmpB.toString)
+    curS.select("doc_id", "sh")
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .withColumn("seg", F.lit(mergedSeg))
+      .write.mode("overwrite").partitionBy("seg")
+      .parquet(tmpS.toString)
+    val marker = gateSwapMarkerPath(path)
+    fs.create(marker, true).close()
+    def swap(live: org.apache.hadoop.fs.Path,
+        tmp: org.apache.hadoop.fs.Path, oldName: String): Unit = {
+      val old = new org.apache.hadoop.fs.Path(s"$path/$oldName")
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.rename(live, old)
+      // excluded (>= maxSegExclusive) segment dirs carry over verbatim
+      fs.listStatus(old).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("seg=") &&
+            scala.util.Try(nm.substring(4).toLong).toOption
+              .exists(_ >= maxSegExclusive))
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tmp, nm))
+      }
+      fs.rename(tmp, live)
+      fs.delete(old, true)
+    }
+    swap(bp, tmpB, "bands_appends_old")
+    swap(sp, tmpS, "shingles_appends_old")
+    fs.delete(marker, false)
+    spark.read.parquet(bp.toString).inputFiles.length
+  }
+
   /** [[minhashNearDupAgainst]] with the reference side PREBUILT: the
     * corpus pays its signature pass, the reference contributes its
     * stored band rows to the candidate equi-join and its stored

@@ -319,6 +319,101 @@ object StreamingOps {
     }
   }
 
+  /** The SELF-GROWING streaming dedup gate — the shape a continuously-
+    * ingesting training pipeline actually runs: each micro-batch is
+    * (1) collapsed within itself ([[graft.operators.Dedup.dedupCorpus]]
+    * — exact-fingerprint keepers, then near-dup losers at the Jaccard
+    * threshold), (2) deduped against EVERYTHING admitted so far — the
+    * persisted base index PLUS every earlier batch's survivors
+    * ([[graft.operators.Dedup.minhashIndexLoadWithAppends]] ∪
+    * [[graft.operators.Dedup.dedupAgainstIndex]]), and (3) its
+    * survivors' band rows + shingles land as an idempotent
+    * `seg=<batchId>` append segment beside the base layout while the
+    * surviving documents append to `outPath` the same way. Unlike
+    * [[nearDupAgainstCorpus]] (static reference, flags only), the gate
+    * ADMITS and REMEMBERS: a duplicate arriving two days after its
+    * original is still caught, across restarts, because the state is
+    * the saved layout, not executor memory.
+    *
+    * Replay safety is structural, not best-effort: the per-batch dedup
+    * reads only segments `< batchId` (a replayed batch never sees its
+    * own partial first attempt), its writes are dynamic-partition
+    * overwrites of its own leaves, and compaction
+    * ([[graft.operators.Dedup.minhashCompactAppends]], every
+    * `compactEverySegs` accumulated segments) folds only segments
+    * strictly below the in-flight batch id — the same crash-replay
+    * contract as [[ivfAppendStream]], with one advantage: band rows
+    * are per-document, so the appended state is EXACT at any size and
+    * no drift-triggered rebuild exists to need.
+    *
+    * 100 TB shape: per batch the stream side pays one signature pass
+    * over its own rows; the state side contributes stored band rows to
+    * the candidate equi-join (pruned by band on the saved layout) and
+    * stored shingles to the bounded verify — cost scales with the
+    * batch's candidate mass, not with corpus size. State on disk grows
+    * with admitted documents only (duplicates are never appended).
+    *
+    * Returns the started query; callers own its lifecycle.
+    */
+  def minhashGateStream(
+      docs: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpoint: String,
+      jaccardThreshold: Double = 0.8,
+      compactEverySegs: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        minhashGateBatch(batch, batchId, indexPath, outPath,
+          jaccardThreshold)
+        if (compactEverySegs > 0) {
+          val bp = new org.apache.hadoop.fs.Path(s"$indexPath/bands_appends")
+          val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
+          val segs =
+            if (fs.exists(bp))
+              fs.listStatus(bp).count(_.getPath.getName.startsWith("seg="))
+            else 0
+          if (segs >= compactEverySegs) {
+            graft.operators.Dedup.minhashCompactAppends(
+              spark, indexPath, maxSegExclusive = batchId)
+            ()
+          }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  /** One gate micro-batch, factored out so the replay law is testable
+    * directly: calling this twice with the same `batchId` leaves the
+    * saved state and the output byte-for-byte row-identical. */
+  private[graft] def minhashGateBatch(
+      batch: DataFrame, batchId: Long, indexPath: String,
+      outPath: String, jaccardThreshold: Double): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val state = Dedup.minhashIndexLoadWithAppends(
+      spark, indexPath, maxSegExclusive = batchId)
+    val within = Dedup.dedupCorpus(batch, jaccardThreshold, state.shingleLen)
+    val survivors = Dedup.dedupAgainstIndex(
+        within, state, jaccardThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.count()
+    Dedup.minhashAppendSegment(
+      survivors, indexPath, batchId,
+      state.shingleLen, state.numHashes, state.bands)
+    survivors
+      .withColumn("seg", F.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg")
+      .parquet(outPath)
+    survivors.unpersist(blocking = false)
+  }
+
   /** Streaming eval-set decontamination gate: an arriving document is
     * dropped when any of its word n-grams hits a Bloom filter built
     * ONCE over the static eval set's n-grams (the streaming face of

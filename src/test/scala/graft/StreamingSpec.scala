@@ -704,4 +704,154 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got.nonEmpty && got.forall(id => ids.contains(id)))
   }
+
+  /** Deterministic doc corpus with planted dup structure for the gate
+    * laws: base docs 0–19; batch 1 = 100–109 where 105 ≈ base 3
+    * (base-dup) and 106 == 104 (within-batch exact dup); batch 2 =
+    * 200–209 where 205 ≈ 101 (cross-BATCH near-dup of a batch-1
+    * survivor) and 206 ≈ base 7. */
+  private def gateFixture = {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "table",
+      "row", "batch", "agg", "filter", "merge", "sort", "hash", "key",
+      "value", "col", "plan", "node", "leaf", "root")
+    def doc(): String =
+      Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    def tweak(t: String): String =
+      "zzz " + t.split(" ").drop(1).mkString(" ")
+    val base = (0L until 20L).map(i => (i, doc()))
+    val b1raw = (100L until 105L).map(i => (i, doc()))
+    val b1 = b1raw ++ Seq(
+      (105L, tweak(base(3)._2)), (106L, b1raw.find(_._1 == 104L).get._2))
+    val b2 = (200L until 205L).map(i => (i, doc())) ++ Seq(
+      (205L, tweak(b1.find(_._1 == 101L).get._2)),
+      (206L, tweak(base(7)._2)))
+    (base, b1, b2)
+  }
+
+  test("self-growing dedup gate: streamed survivors equal the sequential batch fold") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = s.sqlContext
+    val (base, b1, b2) = gateFixture
+    val baseDf = base.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_gate_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ck").toString
+    val built = Dedup.minhashIndexBuild(baseDf)
+    Dedup.minhashIndexSave(built, dir)
+    Dedup.minhashIndexRelease(built)
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.minhashGateStream(
+      in.toDF().toDF("doc_id", "text"), dir, out, ckpt,
+      jaccardThreshold = 0.8)
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // the planted structure resolved as designed
+    assert(!streamed.contains(105L), "base near-dup admitted")
+    assert(!streamed.contains(106L), "within-batch exact dup admitted")
+    assert(!streamed.contains(205L), "cross-batch near-dup of an admitted survivor leaked through")
+    assert(!streamed.contains(206L), "base near-dup admitted in batch 2")
+    assert(streamed.contains(101L) && streamed.contains(104L) &&
+      streamed.contains(200L))
+
+    // PARITY LAW: the stream equals the sequential batch fold
+    // (dedupCorpus within, dedupAgainstIndex across, append survivors)
+    val idx0 = Dedup.minhashIndexBuild(baseDf)
+    val s1 = Dedup.dedupAgainstIndex(
+      Dedup.dedupCorpus(b1.toDF("doc_id", "text"), 0.8), idx0, 0.8)
+    val idx1 = Dedup.minhashIndexAppend(idx0, s1)
+    val s2 = Dedup.dedupAgainstIndex(
+      Dedup.dedupCorpus(b2.toDF("doc_id", "text"), 0.8), idx1, 0.8)
+    val folded = (s1.select("doc_id").collect() ++ s2.select("doc_id").collect())
+      .map(_.getLong(0)).toSet
+    Dedup.minhashIndexRelease(idx1)
+    assert(streamed == folded,
+      s"stream/fold diverge: only-stream=${streamed -- folded} only-fold=${folded -- streamed}")
+
+    // STATE LAW: the saved layout + appends equals a cold index over
+    // base ∪ admitted survivors (band-row multiset equality)
+    val loaded = Dedup.minhashIndexLoadWithAppends(s, dir)
+    val admitted = baseDf.unionByName(
+      (b1 ++ b2).toDF("doc_id", "text")
+        .where(org.apache.spark.sql.functions.col("doc_id")
+          .isin(streamed.toSeq: _*)))
+    val cold = Dedup.minhashIndexBuild(admitted, persist = false)
+    def bandSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bh", "doc_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bandSet(loaded.bandRows) == bandSet(cold.bandRows),
+      "streamed state diverges from a cold build over the admitted set")
+  }
+
+  test("gate batch replay is idempotent and compaction folds only committed segments") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val (base, b1, b2) = gateFixture
+    val baseDf = base.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate2_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_gate2_out").toString
+    val built = Dedup.minhashIndexBuild(baseDf)
+    Dedup.minhashIndexSave(built, dir)
+    Dedup.minhashIndexRelease(built)
+
+    StreamingOps.minhashGateBatch(
+      b1.toDF("doc_id", "text"), 0L, dir, out, 0.8)
+    val afterOnce = s.read.parquet(s"$dir/bands_appends")
+      .select("seg", "band", "bh", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
+    // REPLAY: same batch id, same rows — dynamic overwrite rewrites the
+    // same leaves; state and output are row-identical, not doubled
+    StreamingOps.minhashGateBatch(
+      b1.toDF("doc_id", "text"), 0L, dir, out, 0.8)
+    val afterTwice = s.read.parquet(s"$dir/bands_appends")
+      .select("seg", "band", "bh", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(afterOnce == afterTwice, "replayed gate batch changed the appended state")
+    val outRows = s.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(outRows == outRows.distinct, "replayed gate batch duplicated output docs")
+
+    StreamingOps.minhashGateBatch(
+      b2.toDF("doc_id", "text"), 1L, dir, out, 0.8)
+    val preCompact = Dedup.minhashIndexLoadWithAppends(s, dir)
+    val probe = Seq((900L, b1.find(_._1 == 101L).get._2)).toDF("doc_id", "text")
+    val hitsPre = Dedup.minhashNearDupAgainstIndex(probe, preCompact)
+      .select("ref_id").collect().map(_.getLong(0)).toSet
+    assert(hitsPre.contains(101L))
+
+    // compact with batch 1 in flight: seg=1 must survive verbatim,
+    // seg=0 folds into a negative merged segment
+    Dedup.minhashCompactAppends(s, dir, maxSegExclusive = 1L)
+    val segs = s.read.parquet(s"$dir/bands_appends")
+      .select("seg").distinct().collect().map(_.getInt(0)).toSet
+    assert(segs.exists(_ < 0) && segs.contains(1),
+      s"compaction segments wrong: $segs")
+    // COMPACTION INVARIANCE: queries read the same state
+    val postCompact = Dedup.minhashIndexLoadWithAppends(s, dir)
+    val hitsPost = Dedup.minhashNearDupAgainstIndex(probe, postCompact)
+      .select("ref_id").collect().map(_.getLong(0)).toSet
+    assert(hitsPre == hitsPost, "compaction changed query results")
+    // full fold afterwards leaves a single negative segment
+    Dedup.minhashCompactAppends(s, dir)
+    val segs2 = s.read.parquet(s"$dir/bands_appends")
+      .select("seg").distinct().collect().map(_.getInt(0)).toSet
+    assert(segs2.size == 1 && segs2.head < 0, s"full fold left: $segs2")
+    val hitsFull = Dedup.minhashNearDupAgainstIndex(
+        probe, Dedup.minhashIndexLoadWithAppends(s, dir))
+      .select("ref_id").collect().map(_.getLong(0)).toSet
+    assert(hitsFull == hitsPre)
+  }
 }
