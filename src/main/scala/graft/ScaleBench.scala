@@ -1183,6 +1183,52 @@ object ScaleBench {
             f"${bytesRows("s_ivf_serve_rebuild_freshness_ms")}%d ms")
         }
       }
+      // ---- the SELF-GROWING streaming dedup gate at volume: base
+      // band index over 10% of the corpus, the remaining 90% streamed
+      // in 6 micro-batches — each pays its own signature pass, a
+      // within-batch collapse, and a banded join against base +
+      // earlier survivors' appended segments, with compactions
+      // folding the accumulating segments mid-run. Row = end-to-end
+      // ingest wall over all batches; admitted count and final
+      // segment count land in the bytes map. The per-batch cost claim
+      // (candidate mass of the batch, not corpus size) shows up as
+      // sub-linear row growth across the 40×/80× doc doubling.
+      if (only.forall(_.contains("s_dedup_gate"))) {
+        val gdir = java.nio.file.Files
+          .createTempDirectory("gatescale").toString + "/index"
+        val gaux = java.nio.file.Files
+          .createTempDirectory("gatescaleaux").toString
+        val gBase = docs.where(F.col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+        val bidx = Dedup.minhashIndexBuild(gBase)
+        Dedup.minhashIndexSave(bidx, gdir)
+        Dedup.minhashIndexRelease(bidx)
+        val streamDocs = docs.where(F.col("doc_id") % 10 =!= 0)
+          .select("doc_id", "text").as[(Long, String)].collect()
+        val dChunks = streamDocs.grouped(
+          math.max(1, streamDocs.length / 6)).toSeq
+        bench("s_dedup_gate") {
+          val din = MemoryStream[(Long, String)]
+          val gq = graft.streaming.StreamingOps.minhashGateStream(
+            din.toDF().toDF("doc_id", "text"), gdir, gaux + "/out",
+            gaux + "/ckpt", jaccardThreshold = 0.8, compactEverySegs = 4)
+          try {
+            dChunks.foreach { c =>
+              din.addData(c.toSeq); gq.processAllAvailable()
+            }
+            streamDocs.length.toLong
+          } finally gq.stop()
+        }
+        rows.get("s_dedup_gate").foreach { case (sec, n) =>
+          val admitted = spark.read.parquet(gaux + "/out").count()
+          val segs = spark.read.parquet(gdir + "/bands_appends")
+            .select("seg").distinct().count()
+          bytesRows("s_dedup_gate_admitted") = admitted
+          bytesRows("s_dedup_gate_segments") = segs
+          println(f"[scale]   dedup gate: ${n / sec}%.0f docs/sec ingest; " +
+            f"admitted $admitted%d of $n%d; $segs%d segments after folds")
+        }
+      }
     }
     events.unpersist(blocking = false)
 

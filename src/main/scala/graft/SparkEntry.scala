@@ -178,7 +178,7 @@ object SparkEntry {
     // r11 additions: filtered codec ANN + the streamed serve row — the
     // slim line stays at budget; their scale story is in SCALE_BENCH_r11
     "v_ivf_sq8_topk_filtered", "v_ivf_binary_topk_filtered",
-    "s_ivf_query_stream", "s_dedup_gate_stream")
+    "s_ivf_query_stream", "s_dedup_gate_stream", "p_incr_profile")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -633,6 +633,33 @@ object SparkEntry {
     "q_data_profile" -> ((s, d) =>
       graft.operators.Profile.profile(
         docs(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))),
+
+    // INCREMENTAL profiling: three per-shard mergeable sketch sidecars
+    // (counts + moment sums + HLL binaries) folded into the profile
+    // shape WITHOUT rescanning the corpus — the per-drop shape at
+    // 100 TB. Counts/min/max/mean/std are exact through the merge and
+    // oracled directly; the HLL distinct estimate is approximate by
+    // contract, so the row carries its ACCURACY CLAIM instead
+    // (dist_ok = estimate within ±5% of exact — the oracle pins it
+    // to 1, so an estimator regression goes red, not unnoticed).
+    "p_incr_profile" -> ((s, d) => {
+      import graft.operators.Profile
+      val all = docs(s, d)
+      val cols = Seq("lang", "n_chars", "source")
+      val sidecars = (0 until 3).map(k =>
+          Profile.sketchShard(all.where(F.col("doc_id") % 3 === k), cols))
+        .reduce(_ unionByName _)
+      val merged = Profile.mergeShards(sidecars)
+      val exact = Profile.profile(all, cols)
+        .select(F.col("column"), F.col("n_distinct").as("exact_distinct"))
+      merged.join(exact, "column")
+        .select(
+          F.col("column"), F.col("n_rows"), F.col("n_nulls"),
+          (F.abs(F.col("n_distinct") - F.col("exact_distinct")) <=
+            F.lit(0.05) * F.col("exact_distinct")).cast("int").as("dist_ok"),
+          F.col("min_v"), F.col("max_v"), F.col("mean_v"), F.col("std_v"))
+        .orderBy("column")
+    }),
 
     // PSI drift monitor: reference-decile buckets (round-6 edges so
     // both engines bucket identically), per-bucket (p−q)·ln(p/q)
@@ -4965,6 +4992,31 @@ object SparkEntry {
         |  SELECT 'text', count(*),
         |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
         |    count(DISTINCT text), NULL, NULL, NULL, NULL
+        |  FROM documents)
+        |ORDER BY "column"""".stripMargin,
+
+    // exact stats replayed per column; dist_ok pinned to 1 — the
+    // engine side emits 0 there whenever the HLL merge estimate
+    // leaves the ±5% contract band
+    "p_incr_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'lang' AS "column", count(*) AS n_rows,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |    CAST(1 AS INT) AS dist_ok,
+        |    CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+        |    CAST(NULL AS DOUBLE) AS mean_v, CAST(NULL AS DOUBLE) AS std_v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    CAST(1 AS INT),
+        |    CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |    round(avg(n_chars), 4), round(stddev_samp(n_chars), 4)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    CAST(1 AS INT), NULL, NULL, NULL, NULL
         |  FROM documents)
         |ORDER BY "column"""".stripMargin,
 

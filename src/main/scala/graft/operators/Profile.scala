@@ -57,6 +57,101 @@ object Profile {
       .orderBy("column")
   }
 
+  // ---- incremental profiling: mergeable per-shard sketch sidecars --
+  //
+  // [[profile]] rescans the whole table per run — correct, but at
+  // 100 TB a corpus lands as SHARDS (daily drops, partitions), and
+  // re-profiling history on every drop is a full-corpus scan for a
+  // per-drop question. The incremental face keeps one tiny sidecar
+  // frame per shard holding MERGEABLE state only: counts, moment sums,
+  // min/max (exactly mergeable) and a Datasketches HLL binary for
+  // distincts (union-mergeable and deterministic for a GIVEN sharding;
+  // across different shardings the union's internal promotion mode can
+  // differ from the whole-data sketch's, moving the estimate by a few
+  // counts — inside the sketch's own ±2% error either way, ProfileSpec
+  // measures it at ±1 on 500). Profiling after the Nth drop = sketch
+  // the NEW shard + re-aggregate N sidecar rows — the history is never
+  // rescanned.
+
+  /** One shard's mergeable profile state, one row per column:
+    * (column, n_rows, n_nulls, sum_v, sum_sq, min_v, max_v,
+    * distinct_hll). Numeric moments are NULL for non-numeric columns;
+    * the HLL sketch covers every type. Persist these rows next to the
+    * shard (a few KB) and feed their union to [[mergeShards]].
+    */
+  def sketchShard(
+      df: DataFrame, cols: Seq[String], lgK: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "sketchShard: no columns requested")
+    val schema = df.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"sketchShard: column '$c' not in ${schema.fieldNames.mkString(", ")}"))
+    val aggs = cols.flatMap { c =>
+      val col = F.col(c)
+      val isNum = schema(c).dataType.isInstanceOf[NumericType]
+      val d = col.cast("double")
+      Seq(
+        F.count(F.lit(1)).as(s"__n_$c"),
+        F.sum(F.when(col.isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        (if (isNum) F.sum(d) else F.lit(null).cast("double")).as(s"__sum_$c"),
+        (if (isNum) F.sum(d * d) else F.lit(null).cast("double")).as(s"__sq_$c"),
+        (if (isNum) F.min(d) else F.lit(null).cast("double")).as(s"__min_$c"),
+        (if (isNum) F.max(d) else F.lit(null).cast("double")).as(s"__max_$c"),
+        // HLL wants a concrete hashable type; strings cover every
+        // input uniformly and keep shard and whole-table sketches
+        // identical (the sketch hashes the SAME bytes either way)
+        F.hll_sketch_agg(col.cast("string"), F.lit(lgK))
+          .as(s"__hll_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `__n_$c`, `__nulls_$c`, `__sum_$c`, `__sq_$c`, " +
+        s"`__min_$c`, `__max_$c`, `__hll_$c`"
+    }.mkString(", ")
+    one.select(F.expr(
+      s"stack(${cols.size}, $stackArgs) AS (column, n_rows, n_nulls, " +
+        "sum_v, sum_sq, min_v, max_v, distinct_hll)"))
+  }
+
+  /** Fold a union of [[sketchShard]] sidecars into the [[profile]]
+    * output shape: (column, n_rows, n_nulls, n_distinct, min_v, max_v,
+    * mean_v, std_v). Counts/min/max are EXACT across any shard split;
+    * n_distinct is the HLL union estimate (±~2% at the default lgK —
+    * and split-invariant: any sharding of the same rows merges to the
+    * same estimate); mean/std come from the merged moment sums
+    * (sample std via the sum-of-squares identity — adequate for
+    * profile-grade magnitudes; values spanning ≫ 1e8 with tiny
+    * variance lose digits the one-pass Welford form would keep).
+    */
+  def mergeShards(sidecars: DataFrame): DataFrame = {
+    val m = F.col("n_rows") - F.col("n_nulls") // non-null count
+    val mean = F.col("sum_v") / m
+    val varS = (F.col("sum_sq") - F.col("sum_v") * F.col("sum_v") / m) /
+      (m - 1)
+    sidecars
+      .groupBy("column")
+      .agg(
+        F.sum("n_rows").as("n_rows"),
+        F.sum("n_nulls").as("n_nulls"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("distinct_hll")))
+          .as("n_distinct"),
+        F.sum("sum_v").as("sum_v"),
+        F.sum("sum_sq").as("sum_sq"),
+        F.min("min_v").as("min_v"),
+        F.max("max_v").as("max_v"))
+      .select(
+        F.col("column"), F.col("n_rows"), F.col("n_nulls"),
+        F.col("n_distinct"), F.col("min_v"), F.col("max_v"),
+        F.when(m > 0 && F.col("sum_v").isNotNull, F.round(mean, 4))
+          .cast("double").as("mean_v"),
+        // greatest() absorbs the tiny negative variances the
+        // sum-of-squares identity can produce — but it also swallows
+        // NULL, so non-numeric columns must short-circuit first
+        F.when(m > 1 && F.col("sum_sq").isNotNull,
+            F.round(F.sqrt(F.greatest(varS, F.lit(0.0))), 4))
+          .cast("double").as("std_v"))
+      .orderBy("column")
+  }
+
   /** Population Stability Index between two snapshots of a numeric
     * column — the standard drift monitor a pipeline runs between a
     * reference corpus drop and the current one (PSI < 0.1 stable,
