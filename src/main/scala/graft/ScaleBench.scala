@@ -540,6 +540,77 @@ object ScaleBench {
       Similarity.ivfRelease(iv)
       Similarity.pqResidualRelease(pqr)
     }
+    // ---- MEASURED recall at the timed operating points: every v_*
+    // row above quotes a wall time at (nprobe=8, rerank=100) — this
+    // block pins the quality those times BUY. Ground truth = the same
+    // batch operator at nprobe = lists (probing every list scans the
+    // whole corpus — exact by construction, no second code path to
+    // trust). recall@10 per codec lands in the bytes map ×10⁴, so the
+    // artifact carries the latency/recall POINT, not just latency —
+    // the known-limits note's "recall depends on cluster quality"
+    // becomes a number per scale point.
+    if (only.forall(_.contains("v_ann_recall"))) {
+      val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
+      iv.assigned.count()
+      val qdf = queries.select("qid", "qvec")
+      def ids(df: org.apache.spark.sql.DataFrame) = df.select("qid", "id")
+      val gt = ids(Similarity.ivfTopKBatch(iv, qdf, k = 10, nprobe = lists))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nq = gt.select("qid").distinct().count()
+      def recall(df: org.apache.spark.sql.DataFrame): Long = {
+        val hits = ids(df).join(gt, Seq("qid", "id"), "left_semi").count()
+        math.round(hits.toDouble / (nq * 10) * 10000)
+      }
+      bytesRows("recall_ivf_p8_x1e4") =
+        recall(Similarity.ivfTopKBatch(iv, qdf, k = 10, nprobe = 8))
+      locally {
+        val sq8r = Similarity.sq8Encode(emb)
+        sq8r.codes.count()
+        bytesRows("recall_ivf_sq8_p8_r100_x1e4") = recall(
+          Similarity.ivfSq8TopKBatch(
+            iv, sq8r, emb, qdf, k = 10, nprobe = 8, rerank = 100))
+        Similarity.sq8Release(sq8r)
+      }
+      locally {
+        val bin = Similarity.binaryEncode(emb.select("id", "vec"))
+        bin.codes.count()
+        bytesRows("recall_binary_r100_x1e4") = recall(
+          Similarity.binaryTopKBatch(bin, emb, qdf, k = 10, rerank = 100))
+        Similarity.binaryRelease(bin)
+      }
+      locally {
+        val pqr = Similarity.pqResidualBuild(iv, m = 8, ksub = 64)
+        pqr.codes.count()
+        bytesRows("recall_ivf_pqr_p8_r100_x1e4") = recall(
+          Similarity.ivfPqrTopKBatch(
+            iv, pqr, emb, qdf, k = 10, nprobe = 8, rerank = 100))
+        Similarity.pqResidualRelease(pqr)
+      }
+      // rotation's measured value on THIS corpus: plain PQ vs OPQ at
+      // an identical (m, ksub, rerank) budget — same scan, same bytes,
+      // only the basis differs. Tight rerank (=k) so the number
+      // reflects code quality, not the exact rerank repairing it.
+      locally {
+        val pqf = Similarity.pqBuild(emb.select("id", "vec"), m = 8, ksub = 64)
+        pqf.codes.count()
+        bytesRows("recall_pq_r10_x1e4") = recall(
+          Similarity.pqTopKBatch(pqf, emb, qdf, k = 10, rerank = 10))
+        Similarity.pqRelease(pqf)
+        val opq = Similarity.opqBuild(emb.select("id", "vec"), m = 8, ksub = 64)
+        opq.pq.codes.count()
+        bytesRows("recall_opq_r10_x1e4") = recall(
+          Similarity.opqTopKBatch(opq, emb, qdf, k = 10, rerank = 10))
+        Similarity.opqRelease(opq)
+      }
+      Similarity.ivfRelease(iv)
+      gt.unpersist(blocking = false)
+      println(f"[scale] recall@10 x1e4: ivf_p8=${bytesRows("recall_ivf_p8_x1e4")}%d " +
+        f"sq8=${bytesRows("recall_ivf_sq8_p8_r100_x1e4")}%d " +
+        f"binary=${bytesRows("recall_binary_r100_x1e4")}%d " +
+        f"pqr=${bytesRows("recall_ivf_pqr_p8_r100_x1e4")}%d " +
+        f"pq_r10=${bytesRows("recall_pq_r10_x1e4")}%d " +
+        f"opq_r10=${bytesRows("recall_opq_r10_x1e4")}%d")
+    }
     bench("q_bloom_semi") {
       val small = docs.where(F.col("doc_id") % 100 === 0).select("doc_id")
       graft.operators.BloomJoin.semiJoin(docs, small, "doc_id").count()

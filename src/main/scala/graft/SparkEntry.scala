@@ -178,7 +178,8 @@ object SparkEntry {
     // r11 additions: filtered codec ANN + the streamed serve row — the
     // slim line stays at budget; their scale story is in SCALE_BENCH_r11
     "v_ivf_sq8_topk_filtered", "v_ivf_binary_topk_filtered",
-    "s_ivf_query_stream", "s_dedup_gate_stream", "p_incr_profile")
+    "s_ivf_query_stream", "s_dedup_gate_stream", "p_incr_profile",
+    "v_opq_topk")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1223,6 +1224,24 @@ object SparkEntry {
       val out = Similarity.pqTopK(index, e, queryVec(s, d), 20, rerank = 100)
         .localCheckpoint()
       Similarity.pqRelease(index)
+      out
+    }),
+
+    // OPQ (rotated PQ): parametric eigenvalue-allocation rotation
+    // before subspace quantization. Oracled at the DEGENERATE point
+    // (rerank covers the corpus ⇒ the exact rerank IS the answer, and
+    // an ORTHOGONAL rotation preserves every cosine — so the exact
+    // top-k SQL oracles the whole rotate→encode→ADC→rerank plumbing);
+    // production pruning and the recall-vs-raw-PQ claim are
+    // spec-pinned in PqSpec, measured at scale in the ScaleBench
+    // recall rows.
+    "v_opq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val index = Similarity.opqBuild(e, m = 4, ksub = 8, iters = 10)
+      val out = Similarity.opqTopK(index, e, queryVec(s, d), 20,
+          rerank = 100000)
+        .localCheckpoint()
+      Similarity.opqRelease(index)
       out
     }),
 
@@ -3719,6 +3738,20 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, id, score FROM ranked WHERE rn <= 10
         |ORDER BY qid, score DESC, id ASC""".stripMargin,
+
+    // OPQ degenerate-point replay: with rerank covering the corpus
+    // the output is the exact cosine top-20 regardless of codes, and
+    // orthogonality makes rotated cosines == raw cosines — the same
+    // exact SQL as v_ann_topk
+    "v_opq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e, q
+        |ORDER BY score DESC, id ASC
+        |LIMIT 20""".stripMargin,
 
     // PQ replay: 4 per-subspace DeterministicKMeans recurrences (8
     // codebook entries, 10 Lloyd rounds over 16-dim slices; same CTE

@@ -219,4 +219,88 @@ class PqSpec extends SparkSpec {
       assert(e4.getMessage.contains("dims"))
     } finally Similarity.pqRelease(index)
   }
+
+  test("OPQ: rotation orthonormal; cosine preserved — full-coverage rerank equals exact") {
+    val index = Similarity.opqBuild(emb, m = 4, ksub = 16)
+    try {
+      val rot = index.rot
+      val dims = rot.length
+      assert(dims == 32 && rot.forall(_.length == 32))
+      for (i <- 0 until dims; j <- i until dims) {
+        val d = (0 until dims).map(f => rot(i)(f) * rot(j)(f)).sum
+        assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9,
+          s"R not orthonormal at ($i,$j): $d")
+      }
+      // orthogonality ⇒ rotated-space cosines == raw cosines, so the
+      // covering rerank reproduces the exact answer, scores included
+      val exact = Similarity.annTopK(emb, query, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaOpq = Similarity.opqTopK(index, emb, query, 10, rerank = 600)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaOpq == exact)
+    } finally Similarity.opqRelease(index)
+  }
+
+  test("OPQ: batch equals single per qid; recall beats raw-sliced PQ on a mixed anisotropic corpus") {
+    val s = spark
+    import s.implicits._
+    // the published OPQ win case (Ge et al. §4, "eigenvalue
+    // allocation"): variance decays steadily ALONG the dim index, so
+    // raw consecutive slicing hands subspace 0 every high-variance
+    // dim (16 centers stretched over four wide dims) while the tail
+    // subspaces spend whole codebooks on near-noise. The PCA-permuted
+    // basis deals one wide dim to each subspace. NOTE the converse is
+    // also real and spec-worthy: on effectively-rank-1 data (one
+    // dominant latent MIXED into every raw dim) raw slicing wins,
+    // because spreading the dominant direction across all m subspaces
+    // quantizes it with the PRODUCT of their codebooks — rotation is
+    // a measured choice, not a default (the ScaleBench recall rows
+    // carry the measurement).
+    val dims = 32
+    val rng = new scala.util.Random(47)
+    def sample(): Array[Double] =
+      Array.tabulate(dims)(f => rng.nextGaussian() * math.pow(1.35, -f))
+    val data = (0 until 800).map(i => (i.toLong, sample())).toDF("id", "vec")
+    val pq = Similarity.pqBuild(data, m = 8, ksub = 16)
+    val opq = Similarity.opqBuild(data, m = 8, ksub = 16)
+    try {
+      val qs = (0 until 20).map(i => (i.toLong, {
+        val r = data.where(F.col("id") === i * 37L).select("vec").head
+        r.getSeq[Double](0).toArray
+      }))
+      def recallOf(top: Long => Seq[Long]): Double = {
+        val hits = qs.map { case (qid, q) =>
+          val exact = Similarity.annTopK(data, q, 10)
+            .collect().map(_.getLong(0)).toSet
+          top(qid).count(exact.contains)
+        }.sum
+        hits.toDouble / (qs.size * 10)
+      }
+      val qmap = qs.toMap
+      // tight rerank (= k): recall reflects CODE quality, not the
+      // exact rerank's ability to repair it
+      val rPq = recallOf(qid =>
+        Similarity.pqTopK(pq, data, qmap(qid), 10, rerank = 10)
+          .collect().map(_.getLong(0)).toSeq)
+      val rOpq = recallOf(qid =>
+        Similarity.opqTopK(opq, data, qmap(qid), 10, rerank = 10)
+          .collect().map(_.getLong(0)).toSeq)
+      assert(rOpq > rPq,
+        s"rotation should out-recall raw slicing here: opq=$rOpq pq=$rPq")
+
+      // batch == single per qid at a production operating point
+      val qdf = qs.map { case (qid, q) => (qid, q) }.toDF("qid", "qvec")
+      val batch = Similarity.opqTopKBatch(opq, data, qdf, k = 5, rerank = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      qs.foreach { case (qid, q) =>
+        val single = Similarity.opqTopK(opq, data, q, 5, rerank = 50)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single, s"batch/single diverge for qid=$qid")
+      }
+    } finally {
+      Similarity.pqRelease(pq)
+      Similarity.opqRelease(opq)
+    }
+  }
 }
