@@ -563,6 +563,13 @@ object ScaleBench {
       }
       bytesRows("recall_ivf_p8_x1e4") =
         recall(Similarity.ivfTopKBatch(iv, qdf, k = 10, nprobe = 8))
+      // the probe lever: lists are corpus-proportional, so a CONSTANT
+      // nprobe probes a halving FRACTION per doubling and recall
+      // decays (measured 1.0 → 0.87 across 40×→80×); doubling nprobe
+      // with the corpus holds the probed fraction — and the candidate
+      // budget, i.e. the flat-latency contract — constant
+      bytesRows("recall_ivf_p16_x1e4") =
+        recall(Similarity.ivfTopKBatch(iv, qdf, k = 10, nprobe = 16))
       locally {
         val sq8r = Similarity.sq8Encode(emb)
         sq8r.codes.count()
@@ -576,6 +583,14 @@ object ScaleBench {
         bin.codes.count()
         bytesRows("recall_binary_r100_x1e4") = recall(
           Similarity.binaryTopKBatch(bin, emb, qdf, k = 10, rerank = 100))
+        // the 1-bit codec's recall LEVER, measured: this corpus is 32
+        // tight modes, so sign codes collide massively inside a mode
+        // and the Hamming cut at 100 is near-random within the tie —
+        // rerank is the knob that buys recall back at 8 B/row scan
+        // cost (the r100 point reads ~0.07 here; production guidance
+        // on modal corpora is rerank ≈ expected tie-class size)
+        bytesRows("recall_binary_r1000_x1e4") = recall(
+          Similarity.binaryTopKBatch(bin, emb, qdf, k = 10, rerank = 1000))
         Similarity.binaryRelease(bin)
       }
       locally {
@@ -585,6 +600,30 @@ object ScaleBench {
           Similarity.ivfPqrTopKBatch(
             iv, pqr, emb, qdf, k = 10, nprobe = 8, rerank = 100))
         Similarity.pqResidualRelease(pqr)
+      }
+      // the composed production shape with the rotation in front —
+      // OPQ+IVF+residual-PQ (faiss OPQ+IVFPQ) via the public
+      // composition primitive: every stage runs in rotated space,
+      // where cosine is unchanged, so this recall is directly
+      // comparable to recall_ivf_pqr above at the same budget.
+      locally {
+        val rot = Similarity.opqRotation(emb.select("id", "vec"), 8)
+        val rEmb = Similarity.rotateEmbeddings(emb.select("id", "vec"), rot)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rEmb.count()
+        val rIv = Similarity.ivfBuild(rEmb, nLists = lists)
+        rIv.assigned.count()
+        val rPqr = Similarity.pqResidualBuild(rIv, m = 8, ksub = 64)
+        rPqr.codes.count()
+        val rq = Similarity.rotateEmbeddings(
+            qdf.select(F.col("qid").as("id"), F.col("qvec").as("vec")), rot)
+          .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+        bytesRows("recall_ivf_opqr_p8_r100_x1e4") = recall(
+          Similarity.ivfPqrTopKBatch(
+            rIv, rPqr, rEmb, rq, k = 10, nprobe = 8, rerank = 100))
+        Similarity.pqResidualRelease(rPqr)
+        Similarity.ivfRelease(rIv)
+        rEmb.unpersist(blocking = false)
       }
       // rotation's measured value on THIS corpus: plain PQ vs OPQ at
       // an identical (m, ksub, rerank) budget — same scan, same bytes,
@@ -606,8 +645,10 @@ object ScaleBench {
       gt.unpersist(blocking = false)
       println(f"[scale] recall@10 x1e4: ivf_p8=${bytesRows("recall_ivf_p8_x1e4")}%d " +
         f"sq8=${bytesRows("recall_ivf_sq8_p8_r100_x1e4")}%d " +
-        f"binary=${bytesRows("recall_binary_r100_x1e4")}%d " +
+        f"binary=${bytesRows("recall_binary_r100_x1e4")}%d/" +
+        f"${bytesRows("recall_binary_r1000_x1e4")}%d " +
         f"pqr=${bytesRows("recall_ivf_pqr_p8_r100_x1e4")}%d " +
+        f"opqr=${bytesRows("recall_ivf_opqr_p8_r100_x1e4")}%d " +
         f"pq_r10=${bytesRows("recall_pq_r10_x1e4")}%d " +
         f"opq_r10=${bytesRows("recall_opq_r10_x1e4")}%d")
     }

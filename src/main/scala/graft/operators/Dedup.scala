@@ -613,18 +613,26 @@ object Dedup {
       shingleLen: Int, numHashes: Int, bands: Int): Unit = {
     val add = minhashIndexBuild(
       survivors, shingleLen, numHashes, bands, persist = false)
-    add.bandRows
-      .withColumn("seg", F.lit(seg))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("seg", "band")
-      .parquet(s"$path/bands_appends")
+    // SHINGLES FIRST: a crash between the two writes must leave the
+    // invariant "bands_appends exists ⇒ shingles_appends exists" —
+    // [[minhashIndexLoadWithAppends]] keys the has-appends decision on
+    // the bands dir, so a first-batch crash after a bands-first write
+    // would strand a layout whose load (and therefore the REPLAY that
+    // would repair it) throws on the missing shingles dir. This order
+    // makes the partial state invisible instead: the replay's own
+    // seg < batchId filter already excludes the half-written segment.
     add.refShingles
       .withColumn("seg", F.lit(seg))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("seg")
       .parquet(s"$path/shingles_appends")
+    add.bandRows
+      .withColumn("seg", F.lit(seg))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg", "band")
+      .parquet(s"$path/bands_appends")
   }
 
   /** [[minhashIndexLoad]] plus the streamed append segments: the

@@ -1032,12 +1032,32 @@ object Similarity {
   /** The corpus in rotated coordinates — a map-only scan of F codegen
     * dots per row (the same literal-vector form as Pca.project; no
     * shuffle, no UDF). Lazy: a rerank join evaluates it only for the
-    * candidate rows that survive the join. */
-  private def rotatedFrame(
+    * candidate rows that survive the join.
+    *
+    * PUBLIC as the composition primitive: an orthogonal rotation
+    * preserves cosine, so ANY cosine-based index in this module —
+    * [[ivfBuild]], [[sq8Encode]], [[binaryEncode]],
+    * [[pqResidualBuild]], the bitext miners — built over
+    * `rotateEmbeddings(emb, rot)` and queried with rotated queries
+    * returns the SAME exact answers as over raw vectors, with only
+    * the approximation quality changed by the basis (that is the
+    * whole point: faiss's OPQ+IVFPQ is exactly
+    * `ivfBuild(rotateEmbeddings(e, opqRotation(e, m)))` +
+    * [[pqResidualBuild]] on top). */
+  def rotateEmbeddings(
       emb: DataFrame, rot: Array[Array[Double]]): DataFrame =
     emb.select(
       F.col("id"),
       rotateCol(F.col("vec").cast("array<double>"), rot).as("vec"))
+
+  /** Rotate one query vector into `rot`'s coordinates (driver-side
+    * F²) — the query-side companion of [[rotateEmbeddings]]. */
+  def rotateQuery(q: Array[Double], rot: Array[Array[Double]]): Array[Double] =
+    rotateVec(q, rot)
+
+  private def rotatedFrame(
+      emb: DataFrame, rot: Array[Array[Double]]): DataFrame =
+    rotateEmbeddings(emb, rot)
 
   /** [[pqBuild]] behind the parametric OPQ rotation: fit the rotation,
     * rotate the corpus, train per-subspace codebooks there. Same m /
@@ -1075,6 +1095,39 @@ object Similarity {
   }
 
   def opqRelease(index: OpqIndex): Unit = pqRelease(index.pq)
+
+  /** Persist: the [[pqSave]] layout (rotated-space codes + codebooks)
+    * plus a `rotation.json` sidecar holding R row-major — the complete
+    * state; queries against a loaded index need no re-fit. */
+  def opqSave(index: OpqIndex, path: String): Unit = {
+    pqSave(index.pq, path)
+    val rows = index.rot.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    graft.api.ArrowSpaceModel.writeSidecar(
+      index.pq.codes.sparkSession, s"$path/rotation.json",
+      s"""{"dims":${index.rot.length},"rot":$rows}""")
+  }
+
+  def opqLoad(
+      spark: org.apache.spark.sql.SparkSession, path: String): OpqIndex = {
+    val pq = pqLoad(spark, path)
+    val txt = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/rotation.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val dims = "\"dims\":(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
+    val flat = "-?\\d+(?:\\.\\d+(?:[eE][+-]?\\d+)?)?".r
+      .findAllIn(txt.substring(txt.indexOf("\"rot\":")))
+      .map(_.toDouble).toArray
+    require(flat.length == dims * dims,
+      s"opqLoad: rotation sidecar has ${flat.length} values, " +
+        s"expected ${dims * dims}")
+    OpqIndex(pq, Array.tabulate(dims)(i =>
+      flat.slice(i * dims, (i + 1) * dims)))
+  }
 
   /** IVF+PQ — the composed scale shape (faiss IndexIVFPQ): the
     * inverted lists prune WHICH rows are scanned (`nprobe` of `k`

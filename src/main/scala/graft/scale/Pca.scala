@@ -61,18 +61,34 @@ object Pca {
       vecCol: String,
       nFeatures: Int,
       k: Int,
-      iters: Int = 60): PcaModel = {
+      iters: Int = 60): PcaModel =
+    fitFromMoments(moments(items, vecCol, nFeatures), nFeatures, k, iters)
+
+  /** One shard's MERGEABLE covariance state — the incremental-fit
+    * sidecar ([[graft.operators.Profile.sketchShard]]'s pattern
+    * applied to PCA): the treeAggregate accumulator (upper-triangle
+    * Gram + sum vector + count, O(F²) ≈ 32 KB at F = 64) is a plain
+    * additive array, so per-drop moments persist beside each shard
+    * and [[fitFromMoments]] over [[mergeMoments]] of N sidecars
+    * refits PCA — and therefore the OPQ rotation or a whitening
+    * transform — WITHOUT rescanning history. Moment addition is
+    * exact arithmetic apart from FP reassociation, the same
+    * tolerance-equality contract the scaladoc above pins for the
+    * one-shot fit (whose own treeAggregate already merges partials
+    * in nondeterministic order).
+    *
+    * Layout: [0, F·F) row-major upper-triangle Gram (f ≤ g),
+    * [F·F, F·F+F) sum vector, [F·F+F] count.
+    */
+  def moments(
+      items: DataFrame, vecCol: String, nFeatures: Int): Array[Double] = {
     require(nFeatures > 0, s"nFeatures must be positive, got $nFeatures")
-    require(k > 0 && k <= nFeatures, s"k must be in 1..$nFeatures, got $k")
-    require(iters > 0, s"iters must be positive, got $iters")
     val spark = items.sparkSession
     import spark.implicits._
     val nF = nFeatures
-    // acc layout: [0, F*F) upper-triangle Gram (row-major, f<=g),
-    // [F*F, F*F+F) sum vector, [F*F+F] count
     val size = nF * nF + nF + 1
     val vecs = items.select(F.col(vecCol).cast("array<double>")).as[Array[Double]]
-    val acc = vecs.rdd.treeAggregate(new Array[Double](size))(
+    vecs.rdd.treeAggregate(new Array[Double](size))(
       seqOp = { (a, v) =>
         require(v != null && v.length == nF,
           s"PCA: vector of length ${if (v == null) "null" else v.length}, expected $nF")
@@ -95,6 +111,32 @@ object Pca {
         while (i < a.length) { a(i) += b(i); i += 1 }
         a
       })
+  }
+
+  /** Element-wise sum — moments are additive, so any shard split (and
+    * any later drop) merges by plain addition. Inputs untouched. */
+  def mergeMoments(a: Array[Double], b: Array[Double]): Array[Double] = {
+    require(a.length == b.length,
+      s"mergeMoments: mismatched sizes ${a.length} vs ${b.length}")
+    val out = a.clone()
+    var i = 0
+    while (i < out.length) { out(i) += b(i); i += 1 }
+    out
+  }
+
+  /** The driver-side half of [[fit]], runnable from persisted shard
+    * moments: covariance from the merged accumulator, then the same
+    * deterministic power iteration + deflation. */
+  def fitFromMoments(
+      acc: Array[Double], nFeatures: Int, k: Int,
+      iters: Int = 60): PcaModel = {
+    require(nFeatures > 0, s"nFeatures must be positive, got $nFeatures")
+    require(k > 0 && k <= nFeatures, s"k must be in 1..$nFeatures, got $k")
+    require(iters > 0, s"iters must be positive, got $iters")
+    val nF = nFeatures
+    require(acc.length == nF * nF + nF + 1,
+      s"fitFromMoments: accumulator size ${acc.length} does not match " +
+        s"F=$nF (expected ${nF * nF + nF + 1})")
     val n = acc(nF * nF + nF).toLong
     require(n > 0, "PCA: empty input")
     val mean = Array.tabulate(nF)(f => acc(nF * nF + f) / n)

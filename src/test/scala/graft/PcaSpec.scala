@@ -102,4 +102,36 @@ class PcaSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pca.fit(df.where(F.lit(false)), "vec", 2, 1))
   }
+
+  test("incremental fit: merged shard moments reproduce the whole-data model") {
+    val s = spark
+    import s.implicits._
+    val rows = cloud(600, 6, seed = 23)
+    val whole = rows.toDF("id", "vec")
+    // three uneven shards — the per-drop shape: each contributes its
+    // own moment sidecar, history is never rescanned
+    val shards = Seq(
+      rows.filter(_._1 % 5 <= 1), rows.filter(_._1 % 5 == 2),
+      rows.filter(_._1 % 5 >= 3)).map(_.toDF("id", "vec"))
+    val merged = shards.map(Pca.moments(_, "vec", 6))
+      .reduce(Pca.mergeMoments)
+    val mInc = Pca.fitFromMoments(merged, 6, k = 2, iters = 80)
+    val mAll = Pca.fit(whole, "vec", 6, k = 2, iters = 80)
+    assert(mInc.n == mAll.n && mInc.n == 600L)
+    (0 until 6).foreach(f =>
+      assert(math.abs(mInc.mean(f) - mAll.mean(f)) < 1e-9,
+        s"mean diverges at $f"))
+    (0 until 2).foreach { c =>
+      assert(math.abs(mInc.eigenvalues(c) - mAll.eigenvalues(c)) < 1e-6,
+        s"eigenvalue $c diverges: ${mInc.eigenvalues(c)} vs ${mAll.eigenvalues(c)}")
+      (0 until 6).foreach(f =>
+        assert(math.abs(mInc.components(c)(f) - mAll.components(c)(f)) < 1e-6,
+          s"component $c diverges at $f"))
+    }
+    // moment size guard: a mismatched accumulator fails loudly, not
+    // with a garbage covariance
+    val bad = intercept[IllegalArgumentException](
+      Pca.fitFromMoments(merged.take(10), 6, 2))
+    assert(bad.getMessage.contains("accumulator size"))
+  }
 }

@@ -303,4 +303,37 @@ class PqSpec extends SparkSpec {
       Similarity.opqRelease(opq)
     }
   }
+
+  test("OPQ save/load round trip: rotation bit-matches, results identical") {
+    val index = Similarity.opqBuild(emb, m = 4, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq").toString
+    try {
+      Similarity.opqSave(index, dir)
+      val loaded = Similarity.opqLoad(spark, dir)
+      assert(loaded.rot.length == index.rot.length)
+      for (i <- index.rot.indices)
+        assert(loaded.rot(i).toSeq == index.rot(i).toSeq,
+          s"rotation row $i diverges after the round trip")
+      val before = Similarity.opqTopK(index, emb, query, 10, rerank = 80)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val after = Similarity.opqTopK(loaded, emb, query, 10, rerank = 80)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(before == after)
+    } finally Similarity.opqRelease(index)
+  }
+
+  test("rotation composes with any cosine index: rotated IVF at full probes equals raw exact") {
+    val rot = Similarity.opqRotation(emb, m = 4)
+    val rotated = Similarity.rotateEmbeddings(emb, rot)
+    val iv = Similarity.ivfBuild(rotated, nLists = 8)
+    try {
+      val got = Similarity.ivfTopK(
+          iv, Similarity.rotateQuery(query, rot), k = 10, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exact = Similarity.annTopK(emb, query, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == exact,
+        "full-probe IVF over rotated vectors must equal raw exact search")
+    } finally Similarity.ivfRelease(iv)
+  }
 }
