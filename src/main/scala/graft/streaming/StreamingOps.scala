@@ -414,6 +414,49 @@ object StreamingOps {
     survivors.unpersist(blocking = false)
   }
 
+  /** Streaming incremental profiling: each micro-batch lands its
+    * [[graft.operators.Profile.sketchShard]] sidecar (counts, moment
+    * sums, min/max, HLL binaries — a few KB per batch) as an
+    * idempotent `seg=batchId` partition under `sidecarPath`; the
+    * corpus-so-far profile at any moment is
+    * [[graft.operators.Profile.mergeShards]] over the accumulated
+    * sidecars ([[profileOf]]) — O(batches × cols) rows, never a
+    * rescan of the streamed data. The same replay contract as the
+    * other ingest faces: a replayed batch's deterministic sidecar
+    * overwrites its own leaf. Stateless map per batch — input-rate
+    * throughput; the only state is the sidecar table itself.
+    *
+    * Returns the started query; callers own its lifecycle.
+    */
+  def profileStream(
+      docs: DataFrame,
+      cols: Seq[String],
+      sidecarPath: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Profile.sketchShard(batch, cols)
+          .withColumn("seg", F.lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("seg")
+          .parquet(sidecarPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** The merged profile over every sidecar [[profileStream]] has
+    * committed so far — same output shape as
+    * [[graft.operators.Profile.profile]]. */
+  def profileOf(
+      spark: org.apache.spark.sql.SparkSession,
+      sidecarPath: String): DataFrame =
+    graft.operators.Profile.mergeShards(
+      spark.read.parquet(sidecarPath).drop("seg"))
+
   /** Streaming eval-set decontamination gate: an arriving document is
     * dropped when any of its word n-grams hits a Bloom filter built
     * ONCE over the static eval set's n-grams (the streaming face of

@@ -854,4 +854,50 @@ class StreamingSpec extends SparkSpec {
       .select("ref_id").collect().map(_.getLong(0)).toSet
     assert(hitsFull == hitsPre)
   }
+
+  test("streaming incremental profile: merged sidecars equal the batch profile of all streamed rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 9 == 0) null else s"t${i % 17}",
+        if (i % 7 == 0) None else Some((i % 41).toDouble)))
+    val side = java.nio.file.Files
+      .createTempDirectory("graft_pstream").toString + "/sidecars"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pstream_ck").toString
+    val in = MemoryStream[(Long, String, Option[Double])]
+    val q = StreamingOps.profileStream(
+      in.toDF().toDF("id", "tag", "score"), Seq("id", "tag", "score"),
+      side, ckpt)
+    try {
+      in.addData(rows.take(120))
+      q.processAllAvailable()
+      in.addData(rows.drop(120))
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = StreamingOps.profileOf(s, side)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val whole = graft.operators.Profile.mergeShards(
+        graft.operators.Profile.sketchShard(
+          rows.toDF("id", "tag", "score"), Seq("id", "tag", "score")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("id", "tag", "score").foreach { c =>
+      assert(merged(c).getLong(1) == whole(c).getLong(1) &&
+        merged(c).getLong(2) == whole(c).getLong(2),
+        s"streamed counts diverge on $c")
+      assert(math.abs(merged(c).getLong(3) - whole(c).getLong(3)) <=
+        math.max(8L, (0.025 * whole(c).getLong(3)).toLong),
+        s"streamed HLL diverges on $c")
+      Seq(4, 5, 6, 7).foreach { i =>
+        assert(merged(c).isNullAt(i) == whole(c).isNullAt(i) &&
+          (merged(c).isNullAt(i) ||
+            math.abs(merged(c).getDouble(i) - whole(c).getDouble(i)) < 5e-4),
+          s"streamed stat $i diverges on $c")
+      }
+    }
+    // two sidecar segments committed, O(cols) rows each
+    val segs = s.read.parquet(side).select("seg").distinct().count()
+    assert(segs == 2L)
+  }
 }
