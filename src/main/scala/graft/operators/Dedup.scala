@@ -621,13 +621,21 @@ object Dedup {
     // would repair it) throws on the missing shingles dir. This order
     // makes the partial state invisible instead: the replay's own
     // seg < batchId filter already excludes the half-written segment.
+    // band-aligned shuffle before the partitioned write: without it
+    // every one of the ~cores input tasks emits a file into every
+    // band leaf (cores × bands small files PER BATCH — the untimed
+    // majority of the gate's per-batch wall was exactly this file
+    // churn); aligned, each leaf gets one file and the state the
+    // NEXT batch joins against stays one-file-per-band
     add.refShingles
       .withColumn("seg", F.lit(seg))
+      .coalesce(4)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("seg")
       .parquet(s"$path/shingles_appends")
     add.bandRows
+      .repartition(F.col("band"))
       .withColumn("seg", F.lit(seg))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -746,6 +754,95 @@ object Dedup {
     swap(sp, tmpS, "shingles_appends_old")
     fs.delete(marker, false)
     spark.read.parquet(bp.toString).inputFiles.length
+  }
+
+  /** Remove documents from a PERSISTED layout in place — the takedown
+    * operator (GDPR erasure, licensing retraction, contaminated-drop
+    * rollback): anti-join every stored frame — base bands, base
+    * shingles, and every streamed append segment — on `doc_id`,
+    * rewrite into staging siblings, then swap all four directories
+    * inside one marker bracket. Band rows are per-document, so removal
+    * is EXACT: the post-removal layout equals a cold
+    * [[minhashIndexBuild]] over the surviving corpus (the same law
+    * [[minhashIndexRemove]] pins for the in-memory form), and removed
+    * content can never dedup future arrivals. Append-segment
+    * partition values (seg, band) are PRESERVED row-for-row, so the
+    * gate's replay contract is untouched — a replayed batch still
+    * overlays its own (now thinner) leaves.
+    *
+    * Run it with the gate stream STOPPED (or between triggers): the
+    * swap makes the base dirs briefly absent, which a concurrent load
+    * fails on loudly — this is an offline maintenance operator, like
+    * [[graft.operators.Similarity.ivfRebuild]]. One deliberate
+    * boundary: a gate batch REPLAYED from before the takedown
+    * recomputes deterministically and would re-admit a removed
+    * survivor — streaming checkpoints never replay committed batches,
+    * so this arises only if the checkpoint itself is reset, in which
+    * case re-run the takedown after the reprocess. Returns the number
+    * of band rows removed.
+    */
+  def minhashLayoutRemove(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val key = ids.select(F.col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    key.count()
+    try {
+      val live = Seq(
+        ("bands", Seq("band")), ("shingles", Nil),
+        ("bands_appends", Seq("seg", "band")),
+        ("shingles_appends", Seq("seg")))
+      var removed = 0L
+      // (src, Some(tmp) = swap in the rewrite, None = rewrite emptied
+      // the dir — delete it: a partitioned parquet dir with zero rows
+      // is unreadable (no schema), and an absent appends dir is the
+      // well-defined "no appends" state
+      val staged = live.flatMap { case (dir, parts) =>
+        val src = new org.apache.hadoop.fs.Path(s"$path/$dir")
+        if (!fs.exists(src)) None
+        else {
+          val before = spark.read.parquet(src.toString)
+          val kept = before.join(key, Seq("doc_id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nKept = kept.count()
+          if (dir == "bands") {
+            removed = before.join(key, Seq("doc_id"), "left_semi").count()
+            require(nKept > 0L,
+              s"minhashLayoutRemove($path): removal would empty the base " +
+                "index — delete the layout instead of removing every document")
+          }
+          val out =
+            if (nKept == 0L) Some((src, None))
+            else {
+              val tmp = new org.apache.hadoop.fs.Path(s"$path/${dir}_remove_tmp")
+              if (fs.exists(tmp)) fs.delete(tmp, true)
+              val w = kept.write.mode("overwrite")
+              (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+                .parquet(tmp.toString)
+              Some((src, Some(tmp)))
+            }
+          kept.unpersist(blocking = false)
+          out
+        }
+      }
+      val marker = gateSwapMarkerPath(path)
+      fs.create(marker, true).close()
+      staged.foreach {
+        case (src, Some(tmp)) =>
+          val old = new org.apache.hadoop.fs.Path(src.toString + "_remove_old")
+          if (fs.exists(old)) fs.delete(old, true)
+          fs.rename(src, old)
+          fs.rename(tmp, src)
+          fs.delete(old, true)
+        case (src, None) =>
+          fs.delete(src, true)
+      }
+      fs.delete(marker, false)
+      removed
+    } finally key.unpersist(blocking = false)
   }
 
   /** [[minhashNearDupAgainst]] with the reference side PREBUILT: the

@@ -2879,6 +2879,77 @@ object Similarity {
     spark.read.parquet(s"$path/applists").inputFiles.length
   }
 
+  /** Remove vectors from a PERSISTED IVF layout in place — the
+    * takedown sibling of [[graft.operators.Dedup.minhashLayoutRemove]]
+    * (GDPR erasure, licensing retraction): anti-join the base lists
+    * and every streamed append segment on `id`, rewrite into staging
+    * siblings, swap behind the load marker. Partition values
+    * (cluster; seg, cluster) are preserved row-for-row, so probe
+    * pruning and the append replay contract are untouched. The
+    * QUANTIZER is deliberately untouched: centroids were fit on data
+    * that may include the removed rows — that is the same
+    * frozen-quantizer contract as streamed appends, and the same
+    * remedy applies when enough mass leaves ([[ivfRebuild]], or the
+    * drift monitor's threshold if removal is continuous). Offline
+    * maintenance: run with serve/ingest streams stopped, like
+    * [[ivfRebuild]]. Returns the number of vectors removed.
+    */
+  def ivfLayoutRemove(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/lists")),
+      s"ivfLayoutRemove($path): no saved IVF layout there")
+    val key = ids.select(F.col("id").cast("long").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    key.count()
+    try {
+      var removed = 0L
+      val staged = Seq(
+        ("lists", Seq("cluster")), ("applists", Seq("seg", "cluster")))
+        .flatMap { case (dir, parts) =>
+          val src = new org.apache.hadoop.fs.Path(s"$path/$dir")
+          if (!fs.exists(src)) None
+          else {
+            val before = spark.read.parquet(src.toString)
+            removed += before.join(key, Seq("id"), "left_semi").count()
+            val kept = before.join(key, Seq("id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val nKept = kept.count()
+            if (dir == "lists") require(nKept > 0L,
+              s"ivfLayoutRemove($path): removal would empty the index — " +
+                "delete the layout instead of removing every vector")
+            val out =
+              if (nKept == 0L) Some((src, Option.empty[org.apache.hadoop.fs.Path]))
+              else {
+                val tmp = new org.apache.hadoop.fs.Path(s"$path/${dir}_remove_tmp")
+                if (fs.exists(tmp)) fs.delete(tmp, true)
+                kept.write.mode("overwrite").partitionBy(parts: _*)
+                  .parquet(tmp.toString)
+                Some((src, Some(tmp)))
+              }
+            kept.unpersist(blocking = false)
+            out
+          }
+        }
+      val marker = swapMarkerPath(path)
+      fs.create(marker, true).close()
+      staged.foreach {
+        case (src, Some(tmp)) =>
+          val old = new org.apache.hadoop.fs.Path(src.toString + "_remove_old")
+          if (fs.exists(old)) fs.delete(old, true)
+          fs.rename(src, old)
+          fs.rename(tmp, src)
+          fs.delete(old, true)
+        case (src, None) =>
+          fs.delete(src, true)
+      }
+      fs.delete(marker, false)
+      removed
+    } finally key.unpersist(blocking = false)
+  }
+
   /** REQUANTIZE a saved layout in place — the rebuild operator behind
     * the drift monitor (VERDICT r10 #2): the frozen-quantizer append
     * contract says "enough drift ⇒ rebuild", and this is the rebuild.

@@ -407,6 +407,9 @@ object StreamingOps {
       state.shingleLen, state.numHashes, state.bands)
     survivors
       .withColumn("seg", F.lit(batchId))
+      // bounded file count per batch segment — the gate's output is
+      // read as a whole corpus downstream, not per-task
+      .coalesce(8)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("seg")

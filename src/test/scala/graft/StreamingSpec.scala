@@ -855,6 +855,108 @@ class StreamingSpec extends SparkSpec {
     assert(hitsFull == hitsPre)
   }
 
+  test("layout takedown: removal is exact, preserves segments, and removed docs stop matching") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val (base, b1, b2) = gateFixture
+    val baseDf = base.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_take_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_take_out").toString
+    val built = Dedup.minhashIndexBuild(baseDf)
+    Dedup.minhashIndexSave(built, dir)
+    Dedup.minhashIndexRelease(built)
+    StreamingOps.minhashGateBatch(b1.toDF("doc_id", "text"), 0L, dir, out, 0.8)
+    StreamingOps.minhashGateBatch(b2.toDF("doc_id", "text"), 1L, dir, out, 0.8)
+
+    // pre-takedown: a near-copy of base doc 3 and of admitted survivor
+    // 101 both match their originals
+    def hits(text: String): Set[Long] =
+      Dedup.minhashNearDupAgainstIndex(
+          Seq((900L, text)).toDF("doc_id", "text"),
+          Dedup.minhashIndexLoadWithAppends(s, dir))
+        .select("ref_id").collect().map(_.getLong(0)).toSet
+    val t3 = "zzz " + base(3)._2.split(" ").drop(1).mkString(" ")
+    val t101 = b1.find(_._1 == 101L).get._2
+    assert(hits(t3).contains(3L) && hits(t101).contains(101L))
+
+    val nRemoved = Dedup.minhashLayoutRemove(
+      s, dir, Seq(3L, 101L).toDF("doc_id"))
+    assert(nRemoved > 0L)
+
+    // removed docs can never match future arrivals again
+    assert(!hits(t3).contains(3L), "takedown left base doc 3 matchable")
+    assert(!hits(t101).contains(101L), "takedown left survivor 101 matchable")
+
+    // EXACTNESS: the surviving layout equals a cold build over
+    // (base ∪ admitted survivors) minus the removed ids
+    val admitted = s.read.parquet(out).select("doc_id", "text")
+    val surviving = baseDf.unionByName(admitted)
+      .where(!org.apache.spark.sql.functions.col("doc_id").isin(3L, 101L))
+    val cold = Dedup.minhashIndexBuild(surviving, persist = false)
+    val loaded = Dedup.minhashIndexLoadWithAppends(s, dir)
+    def bandSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bh", "doc_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bandSet(loaded.bandRows) == bandSet(cold.bandRows),
+      "post-takedown state diverges from a cold build over the survivors")
+
+    // segment structure preserved: both gate segments still present
+    val segs = s.read.parquet(s"$dir/bands_appends")
+      .select("seg").distinct().collect().map(_.getInt(0)).toSet
+    assert(segs == Set(0, 1), s"takedown disturbed segments: $segs")
+
+    // removing every base doc must refuse, not strand an empty layout
+    val all = (base.map(_._1) ++ b1.map(_._1) ++ b2.map(_._1))
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashLayoutRemove(s, dir, all.toDF("doc_id")))
+    assert(e.getMessage.contains("empty the base index"))
+  }
+
+  test("IVF layout takedown: vectors removed from base and appends, quantizer untouched") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(f => math.sin((i % 4) * 0.9 + f * 0.4))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_take").toString
+    val iv = Similarity.ivfBuild(vecs.toDF("id", "vec"), nLists = 4)
+    Similarity.ivfSave(iv, dir)
+    val cents = iv.centroids
+    Similarity.ivfRelease(iv)
+    // one streamed append segment beside the base lists
+    val appended = (100L until 110L).map(i =>
+      (i, Array.tabulate(8)(f => math.cos((i % 4) * 0.9 + f * 0.4))))
+    StreamingOps.ivfAppendSegment(
+      graft.scale.DeterministicKMeans.assign(
+        appended.toDF("id", "vec"),
+        graft.scale.DeterministicKMeans.Model(cents.sortBy(_._1).map(_._2)),
+        idCol = "id", vecCol = "vec").select("id", "vec", "cluster"),
+      dir, seg = 0L)
+    val pre = Similarity.ivfLoad(s, dir)
+    assert(pre.assigned.count() == 50L)
+
+    val n = Similarity.ivfLayoutRemove(s, dir, Seq(3L, 105L).toDF("id"))
+    assert(n == 2L, s"expected 2 vectors removed, got $n")
+    val post = Similarity.ivfLoad(s, dir)
+    val ids = post.assigned.select("id").collect().map(_.getLong(0)).toSet
+    assert(post.assigned.count() == 48L && !ids.contains(3L) && !ids.contains(105L))
+    // quantizer untouched; appended segment structure intact
+    assert(post.centroids.map(_._1).toSeq == cents.map(_._1).toSeq)
+    val segs = s.read.parquet(s"$dir/applists")
+      .select("seg").distinct().collect().map(_.getInt(0)).toSet
+    assert(segs == Set(0))
+    // queries against the post-takedown layout never return removed ids
+    val q = vecs.find(_._1 == 3L).get._2
+    val got = Similarity.ivfTopK(post, q, k = 5, nprobe = post.k)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(3L) && got.nonEmpty)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfLayoutRemove(
+        s, dir, (0L until 200L).toDF("id")))
+    assert(e.getMessage.contains("empty the index"))
+  }
+
   test("streaming incremental profile: merged sidecars equal the batch profile of all streamed rows") {
     val s = spark
     import s.implicits._
