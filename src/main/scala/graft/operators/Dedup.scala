@@ -854,12 +854,22 @@ object Dedup {
     */
   def minhashNearDupAgainstIndex(
       corpus: DataFrame, index: MinhashIndex,
-      estFloor: Double = 0.0): DataFrame = {
+      estFloor: Double = 0.0,
+      broadcastProbe: Boolean = false): DataFrame = {
     val sigsC = minhashSignatures(corpus, index.shingleLen, index.numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Debug.timed("index-minhash signatures")(sigsC.count())
-    val a = bandKeys(sigsC, index.numHashes, index.bands).select(
+    // broadcastProbe: the probe corpus is known-small (a streaming
+    // micro-batch) — broadcasting its slim band keys turns the
+    // candidate join into ONE SCAN of the stored band state with NO
+    // shuffle of it. Without the hint Catalyst has no stats for
+    // either side and sort-merges, re-shuffling the ENTIRE
+    // accumulated index every call — the cost that grows with state,
+    // not with the batch. Caller opts in because only the caller
+    // knows the probe is bounded (a multi-TB drop must NOT broadcast).
+    val aRaw = bandKeys(sigsC, index.numHashes, index.bands).select(
       F.col("band"), F.col("bh"), F.col("doc_id"))
+    val a = if (broadcastProbe) F.broadcast(aRaw) else aRaw
     val b = index.bandRows.select(
       F.col("band"), F.col("bh"), F.col("doc_id").as("ref_id"))
     // the stored band rows carry sig redundantly (×bands); band 0
@@ -888,9 +898,11 @@ object Dedup {
     * shape: estFloor defaults to the same 3/4·t prune. */
   def dedupAgainstIndex(
       corpus: DataFrame, index: MinhashIndex,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8,
+      broadcastProbe: Boolean = false): DataFrame = {
     val losers = minhashNearDupAgainstIndex(
-        corpus, index, estFloor = 0.75 * jaccardThreshold)
+        corpus, index, estFloor = 0.75 * jaccardThreshold,
+        broadcastProbe = broadcastProbe)
       .where(F.col("jaccard") >= jaccardThreshold)
       .select("doc_id").distinct()
     corpus.join(losers, Seq("doc_id"), "left_anti")

@@ -398,8 +398,16 @@ object StreamingOps {
     val state = Dedup.minhashIndexLoadWithAppends(
       spark, indexPath, maxSegExclusive = batchId)
     val within = Dedup.dedupCorpus(batch, jaccardThreshold, state.shingleLen)
+    // a micro-batch's slim band keys are broadcast-sized by
+    // construction (bounded by the trigger, not the corpus), so the
+    // against-state join scans the stored band state IN PLACE — the
+    // per-batch cost that must not grow with accumulated state is the
+    // state SHUFFLE, and this removes it. Batches above the guard
+    // (a backfill replayed through the gate) fall back to the
+    // shuffling join rather than risk a driver OOM.
+    val broadcastProbe = batch.count() <= 1000000L
     val survivors = Dedup.dedupAgainstIndex(
-        within, state, jaccardThreshold)
+        within, state, jaccardThreshold, broadcastProbe = broadcastProbe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     survivors.count()
     Dedup.minhashAppendSegment(
