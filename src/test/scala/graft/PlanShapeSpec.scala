@@ -254,4 +254,39 @@ class PlanShapeSpec extends SparkSpec {
       "semi join should be under the aggregate (printed after it)")
   }
 
+  test("gate probe broadcast: the against-state band join never shuffles the stored state") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val base = (0L until 40L).map(i =>
+      (i, s"alpha bravo charlie delta echo$i foxtrot golf hotel india"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_gate").toString
+    val built = Dedup.minhashIndexBuild(base)
+    Dedup.minhashIndexSave(built, dir)
+    Dedup.minhashIndexRelease(built)
+    val state = Dedup.minhashIndexLoadWithAppends(s, dir)
+    val probe = (1000L until 1010L).map(i =>
+      (i, s"kilo lima mike november oscar$i papa quebec")).toDF("doc_id", "text")
+    val hinted = Dedup.minhashNearDupAgainstIndex(
+      probe, state, broadcastProbe = true)
+    // minhashNearDupAgainstIndex materializes eagerly; re-derive the
+    // candidate join plan shape from the same inputs with the hint to
+    // assert the strategy (the operator's own frame is checkpointed,
+    // its lineage truncated)
+    assert(hinted.columns.toSeq.take(2) == Seq("doc_id", "ref_id"))
+    val a = org.apache.spark.sql.functions.broadcast(
+      Dedup.bandKeys(
+        Dedup.minhashSignatures(probe, state.shingleLen, state.numHashes),
+        state.numHashes, state.bands)
+        .select("band", "bh", "doc_id"))
+    val b = state.bandRows.select(
+      F.col("band"), F.col("bh"), F.col("doc_id").as("ref_id"))
+    val plan = a.join(b, Seq("band", "bh"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      "against-state join must not shuffle the stored band state:\n" +
+        plan.take(1200))
+  }
 }
