@@ -468,6 +468,112 @@ object StreamingOps {
     graft.operators.Profile.mergeShards(
       spark.read.parquet(sidecarPath).drop("seg"))
 
+  /** Streaming heavy-hitters over the token stream — the unbounded
+    * face of [[graft.operators.TextOps.heavyTokens]]. Per micro-batch,
+    * two tiny idempotent `seg=batchId` sidecars:
+    *
+    *   - `tops`: the batch's φ-frequent tokens with their EXACT batch
+    *     counts (≤ 1/φ rows by construction). PIGEONHOLE gives the
+    *     completeness law: a token that is φ-frequent over the whole
+    *     stream is φ-frequent in at least one batch (its maximum
+    *     batch share is ≥ its average), so the union of per-batch
+    *     tops contains every true heavy hitter — NO false negatives.
+    *   - `cms`: a count-min sketch of the batch's tokens (width 2/ε,
+    *     mergeable by cell-wise addition) plus the batch token total.
+    *
+    * [[heavyTokensOf]] merges them into per-candidate global bounds:
+    * `lb` = the sum of the candidate's RECORDED exact counts (a lower
+    * bound — batches where it fell below φ contribute nothing) and
+    * `ub` = the merged-sketch estimate (count-min only ever
+    * OVER-counts, so ub ≥ true always; ub − true ≤ ε·N with the
+    * sketch's confidence). Tokens with ub ≥ φ·N are reported;
+    * `certain = lb ≥ φ·N` marks the ones heavy beyond doubt. State
+    * per batch: ≤ 1/φ top rows + one ~(2/ε)·depth·8-byte sketch —
+    * independent of stream length and of vocabulary size.
+    *
+    * Returns the started query; callers own its lifecycle.
+    */
+  def heavyTokensStream(
+      docs: DataFrame,
+      phi: Double,
+      sidecarPath: String,
+      checkpoint: String,
+      eps: Double = 0.001,
+      confidence: Double = 0.99)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1]; got $phi")
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val exploded = batch.select(
+            F.explode(graft.operators.TextOps.tokens(F.col("text")))
+              .as("token"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val total = exploded.count()
+          val minCount = math.max(1L, math.ceil(phi * total).toLong)
+          exploded.groupBy("token")
+            .agg(F.count(F.lit(1)).as("n"))
+            .where(F.col("n") >= minCount)
+            .withColumn("seg", F.lit(batchId))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg")
+            .parquet(s"$sidecarPath/tops")
+          // seed fixed so a replayed batch writes a byte-identical
+          // sketch (the idempotence contract of every sidecar here)
+          val cms = exploded.stat.countMinSketch(
+            "token", eps, confidence, seed = 42)
+          Seq((cms.toByteArray, total))
+            .toDF("sketch", "n_tokens")
+            .withColumn("seg", F.lit(batchId))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg")
+            .parquet(s"$sidecarPath/cms")
+        } finally exploded.unpersist(blocking = false)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  /** Merge [[heavyTokensStream]]'s sidecars into the stream-so-far
+    * heavy-hitter report: (token, lb, ub, share_ub round-4,
+    * certain 0/1), ub DESC then token. Driver-side work is bounded by
+    * batches × (1/φ) candidate rows and one sketch merge per batch —
+    * never a rescan of the stream. */
+  def heavyTokensOf(
+      spark: org.apache.spark.sql.SparkSession,
+      sidecarPath: String,
+      phi: Double): DataFrame = {
+    import spark.implicits._
+    val cmsRows = spark.read.parquet(s"$sidecarPath/cms")
+      .select("sketch", "n_tokens").collect()
+    require(cmsRows.nonEmpty, s"heavyTokensOf($sidecarPath): no sidecars")
+    val totalN = cmsRows.map(_.getLong(1)).sum
+    val merged = cmsRows
+      .map(r => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(r.getAs[Array[Byte]](0)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val minCount = math.max(1L, math.ceil(phi * totalN).toLong)
+    val lbs = spark.read.parquet(s"$sidecarPath/tops")
+      .groupBy("token").agg(F.sum("n").as("lb"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    lbs.map { case (token, lb) =>
+        (token, lb, merged.estimateCount(token))
+      }
+      .filter { case (_, _, ub) => ub >= minCount }
+      .toSeq.toDF("token", "lb", "ub")
+      .withColumn("share_ub",
+        F.round(F.col("ub") / F.lit(totalN.toDouble), 4))
+      .withColumn("certain", (F.col("lb") >= minCount).cast("int"))
+      .orderBy(F.col("ub").desc, F.col("token").asc)
+  }
+
   /** Streaming eval-set decontamination gate: an arriving document is
     * dropped when any of its word n-grams hits a Bloom filter built
     * ONCE over the static eval set's n-grams (the streaming face of

@@ -957,6 +957,52 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("empty the index"))
   }
 
+  test("streaming heavy hitters: no false negatives, bounds bracket truth, certainty flag honest") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // b1: 'alpha' heavy (30 of ~80 tokens), 'beta' moderate; b2:
+    // 'beta' heavy, 'alpha' present but BELOW the per-batch bar —
+    // globally both are heavy, and alpha exercises the pigeonhole
+    // (captured in b1 only; its b2 mass reaches ub via the sketch)
+    val b1 = Seq((1L, ("alpha " * 30) + ("beta " * 10) +
+      (0 until 40).map(i => s"w$i").mkString(" ")))
+    val b2 = Seq((2L, ("beta " * 30) + ("alpha " * 5) +
+      (0 until 45).map(i => s"v$i").mkString(" ")))
+    val side = java.nio.file.Files
+      .createTempDirectory("graft_hh").toString + "/hh"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_hh_ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.heavyTokensStream(
+      in.toDF().toDF("doc_id", "text"), phi = 0.1, side, ckpt)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val out = StreamingOps.heavyTokensOf(s, side, phi = 0.1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    // exact truth over the union
+    val allDocs = (b1 ++ b2).toDF("doc_id", "text")
+    val exact = graft.operators.TextOps.heavyTokens(allDocs, phi = 0.1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet.contains("alpha") && exact.keySet.contains("beta"))
+    // COMPLETENESS: every true heavy hitter is reported
+    exact.foreach { case (tok, n) =>
+      assert(out.contains(tok), s"true heavy hitter $tok missed")
+      val (lb, ub, _) = out(tok)
+      assert(lb <= n && n <= ub,
+        s"bounds don't bracket truth for $tok: lb=$lb true=$n ub=$ub")
+    }
+    // alpha was sub-bar in b2: its lb records b1 only (30), truth 35
+    val (albL, albU, _) = out("alpha")
+    assert(albL == 30L && albU >= 35L)
+    // beta was φ-frequent in both batches: exact lb, certainly heavy
+    val (betL, _, betC) = out("beta")
+    assert(betL == 40L && betC == 1)
+  }
+
   test("streaming incremental profile: merged sidecars equal the batch profile of all streamed rows") {
     val s = spark
     import s.implicits._
