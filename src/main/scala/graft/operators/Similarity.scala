@@ -807,12 +807,22 @@ object Similarity {
 
   def pqTopK(
       index: PqIndex, emb: DataFrame, query: Array[Double], k: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int): DataFrame =
+    pqTopKImpl(index, emb, query, query, k, rerank)
+
+  /** `lutQuery` drives the ADC candidate cut (it must live in the
+    * CODES' coordinate system), `rerankQuery` the exact rerank (the
+    * `emb` frame's system) — identical for plain PQ; OPQ passes the
+    * rotated query for the first and the raw query for the second, so
+    * the rerank scan never computes a rotation. */
+  private def pqTopKImpl(
+      index: PqIndex, emb: DataFrame, lutQuery: Array[Double],
+      rerankQuery: Array[Double], k: Int, rerank: Int): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val (lutDot, lutN2) = pqLuts(index, query)
-    val qnorm = math.sqrt(query.map(x => x * x).sum)
-    val q = F.typedLit(query)
+    val (lutDot, lutN2) = pqLuts(index, lutQuery)
+    val qnorm = math.sqrt(lutQuery.map(x => x * x).sum)
+    val q = F.typedLit(rerankQuery)
     val cand = index.codes
       .select(F.col("id"),
         F.round(graft.functions.VectorFunctions.pqAdcCosine(
@@ -877,6 +887,17 @@ object Similarity {
     */
   def pqTopKBatch(
       index: PqIndex, emb: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int): DataFrame =
+    pqTopKBatchImpl(index, emb,
+      queries.select(F.col("qid"), F.col("qvec"),
+        F.col("qvec").as("qlut")),
+      k, rerank)
+
+  /** Batch sibling of [[pqTopKImpl]]: `qlut` drives the per-query ADC
+    * tables (codes' coordinates), `qvec` the exact rerank (`emb`'s
+    * coordinates) — equal for plain PQ, split for OPQ. */
+  private def pqTopKBatchImpl(
+      index: PqIndex, emb: DataFrame, queries: DataFrame, k: Int,
       rerank: Int): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
@@ -888,9 +909,10 @@ object Similarity {
     val bcBooks = spark.sparkContext.broadcast(index.books)
     val luts = queries
       .select(F.col("qid").cast("long"),
-        F.col("qvec").cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .map { case (qid, q) =>
+        F.col("qvec").cast("array<double>"),
+        F.col("qlut").cast("array<double>"))
+      .as[(Long, Array[Double], Array[Double])]
+      .map { case (qid, qv, q) =>
         require(q.length == m * dsub,
           s"query $qid has ${q.length} dims but index was encoded for ${m * dsub}")
         val books = bcBooks.value
@@ -911,7 +933,7 @@ object Similarity {
           }
           s += 1
         }
-        (qid, q, lutDot, math.sqrt(q.map(x => x * x).sum))
+        (qid, qv, lutDot, math.sqrt(q.map(x => x * x).sum))
       }
       .toDF("qid", "qvec", "lutd", "qnorm")
     // lutN2 is query-independent ([[codebookNorms]]) — one literal,
@@ -1031,8 +1053,10 @@ object Similarity {
 
   /** The corpus in rotated coordinates — a map-only scan of F codegen
     * dots per row (the same literal-vector form as Pca.project; no
-    * shuffle, no UDF). Lazy: a rerank join evaluates it only for the
-    * candidate rows that survive the join.
+    * shuffle, no UDF). Note the F² per-row cost is real wherever this
+    * frame is SCANNED — the OPQ query faces deliberately rerank on the
+    * raw frame instead (cosine is rotation-invariant), paying the
+    * rotation only once at build.
     *
     * PUBLIC as the composition primitive: an orthogonal rotation
     * preserves cosine, so ANY cosine-based index in this module —
@@ -1073,26 +1097,30 @@ object Similarity {
       rot)
   }
 
-  /** [[pqTopK]] in rotated space: rotate the query (driver-side F²),
-    * score the rotated codes, rerank against rotated exact vectors —
-    * cosines there equal raw-space cosines, so output contract and
-    * oracle story match [[pqTopK]]'s exactly. */
+  /** [[pqTopK]] against rotated codes: the ADC cut runs on the
+    * rotated-space codes with the ROTATED query's lookup tables, but
+    * the exact rerank joins the RAW vectors with the RAW query —
+    * orthogonality makes both reranks return the same cosines, and
+    * the raw form keeps the rerank scan free of any per-row rotation
+    * (the corpus is never rotated at query time; only the build pays
+    * the F² pass, once). */
   def opqTopK(
       index: OpqIndex, emb: DataFrame, query: Array[Double], k: Int,
       rerank: Int): DataFrame =
-    pqTopK(index.pq, rotatedFrame(emb, index.rot),
-      rotateVec(query, index.rot), k, rerank)
+    pqTopKImpl(index.pq, emb, rotateVec(query, index.rot), query,
+      k, rerank)
 
-  /** [[pqTopKBatch]] in rotated space — the query frame rotates inside
-    * the same codegen scan that builds its LUTs. */
+  /** Batch face: per-query ADC tables from the rotated queries, exact
+    * rerank on raw vectors — see [[opqTopK]]. */
   def opqTopKBatch(
       index: OpqIndex, emb: DataFrame, queries: DataFrame, k: Int,
-      rerank: Int): DataFrame = {
-    val rq = queries.select(
-      F.col("qid"),
-      rotateCol(F.col("qvec").cast("array<double>"), index.rot).as("qvec"))
-    pqTopKBatch(index.pq, rotatedFrame(emb, index.rot), rq, k, rerank)
-  }
+      rerank: Int): DataFrame =
+    pqTopKBatchImpl(index.pq, emb,
+      queries.select(
+        F.col("qid"), F.col("qvec"),
+        rotateCol(F.col("qvec").cast("array<double>"), index.rot)
+          .as("qlut")),
+      k, rerank)
 
   def opqRelease(index: OpqIndex): Unit = pqRelease(index.pq)
 
