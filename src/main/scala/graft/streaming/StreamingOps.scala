@@ -526,8 +526,8 @@ object StreamingOps {
           // sketch (the idempotence contract of every sidecar here)
           val cms = exploded.stat.countMinSketch(
             "token", eps, confidence, seed = 42)
-          Seq((cms.toByteArray, total))
-            .toDF("sketch", "n_tokens")
+          Seq((cms.toByteArray, total, phi))
+            .toDF("sketch", "n_tokens", "phi")
             .withColumn("seg", F.lit(batchId))
             .coalesce(1)
             .write.mode("overwrite")
@@ -552,8 +552,16 @@ object StreamingOps {
       phi: Double): DataFrame = {
     import spark.implicits._
     val cmsRows = spark.read.parquet(s"$sidecarPath/cms")
-      .select("sketch", "n_tokens").collect()
+      .select("sketch", "n_tokens", "phi").collect()
     require(cmsRows.nonEmpty, s"heavyTokensOf($sidecarPath): no sidecars")
+    // the pigeonhole completeness law only covers thresholds AT OR
+    // ABOVE the phi the stream recorded candidates for — a smaller
+    // read-side phi would silently under-report, so refuse it
+    val streamPhi = cmsRows.map(_.getDouble(2)).max
+    require(phi >= streamPhi - 1e-12,
+      s"heavyTokensOf: phi=$phi is below the stream's recorded " +
+        s"phi=$streamPhi — candidates below that bar were never " +
+        "captured; re-stream with the smaller phi or query at >= it")
     val totalN = cmsRows.map(_.getLong(1)).sum
     val merged = cmsRows
       .map(r => org.apache.spark.util.sketch.CountMinSketch
