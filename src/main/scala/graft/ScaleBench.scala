@@ -1295,6 +1295,39 @@ object ScaleBench {
             f"${bytesRows("s_ivf_serve_rebuild_freshness_ms")}%d ms")
         }
       }
+      // ---- streaming heavy hitters at volume: the whole corpus's
+      // token stream in 6 micro-batches; per batch the state written
+      // is ≤ 1/φ top rows + one count-min sketch — independent of
+      // stream length and vocabulary. Row = ingest wall; the merged
+      // report's size and its certain-count land in the bytes map.
+      if (only.forall(_.contains("s_heavy_tokens"))) {
+        val hside = java.nio.file.Files
+          .createTempDirectory("hhscale").toString + "/hh"
+        val hck = java.nio.file.Files
+          .createTempDirectory("hhscaleck").toString
+        val hDocs = docs.select("doc_id", "text")
+          .as[(Long, String)].collect()
+        val hChunks = hDocs.grouped(math.max(1, hDocs.length / 6)).toSeq
+        bench("s_heavy_tokens") {
+          val hin = MemoryStream[(Long, String)]
+          val hq = graft.streaming.StreamingOps.heavyTokensStream(
+            hin.toDF().toDF("doc_id", "text"), phi = 0.001, hside, hck)
+          try {
+            hChunks.foreach { c => hin.addData(c.toSeq); hq.processAllAvailable() }
+            hDocs.length.toLong
+          } finally hq.stop()
+        }
+        rows.get("s_heavy_tokens").foreach { case (sec, n) =>
+          val rep = graft.streaming.StreamingOps
+            .heavyTokensOf(spark, hside, phi = 0.001)
+            .select("certain").collect()
+          bytesRows("s_heavy_tokens_reported") = rep.length.toLong
+          bytesRows("s_heavy_tokens_certain") =
+            rep.count(_.getInt(0) == 1).toLong
+          println(f"[scale]   heavy hitters: ${n / sec}%.0f docs/sec ingest; " +
+            f"${rep.length}%d reported, ${rep.count(_.getInt(0) == 1)}%d certain")
+        }
+      }
       // ---- the SELF-GROWING streaming dedup gate at volume: base
       // band index over 10% of the corpus, the remaining 90% streamed
       // in 6 micro-batches — each pays its own signature pass, a

@@ -1129,16 +1129,24 @@ object Similarity {
     * state; queries against a loaded index need no re-fit. */
   def opqSave(index: OpqIndex, path: String): Unit = {
     pqSave(index.pq, path)
-    val rows = index.rot.map(_.mkString("[", ",", "]"))
-      .mkString("[", ",", "]")
-    graft.api.ArrowSpaceModel.writeSidecar(
-      index.pq.codes.sparkSession, s"$path/rotation.json",
-      s"""{"dims":${index.rot.length},"rot":$rows}""")
+    rotationSave(index.pq.codes.sparkSession, index.rot, path)
   }
 
-  def opqLoad(
-      spark: org.apache.spark.sql.SparkSession, path: String): OpqIndex = {
-    val pq = pqLoad(spark, path)
+  /** Persist a bare rotation — the composed-index companion (an
+    * OPQ+IVF layout is `ivfSave` of the rotated build plus THIS
+    * sidecar; queries rotate with the loaded matrix). */
+  def rotationSave(
+      spark: org.apache.spark.sql.SparkSession,
+      rot: Array[Array[Double]], path: String): Unit = {
+    val rows = rot.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    graft.api.ArrowSpaceModel.writeSidecar(
+      spark, s"$path/rotation.json",
+      s"""{"dims":${rot.length},"rot":$rows}""")
+  }
+
+  def rotationLoad(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
     val txt = {
       val p = new org.apache.hadoop.fs.Path(s"$path/rotation.json")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1151,11 +1159,14 @@ object Similarity {
       .findAllIn(txt.substring(txt.indexOf("\"rot\":")))
       .map(_.toDouble).toArray
     require(flat.length == dims * dims,
-      s"opqLoad: rotation sidecar has ${flat.length} values, " +
+      s"rotationLoad: sidecar has ${flat.length} values, " +
         s"expected ${dims * dims}")
-    OpqIndex(pq, Array.tabulate(dims)(i =>
-      flat.slice(i * dims, (i + 1) * dims)))
+    Array.tabulate(dims)(i => flat.slice(i * dims, (i + 1) * dims))
   }
+
+  def opqLoad(
+      spark: org.apache.spark.sql.SparkSession, path: String): OpqIndex =
+    OpqIndex(pqLoad(spark, path), rotationLoad(spark, path))
 
   /** IVF+PQ — the composed scale shape (faiss IndexIVFPQ): the
     * inverted lists prune WHICH rows are scanned (`nprobe` of `k`

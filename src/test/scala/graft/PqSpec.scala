@@ -334,6 +334,13 @@ class PqSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got == exact,
         "full-probe IVF over rotated vectors must equal raw exact search")
+      // the composed layout is persistable: the rotation sidecar round
+      // trips bit-for-bit beside whatever ivfSave wrote
+      val dir = java.nio.file.Files.createTempDirectory("graft-rotsc").toString
+      Similarity.rotationSave(spark, rot, dir)
+      val back = Similarity.rotationLoad(spark, dir)
+      assert(back.length == rot.length &&
+        rot.indices.forall(i => back(i).toSeq == rot(i).toSeq))
     } finally Similarity.ivfRelease(iv)
   }
 }
