@@ -179,7 +179,7 @@ object SparkEntry {
     // slim line stays at budget; their scale story is in SCALE_BENCH_r11
     "v_ivf_sq8_topk_filtered", "v_ivf_binary_topk_filtered",
     "s_ivf_query_stream", "s_dedup_gate_stream", "p_incr_profile",
-    "v_opq_topk")
+    "v_opq_topk", "v_opq_topk_batch")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1239,6 +1239,22 @@ object SparkEntry {
       val e = emb(s, d)
       val index = Similarity.opqBuild(e, m = 4, ksub = 8, iters = 10)
       val out = Similarity.opqTopK(index, e, queryVec(s, d), 20,
+          rerank = 100000)
+        .localCheckpoint()
+      Similarity.opqRelease(index)
+      out
+    }),
+
+    // OPQ batch face at the degenerate point: rerank covers the
+    // corpus, so each qid's answer is its exact cosine top-10 and the
+    // whole rotate-LUT -> ADC -> raw-rerank pipeline is oracled by
+    // plain SQL; production pruning + batch==single are spec-pinned.
+    "v_opq_topk_batch" -> ((s, d) => {
+      val e = emb(s, d)
+      val index = Similarity.opqBuild(e, m = 4, ksub = 8, iters = 10)
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val out = Similarity.opqTopKBatch(index, e, qs, k = 10,
           rerank = 100000)
         .localCheckpoint()
       Similarity.opqRelease(index)
@@ -3752,6 +3768,23 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    // exact per-qid cosine top-10 (self included — the batch face
+    // does not exclude the query row); the degenerate-point argument
+    // is v_opq_topk's, per query
+    "v_opq_topk_batch" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 4),
+        |scored AS (SELECT q.qid, e.vec_id AS id,
+        |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |  FROM e CROSS JOIN q),
+        |ranked AS (SELECT qid, id, score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, id, score FROM ranked WHERE rn <= 10
+        |ORDER BY qid, score DESC, id ASC""".stripMargin,
 
     // PQ replay: 4 per-subspace DeterministicKMeans recurrences (8
     // codebook entries, 10 Lloyd rounds over 16-dim slices; same CTE
