@@ -602,6 +602,17 @@ object Dedup {
   private[graft] def gateSwapMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/bands_swap_marker")
 
+  // "dir holds appended segments" must mean seg= SUBDIRS, not mere
+  // non-emptiness: a zero-survivor gate batch commits an appends dir
+  // containing only _SUCCESS (Spark writes the marker even for an
+  // empty partitioned frame), and treating that as has-appends sends
+  // the next batch's read into schema inference over zero parquet
+  // files — killing the stream until someone hand-deletes the dir.
+  private def hasSegDirs(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("seg="))
+
   /** Write `survivors`' band rows + shingles as append segment `seg`
     * beside a saved [[minhashIndexSave]] layout. Idempotent under
     * replay: dynamic partition overwrite replaces exactly the leaves a
@@ -657,25 +668,32 @@ object Dedup {
       maxSegExclusive: Long = Long.MaxValue): MinhashIndex = {
     val base = minhashIndexLoad(spark, path)
     val bp = new org.apache.hadoop.fs.Path(s"$path/bands_appends")
+    val sp = new org.apache.hadoop.fs.Path(s"$path/shingles_appends")
     val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
-    var hasAppends = fs.exists(bp)
+    // "appends present" = both frames hold seg= partitions: the bands
+    // dir alone is not enough — a compaction crash between the two
+    // swap renames leaves bands_appends merged while shingles_appends
+    // is briefly absent, and a zero-survivor batch leaves either dir
+    // with only _SUCCESS inside (see [[hasSegDirs]]).
+    var hasAppends = hasSegDirs(fs, bp) && hasSegDirs(fs, sp)
     if (!hasAppends && fs.exists(gateSwapMarkerPath(path))) {
       var waited = 0
       while (!hasAppends && fs.exists(gateSwapMarkerPath(path)) &&
           waited < 10000) {
         Thread.sleep(200); waited += 200
-        hasAppends = fs.exists(bp)
+        hasAppends = hasSegDirs(fs, bp) && hasSegDirs(fs, sp)
       }
       if (!hasAppends && fs.exists(gateSwapMarkerPath(path)))
         throw new IllegalStateException(
-          s"minhashIndexLoadWithAppends($path): bands_appends is absent " +
-            "but a compaction swap marker is present and did not clear " +
-            "within 10 s — a compaction likely crashed between its swap " +
-            "renames. The pre-swap segments are under " +
-            "bands_appends_old / shingles_appends_old; restore them or " +
-            "finish the compaction, then delete bands_swap_marker.")
+          s"minhashIndexLoadWithAppends($path): bands_appends / " +
+            "shingles_appends did not both appear while a compaction " +
+            "swap marker is present and did not clear within 10 s — a " +
+            "compaction likely crashed between its swap renames. The " +
+            "pre-swap segments are under bands_appends_old / " +
+            "shingles_appends_old; restore them or finish the " +
+            "compaction, then delete bands_swap_marker.")
     }
-    if (!hasAppends || fs.listStatus(bp).isEmpty) base
+    if (!hasAppends) base
     else {
       val keep = (df: DataFrame) =>
         df.where(F.col("seg").cast("long") < maxSegExclusive)
@@ -709,7 +727,7 @@ object Dedup {
     val bp = new org.apache.hadoop.fs.Path(s"$path/bands_appends")
     val sp = new org.apache.hadoop.fs.Path(s"$path/shingles_appends")
     val fs = bp.getFileSystem(conf)
-    if (!fs.exists(bp) || fs.listStatus(bp).isEmpty) return 0
+    if (!hasSegDirs(fs, bp) || !hasSegDirs(fs, sp)) return 0
     val curB = spark.read.parquet(bp.toString)
       .where(F.col("seg").cast("long") < maxSegExclusive)
     val minSegRow = curB.agg(F.min(F.col("seg").cast("long"))).head
@@ -802,18 +820,26 @@ object Dedup {
       // well-defined "no appends" state
       val staged = live.flatMap { case (dir, parts) =>
         val src = new org.apache.hadoop.fs.Path(s"$path/$dir")
-        if (!fs.exists(src)) None
+        // appends dirs need seg= leaves to be readable at all — a
+        // zero-survivor batch leaves just _SUCCESS (see [[hasSegDirs]])
+        val readable =
+          if (dir.endsWith("_appends")) hasSegDirs(fs, src)
+          else fs.exists(src)
+        if (!readable) None
         else {
           val before = spark.read.parquet(src.toString)
           val kept = before.join(key, Seq("doc_id"), "left_anti")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val nKept = kept.count()
-          if (dir == "bands") {
-            removed = before.join(key, Seq("doc_id"), "left_semi").count()
+          // the scaladoc promises "number of band rows removed" —
+          // accumulate across base AND streamed append segments, as
+          // [[graft.operators.Similarity.ivfLayoutRemove]] does
+          if (dir == "bands" || dir == "bands_appends")
+            removed += before.join(key, Seq("doc_id"), "left_semi").count()
+          if (dir == "bands")
             require(nKept > 0L,
               s"minhashLayoutRemove($path): removal would empty the base " +
                 "index — delete the layout instead of removing every document")
-          }
           val out =
             if (nKept == 0L) Some((src, None))
             else {

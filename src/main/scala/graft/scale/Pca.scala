@@ -61,8 +61,14 @@ object Pca {
       vecCol: String,
       nFeatures: Int,
       k: Int,
-      iters: Int = 60): PcaModel =
+      iters: Int = 60): PcaModel = {
+    // reject bad parameters BEFORE the full-corpus treeAggregate —
+    // fitFromMoments re-checks, but an invalid k must not cost a scan
+    require(nFeatures > 0, s"nFeatures must be positive, got $nFeatures")
+    require(k > 0 && k <= nFeatures, s"k must be in 1..$nFeatures, got $k")
+    require(iters > 0, s"iters must be positive, got $iters")
     fitFromMoments(moments(items, vecCol, nFeatures), nFeatures, k, iters)
+  }
 
   /** One shard's MERGEABLE covariance state — the incremental-fit
     * sidecar ([[graft.operators.Profile.sketchShard]]'s pattern

@@ -404,8 +404,13 @@ object StreamingOps {
     // per-batch cost that must not grow with accumulated state is the
     // state SHUFFLE, and this removes it. Batches above the guard
     // (a backfill replayed through the gate) fall back to the
-    // shuffling join rather than risk a driver OOM.
-    val broadcastProbe = batch.count() <= 1000000L
+    // shuffling join rather than risk a driver OOM. The guard bounds
+    // what is actually broadcast — band-KEY rows (docs × bands, each
+    // ~100 B as a HashedRelation entry), not documents: 2M band rows
+    // ≈ 200 MB built, inside a default 1 GB driver headroom, where a
+    // docs-only bound would have let 1M docs × 16 bands = 16M rows
+    // (~1.6 GB) through.
+    val broadcastProbe = batch.count() * state.bands <= 2000000L
     val survivors = Dedup.dedupAgainstIndex(
         within, state, jaccardThreshold, broadcastProbe = broadcastProbe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

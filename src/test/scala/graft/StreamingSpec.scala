@@ -855,6 +855,52 @@ class StreamingSpec extends SparkSpec {
     assert(hitsFull == hitsPre)
   }
 
+  test("gate survives an all-duplicate (zero-survivor) first batch") {
+    // ADVICE r11: a zero-survivor batch commits appends dirs holding
+    // only _SUCCESS; treating that as has-appends sent the NEXT
+    // batch's parquet read into schema inference over zero files and
+    // killed the stream. The has-appends decision must key on seg=
+    // leaves, not directory non-emptiness.
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val (base, b1, _) = gateFixture
+    val baseDf = base.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate0_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_gate0_out").toString
+    val built = Dedup.minhashIndexBuild(baseDf)
+    Dedup.minhashIndexSave(built, dir)
+    Dedup.minhashIndexRelease(built)
+
+    // batch 0: near-copies of base docs only — every row is gated out
+    val dupBatch = Seq(
+      (300L, "zzz " + base(2)._2.split(" ").drop(1).mkString(" ")),
+      (301L, "zzz " + base(5)._2.split(" ").drop(1).mkString(" ")))
+    StreamingOps.minhashGateBatch(dupBatch.toDF("doc_id", "text"), 0L, dir, out, 0.8)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val bp = new org.apache.hadoop.fs.Path(s"$dir/bands_appends")
+    assert(fs.exists(bp) &&
+      !fs.listStatus(bp).exists(_.getPath.getName.startsWith("seg=")),
+      "fixture no longer reproduces the _SUCCESS-only appends dir")
+
+    // the load treats the seg-less dirs as 'no appends' (would throw
+    // schema-inference before the fix) …
+    val loaded = Dedup.minhashIndexLoadWithAppends(s, dir)
+    assert(loaded.bandRows.select("doc_id").distinct().count() == base.size.toLong)
+    // … compaction is a no-op, not a crash …
+    assert(Dedup.minhashCompactAppends(s, dir) == 0)
+    // … and the NEXT batch (the one the bug killed) runs end-to-end
+    StreamingOps.minhashGateBatch(b1.toDF("doc_id", "text"), 1L, dir, out, 0.8)
+    val streamed = s.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.contains(101L) && !streamed.contains(300L) &&
+      !streamed.contains(105L))
+    // takedown also tolerates the seg-less dirs alongside real segments
+    val nRemoved = Dedup.minhashLayoutRemove(s, dir, Seq(101L).toDF("doc_id"))
+    assert(nRemoved > 0L)
+  }
+
   test("layout takedown: removal is exact, preserves segments, and removed docs stop matching") {
     val s = spark
     import s.implicits._
