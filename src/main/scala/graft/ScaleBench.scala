@@ -444,18 +444,21 @@ object ScaleBench {
     Similarity.sq8Release(sq8)
     bench("v_hard_negatives_approx") {
       // the UN-TUNED one-shot shape: auto-sized lists (625/row
-      // target), size-routed build (two-level past 128 lists) — this
-      // row measures the shipped default, cliff-free by construction
-      Similarity.hardNegativesApprox(
-        emb, queries, k = 10, nprobe = 8).count()
+      // target), size-routed build (two-level past 128 lists),
+      // sizing-matched probes (suggestNprobe, r12 — constant probe
+      // FRACTION, so recall holds flat where the old constant
+      // nprobe = 8 decayed per doubling) — this row measures the
+      // shipped default, cliff-free by construction
+      Similarity.hardNegativesApprox(emb, queries, k = 10).count()
     }
     // the amortized mining shape: quantizer fit paid once (the
-    // v_ivf_build row), every batch pays only probe + score
+    // v_ivf_build row), every batch pays only probe + score;
+    // nprobe = 0 is the same sizing-matched default
     val ivf2 = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
     ivf2.assigned.count()
     bench("v_hard_negatives_idx") {
       Similarity.hardNegativesApprox(
-        ivf2, emb.select("id", "label"), queries, k = 10, nprobe = 8).count()
+        ivf2, emb.select("id", "label"), queries, k = 10, nprobe = 0).count()
     }
     Similarity.ivfRelease(ivf2)
     bench("d_dup_clusters") {
@@ -570,6 +573,14 @@ object ScaleBench {
       // budget, i.e. the flat-latency contract — constant
       bytesRows("recall_ivf_p16_x1e4") =
         recall(Similarity.ivfTopKBatch(iv, qdf, k = 10, nprobe = 16))
+      // the SHIPPED default (r12): suggestNprobe probes a constant
+      // fraction of the corpus-proportional lists, so THIS row is the
+      // flat-recall law at pure defaults — it must hold ±0.02 across
+      // the 40×/80×/160×v points where the constant-nprobe row above
+      // decays geometrically
+      bytesRows("recall_ivf_suggest_x1e4") = recall(
+        Similarity.ivfTopKBatch(iv, qdf, k = 10,
+          nprobe = Similarity.suggestNprobe(lists)))
       locally {
         val sq8r = Similarity.sq8Encode(emb)
         sq8r.codes.count()
@@ -644,6 +655,7 @@ object ScaleBench {
       Similarity.ivfRelease(iv)
       gt.unpersist(blocking = false)
       println(f"[scale] recall@10 x1e4: ivf_p8=${bytesRows("recall_ivf_p8_x1e4")}%d " +
+        f"suggest=${bytesRows("recall_ivf_suggest_x1e4")}%d " +
         f"sq8=${bytesRows("recall_ivf_sq8_p8_r100_x1e4")}%d " +
         f"binary=${bytesRows("recall_binary_r100_x1e4")}%d/" +
         f"${bytesRows("recall_binary_r1000_x1e4")}%d " +

@@ -2032,6 +2032,33 @@ object Similarity {
     math.max(16L, math.min(65536L, raw)).toInt
   }
 
+  /** Corpus-proportional probe count — [[suggestLists]]' sibling, and
+    * the default every nprobe-taking face should be sized by when the
+    * caller has no tuned number. The measured law (three scale points,
+    * SCALE_BENCH recall artifacts): with lists sized per
+    * [[suggestLists]], a CONSTANT nprobe probes a halving FRACTION of
+    * the corpus per doubling and recall decays geometrically
+    * (1.00 → 0.87 → 0.69 at nprobe = 8 across 64/128/256 lists),
+    * while a constant probe FRACTION holds recall flat (0.87 → 0.89
+    * at 1/16; 1.00 → 1.00 at 1/8). So: probe `fraction` of the lists,
+    * floored at `minProbe`. The defaults reproduce every historical
+    * committed operating point at ≤ 64 lists (8 = ⌈64/8⌉ = the floor),
+    * so oracle- and spec-scale configurations (16 lists) are
+    * byte-unchanged, and beyond 64 lists the probe count grows with
+    * the corpus — candidate volume per query stays ≈ fraction · N /
+    * nLists · nLists = flat per-list-size, and recall stays at the
+    * fraction's measured level instead of silently decaying at 100×.
+    */
+  def suggestNprobe(
+      nLists: Int, fraction: Double = 0.125, minProbe: Int = 8): Int = {
+    require(nLists > 0, s"nLists must be positive; got $nLists")
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1]; got $fraction")
+    require(minProbe > 0, s"minProbe must be positive; got $minProbe")
+    math.min(nLists,
+      math.max(minProbe, math.ceil(nLists * fraction).toInt))
+  }
+
   /** Deterministic, layout-invariant training subsample for quantizer
     * fits: keeps ~`cap` rows via a pure row-value predicate
     * (xxhash64(id) mod d = 0 — the same corpus yields the same sample
@@ -3253,9 +3280,11 @@ object Similarity {
     */
   def hardNegativesApprox(
       emb: DataFrame, queries: DataFrame, k: Int,
-      nLists: Int = 0, nprobe: Int = 8): DataFrame = {
+      nLists: Int = 0, nprobe: Int = 0): DataFrame = {
     require(nLists >= 0,
       s"nLists must be positive, or 0 for corpus-proportional auto-sizing; got $nLists")
+    require(nprobe >= 0,
+      s"nprobe must be positive, or 0 for the sizing-matched default; got $nprobe")
     val spark = emb.sparkSession
     import spark.implicits._
     val items = emb.select(
@@ -3266,6 +3295,13 @@ object Similarity {
     // (16) reproduces the old fixed default at spec/oracle scale
     val lists =
       if (nLists > 0) nLists else suggestLists(items.count(), 625)
+    // sizing-matched probes ([[suggestNprobe]]): lists grow with the
+    // corpus, so a constant nprobe default silently probed a halving
+    // FRACTION per doubling — the measured geometric recall decay
+    // (1.00 → 0.87 → 0.69). The fraction-matched default holds the
+    // probed share (and recall) flat, and its floor reproduces the
+    // historical nprobe = 8 at every ≤ 64-list configuration.
+    val np = if (nprobe > 0) nprobe else suggestNprobe(lists)
     // auto-sized builds route through the quantizer that survives
     // their k ([[autoBuild]]); an EXPLICIT nLists keeps the flat fit —
     // the caller chose the structure, and the oracled configuration
@@ -3279,7 +3315,7 @@ object Similarity {
     assigned.count() // materialize before releasing the bare index
     ivfRelease(index)
     hardNegativesProbed(assigned, index.centroids, index.hier,
-      queries, k, nprobe, release = Seq(assigned))
+      queries, k, np, release = Seq(assigned))
   }
 
   /** Size-routed IVF build: flat [[ivfBuild]] up to 128 lists,
@@ -3317,12 +3353,17 @@ object Similarity {
   def hardNegativesApprox(
       index: IvfIndex, labels: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
+    require(nprobe >= 0,
+      s"nprobe must be positive, or 0 for the sizing-matched default; got $nprobe")
     val lab = labels.select(
       F.col("id").cast("long"), F.col("label").cast("string"))
     val assigned = index.assigned.join(lab, "id")
       .select("id", "vec", "label", "cluster")
+    // same fraction-matched default as the one-shot: the prebuilt
+    // index's list count already encodes the corpus size
+    val np = if (nprobe > 0) nprobe else suggestNprobe(index.k)
     hardNegativesProbed(assigned, index.centroids, index.hier,
-      queries, k, nprobe, release = Seq.empty)
+      queries, k, np, release = Seq.empty)
   }
 
   /** Shared probe→filter→score→top-k core of both

@@ -441,8 +441,21 @@ class SimilaritySpec extends SparkSpec {
       .hardNegativesApprox(index, labeled.select("id", "label"), qs,
         k = 10, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    Similarity.ivfRelease(index)
     assert(viaIndex == approx, "index-reuse overload diverged from one-shot")
+    // DEFAULTED nprobe routes through the sizing-matched rule
+    // (suggestNprobe — VERDICT r11 #1: the old constant 8 over
+    // auto-sized lists decayed geometrically at scale). At this
+    // corpus suggestNprobe(8) = min(8, max(8, 1)) = 8 = nLists, the
+    // degenerate exact point — so pure defaults must equal the exact
+    // operator's pair set, which also pins that the default is the
+    // FRACTION rule, not a silently-carried constant below it.
+    val viaDefault = Similarity
+      .hardNegativesApprox(index, labeled.select("id", "label"), qs,
+        k = 10, nprobe = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Similarity.ivfRelease(index)
+    assert(viaDefault == exact,
+      "defaulted nprobe did not take the sizing-matched degenerate point")
   }
 
   test("bitextMine: planted translations recovered; margin penalizes the hub") {
@@ -825,6 +838,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.suggestLists(10) == 16)
     assert(Similarity.suggestLists(1L << 40) == 65536)
     intercept[IllegalArgumentException](Similarity.suggestLists(100, 0))
+  }
+
+  test("suggestNprobe: constant probe fraction above the floor, history-compatible below") {
+    // floor region: every historical committed configuration at <= 64
+    // lists (including all 16-list oracle/spec corpora) keeps the old
+    // nprobe = 8 default byte-for-byte
+    assert(Similarity.suggestNprobe(16) == 8)
+    assert(Similarity.suggestNprobe(64) == 8)
+    // fraction region: 1/8 of the lists — the operating point the
+    // recall artifacts measured FLAT (1.00 -> 1.00 across a corpus
+    // doubling) where constant nprobe = 8 decayed 1.00 -> 0.87 -> 0.69
+    assert(Similarity.suggestNprobe(128) == 16)
+    assert(Similarity.suggestNprobe(256) == 32)
+    assert(Similarity.suggestNprobe(512) == 64)
+    // capped at the list count (degenerate exact scan, never invalid)
+    assert(Similarity.suggestNprobe(4) == 4)
+    assert(Similarity.suggestNprobe(16, fraction = 1.0, minProbe = 1) == 16)
+    intercept[IllegalArgumentException](Similarity.suggestNprobe(0))
+    intercept[IllegalArgumentException](Similarity.suggestNprobe(16, 0.0))
+    intercept[IllegalArgumentException](Similarity.suggestNprobe(16, 1.5))
+    intercept[IllegalArgumentException](Similarity.suggestNprobe(16, 0.5, 0))
   }
 
   test("sampled quantizer training: deterministic, full-coverage, exact at full probes") {
