@@ -58,4 +58,65 @@ class ScaleBenchMergeSpec extends AnyFunSuite {
     val merged = secRe.findAllMatchIn(m).map(_.group(1).toDouble).toSeq
     assert(merged.sorted == Seq(3.0, 24.9, 66.0), merged)
   }
+
+  private def benchArtifact(
+      rows: Seq[(String, Double)],
+      cpu: Seq[(String, Double)],
+      retried: Seq[(String, Double)] = Nil,
+      sf: String = "sf0.1"): String =
+    s"""{"metric":"total","value":${rows.map(_._2).filter(_ >= 0).sum},""" +
+      s""""unit":"sec","failed":${rows.count(_._2 < 0)},"sf":"$sf",""" +
+      s""""queries":{""" +
+      rows.map { case (k, s) => s""""$k":$s""" }.mkString(",") +
+      s"""},"cpu_sec":{""" +
+      cpu.map { case (k, c) => s""""$k":$c""" }.mkString(",") +
+      s"""},"retried":{""" +
+      retried.map { case (k, v) => s""""$k":$v""" }.mkString(",") +
+      s"""},"ref":"BENCH_LOCAL_r11.json","cached_mb_after":{""" +
+      rows.map { case (k, _) => s""""$k":1.0""" }.mkString(",") +
+      "}}\n"
+
+  test("Bench merge: per-row min, failures never win, samples auditable, sf guarded") {
+    // the r11 governance case: run A caught d_dedup_against_index in
+    // the contention mode (10.60 s), run B in a quiet window (4.10 s);
+    // q1 was quiet in A, noisy in B; s_row failed in A only
+    val a = benchArtifact(
+      Seq(("d_dedup_against_index", 10.60), ("q1_agg", 0.52),
+        ("s_row", -3.2), ("only_a", 1.5)),
+      Seq(("d_dedup_against_index", 22.7), ("q1_agg", 1.1),
+        ("s_row", 0.5), ("only_a", 0.9)),
+      retried = Seq(("d_dedup_against_index", 12.9)))
+    val b = benchArtifact(
+      Seq(("d_dedup_against_index", 4.10), ("q1_agg", 0.95),
+        ("s_row", 2.8)),
+      Seq(("d_dedup_against_index", 15.0), ("q1_agg", 1.4),
+        ("s_row", 3.0)))
+    val m = Bench.mergeArtifacts(a, b)
+    // per-row min across runs; rows in one run only are carried
+    assert(m.contains(""""d_dedup_against_index":4.10"""), m)
+    assert(m.contains(""""q1_agg":0.52"""), m)
+    assert(m.contains(""""only_a":1.50"""), m)
+    // a successful sample always beats a failure marker
+    assert(m.contains(""""s_row":2.80"""), m)
+    assert(m.contains(""""failed":0"""), m)
+    // both walls stay auditable per shared row
+    assert(m.contains(""""d_dedup_against_index":[10.60,4.10]"""), m)
+    assert(m.contains(""""s_row":[-3.20,2.80]"""), m)
+    // cpu follows the winning run (B for the dedup row, A for q1)
+    assert(m.contains(""""cpu_sec":{"d_dedup_against_index":15.00,"q1_agg":1.10"""), m)
+    // retry audit trail survives the merge
+    assert(m.contains(""""d_dedup_against_index":12.90"""), m)
+    // headline total sums the merged (min, non-failed) walls
+    assert(m.contains(""""value":8.92"""), m)
+    assert(m.contains(""""merged_runs":2"""), m)
+    // two failures keep the first run's marker and stay failures
+    val fa = benchArtifact(Seq(("x", -2.0)), Seq(("x", 0.1)))
+    val fb = benchArtifact(Seq(("x", -5.0)), Seq(("x", 0.2)))
+    val fm = Bench.mergeArtifacts(fa, fb)
+    assert(fm.contains(""""x":-2.00""") && fm.contains(""""failed":1"""), fm)
+    // artifacts from different scale factors refuse to merge
+    intercept[IllegalArgumentException](
+      Bench.mergeArtifacts(a, benchArtifact(
+        Seq(("q1_agg", 0.2)), Seq(("q1_agg", 0.3)), sf = "sf0.01")))
+  }
 }
