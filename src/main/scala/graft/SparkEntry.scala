@@ -97,9 +97,10 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     graft.sources.CorpusSources.embeddings(s, s"$dir/embeddings.parquet")
 
-  /** Default index params for the synthetic embeddings (near-orthogonal
-    * vectors — eps below ~0.6 yields an empty graph; see
-    * .claude/skills/verify/SKILL.md).
+  /** Default index params for the synthetic embeddings: they are
+    * near-orthogonal, so an eps below ~0.6 yields an empty graph —
+    * measure with [[graft.api.ArrowSpaceBuilder.suggestEps]] (README
+    * "choosing eps") before tuning on a new corpus.
     */
   private val defaultParams = GraphParams(eps = 1.0, k = 10, topk = 10)
 
@@ -179,7 +180,10 @@ object SparkEntry {
     // slim line stays at budget; their scale story is in SCALE_BENCH_r11
     "v_ivf_sq8_topk_filtered", "v_ivf_binary_topk_filtered",
     "s_ivf_query_stream", "s_dedup_gate_stream", "p_incr_profile",
-    "v_opq_topk", "v_opq_topk_batch")
+    "v_opq_topk", "v_opq_topk_batch",
+    // r12 additions: takedown + streaming profile/heavy-hitter oracles
+    "d_takedown_gate", "v_takedown_ivf",
+    "s_profile_stream", "s_heavy_tokens_stream")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1775,6 +1779,183 @@ object SparkEntry {
         .localCheckpoint()
     }),
 
+    // GDPR-style takedown from a PERSISTED gate layout, oracled
+    // end-to-end (VERDICT r11 #3): the same gate feed as
+    // s_dedup_gate_stream builds base + two streamed append segments,
+    // then minhashLayoutRemove erases every %7==0 doc across base AND
+    // segments. The law under oracle: the surviving state equals a
+    // cold build over (base ∪ admitted survivors) minus the removed
+    // ids — emitted as each surviving doc's distinct-shingle count so
+    // the SQL replay pins the shingle frames too, not just band-row
+    // membership.
+    "d_takedown_gate" -> ((s, d) => {
+      import s.implicits._
+      val all = docs(s, d).select("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dtake_idx").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_dtake_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_dtake_ckpt").toString
+      val built = Dedup.minhashIndexBuild(
+        all.where(F.col("doc_id") % 10 === 0))
+      Dedup.minhashIndexSave(built, dir)
+      Dedup.minhashIndexRelease(built)
+      val b1 = all.where(F.col("doc_id") % 10 >= 1 && F.col("doc_id") % 10 <= 4)
+        .as[(Long, String)].collect().sortBy(_._1)
+      val b2 = all.where(F.col("doc_id") % 10 >= 5)
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = graft.streaming.StreamingOps.minhashGateStream(
+        ms.toDF.toDF("doc_id", "text"), dir, out, ckpt,
+        jaccardThreshold = 0.8)
+      try {
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()
+        ms.addData(b2.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      Dedup.minhashLayoutRemove(
+        s, dir, all.where(F.col("doc_id") % 7 === 0).select("doc_id"))
+      val st = Dedup.minhashIndexLoadWithAppends(s, dir)
+      st.refShingles
+        .select(F.col("doc_id"),
+          F.size(F.array_distinct(F.col("sh"))).as("n_shingles"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    }),
+
+    // IVF layout takedown at the degenerate full-probe point: base
+    // lists over the even ids, one streamed append segment carrying
+    // the odd ids against the FROZEN quantizer, then ivfLayoutRemove
+    // of every %5==0 id (hits base AND segment). Full probes with
+    // k ≥ corpus rank EVERY surviving vector exactly, so the oracle
+    // is brute-force cosine over the surviving embeddings — removed
+    // ids gone from every frame, all survivors still retrievable.
+    "v_takedown_ivf" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vtake_idx").toString
+      val idx = Similarity.ivfBuild(
+        e.where(F.col("id") % 2 === 0), nLists = 8)
+      Similarity.ivfSave(idx, dir)
+      val cents = idx.centroids
+      Similarity.ivfRelease(idx)
+      graft.streaming.StreamingOps.ivfAppendSegment(
+        graft.scale.DeterministicKMeans.assign(
+          e.where(F.col("id") % 2 =!= 0),
+          graft.scale.DeterministicKMeans.Model(
+            cents.sortBy(_._1).map(_._2)),
+          idCol = "id", vecCol = "vec").select("id", "vec", "cluster"),
+        dir, seg = 0L)
+      Similarity.ivfLayoutRemove(
+        s, dir, e.where(F.col("id") % 5 === 0).select("id"))
+      val post = Similarity.ivfLoad(s, dir)
+      val qv = e.where(F.col("id") === 1)
+        .select("vec").head.getSeq[Double](0).toArray
+      val outDf = Similarity.ivfTopK(
+          post, qv, k = 1000000, nprobe = post.k)
+        .orderBy(F.col("score").desc, F.col("id").asc)
+        .localCheckpoint()
+      Similarity.ivfRelease(post)
+      outDf
+    }),
+
+    // streaming incremental profiling as a REAL stream (VERDICT r11
+    // #4): two MemoryStream micro-batches through profileStream's
+    // per-batch sketch sidecars, then profileOf merges them — the law
+    // is merged-sidecars == whole-corpus profile, so the output (and
+    // its SQL replay) is the same shape as p_incr_profile: exact
+    // counts/nulls/moments plus the HLL distinct pinned as a ±5%
+    // tolerance flag (sketch union is not byte-identical to a
+    // one-shot sketch — measured ±6 on 500 distinct at lgK=12).
+    "s_profile_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Profile
+      val all = docs(s, d)
+      val cols = Seq("lang", "n_chars", "source")
+      val side = java.nio.file.Files
+        .createTempDirectory("graft_sprof").toString + "/sidecars"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sprof_ck").toString
+      val feed = all.select(
+          F.col("doc_id"), F.col("lang"),
+          F.col("n_chars").cast("long").as("n_chars"), F.col("source"))
+        .as[(Long, Option[String], Option[Long], Option[String])]
+      val b1 = feed.filter(_._1 % 2 == 0).collect().sortBy(_._1)
+      val b2 = feed.filter(_._1 % 2 == 1).collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Option[String], Option[Long], Option[String])](s)
+      val q = graft.streaming.StreamingOps.profileStream(
+        ms.toDF.toDF("doc_id", "lang", "n_chars", "source"),
+        cols, side, ckpt)
+      try {
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()
+        ms.addData(b2.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val merged = graft.streaming.StreamingOps.profileOf(s, side)
+      val exact = Profile.profile(all, cols)
+        .select(F.col("column"), F.col("n_distinct").as("exact_distinct"))
+      merged.join(exact, "column")
+        .select(
+          F.col("column"), F.col("n_rows"), F.col("n_nulls"),
+          (F.abs(F.col("n_distinct") - F.col("exact_distinct")) <=
+            F.lit(0.05) * F.col("exact_distinct")).cast("int").as("dist_ok"),
+          F.col("min_v"), F.col("max_v"), F.col("mean_v"), F.col("std_v"))
+        .orderBy("column")
+        .localCheckpoint()
+    }),
+
+    // streaming heavy hitters as a REAL stream: per-batch exact tops
+    // + count-min sidecars, merged by heavyTokensOf. The SQL-checkable
+    // laws: COMPLETENESS (pigeonhole — every globally φ-frequent token
+    // is φ-frequent in ≥1 batch, so it must appear in the report; a
+    // miss surfaces as the -1 coalesce), the EXACT lb replay (sum of
+    // the token's per-batch counts where it cleared that batch's φ
+    // bar — deterministic given the doc_id%2 batch split), `certain`
+    // derived from that lb, and UB BRACKETING (count-min only ever
+    // over-counts, so ub ≥ the true count — pinned as a flag; the ub
+    // VALUE is sketch state, not SQL-expressible).
+    "s_heavy_tokens_stream" -> ((s, d) => {
+      import s.implicits._
+      val all = docs(s, d).select("doc_id", "text")
+      val side = java.nio.file.Files
+        .createTempDirectory("graft_shh").toString + "/hh"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_shh_ck").toString
+      val b1 = all.where(F.col("doc_id") % 2 === 0)
+        .as[(Long, String)].collect().sortBy(_._1)
+      val b2 = all.where(F.col("doc_id") % 2 === 1)
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = graft.streaming.StreamingOps.heavyTokensStream(
+        ms.toDF.toDF("doc_id", "text"), phi = 0.002, side, ckpt)
+      try {
+        ms.addData(b1.toSeq)
+        q.processAllAvailable()
+        ms.addData(b2.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val report = graft.streaming.StreamingOps
+        .heavyTokensOf(s, side, phi = 0.002)
+      val exact = TextOps.heavyTokens(all, phi = 0.002)
+        .select(F.col("token"), F.col("n"))
+      exact.join(report, Seq("token"), "left")
+        .select(
+          F.col("token"), F.col("n"),
+          F.coalesce(F.col("lb"), F.lit(-1L)).as("lb"),
+          F.coalesce(F.col("certain"), F.lit(-1)).as("certain"),
+          F.coalesce((F.col("ub") >= F.col("n")).cast("int"), F.lit(0))
+            .as("ub_ok"))
+        .orderBy("token")
+        .localCheckpoint()
+    }),
+
     // incremental index maintenance: fit the coarse quantizer on the
     // even half, append the odd half against the FROZEN centroids —
     // output is every row's list assignment in the widened index
@@ -2347,6 +2528,50 @@ object SparkEntry {
       |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
       |      AS BIGINT) AS simhash
       |  FROM sbits GROUP BY doc_id)""".stripMargin
+
+  /** The streaming gate's sequential replay chain (batch 1 collapse +
+    * base check, batch 2 against base ∪ batch-1 survivors), shared by
+    * the gate oracle and the takedown oracle built on top of it.
+    * Requires [[JaccardPairsCte]] earlier in the same WITH.
+    */
+  private val GateReplayCtes =
+    """fpk AS (
+      |  SELECT doc_id,
+      |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |b1k AS (
+      |  SELECT min(doc_id) AS doc_id FROM fpk
+      |  WHERE doc_id % 10 BETWEEN 1 AND 4 GROUP BY fp),
+      |s1w AS (
+      |  SELECT doc_id FROM b1k WHERE doc_id NOT IN (
+      |    SELECT j.doc_b FROM jpairs j
+      |    JOIN b1k ka ON ka.doc_id = j.doc_a
+      |    JOIN b1k kb ON kb.doc_id = j.doc_b
+      |    WHERE j.jaccard >= 0.8)),
+      |s1 AS (
+      |  SELECT doc_id FROM s1w WHERE doc_id NOT IN (
+      |    SELECT doc_a FROM jpairs WHERE jaccard >= 0.8 AND doc_b % 10 = 0
+      |    UNION
+      |    SELECT doc_b FROM jpairs WHERE jaccard >= 0.8 AND doc_a % 10 = 0)),
+      |b2k AS (
+      |  SELECT min(doc_id) AS doc_id FROM fpk
+      |  WHERE doc_id % 10 >= 5 GROUP BY fp),
+      |s2w AS (
+      |  SELECT doc_id FROM b2k WHERE doc_id NOT IN (
+      |    SELECT j.doc_b FROM jpairs j
+      |    JOIN b2k ka ON ka.doc_id = j.doc_a
+      |    JOIN b2k kb ON kb.doc_id = j.doc_b
+      |    WHERE j.jaccard >= 0.8)),
+      |ref AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+      |  UNION SELECT doc_id FROM s1),
+      |s2 AS (
+      |  SELECT doc_id FROM s2w WHERE doc_id NOT IN (
+      |    SELECT j.doc_a FROM jpairs j
+      |      JOIN ref r ON r.doc_id = j.doc_b WHERE j.jaccard >= 0.8
+      |    UNION
+      |    SELECT j.doc_b FROM jpairs j
+      |      JOIN ref r ON r.doc_id = j.doc_a WHERE j.jaccard >= 0.8))""".stripMargin
 
   private val JaccardPairsCte =
     """tok AS (
@@ -3408,45 +3633,27 @@ object SparkEntry {
     // d_dedup_against_index, so exact jpairs is the same contract.
     "s_dedup_gate_stream" ->
       s"""WITH $JaccardPairsCte,
-        |fpk AS (
-        |  SELECT doc_id,
-        |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
-        |  FROM documents),
-        |b1k AS (
-        |  SELECT min(doc_id) AS doc_id FROM fpk
-        |  WHERE doc_id % 10 BETWEEN 1 AND 4 GROUP BY fp),
-        |s1w AS (
-        |  SELECT doc_id FROM b1k WHERE doc_id NOT IN (
-        |    SELECT j.doc_b FROM jpairs j
-        |    JOIN b1k ka ON ka.doc_id = j.doc_a
-        |    JOIN b1k kb ON kb.doc_id = j.doc_b
-        |    WHERE j.jaccard >= 0.8)),
-        |s1 AS (
-        |  SELECT doc_id FROM s1w WHERE doc_id NOT IN (
-        |    SELECT doc_a FROM jpairs WHERE jaccard >= 0.8 AND doc_b % 10 = 0
-        |    UNION
-        |    SELECT doc_b FROM jpairs WHERE jaccard >= 0.8 AND doc_a % 10 = 0)),
-        |b2k AS (
-        |  SELECT min(doc_id) AS doc_id FROM fpk
-        |  WHERE doc_id % 10 >= 5 GROUP BY fp),
-        |s2w AS (
-        |  SELECT doc_id FROM b2k WHERE doc_id NOT IN (
-        |    SELECT j.doc_b FROM jpairs j
-        |    JOIN b2k ka ON ka.doc_id = j.doc_a
-        |    JOIN b2k kb ON kb.doc_id = j.doc_b
-        |    WHERE j.jaccard >= 0.8)),
-        |ref AS (
-        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
-        |  UNION SELECT doc_id FROM s1),
-        |s2 AS (
-        |  SELECT doc_id FROM s2w WHERE doc_id NOT IN (
-        |    SELECT j.doc_a FROM jpairs j
-        |      JOIN ref r ON r.doc_id = j.doc_b WHERE j.jaccard >= 0.8
-        |    UNION
-        |    SELECT j.doc_b FROM jpairs j
-        |      JOIN ref r ON r.doc_id = j.doc_a WHERE j.jaccard >= 0.8))
+        |$GateReplayCtes
         |SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
         |ORDER BY doc_id""".stripMargin,
+
+    // takedown replay: the state after the gate run is base ∪ s1 ∪ s2
+    // (the chain above), and minhashLayoutRemove is an EXACT per-doc
+    // erasure — so the post-takedown layout is that set minus the
+    // removed ids, each doc carrying its distinct-3-gram shingle count
+    // (ssh.n), which pins the SHINGLE frames too, not just band-row
+    // membership
+    "d_takedown_gate" ->
+      s"""WITH $JaccardPairsCte,
+        |$GateReplayCtes,
+        |st AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+        |  UNION SELECT doc_id FROM s1
+        |  UNION SELECT doc_id FROM s2)
+        |SELECT st.doc_id, ssh.n AS n_shingles
+        |FROM st JOIN ssh ON ssh.doc_id = st.doc_id
+        |WHERE st.doc_id % 7 <> 0
+        |ORDER BY st.doc_id""".stripMargin,
 
     // transitive closure of the exact >= 0.8 Jaccard pair graph via
     // recursive min-label propagation (same pattern as g_components);
@@ -4607,6 +4814,21 @@ object SparkEntry {
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
 
+    // takedown at the degenerate point: full probes + k ≥ corpus make
+    // the post-takedown ranking the exact cosine order over surviving
+    // (%5 <> 0) vectors — any removed id still present in base or the
+    // append segment would surface, any erroneously-dropped survivor
+    // would be missing
+    "v_takedown_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 1)
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e, q
+        |WHERE e.vec_id % 5 <> 0
+        |ORDER BY score DESC, id ASC""".stripMargin,
+
     // filtered IVF+SQ8 at the PRODUCTION pruning: the v_ivf_sq8_topk
     // replay with the label predicate intersecting the probed candidate
     // set BEFORE the dequant cut — exactly where ivfSq8TopKWhere
@@ -5085,6 +5307,72 @@ object SparkEntry {
         |    CAST(1 AS INT), NULL, NULL, NULL, NULL
         |  FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // the streamed face merges per-batch sidecars into the SAME
+    // profile the batch operator computes over the whole corpus —
+    // identical replay to p_incr_profile (batching is invisible to
+    // exact counts/moments; the HLL union rides the same ±5% flag)
+    "s_profile_stream" ->
+      """SELECT * FROM (
+        |  SELECT 'lang' AS "column", count(*) AS n_rows,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |    CAST(1 AS INT) AS dist_ok,
+        |    CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+        |    CAST(NULL AS DOUBLE) AS mean_v, CAST(NULL AS DOUBLE) AS std_v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    CAST(1 AS INT),
+        |    CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |    round(avg(n_chars), 4), round(stddev_samp(n_chars), 4)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    CAST(1 AS INT), NULL, NULL, NULL, NULL
+        |  FROM documents)
+        |ORDER BY "column"""".stripMargin,
+
+    // the streamed heavy-hitter report against exact truth: the row
+    // set is the exact φ-frequent tokens (completeness — a reported
+    // miss shows as the engine's -1 coalesce), lb replays the
+    // per-batch (doc_id%2) φ-bar sums exactly, certain derives from
+    // lb, and ub bracketing is pinned as a flag (count-min only
+    // over-counts)
+    "s_heavy_tokens_stream" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS t FROM tok),
+        |exact AS (
+        |  SELECT token, count(*) AS n
+        |  FROM tok CROSS JOIN tot
+        |  GROUP BY token
+        |  HAVING count(*) >= ceil(0.002 * any_value(tot.t))),
+        |b1 AS (SELECT token, count(*) AS n FROM tok
+        |  WHERE doc_id % 2 = 0 GROUP BY token),
+        |t1 AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM b1),
+        |c1 AS (SELECT token, n FROM b1 CROSS JOIN t1
+        |  WHERE n >= ceil(0.002 * t1.t)),
+        |b2 AS (SELECT token, count(*) AS n FROM tok
+        |  WHERE doc_id % 2 = 1 GROUP BY token),
+        |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM b2),
+        |c2 AS (SELECT token, n FROM b2 CROSS JOIN t2
+        |  WHERE n >= ceil(0.002 * t2.t)),
+        |lbs AS (
+        |  SELECT token, CAST(sum(n) AS BIGINT) AS lb FROM (
+        |    SELECT token, n FROM c1
+        |    UNION ALL SELECT token, n FROM c2)
+        |  GROUP BY token)
+        |SELECT e.token, e.n,
+        |  coalesce(l.lb, -1) AS lb,
+        |  CASE WHEN coalesce(l.lb, -1) >=
+        |    ceil(0.002 * (SELECT t FROM tot)) THEN 1 ELSE 0 END AS certain,
+        |  1 AS ub_ok
+        |FROM exact e LEFT JOIN lbs l USING (token)
+        |ORDER BY e.token""".stripMargin,
 
     "t_corpus_report" ->
       """WITH l AS (
