@@ -636,6 +636,23 @@ object ScaleBench {
         Similarity.ivfRelease(rIv)
         rEmb.unpersist(blocking = false)
       }
+      // the RESIDUAL-trained rotation (r12, the published IVFADC+OPQ
+      // form): coarse quantizer stays in raw space (same iv as the
+      // recall_ivf_pqr row — directly comparable at the identical
+      // budget), rotation fitted on r = x − c(list), residuals encoded
+      // in R·r coordinates. This is the measurement VERDICT r11 #5
+      // asked for: does training R on what the PQ actually quantizes
+      // recover the composed form's −5 pp vs residual-alone?
+      locally {
+        val rrot = Similarity.opqRotationResidual(iv, 8)
+        val rpqr = Similarity.pqResidualBuild(iv, m = 8, ksub = 64,
+          rot = Some(rrot))
+        rpqr.codes.count()
+        bytesRows("recall_ivf_opqr_resid_p8_r100_x1e4") = recall(
+          Similarity.ivfPqrTopKBatch(
+            iv, rpqr, emb, qdf, k = 10, nprobe = 8, rerank = 100))
+        Similarity.pqResidualRelease(rpqr)
+      }
       // rotation's measured value on THIS corpus: plain PQ vs OPQ at
       // an identical (m, ksub, rerank) budget — same scan, same bytes,
       // only the basis differs. Tight rerank (=k) so the number
@@ -661,6 +678,7 @@ object ScaleBench {
         f"${bytesRows("recall_binary_r1000_x1e4")}%d " +
         f"pqr=${bytesRows("recall_ivf_pqr_p8_r100_x1e4")}%d " +
         f"opqr=${bytesRows("recall_ivf_opqr_p8_r100_x1e4")}%d " +
+        f"opqr_resid=${bytesRows("recall_ivf_opqr_resid_p8_r100_x1e4")}%d " +
         f"pq_r10=${bytesRows("recall_pq_r10_x1e4")}%d " +
         f"opq_r10=${bytesRows("recall_opq_r10_x1e4")}%d")
     }

@@ -982,7 +982,64 @@ object Similarity {
     val dims = first(0).getSeq[Any](0).length
     require(dims % m == 0,
       s"opqRotation: $dims dims do not split into $m subspaces")
-    val model = graft.scale.Pca.fit(emb, "vec", dims, dims, pcaIters)
+    rotationFromPca(graft.scale.Pca.fit(emb, "vec", dims, dims, pcaIters), m)
+  }
+
+  /** [[opqRotation]] from PERSISTED PCA moments
+    * ([[graft.scale.Pca.moments]] sidecars merged with
+    * [[graft.scale.Pca.mergeMoments]]) — the per-drop refit: each
+    * shard's O(F²) accumulator persists beside it, and a new drop
+    * refits the rotation (and anything built on it) WITHOUT
+    * rescanning history. Identical to the one-shot fit up to FP
+    * reassociation (the spec pins 1e-6): moment addition is the same
+    * arithmetic the one-shot treeAggregate performs in
+    * nondeterministic order.
+    */
+  def opqRotationFromMoments(
+      acc: Array[Double], nFeatures: Int, m: Int,
+      pcaIters: Int = 60): Array[Array[Double]] = {
+    require(nFeatures % m == 0,
+      s"opqRotationFromMoments: $nFeatures dims do not split into $m subspaces")
+    rotationFromPca(
+      graft.scale.Pca.fitFromMoments(acc, nFeatures, nFeatures, pcaIters), m)
+  }
+
+  /** OPQ rotation trained on the RESIDUAL distribution of an IVF index
+    * — the published IVFADC+OPQ form (Ge et al. CVPR'13 §5 apply OPQ
+    * to the residuals the PQ actually quantizes; faiss trains
+    * OPQMatrix on the transformed training residuals for IVFPQ): a
+    * residual index's codebooks see r = x − c(list), whose spectrum
+    * differs from the raw corpus's (the coarse quantizer removes the
+    * between-list variance), so a RAW-space rotation can mis-balance
+    * the residual subspaces — the r11 composed point measured −5 pp
+    * recall vs residual-alone for exactly that reason. Pass the
+    * result to [[pqResidualBuild]]'s `rot`.
+    */
+  def opqRotationResidual(
+      ivf: IvfIndex, m: Int, pcaIters: Int = 60): Array[Array[Double]] = {
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val centsByC = ivf.centroids.sortBy(_._1).map(_._2)
+    require(centsByC.nonEmpty, "opqRotationResidual: IVF index has no centroids")
+    val dims = centsByC.head.length
+    require(dims % m == 0,
+      s"opqRotationResidual: $dims dims do not split into $m subspaces")
+    val centDf = centsByC.zipWithIndex
+      .map { case (cv, c) => (c, cv) }.toSeq.toDF("cluster", "cvec")
+    val resid = ivf.assigned
+      .select(F.col("id"), F.col("cluster"),
+        F.col("vec").cast("array<double>").as("vec"))
+      .join(F.broadcast(centDf), "cluster")
+      .select(F.col("id"),
+        F.zip_with(F.col("vec"), F.col("cvec"), (a, b) => a - b).as("vec"))
+    rotationFromPca(graft.scale.Pca.fit(resid, "vec", dims, dims, pcaIters), m)
+  }
+
+  /** Shared PCA-basis → balanced-permutation core of the three
+    * rotation entry points (corpus / moments / residuals). */
+  private def rotationFromPca(
+      model: graft.scale.Pca.PcaModel, m: Int): Array[Array[Double]] = {
+    val dims = model.nFeatures
     // modified Gram-Schmidt over the (near-orthogonal) PCA rows
     val basis = model.components.map(_.clone())
     var i = 0
@@ -1534,7 +1591,12 @@ object Similarity {
     */
   final case class PqResidualIndex(
       codes: DataFrame, // (id, codes BINARY(m), n2hat DOUBLE)
-      books: Array[Array[Array[Double]]]) {
+      books: Array[Array[Array[Double]]],
+      // OPQ: codes/books live in R·r coordinates (residuals rotated
+      // before encoding — [[opqRotationResidual]]); None = raw
+      // residual space. Optional LAST field: positional
+      // PqResidualIndex(codes, books) constructions stay valid.
+      rot: Option[Array[Array[Double]]] = None) {
     def m: Int = books.length
     def ksub: Int = books.headOption.map(_.length).getOrElse(0)
     def dsub: Int =
@@ -1554,7 +1616,8 @@ object Similarity {
     */
   def pqResidualBuild(
       ivf: IvfIndex, m: Int, ksub: Int, iters: Int = 10,
-      persist: Boolean = true, trainPerCode: Int = 256): PqResidualIndex = {
+      persist: Boolean = true, trainPerCode: Int = 256,
+      rot: Option[Array[Array[Double]]] = None): PqResidualIndex = {
     require(m > 0, s"m must be positive; got $m")
     require(ksub > 0 && ksub <= 256, s"ksub must be in 1..256; got $ksub")
     val centsByC = ivf.centroids.sortBy(_._1).map(_._2)
@@ -1562,17 +1625,28 @@ object Similarity {
     val dims = centsByC.head.length
     require(dims % m == 0,
       s"pqResidualBuild: $dims dims do not split into $m equal subspaces")
+    rot.foreach(r => require(r.length == dims,
+      s"pqResidualBuild: rotation is ${r.length}×${r.headOption
+        .map(_.length).getOrElse(0)}, corpus is $dims-dimensional"))
     val dsub = dims / m
     val spark = ivf.assigned.sparkSession
     import spark.implicits._
     val centDf = centsByC.zipWithIndex
       .map { case (cv, c) => (c, cv) }.toSeq.toDF("cluster", "cvec")
-    val resid = ivf.assigned
+    // OPQ (rot defined): encode R·r, not r — with x̂ = c + Rᵀ·b the
+    // score terms become ⟨q,x̂⟩ = ⟨q,c⟩ + ⟨Rq,b⟩ and ‖x̂‖² = ‖c‖² +
+    // 2⟨Rc,b⟩ + ‖b‖², so the ONLY changes are: residuals rotate here,
+    // cross tables use Rc, and query LUTs build from Rq. Everything
+    // else (kernel, n2hat fold, probe math) is shared verbatim.
+    val rawResid = ivf.assigned
       .select(F.col("id"), F.col("cluster"),
         F.col("vec").cast("array<double>").as("vec"))
       .join(F.broadcast(centDf), "cluster")
       .select(F.col("id"), F.col("cluster"),
         F.zip_with(F.col("vec"), F.col("cvec"), (a, b) => a - b).as("rvec"))
+    val resid = rot.fold(rawResid)(r => rawResid.select(
+        F.col("id"), F.col("cluster"),
+        rotateCol(F.col("rvec"), r).as("rvec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // same shared-sample contract as pqBuild, over the residuals
@@ -1582,11 +1656,14 @@ object Similarity {
           F.col("id"), F.slice(F.col("rvec"), s * dsub + 1, dsub).as("x"))
         graft.scale.DeterministicKMeans.fit(sub, ksub, maxIter = iters).centers
       }
-      val idx = PqResidualIndex(null, books)
+      val idx = PqResidualIndex(null, books, rot)
       val lutN2 = codebookNormsOf(books)
       // per-cluster query-independent tables: cross[s·ksub+j] =
-      // ⟨c[s·dsub..], b_sj⟩ and ‖c‖² — nLists·(m·ksub+1) doubles total
-      val clusterDf = centsByC.zipWithIndex.map { case (cv, c) =>
+      // ⟨c[s·dsub..], b_sj⟩ (c in the books' coordinates — Rc when
+      // rotated) and ‖c‖² (rotation-invariant) — nLists·(m·ksub+1)
+      // doubles total
+      val clusterDf = centsByC.zipWithIndex.map { case (cv0, c) =>
+        val cv = rot.fold(cv0)(rotateVec(cv0, _))
         val cross = new Array[Double](m * ksub)
         var s = 0
         while (s < m) {
@@ -1603,7 +1680,7 @@ object Similarity {
         }
         var cn2 = 0.0
         var f = 0
-        while (f < dims) { cn2 += cv(f) * cv(f); f += 1 }
+        while (f < dims) { cn2 += cv0(f) * cv0(f); f += 1 }
         (c, cross, cn2)
       }.toSeq.toDF("cluster", "cross", "cn2")
       val codes = resid
@@ -1680,7 +1757,10 @@ object Similarity {
     require(k > 0, s"k must be positive; got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val probes = ivfProbes(ivf, query, nprobe)
-    val (lutDot, _) = pqLutsOf(pqr.books, query)
+    // rotated index ⇒ LUTs from Rq (⟨q, Rᵀb⟩ = ⟨Rq, b⟩); probes,
+    // ⟨q,c⟩ and ‖q‖ stay in raw coordinates
+    val (lutDot, _) = pqLutsOf(pqr.books,
+      pqr.rot.fold(query)(rotateVec(query, _)))
     val qnorm = math.sqrt(query.map(x => x * x).sum)
     val qdotc = queryCentroidDots(ivf, query)
     val q = F.typedLit(query)
@@ -1750,6 +1830,7 @@ object Similarity {
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
     val bcH = spark.sparkContext.broadcast(ivf.hier)
     val bcBooks = spark.sparkContext.broadcast(pqr.books)
+    val bcRot = spark.sparkContext.broadcast(pqr.rot)
     val qs = queries
       .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
     val probed = qs
@@ -1758,6 +1839,9 @@ object Similarity {
         require(qv.length == m * dsub,
           s"query $qid has ${qv.length} dims but index was encoded for ${m * dsub}")
         val books = bcBooks.value
+        // rotated index ⇒ LUTs from Rq (see the single-query face);
+        // probes / ⟨q,c⟩ / ‖q‖ stay on the raw qv below
+        val lq = bcRot.value.fold(qv)(rotateVec(qv, _))
         val lutDot = new Array[Double](m * ksub)
         var s = 0
         while (s < m) {
@@ -1766,7 +1850,7 @@ object Similarity {
             val c = books(s)(j)
             var d = 0.0
             var f = 0
-            while (f < dsub) { d += qv(s * dsub + f) * c(f); f += 1 }
+            while (f < dsub) { d += lq(s * dsub + f) * c(f); f += 1 }
             lutDot(s * ksub + j) = d
             j += 1
           }
@@ -1813,8 +1897,11 @@ object Similarity {
   }
 
   /** Persist a residual index: (id, codes, n2hat) Parquet + the
-    * codebook sidecar in [[pqSave]]'s format. The IVF index saves
-    * separately ([[ivfSave]]) — the pair reload independently. */
+    * codebook sidecar in [[pqSave]]'s format, plus a `rotation.json`
+    * sidecar when the index is OPQ-rotated (residual-space rotation is
+    * part of the index state — queries against a loaded index need
+    * it). The IVF index saves separately ([[ivfSave]]) — the pair
+    * reload independently. */
   def pqResidualSave(index: PqResidualIndex, path: String): Unit = {
     index.codes.write.mode("overwrite").parquet(s"$path/codes")
     val books = index.books.map(_.map(_.mkString("[", ",", "]"))
@@ -1823,12 +1910,17 @@ object Similarity {
       index.codes.sparkSession, s"$path/books.json",
       s"""{"m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},""" +
         s""""books":$books}""")
+    index.rot.foreach(r =>
+      rotationSave(index.codes.sparkSession, r, path))
   }
 
   def pqResidualLoad(
       spark: org.apache.spark.sql.SparkSession, path: String): PqResidualIndex = {
     val raw = pqLoad(spark, path)
-    PqResidualIndex(raw.codes, raw.books)
+    val p = new org.apache.hadoop.fs.Path(s"$path/rotation.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val rot = if (fs.exists(p)) Some(rotationLoad(spark, path)) else None
+    PqResidualIndex(raw.codes, raw.books, rot)
   }
 
   def annTopKHamming(
