@@ -414,6 +414,20 @@ object Similarity {
     * cut is exactly replayable at ANY operating point — the oracle
     * runs the production (rerank, k), not a degenerate one.
     * Output: (id, score) — exact round-4 cosines.
+    *
+    * MEASURED CAVEAT (modal corpora): sign bits carry zero
+    * information WITHIN a mode — every member of a tight cluster
+    * packs the same (or near-same) code, the Hamming cut's k-th
+    * distance ties across the whole mode, and the (ham, id) cut is
+    * then arbitrary-but-deterministic inside the tie: the 80k-vector
+    * scale corpus (32 modes) measured recall@10 of just 0.07 at
+    * rerank = 100 and 0.34 at rerank = 1000 while every multi-bit
+    * codec read ≥ 0.58 at the same budget. If the corpus is modal,
+    * either size `rerank` to the expected tie-class size (≈ N /
+    * modes) or call [[binaryTopKTieAware]], which detects the tie and
+    * widens the cut itself. Uniform/spread corpora are unaffected —
+    * the same artifacts measure 1.00 recall for this codec on the
+    * near-orthogonal oracle corpus.
     */
   def binaryTopK(
       index: BinaryIndex, emb: DataFrame, query: Array[Double], k: Int,
@@ -435,6 +449,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[binaryTopK]] with the measured modal-corpus trap defused: when
+    * the Hamming cut's LAST distance ties beyond the cut (the whole
+    * candidate frontier shares one code — exactly the case where the
+    * fixed cut is near-random within the tie and recall collapsed to
+    * 0.07 at r100 on the 32-mode scale corpus), the candidate set
+    * widens to the FULL tie class before the exact rerank, up to
+    * `expandCap` rows (default 16·rerank; ≤ 0 means that default).
+    * Detection costs two bounded jobs on the ham frame (the
+    * rerank-th distance, then one count at ≤ it); a corpus with no
+    * frontier tie pays those probes and returns [[binaryTopK]]'s
+    * answer unchanged (spec-pinned). If even the cap cannot hold the
+    * tie class, the cut inside the tie stays deterministic-by-id and
+    * a warning names the honest fixes (raise the cap, or use a
+    * multi-bit codec — 1-bit codes cannot rank within a mode).
+    * Output: (id, score) — exact round-4 cosines, like every codec
+    * face.
+    */
+  def binaryTopKTieAware(
+      index: BinaryIndex, emb: DataFrame, query: Array[Double], k: Int,
+      rerank: Int, expandCap: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(query.length == index.dims,
+      s"query has ${query.length} dims but index was encoded for ${index.dims}")
+    val cap = if (expandCap > 0) expandCap else 16 * rerank
+    require(cap >= rerank,
+      s"expandCap ($cap) must be >= rerank ($rerank)")
+    val q = F.typedLit(query)
+    val ham = index.codes
+      .select(F.col("id"),
+        hammingCol(F.col("bits"), F.typedLit(packSignBits(query))).as("ham"))
+    // the rerank-th distance: max ham inside the would-be cut (one
+    // TakeOrdered job over rerank rows)
+    val dMaxRow = ham.orderBy(F.col("ham").asc, F.col("id").asc)
+      .limit(rerank).agg(F.max("ham")).head
+    val cand =
+      if (dMaxRow.isNullAt(0)) ham.select("id") // corpus smaller than rerank
+      else {
+        val dMax = dMaxRow.getLong(0)
+        val nLe = ham.where(F.col("ham") <= dMax).count()
+        if (nLe <= rerank) {
+          // no frontier tie beyond the cut — the plain cut is exact
+          ham.orderBy(F.col("ham").asc, F.col("id").asc)
+            .limit(rerank).select("id")
+        } else {
+          val take = math.min(nLe, cap.toLong).toInt
+          if (nLe > cap)
+            org.apache.logging.log4j.LogManager.getLogger("graft").warn(
+              s"binaryTopKTieAware: the Hamming frontier at distance " +
+                s"$dMax ties across $nLe rows but expandCap=$cap — the " +
+                "cut inside the tie is deterministic-by-id, not " +
+                "similarity-ranked. Raise expandCap toward the tie-class " +
+                "size, or use sq8/PQ codes: 1-bit signs cannot rank " +
+                "within a mode.")
+          ham.where(F.col("ham") <= dMax)
+            .orderBy(F.col("ham").asc, F.col("id").asc)
+            .limit(take).select("id")
+        }
+      }
+    emb.join(F.broadcast(cand), "id")
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
   /** Batch face of [[binaryTopK]]: ONE scan of the bits column scores
     * every (code row × query) pair against a BROADCAST query side,
     * per-query candidate cut through the bounded-heap top-k
@@ -442,6 +521,9 @@ object Similarity {
     * join for all survivors. Queries need (qid, qvec); output
     * (qid, id, score), (score DESC, id ASC) per qid — each qid equals
     * the single-query [[binaryTopK]] at the same rerank (spec-pinned).
+    * [[binaryTopK]]'s modal-corpus caveat applies per query; batch
+    * workloads on modal corpora should size rerank to the tie-class
+    * size (≈ N / modes — see [[binaryTopKTieAware]]).
     */
   def binaryTopKBatch(
       index: BinaryIndex, emb: DataFrame, queries: DataFrame, k: Int,

@@ -1077,6 +1077,88 @@ class SimilaritySpec extends SparkSpec {
     assert(viaLoaded == direct)
   }
 
+  test("binaryTopKTieAware: frontier ties widen the cut; tie-free corpora match binaryTopK") {
+    val s = spark
+    import s.implicits._
+    // the measured trap, reconstructed in miniature: ONE tight mode
+    // whose members all pack the SAME sign code (per-dim jitter far
+    // below the |base| = 1 signal so no sign flips), plus spread
+    // far-side rows. Hamming ties at 0 across the whole mode, so a
+    // tight fixed cut keeps the lowest-id tie members — which are NOT
+    // the query's true neighbors (ids are assigned so true neighbors
+    // sit at HIGH ids inside the tie class).
+    val rng = new scala.util.Random(47)
+    val mode = (0 until 160).map { i =>
+      // base direction all-positive; per-row noise keeps cosine
+      // ordering informative while signs never flip
+      val v = Array.tabulate(16)(f =>
+        1.0 + 0.2 * math.sin((159 - i) * 0.05 + f) + rng.nextGaussian() * 0.01)
+      (i.toLong, v)
+    }
+    val far = (200 until 240).map(i =>
+      (i.toLong, Array.tabulate(16)(f => -1.0 - 0.1 * ((i + f) % 3))))
+    val corpus = (mode ++ far).toDF("id", "vec")
+    // query = the HIGHEST-id mode member's direction: its nearest
+    // neighbors cluster at the top ids, which a (ham, id) cut at
+    // rerank 20 never reaches (tie class = 160 rows)
+    val qv = mode.last._2
+    val idx = Similarity.binaryEncode(corpus, persist = false)
+    val exact = Similarity.annTopK(corpus, qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val fixedCut = Similarity.binaryTopK(idx, corpus, qv, 10, rerank = 20)
+      .collect().map(_.getLong(0)).toSet
+    val fixedRecall = exact.intersect(fixedCut).size / 10.0
+    assert(fixedRecall <= 0.5,
+      s"fixture no longer reproduces the tie trap (recall $fixedRecall)")
+    // tie-aware: detects the 160-row frontier tie at the rerank-th
+    // distance and widens to the full tie class — exact within it
+    val aware = Similarity.binaryTopKTieAware(
+        idx, corpus, qv, 10, rerank = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(aware == exact,
+      s"tie-aware cut must recover the exact top-10: ${aware diff exact} / ${exact diff aware}")
+    // a cap SMALLER than the tie class still returns k rows and stays
+    // deterministic (the documented honest-degradation path)
+    val capped1 = Similarity.binaryTopKTieAware(
+        idx, corpus, qv, 10, rerank = 20, expandCap = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val capped2 = Similarity.binaryTopKTieAware(
+        idx, corpus, qv, 10, rerank = 20, expandCap = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(capped1.size == 10 && capped1 == capped2)
+    // on the spread fixture the frontier STILL ties (hamming is a
+    // small integer — ties at the cut are generic, not just modal),
+    // so the law is DOMINANCE, not parity: widening the cut can only
+    // add closer candidates, never lose one the fixed cut had
+    val spreadIdx = Similarity.binaryEncode(emb, persist = false)
+    val spreadExact = Similarity.annTopK(emb, query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val plain = Similarity.binaryTopK(spreadIdx, emb, query, 10, rerank = 60)
+      .collect().map(_.getLong(0)).toSet
+    val awareSpread = Similarity.binaryTopKTieAware(
+        spreadIdx, emb, query, 10, rerank = 60)
+      .collect().map(_.getLong(0)).toSet
+    assert(awareSpread.intersect(spreadExact).size >=
+      plain.intersect(spreadExact).size,
+      "tie-aware must never recall less than the fixed cut")
+    // TRUE no-tie path: a cut covering the corpus leaves nothing
+    // beyond the frontier — the nLe <= rerank branch — and the answer
+    // equals plain binaryTopK row for row
+    val fullAware = Similarity.binaryTopKTieAware(
+        spreadIdx, emb, query, 10, rerank = 600)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fullPlain = Similarity.binaryTopK(spreadIdx, emb, query, 10,
+        rerank = 600)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fullAware == fullPlain)
+    // validation parity with the plain face
+    intercept[IllegalArgumentException](
+      Similarity.binaryTopKTieAware(idx, corpus, qv, 10, rerank = 5))
+    intercept[IllegalArgumentException](
+      Similarity.binaryTopKTieAware(idx, corpus, qv, 10, rerank = 20,
+        expandCap = 10))
+  }
+
   test("IVF+binary composition: degeneracy law, pruned recall, batch parity") {
     val s = spark
     import s.implicits._
