@@ -1096,6 +1096,18 @@ object Similarity {
     * the residual subspaces — the r11 composed point measured −5 pp
     * recall vs residual-alone for exactly that reason. Pass the
     * result to [[pqResidualBuild]]'s `rot`.
+    *
+    * MEASURED (r12, `SCALE_BENCH_r12_recall*`): on the modal scale
+    * corpus at identical (m=8, ksub=64, p8, r100) budgets, recall@10
+    * reads residual-alone 0.664/0.576/0.485 vs residual-trained
+    * rotation 0.615/0.535/0.452 vs raw-trained 0.614/0.532/0.458
+    * (40×/80×/160×v) — training on residuals does NOT close the
+    * composed form's gap here, because tight-mode residuals are
+    * near-isotropic and any rotation scrambles the axis-aligned
+    * structure the subspace quantizers exploit. Hence the default
+    * stays `rot = None`: measure per corpus before opting in (the
+    * rotation DOES pay on anisotropic raw-PQ — +44–48% relative,
+    * see [[opqBuild]]).
     */
   def opqRotationResidual(
       ivf: IvfIndex, m: Int, pcaIters: Int = 60): Array[Array[Double]] = {
