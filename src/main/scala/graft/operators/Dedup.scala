@@ -608,7 +608,7 @@ object Dedup {
   // empty partitioned frame), and treating that as has-appends sends
   // the next batch's read into schema inference over zero parquet
   // files — killing the stream until someone hand-deletes the dir.
-  private def hasSegDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def hasSegDirs(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("seg="))

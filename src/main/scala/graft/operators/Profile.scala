@@ -152,6 +152,30 @@ object Profile {
       .orderBy("column")
   }
 
+  /** Fold a union of [[sketchShard]] sidecars into ONE shard with the
+    * SAME schema — the compaction primitive: counts/moments/min/max
+    * add exactly, and the HLL binaries union into one sketch (HLL
+    * register-max is associative, so later [[mergeShards]] over the
+    * folded shard + new drops estimates within the same ±~2% contract
+    * as over the originals). Used by
+    * [[graft.streaming.StreamingOps.profileCompact]] to bound the
+    * streamed sidecar table's segment count; also the natural "roll
+    * up last month's drops into one sidecar" maintenance call.
+    */
+  def mergeShardsToShard(sidecars: DataFrame): DataFrame =
+    sidecars
+      .groupBy("column")
+      .agg(
+        F.sum("n_rows").as("n_rows"),
+        F.sum("n_nulls").as("n_nulls"),
+        F.sum("sum_v").as("sum_v"),
+        F.sum("sum_sq").as("sum_sq"),
+        F.min("min_v").as("min_v"),
+        F.max("max_v").as("max_v"),
+        F.hll_union_agg(F.col("distinct_hll")).as("distinct_hll"))
+      .select("column", "n_rows", "n_nulls", "sum_v", "sum_sq",
+        "min_v", "max_v", "distinct_hll")
+
   /** Population Stability Index between two snapshots of a numeric
     * column — the standard drift monitor a pipeline runs between a
     * reference corpus drop and the current one (PSI < 0.1 stable,

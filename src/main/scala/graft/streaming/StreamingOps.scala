@@ -448,10 +448,12 @@ object StreamingOps {
       docs: DataFrame,
       cols: Seq[String],
       sidecarPath: String,
-      checkpoint: String)
+      checkpoint: String,
+      compactEverySegs: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         graft.operators.Profile.sketchShard(batch, cols)
           .withColumn("seg", F.lit(batchId))
           .coalesce(1)
@@ -459,19 +461,39 @@ object StreamingOps {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("seg")
           .parquet(sidecarPath)
+        // same fold cadence as the gate's: committed segments only
+        // (seg < batchId — a replayed batch overlays its own leaf)
+        if (compactEverySegs > 0 &&
+            segCount(spark, sidecarPath) >= compactEverySegs) {
+          profileCompact(spark, sidecarPath, maxSegExclusive = batchId)
+          ()
+        }
       }
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .start()
+
+  private def segCount(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.startsWith("seg="))
+  }
 
   /** The merged profile over every sidecar [[profileStream]] has
     * committed so far — same output shape as
     * [[graft.operators.Profile.profile]]. */
   def profileOf(
       spark: org.apache.spark.sql.SparkSession,
-      sidecarPath: String): DataFrame =
+      sidecarPath: String): DataFrame = {
+    awaitNoSwap(
+      new org.apache.hadoop.fs.Path(sidecarPath)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      sidecarPath)
     graft.operators.Profile.mergeShards(
       spark.read.parquet(sidecarPath).drop("seg"))
+  }
 
   /** Streaming heavy-hitters over the token stream — the unbounded
     * face of [[graft.operators.TextOps.heavyTokens]]. Per micro-batch,
@@ -504,7 +526,8 @@ object StreamingOps {
       sidecarPath: String,
       checkpoint: String,
       eps: Double = 0.001,
-      confidence: Double = 0.99)
+      confidence: Double = 0.99,
+      compactEverySegs: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1]; got $phi")
     docs.writeStream
@@ -539,6 +562,12 @@ object StreamingOps {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("seg")
             .parquet(s"$sidecarPath/cms")
+          if (compactEverySegs > 0 &&
+              segCount(spark, s"$sidecarPath/cms") >= compactEverySegs) {
+            heavyTokensCompact(spark, sidecarPath,
+              maxSegExclusive = batchId)
+            ()
+          }
         } finally exploded.unpersist(blocking = false)
       }
       .option("checkpointLocation", checkpoint)
@@ -556,6 +585,12 @@ object StreamingOps {
       sidecarPath: String,
       phi: Double): DataFrame = {
     import spark.implicits._
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(sidecarPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      awaitNoSwap(fs, s"$sidecarPath/tops")
+      awaitNoSwap(fs, s"$sidecarPath/cms")
+    }
     val cmsRows = spark.read.parquet(s"$sidecarPath/cms")
       .select("sketch", "n_tokens", "phi").collect()
     require(cmsRows.nonEmpty, s"heavyTokensOf($sidecarPath): no sidecars")
@@ -585,6 +620,128 @@ object StreamingOps {
         F.round(F.col("ub") / F.lit(totalN.toDouble), 4))
       .withColumn("certain", (F.col("lb") >= minCount).cast("int"))
       .orderBy(F.col("ub").desc, F.col("token").asc)
+  }
+
+  // ---- sidecar compaction: bound the streamed state's segment count
+
+  // SIBLING of the sidecar dir, never inside it — an in-dir marker
+  // would ride the live→old rename away mid-swap, exactly when
+  // readers need to see it
+  private[graft] def sidecarSwapMarker(path: String) =
+    new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "_swap_marker")
+
+  /** Readers wait out an in-flight compaction swap (the live dir is
+    * briefly absent between its two renames); a marker that never
+    * clears means a crashed compaction — fail with the recovery path
+    * rather than serve a half-swapped table. */
+  private def awaitNoSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val marker = sidecarSwapMarker(path)
+    var waited = 0
+    while (fs.exists(marker) && waited < 10000) {
+      Thread.sleep(200); waited += 200
+    }
+    if (fs.exists(marker))
+      throw new IllegalStateException(
+        s"sidecar compaction marker at $marker did not clear within " +
+          "10 s — a compaction likely crashed between its swap " +
+          "renames. The pre-swap segments are under the *_old sibling " +
+          "dirs; restore them or finish the fold, then delete the marker.")
+  }
+
+  /** Fold one partitioned sidecar dir's `seg < maxSegExclusive`
+    * leaves into a single merged segment via `fold` (which sees the
+    * seg-stripped rows and must return the same schema), behind the
+    * marker + rename-swap protocol every compaction here uses.
+    * Segments at/above the bound carry over verbatim, so an in-flight
+    * batch's replay still overlays its own leaf. Returns the merged
+    * file count (0 = nothing eligible). */
+  private def compactSegDir(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxSegExclusive: Long, outFiles: Int)(
+      fold: DataFrame => DataFrame): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(conf)
+    if (!graft.operators.Dedup.hasSegDirs(fs, live)) return 0
+    val cur = spark.read.parquet(path)
+      .where(F.col("seg").cast("long") < maxSegExclusive)
+    val minSegRow = cur.agg(F.min(F.col("seg").cast("long"))).head
+    if (minSegRow.isNullAt(0)) return 0
+    val mergedSeg = math.min(-1L, minSegRow.getLong(0) - 1L)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fold(cur.drop("seg"))
+      .withColumn("seg", F.lit(mergedSeg))
+      .coalesce(outFiles)
+      .write.mode("overwrite").partitionBy("seg")
+      .parquet(tmp.toString)
+    val marker = sidecarSwapMarker(path)
+    fs.create(marker, true).close()
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(live, old)
+    // excluded (>= maxSegExclusive) segment dirs carry over verbatim
+    fs.listStatus(old).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("seg=") &&
+          scala.util.Try(nm.substring(4).toLong).toOption
+            .exists(_ >= maxSegExclusive))
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tmp, nm))
+    }
+    fs.rename(tmp, live)
+    fs.delete(old, true)
+    fs.delete(marker, false)
+    spark.read.parquet(path).inputFiles.length
+  }
+
+  /** Fold [[profileStream]]'s committed sidecar segments (below
+    * `maxSegExclusive`) into ONE merged segment — counts/moments add
+    * exactly and the HLL binaries union
+    * ([[graft.operators.Profile.mergeShardsToShard]]), so
+    * [[profileOf]] before and after reads the same profile (distinct
+    * under the sketch-union ±tolerance contract, everything else
+    * exact; spec-pinned). Unbounded streams need this: the sidecar
+    * table is otherwise one tiny parquet segment PER BATCH forever —
+    * a year of minute-batches is ~500k files that every profileOf
+    * must list and read. Run it from the ingest side between
+    * triggers, like the gate's `compactEverySegs`. */
+  def profileCompact(
+      spark: org.apache.spark.sql.SparkSession, sidecarPath: String,
+      maxSegExclusive: Long = Long.MaxValue): Int =
+    compactSegDir(spark, sidecarPath, maxSegExclusive, outFiles = 1)(
+      graft.operators.Profile.mergeShardsToShard)
+
+  /** Fold [[heavyTokensStream]]'s committed sidecars: per-batch tops
+    * rows sum by token (lb is a plain sum over recorded rows, so the
+    * fold preserves it EXACTLY), and the count-min sketches merge
+    * cell-wise into one (associative register addition — the merged
+    * estimate is identical to merging the originals), with
+    * n_tokens summed and phi carried as the max so the read-side
+    * completeness guard still refuses a smaller query phi.
+    * [[heavyTokensOf]] before and after is row-identical
+    * (spec-pinned). Bounds BOTH the segment count and the driver-side
+    * work in heavyTokensOf, which collects one sketch per segment. */
+  def heavyTokensCompact(
+      spark: org.apache.spark.sql.SparkSession, sidecarPath: String,
+      maxSegExclusive: Long = Long.MaxValue): Int = {
+    import spark.implicits._
+    val tops = compactSegDir(
+      spark, s"$sidecarPath/tops", maxSegExclusive, outFiles = 1)(
+      _.groupBy("token").agg(F.sum("n").as("n")))
+    val cms = compactSegDir(
+      spark, s"$sidecarPath/cms", maxSegExclusive, outFiles = 1) { cur =>
+      val rows = cur.select("sketch", "n_tokens", "phi").collect()
+      val merged = rows
+        .map(r => org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(r.getAs[Array[Byte]](0)))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      Seq((merged.toByteArray, rows.map(_.getLong(1)).sum,
+          rows.map(_.getDouble(2)).max))
+        .toDF("sketch", "n_tokens", "phi")
+    }
+    tops + cms
   }
 
   /** Streaming eval-set decontamination gate: an arriving document is

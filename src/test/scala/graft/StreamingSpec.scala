@@ -1094,4 +1094,84 @@ class StreamingSpec extends SparkSpec {
     val segs = s.read.parquet(side).select("seg").distinct().count()
     assert(segs == 2L)
   }
+
+  test("sidecar compaction: profile and heavy-hitter folds leave the reads identical") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // ---- profile: three batches, fold the first two, read unchanged
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 9 == 0) null else s"t${i % 17}",
+        if (i % 7 == 0) None else Some((i % 41).toDouble)))
+    val side = java.nio.file.Files
+      .createTempDirectory("graft_pcomp").toString + "/sidecars"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pcomp_ck").toString
+    val in = MemoryStream[(Long, String, Option[Double])]
+    val q = StreamingOps.profileStream(
+      in.toDF().toDF("id", "tag", "score"), Seq("id", "tag", "score"),
+      side, ckpt)
+    try {
+      in.addData(rows.take(100)); q.processAllAvailable()
+      in.addData(rows.slice(100, 200)); q.processAllAvailable()
+      in.addData(rows.drop(200)); q.processAllAvailable()
+    } finally q.stop()
+    def profRows() = StreamingOps.profileOf(s, side).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Seq(4, 5, 6, 7).map(i => if (r.isNullAt(i)) None
+          else Some(r.getDouble(i))))).toSeq.sortBy(_._1)
+    val before = profRows()
+    // fold only the COMMITTED prefix: seg 2 is 'in flight'
+    assert(StreamingOps.profileCompact(s, side, maxSegExclusive = 2L) > 0)
+    val segs = s.read.parquet(side).select("seg").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(segs.exists(_ < 0) && segs.contains(2), s"profile segs: $segs")
+    val mid = profRows()
+    // counts/moments/min/max EXACT; HLL union-of-union == union
+    // (register-max associativity) so distinct matches too
+    assert(mid == before, s"profile changed under compaction:\n$mid\nvs\n$before")
+    // full fold leaves one negative segment; read still identical
+    StreamingOps.profileCompact(s, side)
+    val segs2 = s.read.parquet(side).select("seg").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(segs2.size == 1 && segs2.head < 0, s"full fold left: $segs2")
+    assert(profRows() == before)
+    // nothing eligible -> 0, not a crash
+    assert(StreamingOps.profileCompact(s, side, maxSegExclusive = -100L) == 0)
+
+    // ---- heavy hitters: fold preserves the report row-for-row
+    val b1 = Seq((1L, ("alpha " * 30) + ("beta " * 10) +
+      (0 until 40).map(i => s"w$i").mkString(" ")))
+    val b2 = Seq((2L, ("beta " * 30) + ("alpha " * 5) +
+      (0 until 45).map(i => s"v$i").mkString(" ")))
+    val hside = java.nio.file.Files
+      .createTempDirectory("graft_hcomp").toString + "/hh"
+    val hckpt = java.nio.file.Files
+      .createTempDirectory("graft_hcomp_ck").toString
+    val hin = MemoryStream[(Long, String)]
+    val hq = StreamingOps.heavyTokensStream(
+      hin.toDF().toDF("doc_id", "text"), phi = 0.1, hside, hckpt)
+    try {
+      hin.addData(b1); hq.processAllAvailable()
+      hin.addData(b2); hq.processAllAvailable()
+    } finally hq.stop()
+    def report() = StreamingOps.heavyTokensOf(s, hside, phi = 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    val hBefore = report()
+    assert(StreamingOps.heavyTokensCompact(s, hside) > 0)
+    val hSegs = s.read.parquet(s"$hside/tops").select("seg").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(hSegs.size == 1 && hSegs.head < 0, s"hh segs: $hSegs")
+    // lb is a plain sum over recorded rows and the count-min merge is
+    // cell-wise associative — the report is ROW-IDENTICAL, ub included
+    assert(report() == hBefore,
+      s"heavy-hitter report changed under compaction:\n${report()}\nvs\n$hBefore")
+    // a crashed swap is loud for readers: marker present and stuck
+    val fs = new org.apache.hadoop.fs.Path(side)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.create(StreamingOps.sidecarSwapMarker(side), true).close()
+    val e = intercept[IllegalStateException](StreamingOps.profileOf(s, side))
+    assert(e.getMessage.contains("compaction"))
+  }
 }
