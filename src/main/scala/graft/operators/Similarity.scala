@@ -587,7 +587,9 @@ object Similarity {
     * the same composition contract as [[ivfSq8TopK]] with the
     * cheapest codec. Candidates cut on (hamming ASC, id ASC) — exact
     * integer order, so the operator oracles at its PRODUCTION
-    * pruning, then the usual exact rerank.
+    * pruning, then the usual exact rerank. Size `nprobe` with
+    * [[suggestNprobe]]; [[binaryTopK]]'s modal-corpus tie caveat
+    * applies inside the probed lists too.
     */
   def ivfBinaryTopK(
       ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame,
@@ -1327,7 +1329,8 @@ object Similarity {
     * the pqTopK memory story). At 100 TB this is the only shape where
     * both the scan fraction AND the per-row cost are sublinear in the
     * raw corpus: probes × m bytes, with full-precision vectors touched
-    * by the bounded rerank join alone.
+    * by the bounded rerank join alone. Size `nprobe` with
+    * [[suggestNprobe]] (constant probe fraction — see [[ivfTopK]]).
     *
     * The candidate set is (probed lists) ∩ codes, cut to `rerank` on
     * the round-4 ADC score with id tie-break — same stable-candidate
@@ -1386,7 +1389,8 @@ object Similarity {
     * SQ8 codes bound WHAT the scan reads (d bytes/row through the
     * codegen dequantized-cosine expression instead of d·8 float64
     * bytes). The middle point of the composed-codec family: better
-    * recall than IVF+PQ at 8× (not 64×) scan density. Closes the
+    * recall than IVF+PQ at 8× (not 64×) scan density. Size `nprobe`
+    * with [[suggestNprobe]] (see [[ivfTopK]]). Closes the
     * board's one large unpruned scan (`v_sq8_topk_batch` reads ALL
     * codes for every query batch — VERDICT r8 #5): here the codes scan
     * is bounded by the probed lists.
@@ -1824,7 +1828,8 @@ object Similarity {
     * round-4 approx (id tie-break, the engine's stable-candidate
     * convention), then re-scored against the EXACT vectors. At
     * nprobe = nLists and rerank ≥ corpus size this equals the exact
-    * top-k (spec-pinned — and the oracle's operating point). Output:
+    * top-k (spec-pinned — and the oracle's operating point). Size
+    * `nprobe` with [[suggestNprobe]] (see [[ivfTopK]]). Output:
     * (id, score) — exact round-4 cosines, (score DESC, id ASC).
     */
   def ivfPqrTopK(
@@ -2649,6 +2654,15 @@ object Similarity {
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
+  /** Probed IVF top-k. `nprobe` sizing: with corpus-proportional
+    * lists ([[suggestLists]]) a CONSTANT nprobe probes a halving
+    * fraction per corpus doubling and recall decays geometrically —
+    * size it with [[suggestNprobe]] (constant probe FRACTION, recall
+    * measured flat across doublings). The same rule applies to every
+    * codec face below that takes `nprobe` (SQ8/PQ/residual/binary
+    * compositions and their batch/Where variants share this probe
+    * selection).
+    */
   def ivfTopK(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
     val probes = ivfProbes(index, query, nprobe)
     val q = F.typedLit(query)
