@@ -183,7 +183,10 @@ object SparkEntry {
     "v_opq_topk", "v_opq_topk_batch",
     // r12 additions: takedown + streaming profile/heavy-hitter oracles
     "d_takedown_gate", "v_takedown_ivf",
-    "s_profile_stream", "s_heavy_tokens_stream")
+    "s_profile_stream", "s_heavy_tokens_stream",
+    // r12 continuation: compacted sidecar faces + default-routing pins
+    "s_profile_compact", "s_heavy_compact", "v_binary_tieaware",
+    "v_opq_moments_topk", "v_hard_negatives_suggest")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1954,6 +1957,147 @@ object SparkEntry {
             .as("ub_ok"))
         .orderBy("token")
         .localCheckpoint()
+    }),
+
+    // the COMPACTED face of s_profile_stream: four micro-batches with
+    // the fold cadence firing mid-stream (compactEverySegs = 2), then
+    // an explicit full fold — the law is that compaction is INVISIBLE
+    // to reads (counts/moments add exactly, HLL registers union), so
+    // profileOf over the folded sidecars still equals the whole-corpus
+    // profile and the SQL replay is s_profile_stream's verbatim
+    "s_profile_compact" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Profile
+      val all = docs(s, d)
+      val cols = Seq("lang", "n_chars", "source")
+      val side = java.nio.file.Files
+        .createTempDirectory("graft_sprofc").toString + "/sidecars"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sprofc_ck").toString
+      val feed = all.select(
+          F.col("doc_id"), F.col("lang"),
+          F.col("n_chars").cast("long").as("n_chars"), F.col("source"))
+        .as[(Long, Option[String], Option[Long], Option[String])]
+      val batches = (0 until 4).map(r =>
+        feed.filter(_._1 % 4 == r).collect().sortBy(_._1))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Option[String], Option[Long], Option[String])](s)
+      val q = graft.streaming.StreamingOps.profileStream(
+        ms.toDF.toDF("doc_id", "lang", "n_chars", "source"),
+        cols, side, ckpt, compactEverySegs = 2)
+      try batches.foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingOps.profileCompact(s, side)
+      val merged = graft.streaming.StreamingOps.profileOf(s, side)
+      val exact = Profile.profile(all, cols)
+        .select(F.col("column"), F.col("n_distinct").as("exact_distinct"))
+      merged.join(exact, "column")
+        .select(
+          F.col("column"), F.col("n_rows"), F.col("n_nulls"),
+          (F.abs(F.col("n_distinct") - F.col("exact_distinct")) <=
+            F.lit(0.05) * F.col("exact_distinct")).cast("int").as("dist_ok"),
+          F.col("min_v"), F.col("max_v"), F.col("mean_v"), F.col("std_v"))
+        .orderBy("column")
+        .localCheckpoint()
+    }),
+
+    // the COMPACTED face of s_heavy_tokens_stream: four doc_id%4
+    // batches with mid-stream folds plus a final full fold — tops rows
+    // sum by token (lb is a plain sum over recorded rows, preserved
+    // EXACTLY) and count-min cells add, so the post-fold report obeys
+    // the same SQL-checkable laws: completeness, the exact per-batch
+    // φ-bar lb replay, lb-derived certain, ub bracketing as a flag
+    "s_heavy_compact" -> ((s, d) => {
+      import s.implicits._
+      val all = docs(s, d).select("doc_id", "text")
+      val side = java.nio.file.Files
+        .createTempDirectory("graft_shhc").toString + "/hh"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_shhc_ck").toString
+      val batches = (0 until 4).map(r =>
+        all.where(F.col("doc_id") % 4 === r)
+          .as[(Long, String)].collect().sortBy(_._1))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = graft.streaming.StreamingOps.heavyTokensStream(
+        ms.toDF.toDF("doc_id", "text"), phi = 0.002, side, ckpt,
+        compactEverySegs = 2)
+      try batches.foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingOps.heavyTokensCompact(s, side)
+      val report = graft.streaming.StreamingOps
+        .heavyTokensOf(s, side, phi = 0.002)
+      val exact = TextOps.heavyTokens(all, phi = 0.002)
+        .select(F.col("token"), F.col("n"))
+      exact.join(report, Seq("token"), "left")
+        .select(
+          F.col("token"), F.col("n"),
+          F.coalesce(F.col("lb"), F.lit(-1L)).as("lb"),
+          F.coalesce(F.col("certain"), F.lit(-1)).as("certain"),
+          F.coalesce((F.col("ub") >= F.col("n")).cast("int"), F.lit(0))
+            .as("ub_ok"))
+        .orderBy("token")
+        .localCheckpoint()
+    }),
+
+    // tie-aware binary rerank oracled ON the trap it defuses: every
+    // abs(x)+1 vector is all-positive, so all sign codes are IDENTICAL
+    // and the whole corpus ties at Hamming 0 — the plain rerank-20 cut
+    // would keep the 20 smallest ids (near-random by similarity), but
+    // the tie-aware face detects the frontier tie, widens to the full
+    // tie class, and its exact rerank returns the true cosine top-20,
+    // which SQL replays directly (same abs(x)+1 transform)
+    "v_binary_tieaware" -> ((s, d) => {
+      val e = emb(s, d).select(F.col("id"),
+        F.transform(F.col("vec").cast("array<double>"),
+          x => F.abs(x) + F.lit(1.0)).as("vec"))
+      val q = queryVec(s, d).map(x => math.abs(x) + 1.0)
+      Similarity.binaryTopKTieAware(
+        Similarity.binaryEncode(e, persist = false), e, q,
+        k = 20, rerank = 20, expandCap = 1 << 20)
+    }),
+
+    // OPQ built from MERGED SHARD MOMENTS (the per-drop refit story as
+    // one operator): three uneven shards → additive PCA accumulators →
+    // opqRotationFromMoments → opqBuildWithRotation, queried at the
+    // degenerate exact-rerank point — an orthogonal rotation preserves
+    // every cosine, so the exact top-k SQL oracles the moments-merge →
+    // rotation → encode → ADC → rerank plumbing end-to-end
+    "v_opq_moments_topk" -> ((s, d) => {
+      import graft.scale.Pca
+      val e = emb(s, d)
+      val acc = Seq(
+          e.where(F.col("id") % 7 === 0),
+          e.where(F.col("id") % 7 === 1),
+          e.where(F.col("id") % 7 >= 2))
+        .map(sh => Pca.moments(sh, "vec", 64))
+        .reduce(Pca.mergeMoments)
+      val rot = Similarity.opqRotationFromMoments(acc, 64, m = 4)
+      val index = Similarity.opqBuildWithRotation(
+        e, rot, m = 4, ksub = 8, iters = 10)
+      val out = Similarity.opqTopK(index, e, queryVec(s, d), 20,
+          rerank = 100000)
+        .localCheckpoint()
+      Similarity.opqRelease(index)
+      out
+    }),
+
+    // hard negatives at the ROUTED sizing-matched default (VERDICT r11
+    // #1 shipped suggestNprobe; this row pins the nprobe = 0 routing
+    // end-to-end): at nLists = 8 the fraction-floored default probes
+    // ALL lists, so the approx path must return the exact cross-label
+    // top-k — v_hard_negatives' replay oracles the default's plumbing
+    "v_hard_negatives_suggest" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings").select(
+        F.col("vec_id").as("id"),
+        F.col("embedding").cast("array<double>").as("vec"),
+        F.col("label"))
+      val q = e.where(F.col("id") < 5).select(
+        F.col("id").as("qid"), F.col("vec").as("qvec"),
+        F.col("label").as("qlabel"))
+      Similarity.hardNegativesApprox(e, q, k = 10, nLists = 8, nprobe = 0)
     }),
 
     // incremental index maintenance: fit the coarse quantizer on the
@@ -5373,6 +5517,108 @@ object SparkEntry {
         |  1 AS ub_ok
         |FROM exact e LEFT JOIN lbs l USING (token)
         |ORDER BY e.token""".stripMargin,
+
+    // compaction is invisible to reads (counts/moments add exactly,
+    // HLL registers union) — the folded sidecars replay to the SAME
+    // whole-corpus profile as s_profile_stream
+    "s_profile_compact" ->
+      """SELECT * FROM (
+        |  SELECT 'lang' AS "column", count(*) AS n_rows,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |    CAST(1 AS INT) AS dist_ok,
+        |    CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+        |    CAST(NULL AS DOUBLE) AS mean_v, CAST(NULL AS DOUBLE) AS std_v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    CAST(1 AS INT),
+        |    CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |    round(avg(n_chars), 4), round(stddev_samp(n_chars), 4)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    CAST(1 AS INT), NULL, NULL, NULL, NULL
+        |  FROM documents)
+        |ORDER BY "column"""".stripMargin,
+
+    // the s_heavy_tokens_stream replay under the doc_id%4 split, with
+    // the folds invisible: tops rows sum by token so lb is STILL the
+    // sum of the per-batch counts that cleared each batch's φ bar, and
+    // merged count-min cells only ever over-count (ub_ok flag)
+    "s_heavy_compact" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS t FROM tok),
+        |exact AS (
+        |  SELECT token, count(*) AS n
+        |  FROM tok CROSS JOIN tot
+        |  GROUP BY token
+        |  HAVING count(*) >= ceil(0.002 * any_value(tot.t))),
+        |perb AS (SELECT doc_id % 4 AS b, token, count(*) AS n
+        |  FROM tok GROUP BY 1, 2),
+        |bars AS (SELECT b, CAST(sum(n) AS BIGINT) AS t FROM perb GROUP BY b),
+        |cleared AS (SELECT perb.token, perb.n
+        |  FROM perb JOIN bars USING (b)
+        |  WHERE perb.n >= ceil(0.002 * bars.t)),
+        |lbs AS (SELECT token, CAST(sum(n) AS BIGINT) AS lb
+        |  FROM cleared GROUP BY token)
+        |SELECT e.token, e.n,
+        |  coalesce(l.lb, -1) AS lb,
+        |  CASE WHEN coalesce(l.lb, -1) >=
+        |    ceil(0.002 * (SELECT t FROM tot)) THEN 1 ELSE 0 END AS certain,
+        |  1 AS ub_ok
+        |FROM exact e LEFT JOIN lbs l USING (token)
+        |ORDER BY e.token""".stripMargin,
+
+    // the widened tie class covers the whole corpus (every abs(x)+1
+    // sign code is identical), so the tie-aware cut's exact rerank is
+    // the true cosine top-20 over the transformed vectors
+    "v_binary_tieaware" ->
+      """WITH e AS (SELECT vec_id AS id,
+        |  list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x) + 1.0)
+        |    AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE id = 0)
+        |SELECT e.id, round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e, q
+        |ORDER BY score DESC, id ASC
+        |LIMIT 20""".stripMargin,
+
+    // v_opq_topk's degenerate-point argument, with the rotation fit
+    // from merged shard moments instead of a one-shot corpus pass —
+    // any ORTHOGONAL rotation preserves the exact rerank's cosines
+    "v_opq_moments_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e, q
+        |ORDER BY score DESC, id ASC
+        |LIMIT 20""".stripMargin,
+
+    // at nLists = 8 the suggestNprobe default probes ALL lists, so the
+    // routed approx path must equal the exact cross-label top-k
+    "v_hard_negatives_suggest" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    label::VARCHAR AS label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS ql
+        |  FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id, e.label AS neg_label,
+        |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |  FROM e JOIN q ON e.label <> q.ql),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rk
+        |  FROM scored)
+        |SELECT qid, id, neg_label, score FROM ranked WHERE rk <= 10
+        |ORDER BY qid, score DESC, id""".stripMargin,
 
     "t_corpus_report" ->
       """WITH l AS (

@@ -1250,6 +1250,37 @@ object Similarity {
       rot)
   }
 
+  /** [[opqBuild]] from a CALLER-SUPPLIED rotation — the build half of
+    * the per-drop refit story: rotation from merged shard moments
+    * ([[opqRotationFromMoments]] over [[graft.scale.Pca.mergeMoments]]
+    * accumulators — no rescan of history), codes from one pass over
+    * the current corpus. Also the composition point for an explicitly
+    * MEASURED [[opqRotationResidual]] opt-in. Querying goes through
+    * the same [[opqTopK]]/[[opqTopKBatch]] faces; an orthogonal
+    * rotation keeps their exact-rerank cosines identical to raw
+    * space, so the degenerate-point oracle argument carries over
+    * unchanged. */
+  def opqBuild(
+      emb: DataFrame, rot: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int, trainPerCode: Int): OpqIndex = {
+    require(rot.nonEmpty && rot.forall(_.length == rot.length),
+      s"opqBuild: rotation must be square; got ${rot.length} rows of " +
+        s"lengths ${rot.map(_.length).distinct.mkString(",")}")
+    require(rot.length % m == 0,
+      s"opqBuild: ${rot.length} dims do not split into $m subspaces")
+    OpqIndex(
+      pqBuild(rotatedFrame(emb, rot), m, ksub, iters,
+        persist = true, trainPerCode),
+      rot)
+  }
+
+  /** Default-argument convenience of the supplied-rotation
+    * [[opqBuild]] (Scala forbids defaults on both overloads). */
+  def opqBuildWithRotation(
+      emb: DataFrame, rot: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int = 10, trainPerCode: Int = 256): OpqIndex =
+    opqBuild(emb, rot, m, ksub, iters, trainPerCode)
+
   /** [[pqTopK]] against rotated codes: the ADC cut runs on the
     * rotated-space codes with the ROTATED query's lookup tables, but
     * the exact rerank joins the RAW vectors with the RAW query —

@@ -447,4 +447,37 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.opqRotationFromMoments(merged, 32, m = 5))
   }
+
+  test("opqBuildWithRotation: a supplied rotation builds the same index opqBuild fits itself") {
+    // the build half of the per-drop refit story (r12): with the SAME
+    // rotation, the caller-supplied build and the self-fitting build
+    // answer identically at the degenerate exact-rerank point (the
+    // codebooks train over identical rotated frames, deterministic
+    // k-means makes them byte-equal), and the rotation rides the index
+    val rot = Similarity.opqRotation(emb, m = 4)
+    val self = Similarity.opqBuild(emb, m = 4, ksub = 8, iters = 5)
+    val given = Similarity.opqBuildWithRotation(emb, rot, m = 4, ksub = 8,
+      iters = 5)
+    try {
+      val q = emb.where(F.col("id") === 0)
+        .select("vec").head.getSeq[Double](0).toArray
+      val a = Similarity.opqTopK(self, emb, q, k = 10, rerank = 100000)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Similarity.opqTopK(given, emb, q, k = 10, rerank = 100000)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"supplied-rotation build diverges: $a vs $b")
+      assert(given.rot.indices.forall(i =>
+        given.rot(i).toSeq == rot(i).toSeq))
+    } finally {
+      Similarity.opqRelease(self)
+      Similarity.opqRelease(given)
+    }
+    // a ragged (non-square) rotation is rejected upfront
+    intercept[IllegalArgumentException](
+      Similarity.opqBuildWithRotation(
+        emb, Array(Array(1.0, 0.0), Array(0.0)), m = 1, ksub = 8))
+    // dims that do not split into m subspaces are rejected upfront
+    intercept[IllegalArgumentException](
+      Similarity.opqBuildWithRotation(emb, rot, m = 5, ksub = 8))
+  }
 }
