@@ -186,7 +186,8 @@ object SparkEntry {
     "s_profile_stream", "s_heavy_tokens_stream",
     // r12 continuation: compacted sidecar faces + default-routing pins
     "s_profile_compact", "s_heavy_compact", "v_binary_tieaware",
-    "v_opq_moments_topk", "v_hard_negatives_suggest")
+    "v_opq_moments_topk", "v_hard_negatives_suggest",
+    "s_gate_compact_stream", "v_ivf_rebuild")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1782,6 +1783,79 @@ object SparkEntry {
         .localCheckpoint()
     }),
 
+    // the gate with its appends COMPACTION live (VERDICT r12
+    // continuation): four micro-batches at compactEverySegs = 2 (the
+    // in-stream fold fires twice) plus an explicit full fold between
+    // batches 3 and 4, so the last batch probes a fully folded state —
+    // the accepted set must be IDENTICAL to the fold-free sequential
+    // replay (folds are invisible to gate decisions)
+    "s_gate_compact_stream" -> ((s, d) => {
+      import s.implicits._
+      val all = docs(s, d).select("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sgatec_idx").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_sgatec_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sgatec_ckpt").toString
+      val built = Dedup.minhashIndexBuild(
+        all.where(F.col("doc_id") % 10 === 0))
+      Dedup.minhashIndexSave(built, dir)
+      Dedup.minhashIndexRelease(built)
+      val mod = F.col("doc_id") % 10
+      val batches = Seq(
+        mod >= 1 && mod <= 2, mod >= 3 && mod <= 4,
+        mod >= 5 && mod <= 6, mod >= 7
+      ).map(p => all.where(p).as[(Long, String)].collect().sortBy(_._1))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = graft.streaming.StreamingOps.minhashGateStream(
+        ms.toDF.toDF("doc_id", "text"), dir, out, ckpt,
+        jaccardThreshold = 0.8, compactEverySegs = 2)
+      try {
+        batches.take(3).foreach { b =>
+          ms.addData(b.toSeq); q.processAllAvailable()
+        }
+        Dedup.minhashCompactAppends(s, dir)
+        ms.addData(batches(3).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out).select("doc_id").orderBy("doc_id")
+        .localCheckpoint()
+    }),
+
+    // drift-triggered rebuild's batch half as its own oracle: rebuild
+    // over base + a streamed append segment == a cold build over the
+    // union, pinned END-TO-END by full-probe ranking every row after
+    // the swap (exact cosine order — the same degenerate-point
+    // argument as v_takedown_ivf)
+    "v_ivf_rebuild" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vrebuild_idx").toString
+      val idx = Similarity.ivfBuild(
+        e.where(F.col("id") % 2 === 0), nLists = 8)
+      Similarity.ivfSave(idx, dir)
+      val cents = idx.centroids
+      Similarity.ivfRelease(idx)
+      graft.streaming.StreamingOps.ivfAppendSegment(
+        graft.scale.DeterministicKMeans.assign(
+          e.where(F.col("id") % 2 =!= 0),
+          graft.scale.DeterministicKMeans.Model(
+            cents.sortBy(_._1).map(_._2)),
+          idCol = "id", vecCol = "vec").select("id", "vec", "cluster"),
+        dir, seg = 0L)
+      Similarity.ivfRebuild(s, dir, targetListSize = 125)
+      val post = Similarity.ivfLoad(s, dir)
+      val qv = queryVec(s, d)
+      val outDf = Similarity.ivfTopK(
+          post, qv, k = 1000000, nprobe = post.k)
+        .orderBy(F.col("score").desc, F.col("id").asc)
+        .localCheckpoint()
+      Similarity.ivfRelease(post)
+      outDf
+    }),
+
     // GDPR-style takedown from a PERSISTED gate layout, oracled
     // end-to-end (VERDICT r11 #3): the same gate feed as
     // s_dedup_gate_stream builds base + two streamed append segments,
@@ -2716,6 +2790,45 @@ object SparkEntry {
       |    UNION
       |    SELECT j.doc_b FROM jpairs j
       |      JOIN ref r ON r.doc_id = j.doc_a WHERE j.jaccard >= 0.8))""".stripMargin
+
+  /** N-batch generalisation of [[GateReplayCtes]] — one (within-batch
+    * exact-fp dedup → within-batch near-dup → against base+accepted)
+    * stage per batch predicate, in arrival order. Requires
+    * [[JaccardPairsCte]] earlier in the same WITH. Compaction never
+    * appears here because the law it oracles is exactly that folds
+    * are INVISIBLE to gate decisions.
+    */
+  private def gateReplayCtes(preds: Seq[String]): String = {
+    val stages = preds.zipWithIndex.map { case (p, i) =>
+      val k = i + 1
+      val prior = (1 to i).map(j => s"  UNION SELECT doc_id FROM s$j")
+        .mkString("\n")
+      val priorBlock = if (prior.isEmpty) "" else "\n" + prior
+      s"""b${k}k AS (
+         |  SELECT min(doc_id) AS doc_id FROM fpk
+         |  WHERE $p GROUP BY fp),
+         |s${k}w AS (
+         |  SELECT doc_id FROM b${k}k WHERE doc_id NOT IN (
+         |    SELECT j.doc_b FROM jpairs j
+         |    JOIN b${k}k ka ON ka.doc_id = j.doc_a
+         |    JOIN b${k}k kb ON kb.doc_id = j.doc_b
+         |    WHERE j.jaccard >= 0.8)),
+         |ref$k AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0$priorBlock),
+         |s$k AS (
+         |  SELECT doc_id FROM s${k}w WHERE doc_id NOT IN (
+         |    SELECT j.doc_a FROM jpairs j
+         |      JOIN ref$k r ON r.doc_id = j.doc_b WHERE j.jaccard >= 0.8
+         |    UNION
+         |    SELECT j.doc_b FROM jpairs j
+         |      JOIN ref$k r ON r.doc_id = j.doc_a WHERE j.jaccard >= 0.8))""".stripMargin
+    }
+    """fpk AS (
+      |  SELECT doc_id,
+      |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |""".stripMargin + stages.mkString(",\n")
+  }
 
   private val JaccardPairsCte =
     """tok AS (
@@ -3780,6 +3893,29 @@ object SparkEntry {
         |$GateReplayCtes
         |SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
         |ORDER BY doc_id""".stripMargin,
+
+    // the same sequential gate law under a four-batch split — the
+    // replay has NO compaction stage because the law being oracled is
+    // that the in-stream and explicit folds never change a decision
+    "s_gate_compact_stream" ->
+      s"""WITH $JaccardPairsCte,
+        |${gateReplayCtes(Seq(
+             "doc_id % 10 BETWEEN 1 AND 2", "doc_id % 10 BETWEEN 3 AND 4",
+             "doc_id % 10 BETWEEN 5 AND 6", "doc_id % 10 >= 7"))}
+        |SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+        |UNION ALL SELECT doc_id FROM s3 UNION ALL SELECT doc_id FROM s4
+        |ORDER BY doc_id""".stripMargin,
+
+    // rebuild == cold build over base + appends, pinned by full-probe
+    // ranking EVERY row after the swap: exact cosine order
+    "v_ivf_rebuild" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e, q
+        |ORDER BY score DESC, id ASC""".stripMargin,
 
     // takedown replay: the state after the gate run is base ∪ s1 ∪ s2
     // (the chain above), and minhashLayoutRemove is an EXACT per-doc
