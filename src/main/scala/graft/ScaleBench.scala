@@ -602,6 +602,29 @@ object ScaleBench {
         // on modal corpora is rerank ≈ expected tie-class size)
         bytesRows("recall_binary_r1000_x1e4") = recall(
           Similarity.binaryTopKBatch(bin, emb, qdf, k = 10, rerank = 1000))
+        // the tie-aware face at the SAME r100 budget: frontier-tie
+        // detection + widened cut (capped at ~2× the expected
+        // tie-class size, nVecs/16 on this 32-mode corpus) — measures
+        // what the auto-widening buys back of the r100 collapse
+        // documented above, per query over an 8-query subset (the
+        // single-query face pays two bounded probe jobs per call)
+        locally {
+          val tieQs = qdf.orderBy("qid").limit(8).collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          val gtSub = gt.join(
+              spark.createDataFrame(tieQs.map(q => Tuple1(q._1)))
+                .toDF("qid"), "qid")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val hits = tieQs.map { case (qid, qv) =>
+            Similarity.binaryTopKTieAware(bin, emb, qv, k = 10,
+                rerank = 100,
+                expandCap = math.max(1600, (nVecs / 16).toInt))
+              .collect().map(r => (qid, r.getLong(0)))
+              .count(gtSub.contains)
+          }.sum
+          bytesRows("recall_binary_tieaware_r100_x1e4") =
+            math.round(hits.toDouble / (tieQs.length * 10) * 10000)
+        }
         Similarity.binaryRelease(bin)
       }
       locally {
@@ -1402,6 +1425,20 @@ object ScaleBench {
           bytesRows("s_dedup_gate_segments") = segs
           println(f"[scale]   dedup gate: ${n / sec}%.0f docs/sec ingest; " +
             f"admitted $admitted%d of $n%d; $segs%d segments after folds")
+        }
+        // GDPR-style erasure at volume, chained on the gate's layout
+        // (base + streamed segments + folds): anti-join + staged
+        // rewrite + marker swap of every live frame. Row = wall for
+        // removing ~1% of ids planted across base AND appends; the
+        // removed band-row count lands in the bytes map.
+        if (only.forall(_.contains("d_takedown_gate_scale"))) {
+          var removedRows = 0L
+          bench("d_takedown_gate_scale") {
+            removedRows = Dedup.minhashLayoutRemove(spark, gdir,
+              docs.where(F.col("doc_id") % 97 === 0).select("doc_id"))
+            docs.where(F.col("doc_id") % 97 === 0).count()
+          }
+          bytesRows("d_takedown_removed_band_rows") = removedRows
         }
       }
     }

@@ -187,7 +187,7 @@ object SparkEntry {
     // r12 continuation: compacted sidecar faces + default-routing pins
     "s_profile_compact", "s_heavy_compact", "v_binary_tieaware",
     "v_opq_moments_topk", "v_hard_negatives_suggest",
-    "s_gate_compact_stream", "v_ivf_rebuild")
+    "s_gate_compact_stream", "v_ivf_rebuild", "v_binary_tieaware_batch")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -2131,6 +2131,20 @@ object SparkEntry {
       Similarity.binaryTopKTieAware(
         Similarity.binaryEncode(e, persist = false), e, q,
         k = 20, rerank = 20, expandCap = 1 << 20)
+    }),
+
+    // batch face of the tie-aware rerank on the same constructed total
+    // tie: every query's frontier covers the corpus, so each qid's
+    // answer is its exact cosine top-10 over the transformed vectors
+    "v_binary_tieaware_batch" -> ((s, d) => {
+      val e = emb(s, d).select(F.col("id"),
+        F.transform(F.col("vec").cast("array<double>"),
+          x => F.abs(x) + F.lit(1.0)).as("vec"))
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      Similarity.binaryTopKBatchTieAware(
+        Similarity.binaryEncode(e, persist = false), e, qs,
+        k = 10, rerank = 10, expandCap = 1 << 20)
     }),
 
     // OPQ built from MERGED SHARD MOMENTS (the per-drop refit story as
@@ -5723,6 +5737,24 @@ object SparkEntry {
         |FROM e, q
         |ORDER BY score DESC, id ASC
         |LIMIT 20""".stripMargin,
+
+    // per-qid exact top-10 over the abs(x)+1 vectors — every query's
+    // widened tie class is the whole corpus
+    "v_binary_tieaware_batch" ->
+      """WITH e AS (SELECT vec_id AS id,
+        |  list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x) + 1.0)
+        |    AS v
+        |  FROM embeddings),
+        |q AS (SELECT id AS qid, v AS qv FROM e WHERE id <= 4),
+        |scored AS (SELECT q.qid, e.id,
+        |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |  FROM e CROSS JOIN q),
+        |ranked AS (SELECT qid, id, score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, id ASC) AS rn
+        |  FROM scored)
+        |SELECT qid, id, score FROM ranked WHERE rn <= 10
+        |ORDER BY qid, score DESC, id ASC""".stripMargin,
 
     // v_opq_topk's degenerate-point argument, with the rotation fit
     // from merged shard moments instead of a one-shot corpus pass —

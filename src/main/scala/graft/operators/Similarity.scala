@@ -564,6 +564,82 @@ object Similarity {
       .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
+  /** Batch face of [[binaryTopKTieAware]] — the production shape for
+    * mining workloads on modal corpora, where the fixed-rerank batch
+    * cut collapses hardest (measured, SCALE_BENCH_r12_recall*: plain
+    * r100 recall@10 reads 0.068 at 80k vecs and 0.012 at 320k as the
+    * per-mode tie class grows, while this face reads 0.30 / 0.40 at
+    * the SAME r100 budget — above even the 10× blind rerank's
+    * 0.34 / 0.13). Per qid the output equals the single-query face at
+    * the same (k, rerank, expandCap) — spec-pinned: the per-qid
+    * frontier distance is the rerank-th (ham ASC, id ASC) element,
+    * the widened cut keeps every row at/inside the frontier capped at
+    * `expandCap` (≤ 0 means 16·rerank), and the exact rerank runs on
+    * raw vectors. Cost: the one bits×queries scan is re-read for the
+    * frontier probe and the widened cut (persisted between passes);
+    * candidates are bounded by cap·|queries|.
+    */
+  def binaryTopKBatchTieAware(
+      index: BinaryIndex, emb: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int, expandCap: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cap = if (expandCap > 0) expandCap else 16 * rerank
+    require(cap >= rerank,
+      s"expandCap ($cap) must be >= rerank ($rerank)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.select(
+      F.col("qid").cast("long"),
+      F.col("qvec").cast("array<double>"))
+    val dims = index.dims
+    val qbits = qs
+      .as[(Long, Array[Double])]
+      .map { case (qid, qv) =>
+        require(qv.length == dims,
+          s"query $qid has ${qv.length} dims but index was encoded " +
+            s"for $dims")
+        (qid, packSignBits(qv))
+      }
+      .toDF("qid", "qbits")
+    val ham = index.codes
+      .crossJoin(F.broadcast(qbits))
+      .select(F.col("qid"), F.col("id"),
+        hammingCol(F.col("bits"), F.col("qbits")).as("ham"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-qid frontier distance: max ham inside the would-be rerank
+    // cut (heap over rerank rows/qid, then one tiny agg)
+    val dmax = graft.scale.Skew
+      .heapTopKPerKey(ham, "qid", "ham", "id", rerank, desc = false)
+      .groupBy("qid").agg(F.max("ham").as("dmax"))
+      .localCheckpoint()
+    val inFront = ham.join(F.broadcast(dmax), "qid")
+      .where(F.col("ham") <= F.col("dmax"))
+    val cappedRow = inFront.groupBy("qid")
+      .agg(F.count(F.lit(1)).as("n")).where(F.col("n") > cap)
+      .agg(F.count(F.lit(1)), F.max("n")).head
+    if (cappedRow.getLong(0) > 0)
+      org.apache.logging.log4j.LogManager.getLogger("graft").warn(
+        s"binaryTopKBatchTieAware: ${cappedRow.getLong(0)} queries' " +
+          s"Hamming frontiers tie beyond expandCap=$cap (largest tie " +
+          s"class ${cappedRow.getLong(1)}) — their cut inside the tie " +
+          "is deterministic-by-id, not similarity-ranked. Raise " +
+          "expandCap toward the tie-class size, or use sq8/PQ codes: " +
+          "1-bit signs cannot rank within a mode.")
+    val cand = graft.scale.Skew
+      .heapTopKPerKey(inFront, "qid", "ham", "id", cap, desc = false)
+      .select("qid", "id")
+      .localCheckpoint()
+    ham.unpersist(blocking = false)
+    val rescored = cand
+      .join(emb.select(F.col("id"), F.col("vec")), "id")
+      .join(F.broadcast(qs), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.heapTopKPerKey(rescored, "qid", "score", "id", k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
+  }
+
   /** Persist / load a binary index: codes Parquet + a dims sidecar
     * (same filesystem rules as [[sq8Save]]). */
   def binarySave(index: BinaryIndex, path: String): Unit = {

@@ -1159,6 +1159,56 @@ class SimilaritySpec extends SparkSpec {
         expandCap = 10))
   }
 
+  test("binaryTopKBatchTieAware: per-qid parity with the single-query face") {
+    val s = spark
+    import s.implicits._
+    // the same mode+far tie fixture as the single-face test: queries
+    // from inside the tie class (high- and mid-id mode members, where
+    // the fixed cut fails) and from the far side (no mode tie)
+    val rng = new scala.util.Random(47)
+    val mode = (0 until 160).map { i =>
+      val v = Array.tabulate(16)(f =>
+        1.0 + 0.2 * math.sin((159 - i) * 0.05 + f) + rng.nextGaussian() * 0.01)
+      (i.toLong, v)
+    }
+    val far = (200 until 240).map(i =>
+      (i.toLong, Array.tabulate(16)(f => -1.0 - 0.1 * ((i + f) % 3))))
+    val corpus = (mode ++ far).toDF("id", "vec")
+    val idx = Similarity.binaryEncode(corpus, persist = false)
+    val qids = Seq(159L, 80L, 210L)
+    val qmap = (mode ++ far).toMap
+    val qdf = qids.map(q => (q, qmap(q))).toDF("qid", "qvec")
+    for (cap <- Seq(0, 40)) {
+      val batch = Similarity.binaryTopKBatchTieAware(
+          idx, corpus, qdf, k = 10, rerank = 20, expandCap = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      qids.foreach { q =>
+        val single = Similarity.binaryTopKTieAware(
+            idx, corpus, qmap(q), k = 10, rerank = 20, expandCap = cap)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(q) == single,
+          s"qid $q diverges at cap=$cap: ${batch(q)} vs $single")
+      }
+    }
+    // the tie-trap query's batch answer is the exact top-10 (the
+    // widening law, end-to-end through the batch plumbing)
+    val exact = Similarity.annTopK(corpus, qmap(159L), 10)
+      .collect().map(_.getLong(0)).toSet
+    val b159 = Similarity.binaryTopKBatchTieAware(
+        idx, corpus, qdf, k = 10, rerank = 20)
+      .where(F.col("qid") === 159L)
+      .collect().map(_.getLong(1)).toSet
+    assert(b159 == exact,
+      s"batch tie-aware must recover the exact top-10: $b159 vs $exact")
+    intercept[IllegalArgumentException](
+      Similarity.binaryTopKBatchTieAware(idx, corpus, qdf, 10, rerank = 5))
+    intercept[IllegalArgumentException](
+      Similarity.binaryTopKBatchTieAware(idx, corpus, qdf, 10, rerank = 20,
+        expandCap = 10))
+  }
+
   test("IVF+binary composition: degeneracy law, pruned recall, batch parity") {
     val s = spark
     import s.implicits._
