@@ -187,7 +187,8 @@ object SparkEntry {
     // r12 continuation: compacted sidecar faces + default-routing pins
     "s_profile_compact", "s_heavy_compact", "v_binary_tieaware",
     "v_opq_moments_topk", "v_hard_negatives_suggest",
-    "s_gate_compact_stream", "v_ivf_rebuild", "v_binary_tieaware_batch")
+    "s_gate_compact_stream", "v_ivf_rebuild", "v_binary_tieaware_batch",
+    "s_hist_stream")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -2113,6 +2114,45 @@ object SparkEntry {
           F.coalesce((F.col("ub") >= F.col("n")).cast("int"), F.lit(0))
             .as("ub_ok"))
         .orderBy("token")
+        .localCheckpoint()
+    }),
+
+    // streamed QUANTILE sidecars (the histogram face of the profile):
+    // three doc_id%3 micro-batches of documents.n_chars into fixed
+    // [0, 600)/24 buckets with the fold cadence firing mid-stream plus
+    // a final full fold — per-bucket counts are EXACTLY mergeable (a
+    // sum, no sketch), so the merged histogram AND the deterministic
+    // interpolated p50/p95 replay verbatim in SQL
+    "s_hist_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Profile
+      val all = docs(s, d)
+      val side = java.nio.file.Files
+        .createTempDirectory("graft_shist").toString + "/hist"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_shist_ck").toString
+      val feed = all.select(
+          F.col("doc_id"), F.col("n_chars").cast("double").as("n_chars"))
+        .as[(Long, Option[Double])]
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Option[Double])](s)
+      val q = graft.streaming.StreamingOps.histStream(
+        ms.toDF.toDF("doc_id", "n_chars"), "n_chars",
+        lo = 0.0, hi = 600.0, nBuckets = 24, side, ckpt,
+        compactEverySegs = 2)
+      try (0 until 3).foreach { r =>
+        ms.addData(feed.filter(_._1 % 3 == r).collect().sortBy(_._1).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingOps.histCompact(s, side)
+      val counts = graft.streaming.StreamingOps.histOf(s, side)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val p50 = Profile.histQuantile(counts, 0.50, 0.0, 600.0, 24)
+      val p95 = Profile.histQuantile(counts, 0.95, 0.0, 600.0, 24)
+      graft.streaming.StreamingOps.histOf(s, side)
+        .withColumn("p50", F.round(F.lit(p50), 4))
+        .withColumn("p95", F.round(F.lit(p95), 4))
+        .orderBy("bucket")
         .localCheckpoint()
     }),
 
@@ -5723,6 +5763,32 @@ object SparkEntry {
         |  1 AS ub_ok
         |FROM exact e LEFT JOIN lbs l USING (token)
         |ORDER BY e.token""".stripMargin,
+
+    // folds are a per-bucket sum, so the streamed histogram equals the
+    // one-shot GROUP BY; p50/p95 replay the same interpolation: first
+    // bucket whose cumulative count reaches q·N, linear within it
+    "s_hist_stream" ->
+      """WITH hist AS (
+        |  SELECT least(23, greatest(0,
+        |      CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 25.0) AS INT)))
+        |    AS bucket,
+        |    count(*) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM hist),
+        |cum AS (SELECT bucket, n,
+        |    sum(n) OVER (ORDER BY bucket) - n AS cb FROM hist),
+        |q50 AS (SELECT round(0.0 + 25.0 * (bucket +
+        |      least(1.0, greatest(0.0, (0.5 * t - cb) / n))), 4) AS p50
+        |  FROM cum, tot WHERE cb + n >= 0.5 * t
+        |  ORDER BY bucket LIMIT 1),
+        |q95 AS (SELECT round(0.0 + 25.0 * (bucket +
+        |      least(1.0, greatest(0.0, (0.95 * t - cb) / n))), 4) AS p95
+        |  FROM cum, tot WHERE cb + n >= 0.95 * t
+        |  ORDER BY bucket LIMIT 1)
+        |SELECT h.bucket, h.n, q50.p50, q95.p95
+        |FROM hist h, q50, q95
+        |ORDER BY h.bucket""".stripMargin,
 
     // the widened tie class covers the whole corpus (every abs(x)+1
     // sign code is identical), so the tie-aware cut's exact rerank is

@@ -176,6 +176,82 @@ object Profile {
       .select("column", "n_rows", "n_nulls", "sum_v", "sum_sq",
         "min_v", "max_v", "distinct_hll")
 
+  // ---- mergeable histogram sidecars: per-drop QUANTILES ------------
+  //
+  // The moment sidecars above merge min/max/mean/std exactly, but
+  // QUANTILES don't fall out of moments, and `percentile`-style
+  // aggregates are not mergeable across drops without re-scanning
+  // history. A fixed-bounds equi-width histogram is: with (lo, hi,
+  // nBuckets) pinned once per column, every shard buckets identically,
+  // per-bucket counts add EXACTLY (no sketch, no tolerance — the
+  // merge is a sum, so SQL replays it verbatim), and any quantile is
+  // a deterministic interpolation over the merged counts with error
+  // bounded by one bucket width. At 100 TB this is the standard
+  // "profile quantiles without rescans" shape (Hive/Presto numeric
+  // histograms do the same trade); pick bounds from the first drop's
+  // min/max with headroom — out-of-range values CLAMP into the edge
+  // buckets, visible as edge-bucket mass, never dropped.
+
+  /** One shard's histogram state for one numeric column: (bucket INT
+    * in [0, nBuckets), n LONG), equi-width over [lo, hi) with values
+    * below `lo` clamped into bucket 0 and at/above `hi` into the last
+    * bucket. NULLs and NaNs are excluded (the moment sidecar already
+    * counts nulls). One partial aggregate over one scan; ≤ nBuckets
+    * output rows.
+    */
+  def histShard(
+      df: DataFrame, col: String, lo: Double, hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"histShard: nBuckets must be positive; got $nBuckets")
+    require(hi > lo, s"histShard: need hi > lo; got [$lo, $hi)")
+    require(!lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite,
+      s"histShard: bounds must be finite; got [$lo, $hi)")
+    val w = (hi - lo) / nBuckets
+    val x = F.col(col).cast("double")
+    df.where(x.isNotNull && !F.isnan(x))
+      .select(
+        F.least(F.lit(nBuckets - 1), F.greatest(F.lit(0),
+          F.floor((x - F.lit(lo)) / F.lit(w)).cast("int"))).as("bucket"))
+      .groupBy("bucket")
+      .agg(F.count(F.lit(1)).as("n"))
+  }
+
+  /** Merge any number of shard histograms (same bounds by contract):
+    * per-bucket sum — exact, associative, the compaction fold. */
+  def histMerge(sidecars: DataFrame): DataFrame =
+    sidecars.groupBy("bucket").agg(F.sum("n").as("n"))
+
+  /** Deterministic quantile estimate from merged bucket counts:
+    * target rank q·N, linear interpolation inside the holding bucket
+    * (the first bucket whose cumulative count reaches the target).
+    * Error ≤ one bucket width by construction. Same arithmetic as the
+    * SQL replay in the oracle, so the estimate is value-pinned, not
+    * tolerance-pinned.
+    */
+  def histQuantile(
+      counts: Seq[(Int, Long)], q: Double, lo: Double, hi: Double,
+      nBuckets: Int): Double = {
+    require(q >= 0.0 && q <= 1.0, s"histQuantile: q must be in [0,1]; got $q")
+    require(nBuckets > 0 && hi > lo,
+      s"histQuantile: bad geometry ($lo, $hi, $nBuckets)")
+    val w = (hi - lo) / nBuckets
+    val sorted = counts.filter(_._2 > 0L).sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    require(total > 0L, "histQuantile: empty histogram")
+    val target = q * total
+    var cum = 0L
+    sorted.foreach { case (b, n) =>
+      require(b >= 0 && b < nBuckets,
+        s"histQuantile: bucket $b outside [0, $nBuckets)")
+      if (cum + n >= target) {
+        val frac = math.min(1.0, math.max(0.0, (target - cum) / n))
+        return lo + w * (b + frac)
+      }
+      cum += n
+    }
+    hi // unreachable for q ≤ 1 (cum+n ≥ total ≥ target at the last bucket)
+  }
+
   /** Population Stability Index between two snapshots of a numeric
     * column — the standard drift monitor a pipeline runs between a
     * reference corpus drop and the current one (PSI < 0.1 stable,

@@ -495,6 +495,66 @@ object StreamingOps {
       spark.read.parquet(sidecarPath).drop("seg"))
   }
 
+  /** Streaming histogram sidecars — the QUANTILE face of
+    * [[profileStream]] (moments merge exactly but quantiles need
+    * their own mergeable state, [[graft.operators.Profile.histShard]]):
+    * per micro-batch one idempotent `seg=batchId` leaf of ≤ nBuckets
+    * (bucket, n) rows over fixed [lo, hi) bounds, per-bucket counts
+    * EXACTLY mergeable, same fold cadence / marker protocol as every
+    * sidecar stream here. Read with [[histOf]]; quantiles via
+    * [[graft.operators.Profile.histQuantile]].
+    */
+  def histStream(
+      docs: DataFrame,
+      col: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int,
+      sidecarPath: String,
+      checkpoint: String,
+      compactEverySegs: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.Profile.histShard(batch, col, lo, hi, nBuckets)
+          .withColumn("seg", F.lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("seg")
+          .parquet(sidecarPath)
+        if (compactEverySegs > 0 &&
+            segCount(spark, sidecarPath) >= compactEverySegs) {
+          histCompact(spark, sidecarPath, maxSegExclusive = batchId)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Merged stream-so-far histogram: (bucket, n), per-bucket exact. */
+  def histOf(
+      spark: org.apache.spark.sql.SparkSession,
+      sidecarPath: String): DataFrame = {
+    awaitNoSwap(
+      new org.apache.hadoop.fs.Path(sidecarPath)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      sidecarPath)
+    graft.operators.Profile.histMerge(
+      spark.read.parquet(sidecarPath).drop("seg"))
+  }
+
+  /** Fold [[histStream]]'s committed segments into one merged segment
+    * (per-bucket sum — exact, so [[histOf]] pre/post is row-identical;
+    * spec-pinned). */
+  def histCompact(
+      spark: org.apache.spark.sql.SparkSession, sidecarPath: String,
+      maxSegExclusive: Long = Long.MaxValue): Int =
+    compactSegDir(spark, sidecarPath, maxSegExclusive, outFiles = 1)(
+      graft.operators.Profile.histMerge)
+
   /** Streaming heavy-hitters over the token stream — the unbounded
     * face of [[graft.operators.TextOps.heavyTokens]]. Per micro-batch,
     * two tiny idempotent `seg=batchId` sidecars:

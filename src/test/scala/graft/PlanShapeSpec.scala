@@ -79,6 +79,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!batch.contains("SortMergeJoin"), batch.take(1500))
   }
 
+  test("binaryTopKBatchTieAware: broadcast-only joins — queries, frontier bounds, rerank") {
+    val s = spark
+    import s.implicits._
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(f => math.sin(i * 0.3 + f)))).toDF("id", "vec")
+    val index = graft.operators.Similarity.binaryEncode(emb, persist = false)
+    val qs = emb.where(F.col("id") < 3)
+      .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+    val plan = graft.operators.Similarity
+      .binaryTopKBatchTieAware(index, emb, qs, k = 5, rerank = 10)
+      .queryExecution.executedPlan.toString
+    // every join in the face is against a bounded broadcast side —
+    // the qbits fan-out, the per-qid frontier-distance attach, the
+    // candidate rerank, and the query re-attach. The N×Q ham frame
+    // must NEVER shuffle whole: no sort-merge, no cartesian.
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("gopherFlags is a map-only scan: no exchange in the plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.operators.TextOps.gopherFlags(docs)

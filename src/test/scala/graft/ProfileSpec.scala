@@ -183,4 +183,104 @@ class ProfileSpec extends SparkSpec {
         s"incremental HLL diverges on $c")
     }
   }
+
+  test("histShard/histMerge: exact merge across uneven shards; clamping and null/NaN exclusion") {
+    val s = spark
+    import s.implicits._
+    // values straddling the bounds: -5 clamps into bucket 0, 100 and
+    // 250 into the last; null and NaN vanish
+    val vals = Seq[Option[Double]](
+      Some(-5.0), Some(0.0), Some(7.5), Some(10.0), Some(49.9),
+      Some(50.0), Some(99.9), Some(100.0), Some(250.0), None,
+      Some(Double.NaN)) ++ (0 until 89).map(i => Some(i.toDouble + 0.5))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "x")
+    val whole = Profile.histShard(df, "x", lo = 0.0, hi = 100.0, nBuckets = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    // 98 non-null finite values land somewhere; every bucket id in range
+    assert(whole.map(_._2).sum == 98L)
+    assert(whole.forall { case (b, _) => b >= 0 && b < 10 })
+    // clamp accounting: bucket 0 holds -5.0, 0.0, 7.5 + 0.5..9.5 (10) = 13
+    assert(whole.toMap.apply(0) == 13L)
+    // last bucket holds 99.9, 100.0, 250.0 + 90..98.5? (0..88)+0.5 < 90 — none
+    assert(whole.toMap.apply(9) == 3L)
+    // merge of three uneven shards == the one-shot histogram, exactly
+    val shards = Seq(
+      df.where(F.col("id") % 5 === 0),
+      df.where(F.col("id") % 5 === 1),
+      df.where(F.col("id") % 5 >= 2))
+    val merged = Profile.histMerge(
+        shards.map(Profile.histShard(_, "x", 0.0, 100.0, 10))
+          .reduce(_ unionByName _))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(merged == whole, s"merged $merged != whole $whole")
+    intercept[IllegalArgumentException](
+      Profile.histShard(df, "x", lo = 5.0, hi = 5.0, nBuckets = 10))
+    intercept[IllegalArgumentException](
+      Profile.histShard(df, "x", lo = 0.0, hi = 100.0, nBuckets = 0))
+  }
+
+  test("histQuantile: edges, monotonicity, one-bucket-width error bound") {
+    val s = spark
+    import s.implicits._
+    // 1000 uniform values 0..999 over [0, 1000) in 20 buckets of 50
+    val df = (0 until 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val counts = Profile.histShard(df, "x", 0.0, 1000.0, 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val exact = (q: Double) => q * 999.0 // exact interpolated percentile
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.95)) {
+      val est = Profile.histQuantile(counts, q, 0.0, 1000.0, 20)
+      assert(math.abs(est - exact(q)) <= 50.0 + 1e-9,
+        s"q=$q: est $est vs exact ${exact(q)} off by more than one bucket")
+    }
+    // monotone in q
+    val qs = (0 to 20).map(_ / 20.0)
+    val ests = qs.map(Profile.histQuantile(counts, _, 0.0, 1000.0, 20))
+    assert(ests.zip(ests.tail).forall { case (a, b) => a <= b })
+    // q = 0 → start of the first non-empty bucket; q = 1 → within the
+    // last bucket's right edge
+    assert(Profile.histQuantile(counts, 0.0, 0.0, 1000.0, 20) == 0.0)
+    assert(Profile.histQuantile(counts, 1.0, 0.0, 1000.0, 20) <= 1000.0)
+    intercept[IllegalArgumentException](
+      Profile.histQuantile(counts, 1.5, 0.0, 1000.0, 20))
+    intercept[IllegalArgumentException](
+      Profile.histQuantile(Seq((0, 0L)), 0.5, 0.0, 1000.0, 20))
+    intercept[IllegalArgumentException](
+      Profile.histQuantile(Seq((25, 3L)), 0.5, 0.0, 1000.0, 20))
+  }
+
+  test("histStream: merged sidecars equal the one-shot histogram; compaction is invisible") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 500).map(i =>
+      (i.toLong, (i % 97).toDouble * 6.0)).toDF("id", "x")
+    val side = java.nio.file.Files
+      .createTempDirectory("graft_histspec").toString + "/hist"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_histspec_ck").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)](s)
+    val q = graft.streaming.StreamingOps.histStream(
+      ms.toDF.toDF("id", "x"), "x", lo = 0.0, hi = 600.0, nBuckets = 12,
+      side, ckpt, compactEverySegs = 2)
+    try {
+      (0 until 3).foreach { r =>
+        ms.addData(df.where(F.col("id") % 3 === r)
+          .as[(Long, Double)].collect().toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def read() = graft.streaming.StreamingOps.histOf(s, side)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val preFold = read()
+    val whole = Profile.histShard(df, "x", 0.0, 600.0, 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(preFold == whole, s"streamed $preFold != one-shot $whole")
+    // the in-stream cadence already folded once; the explicit full
+    // fold leaves ONE merged segment and identical reads
+    graft.streaming.StreamingOps.histCompact(s, side)
+    assert(read() == whole)
+    val segs = new java.io.File(side).list().count(_.startsWith("seg="))
+    assert(segs == 1, s"full fold must leave one merged segment, found $segs")
+  }
 }
