@@ -188,7 +188,7 @@ object SparkEntry {
     "s_profile_compact", "s_heavy_compact", "v_binary_tieaware",
     "v_opq_moments_topk", "v_hard_negatives_suggest",
     "s_gate_compact_stream", "v_ivf_rebuild", "v_binary_tieaware_batch",
-    "s_hist_stream")
+    "s_hist_stream", "p_psi_hist")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -2153,6 +2153,21 @@ object SparkEntry {
         .withColumn("p50", F.round(F.lit(p50), 4))
         .withColumn("p95", F.round(F.lit(p95), 4))
         .orderBy("bucket")
+        .localCheckpoint()
+    }),
+
+    // drift from persisted state alone: PSI between the even- and
+    // odd-doc histogram sidecars (same fixed [0,600)/24 geometry as
+    // s_hist_stream) — no corpus rescan; counts and the round-6 psi
+    // terms replay exactly in SQL
+    "p_psi_hist" -> ((s, d) => {
+      import graft.operators.Profile
+      val all = docs(s, d)
+      val hist = (p: org.apache.spark.sql.Column) =>
+        Profile.histShard(all.where(p), "n_chars", 0.0, 600.0, 24)
+      Profile.psiFromHists(
+          hist(F.col("doc_id") % 2 === 0), hist(F.col("doc_id") % 2 === 1),
+          nBuckets = 24)
         .localCheckpoint()
     }),
 
@@ -5789,6 +5804,34 @@ object SparkEntry {
         |SELECT h.bucket, h.n, q50.p50, q95.p95
         |FROM hist h, q50, q95
         |ORDER BY h.bucket""".stripMargin,
+
+    // PSI replay over the sidecars' fixed equi-width buckets: per-side
+    // counts via the same clamped floor, full 0..23 domain (absent
+    // buckets count 0), fractions floored at 1e-6 inside the log
+    "p_psi_hist" ->
+      """WITH b AS (
+        |  SELECT doc_id % 2 AS grp,
+        |    least(23, greatest(0,
+        |      CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 25.0) AS INT)))
+        |      AS bucket
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT bucket, count(*) AS n_ref FROM b WHERE grp = 0
+        |  GROUP BY bucket),
+        |c AS (SELECT bucket, count(*) AS n_cur FROM b WHERE grp = 1
+        |  GROUP BY bucket),
+        |dom AS (SELECT CAST(range AS INT) AS bucket FROM range(0, 24)),
+        |j AS (SELECT dom.bucket,
+        |    coalesce(r.n_ref, 0)::BIGINT AS n_ref,
+        |    coalesce(c.n_cur, 0)::BIGINT AS n_cur
+        |  FROM dom LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
+        |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+        |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+        |SELECT j.bucket, j.n_ref, j.n_cur,
+        |  round((j.n_ref / t.tr - j.n_cur / t.tc) *
+        |    ln(greatest(j.n_ref / t.tr, 1e-6) /
+        |       greatest(j.n_cur / t.tc, 1e-6)), 6) AS psi_term
+        |FROM j, t
+        |ORDER BY j.bucket""".stripMargin,
 
     // the widened tie class covers the whole corpus (every abs(x)+1
     // sign code is identical), so the tie-aware cut's exact rerank is

@@ -252,6 +252,41 @@ object Profile {
     hi // unreachable for q ≤ 1 (cum+n ≥ total ≥ target at the last bucket)
   }
 
+  /** PSI between two PERSISTED histograms ([[histShard]]/[[histMerge]]
+    * frames over the same fixed bounds) — drift between any two drops,
+    * or a drop and the stream-so-far ([[graft.streaming.StreamingOps
+    * .histOf]]), from a few KB of sidecar state with NO corpus scan.
+    * Same index formula and conventions as [[psiBuckets]] (fractions
+    * floored at 1e-6 inside the log, psi_term round-6), but over the
+    * sidecars' equi-width buckets instead of reference deciles — at
+    * 100 TB the reference was profiled months ago; its sidecar is
+    * what you still have. Output: (bucket, n_ref, n_cur, psi_term)
+    * over the FULL 0..nBuckets-1 domain (absent buckets count 0),
+    * ordered by bucket; sum psi_term for the index.
+    */
+  def psiFromHists(
+      ref: DataFrame, cur: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"psiFromHists: nBuckets must be positive; got $nBuckets")
+    val all = ref.sparkSession.range(nBuckets)
+      .select(F.col("id").cast("int").as("bucket"))
+    val eps = 1e-6
+    val joined = all
+      .join(ref.select(F.col("bucket"), F.col("n").as("n_ref")),
+        Seq("bucket"), "left")
+      .join(cur.select(F.col("bucket"), F.col("n").as("n_cur")),
+        Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val pRef = F.col("n_ref") / F.sum("n_ref").over()
+    val pCur = F.col("n_cur") / F.sum("n_cur").over()
+    joined
+      .withColumn("psi_term", F.round(
+        (pRef - pCur) *
+          F.log(F.greatest(pRef, F.lit(eps)) / F.greatest(pCur, F.lit(eps))),
+        6))
+      .select("bucket", "n_ref", "n_cur", "psi_term")
+      .orderBy("bucket")
+  }
+
   /** Population Stability Index between two snapshots of a numeric
     * column — the standard drift monitor a pipeline runs between a
     * reference corpus drop and the current one (PSI < 0.1 stable,

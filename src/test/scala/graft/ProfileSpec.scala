@@ -249,6 +249,29 @@ class ProfileSpec extends SparkSpec {
       Profile.histQuantile(Seq((25, 3L)), 0.5, 0.0, 1000.0, 20))
   }
 
+  test("psiFromHists: zero on self, trips on a planted shift, full domain with finite empty-bucket terms") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 600).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "x")
+    val h = Profile.histShard(base, "x", 0.0, 100.0, 10)
+    val self = Profile.psiFromHists(h, h, nBuckets = 10).collect()
+    assert(self.length == 10)
+    assert(self.forall(_.getDouble(3) == 0.0), "PSI on self must be 0")
+    // planted shift: the current drop loses its top half entirely
+    val shifted = Profile.histShard(
+      base.where(F.col("x") < 50.0), "x", 0.0, 100.0, 10)
+    val drift = Profile.psiFromHists(h, shifted, nBuckets = 10).collect()
+    val psi = drift.map(_.getDouble(3)).sum
+    assert(psi > 0.25, s"half the distribution vanished but PSI reads $psi")
+    // empty current buckets floor at 1e-6 inside the log — finite terms
+    assert(drift.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    // absent buckets surface as zero counts over the full domain
+    assert(drift.count(_.getLong(2) == 0L) == 5)
+    intercept[IllegalArgumentException](
+      Profile.psiFromHists(h, h, nBuckets = 0))
+  }
+
   test("histStream: merged sidecars equal the one-shot histogram; compaction is invisible") {
     val s = spark
     import s.implicits._
