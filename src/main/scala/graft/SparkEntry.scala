@@ -188,7 +188,7 @@ object SparkEntry {
     "s_profile_compact", "s_heavy_compact", "v_binary_tieaware",
     "v_opq_moments_topk", "v_hard_negatives_suggest",
     "s_gate_compact_stream", "v_ivf_rebuild", "v_binary_tieaware_batch",
-    "s_hist_stream", "p_psi_hist")
+    "s_hist_stream", "p_psi_hist", "v_ivf_binary_tieaware")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -2186,6 +2186,23 @@ object SparkEntry {
       Similarity.binaryTopKTieAware(
         Similarity.binaryEncode(e, persist = false), e, q,
         k = 20, rerank = 20, expandCap = 1 << 20)
+    }),
+
+    // the composed face at the degenerate full-probe point: probing
+    // every list reduces it to the flat tie-aware cut, whose widened
+    // class covers the corpus — exact cosine top-20 again
+    "v_ivf_binary_tieaware" -> ((s, d) => {
+      val e = emb(s, d).select(F.col("id"),
+        F.transform(F.col("vec").cast("array<double>"),
+          x => F.abs(x) + F.lit(1.0)).as("vec"))
+      val q = queryVec(s, d).map(x => math.abs(x) + 1.0)
+      val ivf = Similarity.ivfBuild(e, nLists = 8)
+      val out = Similarity.ivfBinaryTopKTieAware(
+          ivf, Similarity.binaryEncode(e, persist = false), e, q,
+          k = 20, nprobe = 8, rerank = 20, expandCap = 1 << 20)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      out
     }),
 
     // batch face of the tie-aware rerank on the same constructed total
@@ -5837,6 +5854,19 @@ object SparkEntry {
     // sign code is identical), so the tie-aware cut's exact rerank is
     // the true cosine top-20 over the transformed vectors
     "v_binary_tieaware" ->
+      """WITH e AS (SELECT vec_id AS id,
+        |  list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x) + 1.0)
+        |    AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE id = 0)
+        |SELECT e.id, round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e, q
+        |ORDER BY score DESC, id ASC
+        |LIMIT 20""".stripMargin,
+
+    // full probes reduce the composed face to the flat tie-aware cut:
+    // the same exact top-20 replay
+    "v_ivf_binary_tieaware" ->
       """WITH e AS (SELECT vec_id AS id,
         |  list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x) + 1.0)
         |    AS v

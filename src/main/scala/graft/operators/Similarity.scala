@@ -487,38 +487,46 @@ object Similarity {
     val ham = index.codes
       .select(F.col("id"),
         hammingCol(F.col("bits"), F.typedLit(packSignBits(query))).as("ham"))
+    emb.join(F.broadcast(tieAwareCandidates(ham, rerank, cap)), "id")
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
+
+  /** Shared widened-cut core of [[binaryTopKTieAware]] and
+    * [[ivfBinaryTopKTieAware]] — same frontier probe and tie-class
+    * expansion over whichever (id, ham) frame the caller scoped (the
+    * whole corpus, or the probed lists), so the two faces cannot
+    * drift. */
+  private def tieAwareCandidates(
+      ham: DataFrame, rerank: Int, cap: Int): DataFrame = {
     // the rerank-th distance: max ham inside the would-be cut (one
     // TakeOrdered job over rerank rows)
     val dMaxRow = ham.orderBy(F.col("ham").asc, F.col("id").asc)
       .limit(rerank).agg(F.max("ham")).head
-    val cand =
-      if (dMaxRow.isNullAt(0)) ham.select("id") // corpus smaller than rerank
-      else {
-        val dMax = dMaxRow.getLong(0)
-        val nLe = ham.where(F.col("ham") <= dMax).count()
-        if (nLe <= rerank) {
-          // no frontier tie beyond the cut — the plain cut is exact
-          ham.orderBy(F.col("ham").asc, F.col("id").asc)
-            .limit(rerank).select("id")
-        } else {
-          val take = math.min(nLe, cap.toLong).toInt
-          if (nLe > cap)
-            org.apache.logging.log4j.LogManager.getLogger("graft").warn(
-              s"binaryTopKTieAware: the Hamming frontier at distance " +
-                s"$dMax ties across $nLe rows but expandCap=$cap — the " +
-                "cut inside the tie is deterministic-by-id, not " +
-                "similarity-ranked. Raise expandCap toward the tie-class " +
-                "size, or use sq8/PQ codes: 1-bit signs cannot rank " +
-                "within a mode.")
-          ham.where(F.col("ham") <= dMax)
-            .orderBy(F.col("ham").asc, F.col("id").asc)
-            .limit(take).select("id")
-        }
+    if (dMaxRow.isNullAt(0)) ham.select("id") // corpus smaller than rerank
+    else {
+      val dMax = dMaxRow.getLong(0)
+      val nLe = ham.where(F.col("ham") <= dMax).count()
+      if (nLe <= rerank) {
+        // no frontier tie beyond the cut — the plain cut is exact
+        ham.orderBy(F.col("ham").asc, F.col("id").asc)
+          .limit(rerank).select("id")
+      } else {
+        val take = math.min(nLe, cap.toLong).toInt
+        if (nLe > cap)
+          org.apache.logging.log4j.LogManager.getLogger("graft").warn(
+            s"binaryTopKTieAware: the Hamming frontier at distance " +
+              s"$dMax ties across $nLe rows but expandCap=$cap — the " +
+              "cut inside the tie is deterministic-by-id, not " +
+              "similarity-ranked. Raise expandCap toward the tie-class " +
+              "size, or use sq8/PQ codes: 1-bit signs cannot rank " +
+              "within a mode.")
+        ham.where(F.col("ham") <= dMax)
+          .orderBy(F.col("ham").asc, F.col("id").asc)
+          .limit(take).select("id")
       }
-    emb.join(F.broadcast(cand), "id")
-      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
-      .orderBy(F.col("score").desc, F.col("id").asc)
-      .limit(k)
+    }
   }
 
   /** Batch face of [[binaryTopK]]: ONE scan of the bits column scores
@@ -691,6 +699,41 @@ object Similarity {
       rerank: Int): DataFrame =
     ivfBinaryTopKImpl(ivf, bin, emb, query, k, nprobe, rerank,
       Some(keptIds(meta, pred)))
+
+  /** [[ivfBinaryTopK]] with [[binaryTopKTieAware]]'s widening applied
+    * INSIDE the probed lists — the composed face's documented caveat
+    * ("the modal-corpus tie trap applies inside the probed lists
+    * too") defused the same way: the frontier probe and tie-class
+    * expansion run on the probe-bounded (id, ham) frame, so a mode
+    * that dominates a probed list no longer collapses the cut. At
+    * nprobe = nLists this equals [[binaryTopKTieAware]] row for row
+    * (spec-pinned). Same expandCap contract (≤ 0 means 16·rerank).
+    */
+  def ivfBinaryTopKTieAware(
+      ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame,
+      query: Array[Double], k: Int, nprobe: Int, rerank: Int,
+      expandCap: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(query.length == bin.dims,
+      s"query has ${query.length} dims but index was encoded for ${bin.dims}")
+    val cap = if (expandCap > 0) expandCap else 16 * rerank
+    require(cap >= rerank,
+      s"expandCap ($cap) must be >= rerank ($rerank)")
+    val probes = ivfProbes(ivf, query, nprobe)
+    val q = F.typedLit(query)
+    val sel = ivf.assigned
+      .where(F.col("cluster").isin(probes.toSeq: _*))
+      .select("id")
+    val ham = bin.codes
+      .join(sel, "id")
+      .select(F.col("id"),
+        hammingCol(F.col("bits"), F.typedLit(packSignBits(query))).as("ham"))
+    emb.join(F.broadcast(tieAwareCandidates(ham, rerank, cap)), "id")
+      .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k)
+  }
 
   private def ivfBinaryTopKImpl(
       ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame,

@@ -1209,6 +1209,56 @@ class SimilaritySpec extends SparkSpec {
         expandCap = 10))
   }
 
+  test("ivfBinaryTopKTieAware: full probes equal the flat tie-aware face; pruned probes dominate the fixed cut") {
+    val s = spark
+    import s.implicits._
+    // the mode+far tie fixture again: the mode dominates whichever
+    // list holds it, so the composed fixed cut fails the same way
+    val rng = new scala.util.Random(47)
+    val mode = (0 until 160).map { i =>
+      val v = Array.tabulate(16)(f =>
+        1.0 + 0.2 * math.sin((159 - i) * 0.05 + f) + rng.nextGaussian() * 0.01)
+      (i.toLong, v)
+    }
+    val far = (200 until 240).map(i =>
+      (i.toLong, Array.tabulate(16)(f => -1.0 - 0.1 * ((i + f) % 3))))
+    val corpus = (mode ++ far).toDF("id", "vec")
+    val ivf = Similarity.ivfBuild(corpus, nLists = 4)
+    val bin = Similarity.binaryEncode(corpus, persist = false)
+    try {
+      val qv = mode.last._2
+      // degeneracy: probing every list == the flat tie-aware face
+      val full = Similarity.ivfBinaryTopKTieAware(
+          ivf, bin, corpus, qv, k = 10, nprobe = 4, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val flat = Similarity.binaryTopKTieAware(
+          bin, corpus, qv, k = 10, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full == flat, s"full-probe composed diverges: $full vs $flat")
+      // pruned probes: widening inside the probed lists can only add
+      // closer candidates vs the composed fixed cut — dominance
+      val exact = Similarity.annTopK(corpus, qv, 10)
+        .collect().map(_.getLong(0)).toSet
+      val aware = Similarity.ivfBinaryTopKTieAware(
+          ivf, bin, corpus, qv, k = 10, nprobe = 2, rerank = 20)
+        .collect().map(_.getLong(0)).toSet
+      val plain = Similarity.ivfBinaryTopK(
+          ivf, bin, corpus, qv, k = 10, nprobe = 2, rerank = 20)
+        .collect().map(_.getLong(0)).toSet
+      assert(aware.intersect(exact).size >= plain.intersect(exact).size,
+        "composed tie-aware must never recall less than the composed fixed cut")
+      intercept[IllegalArgumentException](
+        Similarity.ivfBinaryTopKTieAware(
+          ivf, bin, corpus, qv, 10, nprobe = 2, rerank = 5))
+      intercept[IllegalArgumentException](
+        Similarity.ivfBinaryTopKTieAware(
+          ivf, bin, corpus, qv, 10, nprobe = 2, rerank = 20, expandCap = 10))
+    } finally {
+      Similarity.ivfRelease(ivf)
+      Similarity.binaryRelease(bin)
+    }
+  }
+
   test("IVF+binary composition: degeneracy law, pruned recall, batch parity") {
     val s = spark
     import s.implicits._
