@@ -534,15 +534,20 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .start()
 
-  /** Merged stream-so-far histogram: (bucket, n), per-bucket exact. */
+  /** Merged stream-so-far histogram: (bucket, n), per-bucket exact.
+    * A sidecar dir with no `seg=` leaves yet (every batch so far was
+    * all-null — an empty partitioned write is a no-op) reads as an
+    * empty histogram, not a schema-inference crash. */
   def histOf(
       spark: org.apache.spark.sql.SparkSession,
       sidecarPath: String): DataFrame = {
-    awaitNoSwap(
-      new org.apache.hadoop.fs.Path(sidecarPath)
-        .getFileSystem(spark.sessionState.newHadoopConf()),
-      sidecarPath)
-    graft.operators.Profile.histMerge(
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(sidecarPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    awaitNoSwap(fs, sidecarPath)
+    if (!fs.exists(p) || !graft.operators.Dedup.hasSegDirs(fs, p))
+      Seq.empty[(Int, Long)].toDF("bucket", "n")
+    else graft.operators.Profile.histMerge(
       spark.read.parquet(sidecarPath).drop("seg"))
   }
 
@@ -668,9 +673,20 @@ object StreamingOps {
         .readFrom(r.getAs[Array[Byte]](0)))
       .reduce { (a, b) => a.mergeInPlace(b); a }
     val minCount = math.max(1L, math.ceil(phi * totalN).toLong)
-    val lbs = spark.read.parquet(s"$sidecarPath/tops")
-      .groupBy("token").agg(F.sum("n").as("lb"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a zero-token batch writes its cms row but an EMPTY tops frame —
+    // which leaves no seg= leaf at all (an empty partitioned write is
+    // a no-op), so until the first token arrives the tops dir holds
+    // only _SUCCESS and a bare read dies on schema inference. No seg
+    // leaves = no candidates, which is also the correct answer.
+    val topsHasSegs = graft.operators.Dedup.hasSegDirs(
+      new org.apache.hadoop.fs.Path(s"$sidecarPath/tops")
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$sidecarPath/tops"))
+    val lbs =
+      if (!topsHasSegs) Array.empty[(String, Long)]
+      else spark.read.parquet(s"$sidecarPath/tops")
+        .groupBy("token").agg(F.sum("n").as("lb"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
     lbs.map { case (token, lb) =>
         (token, lb, merged.estimateCount(token))
       }

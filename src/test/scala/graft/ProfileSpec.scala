@@ -306,4 +306,31 @@ class ProfileSpec extends SparkSpec {
     val segs = new java.io.File(side).list().count(_.startsWith("seg="))
     assert(segs == 1, s"full fold must leave one merged segment, found $segs")
   }
+
+  test("histStream: an all-null first batch neither kills the stream nor the read") {
+    val s = spark
+    import s.implicits._
+    // an all-null batch's shard frame is EMPTY, so its partitioned
+    // write leaves no seg= leaf — histOf must read that as an empty
+    // histogram, and the stream must keep going
+    val side = java.nio.file.Files
+      .createTempDirectory("graft_hist0").toString + "/hist"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_hist0_ck").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Option[Double])](s)
+    val q = graft.streaming.StreamingOps.histStream(
+      ms.toDF.toDF("id", "x"), "x", lo = 0.0, hi = 100.0, nBuckets = 10,
+      side, ckpt)
+    try {
+      ms.addData(Seq((1L, None), (2L, None)))
+      q.processAllAvailable()
+      assert(graft.streaming.StreamingOps.histOf(s, side).count() == 0L)
+      ms.addData(Seq((3L, Some(55.0)), (4L, Some(5.0))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = graft.streaming.StreamingOps.histOf(s, side)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((0, 1L), (5, 1L)), s"post-recovery histogram: $out")
+  }
 }

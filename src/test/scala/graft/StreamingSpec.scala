@@ -1049,6 +1049,37 @@ class StreamingSpec extends SparkSpec {
     assert(betL == 40L && betC == 1)
   }
 
+  test("streaming heavy hitters: a zero-token first batch neither kills the stream nor the read") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // batch 1 is 40 distinct singleton tokens at phi = 0.1 (bar = 4):
+    // NO token clears its own batch's bar, so tops is an empty frame
+    // whose partitioned write leaves no seg= leaf — the read must
+    // treat that as "no candidates yet", not die on schema inference
+    // (the same failure class as the gate's zero-survivor batch,
+    // ADVICE r11)
+    val side = java.nio.file.Files
+      .createTempDirectory("graft_hh0").toString + "/hh"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_hh0_ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.heavyTokensStream(
+      in.toDF().toDF("doc_id", "text"), phi = 0.1, side, ckpt)
+    try {
+      in.addData(Seq((1L, (0 until 40).map(i => s"u$i").mkString(" "))))
+      q.processAllAvailable()
+      // readable mid-stream with zero candidates
+      assert(StreamingOps.heavyTokensOf(s, side, phi = 0.1).count() == 0L)
+      in.addData(Seq((3L, "alpha " * 20)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = StreamingOps.heavyTokensOf(s, side, phi = 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.get("alpha").exists(_ == 20L),
+      s"post-recovery report wrong: $out")
+  }
+
   test("streaming incremental profile: merged sidecars equal the batch profile of all streamed rows") {
     val s = spark
     import s.implicits._
