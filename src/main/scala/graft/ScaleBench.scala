@@ -1381,6 +1381,40 @@ object ScaleBench {
             f"${rep.length}%d reported, ${rep.count(_.getInt(0) == 1)}%d certain")
         }
       }
+      // ---- streamed quantile sidecars at volume: per-batch state is
+      // ≤ nBuckets rows REGARDLESS of batch size (the cheapest sidecar
+      // here — the row pins that the per-doc cost is the scan, not the
+      // state), folds at the shared cadence, read = one tiny merge
+      if (only.forall(_.contains("s_hist_stream"))) {
+        val hiside = java.nio.file.Files
+          .createTempDirectory("histscale").toString + "/hist"
+        val hick = java.nio.file.Files
+          .createTempDirectory("histscaleck").toString
+        val hiDocs = docs.select(
+            F.col("doc_id"), F.length(F.col("text")).cast("double").as("x"))
+          .as[(Long, Double)].collect()
+        val hiChunks = hiDocs.grouped(math.max(1, hiDocs.length / 6)).toSeq
+        bench("s_hist_stream") {
+          val hin = MemoryStream[(Long, Double)]
+          val hq = graft.streaming.StreamingOps.histStream(
+            hin.toDF().toDF("doc_id", "x"), "x", lo = 0.0, hi = 2000.0,
+            nBuckets = 200, hiside, hick, compactEverySegs = 4)
+          try {
+            hiChunks.foreach { c => hin.addData(c.toSeq); hq.processAllAvailable() }
+            hiDocs.length.toLong
+          } finally hq.stop()
+        }
+        rows.get("s_hist_stream").foreach { case (sec, n) =>
+          val counts = graft.streaming.StreamingOps.histOf(spark, hiside)
+            .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+          val p50 = graft.operators.Profile.histQuantile(
+            counts, 0.5, 0.0, 2000.0, 200)
+          bytesRows("s_hist_total") = counts.map(_._2).sum
+          bytesRows("s_hist_p50_x100") = math.round(p50 * 100)
+          println(f"[scale]   hist stream: ${n / sec}%.0f docs/sec ingest; " +
+            f"${counts.length}%d live buckets, p50=$p50%.2f")
+        }
+      }
       // ---- the SELF-GROWING streaming dedup gate at volume: base
       // band index over 10% of the corpus, the remaining 90% streamed
       // in 6 micro-batches — each pays its own signature pass, a
