@@ -1473,6 +1473,19 @@ object ScaleBench {
             docs.where(F.col("doc_id") % 97 === 0).count()
           }
           bytesRows("d_takedown_removed_band_rows") = removedRows
+          // the amortization claim, measured: a takedown's cost is the
+          // survivor rewrite, not the erased-id count — a 14× bigger
+          // id batch (%7 of the remaining ids) should cost ≈ the same
+          // wall as the 1% batch above, so batching takedowns divides
+          // the per-id price by the batch size
+          var removedRows10 = 0L
+          bench("d_takedown_gate_scale_batch") {
+            removedRows10 = Dedup.minhashLayoutRemove(spark, gdir,
+              docs.where(F.col("doc_id") % 7 === 0).select("doc_id"))
+            docs.where(F.col("doc_id") % 7 === 0).count()
+          }
+          if (rows.contains("d_takedown_gate_scale_batch"))
+            bytesRows("d_takedown_batch_removed_band_rows") = removedRows10
         }
       }
     }
