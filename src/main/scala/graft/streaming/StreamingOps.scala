@@ -837,11 +837,54 @@ object StreamingOps {
       stream: DataFrame,
       evalDocs: DataFrame,
       n: Int = 13,
-      fpp: Double = 0.001): DataFrame = {
+      fpp: Double = 0.001): DataFrame =
+    decontaminationGate(stream, decontaminationFilter(evalDocs, n, fpp), n)
+
+  /** The gate's build half, exposed so the filter is derived ONCE:
+    * at scale the eval suite is millions of grams and the derivation
+    * is a full eval-corpus scan — a serve restart should load the
+    * few-MB sidecar ([[decontaminationFilterLoad]]) instead of paying
+    * it again. `n` must match the gate's at apply time (a different
+    * gram length hashes different strings and contamination leaks). */
+  def decontaminationFilter(
+      evalDocs: DataFrame, n: Int = 13, fpp: Double = 0.001)
+      : org.apache.spark.util.sketch.BloomFilter = {
     import graft.operators.Dedup
     val grams = Dedup.explodedGrams(evalDocs, n).select("g").distinct()
     val nGrams = math.max(grams.count(), 1L)
-    val bloom = grams.stat.bloomFilter("g", nGrams, fpp)
+    grams.stat.bloomFilter("g", nGrams, fpp)
+  }
+
+  /** Persist the gate filter (Spark's BloomFilter wire format) as a
+    * single sidecar file; byte-stable round trip. */
+  def decontaminationFilterSave(
+      spark: org.apache.spark.sql.SparkSession,
+      filter: org.apache.spark.util.sketch.BloomFilter,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try filter.writeTo(out) finally out.close()
+  }
+
+  def decontaminationFilterLoad(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  /** [[decontaminationGate]] against a PREBUILT (or loaded) filter —
+    * the serve face: no eval-corpus scan, just the broadcast + the
+    * stateless per-doc gram probe. */
+  def decontaminationGate(
+      stream: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive; got $n")
     val bc = stream.sparkSession.sparkContext.broadcast(bloom)
     val contaminated = F.udf { (text: String) =>
       // null text has no grams — it cannot be contaminated (the batch

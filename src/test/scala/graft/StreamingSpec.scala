@@ -255,6 +255,42 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(2L, 3L), kept.mkString(","))
   }
 
+  test("decontamination filter: build once, save, load — the loaded gate decides identically") {
+    val s = spark
+    import s.implicits._
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "a quick brown fox jumps into view"),
+      (2L, "the slow brown fox sleeps all day"),
+      (3L, "my box with five dozen assorted items"),
+      (4L, "totally unrelated text about spark engines"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val fresh = StreamingOps.decontaminationFilter(eval, n = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bloom").toString + "/decon.bloom"
+    StreamingOps.decontaminationFilterSave(s, fresh, path)
+    val loaded = StreamingOps.decontaminationFilterLoad(s, path)
+    assert(loaded == fresh, "BloomFilter round trip must be bit-stable")
+    def survivors(
+        f: org.apache.spark.util.sketch.BloomFilter): Seq[Long] =
+      StreamingOps.decontaminationGate(probe, f, n = 4)
+        .collect().map(_.getLong(0)).toSeq.sorted
+    val viaFresh = survivors(fresh)
+    assert(survivors(loaded) == viaFresh)
+    // and both equal the one-shot evalDocs signature's verdicts
+    val oneShot = StreamingOps.decontaminationGate(probe, eval, n = 4)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(viaFresh == oneShot, s"$viaFresh vs $oneShot")
+    // the planted overlaps are gone, clean + null-text docs survive
+    assert(viaFresh == Seq(2L, 4L, 5L), viaFresh.mkString(","))
+    intercept[IllegalArgumentException](
+      StreamingOps.decontaminationGate(probe, fresh, n = 0))
+  }
+
   test("psiStream: per-window drift vs static reference matches the batch monitor") {
     val s = spark
     import s.implicits._
