@@ -208,10 +208,14 @@ object Profile {
       s"histShard: bounds must be finite; got [$lo, $hi)")
     val w = (hi - lo) / nBuckets
     val x = F.col(col).cast("double")
+    // clamp in LONG space BEFORE the int cast: a value far above hi
+    // (epoch micros profiled with bounds picked in seconds) floors to
+    // billions, and an early int cast would WRAP it into bucket 0 or
+    // an arbitrary middle bucket instead of the top edge
     df.where(x.isNotNull && !F.isnan(x))
       .select(
-        F.least(F.lit(nBuckets - 1), F.greatest(F.lit(0),
-          F.floor((x - F.lit(lo)) / F.lit(w)).cast("int"))).as("bucket"))
+        F.least(F.lit((nBuckets - 1).toLong), F.greatest(F.lit(0L),
+          F.floor((x - F.lit(lo)) / F.lit(w)))).cast("int").as("bucket"))
       .groupBy("bucket")
       .agg(F.count(F.lit(1)).as("n"))
   }

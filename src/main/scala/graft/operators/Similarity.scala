@@ -470,8 +470,10 @@ object Similarity {
     * expected tie class): recall@10 at the r100 budget reads 0.30 at
     * 80k vecs and 0.40 at 320k where the fixed cut reads 0.068 and
     * 0.012 — the widening buys MORE back as tie classes grow with the
-    * corpus, and beats even the 10× blind rerank (0.34 / 0.13) at a
-    * tenth of its guaranteed candidate volume on tie-free queries.
+    * corpus. Against the 10× blind rerank (0.34 / 0.22 / 0.13 at
+    * 80k/160k/320k) it trails slightly at the smallest point and wins
+    * from 160k up, at a tenth of the blind rerank's guaranteed
+    * candidate volume on tie-free queries.
     */
   def binaryTopKTieAware(
       index: BinaryIndex, emb: DataFrame, query: Array[Double], k: Int,
@@ -584,8 +586,8 @@ object Similarity {
     * cut collapses hardest (measured, SCALE_BENCH_r12_recall*: plain
     * r100 recall@10 reads 0.068 at 80k vecs and 0.012 at 320k as the
     * per-mode tie class grows, while this face reads 0.30 / 0.40 at
-    * the SAME r100 budget — above even the 10× blind rerank's
-    * 0.34 / 0.13). Per qid the output equals the single-query face at
+    * the SAME r100 budget — just under the 10× blind rerank's 0.34 at
+    * 80k, 3× above its 0.13 at 320k). Per qid the output equals the single-query face at
     * the same (k, rerank, expandCap) — spec-pinned: the per-qid
     * frontier distance is the rerank-th (ham ASC, id ASC) element,
     * the widened cut keeps every row at/inside the frontier capped at
@@ -630,22 +632,24 @@ object Similarity {
       .localCheckpoint()
     val inFront = ham.join(F.broadcast(dmax), "qid")
       .where(F.col("ham") <= F.col("dmax"))
-    val cappedRow = inFront.groupBy("qid")
-      .agg(F.count(F.lit(1)).as("n")).where(F.col("n") > cap)
-      .agg(F.count(F.lit(1)), F.max("n")).head
-    if (cappedRow.getLong(0) > 0)
-      org.apache.logging.log4j.LogManager.getLogger("graft").warn(
-        s"binaryTopKBatchTieAware: ${cappedRow.getLong(0)} queries' " +
-          s"Hamming frontiers tie beyond expandCap=$cap (largest tie " +
-          s"class ${cappedRow.getLong(1)}) — their cut inside the tie " +
-          "is deterministic-by-id, not similarity-ranked. Raise " +
-          "expandCap toward the tie-class size, or use sq8/PQ codes: " +
-          "1-bit signs cannot rank within a mode.")
     val cand = graft.scale.Skew
       .heapTopKPerKey(inFront, "qid", "ham", "id", cap, desc = false)
       .select("qid", "id")
       .localCheckpoint()
     ham.unpersist(blocking = false)
+    // capped-tie diagnostic from the ALREADY-materialized candidate
+    // frame (≤ cap·|queries| rows) — a query whose cut filled to cap
+    // has a frontier tie reaching at least the cap; no extra pass
+    // over the N×Q frame just to decide a warning
+    val nAtCap = cand.groupBy("qid")
+      .agg(F.count(F.lit(1)).as("n")).where(F.col("n") >= cap).count()
+    if (nAtCap > 0)
+      org.apache.logging.log4j.LogManager.getLogger("graft").warn(
+        s"binaryTopKBatchTieAware: $nAtCap queries' Hamming frontiers " +
+          s"tie up to (or beyond) expandCap=$cap — their cut inside " +
+          "the tie is deterministic-by-id, not similarity-ranked. " +
+          "Raise expandCap toward the tie-class size, or use sq8/PQ " +
+          "codes: 1-bit signs cannot rank within a mode.")
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
       .join(F.broadcast(qs), "qid")

@@ -856,25 +856,38 @@ object StreamingOps {
   }
 
   /** Persist the gate filter (Spark's BloomFilter wire format) as a
-    * single sidecar file; byte-stable round trip. */
+    * single sidecar file, PREFIXED with the gram length it was built
+    * for — the documented leak hazard is an n mismatch between build
+    * and serve, so the sidecar carries n rather than trusting caller
+    * discipline; byte-stable round trip. */
   def decontaminationFilterSave(
       spark: org.apache.spark.sql.SparkSession,
       filter: org.apache.spark.util.sketch.BloomFilter,
+      n: Int,
       path: String): Unit = {
+    require(n > 0, s"n must be positive; got $n")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try filter.writeTo(out) finally out.close()
+    try { out.writeInt(n); filter.writeTo(out) } finally out.close()
   }
 
+  /** Load a [[decontaminationFilterSave]] sidecar: (filter, n). Gate
+    * with BOTH halves — `decontaminationGate(stream, f, n)` — so the
+    * serve side cannot hash a different gram length than the filter
+    * holds. */
   def decontaminationFilterLoad(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): org.apache.spark.util.sketch.BloomFilter = {
+      path: String): (org.apache.spark.util.sketch.BloomFilter, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
-    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-    finally in.close()
+    try {
+      val n = in.readInt()
+      require(n > 0,
+        s"decontaminationFilterLoad($path): corrupt sidecar (n = $n)")
+      (org.apache.spark.util.sketch.BloomFilter.readFrom(in), n)
+    } finally in.close()
   }
 
   /** [[decontaminationGate]] against a PREBUILT (or loaded) filter —

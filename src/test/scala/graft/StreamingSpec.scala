@@ -272,15 +272,17 @@ class StreamingSpec extends SparkSpec {
     val fresh = StreamingOps.decontaminationFilter(eval, n = 4)
     val path = java.nio.file.Files
       .createTempDirectory("graft_bloom").toString + "/decon.bloom"
-    StreamingOps.decontaminationFilterSave(s, fresh, path)
-    val loaded = StreamingOps.decontaminationFilterLoad(s, path)
+    StreamingOps.decontaminationFilterSave(s, fresh, n = 4, path)
+    val (loaded, loadedN) = StreamingOps.decontaminationFilterLoad(s, path)
     assert(loaded == fresh, "BloomFilter round trip must be bit-stable")
+    assert(loadedN == 4, "the sidecar must carry the gram length")
     def survivors(
         f: org.apache.spark.util.sketch.BloomFilter): Seq[Long] =
       StreamingOps.decontaminationGate(probe, f, n = 4)
         .collect().map(_.getLong(0)).toSeq.sorted
     val viaFresh = survivors(fresh)
-    assert(survivors(loaded) == viaFresh)
+    assert(StreamingOps.decontaminationGate(probe, loaded, loadedN)
+      .collect().map(_.getLong(0)).toSeq.sorted == viaFresh)
     // and both equal the one-shot evalDocs signature's verdicts
     val oneShot = StreamingOps.decontaminationGate(probe, eval, n = 4)
       .collect().map(_.getLong(0)).toSeq.sorted
