@@ -81,12 +81,65 @@ object Bench {
       s"""},"cached_mb_after":{${joined(stoFor)}}}""" + "\n"
   }
 
+  /** Number of per-query rows in a board artifact: top-level keys of
+    * its `"queries"` object (values may be numbers — Bench — or nested
+    * objects — ScaleBench; only depth-1 strings are keys). */
+  private[graft] def boardRowCount(json: String): Int = {
+    val i = json.indexOf("\"queries\":{")
+    if (i < 0) 0
+    else {
+      var j = i + "\"queries\":".length
+      var depth = 0; var count = 0; var inStr = false; var done = false
+      while (j < json.length && !done) {
+        val c = json.charAt(j)
+        if (inStr) { if (c == '"') inStr = false }
+        else c match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) done = true
+          case '"' => inStr = true; if (depth == 1) count += 1
+          case _ =>
+        }
+        j += 1
+      }
+      count
+    }
+  }
+
+  /** Lineage guard (VERDICT r12 #4): r11's 175-row committed board was
+    * silently clobbered by a 2-row A/B probe artifact written to the
+    * same filename, and everything that reads boards by name — the
+    * ref-wall stall detector, `--merge`, round-over-round comparisons
+    * — compared against garbage until a judge noticed. Refuse to
+    * overwrite an existing board with one carrying <50% of its rows.
+    * `strict` (merge CLI) throws; the in-run bench write instead lands
+    * the new artifact at `<path>.rejected` so the run's data is never
+    * lost. `SPARK_GRAFT_BOARD_FORCE=1` bypasses (deliberate resets). */
+  private[graft] def writeBoardGuarded(
+      path: String, json: String, strict: Boolean): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val forced = sys.env.get("SPARK_GRAFT_BOARD_FORCE").exists(_ == "1")
+    val oldRows =
+      if (forced || !java.nio.file.Files.exists(p)) 0
+      else try boardRowCount(java.nio.file.Files.readString(p))
+        catch { case scala.util.control.NonFatal(_) => 0 }
+    val newRows = boardRowCount(json)
+    if (oldRows > 0 && newRows * 2 < oldRows) {
+      val msg = s"refusing to overwrite board $path ($oldRows rows) with " +
+        s"an artifact carrying only $newRows rows (<50%) — write probe " +
+        s"runs to their own filename or set SPARK_GRAFT_BOARD_FORCE=1"
+      if (strict) throw new IllegalArgumentException(msg)
+      val alt = java.nio.file.Paths.get(path + ".rejected")
+      java.nio.file.Files.writeString(alt, json)
+      System.err.println(s"[bench] $msg; wrote $alt instead")
+    } else java.nio.file.Files.writeString(p, json)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length == 4 && args(0) == "--merge") {
       val merged = mergeArtifacts(
         java.nio.file.Files.readString(java.nio.file.Paths.get(args(1))),
         java.nio.file.Files.readString(java.nio.file.Paths.get(args(2))))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(args(3)), merged)
+      writeBoardGuarded(args(3), merged, strict = true)
       println(merged)
       return
     }
@@ -338,7 +391,7 @@ object Bench {
         s""""cpu_sec":${toJson(cpuSecs.toSeq)},""" +
         s""""retried":${toJson(retried.toSeq)},"ref":"$refPath",""" +
         s""""cached_mb_after":${toJson(storage.toSeq)}}""" + "\n"
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), full)
+    try writeBoardGuarded(benchOut, full, strict = false)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}") }
     val slim = results.filter { case (name, _) =>

@@ -107,7 +107,7 @@ object ScaleBench {
       val merged = mergeArtifacts(
         java.nio.file.Files.readString(java.nio.file.Paths.get(args(1))),
         java.nio.file.Files.readString(java.nio.file.Paths.get(args(2))))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(args(3)), merged)
+      Bench.writeBoardGuarded(args(3), merged, strict = true)
       println(merged)
       return
     }
@@ -1425,7 +1425,13 @@ object ScaleBench {
       // segment count land in the bytes map. The per-batch cost claim
       // (candidate mass of the batch, not corpus size) shows up as
       // sub-linear row growth across the 40×/80× doc doubling.
-      if (only.forall(_.contains("s_dedup_gate"))) {
+      // guard passes for the gate row OR its chained takedown rows
+      // (ADVICE r12: ONLY=d_takedown_gate_scale used to silently skip
+      // everything because the outer guard only knew the gate's name);
+      // the takedown rows still need the streamed layout, so the gate
+      // ingest runs UNTIMED when only the takedown rows are requested
+      if (only.forall(o => o.contains("s_dedup_gate") ||
+          o.exists(_.startsWith("d_takedown_gate_scale")))) {
         val gdir = java.nio.file.Files
           .createTempDirectory("gatescale").toString + "/index"
         val gaux = java.nio.file.Files
@@ -1439,7 +1445,7 @@ object ScaleBench {
           .select("doc_id", "text").as[(Long, String)].collect()
         val dChunks = streamDocs.grouped(
           math.max(1, streamDocs.length / 6)).toSeq
-        bench("s_dedup_gate") {
+        def runGateIngest(): Long = {
           val din = MemoryStream[(Long, String)]
           val gq = graft.streaming.StreamingOps.minhashGateStream(
             din.toDF().toDF("doc_id", "text"), gdir, gaux + "/out",
@@ -1451,6 +1457,9 @@ object ScaleBench {
             streamDocs.length.toLong
           } finally gq.stop()
         }
+        if (only.forall(_.contains("s_dedup_gate")))
+          bench("s_dedup_gate")(runGateIngest())
+        else runGateIngest()
         rows.get("s_dedup_gate").foreach { case (sec, n) =>
           val admitted = spark.read.parquet(gaux + "/out").count()
           val segs = spark.read.parquet(gdir + "/bands_appends")
@@ -1507,7 +1516,7 @@ object ScaleBench {
         s"""},"bytes":{""" +
         bytesRows.map { case (k, b) => s""""$k":$b""" }.mkString(",") +
         "}}\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    Bench.writeBoardGuarded(out, json, strict = false)
     println(json)
     spark.stop()
   }

@@ -625,18 +625,23 @@ object Similarity {
         hammingCol(F.col("bits"), F.col("qbits")).as("ham"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-qid frontier distance: max ham inside the would-be rerank
-    // cut (heap over rerank rows/qid, then one tiny agg)
-    val dmax = graft.scale.Skew
-      .heapTopKPerKey(ham, "qid", "ham", "id", rerank, desc = false)
-      .groupBy("qid").agg(F.max("ham").as("dmax"))
-      .localCheckpoint()
-    val inFront = ham.join(F.broadcast(dmax), "qid")
-      .where(F.col("ham") <= F.col("dmax"))
-    val cand = graft.scale.Skew
-      .heapTopKPerKey(inFront, "qid", "ham", "id", cap, desc = false)
-      .select("qid", "id")
-      .localCheckpoint()
-    ham.unpersist(blocking = false)
+    // cut (heap over rerank rows/qid, then one tiny agg). The N×Q ham
+    // cache — the largest frame in the face — is released in a
+    // finally: a throw mid-probe must not leak MEMORY_AND_DISK blocks
+    // for the rest of the session
+    val cand =
+      try {
+        val dmax = graft.scale.Skew
+          .heapTopKPerKey(ham, "qid", "ham", "id", rerank, desc = false)
+          .groupBy("qid").agg(F.max("ham").as("dmax"))
+          .localCheckpoint()
+        val inFront = ham.join(F.broadcast(dmax), "qid")
+          .where(F.col("ham") <= F.col("dmax"))
+        graft.scale.Skew
+          .heapTopKPerKey(inFront, "qid", "ham", "id", cap, desc = false)
+          .select("qid", "id")
+          .localCheckpoint()
+      } finally ham.unpersist(blocking = false)
     // capped-tie diagnostic from the ALREADY-materialized candidate
     // frame (≤ cap·|queries| rows) — a query whose cut filled to cap
     // has a frontier tie reaching at least the cap; no extra pass

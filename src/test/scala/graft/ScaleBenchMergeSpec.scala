@@ -119,4 +119,44 @@ class ScaleBenchMergeSpec extends AnyFunSuite {
       Bench.mergeArtifacts(a, benchArtifact(
         Seq(("q1_agg", 0.2)), Seq(("q1_agg", 0.3)), sf = "sf0.01")))
   }
+
+  test("board lineage guard: a small artifact cannot clobber a big board") {
+    // row counting sees through both formats (flat Bench numbers and
+    // nested ScaleBench objects), counting only depth-1 keys
+    val bigBench = benchArtifact(
+      (1 to 10).map(i => (s"q$i", 1.0)), (1 to 10).map(i => (s"q$i", 1.0)))
+    assert(Bench.boardRowCount(bigBench) == 10)
+    val scaleArt = artifact(
+      Seq(("g_ppr", 1.0, 5L), ("g_kcore", 2.0, 6L)),
+      Seq(("g_ppr", 1.0)), Seq(("g_kcore_rounds", 3L)))
+    assert(Bench.boardRowCount(scaleArt) == 2)
+    assert(Bench.boardRowCount("""{"metric":"total"}""") == 0)
+
+    val dir = java.nio.file.Files.createTempDirectory("boardguard")
+    val board = dir.resolve("board.json")
+    val probe = benchArtifact(Seq(("q1", 9.9)), Seq(("q1", 1.0)))
+
+    // fresh path: anything writes
+    Bench.writeBoardGuarded(board.toString, probe, strict = true)
+    assert(java.nio.file.Files.readString(board) == probe)
+
+    // big board in place: a 1-row probe is refused — strict throws...
+    java.nio.file.Files.writeString(board, bigBench)
+    val e = intercept[IllegalArgumentException](
+      Bench.writeBoardGuarded(board.toString, probe, strict = true))
+    assert(e.getMessage.contains("10 rows"), e.getMessage)
+    assert(java.nio.file.Files.readString(board) == bigBench)
+
+    // ...non-strict redirects to .rejected, keeping the run's data
+    Bench.writeBoardGuarded(board.toString, probe, strict = false)
+    assert(java.nio.file.Files.readString(board) == bigBench)
+    assert(java.nio.file.Files.readString(
+      dir.resolve("board.json.rejected")) == probe)
+
+    // >=50% of the rows is a legitimate refresh and overwrites
+    val refresh = benchArtifact(
+      (1 to 5).map(i => (s"q$i", 2.0)), (1 to 5).map(i => (s"q$i", 1.0)))
+    Bench.writeBoardGuarded(board.toString, refresh, strict = true)
+    assert(java.nio.file.Files.readString(board) == refresh)
+  }
 }
