@@ -188,7 +188,10 @@ object SparkEntry {
     "s_profile_compact", "s_heavy_compact", "v_binary_tieaware",
     "v_opq_moments_topk", "v_hard_negatives_suggest",
     "s_gate_compact_stream", "v_ivf_rebuild", "v_binary_tieaware_batch",
-    "s_hist_stream", "p_psi_hist", "v_ivf_binary_tieaware")
+    "s_hist_stream", "p_psi_hist", "v_ivf_binary_tieaware",
+    // r13 additions: codec-layout takedown faces
+    "v_takedown_sq8", "v_takedown_binary", "v_takedown_pq",
+    "v_takedown_opq")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1941,6 +1944,72 @@ object SparkEntry {
       outDf
     }),
 
+    // codec-layout takedowns (VERDICT r12 #2): each family's persisted
+    // layout (codes Parquet + quantizer sidecar) gets codesLayoutRemove
+    // of every %5==0 id, then a reload and a DEGENERATE-point search
+    // (rerank covers the corpus ⇒ the exact rerank IS the answer), so
+    // the oracle is brute-force cosine over the surviving embeddings —
+    // a removed id still in the codes would surface, a dropped
+    // survivor would be missing, and the reload proves the swap left a
+    // loadable layout. The quantizer sidecars stay frozen (documented
+    // contract), which the degenerate point makes irrelevant to the
+    // ranking.
+    "v_takedown_sq8" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vtake_sq8").toString
+      Similarity.sq8Save(Similarity.sq8Encode(e, persist = false), dir)
+      Similarity.codesLayoutRemove(
+        s, dir, e.where(F.col("id") % 5 === 0).select("id"))
+      val qv = e.where(F.col("id") === 1)
+        .select("vec").head.getSeq[Double](0).toArray
+      Similarity.sq8TopK(Similarity.sq8Load(s, dir), e, qv,
+        k = 1000000, rerank = 1000000)
+    }),
+
+    "v_takedown_binary" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vtake_bin").toString
+      Similarity.binarySave(Similarity.binaryEncode(e, persist = false), dir)
+      Similarity.codesLayoutRemove(
+        s, dir, e.where(F.col("id") % 5 === 0).select("id"))
+      val qv = e.where(F.col("id") === 1)
+        .select("vec").head.getSeq[Double](0).toArray
+      Similarity.binaryTopK(Similarity.binaryLoad(s, dir), e, qv,
+        k = 1000000, rerank = 1000000)
+    }),
+
+    "v_takedown_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vtake_pq").toString
+      val built = Similarity.pqBuild(e, m = 4, ksub = 8, iters = 10)
+      Similarity.pqSave(built, dir)
+      Similarity.pqRelease(built)
+      Similarity.codesLayoutRemove(
+        s, dir, e.where(F.col("id") % 5 === 0).select("id"))
+      val qv = e.where(F.col("id") === 1)
+        .select("vec").head.getSeq[Double](0).toArray
+      Similarity.pqTopK(Similarity.pqLoad(s, dir), e, qv,
+        k = 1000000, rerank = 1000000)
+    }),
+
+    "v_takedown_opq" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vtake_opq").toString
+      val built = Similarity.opqBuild(e, m = 4, ksub = 8, iters = 10)
+      Similarity.opqSave(built, dir)
+      Similarity.opqRelease(built)
+      Similarity.codesLayoutRemove(
+        s, dir, e.where(F.col("id") % 5 === 0).select("id"))
+      val qv = e.where(F.col("id") === 1)
+        .select("vec").head.getSeq[Double](0).toArray
+      Similarity.opqTopK(Similarity.opqLoad(s, dir), e, qv,
+        k = 1000000, rerank = 1000000)
+    }),
+
     // streaming incremental profiling as a REAL stream (VERDICT r11
     // #4): two MemoryStream micro-batches through profileStream's
     // per-batch sketch sidecars, then profileOf merges them — the law
@@ -3028,7 +3097,26 @@ object SparkEntry {
         |ORDER BY qid, score DESC, id ASC""".stripMargin
       .replace(" AS (", " AS MATERIALIZED ("))
 
+  // shared by the four codec takedown rows (and the same contract as
+  // v_takedown_ivf's inline copy): at the degenerate point every
+  // family's post-takedown answer is the exact cosine order over the
+  // surviving (%5 <> 0) vectors
+  private lazy val takedownSurvivorsSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 1)
+      |SELECT e.vec_id AS id,
+      |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+      |FROM e, q
+      |WHERE e.vec_id % 5 <> 0
+      |ORDER BY score DESC, id ASC""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "v_takedown_sq8" -> takedownSurvivorsSql,
+    "v_takedown_binary" -> takedownSurvivorsSql,
+    "v_takedown_pq" -> takedownSurvivorsSql,
+    "v_takedown_opq" -> takedownSurvivorsSql,
+
     "v_pca_summary" -> pcaOracleSql(3, 60),
 
     "q1_pricing_summary" ->

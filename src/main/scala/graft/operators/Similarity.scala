@@ -3382,6 +3382,65 @@ object Similarity {
     } finally key.unpersist(blocking = false)
   }
 
+  /** Remove vectors from a persisted CODEC layout in place — the
+    * takedown face for [[sq8Save]] / [[binarySave]] / [[pqSave]] /
+    * [[opqSave]], which all persist the same `codes/` Parquet (id +
+    * packed codes) beside their JSON quantizer sidecars; one face
+    * covers the whole family (VERDICT r12 #2 — GDPR erasure used to
+    * cover only the minhash gate and IVF lists, leaving erased ids
+    * retrievable through any persisted codec sidecar). Same protocol
+    * as [[ivfLayoutRemove]]: anti-join on `id`, staged rewrite into a
+    * `codes_remove_tmp` sibling, marker + two-rename swap (a marker
+    * left behind means a crashed swap — the pre-swap codes survive
+    * under `codes_remove_old`), refuse-to-empty guard. The quantizer
+    * sidecar (stats/books/rotation) is deliberately untouched — it
+    * was FIT on data that may include the removed rows, the same
+    * frozen-quantizer contract as streamed IVF appends; re-fit with a
+    * cold rebuild when enough mass leaves. Codes are derived data:
+    * erasing the SOURCE row (documents/embeddings tables) is the
+    * caller's job — this face guarantees the id can no longer be
+    * RETURNED by any search over the layout. Offline maintenance (run
+    * with serving stopped), like the IVF sibling. Returns the number
+    * of code rows removed.
+    */
+  def codesLayoutRemove(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src),
+      s"codesLayoutRemove($path): no codes/ there — not a saved codec " +
+        "layout (sq8Save/binarySave/pqSave/opqSave write codes/)")
+    val key = ids.select(F.col("id").cast("long").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    key.count()
+    try {
+      val before = spark.read.parquet(src.toString)
+      val removed = before.join(key, Seq("id"), "left_semi").count()
+      if (removed == 0L) return 0L // nothing to erase — skip the rewrite
+      val kept = before.join(key, Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nKept = kept.count()
+      require(nKept > 0L,
+        s"codesLayoutRemove($path): removal would empty the index — " +
+          "delete the layout instead of removing every vector")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_remove_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      kept.write.mode("overwrite").parquet(tmp.toString)
+      kept.unpersist(blocking = false)
+      val marker = new org.apache.hadoop.fs.Path(s"$path/codes_swap_marker")
+      fs.create(marker, true).close()
+      val old = new org.apache.hadoop.fs.Path(s"$path/codes_remove_old")
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.rename(src, old)
+      fs.rename(tmp, src)
+      fs.delete(old, true)
+      fs.delete(marker, false)
+      removed
+    } finally key.unpersist(blocking = false)
+  }
+
   /** REQUANTIZE a saved layout in place — the rebuild operator behind
     * the drift monitor (VERDICT r10 #2): the frozen-quantizer append
     * contract says "enough drift ⇒ rebuild", and this is the rebuild.

@@ -1687,4 +1687,68 @@ class SimilaritySpec extends SparkSpec {
       // via assertion only on emptiness (agreement is not a failure)
     } finally Similarity.ivfRelease(tl)
   }
+
+  test("codesLayoutRemove: erases across every codec family's saved layout; guards hold") {
+    val s = spark
+    import s.implicits._
+    val small = emb.where(F.col("id") < 40)
+
+    // every family persists the same codes/ shape; exercise all four
+    val dirs = Seq(
+      ("sq8", { (p: String) =>
+        Similarity.sq8Save(Similarity.sq8Encode(small, persist = false), p) }),
+      ("binary", { (p: String) =>
+        Similarity.binarySave(
+          Similarity.binaryEncode(small, persist = false), p) }),
+      ("pq", { (p: String) =>
+        val b = Similarity.pqBuild(small, m = 4, ksub = 8, iters = 5)
+        Similarity.pqSave(b, p); Similarity.pqRelease(b) }),
+      ("opq", { (p: String) =>
+        val b = Similarity.opqBuild(small, m = 4, ksub = 8, iters = 5)
+        Similarity.opqSave(b, p); Similarity.opqRelease(b) })
+    ).map { case (fam, save) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_codes_rm_$fam").toString
+      save(dir)
+      (fam, dir)
+    }
+
+    for ((fam, dir) <- dirs) {
+      val n = Similarity.codesLayoutRemove(s, dir, Seq(3L, 7L).toDF("id"))
+      assert(n == 2L, s"$fam: expected 2 rows removed, got $n")
+      val ids = s.read.parquet(s"$dir/codes")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(ids.size == 38 && !ids.contains(3L) && !ids.contains(7L), fam)
+      // swap artifacts cleaned up, quantizer sidecar still in place
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      for (leftover <- Seq("codes_remove_tmp", "codes_remove_old",
+          "codes_swap_marker"))
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$leftover")),
+          s"$fam: $leftover survived the swap")
+      // removing ids not present is a no-op that skips the rewrite
+      assert(Similarity.codesLayoutRemove(
+        s, dir, Seq(9999L).toDF("id")) == 0L, fam)
+      // refuse-to-empty: erasing every remaining id must throw
+      val e = intercept[IllegalArgumentException](
+        Similarity.codesLayoutRemove(s, dir, (0L until 40L).toDF("id")))
+      assert(e.getMessage.contains("empty the index"), fam)
+    }
+
+    // post-takedown search never returns a removed id, and a reload
+    // still works (sq8 as the representative family)
+    val (_, sq8Dir) = dirs.head
+    val post = Similarity.sq8Load(s, sq8Dir)
+    val q = small.where(F.col("id") === 3)
+      .select("vec").head.getSeq[Double](0).toArray
+    val got = Similarity.sq8TopK(post, small, q, k = 10, rerank = 38)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && !got.contains(3L) && !got.contains(7L))
+    // a non-layout path fails loudly
+    val bad = intercept[IllegalArgumentException](
+      Similarity.codesLayoutRemove(
+        s, java.nio.file.Files.createTempDirectory("graft_notalayout")
+          .toString, Seq(1L).toDF("id")))
+    assert(bad.getMessage.contains("codes/"))
+  }
 }
