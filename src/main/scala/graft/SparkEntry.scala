@@ -189,9 +189,9 @@ object SparkEntry {
     "v_opq_moments_topk", "v_hard_negatives_suggest",
     "s_gate_compact_stream", "v_ivf_rebuild", "v_binary_tieaware_batch",
     "s_hist_stream", "p_psi_hist", "v_ivf_binary_tieaware",
-    // r13 additions: codec-layout takedown faces
+    // r13 additions: codec-layout takedown faces + the semantic gate
     "v_takedown_sq8", "v_takedown_binary", "v_takedown_pq",
-    "v_takedown_opq")
+    "v_takedown_opq", "s_embed_gate_stream")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1787,6 +1787,77 @@ object SparkEntry {
         .localCheckpoint()
     }),
 
+    // streaming SEMANTIC dedup gate (VERDICT r12 #3) at its exact
+    // degenerate point: base = decade anchors under a ONE-list IVF
+    // (probing = full state scan; within-batch blocking = all pairs),
+    // so every admit/reject is plain cosine logic a NOT-EXISTS chain
+    // replays. Duplicates are PLANTED by id arithmetic with
+    // power-of-two scales (bit-identical feed values in both engines):
+    // batch-1 rows dup their base anchor (reject vs state), pairs of
+    // batch-1 rows share an out-of-corpus donor direction (the
+    // smaller id wins within batch, the larger loses), and batch-2
+    // rows dup ADMITTED batch-1 directions (reject vs appended state).
+    // Output: every admitted id with its round-4 cosine to a fixed
+    // reference vector — membership AND payload pinned.
+    "s_embed_gate_stream" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_segate_idx").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_segate_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_segate_ckpt").toString
+      val built = Similarity.ivfBuild(
+        e.where(F.col("id") % 10 === 0), nLists = 1)
+      Similarity.ivfSave(built, dir)
+      Similarity.ivfRelease(built)
+      // donor(name, off): keyed so the join matches feed row `id` to
+      // donor row `id + off` (anchor = id-1, batch-1 donor = id+3,
+      // within-batch twin's donor = id-37, batch-2 donor = id+2)
+      def donor(name: String, off: Int) = e.select(
+        (F.col("id") - off).as(s"did_$name"), F.col("vec").as(s"dv_$name"))
+      def sc(c: org.apache.spark.sql.Column, k: Double) =
+        F.transform(c, x => x * k)
+      val dd = F.expr("id div 10")
+      val feed = e.where(F.col("id") % 10 >= 1 && F.col("id") % 10 <= 3)
+        .withColumn("b", F.col("id") % 10)
+        .join(donor("a", -1), F.col("id") === F.col("did_a"), "left")
+        .join(donor("w", 3), F.col("id") === F.col("did_w"), "left")
+        .join(donor("l", -37), F.col("id") === F.col("did_l"), "left")
+        .join(donor("x", 2), F.col("id") === F.col("did_x"), "left")
+        .withColumn("fv",
+          F.when(F.col("b") === 1 && dd % 4 === 1 &&
+              F.col("dv_a").isNotNull, sc(F.col("dv_a"), 2.0))
+            .when(F.col("b") === 1 && dd % 8 === 3 &&
+              F.col("dv_w").isNotNull, sc(F.col("dv_w"), 2.0))
+            .when(F.col("b") === 1 && dd % 8 === 7 &&
+              F.col("dv_l").isNotNull, sc(F.col("dv_l"), 4.0))
+            .when(F.col("b") === 2 && dd % 8 === 3 &&
+              F.col("dv_x").isNotNull, sc(F.col("dv_x"), 8.0))
+            .otherwise(F.col("vec")))
+        .select(F.col("id"), F.col("fv"), F.col("b"))
+      val batches = (1 to 3).map(k =>
+        feed.where(F.col("b") === k).select("id", "fv")
+          .as[(Long, Array[Double])].collect().sortBy(_._1))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Double])](s)
+      val q = graft.streaming.StreamingOps.embedGateStream(
+        ms.toDF.toDF("id", "vec"), dir, out, ckpt,
+        cosineThreshold = 0.95, nprobe = 1)
+      try batches.foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val qv = e.where(F.col("id") === 4)
+        .select("vec").head.getSeq[Double](0).toArray
+      s.read.parquet(out)
+        .select(F.col("id"),
+          F.round(graft.functions.VectorFunctions.cosine(
+            F.col("vec"), F.typedLit(qv)), 4).as("score"))
+        .orderBy("id")
+        .localCheckpoint()
+    }),
+
     // the gate with its appends COMPACTION live (VERDICT r12
     // continuation): four micro-batches at compactEverySegs = 2 (the
     // in-stream fold fires twice) plus an explicit full fold between
@@ -3112,6 +3183,62 @@ object SparkEntry {
       |ORDER BY score DESC, id ASC""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the semantic gate at its one-list degenerate point is pure
+    // cosine logic: per batch, a row loses to a SMALLER-id batch row
+    // at round-4 cosine >= 0.95, survivors reject against the state
+    // so far (base anchors + previously admitted FEED vectors), and
+    // the admitted rows join the state. The feed transforms replay
+    // bit-identically (power-of-two scales).
+    "s_embed_gate_stream" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |feed AS (SELECT s.id, s.id % 10 AS b,
+        |  CASE
+        |    WHEN s.id % 10 = 1 AND (s.id // 10) % 4 = 1
+        |      AND d1.v IS NOT NULL THEN list_transform(d1.v, x -> x * 2.0)
+        |    WHEN s.id % 10 = 1 AND (s.id // 10) % 8 = 3
+        |      AND d2.v IS NOT NULL THEN list_transform(d2.v, x -> x * 2.0)
+        |    WHEN s.id % 10 = 1 AND (s.id // 10) % 8 = 7
+        |      AND d3.v IS NOT NULL THEN list_transform(d3.v, x -> x * 4.0)
+        |    WHEN s.id % 10 = 2 AND (s.id // 10) % 8 = 3
+        |      AND d4.v IS NOT NULL THEN list_transform(d4.v, x -> x * 8.0)
+        |    ELSE s.v END AS fv
+        |  FROM e s
+        |  LEFT JOIN e d1 ON d1.id = s.id - 1
+        |  LEFT JOIN e d2 ON d2.id = s.id + 3
+        |  LEFT JOIN e d3 ON d3.id = s.id - 37
+        |  LEFT JOIN e d4 ON d4.id = s.id + 2
+        |  WHERE s.id % 10 BETWEEN 1 AND 3),
+        |st0 AS (SELECT id, v AS fv FROM e WHERE id % 10 = 0),
+        |b1 AS (SELECT id, fv FROM feed WHERE b = 1),
+        |b1w AS (SELECT x.id, x.fv FROM b1 x WHERE NOT EXISTS (
+        |  SELECT 1 FROM b1 y WHERE y.id < x.id
+        |    AND round(list_cosine_similarity(x.fv, y.fv), 4) >= 0.95)),
+        |b1a AS (SELECT x.id, x.fv FROM b1w x WHERE NOT EXISTS (
+        |  SELECT 1 FROM st0 t
+        |    WHERE round(list_cosine_similarity(x.fv, t.fv), 4) >= 0.95)),
+        |st1 AS (SELECT * FROM st0 UNION ALL SELECT * FROM b1a),
+        |b2 AS (SELECT id, fv FROM feed WHERE b = 2),
+        |b2w AS (SELECT x.id, x.fv FROM b2 x WHERE NOT EXISTS (
+        |  SELECT 1 FROM b2 y WHERE y.id < x.id
+        |    AND round(list_cosine_similarity(x.fv, y.fv), 4) >= 0.95)),
+        |b2a AS (SELECT x.id, x.fv FROM b2w x WHERE NOT EXISTS (
+        |  SELECT 1 FROM st1 t
+        |    WHERE round(list_cosine_similarity(x.fv, t.fv), 4) >= 0.95)),
+        |st2 AS (SELECT * FROM st1 UNION ALL SELECT * FROM b2a),
+        |b3 AS (SELECT id, fv FROM feed WHERE b = 3),
+        |b3w AS (SELECT x.id, x.fv FROM b3 x WHERE NOT EXISTS (
+        |  SELECT 1 FROM b3 y WHERE y.id < x.id
+        |    AND round(list_cosine_similarity(x.fv, y.fv), 4) >= 0.95)),
+        |b3a AS (SELECT x.id, x.fv FROM b3w x WHERE NOT EXISTS (
+        |  SELECT 1 FROM st2 t
+        |    WHERE round(list_cosine_similarity(x.fv, t.fv), 4) >= 0.95)),
+        |q AS (SELECT v AS qv FROM e WHERE id = 4)
+        |SELECT a.id, round(list_cosine_similarity(a.fv, q.qv), 4) AS score
+        |FROM (SELECT * FROM b1a UNION ALL SELECT * FROM b2a
+        |      UNION ALL SELECT * FROM b3a) a, q
+        |ORDER BY id""".stripMargin,
+
     "v_takedown_sq8" -> takedownSurvivorsSql,
     "v_takedown_binary" -> takedownSurvivorsSql,
     "v_takedown_pq" -> takedownSurvivorsSql,

@@ -3185,12 +3185,18 @@ object Similarity {
     // marker that never clears means a compaction crashed mid-swap —
     // fail actionably (the pre-swap segments survive under
     // applists_compact_old) rather than serve a silently smaller index.
-    var hasAppends = fs.exists(ap)
+    // seg=-leaf check, not bare existence (the zero-row batch class,
+    // ADVICE r11 generalized): a zero-ADMIT gate batch commits an
+    // applists dir holding only _SUCCESS — an empty partitioned write
+    // is a no-op — and schema inference over zero files kills the read
+    def liveAppends(): Boolean =
+      fs.exists(ap) && graft.operators.Dedup.hasSegDirs(fs, ap)
+    var hasAppends = liveAppends()
     if (!hasAppends && fs.exists(swapMarkerPath(path))) {
       var waited = 0
       while (!hasAppends && fs.exists(swapMarkerPath(path)) && waited < 10000) {
         Thread.sleep(200); waited += 200
-        hasAppends = fs.exists(ap)
+        hasAppends = liveAppends()
       }
       if (!hasAppends && fs.exists(swapMarkerPath(path)))
         throw new IllegalStateException(

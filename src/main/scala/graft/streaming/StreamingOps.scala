@@ -430,6 +430,175 @@ object StreamingOps {
     survivors.unpersist(blocking = false)
   }
 
+  /** Streaming SEMANTIC dedup gate — the embedding sibling of
+    * [[minhashGateStream]] (VERDICT r12 #3: SemDeDup existed only as
+    * the batch [[graft.operators.Dedup.semanticNearDupPairs]], so a
+    * continuously-ingesting pipeline could not semantically dedup at
+    * admission). State is a persisted IVF layout
+    * ([[graft.operators.Similarity.ivfSave]] over the base corpus):
+    * the quantizer stays FROZEN (the streamed-append contract) while
+    * admitted vectors land as idempotent `seg=batchId` list segments,
+    * so a semantic duplicate arriving days after its original is
+    * still caught, across restarts, because the state is the layout.
+    *
+    * Per micro-batch, three stages (each deterministic, so a replayed
+    * batch reproduces its decisions byte-for-byte):
+    *
+    *  1. assign the batch against the frozen centroids (the same
+    *     recurrence as every append path);
+    *  2. WITHIN-batch: a row loses iff a SMALLER-id batch row in the
+    *     same assigned cell has round-4 cosine ≥ threshold — SemDeDup
+    *     cell blocking (equi-join on the cell, never all-pairs;
+    *     same-cell-only recall is the documented SemDeDup contract)
+    *     with [[graft.operators.Dedup.dedupCorpus]]'s smaller-id-wins
+    *     rule, so the verdict is replayable SQL, not a greedy scan;
+    *  3. AGAINST state: each survivor probes its `nprobe` nearest
+    *     lists over base + committed segments (`seg < batchId` — a
+    *     replayed batch never sees its own partial first attempt) and
+    *     is rejected iff any stored vector there reaches the
+    *     threshold. The bounded batch probe rows broadcast against
+    *     the stored lists ([[minhashGateBatch]]'s shape — the state
+    *     is never shuffled per batch); batches whose probe fan-out
+    *     exceeds the broadcast budget fall back to the shuffling
+    *     join.
+    *
+    * `nprobe` ≤ 0 routes to [[graft.operators.Similarity
+    * .suggestNprobe]] (sizing-matched — the r12 default contract).
+    * Admitted rows append to the layout and to `outPath` as
+    * `seg=batchId` (both dynamic-partition overwrites). Compaction
+    * every `compactEverySegs` segments via [[graft.operators
+    * .Similarity.ivfCompactAppends]], folding only committed
+    * segments. 100 TB shape: per batch the gate pays one assignment
+    * pass over its own rows plus a probe-pruned scan of nprobe/k of
+    * the stored lists — cost scales with the batch and the probed
+    * fraction, never the whole corpus; state grows with ADMITTED
+    * vectors only.
+    *
+    * Returns the started query; callers own its lifecycle.
+    */
+  def embedGateStream(
+      vectors: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpoint: String,
+      cosineThreshold: Double = 0.9,
+      nprobe: Int = 0,
+      compactEverySegs: Int = defaultCompactEverySegs)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cosineThreshold > 0.0 && cosineThreshold <= 1.0,
+      s"cosineThreshold must be in (0, 1]; got $cosineThreshold")
+    val spark = vectors.sparkSession
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embedGateBatch(batch, batchId, indexPath, outPath,
+          cosineThreshold, nprobe)
+        if (compactEverySegs > 0) {
+          val ap = new org.apache.hadoop.fs.Path(s"$indexPath/applists")
+          val fs = ap.getFileSystem(spark.sessionState.newHadoopConf())
+          val segs =
+            if (fs.exists(ap))
+              fs.listStatus(ap).count(_.getPath.getName.startsWith("seg="))
+            else 0
+          if (segs >= compactEverySegs) {
+            graft.operators.Similarity.ivfCompactAppends(
+              spark, indexPath, maxSegExclusive = batchId)
+            ()
+          }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  /** One semantic-gate micro-batch, factored out so the replay law is
+    * testable directly: same `batchId` twice ⇒ byte-identical state
+    * and output. */
+  private[graft] def embedGateBatch(
+      batch: DataFrame, batchId: Long, indexPath: String,
+      outPath: String, cosineThreshold: Double, nprobe: Int): Unit = {
+    import graft.operators.Similarity
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val idx = Similarity.ivfLoad(spark, indexPath)
+    val np =
+      if (nprobe > 0) math.min(nprobe, idx.k)
+      else Similarity.suggestNprobe(idx.k)
+    val model = graft.scale.DeterministicKMeans.Model(
+      idx.centroids.sortBy(_._1).map(_._2))
+    val assigned = graft.scale.DeterministicKMeans.assign(
+        batch.select(F.col("id").cast("long").as("id"),
+          F.col("vec").cast("array<double>").as("vec")),
+        model, idCol = "id", vecCol = "vec")
+      .select("id", "vec", "cluster")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBatch = assigned.count()
+    try {
+      val cos = (a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =>
+        F.round(graft.functions.VectorFunctions.cosine(a, b), 4)
+      // stage 2: within-batch losers (smaller-id same-cell near-dup)
+      val losers = assigned
+        .select(F.col("cluster"),
+          F.col("id").as("id_a"), F.col("vec").as("vec_a"))
+        .join(assigned.select(F.col("cluster"),
+          F.col("id").as("id_b"), F.col("vec").as("vec_b")), "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos(F.col("vec_a"), F.col("vec_b")) >= cosineThreshold)
+        .select(F.col("id_b").as("id")).distinct()
+      val within = assigned.join(losers, Seq("id"), "left_anti")
+      // stage 3: probe the stored lists (base + seg < batchId)
+      val baseLists = spark.read.parquet(s"$indexPath/lists")
+        .select("id", "vec", "cluster")
+      val ap = new org.apache.hadoop.fs.Path(s"$indexPath/applists")
+      val fs = ap.getFileSystem(spark.sessionState.newHadoopConf())
+      val state =
+        if (fs.exists(ap) && graft.operators.Dedup.hasSegDirs(fs, ap))
+          baseLists.unionByName(
+            spark.read.parquet(s"$indexPath/applists")
+              .where(F.col("seg").cast("long") < batchId)
+              .select("id", "vec", "cluster"))
+        else baseLists
+      val bcCent = spark.sparkContext.broadcast(idx.centroids)
+      val probeRows = within.select("id", "vec")
+        .as[(Long, Array[Double])]
+        .flatMap { case (i, v) =>
+          val probes = bcCent.value
+            .map { case (c, cv) =>
+              (c, 1.0 - graft.functions.VectorKernels.cosine(v, cv))
+            }
+            .sortBy { case (c, d) => (d, c) }
+            .take(np).map(_._1)
+          probes.map(c => (i, v, c))
+        }
+        .toDF("bid", "bvec", "cluster")
+      // broadcast budget in BYTES, not rows: each probe row carries
+      // the full vector (8·dims B), unlike the minhash gate's ~100 B
+      // band keys — ~200 MB of HashedRelation stays inside default
+      // driver headroom
+      val dims = idx.centroids.headOption.map(_._2.length).getOrElse(0)
+      val budgetRows = 200000000L / math.max(1, 8 * dims + 48)
+      val probeSide =
+        if (nBatch * np <= budgetRows) F.broadcast(probeRows) else probeRows
+      val rejected = state.join(probeSide, "cluster")
+        .where(cos(F.col("vec"), F.col("bvec")) >= cosineThreshold)
+        .select(F.col("bid").as("id")).distinct()
+      val admitted = within.join(rejected, Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      admitted.count()
+      ivfAppendSegment(
+        admitted.select("id", "vec", "cluster"), indexPath, batchId)
+      admitted.select("id", "vec")
+        .withColumn("seg", F.lit(batchId))
+        .coalesce(8)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg")
+        .parquet(outPath)
+      admitted.unpersist(blocking = false)
+    } finally assigned.unpersist(blocking = false)
+  }
+
   /** Streaming incremental profiling: each micro-batch lands its
     * [[graft.operators.Profile.sketchShard]] sidecar (counts, moment
     * sums, min/max, HLL binaries — a few KB per batch) as an

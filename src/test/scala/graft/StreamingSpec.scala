@@ -939,6 +939,145 @@ class StreamingSpec extends SparkSpec {
     assert(nRemoved > 0L)
   }
 
+  /** Near-orthogonal unit-ish directions with a deterministic
+    * perturbation (unambiguous centroids); semantic duplicates are
+    * SCALED copies — cosine is scale-invariant, so a planted dup sits
+    * at exactly 1.0 while distinct directions stay ≤ ~0.76. */
+  private def embedGateFixture = {
+    def dir(m: Int): Array[Double] = Array.tabulate(8)(f =>
+      (if (f == m % 8) 1.0 else 0.0) + 0.01 * ((m * 7 + f) % 5))
+    def mix(a: Int, b: Int): Array[Double] =
+      dir(a).zip(dir(b)).map { case (x, y) => x + y }
+    def scaled(v: Array[Double], s: Double): Array[Double] = v.map(_ * s)
+    val base = (0L until 8L).map(i => (i, dir(i.toInt)))
+    val b1 = Seq(
+      (100L, scaled(dir(2), 3.0)), // dup of base 2 → reject vs state
+      (101L, mix(0, 1)),           // new direction → admit
+      (102L, scaled(mix(0, 1), 2.0)), // within-batch dup of 101 → lose
+      (103L, mix(2, 3)))           // new direction → admit
+    val b2 = Seq(
+      (200L, scaled(mix(0, 1), 5.0)), // dup of ADMITTED 101 → reject
+      (201L, scaled(dir(5), 2.0)),    // dup of base 5 → reject
+      (202L, mix(4, 5)),              // new → admit
+      (203L, scaled(mix(2, 3), 1.5))) // dup of ADMITTED 103 → reject
+    (base, b1, b2)
+  }
+
+  test("semantic dedup gate: streamed admits equal the sequential brute-force fold") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx = s.sqlContext
+    val (base, b1, b2) = embedGateFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_egate_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_egate_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_egate_ck").toString
+    val built = Similarity.ivfBuild(base.toDF("id", "vec"), nLists = 2)
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = StreamingOps.embedGateStream(
+      in.toDF().toDF("id", "vec"), dir, out, ckpt,
+      cosineThreshold = 0.95, nprobe = 2)
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.read.parquet(out)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+    // the planted structure resolved as designed
+    assert(streamed == Set(101L, 103L, 202L), s"admitted: $streamed")
+
+    // PARITY LAW: the stream equals an INDEPENDENT sequential fold
+    // (driver-side brute force — full probes at nLists=2 make the
+    // gate exact, and every planted dup shares its original's cell)
+    def cos(a: Array[Double], b: Array[Double]) =
+      graft.functions.VectorKernels.cosine(a, b)
+    var state = base.map(_._2).toVector
+    val folded = scala.collection.mutable.Set.empty[Long]
+    for (batch <- Seq(b1, b2)) {
+      val losers = batch.filter { case (i, v) =>
+        batch.exists { case (j, w) => j < i && cos(v, w) >= 0.95 } }
+        .map(_._1).toSet
+      val adm = batch
+        .filterNot { case (i, _) => losers(i) }
+        .filter { case (_, v) => !state.exists(sv => cos(v, sv) >= 0.95) }
+      folded ++= adm.map(_._1)
+      state = state ++ adm.map(_._2)
+    }
+    assert(streamed == folded.toSet,
+      s"stream/fold diverge: only-stream=${streamed -- folded} " +
+        s"only-fold=${folded.toSet -- streamed}")
+
+    // STATE LAW: the layout serves base + admitted through every
+    // probe path — a reload sees exactly those ids
+    val post = Similarity.ivfLoad(s, dir)
+    val ids = post.assigned.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == base.map(_._1).toSet ++ streamed, s"layout ids: $ids")
+    Similarity.ivfRelease(post)
+  }
+
+  test("semantic gate batch replay is idempotent; zero-admit batches and folds don't poison the layout") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val (base, b1, b2) = embedGateFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_egate2_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_egate2_out").toString
+    val built = Similarity.ivfBuild(base.toDF("id", "vec"), nLists = 2)
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+
+    // batch 0: duplicates of base only — zero admits, so the appends
+    // dir holds no seg= leaf (the zero-row batch class); the NEXT
+    // batch must still load the layout (ivfLoad's seg-leaf guard)
+    val dupBatch = Seq(
+      (300L, base(2)._2.map(_ * 4.0)), (301L, base(5)._2.map(_ * 2.0)))
+    StreamingOps.embedGateBatch(
+      dupBatch.toDF("id", "vec"), 0L, dir, out, 0.95, 2)
+    val ap = new org.apache.hadoop.fs.Path(s"$dir/applists")
+    assert(!fs.exists(ap) ||
+      !fs.listStatus(ap).exists(_.getPath.getName.startsWith("seg=")),
+      "fixture no longer reproduces the zero-admit appends dir")
+    StreamingOps.embedGateBatch(
+      b1.toDF("id", "vec"), 1L, dir, out, 0.95, 2)
+    def appendRows() = s.read.parquet(s"$dir/applists")
+      .select("seg", "id").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getLong(1)))
+      .sorted.toSeq
+    val afterOnce = appendRows()
+    assert(afterOnce.map(_._2).toSet == Set(101L, 103L))
+
+    // REPLAY: same batch id, same rows — dynamic overwrite rewrites
+    // the same leaves; state and output row-identical, not doubled
+    StreamingOps.embedGateBatch(
+      b1.toDF("id", "vec"), 1L, dir, out, 0.95, 2)
+    assert(appendRows() == afterOnce, "replayed batch changed the state")
+    val outIds = s.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(outIds == outIds.distinct, "replayed batch duplicated output")
+
+    // COMPACTION INVARIANCE: fold the committed segment, then the next
+    // batch probes folded state and still rejects the cross-batch dup
+    Similarity.ivfCompactAppends(s, dir, maxSegExclusive = 2L)
+    val segs = s.read.parquet(s"$dir/applists")
+      .select("seg").distinct().collect()
+      .map(_.getAs[Number](0).longValue()).toSet
+    assert(segs.size == 1 && segs.head < 0L, s"fold left: $segs")
+    StreamingOps.embedGateBatch(
+      b2.toDF("id", "vec"), 2L, dir, out, 0.95, 2)
+    val admitted = s.read.parquet(out)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(101L, 103L, 202L),
+      s"post-fold batch decided differently: $admitted")
+  }
+
   test("layout takedown: removal is exact, preserves segments, and removed docs stop matching") {
     val s = spark
     import s.implicits._
