@@ -191,7 +191,8 @@ object SparkEntry {
     "s_hist_stream", "p_psi_hist", "v_ivf_binary_tieaware",
     // r13 additions: codec-layout takedown faces + the semantic gate
     "v_takedown_sq8", "v_takedown_binary", "v_takedown_pq",
-    "v_takedown_opq", "s_embed_gate_stream")
+    "v_takedown_opq", "s_embed_gate_stream",
+    "v_ivf_binary_tieaware_batch")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -2359,6 +2360,25 @@ object SparkEntry {
         k = 10, rerank = 10, expandCap = 1 << 20)
     }),
 
+    // composed BATCH tie-aware face (VERDICT r12 #5) on the same
+    // constructed total tie, at full probes: the probed frontier
+    // covers the corpus, so each qid's answer is the exact cosine
+    // top-10 — the same replay as the flat batch face
+    "v_ivf_binary_tieaware_batch" -> ((s, d) => {
+      val e = emb(s, d).select(F.col("id"),
+        F.transform(F.col("vec").cast("array<double>"),
+          x => F.abs(x) + F.lit(1.0)).as("vec"))
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val ivf = Similarity.ivfBuild(e, nLists = 8)
+      val out = Similarity.ivfBinaryTopKBatchTieAware(
+          ivf, Similarity.binaryEncode(e, persist = false), e, qs,
+          k = 10, nprobe = 8, rerank = 10, expandCap = 1 << 20)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      out
+    }),
+
     // OPQ built from MERGED SHARD MOMENTS (the per-drop refit story as
     // one operator): three uneven shards → additive PCA accumulators →
     // opqRotationFromMoments → opqBuildWithRotation, queried at the
@@ -3181,6 +3201,26 @@ object SparkEntry {
       |FROM e, q
       |WHERE e.vec_id % 5 <> 0
       |ORDER BY score DESC, id ASC""".stripMargin
+
+  // shared by the flat and composed tie-aware BATCH rows: on the
+  // constructed total tie every query's widened class is the whole
+  // corpus, so each qid's answer is its exact cosine top-10 over the
+  // abs(x)+1 vectors
+  private lazy val tieAwareBatchReplaySql: String =
+    """WITH e AS (SELECT vec_id AS id,
+      |  list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x) + 1.0)
+      |    AS v
+      |  FROM embeddings),
+      |q AS (SELECT id AS qid, v AS qv FROM e WHERE id <= 4),
+      |scored AS (SELECT q.qid, e.id,
+      |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
+      |  FROM e CROSS JOIN q),
+      |ranked AS (SELECT qid, id, score,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, id ASC) AS rn
+      |  FROM scored)
+      |SELECT qid, id, score FROM ranked WHERE rn <= 10
+      |ORDER BY qid, score DESC, id ASC""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // the semantic gate at its one-list degenerate point is pure
@@ -6094,21 +6134,11 @@ object SparkEntry {
 
     // per-qid exact top-10 over the abs(x)+1 vectors — every query's
     // widened tie class is the whole corpus
-    "v_binary_tieaware_batch" ->
-      """WITH e AS (SELECT vec_id AS id,
-        |  list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x) + 1.0)
-        |    AS v
-        |  FROM embeddings),
-        |q AS (SELECT id AS qid, v AS qv FROM e WHERE id <= 4),
-        |scored AS (SELECT q.qid, e.id,
-        |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
-        |  FROM e CROSS JOIN q),
-        |ranked AS (SELECT qid, id, score,
-        |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY score DESC, id ASC) AS rn
-        |  FROM scored)
-        |SELECT qid, id, score FROM ranked WHERE rn <= 10
-        |ORDER BY qid, score DESC, id ASC""".stripMargin,
+    "v_binary_tieaware_batch" -> tieAwareBatchReplaySql,
+
+    // full probes reduce the composed BATCH face to the flat one —
+    // the same per-qid exact top-10 replay
+    "v_ivf_binary_tieaware_batch" -> tieAwareBatchReplaySql,
 
     // v_opq_topk's degenerate-point argument, with the rotation fit
     // from merged shard moments instead of a one-shot corpus pass —

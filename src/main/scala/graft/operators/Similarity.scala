@@ -531,6 +531,46 @@ object Similarity {
     }
   }
 
+  /** Batch widening core shared by the flat and composed tie-aware
+    * batch faces (so they cannot drift — the same reason the single
+    * faces share [[tieAwareCandidates]]): per-qid frontier distance =
+    * max ham inside the would-be rerank cut, widened cut keeps every
+    * row at/inside the frontier capped at `cap`, cut-inside-the-tie
+    * deterministic by id. Takes the UNPERSISTED (qid, id, ham) frame,
+    * owns its persist/unpersist (released in a finally — a throw
+    * mid-probe must not leak the largest frame in the face), and emits
+    * the capped-tie diagnostic from the already-materialized candidate
+    * frame (≤ cap·|queries| rows — never an extra pass over ham).
+    */
+  private def tieAwareCandidatesBatch(
+      hamRaw: DataFrame, rerank: Int, cap: Int, face: String): DataFrame = {
+    val ham = hamRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand =
+      try {
+        val dmax = graft.scale.Skew
+          .heapTopKPerKey(ham, "qid", "ham", "id", rerank, desc = false)
+          .groupBy("qid").agg(F.max("ham").as("dmax"))
+          .localCheckpoint()
+        val inFront = ham.join(F.broadcast(dmax), "qid")
+          .where(F.col("ham") <= F.col("dmax"))
+        graft.scale.Skew
+          .heapTopKPerKey(inFront, "qid", "ham", "id", cap, desc = false)
+          .select("qid", "id")
+          .localCheckpoint()
+      } finally ham.unpersist(blocking = false)
+    val nAtCap = cand.groupBy("qid")
+      .agg(F.count(F.lit(1)).as("n")).where(F.col("n") >= cap).count()
+    if (nAtCap > 0)
+      org.apache.logging.log4j.LogManager.getLogger("graft").warn(
+        s"$face: $nAtCap queries' Hamming frontiers " +
+          s"tie up to (or beyond) expandCap=$cap — their cut inside " +
+          "the tie is deterministic-by-id, not similarity-ranked. " +
+          "Raise expandCap toward the tie-class size, or use sq8/PQ " +
+          "codes: 1-bit signs cannot rank within a mode.")
+    cand
+  }
+
   /** Batch face of [[binaryTopK]]: ONE scan of the bits column scores
     * every (code row × query) pair against a BROADCAST query side,
     * per-query candidate cut through the bounded-heap top-k
@@ -623,38 +663,8 @@ object Similarity {
       .crossJoin(F.broadcast(qbits))
       .select(F.col("qid"), F.col("id"),
         hammingCol(F.col("bits"), F.col("qbits")).as("ham"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-qid frontier distance: max ham inside the would-be rerank
-    // cut (heap over rerank rows/qid, then one tiny agg). The N×Q ham
-    // cache — the largest frame in the face — is released in a
-    // finally: a throw mid-probe must not leak MEMORY_AND_DISK blocks
-    // for the rest of the session
-    val cand =
-      try {
-        val dmax = graft.scale.Skew
-          .heapTopKPerKey(ham, "qid", "ham", "id", rerank, desc = false)
-          .groupBy("qid").agg(F.max("ham").as("dmax"))
-          .localCheckpoint()
-        val inFront = ham.join(F.broadcast(dmax), "qid")
-          .where(F.col("ham") <= F.col("dmax"))
-        graft.scale.Skew
-          .heapTopKPerKey(inFront, "qid", "ham", "id", cap, desc = false)
-          .select("qid", "id")
-          .localCheckpoint()
-      } finally ham.unpersist(blocking = false)
-    // capped-tie diagnostic from the ALREADY-materialized candidate
-    // frame (≤ cap·|queries| rows) — a query whose cut filled to cap
-    // has a frontier tie reaching at least the cap; no extra pass
-    // over the N×Q frame just to decide a warning
-    val nAtCap = cand.groupBy("qid")
-      .agg(F.count(F.lit(1)).as("n")).where(F.col("n") >= cap).count()
-    if (nAtCap > 0)
-      org.apache.logging.log4j.LogManager.getLogger("graft").warn(
-        s"binaryTopKBatchTieAware: $nAtCap queries' Hamming frontiers " +
-          s"tie up to (or beyond) expandCap=$cap — their cut inside " +
-          "the tie is deterministic-by-id, not similarity-ranked. " +
-          "Raise expandCap toward the tie-class size, or use sq8/PQ " +
-          "codes: 1-bit signs cannot rank within a mode.")
+    val cand = tieAwareCandidatesBatch(
+      ham, rerank, cap, "binaryTopKBatchTieAware")
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
       .join(F.broadcast(qs), "qid")
@@ -721,7 +731,30 @@ object Similarity {
   def ivfBinaryTopKTieAware(
       ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame,
       query: Array[Double], k: Int, nprobe: Int, rerank: Int,
-      expandCap: Int = 0): DataFrame = {
+      expandCap: Int = 0): DataFrame =
+    ivfBinaryTieAwareImpl(ivf, bin, emb, query, k, nprobe, rerank,
+      expandCap, None)
+
+  /** FILTERED [[ivfBinaryTopKTieAware]] — the predicate-matching id
+    * set intersects the probed lists BEFORE the frontier probe (the
+    * same pre-scan intersection as [[ivfBinaryTopKWhere]]), so the
+    * rerank-th distance, the tie class, and the widened cut are all
+    * computed over MATCHING rows only — a post-filter would instead
+    * let non-matching rows consume the frontier and under-return.
+    * Same degenerate contract and under-return rule as the codec
+    * siblings.
+    */
+  def ivfBinaryTopKTieAwareWhere(
+      ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame, meta: DataFrame,
+      pred: Column, query: Array[Double], k: Int, nprobe: Int,
+      rerank: Int, expandCap: Int = 0): DataFrame =
+    ivfBinaryTieAwareImpl(ivf, bin, emb, query, k, nprobe, rerank,
+      expandCap, Some(keptIds(meta, pred)))
+
+  private def ivfBinaryTieAwareImpl(
+      ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame,
+      query: Array[Double], k: Int, nprobe: Int, rerank: Int,
+      expandCap: Int, kept: Option[DataFrame]): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(query.length == bin.dims,
@@ -731,9 +764,9 @@ object Similarity {
       s"expandCap ($cap) must be >= rerank ($rerank)")
     val probes = ivfProbes(ivf, query, nprobe)
     val q = F.typedLit(query)
-    val sel = ivf.assigned
+    val sel = withKept(ivf.assigned
       .where(F.col("cluster").isin(probes.toSeq: _*))
-      .select("id")
+      .select("id"), kept)
     val ham = bin.codes
       .join(sel, "id")
       .select(F.col("id"),
@@ -742,6 +775,80 @@ object Similarity {
       .select(F.col("id"), F.round(cosine(F.col("vec"), q), 4).as("score"))
       .orderBy(F.col("score").desc, F.col("id").asc)
       .limit(k)
+  }
+
+  /** Batch face of [[ivfBinaryTopKTieAware]] — completing the
+    * tie-aware matrix (VERDICT r12 #5: mining workloads are batch,
+    * and the composed single face is where the measured widening win
+    * lives). The [[ivfBinaryTopKBatch]] probe shape (executor probe
+    * selection, bits attached to the slim lists BEFORE the probe
+    * fan-out) feeds the SAME batch widening core as the flat face
+    * ([[tieAwareCandidatesBatch]] — shared so the faces cannot
+    * drift): per qid the output equals the composed single face at
+    * the same (k, nprobe, rerank, expandCap) — spec-pinned; at
+    * nprobe = nLists it equals [[binaryTopKBatchTieAware]] row for
+    * row. Same expandCap contract (≤ 0 means 16·rerank).
+    */
+  def ivfBinaryTopKBatchTieAware(
+      ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, rerank: Int, expandCap: Int = 0): DataFrame =
+    ivfBinaryBatchTieAwareImpl(ivf, bin, emb, queries, k, nprobe, rerank,
+      expandCap, None)
+
+  /** FILTERED [[ivfBinaryTopKBatchTieAware]] — one predicate-filtered
+    * id join on the slim lists before the bits attach, so every qid's
+    * frontier and tie class see matching rows only. */
+  def ivfBinaryTopKBatchTieAwareWhere(
+      ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame, meta: DataFrame,
+      pred: Column, queries: DataFrame, k: Int, nprobe: Int,
+      rerank: Int, expandCap: Int = 0): DataFrame =
+    ivfBinaryBatchTieAwareImpl(ivf, bin, emb, queries, k, nprobe, rerank,
+      expandCap, Some(keptIds(meta, pred)))
+
+  private def ivfBinaryBatchTieAwareImpl(
+      ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, rerank: Int, expandCap: Int,
+      kept: Option[DataFrame]): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nprobe > 0 && nprobe <= ivf.k,
+      s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=${ivf.k}")
+    val cap = if (expandCap > 0) expandCap else 16 * rerank
+    require(cap >= rerank,
+      s"expandCap ($cap) must be >= rerank ($rerank)")
+    val spark = bin.codes.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    val bcH = spark.sparkContext.broadcast(ivf.hier)
+    val qs = queries
+      .select(F.col("qid").cast("long"), F.col("qvec").cast("array<double>"))
+    val dims = bin.dims
+    val probed = qs
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        require(qv.length == dims,
+          s"query $qid has ${qv.length} dims but index was encoded " +
+            s"for $dims")
+        val qbits = packSignBits(qv)
+        autoProbesFor(bcC.value, bcH.value, qv, nprobe)
+          .map(c => (qid, c, qbits))
+      }
+      .toDF("qid", "cluster", "qbits")
+    val withBits = withKept(ivf.assigned.select("id", "cluster"), kept)
+      .join(bin.codes, "id")
+    val ham = probed
+      .join(withBits, "cluster")
+      .select(F.col("qid"), F.col("id"),
+        hammingCol(F.col("bits"), F.col("qbits")).as("ham"))
+    val cand = tieAwareCandidatesBatch(
+      ham, rerank, cap, "ivfBinaryTopKBatchTieAware")
+    val rescored = cand
+      .join(emb.select(F.col("id"), F.col("vec")), "id")
+      .join(F.broadcast(qs), "qid")
+      .select(F.col("qid"), F.col("id"),
+        F.round(cosine(F.col("vec"), F.col("qvec")), 4).as("score"))
+    graft.scale.Skew.heapTopKPerKey(rescored, "qid", "score", "id", k)
+      .orderBy(F.col("qid"), F.col("score").desc, F.col("id").asc)
   }
 
   private def ivfBinaryTopKImpl(

@@ -1259,6 +1259,77 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tie-aware matrix: batch equals single per qid; filters intersect before the frontier") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(47)
+    val mode = (0 until 160).map { i =>
+      val v = Array.tabulate(16)(f =>
+        1.0 + 0.2 * math.sin((159 - i) * 0.05 + f) + rng.nextGaussian() * 0.01)
+      (i.toLong, v)
+    }
+    val far = (200 until 240).map(i =>
+      (i.toLong, Array.tabulate(16)(f => -1.0 - 0.1 * ((i + f) % 3))))
+    val corpus = (mode ++ far).toDF("id", "vec")
+    val ivf = Similarity.ivfBuild(corpus, nLists = 4)
+    val bin = Similarity.binaryEncode(corpus, persist = false)
+    try {
+      // BATCH == SINGLE per qid at the same (k, nprobe, rerank, cap),
+      // including pruned probes — the shared-core contract
+      val qids = Seq(150L, 159L, 200L)
+      val qvs = qids.map(i => (mode ++ far).find(_._1 == i).get)
+      val batch = Similarity.ivfBinaryTopKBatchTieAware(
+          ivf, bin, corpus, qvs.toDF("qid", "qvec"),
+          k = 10, nprobe = 2, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+      for ((qid, qv) <- qvs) {
+        val single = Similarity.ivfBinaryTopKTieAware(
+            ivf, bin, corpus, qv, k = 10, nprobe = 2, rerank = 20)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val got = batch(qid).map(t => (t._2, t._3)).toSeq
+        assert(got == single, s"qid $qid: batch $got vs single $single")
+      }
+      // FILTERED: the predicate intersects BEFORE the frontier probe.
+      // Query IN the mode, predicate keeping only the far rows: the
+      // frontier is computed over far rows alone, so the face returns
+      // far matches — a post-filter would rank the mode's tie class
+      // first and filter it away to (near) nothing
+      val meta = corpus.select(F.col("id"),
+        (F.col("id") >= 200L).cast("string").as("is_far"))
+      val qv = mode.last._2
+      val fSingle = Similarity.ivfBinaryTopKTieAwareWhere(
+          ivf, bin, corpus, meta, F.col("is_far") === "true", qv,
+          k = 10, nprobe = 4, rerank = 20)
+        .collect().map(_.getLong(0))
+      assert(fSingle.length == 10 && fSingle.forall(_ >= 200L),
+        s"filtered tie-aware leaked or under-returned: ${fSingle.toSeq}")
+      val fBatch = Similarity.ivfBinaryTopKBatchTieAwareWhere(
+          ivf, bin, corpus, meta, F.col("is_far") === "true",
+          Seq((159L, qv)).toDF("qid", "qvec"),
+          k = 10, nprobe = 4, rerank = 20)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val fRef = Similarity.ivfBinaryTopKTieAwareWhere(
+          ivf, bin, corpus, meta, F.col("is_far") === "true", qv,
+          k = 10, nprobe = 4, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fBatch == fRef, s"filtered batch diverges: $fBatch vs $fRef")
+      // degenerate filtered point: full probes + rerank covering the
+      // matching rows == exact filter-then-top-k
+      val exactFar = Similarity.annTopK(
+          corpus.where(F.col("id") >= 200L), qv, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val degen = Similarity.ivfBinaryTopKTieAwareWhere(
+          ivf, bin, corpus, meta, F.col("is_far") === "true", qv,
+          k = 10, nprobe = 4, rerank = 40, expandCap = 1 << 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(degen == exactFar, s"degenerate filtered: $degen vs $exactFar")
+    } finally {
+      Similarity.ivfRelease(ivf)
+      Similarity.binaryRelease(bin)
+    }
+  }
+
   test("IVF+binary composition: degeneracy law, pruned recall, batch parity") {
     val s = spark
     import s.implicits._
