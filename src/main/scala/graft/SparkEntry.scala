@@ -192,7 +192,7 @@ object SparkEntry {
     // r13 additions: codec-layout takedown faces + the semantic gate
     "v_takedown_sq8", "v_takedown_binary", "v_takedown_pq",
     "v_takedown_opq", "s_embed_gate_stream",
-    "v_ivf_binary_tieaware_batch")
+    "v_ivf_binary_tieaware_batch", "p_hist_bounds")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -2309,6 +2309,28 @@ object SparkEntry {
       Profile.psiFromHists(
           hist(F.col("doc_id") % 2 === 0), hist(F.col("doc_id") % 2 === 1),
           nBuckets = 24)
+        .localCheckpoint()
+    }),
+
+    // histogram bounds taken FROM the profile sidecar instead of
+    // hand-picked (VERDICT r12 #6): lo/hi = the profiled min/max of
+    // n_chars, so nothing clamps and the quantile contract holds over
+    // the whole range. The SQL recomputes the same min/max — integer
+    // column cast to double, identical bucket and interpolation
+    // arithmetic — so buckets AND the p50/p95 estimates value-pin.
+    "p_hist_bounds" -> ((s, d) => {
+      import graft.operators.Profile
+      val all = docs(s, d)
+      val (lo, hi) = Profile.histBoundsFromProfile(
+        Profile.profile(all, Seq("n_chars")), "n_chars")
+      val counts = Profile.histShard(all, "n_chars", lo, hi, 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val p50 = Profile.histQuantile(counts, 0.50, lo, hi, 16)
+      val p95 = Profile.histQuantile(counts, 0.95, lo, hi, 16)
+      Profile.histShard(all, "n_chars", lo, hi, 16)
+        .withColumn("p50", F.round(F.lit(p50), 4))
+        .withColumn("p95", F.round(F.lit(p95), 4))
+        .orderBy("bucket")
         .localCheckpoint()
     }),
 
@@ -6072,6 +6094,35 @@ object SparkEntry {
         |q95 AS (SELECT round(0.0 + 25.0 * (bucket +
         |      least(1.0, greatest(0.0, (0.95 * t - cb) / n))), 4) AS p95
         |  FROM cum, tot WHERE cb + n >= 0.95 * t
+        |  ORDER BY bucket LIMIT 1)
+        |SELECT h.bucket, h.n, q50.p50, q95.p95
+        |FROM hist h, q50, q95
+        |ORDER BY h.bucket""".stripMargin,
+
+    // profile-derived bounds: lo/hi/width computed from the data in
+    // SQL exactly as histBoundsFromProfile reads them from the
+    // profile (min/max of an integer column cast to double — bit-
+    // identical), then the same clamped-floor buckets and cumulative
+    // interpolation as the s_hist_stream replay
+    "p_hist_bounds" ->
+      """WITH src AS (SELECT CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |bnd AS (SELECT min(x) AS lo, max(x) AS hi,
+        |    (max(x) - min(x)) / 16.0 AS w FROM src),
+        |hist AS (SELECT least(15, greatest(0,
+        |      CAST(floor((s.x - b.lo) / b.w) AS INT))) AS bucket,
+        |    count(*) AS n
+        |  FROM src s, bnd b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM hist),
+        |cum AS (SELECT bucket, n,
+        |    sum(n) OVER (ORDER BY bucket) - n AS cb FROM hist),
+        |q50 AS (SELECT round(b.lo + b.w * (bucket +
+        |      least(1.0, greatest(0.0, (0.5 * t - cb) / n))), 4) AS p50
+        |  FROM cum, tot, bnd b WHERE cb + n >= 0.5 * t
+        |  ORDER BY bucket LIMIT 1),
+        |q95 AS (SELECT round(b.lo + b.w * (bucket +
+        |      least(1.0, greatest(0.0, (0.95 * t - cb) / n))), 4) AS p95
+        |  FROM cum, tot, bnd b WHERE cb + n >= 0.95 * t
         |  ORDER BY bucket LIMIT 1)
         |SELECT h.bucket, h.n, q50.p50, q95.p95
         |FROM hist h, q50, q95

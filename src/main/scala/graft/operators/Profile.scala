@@ -225,6 +225,41 @@ object Profile {
   def histMerge(sidecars: DataFrame): DataFrame =
     sidecars.groupBy("bucket").agg(F.sum("n").as("n"))
 
+  /** Histogram bounds from a profile row (VERDICT r12 #6):
+    * [[histShard]] takes hand-picked `[lo, hi)` and silently clamps
+    * out-of-range mass into the edge buckets — a wrong guess (the
+    * epoch-micros example in histShard's own clamp comment) quietly
+    * breaks the ≤-one-bucket-width quantile contract for the clamped
+    * values. The engine already profiles every corpus drop
+    * ([[profile]] / [[mergeShards]] over streamed sidecars), so take
+    * the bounds FROM that state instead of guessing: (min_v, max_v)
+    * of the named column. Values AT the max land in the top bucket
+    * via the clamp, so the contract holds for the whole profiled
+    * range; a constant column (min == max) widens to width 1 — every
+    * row in bucket 0, quantile error still ≤ one bucket width.
+    * Works on [[profile]] output and on [[mergeShards]] over
+    * [[graft.streaming.StreamingOps.profileStream]] sidecars alike
+    * (same columns). Drift note: bounds from LAST drop's profile
+    * still clamp a shifted current drop — [[histQuantile]] warns when
+    * edge buckets carry implausible mass, closing that loop.
+    */
+  def histBoundsFromProfile(
+      profile: DataFrame, col: String): (Double, Double) = {
+    val rows = profile.where(F.col("column") === col)
+      .select(F.col("min_v").cast("double"), F.col("max_v").cast("double"))
+      .collect()
+    require(rows.nonEmpty,
+      s"histBoundsFromProfile: no profile row for column '$col'")
+    val r = rows.head
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"histBoundsFromProfile('$col'): profile carries no numeric " +
+        "min/max — non-numeric column, or all values null")
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    require(!lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite,
+      s"histBoundsFromProfile('$col'): non-finite bounds [$lo, $hi]")
+    if (hi > lo) (lo, hi) else (lo, lo + 1.0)
+  }
+
   /** Deterministic quantile estimate from merged bucket counts:
     * target rank q·N, linear interpolation inside the holding bucket
     * (the first bucket whose cumulative count reaches the target).
@@ -242,6 +277,22 @@ object Profile {
     val sorted = counts.filter(_._2 > 0L).sortBy(_._1)
     val total = sorted.iterator.map(_._2).sum
     require(total > 0L, "histQuantile: empty histogram")
+    // mis-chosen bounds clamp out-of-range mass into the edge buckets
+    // (histShard's long-space clamp), and clamped values void the
+    // ≤-one-bucket-width contract silently. A quarter of the mass on
+    // the two edges of an ≥8-bucket histogram is implausible for
+    // bounds that actually cover the data — warn with the fix
+    if (nBuckets >= 8) {
+      val edge = sorted.iterator
+        .filter(t => t._1 == 0 || t._1 == nBuckets - 1).map(_._2).sum
+      if (edge * 4L > total)
+        org.apache.logging.log4j.LogManager.getLogger("graft").warn(
+          s"histQuantile: ${edge * 100 / total}% of the mass sits in " +
+            s"the two edge buckets of [$lo, $hi) — the bounds likely " +
+            "clamp out-of-range values, and quantiles inside clamped " +
+            "buckets are unreliable. Derive bounds from the profiled " +
+            "corpus (Profile.histBoundsFromProfile) and re-shard.")
+    }
     val target = q * total
     var cum = 0L
     sorted.foreach { case (b, n) =>

@@ -333,4 +333,49 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
     assert(out == Seq((0, 1L), (5, 1L)), s"post-recovery histogram: $out")
   }
+
+  test("histBoundsFromProfile: profiled min/max cover the data; degenerate and error cases") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 400L).map(i => (i, 13.0 + (i * 37 % 401)))
+      .toDF("id", "v")
+    val prof = Profile.profile(df, Seq("v"))
+    val (lo, hi) = Profile.histBoundsFromProfile(prof, "v")
+    assert(lo == 13.0 && hi == 413.0, s"bounds: [$lo, $hi)")
+    // nothing clamps under profiled bounds: quantiles hold the
+    // ≤-one-bucket-width contract against the exact percentiles
+    val nB = 16
+    val counts = Profile.histShard(df, "v", lo, hi, nB)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(counts.map(_._2).sum == 400L)
+    val w = (hi - lo) / nB
+    val exact = df.stat.approxQuantile("v", Array(0.5, 0.95), 0.0)
+    val est50 = Profile.histQuantile(counts, 0.5, lo, hi, nB)
+    val est95 = Profile.histQuantile(counts, 0.95, lo, hi, nB)
+    assert(math.abs(est50 - exact(0)) <= w, s"p50 $est50 vs ${exact(0)}")
+    assert(math.abs(est95 - exact(1)) <= w, s"p95 $est95 vs ${exact(1)}")
+    // constant column: widened to width 1, everything in bucket 0
+    val const = Seq((1L, 7.0), (2L, 7.0)).toDF("id", "v")
+    val (cl, ch) = Profile.histBoundsFromProfile(
+      Profile.profile(const, Seq("v")), "v")
+    assert(cl == 7.0 && ch == 8.0)
+    val cCounts = Profile.histShard(const, "v", cl, ch, 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(cCounts == Seq((0, 2L)))
+    assert(math.abs(Profile.histQuantile(cCounts, 0.5, cl, ch, 8) - 7.0)
+      <= (ch - cl) / 8)
+    // merged STREAM sidecar profiles feed it the same way
+    val shards = Profile.mergeShards(
+      Profile.sketchShard(df.where(F.col("id") < 200), Seq("v"))
+        .unionByName(
+          Profile.sketchShard(df.where(F.col("id") >= 200), Seq("v"))))
+    val (sl, sh) = Profile.histBoundsFromProfile(shards, "v")
+    assert(sl == lo && sh == hi, s"sidecar bounds diverge: [$sl, $sh)")
+    // error surfaces: unknown column, non-numeric column
+    intercept[IllegalArgumentException](
+      Profile.histBoundsFromProfile(prof, "nope"))
+    val txt = Seq((1L, "a")).toDF("id", "t")
+    intercept[IllegalArgumentException](
+      Profile.histBoundsFromProfile(Profile.profile(txt, Seq("t")), "t"))
+  }
 }
