@@ -625,6 +625,35 @@ object ScaleBench {
           bytesRows("recall_binary_tieaware_r100_x1e4") =
             math.round(hits.toDouble / (tieQs.length * 10) * 10000)
         }
+        // expandCap sensitivity (VERDICT r12 #7): the 16×rerank
+        // default was the one unmeasured knob in the codec family.
+        // Sweep {4,16,64}×rerank on the BATCH tie-aware face over a
+        // 64-query subset at the r100 budget — recall per cap lands in
+        // bytes (×1e4), wall per cap in its own timing row, so the
+        // artifact carries the recall/cost CURVE the default sits on.
+        locally {
+          val capQs = qdf.orderBy("qid").limit(64)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nCapQ = capQs.count()
+          val gtCap = gt.join(capQs.select("qid"), "qid")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          for (mult <- Seq(4, 16, 64)) {
+            val t0 = System.nanoTime()
+            val hits = Similarity.binaryTopKBatchTieAware(
+                bin, emb, capQs, k = 10, rerank = 100,
+                expandCap = mult * 100)
+              .select("qid", "id").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+              .count(gtCap.contains)
+            val name = s"v_binary_tieaware_cap${mult}x"
+            rows(name) = ((System.nanoTime() - t0) / 1e9, nCapQ)
+            bytesRows(s"recall_binary_tieaware_cap${mult}x_x1e4") =
+              math.round(hits.toDouble / (nCapQ * 10) * 10000)
+            println(f"[scale] $name%-28s ${rows(name)._1}%8.2f s  " +
+              f"recall_x1e4=${bytesRows(s"recall_binary_tieaware_cap${mult}x_x1e4")}%d")
+          }
+          capQs.unpersist(blocking = false)
+        }
         Similarity.binaryRelease(bin)
       }
       locally {
@@ -1380,6 +1409,53 @@ object ScaleBench {
           println(f"[scale]   heavy hitters: ${n / sec}%.0f docs/sec ingest; " +
             f"${rep.length}%d reported, ${rep.count(_.getInt(0) == 1)}%d certain")
         }
+      }
+      // ---- compaction-default law (VERDICT r12 #1 done-evidence):
+      // the same token corpus streamed in 32 vs 128 micro-batches at
+      // the SHIPPED default cadence (64). The old never-fold default
+      // grew the sidecar count — and heavyTokensOf's per-segment
+      // sketch collect — linearly in batches; with the default the
+      // segment count must stay bounded (≤ cadence + in-flight) and
+      // the read wall flat across the 4× batch-count jump. Segment
+      // counts and read milliseconds land in the bytes map.
+      if (only.forall(_.exists(_.startsWith("s_heavy_longstream")))) {
+        val lDocs = docs.select("doc_id", "text").as[(Long, String)].collect()
+        def longRun(nBatches: Int, tag: String): Unit = {
+          val side = java.nio.file.Files
+            .createTempDirectory(s"hhlong$tag").toString + "/hh"
+          val ck = java.nio.file.Files
+            .createTempDirectory(s"hhlong${tag}ck").toString
+          val chunks = lDocs.grouped(
+            math.max(1, lDocs.length / nBatches)).toSeq
+          bench(s"s_heavy_longstream_$tag") {
+            val hin = MemoryStream[(Long, String)]
+            val hq = graft.streaming.StreamingOps.heavyTokensStream(
+              hin.toDF().toDF("doc_id", "text"), phi = 0.001, side, ck)
+            try {
+              chunks.foreach { c =>
+                hin.addData(c.toSeq); hq.processAllAvailable()
+              }
+              lDocs.length.toLong
+            } finally hq.stop()
+          }
+          if (rows.contains(s"s_heavy_longstream_$tag")) {
+            val cmsP = new org.apache.hadoop.fs.Path(s"$side/cms")
+            val fs = cmsP.getFileSystem(spark.sessionState.newHadoopConf())
+            val segs = fs.listStatus(cmsP)
+              .count(_.getPath.getName.startsWith("seg=")).toLong
+            val t0 = System.nanoTime()
+            val rep = graft.streaming.StreamingOps
+              .heavyTokensOf(spark, side, phi = 0.001).count()
+            val readMs = (System.nanoTime() - t0) / 1000000L
+            bytesRows(s"s_heavy_longstream_${tag}_segs") = segs
+            bytesRows(s"s_heavy_longstream_${tag}_read_ms") = readMs
+            println(f"[scale]   longstream $tag: $segs%d segments after " +
+              f"default-cadence folds; heavyTokensOf $readMs%d ms, " +
+              f"$rep%d reported")
+          }
+        }
+        longRun(32, "b32")
+        longRun(128, "b128")
       }
       // ---- streamed quantile sidecars at volume: per-batch state is
       // ≤ nBuckets rows REGARDLESS of batch size (the cheapest sidecar
