@@ -1190,6 +1190,48 @@ object ScaleBench {
           println(f"[scale]   ivfAppendStream rate: ${n / sec}%.0f vectors/sec")
         }
       }
+      // ---- streaming SEMANTIC dedup gate at volume (r13): base = a
+      // tenth of modes 0–15 in a saved corpus-proportional layout, the
+      // other nine tenths of the corpus streamed in 8 micro-batches.
+      // The 32-mode corpus makes most arrivals semantic dups: modes
+      // 0–15 reject against base, modes 16–31 admit once (smallest id
+      // in the first batch that carries the mode) and every later
+      // arrival rejects against the APPENDED state — both gate paths
+      // at volume. Per-batch cost = assignment + the cell-blocked
+      // self-join + a probe-pruned broadcast join; vecs/sec prints,
+      // admitted count lands in bytes.
+      if (only.forall(_.contains("s_embed_gate"))) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("egatescale").toString + "/index"
+        val gaux = java.nio.file.Files
+          .createTempDirectory("egatescaleaux").toString
+        val basePred = F.pmod(F.col("id"), F.lit(32)) < 16 &&
+          F.col("id") % 10 === 0
+        val iv = Similarity.ivfBuild(
+          emb.where(basePred).select("id", "vec"), nLists = lists)
+        Similarity.ivfSave(iv, dir)
+        Similarity.ivfRelease(iv)
+        val streamVecs = emb.where(!basePred)
+          .select("id", "vec").as[(Long, Array[Double])].collect()
+        val chunks = streamVecs.grouped(
+          math.max(1, streamVecs.length / 8)).toSeq
+        bench("s_embed_gate") {
+          val in = MemoryStream[(Long, Array[Double])]
+          val q = graft.streaming.StreamingOps.embedGateStream(
+            in.toDF().toDF("id", "vec"), dir, gaux + "/out",
+            gaux + "/ckpt", cosineThreshold = 0.95)
+          try {
+            chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+            streamVecs.length.toLong
+          } finally q.stop()
+        }
+        rows.get("s_embed_gate").foreach { case (sec, n) =>
+          val admitted = spark.read.parquet(gaux + "/out").count()
+          bytesRows("s_embed_gate_admitted") = admitted
+          println(f"[scale]   embed gate: ${n / sec}%.0f vecs/sec ingest; " +
+            f"admitted $admitted%d of $n%d")
+        }
+      }
       // ---- streaming ANN serving rate: the query face of the same
       // saved-layout loop — 1000 queries in 8 micro-batches against
       // the frozen corpus-proportional index; queries/sec prints
@@ -1577,7 +1619,7 @@ object ScaleBench {
     events.unpersist(blocking = false)
 
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r11.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r13.json")
     // scale_total sums TIMINGS only; byte metrics are their own field
     val json =
       s"""{"metric":"scale_total","value":${fmt(rows.values.map(_._1).sum)},""" +

@@ -455,7 +455,8 @@ object Similarity {
     * fixed cut is near-random within the tie and recall collapsed to
     * 0.07 at r100 on the 32-mode scale corpus), the candidate set
     * widens to the FULL tie class before the exact rerank, up to
-    * `expandCap` rows (default 16·rerank; ≤ 0 means that default).
+    * `expandCap` rows (default [[DefaultExpandCapMultiple]]·rerank;
+    * ≤ 0 means that default).
     * Detection costs two bounded jobs on the ham frame (the
     * rerank-th distance, then one count at ≤ it); a corpus with no
     * frontier tie pays those probes and returns [[binaryTopK]]'s
@@ -482,7 +483,8 @@ object Similarity {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(query.length == index.dims,
       s"query has ${query.length} dims but index was encoded for ${index.dims}")
-    val cap = if (expandCap > 0) expandCap else 16 * rerank
+    val cap = if (expandCap > 0) expandCap
+      else DefaultExpandCapMultiple * rerank
     require(cap >= rerank,
       s"expandCap ($cap) must be >= rerank ($rerank)")
     val q = F.typedLit(query)
@@ -494,6 +496,22 @@ object Similarity {
       .orderBy(F.col("score").desc, F.col("id").asc)
       .limit(k)
   }
+
+  /** Default tie-class widening cap, as a multiple of `rerank`
+    * (VERDICT r12 #7 — the last unmeasured knob in the codec family,
+    * now measured): sweeping {4, 16, 64}×rerank at the r100 budget on
+    * the 32-mode scale corpus reads recall@10 0.213/0.308/0.308 at
+    * 80k vectors and 0.131/0.222/0.277 at 320k, with wall FLAT across
+    * the sweep (3.0–4.9 s — the bits×queries scan dominates, and
+    * [[tieAwareCandidates]] bounds the widening by the TRUE tie-class
+    * size, so an oversized cap costs nothing on tie-free corpora).
+    * 64× therefore dominates the old 16× default: same cost, +0.055
+    * recall where tie classes outgrow 16·rerank. When the tie class
+    * outgrows even this (N/modes ≫ 64·rerank), the capped-tie warning
+    * fires — set `expandCap` toward N/modes explicitly (the
+    * `recall_binary_tieaware_r100` scale row runs there and reads
+    * 0.40 at 320k). */
+  private[graft] val DefaultExpandCapMultiple = 64
 
   /** Shared widened-cut core of [[binaryTopKTieAware]] and
     * [[ivfBinaryTopKTieAware]] — same frontier probe and tie-class
@@ -631,7 +649,8 @@ object Similarity {
     * the same (k, rerank, expandCap) — spec-pinned: the per-qid
     * frontier distance is the rerank-th (ham ASC, id ASC) element,
     * the widened cut keeps every row at/inside the frontier capped at
-    * `expandCap` (≤ 0 means 16·rerank), and the exact rerank runs on
+    * `expandCap` (≤ 0 means the measured default,
+    * [[DefaultExpandCapMultiple]]·rerank), and the exact rerank runs on
     * raw vectors. Cost: the one bits×queries scan is re-read for the
     * frontier probe and the widened cut (persisted between passes);
     * candidates are bounded by cap·|queries|.
@@ -641,7 +660,8 @@ object Similarity {
       rerank: Int, expandCap: Int = 0): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val cap = if (expandCap > 0) expandCap else 16 * rerank
+    val cap = if (expandCap > 0) expandCap
+      else DefaultExpandCapMultiple * rerank
     require(cap >= rerank,
       s"expandCap ($cap) must be >= rerank ($rerank)")
     val spark = queries.sparkSession
@@ -726,7 +746,8 @@ object Similarity {
     * expansion run on the probe-bounded (id, ham) frame, so a mode
     * that dominates a probed list no longer collapses the cut. At
     * nprobe = nLists this equals [[binaryTopKTieAware]] row for row
-    * (spec-pinned). Same expandCap contract (≤ 0 means 16·rerank).
+    * (spec-pinned). Same expandCap contract (≤ 0 means
+    * [[DefaultExpandCapMultiple]]·rerank).
     */
   def ivfBinaryTopKTieAware(
       ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame,
@@ -759,7 +780,8 @@ object Similarity {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(query.length == bin.dims,
       s"query has ${query.length} dims but index was encoded for ${bin.dims}")
-    val cap = if (expandCap > 0) expandCap else 16 * rerank
+    val cap = if (expandCap > 0) expandCap
+      else DefaultExpandCapMultiple * rerank
     require(cap >= rerank,
       s"expandCap ($cap) must be >= rerank ($rerank)")
     val probes = ivfProbes(ivf, query, nprobe)
@@ -787,7 +809,8 @@ object Similarity {
     * drift): per qid the output equals the composed single face at
     * the same (k, nprobe, rerank, expandCap) — spec-pinned; at
     * nprobe = nLists it equals [[binaryTopKBatchTieAware]] row for
-    * row. Same expandCap contract (≤ 0 means 16·rerank).
+    * row. Same expandCap contract (≤ 0 means
+    * [[DefaultExpandCapMultiple]]·rerank).
     */
   def ivfBinaryTopKBatchTieAware(
       ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame, queries: DataFrame,
@@ -813,7 +836,8 @@ object Similarity {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(nprobe > 0 && nprobe <= ivf.k,
       s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=${ivf.k}")
-    val cap = if (expandCap > 0) expandCap else 16 * rerank
+    val cap = if (expandCap > 0) expandCap
+      else DefaultExpandCapMultiple * rerank
     require(cap >= rerank,
       s"expandCap ($cap) must be >= rerank ($rerank)")
     val spark = bin.codes.sparkSession
