@@ -1592,14 +1592,18 @@ object ScaleBench {
         // rewrite + marker swap of every live frame. Row = wall for
         // removing ~1% of ids planted across base AND appends; the
         // removed band-row count lands in the bytes map.
-        if (only.forall(_.contains("d_takedown_gate_scale"))) {
+        // startsWith, not exact membership: ONLY=d_takedown_gate_scale_batch
+        // must reach its bench call too (same silent-skip class as the
+        // outer guard's ADVICE fix)
+        if (only.forall(_.exists(_.startsWith("d_takedown_gate_scale")))) {
           var removedRows = 0L
           bench("d_takedown_gate_scale") {
             removedRows = Dedup.minhashLayoutRemove(spark, gdir,
               docs.where(F.col("doc_id") % 97 === 0).select("doc_id"))
             docs.where(F.col("doc_id") % 97 === 0).count()
           }
-          bytesRows("d_takedown_removed_band_rows") = removedRows
+          if (rows.contains("d_takedown_gate_scale"))
+            bytesRows("d_takedown_removed_band_rows") = removedRows
           // the amortization claim, measured: a takedown's cost is the
           // survivor rewrite, not the erased-id count — a 14× bigger
           // id batch (%7 of the remaining ids) should cost ≈ the same

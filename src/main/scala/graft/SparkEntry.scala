@@ -97,6 +97,28 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     graft.sources.CorpusSources.embeddings(s, s"$dir/embeddings.parquet")
 
+  /** Shared protocol of the four codec takedown rows, pinned to ONE
+    * implementation exactly like their shared oracle SQL
+    * (`takedownSurvivorsSql` — query vec id 1, %5==0 removal, search
+    * at the degenerate rerank-covers-corpus point): build+save the
+    * family's layout, `codesLayoutRemove`, reload-and-search. The
+    * family differs only in its (save, search) pair. */
+  private def codecTakedownRow(
+      tag: String,
+      save: (DataFrame, String) => Unit,
+      search: (SparkSession, String, DataFrame, Array[Double]) => DataFrame)
+      : (SparkSession, String) => DataFrame = (s, d) => {
+    val e = emb(s, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_vtake_$tag").toString
+    save(e, dir)
+    Similarity.codesLayoutRemove(
+      s, dir, e.where(F.col("id") % 5 === 0).select("id"))
+    val qv = e.where(F.col("id") === 1)
+      .select("vec").head.getSeq[Double](0).toArray
+    search(s, dir, e, qv)
+  }
+
   /** Default index params for the synthetic embeddings: they are
     * near-orthogonal, so an eps below ~0.6 yields an empty graph —
     * measure with [[graft.api.ArrowSpaceBuilder.suggestEps]] (README
@@ -2026,61 +2048,39 @@ object SparkEntry {
     // loadable layout. The quantizer sidecars stay frozen (documented
     // contract), which the degenerate point makes irrelevant to the
     // ranking.
-    "v_takedown_sq8" -> ((s, d) => {
-      val e = emb(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_vtake_sq8").toString
-      Similarity.sq8Save(Similarity.sq8Encode(e, persist = false), dir)
-      Similarity.codesLayoutRemove(
-        s, dir, e.where(F.col("id") % 5 === 0).select("id"))
-      val qv = e.where(F.col("id") === 1)
-        .select("vec").head.getSeq[Double](0).toArray
-      Similarity.sq8TopK(Similarity.sq8Load(s, dir), e, qv,
-        k = 1000000, rerank = 1000000)
-    }),
+    "v_takedown_sq8" -> codecTakedownRow("sq8",
+      (e, dir) => Similarity.sq8Save(
+        Similarity.sq8Encode(e, persist = false), dir),
+      (s, dir, e, qv) => Similarity.sq8TopK(
+        Similarity.sq8Load(s, dir), e, qv,
+        k = 1000000, rerank = 1000000)),
 
-    "v_takedown_binary" -> ((s, d) => {
-      val e = emb(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_vtake_bin").toString
-      Similarity.binarySave(Similarity.binaryEncode(e, persist = false), dir)
-      Similarity.codesLayoutRemove(
-        s, dir, e.where(F.col("id") % 5 === 0).select("id"))
-      val qv = e.where(F.col("id") === 1)
-        .select("vec").head.getSeq[Double](0).toArray
-      Similarity.binaryTopK(Similarity.binaryLoad(s, dir), e, qv,
-        k = 1000000, rerank = 1000000)
-    }),
+    "v_takedown_binary" -> codecTakedownRow("bin",
+      (e, dir) => Similarity.binarySave(
+        Similarity.binaryEncode(e, persist = false), dir),
+      (s, dir, e, qv) => Similarity.binaryTopK(
+        Similarity.binaryLoad(s, dir), e, qv,
+        k = 1000000, rerank = 1000000)),
 
-    "v_takedown_pq" -> ((s, d) => {
-      val e = emb(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_vtake_pq").toString
-      val built = Similarity.pqBuild(e, m = 4, ksub = 8, iters = 10)
-      Similarity.pqSave(built, dir)
-      Similarity.pqRelease(built)
-      Similarity.codesLayoutRemove(
-        s, dir, e.where(F.col("id") % 5 === 0).select("id"))
-      val qv = e.where(F.col("id") === 1)
-        .select("vec").head.getSeq[Double](0).toArray
-      Similarity.pqTopK(Similarity.pqLoad(s, dir), e, qv,
-        k = 1000000, rerank = 1000000)
-    }),
+    "v_takedown_pq" -> codecTakedownRow("pq",
+      (e, dir) => {
+        val built = Similarity.pqBuild(e, m = 4, ksub = 8, iters = 10)
+        Similarity.pqSave(built, dir)
+        Similarity.pqRelease(built)
+      },
+      (s, dir, e, qv) => Similarity.pqTopK(
+        Similarity.pqLoad(s, dir), e, qv,
+        k = 1000000, rerank = 1000000)),
 
-    "v_takedown_opq" -> ((s, d) => {
-      val e = emb(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_vtake_opq").toString
-      val built = Similarity.opqBuild(e, m = 4, ksub = 8, iters = 10)
-      Similarity.opqSave(built, dir)
-      Similarity.opqRelease(built)
-      Similarity.codesLayoutRemove(
-        s, dir, e.where(F.col("id") % 5 === 0).select("id"))
-      val qv = e.where(F.col("id") === 1)
-        .select("vec").head.getSeq[Double](0).toArray
-      Similarity.opqTopK(Similarity.opqLoad(s, dir), e, qv,
-        k = 1000000, rerank = 1000000)
-    }),
+    "v_takedown_opq" -> codecTakedownRow("opq",
+      (e, dir) => {
+        val built = Similarity.opqBuild(e, m = 4, ksub = 8, iters = 10)
+        Similarity.opqSave(built, dir)
+        Similarity.opqRelease(built)
+      },
+      (s, dir, e, qv) => Similarity.opqTopK(
+        Similarity.opqLoad(s, dir), e, qv,
+        k = 1000000, rerank = 1000000)),
 
     // streaming incremental profiling as a REAL stream (VERDICT r11
     // #4): two MemoryStream micro-batches through profileStream's
@@ -2319,6 +2319,7 @@ object SparkEntry {
     // column cast to double, identical bucket and interpolation
     // arithmetic — so buckets AND the p50/p95 estimates value-pin.
     "p_hist_bounds" -> ((s, d) => {
+      import s.implicits._
       import graft.operators.Profile
       val all = docs(s, d)
       val (lo, hi) = Profile.histBoundsFromProfile(
@@ -2327,7 +2328,9 @@ object SparkEntry {
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       val p50 = Profile.histQuantile(counts, 0.50, lo, hi, 16)
       val p95 = Profile.histQuantile(counts, 0.95, lo, hi, 16)
-      Profile.histShard(all, "n_chars", lo, hi, 16)
+      // the collected counts ARE the output rows — rebuild the frame
+      // from them instead of charging a second corpus scan to the row
+      counts.toDF("bucket", "n")
         .withColumn("p50", F.round(F.lit(p50), 4))
         .withColumn("p95", F.round(F.lit(p95), 4))
         .orderBy("bucket")

@@ -860,8 +860,15 @@ object Dedup {
         case (src, Some(tmp)) =>
           val old = new org.apache.hadoop.fs.Path(src.toString + "_remove_old")
           if (fs.exists(old)) fs.delete(old, true)
-          fs.rename(src, old)
-          fs.rename(tmp, src)
+          // HDFS rename returns false instead of throwing on some
+          // failures; unchecked, a false here would report a
+          // SUCCESSFUL erasure over untouched data
+          require(fs.rename(src, old),
+            s"minhashLayoutRemove($path): rename $src -> $old failed; " +
+              "layout untouched, marker left for diagnosis")
+          require(fs.rename(tmp, src),
+            s"minhashLayoutRemove($path): rename $tmp -> $src failed; " +
+              s"pre-swap data survives under $old, marker left for diagnosis")
           fs.delete(old, true)
         case (src, None) =>
           fs.delete(src, true)

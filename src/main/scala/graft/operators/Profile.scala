@@ -324,13 +324,20 @@ object Profile {
     require(nBuckets > 0, s"psiFromHists: nBuckets must be positive; got $nBuckets")
     // mirror histQuantile's empty-histogram guard: an all-zero side
     // makes every fraction 0/0 → NULL psi_terms, and "no drift terms"
-    // is the WRONG reading of "no reference data" (sidecar frames are
-    // ≤ nBuckets rows, so these probes are driver-cheap)
-    def totalOf(df: DataFrame, side: String): Unit = {
-      val t = df.agg(F.coalesce(F.sum("n"), F.lit(0L))).head.getLong(0)
-      require(t > 0L, s"psiFromHists: $side histogram is empty (sum(n)=0)")
+    // is the WRONG reading of "no reference data". ONE combined probe
+    // job for both sides; note the inputs' plans still execute again
+    // for the returned frame — persisted sidecar reads (the intended
+    // input, ≤ nBuckets rows) are free, but callers passing expensive
+    // UNMATERIALIZED frames should persist them first
+    locally {
+      val t = ref.agg(F.coalesce(F.sum("n"), F.lit(0L)).as("t_ref"))
+        .crossJoin(cur.agg(F.coalesce(F.sum("n"), F.lit(0L)).as("t_cur")))
+        .head
+      require(t.getLong(0) > 0L,
+        "psiFromHists: reference histogram is empty (sum(n)=0)")
+      require(t.getLong(1) > 0L,
+        "psiFromHists: current histogram is empty (sum(n)=0)")
     }
-    totalOf(ref, "reference"); totalOf(cur, "current")
     val all = ref.sparkSession.range(nBuckets)
       .select(F.col("id").cast("int").as("bucket"))
     val eps = 1e-6

@@ -3508,8 +3508,14 @@ object Similarity {
         case (src, Some(tmp)) =>
           val old = new org.apache.hadoop.fs.Path(src.toString + "_remove_old")
           if (fs.exists(old)) fs.delete(old, true)
-          fs.rename(src, old)
-          fs.rename(tmp, src)
+          // see codesLayoutRemove: an unchecked false rename would
+          // report a successful erasure over untouched data
+          require(fs.rename(src, old),
+            s"ivfLayoutRemove($path): rename $src -> $old failed; " +
+              "layout untouched, marker left for diagnosis")
+          require(fs.rename(tmp, src),
+            s"ivfLayoutRemove($path): rename $tmp -> $src failed; " +
+              s"pre-swap data survives under $old, marker left for diagnosis")
           fs.delete(old, true)
         case (src, None) =>
           fs.delete(src, true)
@@ -3570,8 +3576,17 @@ object Similarity {
       fs.create(marker, true).close()
       val old = new org.apache.hadoop.fs.Path(s"$path/codes_remove_old")
       if (fs.exists(old)) fs.delete(old, true)
-      fs.rename(src, old)
-      fs.rename(tmp, src)
+      // HDFS rename returns false instead of throwing on some
+      // failures; an unchecked false here would delete the marker and
+      // report a SUCCESSFUL erasure while every removed id is still
+      // retrievable — the worst possible takedown outcome. Fail loud;
+      // the marker + *_old dir then document the crashed swap.
+      require(fs.rename(src, old),
+        s"codesLayoutRemove($path): rename $src -> $old failed; " +
+          "codes are untouched, marker left for diagnosis")
+      require(fs.rename(tmp, src),
+        s"codesLayoutRemove($path): rename $tmp -> $src failed; " +
+          s"pre-swap codes survive under $old, marker left for diagnosis")
       fs.delete(old, true)
       fs.delete(marker, false)
       removed

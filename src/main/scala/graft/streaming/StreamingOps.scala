@@ -560,9 +560,19 @@ object StreamingOps {
               .select("id", "vec", "cluster"))
         else baseLists
       val bcCent = spark.sparkContext.broadcast(idx.centroids)
+      val dimsExpected = idx.centroids.headOption.map(_._2.length).getOrElse(0)
       val probeRows = within.select("id", "vec")
         .as[(Long, Array[Double])]
         .flatMap { case (i, v) =>
+          // every ADMITTED row flows through here before any write, so
+          // this is the gate's dims guard: the cosine kernel silently
+          // truncates to the shorter operand, and a mismatched vector
+          // would otherwise get a wrong verdict AND poison the
+          // persisted layout (same fail-loud contract as the batch
+          // search faces)
+          require(v.length == dimsExpected,
+            s"vector $i has ${v.length} dims but the gate's index was " +
+              s"built for $dimsExpected")
           val probes = bcCent.value
             .map { case (c, cv) =>
               (c, 1.0 - graft.functions.VectorKernels.cosine(v, cv))
