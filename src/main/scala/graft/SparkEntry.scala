@@ -103,6 +103,82 @@ object SparkEntry {
     * at the degenerate rerank-covers-corpus point): build+save the
     * family's layout, `codesLayoutRemove`, reload-and-search. The
     * family differs only in its (save, search) pair. */
+  /** Shared machinery of the two semantic-gate oracle rows (fold-free
+    * stream and live-compaction variant — same replay SQL,
+    * `embedGateReplaySql`): a ONE-list layout over the decade anchors
+    * makes probing a full state scan and within-batch blocking
+    * all-pairs (the exact degenerate point), and duplicates are
+    * planted by pure id arithmetic with POWER-OF-TWO scales so the
+    * feed values are bit-identical in both engines. donor(name, off)
+    * keys the join so feed row `id` matches donor row `id + off`
+    * (anchor = id-1, batch-1 donor = id+3, within-batch twin's donor
+    * = id-37, batch-2 donor = id+2). */
+  private def embedGateRow(compact: Boolean)
+      : (SparkSession, String) => DataFrame = (s, d) => {
+    import s.implicits._
+    val e = emb(s, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_segate_idx").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_segate_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_segate_ckpt").toString
+    val built = Similarity.ivfBuild(
+      e.where(F.col("id") % 10 === 0), nLists = 1)
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    def donor(name: String, off: Int) = e.select(
+      (F.col("id") - off).as(s"did_$name"), F.col("vec").as(s"dv_$name"))
+    def sc(c: org.apache.spark.sql.Column, k: Double) =
+      F.transform(c, x => x * k)
+    val dd = F.expr("id div 10")
+    val feed = e.where(F.col("id") % 10 >= 1 && F.col("id") % 10 <= 3)
+      .withColumn("b", F.col("id") % 10)
+      .join(donor("a", -1), F.col("id") === F.col("did_a"), "left")
+      .join(donor("w", 3), F.col("id") === F.col("did_w"), "left")
+      .join(donor("l", -37), F.col("id") === F.col("did_l"), "left")
+      .join(donor("x", 2), F.col("id") === F.col("did_x"), "left")
+      .withColumn("fv",
+        F.when(F.col("b") === 1 && dd % 4 === 1 &&
+            F.col("dv_a").isNotNull, sc(F.col("dv_a"), 2.0))
+          .when(F.col("b") === 1 && dd % 8 === 3 &&
+            F.col("dv_w").isNotNull, sc(F.col("dv_w"), 2.0))
+          .when(F.col("b") === 1 && dd % 8 === 7 &&
+            F.col("dv_l").isNotNull, sc(F.col("dv_l"), 4.0))
+          .when(F.col("b") === 2 && dd % 8 === 3 &&
+            F.col("dv_x").isNotNull, sc(F.col("dv_x"), 8.0))
+          .otherwise(F.col("vec")))
+      .select(F.col("id"), F.col("fv"), F.col("b"))
+    val batches = (1 to 3).map(k =>
+      feed.where(F.col("b") === k).select("id", "fv")
+        .as[(Long, Array[Double])].collect().sortBy(_._1))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Double])](s)
+    val q = graft.streaming.StreamingOps.embedGateStream(
+      ms.toDF.toDF("id", "vec"), dir, out, ckpt,
+      cosineThreshold = 0.95, nprobe = 1,
+      compactEverySegs =
+        if (compact) 2
+        else graft.streaming.StreamingOps.defaultCompactEverySegs)
+    try {
+      batches.take(2).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      }
+      // live-compaction variant: a full fold BETWEEN batches so the
+      // last batch probes folded state (folds must be invisible)
+      if (compact) Similarity.ivfCompactAppends(s, dir)
+      ms.addData(batches(2).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val qv = e.where(F.col("id") === 4)
+      .select("vec").head.getSeq[Double](0).toArray
+    s.read.parquet(out)
+      .select(F.col("id"),
+        F.round(graft.functions.VectorFunctions.cosine(
+          F.col("vec"), F.typedLit(qv)), 4).as("score"))
+      .orderBy("id")
+      .localCheckpoint()
+  }
+
   private def codecTakedownRow(
       tag: String,
       save: (DataFrame, String) => Unit,
@@ -213,8 +289,9 @@ object SparkEntry {
     "s_hist_stream", "p_psi_hist", "v_ivf_binary_tieaware",
     // r13 additions: codec-layout takedown faces + the semantic gate
     "v_takedown_sq8", "v_takedown_binary", "v_takedown_pq",
-    "v_takedown_opq", "s_embed_gate_stream",
-    "v_ivf_binary_tieaware_batch", "p_hist_bounds")
+    "v_takedown_opq", "s_embed_gate_stream", "s_embed_gate_compact",
+    "v_ivf_binary_tieaware_batch", "v_ivf_binary_tieaware_filtered",
+    "p_hist_bounds")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1822,64 +1899,14 @@ object SparkEntry {
     // rows dup ADMITTED batch-1 directions (reject vs appended state).
     // Output: every admitted id with its round-4 cosine to a fixed
     // reference vector — membership AND payload pinned.
-    "s_embed_gate_stream" -> ((s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_segate_idx").toString
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_segate_out").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_segate_ckpt").toString
-      val built = Similarity.ivfBuild(
-        e.where(F.col("id") % 10 === 0), nLists = 1)
-      Similarity.ivfSave(built, dir)
-      Similarity.ivfRelease(built)
-      // donor(name, off): keyed so the join matches feed row `id` to
-      // donor row `id + off` (anchor = id-1, batch-1 donor = id+3,
-      // within-batch twin's donor = id-37, batch-2 donor = id+2)
-      def donor(name: String, off: Int) = e.select(
-        (F.col("id") - off).as(s"did_$name"), F.col("vec").as(s"dv_$name"))
-      def sc(c: org.apache.spark.sql.Column, k: Double) =
-        F.transform(c, x => x * k)
-      val dd = F.expr("id div 10")
-      val feed = e.where(F.col("id") % 10 >= 1 && F.col("id") % 10 <= 3)
-        .withColumn("b", F.col("id") % 10)
-        .join(donor("a", -1), F.col("id") === F.col("did_a"), "left")
-        .join(donor("w", 3), F.col("id") === F.col("did_w"), "left")
-        .join(donor("l", -37), F.col("id") === F.col("did_l"), "left")
-        .join(donor("x", 2), F.col("id") === F.col("did_x"), "left")
-        .withColumn("fv",
-          F.when(F.col("b") === 1 && dd % 4 === 1 &&
-              F.col("dv_a").isNotNull, sc(F.col("dv_a"), 2.0))
-            .when(F.col("b") === 1 && dd % 8 === 3 &&
-              F.col("dv_w").isNotNull, sc(F.col("dv_w"), 2.0))
-            .when(F.col("b") === 1 && dd % 8 === 7 &&
-              F.col("dv_l").isNotNull, sc(F.col("dv_l"), 4.0))
-            .when(F.col("b") === 2 && dd % 8 === 3 &&
-              F.col("dv_x").isNotNull, sc(F.col("dv_x"), 8.0))
-            .otherwise(F.col("vec")))
-        .select(F.col("id"), F.col("fv"), F.col("b"))
-      val batches = (1 to 3).map(k =>
-        feed.where(F.col("b") === k).select("id", "fv")
-          .as[(Long, Array[Double])].collect().sortBy(_._1))
-      val ms = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Array[Double])](s)
-      val q = graft.streaming.StreamingOps.embedGateStream(
-        ms.toDF.toDF("id", "vec"), dir, out, ckpt,
-        cosineThreshold = 0.95, nprobe = 1)
-      try batches.foreach { b =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      } finally q.stop()
-      val qv = e.where(F.col("id") === 4)
-        .select("vec").head.getSeq[Double](0).toArray
-      s.read.parquet(out)
-        .select(F.col("id"),
-          F.round(graft.functions.VectorFunctions.cosine(
-            F.col("vec"), F.typedLit(qv)), 4).as("score"))
-        .orderBy("id")
-        .localCheckpoint()
-    }),
+    "s_embed_gate_stream" -> (embedGateRow(compact = false)),
+
+    // the semantic gate with its appends COMPACTION live (mirroring
+    // s_gate_compact_stream): in-stream folds at cadence 2 plus an
+    // explicit full fold between batches 2 and 3, so the last batch
+    // probes a fully folded state — the admitted set must be
+    // IDENTICAL to the fold-free row's (same replay SQL verbatim)
+    "s_embed_gate_compact" -> (embedGateRow(compact = true)),
 
     // the gate with its appends COMPACTION live (VERDICT r12
     // continuation): four micro-batches at compactEverySegs = 2 (the
@@ -2389,6 +2416,28 @@ object SparkEntry {
     // constructed total tie, at full probes: the probed frontier
     // covers the corpus, so each qid's answer is the exact cosine
     // top-10 — the same replay as the flat batch face
+    // FILTERED composed tie-aware face on the same constructed total
+    // tie: full probes + a cap covering the corpus reduce it to exact
+    // filter-then-top-k over the matching (id % 3 == 0) rows — any
+    // non-matching id surfacing, or a matching id crowded out by the
+    // mode's tie class (the post-filter failure), breaks the replay
+    "v_ivf_binary_tieaware_filtered" -> ((s, d) => {
+      val e = emb(s, d).select(F.col("id"),
+        F.transform(F.col("vec").cast("array<double>"),
+          x => F.abs(x) + F.lit(1.0)).as("vec"))
+      val q = queryVec(s, d).map(x => math.abs(x) + 1.0)
+      val meta = e.select(F.col("id"),
+        (F.col("id") % 3 === 0).cast("string").as("k3"))
+      val ivf = Similarity.ivfBuild(e, nLists = 8)
+      val out = Similarity.ivfBinaryTopKTieAwareWhere(
+          ivf, Similarity.binaryEncode(e, persist = false), e, meta,
+          F.col("k3") === "true", q,
+          k = 20, nprobe = 8, rerank = 20, expandCap = 1 << 20)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      out
+    }),
+
     "v_ivf_binary_tieaware_batch" -> ((s, d) => {
       val e = emb(s, d).select(F.col("id"),
         F.transform(F.col("vec").cast("array<double>"),
@@ -3247,14 +3296,15 @@ object SparkEntry {
       |SELECT qid, id, score FROM ranked WHERE rn <= 10
       |ORDER BY qid, score DESC, id ASC""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
-    // the semantic gate at its one-list degenerate point is pure
-    // cosine logic: per batch, a row loses to a SMALLER-id batch row
-    // at round-4 cosine >= 0.95, survivors reject against the state
-    // so far (base anchors + previously admitted FEED vectors), and
-    // the admitted rows join the state. The feed transforms replay
-    // bit-identically (power-of-two scales).
-    "s_embed_gate_stream" ->
+  // the semantic gate at its one-list degenerate point is pure cosine
+  // logic: per batch, a row loses to a SMALLER-id batch row at round-4
+  // cosine >= 0.95, survivors reject against the state so far (base
+  // anchors + previously admitted FEED vectors), and the admitted rows
+  // join the state. The feed transforms replay bit-identically
+  // (power-of-two scales). Shared by the fold-free stream row and the
+  // compaction row — folds must be invisible to gate decisions, so the
+  // SQL is identical.
+  private lazy val embedGateReplaySql: String =
       """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |feed AS (SELECT s.id, s.id % 10 AS b,
@@ -3302,7 +3352,12 @@ object SparkEntry {
         |SELECT a.id, round(list_cosine_similarity(a.fv, q.qv), 4) AS score
         |FROM (SELECT * FROM b1a UNION ALL SELECT * FROM b2a
         |      UNION ALL SELECT * FROM b3a) a, q
-        |ORDER BY id""".stripMargin,
+        |ORDER BY id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "s_embed_gate_stream" -> embedGateReplaySql,
+    // folds are invisible to gate decisions — identical replay
+    "s_embed_gate_compact" -> embedGateReplaySql,
 
     "v_takedown_sq8" -> takedownSurvivorsSql,
     "v_takedown_binary" -> takedownSurvivorsSql,
@@ -6193,6 +6248,21 @@ object SparkEntry {
     // full probes reduce the composed BATCH face to the flat one —
     // the same per-qid exact top-10 replay
     "v_ivf_binary_tieaware_batch" -> tieAwareBatchReplaySql,
+
+    // filtered face at the degenerate point: exact filter-then-top-k
+    // over the abs(x)+1 vectors — the predicate must intersect BEFORE
+    // the frontier probe or the mode's tie class crowds the cut
+    "v_ivf_binary_tieaware_filtered" ->
+      """WITH e AS (SELECT vec_id AS id,
+        |  list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x) + 1.0)
+        |    AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE id = 0)
+        |SELECT e.id, round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |FROM e, q
+        |WHERE e.id % 3 = 0
+        |ORDER BY score DESC, id ASC
+        |LIMIT 20""".stripMargin,
 
     // v_opq_topk's degenerate-point argument, with the rotation fit
     // from merged shard moments instead of a one-shot corpus pass —

@@ -1021,6 +1021,42 @@ class StreamingSpec extends SparkSpec {
     Similarity.ivfRelease(post)
   }
 
+  test("semantic gate + takedown: forgotten means re-admittable") {
+    // GDPR semantics across the gate's whole lifecycle: the gate's
+    // state IS an IVF layout, so ivfLayoutRemove erases an admitted
+    // vector from base and appends alike — and a near-duplicate of the
+    // forgotten vector arriving LATER must be ADMITTED again (nothing
+    // in state remembers it), not rejected by a ghost
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val (base, b1, _) = embedGateFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_egate3_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_egate3_out").toString
+    val built = Similarity.ivfBuild(base.toDF("id", "vec"), nLists = 2)
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    StreamingOps.embedGateBatch(
+      b1.toDF("id", "vec"), 0L, dir, out, 0.95, 2)
+    // 101 was admitted into the appends; erase it (and base 3)
+    val n = Similarity.ivfLayoutRemove(s, dir, Seq(101L, 3L).toDF("id"))
+    assert(n == 2L, s"expected 2 vectors removed, got $n")
+    // a scaled copy of 101's direction arrives in a later batch: with
+    // 101 forgotten it must ADMIT; a copy of un-erased base 5 still
+    // rejects (removal is exact, not a wipe)
+    val b2 = Seq(
+      (400L, b1.find(_._1 == 101L).get._2.map(_ * 0.5)),
+      (401L, base(5)._2.map(_ * 2.0)))
+    StreamingOps.embedGateBatch(
+      b2.toDF("id", "vec"), 1L, dir, out, 0.95, 2)
+    val admitted = s.read.parquet(out)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(admitted.contains(400L),
+      "near-dup of a FORGOTTEN vector was rejected — takedown left a ghost")
+    assert(!admitted.contains(401L),
+      "near-dup of an un-erased base vector leaked through")
+  }
+
   test("semantic gate batch replay is idempotent; zero-admit batches and folds don't poison the layout") {
     val s = spark
     import s.implicits._
