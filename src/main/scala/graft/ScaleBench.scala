@@ -589,6 +589,17 @@ object ScaleBench {
             iv, sq8r, emb, qdf, k = 10, nprobe = 8, rerank = 100))
         Similarity.sq8Release(sq8r)
       }
+      // residual-sign binary (r13): same budget as the raw row below —
+      // measures what centroid-relative signs buy back of the raw
+      // codec's within-mode collapse at the same dims/8-byte scan
+      locally {
+        val bri = Similarity.binaryResidualEncode(iv)
+        bri.codes.count()
+        bytesRows("recall_binary_resid_p8_r100_x1e4") = recall(
+          Similarity.ivfBinaryResidualTopKBatch(
+            iv, bri, emb, qdf, k = 10, nprobe = 8, rerank = 100))
+        Similarity.binaryResidualRelease(bri)
+      }
       locally {
         val bin = Similarity.binaryEncode(emb.select("id", "vec"))
         bin.codes.count()

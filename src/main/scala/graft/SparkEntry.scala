@@ -291,7 +291,7 @@ object SparkEntry {
     "v_takedown_sq8", "v_takedown_binary", "v_takedown_pq",
     "v_takedown_opq", "s_embed_gate_stream", "s_embed_gate_compact",
     "v_ivf_binary_tieaware_batch", "v_ivf_binary_tieaware_filtered",
-    "p_hist_bounds")
+    "p_hist_bounds", "v_ivf_binary_resid_topk")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1555,6 +1555,24 @@ object SparkEntry {
         .localCheckpoint()
       Similarity.ivfRelease(ivf)
       Similarity.binaryRelease(bin)
+      out
+    }),
+
+    // residual-sign binary (r13): bits = signs of (vec − list
+    // centroid) under the frozen quantizer, so Hamming ranks WITHIN a
+    // mode where raw signs tie. Integer cut key → oracled at its
+    // PRODUCTION pruning (nprobe 12/16, rerank 60): the SQL replays
+    // the k-means recurrence, the per-list residual signs, and the
+    // (hamming ASC, id ASC) cut exactly
+    "v_ivf_binary_resid_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val bri = Similarity.binaryResidualEncode(ivf)
+      val out = Similarity.ivfBinaryResidualTopK(
+        ivf, bri, e, queryVec(s, d), k = 20, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.binaryResidualRelease(bri)
       out
     }),
 
@@ -5193,6 +5211,41 @@ object SparkEntry {
           |      <> COALESCE(qx.x > 0, FALSE) THEN 1 ELSE 0 END) AS h
           |  FROM ivsrc s JOIN sel ON sel.id = s.id
           |  JOIN qx ON qx.f = s.f GROUP BY s.id),
+          |cand AS (SELECT id FROM ham ORDER BY h ASC, id ASC LIMIT 60)
+          |SELECT e.vec_id AS id,
+          |  round(list_cosine_similarity(e.v, q.qv), 4) AS score
+          |FROM e JOIN cand ON cand.id = e.vec_id, q
+          |ORDER BY score DESC, id ASC
+          |LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // the residual-sign sibling at the same production pruning: the
+    // only change vs v_ivf_binary_topk's replay is the sign operand —
+    // (x − centroid) on both the candidate and the query side, with
+    // each candidate's own list centroid
+    "v_ivf_binary_resid_topk" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |ivsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("ivsrc", 16, 15, "iv")},
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          |qx AS (SELECT f, x FROM ivsrc WHERE id = 0),
+          |cq AS (SELECT k.c,
+          |  1.0 - sum(k.cx * qx.x) / sqrt(sum(k.cx * k.cx) * sum(qx.x * qx.x)) AS d
+          |  FROM ivkc15 k JOIN qx ON qx.f = k.f GROUP BY k.c),
+          |probes AS (SELECT c FROM cq ORDER BY d, c LIMIT 12),
+          |ham AS (SELECT s.id,
+          |    sum(CASE WHEN COALESCE((s.x - kc.cx) > 0, FALSE)
+          |      <> COALESCE((qx.x - kc.cx) > 0, FALSE) THEN 1 ELSE 0 END)
+          |      AS h
+          |  FROM ivsrc s
+          |  JOIN ivfin fin ON fin.id = s.id
+          |  JOIN probes p ON p.c = fin.c
+          |  JOIN ivkc15 kc ON kc.c = fin.c AND kc.f = s.f
+          |  JOIN qx ON qx.f = s.f
+          |  GROUP BY s.id),
           |cand AS (SELECT id FROM ham ORDER BY h ASC, id ASC LIMIT 60)
           |SELECT e.vec_id AS id,
           |  round(list_cosine_similarity(e.v, q.qv), 4) AS score

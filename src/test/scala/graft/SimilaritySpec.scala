@@ -1759,6 +1759,92 @@ class SimilaritySpec extends SparkSpec {
     } finally Similarity.ivfRelease(tl)
   }
 
+  test("residual-sign binary: ranks within modes where raw signs tie; degeneracy, batch parity, round trip") {
+    val s = spark
+    import s.implicits._
+    // 8 tight modes × 50 members: raw sign codes collide inside a
+    // mode (the measured collapse), residual signs are pure noise —
+    // informative
+    val rng = new scala.util.Random(53)
+    val modal = (0 until 400).map { i =>
+      val m = i % 8
+      (i.toLong, Array.tabulate(64)(f =>
+        1.0 + 0.3 * math.sin(m * 0.9 + f * 0.45) + rng.nextGaussian() * 0.05))
+    }
+    val corpus = modal.toDF("id", "vec")
+    val ivf = Similarity.ivfBuild(corpus, nLists = 8)
+    val bri = Similarity.binaryResidualEncode(ivf)
+    val bin = Similarity.binaryEncode(corpus, persist = false)
+    try {
+      val qv = modal.find(_._1 == 399L).get._2
+      val exact = Similarity.annTopK(corpus, qv, 10)
+        .collect().map(_.getLong(0)).toSet
+      // same (nprobe, rerank) budget: the residual codec must beat the
+      // raw one decisively on this corpus (raw ties across the mode)
+      def recall(df: org.apache.spark.sql.DataFrame): Int =
+        df.collect().map(_.getLong(0)).toSet.intersect(exact).size
+      val rawR = recall(Similarity.ivfBinaryTopK(
+        ivf, bin, corpus, qv, k = 10, nprobe = 8, rerank = 20))
+      val resR = recall(Similarity.ivfBinaryResidualTopK(
+        ivf, bri, corpus, qv, k = 10, nprobe = 8, rerank = 20))
+      // 1 bit/dim is a COARSE ranker (the best same-mode neighbor's
+      // noise correlation is ~2/sqrt(dims), i.e. ~1.3 sigma of Hamming
+      // separation) — the pinned claim is "ranks where raw signs
+      // cannot", not parity with multi-bit codecs (use SQ8 for that)
+      assert(resR >= rawR + 3,
+        s"residual signs should rank within the mode: raw=$rawR res=$resR")
+      assert(resR >= 3, s"residual recall@10 too low: raw=$rawR res=$resR")
+      // degeneracy: full probes + rerank >= corpus == exact top-k
+      val degen = Similarity.ivfBinaryResidualTopK(
+          ivf, bri, corpus, qv, k = 10, nprobe = 8, rerank = 400)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exactScored = Similarity.annTopK(corpus, qv, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(degen == exactScored, s"degenerate point: $degen vs $exactScored")
+      // batch == single per qid at production pruning
+      val qids = Seq(5L, 133L, 399L)
+      val qdf = qids.map(i => (i, modal.find(_._1 == i).get._2))
+        .toDF("qid", "qvec")
+      val batch = Similarity.ivfBinaryResidualTopKBatch(
+          ivf, bri, corpus, qdf, k = 10, nprobe = 4, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+      for (qid <- qids) {
+        val single = Similarity.ivfBinaryResidualTopK(
+            ivf, bri, corpus, modal.find(_._1 == qid).get._2,
+            k = 10, nprobe = 4, rerank = 20)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid).map(t => (t._2, t._3)).toSeq == single,
+          s"qid $qid diverges")
+      }
+      // round trip; cross-family loads reject; takedown face applies
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bri").toString
+      Similarity.binaryResidualSave(bri, dir)
+      val loaded = Similarity.binaryResidualLoad(s, dir)
+      assert(loaded.dims == 64)
+      val reloadedTop = Similarity.ivfBinaryResidualTopK(
+          ivf, loaded, corpus, qv, k = 10, nprobe = 8, rerank = 20)
+        .collect().map(_.getLong(0)).toSeq
+      val origTop = Similarity.ivfBinaryResidualTopK(
+          ivf, bri, corpus, qv, k = 10, nprobe = 8, rerank = 20)
+        .collect().map(_.getLong(0)).toSeq
+      assert(reloadedTop == origTop)
+      intercept[IllegalArgumentException](Similarity.binaryLoad(s, dir))
+      val rawDir = java.nio.file.Files
+        .createTempDirectory("graft_braw").toString
+      Similarity.binarySave(bin, rawDir)
+      intercept[IllegalArgumentException](
+        Similarity.binaryResidualLoad(s, rawDir))
+      assert(Similarity.codesLayoutRemove(
+        s, dir, Seq(399L).toDF("id")) == 1L)
+      assert(Similarity.binaryResidualLoad(s, dir).codes.count() == 399L)
+    } finally {
+      Similarity.ivfRelease(ivf)
+      Similarity.binaryResidualRelease(bri)
+    }
+  }
+
   test("codesLayoutRemove: erases across every codec family's saved layout; guards hold") {
     val s = spark
     import s.implicits._
