@@ -291,7 +291,8 @@ object SparkEntry {
     "v_takedown_sq8", "v_takedown_binary", "v_takedown_pq",
     "v_takedown_opq", "s_embed_gate_stream", "s_embed_gate_compact",
     "v_ivf_binary_tieaware_batch", "v_ivf_binary_tieaware_filtered",
-    "p_hist_bounds", "v_ivf_binary_resid_topk")
+    "p_hist_bounds", "v_ivf_binary_resid_topk",
+    "v_ivf_binary_resid_topk_batch")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -1555,6 +1556,24 @@ object SparkEntry {
         .localCheckpoint()
       Similarity.ivfRelease(ivf)
       Similarity.binaryRelease(bin)
+      out
+    }),
+
+    // batch face of the residual codec at the same production
+    // pruning: per-qid probe ranking over the k-means chain, residual
+    // sign bits per (query, probed list), per-qid (hamming ASC, id
+    // ASC) window at 60, exact rerank per qid
+    "v_ivf_binary_resid_topk_batch" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuild(e, nLists = 16)
+      val bri = Similarity.binaryResidualEncode(ivf)
+      val qs = e.where(F.col("id") <= 4)
+        .select(F.col("id").as("qid"), F.col("vec").as("qvec"))
+      val out = Similarity.ivfBinaryResidualTopKBatch(
+        ivf, bri, e, qs, k = 10, nprobe = 12, rerank = 60)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      Similarity.binaryResidualRelease(bri)
       out
     }),
 
@@ -5252,6 +5271,49 @@ object SparkEntry {
           |FROM e JOIN cand ON cand.id = e.vec_id, q
           |ORDER BY score DESC, id ASC
           |LIMIT 20""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
+
+    // batch generalization of the residual replay: per-qid probes,
+    // residual sign operands with each candidate's own list centroid,
+    // per-qid (h ASC, id ASC) window, exact rerank per qid
+    "v_ivf_binary_resid_topk_batch" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |ivsrc AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |${kmeansCtes("ivsrc", 16, 15, "iv")},
+          |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 4),
+          |qsx AS (SELECT id AS qid, f, x FROM ivsrc WHERE id <= 4),
+          |cq AS (SELECT q.qid, k.c,
+          |  1.0 - sum(k.cx * q.x) / sqrt(sum(k.cx * k.cx) * sum(q.x * q.x)) AS d
+          |  FROM ivkc15 k JOIN qsx q ON q.f = k.f GROUP BY q.qid, k.c),
+          |probes AS (SELECT qid, c FROM (
+          |  SELECT qid, c, row_number() OVER (
+          |    PARTITION BY qid ORDER BY d, c) AS rn FROM cq) WHERE rn <= 12),
+          |ham AS (SELECT p.qid, s.id,
+          |    sum(CASE WHEN COALESCE((s.x - kc.cx) > 0, FALSE)
+          |      <> COALESCE((q.x - kc.cx) > 0, FALSE) THEN 1 ELSE 0 END)
+          |      AS h
+          |  FROM ivsrc s
+          |  JOIN ivfin fin ON fin.id = s.id
+          |  JOIN probes p ON p.c = fin.c
+          |  JOIN ivkc15 kc ON kc.c = fin.c AND kc.f = s.f
+          |  JOIN qsx q ON q.qid = p.qid AND q.f = s.f
+          |  GROUP BY p.qid, s.id),
+          |cand AS (SELECT qid, id FROM (
+          |  SELECT qid, id, row_number() OVER (
+          |    PARTITION BY qid ORDER BY h ASC, id ASC) AS rn
+          |  FROM ham) WHERE rn <= 60),
+          |scored AS (SELECT c.qid, e.vec_id AS id,
+          |    round(list_cosine_similarity(e.v, q.qv), 4) AS score
+          |  FROM cand c JOIN e ON e.vec_id = c.id
+          |  JOIN qs q ON q.qid = c.qid)
+          |SELECT qid, id, score FROM (
+          |  SELECT qid, id, score, row_number() OVER (
+          |    PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+          |  FROM scored) WHERE rn <= 10
+          |ORDER BY qid, score DESC, id ASC""".stripMargin
         .replace(" AS (", " AS MATERIALIZED (")),
 
     // batch generalization: per-qid probe ranking over the iv chain,
