@@ -1021,6 +1021,45 @@ class StreamingSpec extends SparkSpec {
     Similarity.ivfRelease(post)
   }
 
+  test("semantic gate survives a mid-stream quantizer rebuild") {
+    // lifecycle law: the gate loads the layout per batch, so an
+    // offline ivfRebuild between micro-batches (the drift remedy the
+    // frozen-quantizer contract prescribes) is picked up with no
+    // restart — admitted state carries into the rebuilt lists, and a
+    // later duplicate of a pre-rebuild admit still rejects
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val (base, b1, _) = embedGateFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_egate4_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_egate4_out").toString
+    val built = Similarity.ivfBuild(base.toDF("id", "vec"), nLists = 2)
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    StreamingOps.embedGateBatch(
+      b1.toDF("id", "vec"), 0L, dir, out, 0.95, 2)
+    // requantize base + the admitted segment (tiny corpus → rebuild
+    // routes to a small list count; the gate must keep working)
+    Similarity.ivfRebuild(s, dir, targetListSize = 8)
+    val rebuilt = Similarity.ivfLoad(s, dir)
+    val ids = rebuilt.assigned.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == base.map(_._1).toSet ++ Set(101L, 103L),
+      s"rebuild dropped rows: $ids")
+    Similarity.ivfRelease(rebuilt)
+    val b2 = Seq(
+      (500L, b1.find(_._1 == 101L).get._2.map(_ * 8.0)), // dup of admit
+      (501L, embedGateFixture._1(6)._2.map(v => v))) // dup of base 6
+    StreamingOps.embedGateBatch(
+      b2.toDF("id", "vec"), 1L, dir, out, 0.95, 0 /* nprobe: routed */)
+    val admitted = s.read.parquet(out)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!admitted.contains(500L),
+      "post-rebuild gate forgot a pre-rebuild admit")
+    assert(!admitted.contains(501L),
+      "post-rebuild gate forgot a base vector")
+    assert(admitted == Set(101L, 103L), s"admitted drifted: $admitted")
+  }
+
   test("semantic gate + takedown: forgotten means re-admittable") {
     // GDPR semantics across the gate's whole lifecycle: the gate's
     // state IS an IVF layout, so ivfLayoutRemove erases an admitted
