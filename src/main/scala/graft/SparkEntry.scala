@@ -292,7 +292,7 @@ object SparkEntry {
     "v_takedown_opq", "s_embed_gate_stream", "s_embed_gate_compact",
     "v_ivf_binary_tieaware_batch", "v_ivf_binary_tieaware_filtered",
     "p_hist_bounds", "v_ivf_binary_resid_topk",
-    "v_ivf_binary_resid_topk_batch")
+    "v_ivf_binary_resid_topk_batch", "p_psi_embed")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -2374,6 +2374,22 @@ object SparkEntry {
           hist(F.col("doc_id") % 2 === 0), hist(F.col("doc_id") % 2 === 1),
           nBuckets = 24)
         .localCheckpoint()
+    }),
+
+    // drop-vs-drop EMBEDDING drift (r13): a reference index over the
+    // even vectors, the odd vectors assigned against its FROZEN
+    // centroids, occupancy PSI over the cells — the k-means fit, the
+    // squared-L2 argmin assignment (lowest cell wins ties), and the
+    // psi arithmetic all replay exactly in SQL
+    "p_psi_embed" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfBuild(
+        e.where(F.col("id") % 2 === 0), nLists = 8)
+      val out = Similarity.embeddingDriftPsi(
+          ivf, e.where(F.col("id") % 2 === 1))
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      out
     }),
 
     // histogram bounds taken FROM the profile sidecar instead of
@@ -6271,6 +6287,44 @@ object SparkEntry {
         |SELECT h.bucket, h.n, q50.p50, q95.p95
         |FROM hist h, q50, q95
         |ORDER BY h.bucket""".stripMargin,
+
+    // embedding drift replay: the even-vector k-means chain, the odd
+    // vectors assigned by squared-L2 argmin (ORDER BY d, c — lowest
+    // cell wins ties, the engine's strict-less predict), then the
+    // p_psi_hist arithmetic over the 8-cell domain
+    "p_psi_embed" ->
+      (s"""WITH src AS (SELECT vec_id AS id,
+          |  generate_subscripts(embedding, 1) AS f,
+          |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |edsrc AS (SELECT * FROM src WHERE id % 2 = 0),
+          |${kmeansCtes("edsrc", 8, 15, "ed")},
+          |refc AS (SELECT c AS cell, count(*) AS n_ref FROM edfin
+          |  GROUP BY c),
+          |cursrc AS (SELECT * FROM src WHERE id % 2 = 1),
+          |dist AS (SELECT s.id, k.c,
+          |    sum((s.x - k.cx) * (s.x - k.cx)) AS d
+          |  FROM cursrc s JOIN edkc15 k ON k.f = s.f GROUP BY s.id, k.c),
+          |curassign AS (SELECT id, c FROM (
+          |  SELECT id, c, row_number() OVER (
+          |    PARTITION BY id ORDER BY d, c) AS rn FROM dist)
+          |  WHERE rn = 1),
+          |curc AS (SELECT c AS cell, count(*) AS n_cur FROM curassign
+          |  GROUP BY c),
+          |dom AS (SELECT CAST(range AS INT) AS cell FROM range(0, 8)),
+          |j AS (SELECT dom.cell,
+          |    coalesce(refc.n_ref, 0)::BIGINT AS n_ref,
+          |    coalesce(curc.n_cur, 0)::BIGINT AS n_cur
+          |  FROM dom LEFT JOIN refc USING (cell)
+          |  LEFT JOIN curc USING (cell)),
+          |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+          |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+          |SELECT j.cell, j.n_ref, j.n_cur,
+          |  round((j.n_ref / t.tr - j.n_cur / t.tc) *
+          |    ln(greatest(j.n_ref / t.tr, 1e-6) /
+          |       greatest(j.n_cur / t.tc, 1e-6)), 6) AS psi_term
+          |FROM j, t
+          |ORDER BY j.cell""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")),
 
     // profile-derived bounds: lo/hi/width computed from the data in
     // SQL exactly as histBoundsFromProfile reads them from the

@@ -3771,6 +3771,39 @@ object Similarity {
     } finally key.unpersist(blocking = false)
   }
 
+  /** Drop-vs-drop EMBEDDING drift: occupancy PSI over the frozen
+    * cells of a reference index. [[graft.operators.Profile
+    * .psiFromHists]] monitors numeric columns; embeddings need their
+    * own face — assign the CURRENT drop against the reference
+    * quantizer (the same frozen-centroid recurrence as every append
+    * path) and compare per-cell occupancy with the reference lists.
+    * PSI < 0.1 stable / > 0.25 shifted, the same published rule of
+    * thumb as [[graft.operators.Profile.psiBuckets]]; a high index
+    * says the new drop's semantic mass sits in different cells —
+    * exactly when the frozen-quantizer contract calls for
+    * [[ivfRebuild]] (the [[graft.streaming.StreamingOps
+    * .IvfIngestMonitor]] watches the same signal batch-by-batch at
+    * ingest; this face compares two PERSISTED drops offline, no
+    * stream required). Cost: one broadcast-assignment pass over the
+    * current drop + two k-row aggregates — never an all-pairs
+    * anything. Output: (cell, n_ref, n_cur, psi_term round-6) over
+    * the full 0..k-1 domain, ordered by cell; sum psi_term for the
+    * index.
+    */
+  def embeddingDriftPsi(ivf: IvfIndex, cur: DataFrame): DataFrame = {
+    val model = graft.scale.DeterministicKMeans.Model(
+      ivf.centroids.sortBy(_._1).map(_._2))
+    def cells(assigned: DataFrame): DataFrame = assigned
+      .groupBy("cluster").agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("cluster").cast("int").as("bucket"), F.col("n"))
+    graft.operators.Profile.psiFromHists(
+        cells(ivf.assigned),
+        cells(graft.scale.DeterministicKMeans.assign(
+          cur, model, idCol = "id", vecCol = "vec")),
+        ivf.k)
+      .withColumnRenamed("bucket", "cell")
+  }
+
   /** REQUANTIZE a saved layout in place — the rebuild operator behind
     * the drift monitor (VERDICT r10 #2): the frozen-quantizer append
     * contract says "enough drift ⇒ rebuild", and this is the rebuild.

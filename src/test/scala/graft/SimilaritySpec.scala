@@ -1845,6 +1845,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingDriftPsi: zero on self, trips when a drop's mass moves cells") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(61)
+    def cloud(modes: Seq[Int], ids: Range) = ids.map { i =>
+      val m = modes(i % modes.length)
+      (i.toLong, Array.tabulate(16)(f =>
+        math.sin(m * 1.1 + f * 0.5) + rng.nextGaussian() * 0.05))
+    }
+    val ref = cloud(Seq(0, 1, 2, 3), 0 until 200)
+    val ivf = Similarity.ivfBuild(ref.toDF("id", "vec"), nLists = 4)
+    try {
+      // self: every cell's occupancy matches itself exactly — index 0
+      val self = Similarity.embeddingDriftPsi(ivf, ref.toDF("id", "vec"))
+        .agg(F.round(F.sum("psi_term"), 6)).head.getDouble(0)
+      assert(self == 0.0, s"self-drift should be 0, got $self")
+      // a drop concentrated on HALF the modes: mass leaves two cells
+      // entirely — the index must cross the published 0.25 bar
+      val drifted = cloud(Seq(0, 1), 1000 until 1200)
+      val psi = Similarity.embeddingDriftPsi(ivf, drifted.toDF("id", "vec"))
+      val idx = psi.agg(F.sum("psi_term")).head.getDouble(0)
+      assert(idx > 0.25, s"planted cell shift read psi=$idx")
+      // full domain present, counts conserved
+      assert(psi.count() == 4L)
+      assert(psi.agg(F.sum("n_cur")).head.getLong(0) == 200L)
+    } finally Similarity.ivfRelease(ivf)
+  }
+
   test("codesLayoutRemove: erases across every codec family's saved layout; guards hold") {
     val s = spark
     import s.implicits._
