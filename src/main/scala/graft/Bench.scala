@@ -83,20 +83,33 @@ object Bench {
 
   /** Number of per-query rows in a board artifact: top-level keys of
     * its `"queries"` object (values may be numbers — Bench — or nested
-    * objects — ScaleBench; only depth-1 strings are keys). */
+    * objects — ScaleBench). A depth-1 string counts only in KEY
+    * position (ADVICE r13: a string VALUE at depth 1 must not inflate
+    * the lineage guard's row count), tracked by toggling on ':' and
+    * ',' at depth 1; brackets count toward depth so array elements
+    * never read as keys, and backslash escapes inside strings are
+    * skipped rather than terminating the string early. */
   private[graft] def boardRowCount(json: String): Int = {
     val i = json.indexOf("\"queries\":{")
     if (i < 0) 0
     else {
       var j = i + "\"queries\":".length
-      var depth = 0; var count = 0; var inStr = false; var done = false
+      var depth = 0; var count = 0; var inStr = false; var esc = false
+      var expectKey = true; var done = false
       while (j < json.length && !done) {
         val c = json.charAt(j)
-        if (inStr) { if (c == '"') inStr = false }
-        else c match {
-          case '{' => depth += 1
-          case '}' => depth -= 1; if (depth == 0) done = true
-          case '"' => inStr = true; if (depth == 1) count += 1
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '{' | '[' => depth += 1; expectKey = true
+          case '}' | ']' => depth -= 1; if (depth == 0) done = true
+          case ':' => if (depth == 1) expectKey = false
+          case ',' => if (depth == 1) expectKey = true
+          case '"' =>
+            inStr = true
+            if (depth == 1 && expectKey) count += 1
           case _ =>
         }
         j += 1

@@ -695,6 +695,11 @@ object Dedup {
     }
     if (!hasAppends) base
     else {
+      // read-side backstop, same contract as ivfLoad / the sidecar
+      // readers (VERDICT r13 #6): warn when another writer let seg=
+      // leaves accumulate past 4× the default fold cadence
+      graft.streaming.StreamingOps.warnUncompacted(
+        spark, s"$path/bands_appends", "minhashIndexLoadWithAppends")
       val keep = (df: DataFrame) =>
         df.where(F.col("seg").cast("long") < maxSegExclusive)
       val ab = keep(spark.read.parquet(s"$path/bands_appends"))
@@ -756,16 +761,26 @@ object Dedup {
         tmp: org.apache.hadoop.fs.Path, oldName: String): Unit = {
       val old = new org.apache.hadoop.fs.Path(s"$path/$oldName")
       if (fs.exists(old)) fs.delete(old, true)
-      fs.rename(live, old)
+      // checked renames (VERDICT r13 #1): an unchecked false rename
+      // here would report a successful fold over an untouched layout
+      require(fs.rename(live, old),
+        s"minhashCompactAppends($path): rename $live -> $old failed; " +
+          "appends untouched, marker left for diagnosis")
       // excluded (>= maxSegExclusive) segment dirs carry over verbatim
       fs.listStatus(old).foreach { st =>
         val nm = st.getPath.getName
         if (nm.startsWith("seg=") &&
             scala.util.Try(nm.substring(4).toLong).toOption
               .exists(_ >= maxSegExclusive))
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tmp, nm))
+          require(
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tmp, nm)),
+            s"minhashCompactAppends($path): carrying in-flight segment " +
+              s"$nm into $tmp failed; pre-fold segments survive under " +
+              s"$old, marker left for diagnosis")
       }
-      fs.rename(tmp, live)
+      require(fs.rename(tmp, live),
+        s"minhashCompactAppends($path): rename $tmp -> $live failed; " +
+          s"pre-fold segments survive under $old, marker left for diagnosis")
       fs.delete(old, true)
     }
     swap(bp, tmpB, "bands_appends_old")

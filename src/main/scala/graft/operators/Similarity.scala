@@ -814,6 +814,10 @@ object Similarity {
       query: Array[Double], k: Int, nprobe: Int, rerank: Int): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    // same guard as the batch sibling (ADVICE r13): nprobe <= 0 would
+    // silently yield an empty probe set and an empty result
+    require(nprobe > 0 && nprobe <= ivf.k,
+      s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=${ivf.k}")
     require(query.length == index.dims,
       s"query has ${query.length} dims but index was encoded for ${index.dims}")
     val spark = index.codes.sparkSession
@@ -844,7 +848,14 @@ object Similarity {
     * selection flatMap; one codes join on cluster scores every
     * (candidate, query) pair, bounded-heap per-qid cut, one exact
     * rerank join. Per qid equals the single-query face at the same
-    * (k, nprobe, rerank) — spec-pinned.
+    * (k, nprobe, rerank) whenever the two probe selectors agree: the
+    * single face probes flat ([[ivfProbes]]) while this face routes
+    * hierarchically when the index carries a [[TwoLevelHier]]
+    * ([[autoProbesFor]]) — so parity is unconditional on flat-built
+    * indexes and on hierarchies with ≤ [[DefaultCoarseCells]]
+    * non-empty coarse cells (the spec-pinned configurations), and
+    * approximate beyond that where cell pruning may drop a list the
+    * flat scan would have probed.
     */
   def ivfBinaryResidualTopKBatch(
       ivf: IvfIndex, index: BinaryResidualIndex, emb: DataFrame,
@@ -985,16 +996,20 @@ object Similarity {
     * fan-out) feeds the SAME batch widening core as the flat face
     * ([[tieAwareCandidatesBatch]] — shared so the faces cannot
     * drift): per qid the output equals the composed single face at
-    * the same (k, nprobe, rerank, expandCap) — spec-pinned; at
-    * nprobe = nLists it equals [[binaryTopKBatchTieAware]] row for
-    * row. Same expandCap contract (≤ 0 means
-    * [[DefaultExpandCapMultiple]]·rerank).
+    * the same (k, nprobe, rerank, expandCap) whenever the probe
+    * selectors agree — unconditional on flat-built indexes and on
+    * hierarchies with ≤ [[DefaultCoarseCells]] non-empty coarse cells
+    * (the spec-pinned configurations; this face routes
+    * hierarchically via [[autoProbesFor]], the single face probes
+    * flat), approximate beyond that; at nprobe = nLists it equals
+    * [[binaryTopKBatchTieAware]] row for row. Same expandCap
+    * contract (≤ 0 means [[DefaultExpandCapMultiple]]·rerank).
     */
   def ivfBinaryTopKBatchTieAware(
       ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int, rerank: Int, expandCap: Int = 0): DataFrame =
     ivfBinaryBatchTieAwareImpl(ivf, bin, emb, queries, k, nprobe, rerank,
-      expandCap, None)
+      expandCap, None, "ivfBinaryTopKBatchTieAware")
 
   /** FILTERED [[ivfBinaryTopKBatchTieAware]] — one predicate-filtered
     * id join on the slim lists before the bits attach, so every qid's
@@ -1004,12 +1019,16 @@ object Similarity {
       pred: Column, queries: DataFrame, k: Int, nprobe: Int,
       rerank: Int, expandCap: Int = 0): DataFrame =
     ivfBinaryBatchTieAwareImpl(ivf, bin, emb, queries, k, nprobe, rerank,
-      expandCap, Some(keptIds(meta, pred)))
+      expandCap, Some(keptIds(meta, pred)), "ivfBinaryTopKBatchTieAwareWhere")
 
+  // `face` is the public entry point's name, threaded through so the
+  // capped-tie warning attributes itself to the face the caller
+  // actually invoked (ADVICE r13: the literal name misattributed the
+  // filtered face's warnings)
   private def ivfBinaryBatchTieAwareImpl(
       ivf: IvfIndex, bin: BinaryIndex, emb: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int, rerank: Int, expandCap: Int,
-      kept: Option[DataFrame]): DataFrame = {
+      kept: Option[DataFrame], face: String): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(nprobe > 0 && nprobe <= ivf.k,
@@ -1042,8 +1061,7 @@ object Similarity {
       .join(withBits, "cluster")
       .select(F.col("qid"), F.col("id"),
         hammingCol(F.col("bits"), F.col("qbits")).as("ham"))
-    val cand = tieAwareCandidatesBatch(
-      ham, rerank, cap, "ivfBinaryTopKBatchTieAware")
+    val cand = tieAwareCandidatesBatch(ham, rerank, cap, face)
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
       .join(F.broadcast(qs), "qid")
@@ -3516,6 +3534,13 @@ object Similarity {
             "them (rename back to applists) or finish the compaction, " +
             "then delete applists_swap_marker.")
     }
+    // read-side backstop: segments folded by NOBODY (another writer's
+    // stream with compaction disabled) accumulate unbounded seg= leaves
+    // that every load lists and merges — warn past 4× the default
+    // cadence, same contract as the sidecar readers (VERDICT r13 #6)
+    if (hasAppends)
+      graft.streaming.StreamingOps.warnUncompacted(
+        spark, s"$path/applists", "ivfLoad")
     val assigned =
       if (hasAppends)
         base.unionByName(
@@ -3610,7 +3635,16 @@ object Similarity {
     fs.create(marker, true).close()
     val old = new org.apache.hadoop.fs.Path(s"$path/applists_compact_old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(ap, old)
+    // HDFS rename returns false instead of throwing on some failures;
+    // unchecked, a false first rename leaves the live dir in place, the
+    // second rename then also fails (destination exists), delete(old)
+    // no-ops, and the method reports a successful compaction over an
+    // untouched layout — the same silent-false-success class
+    // codesLayoutRemove closed (VERDICT r13 #1). Fail loud; the marker
+    // + *_old/*_tmp siblings then document the crashed swap.
+    require(fs.rename(ap, old),
+      s"ivfCompactAppends($path): rename $ap -> $old failed; " +
+        "appends untouched, marker left for diagnosis")
     // excluded (>= maxSegExclusive) segment dirs carry over verbatim —
     // they were never read into the merge
     fs.listStatus(old).foreach { st =>
@@ -3618,9 +3652,15 @@ object Similarity {
       if (nm.startsWith("seg=") &&
           scala.util.Try(nm.substring(4).toLong).toOption
             .exists(_ >= maxSegExclusive))
-        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tmp, nm))
+        require(
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tmp, nm)),
+          s"ivfCompactAppends($path): carrying in-flight segment $nm " +
+            s"into $tmp failed; pre-fold segments survive under $old, " +
+            "marker left for diagnosis")
     }
-    fs.rename(tmp, ap)
+    require(fs.rename(tmp, ap),
+      s"ivfCompactAppends($path): rename $tmp -> $ap failed; " +
+        s"pre-fold segments survive under $old, marker left for diagnosis")
     fs.delete(marker, false)
     fs.delete(old, true)
     spark.read.parquet(s"$path/applists").inputFiles.length
@@ -3884,8 +3924,19 @@ object Similarity {
     // metadata renames; readers in the window fail loudly and retry
     val old = new org.apache.hadoop.fs.Path(s"${path}__rebuild_old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(root, old)
-    fs.rename(stagingP, root)
+    // checked renames (VERDICT r13 #1): an unchecked false on the first
+    // rename would cascade — the second rename fails too (root still
+    // exists), delete(old) no-ops, and the method would return fresh.k
+    // claiming a successful rebuild while the STALE layout still
+    // serves, on exactly the drift signal that demanded the rebuild.
+    require(fs.rename(root, old),
+      s"ivfRebuild($path): rename $root -> $old failed; the old " +
+        s"layout is untouched and still serves, the fresh layout " +
+        s"survives under $stagingP for diagnosis")
+    require(fs.rename(stagingP, root),
+      s"ivfRebuild($path): rename $stagingP -> $root failed; the " +
+        s"pre-rebuild layout survives under $old — restore it (or " +
+        s"finish the swap by hand) before serving resumes")
     fs.delete(old, true)
     fresh.k
   }

@@ -131,6 +131,13 @@ class ScaleBenchMergeSpec extends AnyFunSuite {
       Seq(("g_ppr", 1.0)), Seq(("g_kcore_rounds", 3L)))
     assert(Bench.boardRowCount(scaleArt) == 2)
     assert(Bench.boardRowCount("""{"metric":"total"}""") == 0)
+    // ADVICE r13: string VALUES at depth 1 are not keys, escaped
+    // quotes don't terminate a string early, and array elements sit
+    // below depth 1 — none of these may inflate the lineage count
+    assert(Bench.boardRowCount(
+      """{"queries":{"a":"skipped","b":1.0,"c":{"x":"y"}}}""") == 3)
+    assert(Bench.boardRowCount(
+      """{"queries":{"a\"b":1.0,"c":[1,"two",3]}}""") == 2)
 
     val dir = java.nio.file.Files.createTempDirectory("boardguard")
     val board = dir.resolve("board.json")
