@@ -201,7 +201,7 @@ object Bench {
     // reference walls from the previously committed full artifact (same
     // host class, final round-9 code). Rows absent from it — new
     // operators — fall back to the cpu/wall rule alone.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL_r12.json")
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL_r13.json")
     val refWalls: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -397,7 +397,7 @@ object Bench {
     // r5/r6 one, but r8 rotated two PQ-family flagships in and three
     // near-zero rows out (see benchExclude) — round-over-round compare
     // the per-query rows, not the slim total, across that boundary.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r13.json")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r14.json")
     val full =
       s"""{"metric":"total","value":${fmt(totalOf(results))},"unit":"sec",""" +
         s""""failed":$nFailed,"sf":"$sfName","queries":${toJson(results)},""" +

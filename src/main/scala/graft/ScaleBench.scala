@@ -595,9 +595,28 @@ object ScaleBench {
       locally {
         val bri = Similarity.binaryResidualEncode(iv)
         bri.codes.count()
+        val t0 = System.nanoTime()
         bytesRows("recall_binary_resid_p8_r100_x1e4") = recall(
           Similarity.ivfBinaryResidualTopKBatch(
             iv, bri, emb, qdf, k = 10, nprobe = 8, rerank = 100))
+        rows("v_resid_batch_r100") = ((System.nanoTime() - t0) / 1e9, nq)
+        // the tie-aware residual face at the SAME budget (VERDICT r13
+        // #4): residual signs already rank within modes, so this
+        // measures whether frontier widening buys ANY recall at r100
+        // before it could ever default on — the adoption/refusal
+        // evidence for the matrix's fifth column, recall and wall
+        // side by side with the plain row above
+        val t1 = System.nanoTime()
+        bytesRows("recall_binary_resid_tieaware_r100_x1e4") = recall(
+          Similarity.ivfBinaryResidualTopKBatchTieAware(
+            iv, bri, emb, qdf, k = 10, nprobe = 8, rerank = 100))
+        rows("v_resid_tieaware_batch_r100") =
+          ((System.nanoTime() - t1) / 1e9, nq)
+        println(f"[scale] resid r100: plain=" +
+          f"${bytesRows("recall_binary_resid_p8_r100_x1e4")}%d " +
+          f"(${rows("v_resid_batch_r100")._1}%.2f s) tieaware=" +
+          f"${bytesRows("recall_binary_resid_tieaware_r100_x1e4")}%d " +
+          f"(${rows("v_resid_tieaware_batch_r100")._1}%.2f s) x1e4")
         Similarity.binaryResidualRelease(bri)
       }
       locally {
@@ -1201,6 +1220,31 @@ object ScaleBench {
           println(f"[scale]   ivfAppendStream rate: ${n / sec}%.0f vectors/sec")
         }
       }
+      // ---- drift→rebuild policy face (r14, VERDICT r13 #5): the
+      // no-drift path of rebuildIfDrifted must cost ONE broadcast
+      // assignment pass over the drop + two k-row aggregates and SKIP
+      // the rebuild — this row measures exactly that (a full rebuild
+      // at this scale is the v_ivf_build-sized cost the skip avoids);
+      // the measured psi lands beside it in bytes (×1e4)
+      if (only.forall(_.contains("v_rebuild_check"))) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("rebcheckscale").toString + "/index"
+        val iv = Similarity.ivfBuild(emb.select("id", "vec"), nLists = lists)
+        Similarity.ivfSave(iv, dir)
+        Similarity.ivfRelease(iv)
+        bench("v_rebuild_check_nodrift") {
+          val (psi, rebuilt) = Similarity.rebuildIfDrifted(
+            spark, dir, emb.select("id", "vec"))
+          require(!rebuilt, s"no-drift fixture tripped the rebuild: psi=$psi")
+          bytesRows("v_rebuild_check_psi_x1e4") = math.round(psi * 10000)
+          nVecs
+        }
+        rows.get("v_rebuild_check_nodrift").foreach { case (sec, n) =>
+          println(f"[scale]   rebuildIfDrifted no-drift: $sec%.2f s over " +
+            f"$n%d vecs (psi_x1e4=${bytesRows("v_rebuild_check_psi_x1e4")}%d)" +
+            " — rebuild skipped")
+        }
+      }
       // ---- streaming SEMANTIC dedup gate at volume (r13): base = a
       // tenth of modes 0–15 in a saved corpus-proportional layout, the
       // other nine tenths of the corpus streamed in 8 micro-batches.
@@ -1226,6 +1270,47 @@ object ScaleBench {
           .select("id", "vec").as[(Long, Array[Double])].collect()
         val chunks = streamVecs.grouped(
           math.max(1, streamVecs.length / 8)).toSeq
+        // measure the gate's per-batch broadcast sizes (VERDICT r13
+        // #3): the probe-side broadcast now ships scalar-SQ8 codes
+        // (schema carries `bcode`), the exact-rerank broadcast ships
+        // the batch's full vectors once (`bvec`, nBatch rows). The
+        // pre-compression probe broadcast was the bvec payload
+        // replicated nprobe× — so old ≈ nprobe · rerank_bcast; both
+        // maxima land in bytes rows for the comparison.
+        val probeBcast = new java.util.concurrent.atomic.AtomicLong(0L)
+        val rerankBcast = new java.util.concurrent.atomic.AtomicLong(0L)
+        val bcastListener = new org.apache.spark.sql.util.QueryExecutionListener {
+          private def visit(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+            p match {
+              case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+                val sz = b.metrics.get("dataSize").map(_.value).getOrElse(0L)
+                val names = b.child.output.map(_.name).toSet
+                val op = new java.util.function.LongBinaryOperator {
+                  def applyAsLong(a: Long, x: Long): Long = math.max(a, x)
+                }
+                if (names.contains("bcode")) probeBcast.accumulateAndGet(sz, op)
+                else if (names.contains("bvec")) rerankBcast.accumulateAndGet(sz, op)
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                visit(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                visit(q.plan)
+              // the gate persists its frames, so the joins (and their
+              // broadcasts) execute INSIDE cache materialization —
+              // descend into the cached plan or every metric reads 0
+              case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+                visit(m.relation.cachedPlan)
+              case _ =>
+            }
+            p.children.foreach(visit)
+          }
+          override def onSuccess(f: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              d: Long): Unit = visit(qe.executedPlan)
+          override def onFailure(f: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        }
+        spark.listenerManager.register(bcastListener)
         bench("s_embed_gate") {
           val in = MemoryStream[(Long, Array[Double])]
           val q = graft.streaming.StreamingOps.embedGateStream(
@@ -1236,11 +1321,17 @@ object ScaleBench {
             streamVecs.length.toLong
           } finally q.stop()
         }
+        Thread.sleep(2000) // listener events deliver async — let them drain
+        spark.listenerManager.unregister(bcastListener)
         rows.get("s_embed_gate").foreach { case (sec, n) =>
           val admitted = spark.read.parquet(gaux + "/out").count()
           bytesRows("s_embed_gate_admitted") = admitted
+          bytesRows("s_embed_gate_probe_bcast_max") = probeBcast.get()
+          bytesRows("s_embed_gate_rerank_bcast_max") = rerankBcast.get()
           println(f"[scale]   embed gate: ${n / sec}%.0f vecs/sec ingest; " +
-            f"admitted $admitted%d of $n%d")
+            f"admitted $admitted%d of $n%d; probe bcast max " +
+            f"${probeBcast.get()}%d B vs rerank (full-vec, 1x batch) " +
+            f"${rerankBcast.get()}%d B")
         }
       }
       // ---- streaming ANN serving rate: the query face of the same
@@ -1634,7 +1725,7 @@ object ScaleBench {
     events.unpersist(blocking = false)
 
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r13.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_BENCH_r14.json")
     // scale_total sums TIMINGS only; byte metrics are their own field
     val json =
       s"""{"metric":"scale_total","value":${fmt(rows.values.map(_._1).sum)},""" +

@@ -292,7 +292,9 @@ object SparkEntry {
     "v_takedown_opq", "s_embed_gate_stream", "s_embed_gate_compact",
     "v_ivf_binary_tieaware_batch", "v_ivf_binary_tieaware_filtered",
     "p_hist_bounds", "v_ivf_binary_resid_topk",
-    "v_ivf_binary_resid_topk_batch", "p_psi_embed")
+    "v_ivf_binary_resid_topk_batch", "p_psi_embed",
+    // r14: residual-layout takedown pin
+    "v_takedown_binary_resid")
 
   /** One-time index builds as NAMED bench steps. Bench times these
     * before the query loop so per-query rows measure query cost and
@@ -2146,6 +2148,34 @@ object SparkEntry {
         Similarity.opqLoad(s, dir), e, qv,
         k = 1000000, rerank = 1000000)),
 
+    // residual-sign layout takedown (VERDICT r13 #4): the fifth codec
+    // family PINNED instead of claimed covered "for free" by the
+    // shared codes/ shape — binaryResidualSave + codesLayoutRemove of
+    // every %5==0 id, reload through the residual-marker check, then
+    // the composed search at the degenerate point (full probes +
+    // rerank ≥ corpus ⇒ the exact rerank over surviving code rows IS
+    // the answer). Same survivors oracle as the other four families;
+    // the frozen in-memory quantizer keeps its own rows but a removed
+    // id absent from codes/ can never become a candidate.
+    "v_takedown_binary_resid" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vtake_binres").toString
+      val ivf = Similarity.ivfBuild(e, nLists = 8)
+      Similarity.binaryResidualSave(
+        Similarity.binaryResidualEncode(ivf, persist = false), dir)
+      Similarity.codesLayoutRemove(
+        s, dir, e.where(F.col("id") % 5 === 0).select("id"))
+      val qv = e.where(F.col("id") === 1)
+        .select("vec").head.getSeq[Double](0).toArray
+      val out = Similarity.ivfBinaryResidualTopK(
+          ivf, Similarity.binaryResidualLoad(s, dir), e, qv,
+          k = 1000000, nprobe = ivf.k, rerank = 1000000)
+        .localCheckpoint()
+      Similarity.ivfRelease(ivf)
+      out
+    }),
+
     // streaming incremental profiling as a REAL stream (VERDICT r11
     // #4): two MemoryStream micro-batches through profileStream's
     // per-batch sketch sidecars, then profileOf merges them — the law
@@ -3416,6 +3446,7 @@ object SparkEntry {
     "v_takedown_binary" -> takedownSurvivorsSql,
     "v_takedown_pq" -> takedownSurvivorsSql,
     "v_takedown_opq" -> takedownSurvivorsSql,
+    "v_takedown_binary_resid" -> takedownSurvivorsSql,
 
     "v_pca_summary" -> pcaOracleSql(3, 60),
 

@@ -94,6 +94,97 @@ object Sq8Kernels {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
       new org.apache.spark.sql.catalyst.util.GenericArrayData(mins),
       new org.apache.spark.sql.catalyst.util.GenericArrayData(maxs))
+
+  /** Per-ROW scalar SQ8: quantize one vector under a single (lo, hi)
+    * range shared by every dimension — self-contained (no fitted
+    * per-dimension stats, no sidecar), which is what a streaming gate
+    * needs to compress TRANSIENT per-batch probe vectors it will never
+    * see again ([[graft.streaming.StreamingOps.embedGateBatch]],
+    * VERDICT r13 #3). Returns (codes, lo, hi, err) where `err` is an
+    * EXACT sound bound on the cosine error the compression introduces
+    * against ANY other vector v:
+    *
+    *   |cos(v, x) − cos(v, decode(codes))| =
+    *     |⟨v/‖v‖, x/‖x‖ − x̂/‖x̂‖⟩| ≤ ‖x/‖x‖ − x̂/‖x̂‖‖ = err
+    *
+    * (Cauchy–Schwarz; computable exactly at encode time because both
+    * x and its decode are in hand). Conventions at the zero-norm
+    * edges mirror [[cosineDeq]]'s cos = 0: ‖x‖ = 0 ⇒ err = 0 (exact
+    * cosine is 0 everywhere, nothing to bound); ‖x‖ ≠ 0 but the
+    * decode collapses to zero ⇒ err = 2 (the unit-sphere diameter —
+    * keeps every pair, so a pruning pass built on this bound stays
+    * sound).
+    */
+  def encodeScalar(xs: Array[Double]): (Array[Byte], Double, Double, Double) = {
+    val d = xs.length
+    var lo = Double.PositiveInfinity
+    var hi = Double.NegativeInfinity
+    var i = 0
+    while (i < d) {
+      if (xs(i) < lo) lo = xs(i)
+      if (xs(i) > hi) hi = xs(i)
+      i += 1
+    }
+    if (d == 0) return (Array.emptyByteArray, 0.0, 0.0, 0.0)
+    val s = hi - lo
+    val out = new Array[Byte](d)
+    val dec = new Array[Double](d)
+    i = 0
+    while (i < d) {
+      val c = if (s == 0.0) 0 else code((xs(i) - lo) / s * 255.0)
+      out(i) = c.toByte
+      // decode EXACTLY as cosineDeqScalar does, so err is the true
+      // residual of the scan-side reconstruction
+      dec(i) = if (s == 0.0) lo else lo + (c & 0xFF) * s / 255.0
+      i += 1
+    }
+    var nx = 0.0; var nd = 0.0
+    i = 0
+    while (i < d) { nx += xs(i) * xs(i); nd += dec(i) * dec(i); i += 1 }
+    val err =
+      if (nx == 0.0) 0.0
+      else if (nd == 0.0) 2.0
+      else {
+        val sx = math.sqrt(nx); val sd = math.sqrt(nd)
+        var acc = 0.0
+        i = 0
+        while (i < d) {
+          val t = xs(i) / sx - dec(i) / sd
+          acc += t * t
+          i += 1
+        }
+        math.sqrt(acc)
+      }
+    (out, lo, hi, err)
+  }
+
+  /** Asymmetric cosine against a scalar-range code ([[encodeScalar]]):
+    * dequantize each byte under the single (lo, hi) range and
+    * accumulate against the full-precision vector in one loop — the
+    * scan-side mate of [[encodeScalar]], same accumulation order and
+    * zero-norm convention as [[cosineDeq]]. */
+  def cosineDeqScalar(
+      codes: Array[Byte], v: ArrayData, lo: Double, hi: Double): Double = {
+    val n = math.min(codes.length, v.numElements())
+    val s = hi - lo
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (s == 0.0) lo else lo + (codes(i) & 0xFF) * s / 255.0
+      val y = v.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+  }
+
+  /** Primitive-array convenience overload; delegates so the two forms
+    * cannot drift. */
+  def cosineDeqScalar(
+      codes: Array[Byte], v: Array[Double], lo: Double, hi: Double): Double =
+    cosineDeqScalar(
+      codes,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v), lo, hi)
 }
 
 case class Sq8EncodeVec(first: Expression, second: Expression, third: Expression)
@@ -169,5 +260,46 @@ case class Sq8CosineDeq(
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Sq8CosineDeq =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** Scalar-range asymmetric cosine: BINARY [[Sq8Kernels.encodeScalar]]
+  * codes scored against a full-precision ARRAY<DOUBLE> under the
+  * per-row (lo, hi) DOUBLE range — the codegen'd scan primitive for
+  * transient per-row compression (the embed gate's probe broadcast).
+  */
+case class Sq8CosineDeqScalar(
+    first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_cosine_scalar"
+  // a null vector ELEMENT null-propagates even when all inputs are non-null
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(c: Any, v: Any, lo: Any, hi: Any): Any = {
+    val va = v.asInstanceOf[ArrayData]
+    if (VectorKernels.slotsNullable(second) && VectorKernels.hasNullSlot(va)) null
+    else Sq8Kernels.cosineDeqScalar(
+      c.asInstanceOf[Array[Byte]], va,
+      lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, v, lo, hi) => {
+      val nullV = ctx.freshName("nullV")
+      val k = Sq8Kernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |${VectorKernels.genNullScan(ctx, v, nullV, VectorKernels.slotsNullable(second))}
+         |if ($nullV) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $k.cosineDeqScalar($c, $v, $lo, $hi);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Sq8CosineDeqScalar =
     copy(first = f, second = s, third = t, fourth = q)
 }

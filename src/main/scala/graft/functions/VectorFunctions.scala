@@ -70,6 +70,14 @@ object VectorFunctions {
     Shim.column(Sq8CosineDeq(
       Shim.expression(codes), asDoubles(q), asDoubles(mins), asDoubles(maxs)))
 
+  /** Scalar-range asymmetric cosine: per-row [[Sq8Kernels.encodeScalar]]
+    * BINARY codes scored against a full-precision vector under the
+    * row's own (lo, hi) DOUBLE range. */
+  def sq8CosineScalar(codes: Column, v: Column, lo: Column, hi: Column): Column =
+    Shim.column(Sq8CosineDeqScalar(
+      Shim.expression(codes), asDoubles(v),
+      Shim.expression(lo.cast("double")), Shim.expression(hi.cast("double"))))
+
   /** PQ-encode an ARRAY<DOUBLE> vector to BINARY codes (one byte per
     * subspace — m bytes/row) against a flattened [m][ksub][dsub]
     * codebook array. */

@@ -864,6 +864,55 @@ object Similarity {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     require(nprobe > 0 && nprobe <= ivf.k,
       s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=${ivf.k}")
+    val (qs, ham) = residualHamBatch(ivf, index, queries, nprobe)
+    val cand = graft.scale.Skew
+      .heapTopKPerKey(ham, "qid", "ham", "id", rerank, desc = false)
+      .select("qid", "id")
+    residualRerank(cand, emb, qs, k)
+  }
+
+  /** Tie-aware batch face of the residual codec — the fifth column of
+    * the tie-aware matrix (VERDICT r13 #4): the
+    * [[ivfBinaryResidualTopKBatch]] probe shape (shared
+    * [[residualHamBatch]], so the plain and widened faces cannot
+    * drift) feeds the SAME batch widening core as every other
+    * tie-aware face ([[tieAwareCandidatesBatch]]): per-qid Hamming
+    * frontier + capped tie-class widening, cut-inside-the-tie
+    * deterministic by id, then the exact rerank. Residual signs
+    * already rank WITHIN a mode, so the frontier tie classes widening
+    * exploits are far rarer than under raw signs — ScaleBench
+    * measures whether widening buys recall at the r-budget before
+    * anything defaults to it; this face exists for corpora whose
+    * residual distributions still tie. Same expandCap contract (≤ 0
+    * means [[DefaultExpandCapMultiple]]·rerank) and the same
+    * probe-selector parity caveat as the plain batch face.
+    */
+  def ivfBinaryResidualTopKBatchTieAware(
+      ivf: IvfIndex, index: BinaryResidualIndex, emb: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, rerank: Int,
+      expandCap: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nprobe > 0 && nprobe <= ivf.k,
+      s"need 0 < nprobe <= nLists; got nprobe=$nprobe nLists=${ivf.k}")
+    val cap = if (expandCap > 0) expandCap
+      else DefaultExpandCapMultiple * rerank
+    require(cap >= rerank,
+      s"expandCap ($cap) must be >= rerank ($rerank)")
+    val (qs, ham) = residualHamBatch(ivf, index, queries, nprobe)
+    val cand = tieAwareCandidatesBatch(
+      ham, rerank, cap, "ivfBinaryResidualTopKBatchTieAware")
+    residualRerank(cand, emb, qs, k)
+  }
+
+  /** The residual batch faces' shared probe + scoring frame: per
+    * (qid, probed list) residual query bits packed on the executors,
+    * one codes join on cluster scoring every (candidate, query) pair.
+    * Returns (qs, ham) — the normalized queries and the (qid, id,
+    * ham) frame the candidate cut runs over. */
+  private def residualHamBatch(
+      ivf: IvfIndex, index: BinaryResidualIndex,
+      queries: DataFrame, nprobe: Int): (DataFrame, DataFrame) = {
     val spark = index.codes.sparkSession
     import spark.implicits._
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
@@ -889,9 +938,14 @@ object Similarity {
       .join(index.codes, "cluster")
       .select(F.col("qid"), F.col("id"),
         hammingCol(F.col("bits"), F.col("qbits")).as("ham"))
-    val cand = graft.scale.Skew
-      .heapTopKPerKey(ham, "qid", "ham", "id", rerank, desc = false)
-      .select("qid", "id")
+    (qs, ham)
+  }
+
+  /** Exact rerank shared by the residual batch faces: candidates join
+    * the embeddings, queries re-attach via broadcast, bounded-heap
+    * per-qid cut on (score DESC, id ASC). */
+  private def residualRerank(
+      cand: DataFrame, emb: DataFrame, qs: DataFrame, k: Int): DataFrame = {
     val rescored = cand
       .join(emb.select(F.col("id"), F.col("vec")), "id")
       .join(F.broadcast(qs), "qid")
@@ -3939,6 +3993,40 @@ object Similarity {
         s"finish the swap by hand) before serving resumes")
     fs.delete(old, true)
     fresh.k
+  }
+
+  /** The drift→rebuild loop closed as ONE face (VERDICT r13 #5):
+    * measure a drop's occupancy PSI against the saved layout's frozen
+    * cells ([[embeddingDriftPsi]]) and run [[ivfRebuild]] iff it
+    * crosses `psiThreshold` — the published PSI rule of thumb
+    * (< 0.1 stable, > 0.25 shifted) as an executable policy instead
+    * of two operators a pipeline must wire itself. Returns
+    * (psi, rebuilt).
+    *
+    * The no-drift path costs ONE broadcast-assignment pass over `cur`
+    * plus two k-row aggregates and touches nothing on disk
+    * (ScaleBench-measured); the drift path pays the full rebuild.
+    * Call it the way the monitor loop would: ingest the drop first
+    * (appends), then check — the rebuild folds base + committed
+    * appends, so a drop that tripped the threshold is re-quantized
+    * INTO the fresh layout rather than left behind. Offline
+    * maintenance like [[ivfRebuild]] itself: run with serve/ingest
+    * streams stopped or between triggers.
+    */
+  def rebuildIfDrifted(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cur: DataFrame, psiThreshold: Double = 0.25,
+      targetListSize: Int = 1250,
+      maxSegExclusive: Long = Long.MaxValue): (Double, Boolean) = {
+    require(psiThreshold > 0.0,
+      s"psiThreshold must be positive; got $psiThreshold")
+    val idx = ivfLoad(spark, path)
+    val psi = embeddingDriftPsi(idx, cur)
+      .agg(F.sum("psi_term")).head.getDouble(0)
+    if (psi > psiThreshold) {
+      ivfRebuild(spark, path, targetListSize, maxSegExclusive)
+      (psi, true)
+    } else (psi, false)
   }
 
   /** Requantize an in-memory index to corpus-proportional lists at a

@@ -456,11 +456,16 @@ object StreamingOps {
     *     lists over base + committed segments (`seg < batchId` — a
     *     replayed batch never sees its own partial first attempt) and
     *     is rejected iff any stored vector there reaches the
-    *     threshold. The bounded batch probe rows broadcast against
-    *     the stored lists ([[minhashGateBatch]]'s shape — the state
-    *     is never shuffled per batch); batches whose probe fan-out
-    *     exceeds the broadcast budget fall back to the shuffling
-    *     join.
+    *     threshold. The state read prunes STATICALLY to the batch's
+    *     probed clusters ([[embedGateStateScan]] — explicit partition
+    *     filter, never a DPP bet); the bounded batch probe rows ride
+    *     per-row scalar-SQ8 codes (+ an exact error bound) in a
+    *     broadcast ~6-8× slimmer than the full vectors, a code-space
+    *     pass keeps only near-threshold pairs, and an exact rerank
+    *     against the broadcast batch vectors makes the decisions
+    *     byte-identical to the uncompressed join. Batches whose probe
+    *     fan-out exceeds the broadcast budget fall back to a join
+    *     that shuffles only the probed fraction of the state.
     *
     * `nprobe` ≤ 0 routes to [[graft.operators.Similarity
     * .suggestNprobe]] (sizing-matched — the r12 default contract).
@@ -547,18 +552,15 @@ object StreamingOps {
         .where(cos(F.col("vec_a"), F.col("vec_b")) >= cosineThreshold)
         .select(F.col("id_b").as("id")).distinct()
       val within = assigned.join(losers, Seq("id"), "left_anti")
-      // stage 3: probe the stored lists (base + seg < batchId)
-      val baseLists = spark.read.parquet(s"$indexPath/lists")
-        .select("id", "vec", "cluster")
-      val ap = new org.apache.hadoop.fs.Path(s"$indexPath/applists")
-      val fs = ap.getFileSystem(spark.sessionState.newHadoopConf())
-      val state =
-        if (fs.exists(ap) && graft.operators.Dedup.hasSegDirs(fs, ap))
-          baseLists.unionByName(
-            spark.read.parquet(s"$indexPath/applists")
-              .where(F.col("seg").cast("long") < batchId)
-              .select("id", "vec", "cluster"))
-        else baseLists
+      // stage 3: probe the stored lists (base + seg < batchId). Probe
+      // rows ship per-row scalar-SQ8 codes instead of the full vector
+      // (dims + ~96 B vs 8·dims + 48 B — the broadcast shrinks ~6-8×,
+      // VERDICT r13 #3), with an encode-time EXACT error bound so the
+      // code-space pass can never falsely prune a pair the exact
+      // predicate would reject on; near-threshold survivors exact-
+      // rerank against the full batch vectors (a broadcast of the
+      // batch itself), so gate DECISIONS are byte-identical to the
+      // full-vector join.
       val bcCent = spark.sparkContext.broadcast(idx.centroids)
       val dimsExpected = idx.centroids.headOption.map(_._2.length).getOrElse(0)
       val probeRows = within.select("id", "vec")
@@ -579,23 +581,43 @@ object StreamingOps {
             }
             .sortBy { case (c, d) => (d, c) }
             .take(np).map(_._1)
-          probes.map(c => (i, v, c))
+          val (codes, lo, hi, err) = graft.functions.Sq8Kernels.encodeScalar(v)
+          probes.map(c => (i, codes, lo, hi, err, c))
         }
-        .toDF("bid", "bvec", "cluster")
-      // broadcast budget in BYTES, not rows: each probe row carries
-      // the full vector (8·dims B), unlike the minhash gate's ~100 B
-      // band keys — ~200 MB of HashedRelation stays inside default
-      // driver headroom
-      val dims = idx.centroids.headOption.map(_._2.length).getOrElse(0)
-      val budgetRows = 200000000L / math.max(1, 8 * dims + 48)
+        .toDF("bid", "bcode", "blo", "bhi", "berr", "cluster")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the batch's probed clusters (bounded by k), collected so the
+      // state read prunes STATICALLY on the partition column — never
+      // reliant on dynamic partition pruning firing, and the
+      // over-budget fallback join below shuffles only the probed
+      // fraction of the state instead of all of it (VERDICT r13 #2)
+      val probedClusters = probeRows.select("cluster").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val state = embedGateStateScan(spark, indexPath, batchId, probedClusters)
+      // broadcast budget in BYTES, not rows: ~200 MB of HashedRelation
+      // stays inside default driver headroom; each probe row is now
+      // dims code bytes + 3 doubles + ids, not the 8·dims-byte vector
+      val budgetRows = 200000000L / math.max(1, dimsExpected + 96)
       val probeSide =
         if (nBatch * np <= budgetRows) F.broadcast(probeRows) else probeRows
-      val rejected = state.join(probeSide, "cluster")
-        .where(cos(F.col("vec"), F.col("bvec")) >= cosineThreshold)
+      // code-space pass: sound over-approximation (err bound + 1e-4
+      // slack for the round-4 uplift on the exact side)
+      val near = state.join(probeSide, "cluster")
+        .where(graft.functions.VectorFunctions.sq8CosineScalar(
+            F.col("bcode"), F.col("vec"), F.col("blo"), F.col("bhi"))
+          >= F.lit(cosineThreshold) - F.col("berr") - F.lit(1e-4))
+        .select(F.col("bid"), F.col("vec").as("svec"))
+      // exact rerank of the near-threshold survivors: same predicate
+      // as the pre-compression gate, so decisions cannot drift
+      val rejected = near
+        .join(F.broadcast(
+          within.select(F.col("id").as("bid"), F.col("vec").as("bvec"))), "bid")
+        .where(cos(F.col("svec"), F.col("bvec")) >= cosineThreshold)
         .select(F.col("bid").as("id")).distinct()
       val admitted = within.join(rejected, Seq("id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       admitted.count()
+      probeRows.unpersist(blocking = false)
       ivfAppendSegment(
         admitted.select("id", "vec", "cluster"), indexPath, batchId)
       admitted.select("id", "vec")
@@ -607,6 +629,39 @@ object StreamingOps {
         .parquet(outPath)
       admitted.unpersist(blocking = false)
     } finally assigned.unpersist(blocking = false)
+  }
+
+  /** The gate's per-batch against-state scan: base lists plus
+    * committed append segments (`seg < batchId`), pruned to the
+    * batch's probed clusters by an explicit `isin` on the PARTITION
+    * column — both roots are `partitionBy`-ed on cluster, so the
+    * pruning is static partition elimination the planner guarantees
+    * (`PartitionFilters` on both scans, PlanShapeSpec-pinned), never
+    * a bet on dynamic partition pruning firing (VERDICT r13 #2). Per
+    * micro-batch the state read therefore touches at most
+    * |probedClusters| ≤ min(batch·nprobe, k) of the k list
+    * partitions — nprobe/k of the stored bytes for a focused batch —
+    * in BOTH the broadcast and the over-budget fallback join paths.
+    */
+  private[graft] def embedGateStateScan(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      batchId: Long, probedClusters: Seq[Int]): DataFrame = {
+    val baseLists = spark.read.parquet(s"$indexPath/lists")
+      .select("id", "vec", "cluster")
+    val ap = new org.apache.hadoop.fs.Path(s"$indexPath/applists")
+    val fs = ap.getFileSystem(spark.sessionState.newHadoopConf())
+    val state =
+      if (fs.exists(ap) && graft.operators.Dedup.hasSegDirs(fs, ap))
+        baseLists.unionByName(
+          spark.read.parquet(s"$indexPath/applists")
+            .where(F.col("seg").cast("long") < batchId)
+            .select("id", "vec", "cluster"))
+      else baseLists
+    // an empty probe set (empty batch / all rows lost within-batch)
+    // must read nothing — make that explicit rather than leaning on
+    // the optimizer's empty-IN folding
+    if (probedClusters.isEmpty) state.where(F.lit(false))
+    else state.where(F.col("cluster").isin(probedClusters: _*))
   }
 
   /** Streaming incremental profiling: each micro-batch lands its

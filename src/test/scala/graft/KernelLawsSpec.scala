@@ -119,4 +119,32 @@ class KernelLawsSpec extends AnyFunSuite {
       assert(twoSidedTPValue(t * 2.0, df) <= p + 1e-12)
     }
   }
+
+  test("scalar SQ8: err is a SOUND bound on the cosine error against any vector") {
+    // the embed gate's compact-probe soundness law (VERDICT r13 #3):
+    // a code-space pruning pass at threshold T - err can never drop a
+    // pair whose exact cosine reaches T
+    import graft.functions.Sq8Kernels
+    forSamples(pairGen) { case (x, v) =>
+      val (codes, lo, hi, err) = Sq8Kernels.encodeScalar(x)
+      assert(codes.length == x.length && lo <= hi && err >= 0.0)
+      val exact = VectorKernels.cosine(v, x)
+      val approx = Sq8Kernels.cosineDeqScalar(codes, v, lo, hi)
+      assert(math.abs(exact - approx) <= err + 1e-12,
+        s"exact=$exact approx=$approx err=$err lo=$lo hi=$hi")
+    }
+    // constant vector: zero quantization range decodes exactly (err 0)
+    val const = Array(3.5, 3.5, 3.5)
+    val (c0, lo0, hi0, e0) = Sq8Kernels.encodeScalar(const)
+    assert(e0 == 0.0 && lo0 == 3.5 && hi0 == 3.5)
+    val probe = Array(1.0, 2.0, 3.0)
+    assert(math.abs(Sq8Kernels.cosineDeqScalar(c0, probe, lo0, hi0) -
+      VectorKernels.cosine(probe, const)) < 1e-12)
+    // zero vector: cosine-0-everywhere convention shared with cosine()
+    val (cz, loz, hiz, ez) = Sq8Kernels.encodeScalar(Array(0.0, 0.0))
+    assert(ez == 0.0 &&
+      Sq8Kernels.cosineDeqScalar(cz, Array(1.0, 1.0), loz, hiz) == 0.0)
+    // empty vector is well-defined
+    assert(Sq8Kernels.encodeScalar(Array.empty[Double])._4 == 0.0)
+  }
 }

@@ -310,4 +310,44 @@ class PlanShapeSpec extends SparkSpec {
       "against-state join must not shuffle the stored band state:\n" +
         plan.take(1200))
   }
+
+  test("embed gate state scan prunes STATICALLY to the probed clusters on both layout roots") {
+    // VERDICT r13 #2: the per-batch against-state read must carry an
+    // explicit partition filter (never a dynamic-partition-pruning
+    // bet), so a focused batch reads ~nprobe/k of the stored list
+    // bytes — in the broadcast path AND the over-budget fallback
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    def vec(i: Int) = Array.tabulate(8)(f =>
+      math.sin((i % 6) * 0.9 + f * 0.7) + (if (f == i % 8) 1.5 else 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-prune").toString
+    val built = Similarity.ivfBuild(
+      (0L until 60L).map(i => (i, vec(i.toInt))).toDF("id", "vec"), nLists = 6)
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    // one committed append segment so BOTH roots sit under the union
+    val model = graft.scale.DeterministicKMeans.Model(
+      Similarity.ivfLoad(s, dir).centroids.sortBy(_._1).map(_._2))
+    graft.streaming.StreamingOps.ivfAppendSegment(
+      graft.scale.DeterministicKMeans.assign(
+        (100L until 110L).map(i => (i, vec(i.toInt))).toDF("id", "vec"),
+        model, idCol = "id", vecCol = "vec").select("id", "vec", "cluster"),
+      dir, 0L)
+    val probed = Seq(1, 3)
+    val df = graft.streaming.StreamingOps.embedGateStateScan(s, dir, 1L, probed)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scans.length >= 2,
+      "expected partition filters on lists AND applists scans:\n" + plan.take(2000))
+    assert(scans.forall(l => l.contains("cluster") && l.contains(" IN (1,3")),
+      "partition filter must pin the probed clusters:\n" + scans.mkString("\n"))
+    val got = df.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(got.nonEmpty && got.subsetOf(probed.toSet),
+      s"scan leaked unprobed clusters: $got")
+    // an empty probe set reads nothing (and plans no scan work)
+    assert(graft.streaming.StreamingOps
+      .embedGateStateScan(s, dir, 1L, Nil).count() == 0L)
+  }
 }

@@ -1845,6 +1845,80 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residual tie-aware batch: widening recovers the exact order when residual signs tie past the rerank cut") {
+    val s = spark
+    import s.implicits._
+    // construction (VERDICT r13 #4): freeze a quantizer, then plant a
+    // family c0 + m·a (one all-positive direction a, varying
+    // magnitude m) into c0's list — every member's residual is m·a,
+    // so ALL residual sign bits are identical (one Hamming-0 tie
+    // class) while cosines to a c0 + 1.05·a query vary with m. A
+    // plain rerank-5 cut slices the tie class by id and misses the
+    // best magnitudes; the widening must surface the true order.
+    val rng = new scala.util.Random(11)
+    val base = (0 until 200).map { i =>
+      val m = i % 4
+      (i.toLong, Array.tabulate(16)(f =>
+        1.0 + 0.4 * math.sin(m * 1.1 + f * 0.6) + rng.nextGaussian() * 0.05))
+    }
+    val ivf0 = Similarity.ivfBuild(base.toDF("id", "vec"), nLists = 4)
+    val cents = ivf0.centroids
+    val k0 = ivf0.k
+    Similarity.ivfRelease(ivf0)
+    val (c0id, c0) = cents.minBy(_._1)
+    val a = Array.tabulate(16)(f => 0.05 + 0.01 * f)
+    val planted = (0 until 30).map { j =>
+      val m = 0.2 + 0.1 * j
+      (1000L + j, Array.tabulate(16)(f => c0(f) + m * a(f)))
+    }
+    val full = (base ++ planted).toDF("id", "vec")
+    val model = graft.scale.DeterministicKMeans.Model(
+      cents.sortBy(_._1).map(_._2))
+    val assigned = graft.scale.DeterministicKMeans.assign(
+      full, model, idCol = "id", vecCol = "vec")
+    val plantedClusters = assigned.where(F.col("id") >= 1000L)
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    assert(plantedClusters == Seq(c0id),
+      s"fixture broke: planted family spread over clusters $plantedClusters")
+    val ivf = Similarity.IvfIndex(
+      assigned.select("id", "vec", "cluster"), cents, k0, None)
+    val bri = Similarity.binaryResidualEncode(ivf)
+    try {
+      val qv = Array.tabulate(16)(f => c0(f) + 1.05 * a(f))
+      val qdf = Seq((0L, qv)).toDF("qid", "qvec")
+      // exact order over the planted tie class, under the face's
+      // OUTPUT contract: round-4 cosine (cosine is quadratically flat
+      // near its max, so adjacent magnitudes tie at 4 decimals and
+      // the id-asc tie-break applies — same as the DuckDB oracles)
+      def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val exactTop = planted
+        .map { case (id, v) =>
+          (id, r4(graft.functions.VectorKernels.cosine(qv, v))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).map(_._1)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(1)).toSeq
+      val plain = ids(Similarity.ivfBinaryResidualTopKBatch(
+        ivf, bri, full, qdf, k = 5, nprobe = 1, rerank = 5))
+      val widened = ids(Similarity.ivfBinaryResidualTopKBatchTieAware(
+        ivf, bri, full, qdf, k = 5, nprobe = 1, rerank = 5))
+      assert(widened == exactTop,
+        s"widening missed the true order: $widened vs $exactTop")
+      assert(plain != widened,
+        "fixture no longer discriminates: the plain rerank-5 cut " +
+          "should slice the 30-row tie class by id and miss the best " +
+          "magnitudes")
+      // degenerate agreement: rerank covering the tie class makes the
+      // two faces identical
+      val plainWide = ids(Similarity.ivfBinaryResidualTopKBatch(
+        ivf, bri, full, qdf, k = 5, nprobe = 1, rerank = 64))
+      val tieWide = ids(Similarity.ivfBinaryResidualTopKBatchTieAware(
+        ivf, bri, full, qdf, k = 5, nprobe = 1, rerank = 64))
+      assert(plainWide == tieWide && tieWide == exactTop)
+    } finally Similarity.binaryResidualRelease(bri)
+  }
+
   test("embeddingDriftPsi: zero on self, trips when a drop's mass moves cells") {
     val s = spark
     import s.implicits._
@@ -1871,6 +1945,44 @@ class SimilaritySpec extends SparkSpec {
       assert(psi.count() == 4L)
       assert(psi.agg(F.sum("n_cur")).head.getLong(0) == 200L)
     } finally Similarity.ivfRelease(ivf)
+  }
+
+  test("rebuildIfDrifted: no-drift measures and skips, drift rebuilds (VERDICT r13 #5)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(29)
+    def cloud(modes: Seq[Int], ids: Range) = ids.map { i =>
+      val m = modes(i % modes.length)
+      (i.toLong, Array.tabulate(16)(f =>
+        math.sin(m * 1.1 + f * 0.5) + rng.nextGaussian() * 0.05))
+    }
+    val ref = cloud(Seq(0, 1, 2, 3), 0 until 200)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rebifdrift").toString
+    val ivf = Similarity.ivfBuild(ref.toDF("id", "vec"), nLists = 4)
+    Similarity.ivfSave(ivf, dir)
+    val centsBefore = ivf.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq
+    Similarity.ivfRelease(ivf)
+    // no drift: the same distribution — one assignment pass, nothing
+    // rebuilt, layout byte-identical (centroids unchanged)
+    val (psi1, reb1) = Similarity.rebuildIfDrifted(
+      s, dir, cloud(Seq(0, 1, 2, 3), 500 until 700).toDF("id", "vec"))
+    assert(!reb1 && psi1 < 0.25, s"no-drift path fired: psi=$psi1 reb=$reb1")
+    assert(Similarity.ivfLoad(s, dir).centroids
+      .map { case (c, v) => (c, v.toSeq) }.toSeq == centsBefore,
+      "no-drift path touched the layout")
+    // drift: mass concentrated on half the modes crosses the 0.25 bar
+    // and the rebuild runs — the layout re-fits (cold-build law is
+    // pinned by the ivfRebuild spec; here we pin that it HAPPENED)
+    val (psi2, reb2) = Similarity.rebuildIfDrifted(
+      s, dir, cloud(Seq(0, 1), 1000 until 1200).toDF("id", "vec"),
+      targetListSize = 25)
+    assert(reb2 && psi2 > 0.25, s"drift path did not fire: psi=$psi2")
+    val after = Similarity.ivfLoad(s, dir)
+    assert(after.assigned.count() == 200L,
+      "rebuild changed the stored row set")
+    assert(after.k == Similarity.suggestLists(200L, 25),
+      s"rebuild did not re-fit at the requested sizing: k=${after.k}")
   }
 
   test("codesLayoutRemove: erases across every codec family's saved layout; guards hold") {
