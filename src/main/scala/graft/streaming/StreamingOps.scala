@@ -537,7 +537,9 @@ object StreamingOps {
         model, idCol = "id", vecCol = "vec")
       .select("id", "vec", "cluster")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBatch = assigned.count()
+    val nBatch = graft.core.Debug.timed(s"egate[$batchId] assign+count") {
+      assigned.count()
+    }
     try {
       val cos = (a: org.apache.spark.sql.Column,
           b: org.apache.spark.sql.Column) =>
@@ -551,7 +553,12 @@ object StreamingOps {
         .where(F.col("id_a") < F.col("id_b"))
         .where(cos(F.col("vec_a"), F.col("vec_b")) >= cosineThreshold)
         .select(F.col("id_b").as("id")).distinct()
+      // the within-batch survivor set is read by THREE consumers (the
+      // probe-row encode, the exact-rerank broadcast, and the admitted
+      // anti-join) — persist it or the cell-blocked self-join above,
+      // the batch's dominant cost, recomputes per consumer
       val within = assigned.join(losers, Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // stage 3: probe the stored lists (base + seg < batchId). Probe
       // rows ship per-row scalar-SQ8 codes instead of the full vector
       // (dims + ~96 B vs 8·dims + 48 B — the broadcast shrinks ~6-8×,
@@ -585,48 +592,82 @@ object StreamingOps {
           probes.map(c => (i, codes, lo, hi, err, c))
         }
         .toDF("bid", "bcode", "blo", "bhi", "berr", "cluster")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the batch's probed clusters (bounded by k), collected so the
       // state read prunes STATICALLY on the partition column — never
       // reliant on dynamic partition pruning firing, and the
       // over-budget fallback join below shuffles only the probed
-      // fraction of the state instead of all of it (VERDICT r13 #2)
-      val probedClusters = probeRows.select("cluster").distinct()
-        .collect().map(_.getInt(0)).sorted.toSeq
+      // fraction of the state instead of all of it (VERDICT r13 #2).
+      // Regime-gated: when nBatch·nprobe >= k the batch probes
+      // (essentially) every list, pruning can save nothing, and the
+      // collect would cost a per-batch materialization barrier
+      // (measured +11% wall at the 40× bench point) — skip it and
+      // keep the one-job pipeline. At 100 TB k is corpus-proportional
+      // (suggestLists), so real micro-batches sit DEEP inside the
+      // nBatch·nprobe << k regime where the pruned scan is the whole
+      // ballgame.
+      val pruneState = nBatch * np < idx.k
+      val (probeSideRows, probedClusters) =
+        if (pruneState) {
+          val pr = probeRows
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val pc = graft.core.Debug.timed(
+              s"egate[$batchId] probeRows+clusters") {
+            pr.select("cluster").distinct()
+              .collect().map(_.getInt(0)).sorted.toSeq
+          }
+          (pr, Some(pc))
+        } else (probeRows, None)
       val state = embedGateStateScan(spark, indexPath, batchId, probedClusters)
       // broadcast budget in BYTES, not rows: ~200 MB of HashedRelation
       // stays inside default driver headroom; each probe row is now
       // dims code bytes + 3 doubles + ids, not the 8·dims-byte vector
       val budgetRows = 200000000L / math.max(1, dimsExpected + 96)
       val probeSide =
-        if (nBatch * np <= budgetRows) F.broadcast(probeRows) else probeRows
-      // code-space pass: sound over-approximation (err bound + 1e-4
-      // slack for the round-4 uplift on the exact side)
-      val near = state.join(probeSide, "cluster")
-        .where(graft.functions.VectorFunctions.sq8CosineScalar(
-            F.col("bcode"), F.col("vec"), F.col("blo"), F.col("bhi"))
-          >= F.lit(cosineThreshold) - F.col("berr") - F.lit(1e-4))
-        .select(F.col("bid"), F.col("vec").as("svec"))
-      // exact rerank of the near-threshold survivors: same predicate
-      // as the pre-compression gate, so decisions cannot drift
-      val rejected = near
+        if (nBatch * np <= budgetRows) F.broadcast(probeSideRows)
+        else probeSideRows
+      // code-space pass with a THREE-WAY verdict per pair, so the
+      // exact rerank touches only the ambiguous error band around the
+      // threshold (err is an exact bound, so the bands are sound):
+      //   approx >= T + err + 1e-4  ⇒ DEFINITE reject (svec null —
+      //     the stored vector never leaves the scan);
+      //   within ±(err + 1e-4) of T ⇒ ambiguous — carry svec and
+      //     apply the EXACT round-4 predicate against the broadcast
+      //     batch vectors (identical to the pre-compression gate);
+      //   below                     ⇒ definite non-reject (filtered).
+      // 1e-4 covers the ≤ 5e-5 round-4 shift on the exact side.
+      val ca = graft.functions.VectorFunctions.sq8CosineScalar(
+        F.col("bcode"), F.col("vec"), F.col("blo"), F.col("bhi"))
+      val slack = F.col("berr") + F.lit(1e-4)
+      val scored = state.join(probeSide, "cluster")
+        .select(F.col("bid"), F.col("vec"), ca.as("ca"), F.col("berr"))
+        .where(F.col("ca") >= F.lit(cosineThreshold) - slack)
+        .select(F.col("bid"),
+          F.when(F.col("ca") < F.lit(cosineThreshold) + slack, F.col("vec"))
+            .as("svec"))
+      val rejected = scored
         .join(F.broadcast(
           within.select(F.col("id").as("bid"), F.col("vec").as("bvec"))), "bid")
-        .where(cos(F.col("svec"), F.col("bvec")) >= cosineThreshold)
+        .where(F.col("svec").isNull ||
+          cos(F.col("svec"), F.col("bvec")) >= cosineThreshold)
         .select(F.col("bid").as("id")).distinct()
       val admitted = within.join(rejected, Seq("id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      admitted.count()
-      probeRows.unpersist(blocking = false)
-      ivfAppendSegment(
-        admitted.select("id", "vec", "cluster"), indexPath, batchId)
-      admitted.select("id", "vec")
-        .withColumn("seg", F.lit(batchId))
-        .coalesce(8)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("seg")
-        .parquet(outPath)
+      graft.core.Debug.timed(s"egate[$batchId] decide+count") {
+        admitted.count()
+      }
+      if (pruneState) probeSideRows.unpersist(blocking = false)
+      within.unpersist(blocking = false)
+      graft.core.Debug.timed(s"egate[$batchId] writes") {
+        ivfAppendSegment(
+          admitted.select("id", "vec", "cluster"), indexPath, batchId)
+        admitted.select("id", "vec")
+          .withColumn("seg", F.lit(batchId))
+          .coalesce(8)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("seg")
+          .parquet(outPath)
+      }
       admitted.unpersist(blocking = false)
     } finally assigned.unpersist(blocking = false)
   }
@@ -642,10 +683,13 @@ object StreamingOps {
     * |probedClusters| ≤ min(batch·nprobe, k) of the k list
     * partitions — nprobe/k of the stored bytes for a focused batch —
     * in BOTH the broadcast and the over-budget fallback join paths.
+    * `probedClusters = None` skips the pruning (the caller determined
+    * the batch probes essentially every list — see the regime gate in
+    * [[embedGateBatch]]); `Some(Nil)` reads nothing.
     */
   private[graft] def embedGateStateScan(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      batchId: Long, probedClusters: Seq[Int]): DataFrame = {
+      batchId: Long, probedClusters: Option[Seq[Int]]): DataFrame = {
     val baseLists = spark.read.parquet(s"$indexPath/lists")
       .select("id", "vec", "cluster")
     val ap = new org.apache.hadoop.fs.Path(s"$indexPath/applists")
@@ -657,11 +701,14 @@ object StreamingOps {
             .where(F.col("seg").cast("long") < batchId)
             .select("id", "vec", "cluster"))
       else baseLists
-    // an empty probe set (empty batch / all rows lost within-batch)
-    // must read nothing — make that explicit rather than leaning on
-    // the optimizer's empty-IN folding
-    if (probedClusters.isEmpty) state.where(F.lit(false))
-    else state.where(F.col("cluster").isin(probedClusters: _*))
+    probedClusters match {
+      case None => state
+      // an empty probe set (empty batch / all rows lost within-batch)
+      // must read nothing — make that explicit rather than leaning on
+      // the optimizer's empty-IN folding
+      case Some(pc) if pc.isEmpty => state.where(F.lit(false))
+      case Some(pc) => state.where(F.col("cluster").isin(pc: _*))
+    }
   }
 
   /** Streaming incremental profiling: each micro-batch lands its

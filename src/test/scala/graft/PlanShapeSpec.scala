@@ -335,7 +335,8 @@ class PlanShapeSpec extends SparkSpec {
         model, idCol = "id", vecCol = "vec").select("id", "vec", "cluster"),
       dir, 0L)
     val probed = Seq(1, 3)
-    val df = graft.streaming.StreamingOps.embedGateStateScan(s, dir, 1L, probed)
+    val df = graft.streaming.StreamingOps
+      .embedGateStateScan(s, dir, 1L, Some(probed))
     val plan = df.queryExecution.executedPlan.toString
     val scans = plan.split("\n").filter(_.contains("PartitionFilters"))
     assert(scans.length >= 2,
@@ -348,6 +349,9 @@ class PlanShapeSpec extends SparkSpec {
       s"scan leaked unprobed clusters: $got")
     // an empty probe set reads nothing (and plans no scan work)
     assert(graft.streaming.StreamingOps
-      .embedGateStateScan(s, dir, 1L, Nil).count() == 0L)
+      .embedGateStateScan(s, dir, 1L, Some(Nil)).count() == 0L)
+    // None = the caller's every-list regime — the unpruned union
+    assert(graft.streaming.StreamingOps
+      .embedGateStateScan(s, dir, 1L, None).count() == 70L)
   }
 }

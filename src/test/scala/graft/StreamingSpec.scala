@@ -1021,6 +1021,72 @@ class StreamingSpec extends SparkSpec {
     Similarity.ivfRelease(post)
   }
 
+  test("semantic gate decisions are identical in the PRUNED-state regime (nBatch·nprobe < k)") {
+    // the r14 regime gate: small batches against many lists collect
+    // the probed clusters and read a statically pruned state scan —
+    // decisions must equal the brute-force fold exactly as in the
+    // unpruned regime (the all-lists test above runs nBatch·np >= k)
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx = s.sqlContext
+    def dir16(m: Int): Array[Double] = Array.tabulate(16)(f =>
+      (if (f == m % 16) 1.0 else 0.0) + 0.01 * ((m * 7 + f) % 5))
+    def mix(a: Int, b: Int): Array[Double] =
+      dir16(a).zip(dir16(b)).map { case (x, y) => x + y }
+    def scaled(v: Array[Double], s0: Double): Array[Double] = v.map(_ * s0)
+    val base = (0L until 16L).map(i => (i, dir16(i.toInt)))
+    val b1 = Seq(
+      (100L, scaled(dir16(2), 3.0)),   // dup of base 2 → reject vs state
+      (101L, mix(0, 1)),               // new direction → admit
+      (102L, scaled(mix(0, 1), 2.0)),  // within-batch dup of 101 → lose
+      (103L, mix(2, 3)))               // new direction → admit
+    val b2 = Seq(
+      (200L, scaled(mix(0, 1), 5.0)),  // dup of ADMITTED 101 → reject
+      (201L, scaled(dir16(5), 2.0)),   // dup of base 5 → reject
+      (202L, mix(4, 5)),               // new → admit
+      (203L, scaled(mix(2, 3), 1.5)))  // dup of ADMITTED 103 → reject
+    val dir = java.nio.file.Files.createTempDirectory("graft_egatep_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_egatep_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_egatep_ck").toString
+    val built = Similarity.ivfBuild(base.toDF("id", "vec"), nLists = 16)
+    assert(built.k == 16, s"fixture needs 16 lists, got ${built.k}")
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    val in = MemoryStream[(Long, Array[Double])]
+    // 4-row batches × nprobe 2 = 8 probe rows < 16 lists → pruned
+    val q = StreamingOps.embedGateStream(
+      in.toDF().toDF("id", "vec"), dir, out, ckpt,
+      cosineThreshold = 0.95, nprobe = 2)
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.read.parquet(out)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(101L, 103L, 202L), s"admitted: $streamed")
+    // parity with the independent sequential brute-force fold
+    def cos(a: Array[Double], b: Array[Double]) =
+      graft.functions.VectorKernels.cosine(a, b)
+    var state = base.map(_._2).toVector
+    val folded = scala.collection.mutable.Set.empty[Long]
+    for (batch <- Seq(b1, b2)) {
+      val losers = batch.filter { case (i, v) =>
+        batch.exists { case (j, w) => j < i && cos(v, w) >= 0.95 } }
+        .map(_._1).toSet
+      val adm = batch
+        .filterNot { case (i, _) => losers(i) }
+        .filter { case (_, v) => !state.exists(sv => cos(v, sv) >= 0.95) }
+      folded ++= adm.map(_._1)
+      state = state ++ adm.map(_._2)
+    }
+    assert(streamed == folded.toSet,
+      s"pruned-regime stream/fold diverge: only-stream=" +
+        s"${streamed -- folded} only-fold=${folded.toSet -- streamed}")
+  }
+
   test("semantic gate survives a mid-stream quantizer rebuild") {
     // lifecycle law: the gate loads the layout per batch, so an
     // offline ivfRebuild between micro-batches (the drift remedy the
