@@ -333,7 +333,25 @@ object Dedup {
     // race to compute each partition — doubling the signature pass AND
     // everything upstream of `docs` (dedupCorpus feeds a join here)
     graft.core.Debug.timed("minhash signatures")(sigs.count())
+    val verified =
+      minhashNearDupPairsFromSigs(docs, sigs, shingleLen, numHashes,
+        bands, estFloor)
+    sigs.unpersist(blocking = false)
+    verified
+  }
 
+  /** [[minhashNearDupPairs]] with a caller-owned, already-materialized
+    * (doc_id, sig) frame — the streaming gate computes ONE signature
+    * pass per micro-batch and shares it across the within-batch
+    * self-join, the against-state probe, and the append segment
+    * (previously three identical passes per batch). `sigs` must be the
+    * signatures of exactly `docs` at the same shingleLen/numHashes;
+    * the caller persists and releases it.
+    */
+  private[graft] def minhashNearDupPairsFromSigs(
+      docs: DataFrame, sigs: DataFrame, shingleLen: Int,
+      numHashes: Int, bands: Int, estFloor: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val banded = bandKeys(sigs, numHashes, bands)
     val a = banded.select(
       F.col("band"), F.col("bh"), F.col("doc_id").as("doc_a"))
@@ -349,7 +367,7 @@ object Dedup {
     val small = candidates.count() <= BroadcastMaxCandidates
     val shTable = shinglesFor(docs, candIds, small, shingleLen)
     val verified = verifyExactJaccard(candidates, "doc_a", "doc_b", shTable, shTable)
-    graft.core.Debug.timed("minhash verify")(materializeAndRelease(verified, sigs))
+    graft.core.Debug.timed("minhash verify")(materializeAndRelease(verified))
   }
 
   /** End-to-end corpus dedup: drop exact duplicates (keep the smallest
@@ -395,6 +413,46 @@ object Dedup {
         .localCheckpoint())
     exactCached.unpersist(blocking = false)
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[dedupCorpus]] staged for the streaming gate: returns
+    * (survivors, exactCached, sigs) where `exactCached` (the
+    * exact-deduped batch) and `sigs` (its signature frame) are LEFT
+    * PERSISTED for the caller to reuse — the gate's against-state
+    * probe and append segment read both, and recomputing them per
+    * consumer was three signature passes and four fingerprint
+    * shuffles per micro-batch. Decisions are identical to
+    * [[dedupCorpus]] (same stages, same parameters); the caller owns
+    * both caches and must unpersist them when the batch is done.
+    */
+  private[graft] def dedupCorpusSharedSigs(
+      docs: DataFrame,
+      jaccardThreshold: Double,
+      shingleLen: Int,
+      numHashes: Int = 64,
+      bands: Int = 16): (DataFrame, DataFrame, DataFrame) = {
+    val keepers = docs
+      .select(F.col("doc_id"), TextOps.fingerprint(F.col("text")).as("fp"))
+      .groupBy("fp").agg(F.min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactCached = docs.join(keepers, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(exactCached, shingleLen, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Debug.timed("minhash signatures")(sigs.count())
+    // same banding + floor as dedupCorpus (16×4 S-curve, 3/4·t floor —
+    // see the rationale comments there)
+    val pairsDf = minhashNearDupPairsFromSigs(
+      exactCached, sigs, shingleLen, numHashes, bands,
+      estFloor = 0.75 * jaccardThreshold)
+    val nearDupLosers = graft.core.Debug.timed("dedupCorpus losers")(
+      pairsDf
+        .where(F.col("jaccard") >= jaccardThreshold)
+        .select(F.col("doc_b").as("doc_id"))
+        .distinct()
+        .localCheckpoint())
+    (exactCached.join(nearDupLosers, Seq("doc_id"), "left_anti"),
+      exactCached, sigs)
   }
 
   /** Cross-corpus MinHash near-dups: every (corpus doc, reference doc)
@@ -621,9 +679,24 @@ object Dedup {
     */
   private[graft] def minhashAppendSegment(
       survivors: DataFrame, path: String, seg: Long,
+      shingleLen: Int, numHashes: Int, bands: Int): Unit =
+    minhashAppendSegmentFromSigs(
+      survivors, minhashSignatures(survivors, shingleLen, numHashes),
+      path, seg, shingleLen, numHashes, bands)
+
+  /** [[minhashAppendSegment]] with caller-supplied survivor signatures
+    * (the gate's single per-batch pass, filtered to the admitted ids) —
+    * the written segment is identical to the recompute-from-text form
+    * because signatures are a pure function of the document. */
+  private[graft] def minhashAppendSegmentFromSigs(
+      survivors: DataFrame, sigsS: DataFrame, path: String, seg: Long,
       shingleLen: Int, numHashes: Int, bands: Int): Unit = {
-    val add = minhashIndexBuild(
-      survivors, shingleLen, numHashes, bands, persist = false)
+    val add = MinhashIndex(
+      bandKeys(sigsS, numHashes, bands)
+        .select("band", "bh", "doc_id", "sig"),
+      survivors.select(
+        F.col("doc_id"), shingles(F.col("text"), shingleLen).as("sh")),
+      numHashes, bands, shingleLen)
     // SHINGLES FIRST: a crash between the two writes must leave the
     // invariant "bands_appends exists ⇒ shingles_appends exists" —
     // [[minhashIndexLoadWithAppends]] keys the has-appends decision on
@@ -907,6 +980,20 @@ object Dedup {
     val sigsC = minhashSignatures(corpus, index.shingleLen, index.numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Debug.timed("index-minhash signatures")(sigsC.count())
+    val verified = minhashNearDupAgainstIndexFromSigs(
+      corpus, sigsC, index, estFloor, broadcastProbe)
+    sigsC.unpersist(blocking = false)
+    verified
+  }
+
+  /** [[minhashNearDupAgainstIndex]] with caller-owned, materialized
+    * probe signatures — the gate's share of its single per-batch
+    * signature pass. `sigsC` must be the signatures of exactly
+    * `corpus` at the index's shingleLen/numHashes. */
+  private[graft] def minhashNearDupAgainstIndexFromSigs(
+      corpus: DataFrame, sigsC: DataFrame, index: MinhashIndex,
+      estFloor: Double = 0.0,
+      broadcastProbe: Boolean = false): DataFrame = {
     // broadcastProbe: the probe corpus is known-small (a streaming
     // micro-batch) — broadcasting its slim band keys turns the
     // candidate join into ONE SCAN of the stored band state with NO
@@ -939,7 +1026,7 @@ object Dedup {
       Seq("doc_id"), "left_semi")
     val verified = verifyExactJaccard(candidates, "doc_id", "ref_id", shC, shR)
     graft.core.Debug.timed("index-minhash verify")(
-      materializeAndRelease(verified, sigsC))
+      materializeAndRelease(verified))
   }
 
   /** [[dedupAgainst]] with a prebuilt index — the incremental-drop

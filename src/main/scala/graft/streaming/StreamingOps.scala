@@ -397,7 +397,17 @@ object StreamingOps {
     val spark = batch.sparkSession
     val state = Dedup.minhashIndexLoadWithAppends(
       spark, indexPath, maxSegExclusive = batchId)
-    val within = Dedup.dedupCorpus(batch, jaccardThreshold, state.shingleLen)
+    // ONE signature pass per micro-batch, shared by the within-batch
+    // self-dedup, the against-state probe, and the append segment
+    // (signatures are a pure function of the document, so the shared
+    // frame is bit-identical to the three recomputes it replaces —
+    // which, with the exact-dedup fingerprint shuffle re-run per
+    // consumer, were the dominant per-batch CPU at the bench point).
+    // Sharing requires the within-batch scheme's lane count (64, the
+    // dedupCorpus contract) to equal the saved index's; any other
+    // stored width falls back to the original per-stage passes with
+    // decisions unchanged.
+    val shareSigs = state.numHashes == 64
     // a micro-batch's slim band keys are broadcast-sized by
     // construction (bounded by the trigger, not the corpus), so the
     // against-state join scans the stored band state IN PLACE — the
@@ -411,14 +421,39 @@ object StreamingOps {
     // docs-only bound would have let 1M docs × 16 bands = 16M rows
     // (~1.6 GB) through.
     val broadcastProbe = batch.count() * state.bands <= 2000000L
-    val survivors = Dedup.dedupAgainstIndex(
-        within, state, jaccardThreshold, broadcastProbe = broadcastProbe)
+    val (survivors, batchCaches) =
+      if (shareSigs) {
+        val (within, exactCached, sigs) = Dedup.dedupCorpusSharedSigs(
+          batch, jaccardThreshold, state.shingleLen)
+        val sigsW = sigs.join(
+          within.select("doc_id"), Seq("doc_id"), "left_semi")
+        val losers = Dedup.minhashNearDupAgainstIndexFromSigs(
+            within, sigsW, state, estFloor = 0.75 * jaccardThreshold,
+            broadcastProbe = broadcastProbe)
+          .where(F.col("jaccard") >= jaccardThreshold)
+          .select("doc_id").distinct()
+        (within.join(losers, Seq("doc_id"), "left_anti"),
+          Seq(exactCached, sigs))
+      } else
+        (Dedup.dedupAgainstIndex(
+          Dedup.dedupCorpus(batch, jaccardThreshold, state.shingleLen),
+          state, jaccardThreshold, broadcastProbe = broadcastProbe),
+          Seq.empty[DataFrame])
+    val survivorsCached = survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    survivors.count()
-    Dedup.minhashAppendSegment(
-      survivors, indexPath, batchId,
-      state.shingleLen, state.numHashes, state.bands)
-    survivors
+    survivorsCached.count()
+    if (shareSigs) {
+      // survivor signatures = the shared pass filtered to admitted ids
+      val sigsS = batchCaches(1).join(
+        survivorsCached.select("doc_id"), Seq("doc_id"), "left_semi")
+      Dedup.minhashAppendSegmentFromSigs(
+        survivorsCached, sigsS, indexPath, batchId,
+        state.shingleLen, state.numHashes, state.bands)
+    } else
+      Dedup.minhashAppendSegment(
+        survivorsCached, indexPath, batchId,
+        state.shingleLen, state.numHashes, state.bands)
+    survivorsCached
       .withColumn("seg", F.lit(batchId))
       // bounded file count per batch segment — the gate's output is
       // read as a whole corpus downstream, not per-task
@@ -427,7 +462,8 @@ object StreamingOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("seg")
       .parquet(outPath)
-    survivors.unpersist(blocking = false)
+    survivorsCached.unpersist(blocking = false)
+    batchCaches.foreach(_.unpersist(blocking = false))
   }
 
   /** Streaming SEMANTIC dedup gate — the embedding sibling of
