@@ -916,6 +916,10 @@ object Dedup {
         if (!readable) None
         else {
           val before = spark.read.parquet(src.toString)
+          // no-filter parquet count reads row-group metadata only; with
+          // the anti-join count below it yields the removed-row count
+          // without the old second semi-join scan of the stored frame
+          val beforeCount = before.count()
           val kept = before.join(key, Seq("doc_id"), "left_anti")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val nKept = kept.count()
@@ -923,7 +927,7 @@ object Dedup {
           // accumulate across base AND streamed append segments, as
           // [[graft.operators.Similarity.ivfLayoutRemove]] does
           if (dir == "bands" || dir == "bands_appends")
-            removed += before.join(key, Seq("doc_id"), "left_semi").count()
+            removed += beforeCount - nKept
           if (dir == "bands")
             require(nKept > 0L,
               s"minhashLayoutRemove($path): removal would empty the base " +

@@ -3754,10 +3754,16 @@ object Similarity {
           if (!fs.exists(src)) None
           else {
             val before = spark.read.parquet(src.toString)
-            removed += before.join(key, Seq("id"), "left_semi").count()
+            // removed = total - kept: the no-filter parquet count reads
+            // row-group metadata only, so this replaces a second full
+            // semi-join scan of the layout with a near-free count —
+            // the anti-join partitions `before`, so the arithmetic is
+            // exactly the old semi-join count
+            val beforeCount = before.count()
             val kept = before.join(key, Seq("id"), "left_anti")
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             val nKept = kept.count()
+            removed += beforeCount - nKept
             if (dir == "lists") require(nKept > 0L,
               s"ivfLayoutRemove($path): removal would empty the index — " +
                 "delete the layout instead of removing every vector")
@@ -3832,11 +3838,18 @@ object Similarity {
     key.count()
     try {
       val before = spark.read.parquet(src.toString)
-      val removed = before.join(key, Seq("id"), "left_semi").count()
-      if (removed == 0L) return 0L // nothing to erase — skip the rewrite
+      // removed = total - kept (one anti-join scan + a metadata-speed
+      // no-filter parquet count, replacing the old second semi-join
+      // scan; identical arithmetic — the anti-join partitions `before`)
+      val beforeCount = before.count()
       val kept = before.join(key, Seq("id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nKept = kept.count()
+      val removed = beforeCount - nKept
+      if (removed == 0L) { // nothing to erase — skip the rewrite
+        kept.unpersist(blocking = false)
+        return 0L
+      }
       require(nKept > 0L,
         s"codesLayoutRemove($path): removal would empty the index — " +
           "delete the layout instead of removing every vector")
