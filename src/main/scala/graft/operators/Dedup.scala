@@ -1078,7 +1078,16 @@ object Dedup {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"minContainment must be in (0, 1]; got $minContainment")
     require(maxDf >= 2, s"maxDf must be >= 2 (a df-1 gram can never be shared); got $maxDf")
-    val grams = explodedGrams(docs, n).distinct()
+    // work in gram-HASH space: the df aggregate, the prune join and the
+    // pair self-join below only need gram IDENTITY, never the text, so
+    // shuffling 8-byte xxhash64 keys instead of ~n·8-byte gram strings
+    // cuts every exchange in this operator several-fold (guide: shuffle
+    // fewer bytes / narrower types). Same hash-space contract as the
+    // minhash band keys (bandKeys' 32-bit bucket hash); 64-bit keys
+    // make a colliding gram pair ~2^-64 per comparison.
+    val grams = explodedGrams(docs, n)
+      .select(F.col("doc_id"), F.xxhash64(F.col("g")).as("g"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfOk = grams.groupBy("g")
       .agg(F.count(F.lit(1)).as("df"))
@@ -1135,8 +1144,17 @@ object Dedup {
     * surviving rows of `corpus`.
     */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
-    val evalGrams = explodedGrams(evalDocs, n).select("g").distinct()
+    // gram-hash keys: the overlap test needs gram identity only, and a
+    // 13-word gram string is ~100 B where its xxhash64 is 8 — the
+    // corpus-side explode, the distinct and the semi-join all shuffle
+    // an order of magnitude fewer bytes (same hash-space contract as
+    // containmentPairs; the streaming sibling already accepts bloom
+    // false positives, this keeps ~2^-64 instead)
+    val gh = (c: Column) => F.xxhash64(c)
+    val evalGrams = explodedGrams(evalDocs, n)
+      .select(gh(F.col("g")).as("g")).distinct()
     val contaminated = explodedGrams(corpus, n)
+      .select(F.col("doc_id"), gh(F.col("g")).as("g"))
       .join(evalGrams, Seq("g"), "left_semi")
       .select("doc_id")
       .distinct()
@@ -1161,10 +1179,13 @@ object Dedup {
     */
   def contaminationReport(
       corpus: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    // gram-hash keys, same rationale and contract as [[decontaminate]]
     val eg = explodedGrams(evalDocs, n)
-      .select(F.col("doc_id").as("eval_doc_id"), F.col("g")).distinct()
+      .select(F.col("doc_id").as("eval_doc_id"),
+        F.xxhash64(F.col("g")).as("g")).distinct()
     val cg = explodedGrams(corpus, n)
-      .select(F.col("doc_id").as("corpus_doc_id"), F.col("g")).distinct()
+      .select(F.col("doc_id").as("corpus_doc_id"),
+        F.xxhash64(F.col("g")).as("g")).distinct()
     val hits = eg.join(cg, "g")
       .select("eval_doc_id", "corpus_doc_id").distinct()
       .groupBy("eval_doc_id")
