@@ -2689,11 +2689,21 @@ object Similarity {
           while (i < all.length) {
             val (idB, vb) = all(i)
             if (idA < idB) {
-              val s = round4(graft.functions.VectorKernels.cosine(va, vb))
-              val cand = (s, idA, idB)
-              if (heap.size < k) heap.enqueue(cand)
-              else if (worstFirst.lt(cand, heap.head)) {
-                heap.enqueue(cand); heap.dequeue()
+              val raw = graft.functions.VectorKernels.cosine(va, vb)
+              // fast-path reject BEFORE the BigDecimal round: with the
+              // heap full, round4(raw) can only reach the current head
+              // score hs when raw >= hs - 5e-5 (HALF_UP moves a value
+              // by at most 5e-5 toward hs, and hs is a 4-decimal
+              // number) — so raw < hs - 5e-5 is an exact reject. This
+              // skips the per-pair BigDecimal allocation for ~all of
+              // the N²/2 candidates; results are bit-identical.
+              if (heap.size < k || !(raw < heap.head._1 - 0.00005)) {
+                val s = round4(raw)
+                val cand = (s, idA, idB)
+                if (heap.size < k) heap.enqueue(cand)
+                else if (worstFirst.lt(cand, heap.head)) {
+                  heap.enqueue(cand); heap.dequeue()
+                }
               }
             }
             i += 1
@@ -4103,8 +4113,16 @@ object Similarity {
           while (i < all.length) {
             val (idB, vb) = all(i)
             if (idA < idB) {
-              val s = round4(graft.functions.VectorKernels.cosine(va, vb))
-              if (s >= threshold) out += ((idA, idB, s))
+              val raw = graft.functions.VectorKernels.cosine(va, vb)
+              // exact fast-path reject before the BigDecimal round:
+              // round4 moves a value by at most 5e-5 (+ 1 ulp), so
+              // raw < threshold - 1e-4 can never round to >= threshold
+              // — the allocation-heavy round runs only near or above
+              // the threshold; output is bit-identical.
+              if (!(raw < threshold - 0.0001)) {
+                val s = round4(raw)
+                if (s >= threshold) out += ((idA, idB, s))
+              }
             }
             i += 1
           }
