@@ -201,7 +201,10 @@ object Bench {
     // reference walls from the previously committed full artifact (same
     // host class, final round-9 code). Rows absent from it — new
     // operators — fall back to the cpu/wall rule alone.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL_r13.json")
+    // reference = the committed r14 merged pair, measured on the CURRENT
+    // host class: the r13 board came from a ~30% faster host and its
+    // walls tripped the 1.5x retry rule on 27 healthy rows per run
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL_r14.json")
     val refWalls: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
