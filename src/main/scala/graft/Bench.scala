@@ -400,16 +400,33 @@ object Bench {
     // r5/r6 one, but r8 rotated two PQ-family flagships in and three
     // near-zero rows out (see benchExclude) — round-over-round compare
     // the per-query rows, not the slim total, across that boundary.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r14.json")
+    // Default output is a scratch name, NOT the stall-reference board:
+    // through r14 both defaulted to the same file, so every plain
+    // `runMain graft.Bench` overwrote the curated min-of-2 reference
+    // with a single-run board (the r14 driver run did exactly that,
+    // clobbering the committed 357 s pair with a 439 s cold run). The
+    // reference board is only ever written by the --merge CLI.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_out.json")
     val full =
       s"""{"metric":"total","value":${fmt(totalOf(results))},"unit":"sec",""" +
         s""""failed":$nFailed,"sf":"$sfName","queries":${toJson(results)},""" +
         s""""cpu_sec":${toJson(cpuSecs.toSeq)},""" +
         s""""retried":${toJson(retried.toSeq)},"ref":"$refPath",""" +
         s""""cached_mb_after":${toJson(storage.toSeq)}}""" + "\n"
-    try writeBoardGuarded(benchOut, full, strict = false)
+    // Never let an in-run write land on the stall-reference file, even
+    // when SPARK_GRAFT_BENCH_OUT points there explicitly: the next
+    // run's retry thresholds would silently come from a noisy single
+    // run. The run's data is preserved at <out>.rejected instead.
+    val outTarget =
+      if (java.nio.file.Paths.get(benchOut).toAbsolutePath.normalize ==
+          java.nio.file.Paths.get(refPath).toAbsolutePath.normalize) {
+        System.err.println(s"[bench] refusing to overwrite stall reference " +
+          s"$refPath with a single-run board; writing $benchOut.rejected")
+        benchOut + ".rejected"
+      } else benchOut
+    try writeBoardGuarded(outTarget, full, strict = false)
     catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}") }
+      System.err.println(s"[bench] could not write $outTarget: ${e.getMessage}") }
     val slim = results.filter { case (name, _) =>
       only.isDefined || !SparkEntry.benchExclude(name) }
     // "retried": how many rows tripped the stall detector (their kept

@@ -660,6 +660,12 @@ object Dedup {
   private[graft] def gateSwapMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/bands_swap_marker")
 
+  /** Rows per file/task for the band-aligned layout writes (append
+    * segments and folds): band rows are ~100 B, so 4M rows ≈ 400 MB
+    * files (guide §6's 128 MB–1 GB window) and one fold task per 4M
+    * rows of a band's history (guide §2.5). */
+  private val bandFoldTargetRows = 4000000L
+
   // "dir holds appended segments" must mean seg= SUBDIRS, not mere
   // non-emptiness: a zero-survivor gate batch commits an appends dir
   // containing only _SUCCESS (Spark writes the marker even for an
@@ -718,11 +724,16 @@ object Dedup {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("seg")
       .parquet(s"$path/shingles_appends")
-    add.bandRows
-      .repartition(F.col("band"))
+    // salted within band (guide §2.5, same as the fold): identical
+    // one-file-per-band layout at micro-batch sizes, but a backfill
+    // replayed through the gate no longer serializes each band's
+    // write behind a single task
+    SegmentTiers.saltedRepartition(
+        add.bandRows, "band", Seq("doc_id"), bandFoldTargetRows)
       .withColumn("seg", F.lit(seg))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", bandFoldTargetRows)
       .partitionBy("seg", "band")
       .parquet(s"$path/bands_appends")
   }
@@ -786,6 +797,110 @@ object Dedup {
     }
   }
 
+  /** Per-epoch cache of the gate's BASE layout — the meta sidecar
+    * parse and the two base directory listings (`bands`, `shingles`),
+    * all pure functions of the saved base index, which only changes
+    * when an offline maintenance op ([[minhashIndexSave]] /
+    * [[minhashLayoutRemove]]) rewrites or rename-swaps the dirs.
+    * Through r14 every gate micro-batch re-listed both base dirs and
+    * re-read meta.json (guide §5 driver work, §6 listing I/O); the
+    * appends dirs stay PER-BATCH reads (a new segment commits each
+    * batch) but read with the cached explicit schemas, skipping
+    * per-batch footer inference. Fingerprint = (mtime, len) of
+    * meta.json + mtimes of both base dirs: every rewrite/swap path
+    * produces fresh objects, so a takedown between triggers is picked
+    * up on the next batch's three getFileStatus probes. Decisions are
+    * byte-identical — everything cached is a deterministic function of
+    * on-disk state the batch would otherwise re-derive.
+    */
+  private final case class GateMinhashBase(
+      fp: String, base: MinhashIndex,
+      bandsAppSchema: org.apache.spark.sql.types.StructType,
+      shinglesAppSchema: org.apache.spark.sql.types.StructType)
+
+  private val gateMinhashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GateMinhashBase]()
+
+  private def gateMinhashBase(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : GateMinhashBase = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mp = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = mp.getFileSystem(conf)
+    val mst = fs.getFileStatus(mp)
+    val bmt = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$path/bands")).getModificationTime
+    val smt = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$path/shingles")).getModificationTime
+    val fp = s"${mst.getModificationTime}:${mst.getLen}:$bmt:$smt"
+    val cached = gateMinhashCache.get(path)
+    if (cached != null && cached.fp == fp) cached
+    else graft.core.Debug.timed("mgate state-cache build") {
+      val base = minhashIndexLoad(spark, path)
+      val entry = GateMinhashBase(fp, base,
+        base.bandRows.schema.add(
+          "seg", org.apache.spark.sql.types.LongType),
+        base.refShingles.schema.add(
+          "seg", org.apache.spark.sql.types.LongType))
+      if (gateMinhashCache.size > 8) gateMinhashCache.clear()
+      gateMinhashCache.put(path, entry)
+      entry
+    }
+  }
+
+  /** [[minhashIndexLoadWithAppends]] for the gate's per-batch hot
+    * path: identical union (base ∪ appends with `seg <
+    * maxSegExclusive`), but the base half comes from the per-epoch
+    * cache above and the appends reads skip schema inference. Same
+    * swap-marker wait and zero-segment handling as the uncached load.
+    */
+  private[graft] def minhashIndexLoadWithAppendsCached(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxSegExclusive: Long): MinhashIndex = {
+    val entry = gateMinhashBase(spark, path)
+    val base = entry.base
+    val bp = new org.apache.hadoop.fs.Path(s"$path/bands_appends")
+    val sp = new org.apache.hadoop.fs.Path(s"$path/shingles_appends")
+    val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
+    var hasAppends = hasSegDirs(fs, bp) && hasSegDirs(fs, sp)
+    if (!hasAppends && fs.exists(gateSwapMarkerPath(path))) {
+      var waited = 0
+      while (!hasAppends && fs.exists(gateSwapMarkerPath(path)) &&
+          waited < 10000) {
+        Thread.sleep(200); waited += 200
+        hasAppends = hasSegDirs(fs, bp) && hasSegDirs(fs, sp)
+      }
+      if (!hasAppends && fs.exists(gateSwapMarkerPath(path)))
+        throw new IllegalStateException(
+          s"minhashIndexLoadWithAppendsCached($path): bands_appends / " +
+            "shingles_appends did not both appear while a compaction " +
+            "swap marker is present and did not clear within 10 s — a " +
+            "compaction likely crashed between its swap renames. The " +
+            "pre-swap segments are under bands_appends_old / " +
+            "shingles_appends_old; restore them or finish the " +
+            "compaction, then delete bands_swap_marker.")
+    }
+    if (!hasAppends) base
+    else {
+      graft.streaming.StreamingOps.warnUncompacted(
+        spark, s"$path/bands_appends", "minhashIndexLoadWithAppendsCached")
+      val keep = (df: DataFrame) =>
+        df.where(F.col("seg").cast("long") < maxSegExclusive)
+      val ab = keep(
+        spark.read.schema(entry.bandsAppSchema)
+          .parquet(s"$path/bands_appends"))
+        .select("band", "bh", "doc_id", "sig")
+      val ash = keep(
+        spark.read.schema(entry.shinglesAppSchema)
+          .parquet(s"$path/shingles_appends"))
+        .select("doc_id", "sh")
+      MinhashIndex(
+        base.bandRows.select("band", "bh", "doc_id", "sig").unionByName(ab),
+        base.refShingles.select("doc_id", "sh").unionByName(ash),
+        base.numHashes, base.bands, base.shingleLen)
+    }
+  }
+
   /** Fold the gate's append segments below `maxSegExclusive` into one
     * merged segment — a small-files compaction, semantics-free (band
     * rows are per-document; queries before and after read the same
@@ -800,28 +915,54 @@ object Dedup {
     */
   def minhashCompactAppends(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      maxSegExclusive: Long = Long.MaxValue): Int = {
+      maxSegExclusive: Long = Long.MaxValue,
+      tiered: Boolean = false): Int = {
     val conf = spark.sessionState.newHadoopConf()
     val bp = new org.apache.hadoop.fs.Path(s"$path/bands_appends")
     val sp = new org.apache.hadoop.fs.Path(s"$path/shingles_appends")
     val fs = bp.getFileSystem(conf)
     if (!hasSegDirs(fs, bp) || !hasSegDirs(fs, sp)) return 0
-    val curB = spark.read.parquet(bp.toString)
-      .where(F.col("seg").cast("long") < maxSegExclusive)
-    val minSegRow = curB.agg(F.min(F.col("seg").cast("long"))).head
-    if (minSegRow.isNullAt(0)) return 0
-    val mergedSeg = math.min(-1L, minSegRow.getLong(0) - 1L)
-    val curS = spark.read.parquet(sp.toString)
-      .where(F.col("seg").cast("long") < maxSegExclusive)
+    // fold-set selection on directory metadata (one listing + a
+    // contentSummary per seg dir — segment count is bounded by the
+    // cadence plus the geometric tier ladder). `tiered` (the in-stream
+    // cadence folds) rewrites only the SegmentTiers selection;
+    // explicit maintenance calls keep the full-fold law (one merged
+    // segment afterwards).
+    val segSizes: Seq[(Long, Long)] = fs.listStatus(bp).toSeq
+      .filter(_.getPath.getName.startsWith("seg="))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.substring(4).toLong).toOption
+          .map(id => id -> fs.getContentSummary(st.getPath).getLength)
+      }
+    val eligible = segSizes.filter(_._1 < maxSegExclusive)
+    if (eligible.isEmpty) return 0
+    val foldIds: Seq[Long] =
+      if (tiered) SegmentTiers.select(eligible) else eligible.map(_._1)
+    if (foldIds.isEmpty) return 0
+    val foldSet = foldIds.toSet
+    val inFold = (df: DataFrame) =>
+      df.where(F.col("seg").cast("long").isin(foldIds: _*))
+    val curB = inFold(spark.read.parquet(bp.toString))
+    // the merged id must never collide with ANY existing segment —
+    // surviving tiers included — nor with a future batch id (those are
+    // >= 0 and monotone under one checkpoint)
+    val mergedSeg = math.min(-1L, segSizes.map(_._1).min - 1L)
+    val curS = inFold(spark.read.parquet(sp.toString))
     val tmpB = new org.apache.hadoop.fs.Path(s"$path/bands_appends_tmp")
     val tmpS = new org.apache.hadoop.fs.Path(s"$path/shingles_appends_tmp")
     Seq(tmpB, tmpS).foreach(p => if (fs.exists(p)) fs.delete(p, true))
     // band-aligned shuffle so each band leaf gets one file — the same
-    // reasoning as the IVF fold's cluster repartition
-    curB.select("band", "bh", "doc_id", "sig")
-      .repartition(F.col("band"))
+    // reasoning as the IVF fold's cluster repartition. Salted within
+    // band (guide §2.5): the band key space is only `bands` values
+    // wide, so an unsalted fold of a big corpus runs on ≤ bands tasks
+    // with each band's whole history behind one of them.
+    SegmentTiers.saltedRepartition(
+        curB.select("band", "bh", "doc_id", "sig"), "band",
+        Seq("doc_id"), bandFoldTargetRows)
       .withColumn("seg", F.lit(mergedSeg))
-      .write.mode("overwrite").partitionBy("seg", "band")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", bandFoldTargetRows)
+      .partitionBy("seg", "band")
       .parquet(tmpB.toString)
     curS.select("doc_id", "sh")
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
@@ -839,15 +980,18 @@ object Dedup {
       require(fs.rename(live, old),
         s"minhashCompactAppends($path): rename $live -> $old failed; " +
           "appends untouched, marker left for diagnosis")
-      // excluded (>= maxSegExclusive) segment dirs carry over verbatim
+      // every segment NOT in the fold set carries over verbatim: the
+      // in-flight (>= maxSegExclusive) dirs as before, plus — under
+      // the tiered policy — the surviving merged tiers the fold
+      // deliberately left cold
       fs.listStatus(old).foreach { st =>
         val nm = st.getPath.getName
         if (nm.startsWith("seg=") &&
             scala.util.Try(nm.substring(4).toLong).toOption
-              .exists(_ >= maxSegExclusive))
+              .exists(id => !foldSet.contains(id)))
           require(
             fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tmp, nm)),
-            s"minhashCompactAppends($path): carrying in-flight segment " +
+            s"minhashCompactAppends($path): carrying unfolded segment " +
               s"$nm into $tmp failed; pre-fold segments survive under " +
               s"$old, marker left for diagnosis")
       }
@@ -916,17 +1060,20 @@ object Dedup {
         if (!readable) None
         else {
           val before = spark.read.parquet(src.toString)
-          // no-filter parquet count reads row-group metadata only; with
-          // the anti-join count below it yields the removed-row count
-          // without the old second semi-join scan of the stored frame
-          val beforeCount = before.count()
+          // the scaladoc promises "number of band rows removed" — only
+          // the two bands dirs feed that count, so only they pay the
+          // (row-group-metadata-speed) before-count job (ADVICE r14:
+          // counting the shingles dirs too was a wasted Spark job per
+          // removal); with the anti-join count below it yields the
+          // removed-row count without the old second semi-join scan
+          val countsRemoved = dir == "bands" || dir == "bands_appends"
+          val beforeCount = if (countsRemoved) before.count() else 0L
           val kept = before.join(key, Seq("doc_id"), "left_anti")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val nKept = kept.count()
-          // the scaladoc promises "number of band rows removed" —
           // accumulate across base AND streamed append segments, as
           // [[graft.operators.Similarity.ivfLayoutRemove]] does
-          if (dir == "bands" || dir == "bands_appends")
+          if (countsRemoved)
             removed += beforeCount - nKept
           if (dir == "bands")
             require(nKept > 0L,
@@ -1478,7 +1625,23 @@ object Dedup {
     // aggregate (higher-order functions are interpreted, not codegen'd)
     val sh = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    /** Blocking-key rows for one radius: (doc_id, simhash, ss, kv). */
+    /** Blocking-key rows for one radius: (doc_id, simhash, k) where k
+      * is ONE xxhash64 long over (subset index, subset block values).
+      * Through r14 the key was a (ss int, kv array<long>) struct —
+      * ~56+ B of UnsafeRow per exploded row where 8 B carries the same
+      * information (guide §2.3 narrower types/shuffle fewer bytes), on
+      * an explosion that emits C(nBlocks, nBlocks−maxDist) (default
+      * 84) rows per document; the hashed long also joins/aggregates as
+      * a primitive instead of a struct comparison. Completeness is
+      * unchanged: equal (ss, kv) ⇒ equal hash, so every true candidate
+      * still collides. A cross-subset hash collision (~2⁻⁶⁴ per pair)
+      * only ADDS a candidate, which the exact Hamming verify below
+      * filters — pair output is identical, not merely
+      * almost-identical. (The candidate-mass probe groups by the
+      * hashed key, so a collision could in principle merge two
+      * buckets' masses — a conservative, ~2⁻⁶⁴ overcount on a bound
+      * that is documented as approximate.)
+      */
     def keyedAt(d: Int): DataFrame = {
       val b0 =
         if (nBlocks > 0) nBlocks
@@ -1499,25 +1662,20 @@ object Dedup {
         val mask = if (len >= 64) -1L else (1L << len) - 1L
         F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(F.lit(mask))
       }
-      val keyStructs = (0 until b0).combinations(b0 - d).toSeq
+      val keyHashes = (0 until b0).combinations(b0 - d).toSeq
         .zipWithIndex.map { case (subset, si) =>
-          F.struct(
-            F.lit(si).as("ss"),
-            F.array(subset.map(blockVal): _*).as("kv"))
+          F.xxhash64((F.lit(si) +: subset.map(blockVal)): _*)
         }
       sh.select(
-          F.col("doc_id"), F.col("simhash"),
-          F.explode(F.array(keyStructs: _*)).as("bk"))
-        .select(
-          F.col("doc_id"), F.col("simhash"),
-          F.col("bk.ss").as("ss"), F.col("bk.kv").as("kv"))
+        F.col("doc_id"), F.col("simhash"),
+        F.explode(F.array(keyHashes: _*)).as("k"))
     }
     /** The pre-join bucket pair mass Σ C(n_bucket, 2) — an upper bound
       * on scored candidates (duplicate subset collisions count once
       * per subset — conservative by design). ONE aggregation over the
       * persisted signatures; no join, no pair emission.
       */
-    def massOf(keyed: DataFrame): Long = keyed.groupBy("ss", "kv")
+    def massOf(keyed: DataFrame): Long = keyed.groupBy("k")
       .agg(F.count(F.lit(1)).as("n"))
       .where(F.col("n") > 1)
       .agg(F.coalesce(F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0L)))
@@ -1563,15 +1721,15 @@ object Dedup {
             "probe.")
       }
     }
-    val a = keyed.select(F.col("ss"), F.col("kv"),
+    val a = keyed.select(F.col("k"),
       F.col("doc_id").as("doc_a"), F.col("simhash").as("ha"))
-    val b = keyed.select(F.col("ss"), F.col("kv"),
+    val b = keyed.select(F.col("k"),
       F.col("doc_id").as("doc_b"), F.col("simhash").as("hb"))
     // Hamming-filter BEFORE deduplicating: the filter is a cheap
     // map-side bit_count on the joined row, while dropDuplicates is a
     // shuffle — the shuffle must only see surviving pairs (near-equal
     // docs match on MANY subsets, so duplicates scale with dup mass).
-    val pairs = a.join(b, Seq("ss", "kv"))
+    val pairs = a.join(b, Seq("k"))
       .where(F.col("doc_a") < F.col("doc_b"))
       .withColumn("hamming", hammingDist(F.col("ha"), F.col("hb")))
       .where(F.col("hamming") <= chosenDist)

@@ -2694,10 +2694,15 @@ object Similarity {
               // heap full, round4(raw) can only reach the current head
               // score hs when raw >= hs - 5e-5 (HALF_UP moves a value
               // by at most 5e-5 toward hs, and hs is a 4-decimal
-              // number) — so raw < hs - 5e-5 is an exact reject. This
-              // skips the per-pair BigDecimal allocation for ~all of
-              // the N²/2 candidates; results are bit-identical.
-              if (heap.size < k || !(raw < heap.head._1 - 0.00005)) {
+              // number). The margin here is 1e-4, not the exact 5e-5
+              // (ADVICE r14): `hs - 5e-5` computed in doubles can land
+              // ~1 ulp above the exact decimal difference, and in that
+              // sub-ulp window a pair that would round INTO the head
+              // score (and win the id tie-break) could be rejected —
+              // the spare 5e-5 of headroom makes the reject exact, at
+              // the cost of a BigDecimal round for a slightly wider
+              // near-boundary band. Results are bit-identical.
+              if (heap.size < k || !(raw < heap.head._1 - 0.0001)) {
                 val s = round4(raw)
                 val cand = (s, idA, idB)
                 if (heap.size < k) heap.enqueue(cand)
@@ -3558,6 +3563,32 @@ object Similarity {
     spark.read.parquet(s"$path/subcenters").select("cell", "list", "cvec")
   }
 
+  /** The quantizer half of [[ivfLoad]] — centroid sidecar parse only,
+    * no directory listing, no lists union. The streaming gate's
+    * per-batch hot path needs exactly this (its state scan reads the
+    * lists itself, pruned); loading the full index there paid two
+    * throwaway directory listings per micro-batch. Returns
+    * (centroids, k).
+    */
+  private[graft] def ivfLoadQuantizer(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[(Int, Array[Double])], Int) = {
+    val txt = readSidecar(spark, s"$path/centroids.json").getOrElse(
+      throw new IllegalArgumentException(
+        s"ivfLoadQuantizer($path): no centroids.json sidecar there"))
+    val k = "\"k\":(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
+    (sidecarEntries(txt), k)
+  }
+
+  /** (id, [values]) entry parser shared by the centroid and hierarchy
+    * sidecars. */
+  private def sidecarEntries(txt: String): Array[(Int, Array[Double])] =
+    "\\[(\\d+),\\[([^\\]]*)\\]\\]".r.findAllMatchIn(txt).map { m =>
+      (m.group(1).toInt,
+        if (m.group(2).isEmpty) Array.empty[Double]
+        else m.group(2).split(",").map(_.toDouble))
+    }.toArray
+
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val base = spark.read.parquet(s"$path/lists")
       .select("id", "vec", "cluster")
@@ -3610,21 +3641,13 @@ object Similarity {
         base.unionByName(
           spark.read.parquet(s"$path/applists").select("id", "vec", "cluster"))
       else base
-    def entries(txt: String): Array[(Int, Array[Double])] =
-      "\\[(\\d+),\\[([^\\]]*)\\]\\]".r.findAllMatchIn(txt).map { m =>
-        (m.group(1).toInt,
-          if (m.group(2).isEmpty) Array.empty[Double]
-          else m.group(2).split(",").map(_.toDouble))
-      }.toArray
-    val txt = readSidecar(spark, s"$path/centroids.json").get
-    val k = "\"k\":(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
-    val cent = entries(txt)
+    val (cent, k) = ivfLoadQuantizer(spark, path)
     // optional hierarchy sidecar (two-level saves only)
     val hier = readSidecar(spark, s"$path/twolevel.json").map { h =>
       val Array(coarseTxt, cellsTxt) = h.split("\"cells\":", 2)
       TwoLevelHier(
-        entries(coarseTxt).sortBy(_._1).map(_._2),
-        entries(cellsTxt).sortBy(_._1).map(_._2.map(_.toInt)))
+        sidecarEntries(coarseTxt).sortBy(_._1).map(_._2),
+        sidecarEntries(cellsTxt).sortBy(_._1).map(_._2.map(_.toInt)))
     }
     IvfIndex(assigned, cent, k, hier)
   }
@@ -3660,7 +3683,8 @@ object Similarity {
   def ivfCompactAppends(
       spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileRows: Int = 4000000,
-      maxSegExclusive: Long = Long.MaxValue): Int = {
+      maxSegExclusive: Long = Long.MaxValue,
+      tiered: Boolean = false): Int = {
     val conf = spark.sessionState.newHadoopConf()
     val ap = new org.apache.hadoop.fs.Path(s"$path/applists")
     val fs = ap.getFileSystem(conf)
@@ -3670,20 +3694,40 @@ object Similarity {
     // the in-flight batch's segment as its own directory, so a replay
     // of that batch after a post-compaction crash overlays its own
     // leaves (dynamic partition overwrite) instead of duplicating rows
-    // that were already folded into the merged segment
+    // that were already folded into the merged segment.
+    // `tiered` (the in-stream cadence folds) additionally rewrites only
+    // the [[graft.operators.SegmentTiers]] selection — committed real
+    // segments plus the ratio-eligible merged tiers — so a big cold
+    // merged segment is not re-copied on every fold (that was O(N²)
+    // fold I/O over a stream's life); explicit maintenance calls keep
+    // the full-fold law (one merged segment afterwards).
+    val segSizes: Seq[(Long, Long)] = fs.listStatus(ap).toSeq
+      .filter(_.getPath.getName.startsWith("seg="))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.substring(4).toLong).toOption
+          .map(id => id -> fs.getContentSummary(st.getPath).getLength)
+      }
+    val eligible = segSizes.filter(_._1 < maxSegExclusive)
+    if (eligible.isEmpty) return 0 // nothing eligible to fold
+    val foldIds: Seq[Long] =
+      if (tiered) graft.operators.SegmentTiers.select(eligible)
+      else eligible.map(_._1)
+    if (foldIds.isEmpty) return 0
+    val foldSet = foldIds.toSet
     val all = spark.read.parquet(s"$path/applists")
-    val cur = all.where(F.col("seg").cast("long") < maxSegExclusive)
-    val minSegRow = cur.agg(F.min(F.col("seg").cast("long"))).head
-    if (minSegRow.isNullAt(0)) return 0 // nothing eligible to fold
-    val mergedSeg = math.min(-1L, minSegRow.getLong(0) - 1L)
+    val cur = all.where(F.col("seg").cast("long").isin(foldIds: _*))
+    // never collide with ANY existing segment, surviving tiers included
+    val mergedSeg = math.min(-1L, segSizes.map(_._1).min - 1L)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/applists_compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // cluster-aligned shuffle so each list leaf gets ONE file (bounded
     // by maxRecordsPerFile) — without it every input segment task
     // re-emits a file per touched cluster and the "compaction" can
-    // leave the file count unchanged
-    cur.select("id", "vec", "cluster")
-      .repartition(F.col("cluster"))
+    // leave the file count unchanged. Salted within cluster (guide
+    // §2.5): a hot list's fold otherwise serializes behind one task.
+    graft.operators.SegmentTiers.saltedRepartition(
+        cur.select("id", "vec", "cluster"), "cluster", Seq("id"),
+        targetFileRows.toLong)
       .withColumn("seg", F.lit(mergedSeg))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetFileRows.toLong)
@@ -3709,16 +3753,17 @@ object Similarity {
     require(fs.rename(ap, old),
       s"ivfCompactAppends($path): rename $ap -> $old failed; " +
         "appends untouched, marker left for diagnosis")
-    // excluded (>= maxSegExclusive) segment dirs carry over verbatim —
-    // they were never read into the merge
+    // every segment NOT in the fold set carries over verbatim — the
+    // in-flight (>= maxSegExclusive) dirs, plus the surviving merged
+    // tiers a tiered fold deliberately left cold
     fs.listStatus(old).foreach { st =>
       val nm = st.getPath.getName
       if (nm.startsWith("seg=") &&
           scala.util.Try(nm.substring(4).toLong).toOption
-            .exists(_ >= maxSegExclusive))
+            .exists(id => !foldSet.contains(id)))
         require(
           fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tmp, nm)),
-          s"ivfCompactAppends($path): carrying in-flight segment $nm " +
+          s"ivfCompactAppends($path): carrying unfolded segment $nm " +
             s"into $tmp failed; pre-fold segments survive under $old, " +
             "marker left for diagnosis")
     }

@@ -1523,4 +1523,122 @@ class StreamingSpec extends SparkSpec {
     val e = intercept[IllegalStateException](StreamingOps.profileOf(s, side))
     assert(e.getMessage.contains("compaction"))
   }
+
+  test("SegmentTiers.select: reals always fold, merged tiers by the 2x ratio, lone merged never") {
+    import graft.operators.SegmentTiers.select
+    assert(select(Nil) == Nil)
+    // reals-only: everything folds
+    assert(select(Seq(0L -> 10L, 1L -> 12L)).toSet == Set(0L, 1L))
+    // a cold big merged tier is NOT rewritten by a small fold
+    assert(select(Seq(3L -> 10L, -1L -> 100L)) == Seq(3L))
+    // ... until the accumulated small mass reaches half its size
+    assert(select(Seq(3L -> 60L, -1L -> 100L)).toSet == Set(3L, -1L))
+    // merged ladder: ascending inclusion stops at the first too-big tier
+    assert(select(Seq(4L -> 10L, -1L -> 500L, -2L -> 15L)).toSet ==
+      Set(4L, -2L))
+    // no reals: two similar merged tiers coalesce ...
+    assert(select(Seq(-1L -> 10L, -2L -> 12L)).toSet == Set(-1L, -2L))
+    // ... but a lone merged segment is never rewritten (pure churn)
+    assert(select(Seq(-1L -> 100L)) == Nil)
+    assert(select(Seq(-1L -> 100L, -2L -> 5L)) == Nil)
+  }
+
+  test("tiered in-stream fold: cold merged tier untouched, reads identical, full-fold law intact") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val F = org.apache.spark.sql.functions
+    val (base, b1, b2) = gateFixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tiered-fold").toString
+    val built = Dedup.minhashIndexBuild(base.toDF("doc_id", "text"))
+    Dedup.minhashIndexSave(built, dir)
+    Dedup.minhashIndexRelease(built)
+    def append(docs: Seq[(Long, String)], seg: Long): Unit = {
+      val df = docs.toDF("doc_id", "text")
+      Dedup.minhashAppendSegment(df, dir, seg,
+        built.shingleLen, built.numHashes, built.bands)
+    }
+    def segDirs(sub: String): Map[Long, Set[String]] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("seg="))
+        .map { st =>
+          st.getPath.getName.substring(4).toLong ->
+            fs.listStatus(st.getPath).map(_.getPath.getName).toSet
+        }.toMap
+    }
+    def loadedRows(): Set[(Long, Long)] =
+      Dedup.minhashIndexLoadWithAppends(s, dir).bandRows
+        .select(F.col("doc_id"), F.col("band").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // four appended batches fold into one big merged tier
+    append(b1, 0L); append(b2, 1L)
+    append(b1.map { case (i, t) => (i + 1000L, t) }, 2L)
+    append(b2.map { case (i, t) => (i + 1000L, t) }, 3L)
+    Dedup.minhashCompactAppends(s, dir, maxSegExclusive = 100L, tiered = true)
+    val afterBig = segDirs("bands_appends")
+    assert(afterBig.keySet.forall(_ < 0) && afterBig.size == 1,
+      s"first tiered fold should leave one merged tier: ${afterBig.keySet}")
+    val (bigSeg, bigFiles) = afterBig.head
+    val rowsBefore = loadedRows()
+    // one SMALL batch (2 docs vs the tier's ~28): the fold must NOT
+    // rewrite the big cold tier
+    append(b1.take(2).map { case (i, t) => (i + 2000L, t) }, 4L)
+    val rowsWithSmall = loadedRows()
+    Dedup.minhashCompactAppends(s, dir, maxSegExclusive = 100L, tiered = true)
+    val afterSmall = segDirs("bands_appends")
+    assert(afterSmall.contains(bigSeg) && afterSmall(bigSeg) == bigFiles,
+      "tiered fold rewrote the cold big merged tier")
+    assert(afterSmall.keySet.forall(_ < 0) && afterSmall.size == 2,
+      s"small fold should add one merged tier: ${afterSmall.keySet}")
+    // folds are invisible to readers
+    assert(loadedRows() == rowsWithSmall, "tiered fold changed the read rows")
+    assert(rowsWithSmall != rowsBefore, "fixture: small batch added nothing")
+    // the r13-pinned FULL-fold law is untouched: one merged segment after
+    Dedup.minhashCompactAppends(s, dir)
+    val afterFull = segDirs("bands_appends")
+    assert(afterFull.size == 1 && afterFull.keySet.head < 0,
+      s"full fold law broken: ${afterFull.keySet}")
+    assert(loadedRows() == rowsWithSmall, "full fold changed the read rows")
+  }
+
+  test("salted segment writes: cold keys keep one file per leaf, hot keys split, replay idempotent") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val F = org.apache.spark.sql.functions
+    def vec(i: Int) = Array.tabulate(8)(f =>
+      math.sin((i % 5) * 0.9 + f * 0.7) + (if (f == i % 8) 1.5 else 0.0))
+    val base = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val built = Similarity.ivfBuild(base, nLists = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-salted-seg").toString
+    Similarity.ivfSave(built, dir)
+    Similarity.ivfRelease(built)
+    // hot cluster 0: 30 rows; cold cluster 1: 3 rows (bypass assign —
+    // the write path only contracts on (id, vec, cluster))
+    val assigned =
+      (0L until 30L).map(i => (100L + i, vec(i.toInt), 0)) ++
+        (0L until 3L).map(i => (200L + i, vec(i.toInt), 1))
+    val df = assigned.toDF("id", "vec", "cluster")
+    StreamingOps.ivfAppendSegment(df, dir, seg = 0L, targetFileRows = 10L)
+    def leafFiles(cluster: Int): Int = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$dir/applists/seg=0/cluster=$cluster")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    assert(leafFiles(1) == 1,
+      s"cold cluster should keep one file per leaf, got ${leafFiles(1)}")
+    val hot = leafFiles(0)
+    assert(hot > 1 && hot <= 3,
+      s"hot cluster (30 rows, target 10) should split into 2-3 files, got $hot")
+    // replay: identical layout decisions, no duplicates
+    StreamingOps.ivfAppendSegment(df, dir, seg = 0L, targetFileRows = 10L)
+    val rows = Similarity.ivfLoad(s, dir).assigned
+      .select(F.col("id").cast("long")).collect().map(_.getLong(0)).sorted
+    assert(rows.length == 73 && rows.toSet.size == 73,
+      s"replayed salted segment duplicated rows: ${rows.length}")
+  }
 }
